@@ -1,13 +1,35 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.suite.{CoreQueries, ReportQueries, ScaleQueries, WindowQueries}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries` is the full verifiable operator inventory (SURVEY.md §2 mapped
+  * onto the driver testdata); `oracleSql` holds the DuckDB mirror for every
+  * SQL-expressible entry (hash-based MinHash/SimHash entries are rows-only).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private val registry = Seq(
+    CoreQueries.all, WindowQueries.all, ReportQueries.all, ScaleQueries.all)
+    .reduce(_ ++ _)
+
+  /** Flagship: the reference's CVD clinical report pipeline
+    * (Athena_queries_for_reports.sql:3-76) — filter → latest-per-key window
+    * → MAX-CASE pivot → CASE banding — on sf0.001. Driver smoke-checks
+    * rows > 0.
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    registry("q18_cvd_report").build(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    registry.map { case (name, q) => name -> q.build }
+
+  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
+    * same parquet tables. Omitted for non-SQL-expressible ops.
+    */
+  def oracleSql: Map[String, String] =
+    registry.collect { case (name, q) if q.oracle.isDefined => name -> q.oracle.get }
 }

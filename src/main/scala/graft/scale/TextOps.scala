@@ -1,0 +1,95 @@
+package graft.scale
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines: token
+  * counting, quality scoring, language-ID, document fingerprinting.
+  *
+  * All pure column expressions (whole-stage codegen, no UDFs) — each runs as
+  * a narrow map over the documents scan, so they scale linearly with no
+  * shuffle at any data size.
+  */
+object TextOps {
+
+  /** Whitespace tokenization, empty tokens removed. */
+  def tokens(text: Column): Column =
+    filter(split(text, "\\s+"), t => length(t) > 0)
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** Mean token length (null on empty docs). */
+  def avgTokenLen(toks: Column): Column = {
+    val totalLen = aggregate(toks, lit(0L), (acc, t) => acc + length(t))
+    when(size(toks) > 0, totalLen.cast("double") / size(toks).cast("double"))
+  }
+
+  /** Punctuation characters / total characters. */
+  def punctRatio(text: Column): Column =
+    when(length(text) > 0,
+      length(regexp_replace(text, "[^.,;:!?]", "")).cast("double") /
+        length(text).cast("double"))
+
+  /** Per-language stopword lists for the heuristic scorer. Tiny on purpose:
+    * broadcast as literals into the expression (no join).
+    */
+  val Stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "a", "in", "is", "it", "that", "for"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "los", "se", "por"),
+    "fr" -> Seq("le", "la", "de", "et", "un", "les", "des", "en", "du", "que"),
+    "de" -> Seq("der", "die", "und", "das", "von", "zu", "mit", "den", "ist", "ein"),
+    "zh" -> Seq("de", "le", "shi", "bu", "wo", "you", "zai", "ta", "men", "zhe"))
+
+  def stopwordHits(toks: Column, lang: String): Column =
+    size(filter(toks, t => t.isin(Stopwords(lang).map(lit): _*)))
+
+  /** Ratio of (any-language) stopwords among tokens. */
+  def stopwordRatio(toks: Column): Column = {
+    val all = Stopwords.values.flatten.toSeq.distinct.sorted
+    when(size(toks) > 0,
+      size(filter(toks, t => t.isin(all.map(lit): _*))).cast("double") /
+        size(toks).cast("double"))
+  }
+
+  /** Composite quality score in [0,1]: length sweet-spot, moderate
+    * punctuation, nonzero stopword mass (mirrors the reference's rule-based
+    * scoring style, mrp_website.py:184-204, applied to text quality).
+    */
+  def qualityScore(text: Column): Column = {
+    val toks = tokens(text)
+    val lenScore = least(size(toks).cast("double") / lit(50.0), lit(1.0))
+    val punct = coalesce(punctRatio(text), lit(0.0))
+    val punctScore = when(punct <= 0.1, lit(1.0)).otherwise(
+      greatest(lit(0.0), lit(1.0) - (punct - lit(0.1)) * lit(5.0)))
+    val stopScore = least(coalesce(stopwordRatio(toks), lit(0.0)) * lit(4.0), lit(1.0))
+    (lenScore * lit(0.4) + punctScore * lit(0.3) + stopScore * lit(0.3))
+  }
+
+  /** Language-ID by stopword voting: argmax over per-language hit counts with
+    * a deterministic preference order on ties.
+    */
+  def langId(toks: Column): Column = {
+    val langs = Seq("en", "es", "fr", "de", "zh")
+    val hits = langs.map(l => l -> stopwordHits(toks, l))
+    // first language whose count >= all others (ties -> earlier in list)
+    val maxHits = hits.map(_._2).reduce((a, b) => greatest(a, b))
+    hits.foldLeft(when(lit(false), "und")) { case (acc, (l, h)) =>
+      acc.when(h === maxHits, l)
+    }.otherwise("und")
+  }
+
+  /** Word n-gram shingles (1-based element_at indexing, portable order). */
+  def shingles(toks: Column, n: Int): Column =
+    array_distinct(
+      when(size(toks) >= n,
+        transform(sequence(lit(1), size(toks) - (n - 1)),
+          i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j)): _*)))
+        .otherwise(array(concat_ws(" ", toks))))
+
+  /** Content-defined fingerprint: min of shingle hashes (winnowing-style
+    * bottom sketch, k=1). Equal fingerprints => likely near-duplicate heads;
+    * used as a cheap pre-cluster key before pairwise verification.
+    */
+  def fingerprint(text: Column, n: Int = 3): Column =
+    array_min(transform(shingles(tokens(text), n), s => xxhash64(s)))
+}

@@ -1,0 +1,225 @@
+package graft.suite
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.core.{GQuery, Tables => T}
+import graft.scale.{Dedup, Similarity, TextOps}
+
+/** Training-data-pipeline operators (dedup, similarity search, text
+  * analysis) as verifiable queries. Where the operator is SQL-expressible we
+  * mirror it exactly in DuckDB (same tokenization, same shingle indexing,
+  * same fold order for float math); hash-based operators (MinHash/SimHash)
+  * have no engine-portable oracle and are declared rows-only.
+  */
+object ScaleQueries {
+
+  /** Text-quality metrics per document — token count, mean token length,
+    * punctuation ratio, stopword ratio, composite quality score. Pure narrow
+    * map (no shuffle).
+    */
+  private val q21 = GQuery(
+    (s, d) => {
+      import s.implicits._
+      val toks = TextOps.tokens($"text")
+      T.documents(s, d)
+        .select($"doc_id", $"lang",
+          TextOps.tokenCount($"text").cast("long").as("n_tokens"),
+          round(TextOps.avgTokenLen(toks), 6).as("avg_token_len"),
+          round(TextOps.punctRatio($"text"), 6).as("punct_ratio"),
+          round(TextOps.stopwordRatio(toks), 6).as("stopword_ratio"),
+          round(TextOps.qualityScore($"text"), 6).as("quality"))
+        .orderBy($"doc_id")
+    },
+    Some {
+      val allStops = TextOps.Stopwords.values.flatten.toSeq.distinct.sorted
+        .map(w => s"'$w'").mkString(", ")
+      s"""WITH t AS (SELECT doc_id, lang, text,
+          list_filter(string_split_regex(text, '\\s+'), x -> len(x) > 0) AS toks
+        FROM documents)
+      SELECT doc_id, lang, CAST(len(toks) AS BIGINT) AS n_tokens,
+        ROUND(CASE WHEN len(toks) > 0 THEN
+          list_sum(list_transform(toks, x -> len(x)))::DOUBLE / len(toks)::DOUBLE END, 6) AS avg_token_len,
+        ROUND(CASE WHEN len(text) > 0 THEN
+          len(regexp_replace(text, '[^.,;:!?]', '', 'g'))::DOUBLE / len(text)::DOUBLE END, 6) AS punct_ratio,
+        ROUND(CASE WHEN len(toks) > 0 THEN
+          len(list_filter(toks, x -> x IN ($allStops)))::DOUBLE / len(toks)::DOUBLE END, 6) AS stopword_ratio,
+        ROUND(
+          LEAST(len(toks)::DOUBLE / 50.0, 1.0) * 0.4
+          + (CASE WHEN COALESCE(CASE WHEN len(text) > 0 THEN len(regexp_replace(text, '[^.,;:!?]', '', 'g'))::DOUBLE / len(text)::DOUBLE END, 0.0) <= 0.1 THEN 1.0
+             ELSE GREATEST(0.0, 1.0 - (COALESCE(CASE WHEN len(text) > 0 THEN len(regexp_replace(text, '[^.,;:!?]', '', 'g'))::DOUBLE / len(text)::DOUBLE END, 0.0) - 0.1) * 5.0) END) * 0.3
+          + LEAST(COALESCE(CASE WHEN len(toks) > 0 THEN len(list_filter(toks, x -> x IN ($allStops)))::DOUBLE / len(toks)::DOUBLE END, 0.0) * 4.0, 1.0) * 0.3, 6) AS quality
+      FROM t ORDER BY doc_id"""
+    })
+
+  /** Language-ID by stopword voting (deterministic argmax), compared against
+    * the labeled lang — the aggregate confusion matrix.
+    */
+  private val q22 = GQuery(
+    (s, d) => {
+      import s.implicits._
+      val toks = TextOps.tokens($"text")
+      T.documents(s, d)
+        .select($"doc_id", $"lang", TextOps.langId(toks).as("predicted"))
+        .groupBy($"lang", $"predicted")
+        .agg(count(lit(1)).as("n"))
+        .orderBy($"lang", $"predicted")
+    },
+    Some {
+      val langs = Seq("en", "es", "fr", "de", "zh")
+      def hits(l: String) = {
+        val ws = TextOps.Stopwords(l).map(w => s"'$w'").mkString(", ")
+        s"len(list_filter(toks, x -> x IN ($ws)))"
+      }
+      val maxExpr = langs.map(hits).reduce((a, b) => s"GREATEST($a, $b)")
+      val caseArms = langs.map(l => s"WHEN ${hits(l)} = mx THEN '$l'").mkString(" ")
+      s"""WITH t AS (SELECT doc_id, lang,
+          list_filter(string_split_regex(text, '\\s+'), x -> len(x) > 0) AS toks
+        FROM documents),
+      m AS (SELECT doc_id, lang, toks, $maxExpr AS mx FROM t)
+      SELECT lang, (CASE $caseArms ELSE 'und' END) AS predicted, COUNT(*) AS n
+      FROM m GROUP BY lang, predicted ORDER BY lang, predicted"""
+    })
+
+  /** E1 explode — token frequency top-20 (generator + re-aggregation). */
+  private val q23 = GQuery(
+    (s, d) => {
+      import s.implicits._
+      T.documents(s, d)
+        .select(explode(TextOps.tokens($"text")).as("token"))
+        .groupBy($"token")
+        .agg(count(lit(1)).as("n"))
+        .orderBy($"n".desc, $"token")
+        .limit(20)
+    },
+    Some("""SELECT token, COUNT(*) AS n FROM (
+        SELECT unnest(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)) AS token
+        FROM documents)
+      GROUP BY token ORDER BY n DESC, token LIMIT 20"""))
+
+  /** Near-duplicate pairs by n-gram Jaccard >= 0.8.
+    *
+    * Spark side: MinHash (64 perms) + LSH banding (16 bands × 4 rows)
+    * candidate generation, then exact-Jaccard verification — O(n·bands)
+    * instead of the O(n²) cross join that would never survive 100 TB. The
+    * DuckDB oracle IS the exact O(n²) ground truth, so a hash-match here
+    * certifies LSH recall = 1 at this threshold (P[candidate | j=0.8] =
+    * 1-(1-0.8⁴)¹⁶ ≈ 0.9998, and observed dup pairs sit at j≈0.97 where
+    * recall is 1-1e-15).
+    */
+  private val q24 = GQuery(
+    (s, d) => Dedup.minhashDupPairs(T.documents(s, d), "doc_id", "text",
+      shingleSize = 3, numPerm = 64, bands = 16, threshold = 0.8)
+      .orderBy(col("id_a"), col("id_b")),
+    Some("""WITH toks AS (
+        SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS t
+        FROM documents),
+      sh AS (
+        SELECT doc_id,
+          CASE WHEN len(t) >= 3
+            THEN list_distinct(list_transform(range(1, len(t)-1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+            ELSE [array_to_string(t, ' ')] END AS s
+        FROM toks),
+      pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+          len(list_intersect(a.s, b.s))::DOUBLE AS inter,
+          (len(a.s) + len(b.s))::DOUBLE AS tot
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+      SELECT id_a, id_b,
+        ROUND(CASE WHEN tot - inter > 0 THEN inter / (tot - inter) ELSE 1.0 END, 6) AS jaccard
+      FROM pairs
+      WHERE (CASE WHEN tot - inter > 0 THEN inter / (tot - inter) ELSE 1.0 END) >= 0.8
+      ORDER BY id_a, id_b"""))
+
+  /** SimHash 64-bit fingerprints + winnowing-style content fingerprint per
+    * doc (hash-based → rows-only).
+    */
+  private val q26 = GQuery(
+    (s, d) => {
+      import s.implicits._
+      T.documents(s, d)
+        .select($"doc_id",
+          Dedup.simhash(TextOps.tokens($"text")).as("simhash"),
+          TextOps.fingerprint($"text", 3).as("fingerprint"))
+        .orderBy($"doc_id")
+    },
+    None)
+
+  private val EmbeddingDim = 64
+
+  /** Unrolled left-fold sum for DuckDB mirroring Spark's sequential
+    * aggregate() fold — identical operation order → bit-identical doubles.
+    */
+  private def foldSum(terms: Seq[String]): String =
+    terms.foldLeft("0.0")((acc, t) => s"($acc + $t)")
+
+  /** Brute-force cosine top-5 for query vectors vec_id < 8 over the whole
+    * corpus: broadcast queries, distributed corpus scan, per-query ranking.
+    */
+  private val q27 = GQuery(
+    (s, d) => {
+      import s.implicits._
+      val emb = T.embeddings(s, d)
+      Similarity.bruteForceTopK(emb.filter($"vec_id" < 8), emb, "vec_id",
+        "embedding", k = 5)
+        .select($"query_id", $"rank".cast("long").as("rank"), $"neighbor_id",
+          round($"sim", 6).as("sim"))
+        .orderBy($"query_id", $"rank")
+    },
+    Some {
+      val dot = foldSum((1 to EmbeddingDim).map(i =>
+        s"q.embedding[$i]::DOUBLE * c.embedding[$i]::DOUBLE"))
+      val nq = foldSum((1 to EmbeddingDim).map(i =>
+        s"q.embedding[$i]::DOUBLE * q.embedding[$i]::DOUBLE"))
+      val nc = foldSum((1 to EmbeddingDim).map(i =>
+        s"c.embedding[$i]::DOUBLE * c.embedding[$i]::DOUBLE"))
+      s"""WITH scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+          CASE WHEN SQRT($nq) > 0 AND SQRT($nc) > 0
+            THEN ($dot) / (SQRT($nq) * SQRT($nc)) ELSE 0.0 END AS sim
+        FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+        WHERE q.vec_id < 8),
+      ranked AS (
+        SELECT query_id, neighbor_id, sim,
+          ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+        FROM scored)
+      SELECT query_id, rank, neighbor_id, ROUND(sim, 6) AS sim
+      FROM ranked WHERE rank <= 5 ORDER BY query_id, rank"""
+    })
+
+  /** Per-label embedding statistics (norms computed in the same fold order
+    * both sides; averages rounded).
+    */
+  private val q28 = GQuery(
+    (s, d) => {
+      import s.implicits._
+      val v = Similarity.toDouble($"embedding")
+      T.embeddings(s, d)
+        .select($"label", Similarity.norm(v).as("nrm"),
+          element_at(v, 1).as("e1"))
+        .groupBy($"label")
+        .agg(count(lit(1)).as("n"),
+          round(avg($"nrm"), 6).as("avg_norm"),
+          round(min($"e1"), 6).as("min_e1"),
+          round(max($"e1"), 6).as("max_e1"))
+        .orderBy($"label")
+    },
+    Some {
+      val n2 = foldSum((1 to EmbeddingDim).map(i =>
+        s"embedding[$i]::DOUBLE * embedding[$i]::DOUBLE"))
+      s"""SELECT label, COUNT(*) AS n,
+        ROUND(AVG(SQRT($n2)), 6) AS avg_norm,
+        ROUND(MIN(embedding[1]::DOUBLE), 6) AS min_e1,
+        ROUND(MAX(embedding[1]::DOUBLE), 6) AS max_e1
+      FROM embeddings GROUP BY label ORDER BY label"""
+    })
+
+  def all: Map[String, GQuery] = Map(
+    "q21_text_quality" -> q21,
+    "q22_lang_id" -> q22,
+    "q23_token_topk" -> q23,
+    "q24_minhash_dedup_pairs" -> q24,
+    "q26_simhash_fingerprint" -> q26,
+    "q27_cosine_topk" -> q27,
+    "q28_embedding_stats" -> q28,
+  )
+}

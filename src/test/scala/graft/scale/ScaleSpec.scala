@@ -1,0 +1,72 @@
+package graft.scale
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class ScaleSpec extends SparkSpec {
+
+  test("exact dedup keeps lowest id per identical content") {
+    import spark.implicits._
+    val df = Seq((3L, "aaa"), (1L, "aaa"), (2L, "bbb"), (5L, "aaa"))
+      .toDF("id", "text")
+    val got = Dedup.exactDedup(df, "text", "id")
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got == Seq((1L, "aaa"), (2L, "bbb")))
+  }
+
+  test("minhash LSH finds exactly the high-jaccard pairs on synthetic docs") {
+    import spark.implicits._
+    val base = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val nearDup = (1 to 60).map(i => if (i == 30) "CHANGED" else s"tok$i").mkString(" ")
+    val unrelated = (100 to 160).map(i => s"other$i").mkString(" ")
+    val docs = Seq((1L, base), (2L, nearDup), (3L, unrelated))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.minhashDupPairs(docs, "doc_id", "text", threshold = 0.6)
+      .collect()
+    assert(pairs.length == 1)
+    assert(pairs.head.getAs[Long]("id_a") == 1L)
+    assert(pairs.head.getAs[Long]("id_b") == 2L)
+    assert(pairs.head.getAs[Double]("jaccard") > 0.8)
+  }
+
+  test("simhash: identical docs equal, near-dups close, unrelated far") {
+    import spark.implicits._
+    val a = (1 to 50).map(i => s"w$i").mkString(" ")
+    val b = (1 to 50).map(i => if (i % 25 == 0) "x" else s"w$i").mkString(" ")
+    val c = (200 to 250).map(i => s"z$i").mkString(" ")
+    val df = Seq((1L, a), (2L, a), (3L, b), (4L, c)).toDF("id", "text")
+    val h = df.select(Dedup.simhash(TextOps.tokens(col("text"))).as("h"))
+      .collect().map(_.getLong(0))
+    def hamming(x: Long, y: Long) = java.lang.Long.bitCount(x ^ y)
+    assert(h(0) == h(1))
+    assert(hamming(h(0), h(2)) < hamming(h(0), h(3)))
+  }
+
+  test("brute-force cosine top-k ranks by exact cosine") {
+    import spark.implicits._
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f)),
+      (1L, Array(0.9f, 0.1f)),
+      (2L, Array(0.0f, 1.0f)),
+      (3L, Array(-1.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.bruteForceTopK(
+      vecs.filter(col("vec_id") === 0), vecs, "vec_id", "embedding", k = 3)
+      .orderBy("rank").collect()
+    assert(out.map(_.getAs[Long]("neighbor_id")).toSeq == Seq(1L, 2L, 3L))
+    assert(out.head.getAs[Double]("sim") > 0.99)
+  }
+
+  test("langId votes deterministically; quality in [0,1]") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "the cat and the dog of the house is in it"),
+      (2L, "el perro y la casa de los gatos se ve")).toDF("id", "text")
+    val got = df.select(col("id"),
+      TextOps.langId(TextOps.tokens(col("text"))).as("lang"),
+      TextOps.qualityScore(col("text")).as("q")).collect()
+    assert(got(0).getString(1) == "en")
+    assert(got(1).getString(1) == "es")
+    got.foreach(r => assert(r.getDouble(2) >= 0.0 && r.getDouble(2) <= 1.0))
+  }
+}
