@@ -1,0 +1,84 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+class StreamingSpec extends SparkSpec {
+
+  test("incremental ingest drains new files only (bookmark semantics)") {
+    import spark.implicits._
+    val in = Files.createTempDirectory("graft_in").toString
+    val out = Files.createTempDirectory("graft_out").toString
+    val ckpt = Files.createTempDirectory("graft_ckpt").toString
+    val schema = Seq((1L, "a")).toDF("id", "v").schema
+
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v").write.parquet(s"$in/batch1")
+    Streaming.incrementalIngest(spark, in, schema, out, ckpt,
+      df => df.withColumn("v", upper(col("v"))))
+    assert(spark.read.parquet(out).count() == 2)
+
+    // second invocation with one new file: only the delta is appended
+    Seq((3L, "c")).toDF("id", "v").write.parquet(s"$in/batch2")
+    Streaming.incrementalIngest(spark, in, schema, out, ckpt,
+      df => df.withColumn("v", upper(col("v"))))
+    val rows = spark.read.parquet(out).orderBy("id").collect()
+    assert(rows.length == 3)
+    assert(rows.map(_.getString(1)).toSeq == Seq("A", "B", "C"))
+
+    // third invocation with nothing new: no duplicates
+    Streaming.incrementalIngest(spark, in, schema, out, ckpt)
+    assert(spark.read.parquet(out).count() == 3)
+  }
+
+  test("watermarked windowed aggregation over a bounded stream") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_ev").toString
+    val base = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+    def ts(minutes: Int) = new java.sql.Timestamp(base.getTime + minutes * 60000L)
+    Seq(
+      (ts(0), "click", 1.0), (ts(10), "click", 2.0),
+      (ts(70), "click", 3.0), (ts(5), "view", 4.0))
+      .toDF("ts", "event_type", "value").write.parquet(s"$dir/data")
+    val schema = spark.read.parquet(s"$dir/data").schema
+    val stream = spark.readStream.schema(schema).parquet(s"$dir/data")
+    val q = Streaming.windowedCounts(stream, "ts", "event_type")
+      .writeStream.format("memory").queryName("wincounts")
+      .outputMode("complete").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("wincounts")
+      .select(col("window.start").cast("string"), col("event_type"), col("n"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(got == Set(
+      ("2024-01-01 10:00:00", "click", 2L),
+      ("2024-01-01 11:00:00", "click", 1L),
+      ("2024-01-01 10:00:00", "view", 1L)))
+  }
+
+  test("stateful sessionizer splits on gap and aggregates in order") {
+    import spark.implicits._
+    val base = java.sql.Timestamp.valueOf("2024-01-01 10:00:00").getTime
+    def ts(minutes: Int) = new java.sql.Timestamp(base + minutes * 60000L)
+    val events = Seq(
+      Streaming.SessionInput(1L, ts(0), 1.0),
+      Streaming.SessionInput(1L, ts(10), 2.0),
+      Streaming.SessionInput(1L, ts(50), 3.0),   // 40 min gap -> new session
+      Streaming.SessionInput(2L, ts(0), 5.0)).toDS()
+    val dir = Files.createTempDirectory("graft_sess").toString
+    events.write.parquet(s"$dir/data")
+    val stream = spark.readStream.schema(events.schema).parquet(s"$dir/data")
+      .as[Streaming.SessionInput]
+    // AvailableNow: drain the bounded input then stop — processing-time
+    // timeouts would otherwise keep firing empty micro-batches forever.
+    val q = Streaming.sessionize(stream).writeStream
+      .format("memory").queryName("sessions").outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    // sessions closed by the 40-min in-batch gap are emitted immediately;
+    // the trailing open sessions are held in state awaiting timeout.
+    val got = spark.table("sessions").as[Streaming.SessionOut].collect()
+    assert(got.length == 1)
+    assert(got.head.user_id == 1L && got.head.n_events == 2 &&
+      got.head.total_value == 3.0)
+  }
+}
