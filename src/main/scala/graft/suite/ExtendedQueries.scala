@@ -1,0 +1,215 @@
+package graft.suite
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.{GQuery, Tables => T}
+import graft.operators.AsOfJoin
+import graft.wellness.Forecast
+
+/** Extended operator coverage: as-of join, rollup, exact percentiles,
+  * correlation/covariance stats, semi/anti joins, and the grouped OLS
+  * forecast — each mirrored in DuckDB.
+  */
+object ExtendedQueries {
+
+  /** As-of join (point-in-time lookup): every event picks up the latest
+    * order of the same user at or before the event time. Spark side is the
+    * union-tag-window operator (graft.operators.AsOfJoin — one shuffle,
+    * no range explosion); the oracle is DuckDB's native ASOF JOIN. The
+    * right side is pre-deduplicated to one row per (key, ts) so the match
+    * is well-defined on both engines.
+    */
+  private val q29 = GQuery(
+    (s, d) => {
+      import s.implicits._
+      val wDedup = Window.partitionBy($"o_custkey", $"o_orderdate")
+        .orderBy($"o_orderkey".desc)
+      val ordersDedup = T.orders(s, d)
+        .withColumn("__rn", row_number().over(wDedup)).filter($"__rn" === 1)
+        .drop("__rn")
+        .select($"o_custkey".as("user_id"), $"o_orderdate", $"o_orderkey",
+          $"o_totalprice")
+      val joined = AsOfJoin.asofJoin(
+        T.events(s, d), ordersDedup, key = "user_id",
+        leftTs = "ts", rightTs = "o_orderdate",
+        rightCols = Seq("o_orderkey", "o_totalprice"))
+      joined.select($"event_id", $"user_id", unix_micros($"ts").as("ts_us"),
+        $"o_orderkey", round($"o_totalprice", 2).as("order_price"))
+        .orderBy($"event_id")
+    },
+    Some("""WITH r AS (
+        SELECT o_custkey AS user_id, o_orderdate, o_orderkey, o_totalprice
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY o_custkey, o_orderdate
+          ORDER BY o_orderkey DESC) AS rn FROM orders) WHERE rn = 1)
+      SELECT e.event_id, e.user_id, epoch_us(e.ts) AS ts_us,
+        r.o_orderkey, ROUND(r.o_totalprice, 2) AS order_price
+      FROM events e ASOF LEFT JOIN r
+        ON e.user_id = r.user_id AND e.ts >= r.o_orderdate
+      ORDER BY e.event_id"""))
+
+  /** ROLLUP hierarchy totals (OLAP subtotal lattice). Group keys coalesced
+    * to '(all)' so the subtotal rows sort deterministically on both engines.
+    */
+  private val q30 = GQuery(
+    (s, d) => {
+      import s.implicits._
+      T.lineitem(s, d)
+        .rollup($"l_returnflag", $"l_linestatus")
+        .agg(count(lit(1)).as("n"),
+          sum($"l_quantity".cast("decimal(18,2)")).cast("double").as("total_qty"))
+        .select(coalesce($"l_returnflag", lit("(all)")).as("returnflag"),
+          coalesce($"l_linestatus", lit("(all)")).as("linestatus"),
+          $"n", $"total_qty")
+        .orderBy($"returnflag", $"linestatus")
+    },
+    Some("""SELECT COALESCE(l_returnflag, '(all)') AS returnflag,
+        COALESCE(l_linestatus, '(all)') AS linestatus,
+        COUNT(*) AS n,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+      FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+      ORDER BY returnflag, linestatus"""))
+
+  /** Exact interpolated percentiles per group (Spark `percentile` and
+    * DuckDB `quantile_cont` share the p·(n−1) linear-interpolation
+    * definition).
+    */
+  private val q31 = GQuery(
+    (s, d) => {
+      import s.implicits._
+      T.events(s, d)
+        .groupBy($"event_type")
+        .agg(
+          round(expr("percentile(value, 0.5)"), 4).as("p50"),
+          round(expr("percentile(value, 0.9)"), 4).as("p90"),
+          round(expr("percentile(value, 0.99)"), 4).as("p99"),
+          round(min($"value"), 2).as("vmin"),
+          round(max($"value"), 2).as("vmax"))
+        .orderBy($"event_type")
+    },
+    Some("""SELECT event_type,
+        ROUND(quantile_cont(value, 0.5), 4) AS p50,
+        ROUND(quantile_cont(value, 0.9), 4) AS p90,
+        ROUND(quantile_cont(value, 0.99), 4) AS p99,
+        ROUND(MIN(value), 2) AS vmin, ROUND(MAX(value), 2) AS vmax
+      FROM events GROUP BY event_type ORDER BY event_type"""))
+
+  /** Correlation / covariance / dispersion statistics per group (F9's
+    * statistical-aggregate family beyond the OLS pair).
+    */
+  private val q32 = GQuery(
+    (s, d) => {
+      import s.implicits._
+      val x = (unix_micros($"ts") - lit(1704067200000000L)).cast("double") / lit(86400e6)
+      T.events(s, d)
+        .groupBy($"event_type")
+        .agg(
+          round(corr($"value", x), 6).as("corr_vs_time"),
+          round(covar_samp($"value", x), 4).as("covar"),
+          round(stddev_samp($"value"), 4).as("sd"),
+          round(var_samp($"value"), 3).as("variance"),
+          // Spark skewness is population g1; DuckDB's is the sample-adjusted
+          // G1 = g1·√(n(n−1))/(n−2) — convert to the sample definition.
+          round(skewness($"value") *
+            sqrt(count(lit(1)) * (count(lit(1)) - 1)) / (count(lit(1)) - 2), 5)
+            .as("skew"))
+        .orderBy($"event_type")
+    },
+    Some("""SELECT event_type,
+        ROUND(CORR(value, (epoch_us(ts) - 1704067200000000) / 86400000000.0), 6) AS corr_vs_time,
+        ROUND(COVAR_SAMP(value, (epoch_us(ts) - 1704067200000000) / 86400000000.0), 4) AS covar,
+        ROUND(STDDEV_SAMP(value), 4) AS sd,
+        ROUND(VAR_SAMP(value), 3) AS variance,
+        ROUND(SKEWNESS(value), 5) AS skew
+      FROM events GROUP BY event_type ORDER BY event_type"""))
+
+  /** Left-semi / left-anti joins (EXISTS / NOT EXISTS): per nation, how
+    * many customers have an urgent order vs no orders at all.
+    */
+  private val q33 = GQuery(
+    (s, d) => {
+      import s.implicits._
+      val cust = T.customer(s, d)
+      val urgent = T.orders(s, d).filter($"o_orderpriority" === "1-URGENT")
+        .select($"o_custkey")
+      val withUrgent = cust.join(urgent, $"c_custkey" === $"o_custkey", "left_semi")
+        .groupBy($"c_nationkey").agg(count(lit(1)).as("n_with_urgent"))
+      val noOrders = cust.join(T.orders(s, d).select($"o_custkey"),
+        $"c_custkey" === $"o_custkey", "left_anti")
+        .groupBy($"c_nationkey").agg(count(lit(1)).as("n_no_orders"))
+      cust.groupBy($"c_nationkey").agg(count(lit(1)).as("n_customers"))
+        .join(withUrgent, Seq("c_nationkey"), "left")
+        .join(noOrders, Seq("c_nationkey"), "left")
+        .select($"c_nationkey".cast("int").as("nationkey"), $"n_customers",
+          coalesce($"n_with_urgent", lit(0L)).as("n_with_urgent"),
+          coalesce($"n_no_orders", lit(0L)).as("n_no_orders"))
+        .orderBy($"nationkey")
+    },
+    Some("""SELECT CAST(c_nationkey AS INTEGER) AS nationkey,
+        COUNT(*) AS n_customers,
+        CAST(SUM(CASE WHEN EXISTS (SELECT 1 FROM orders
+          WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+          THEN 1 ELSE 0 END) AS BIGINT) AS n_with_urgent,
+        CAST(SUM(CASE WHEN NOT EXISTS (SELECT 1 FROM orders
+          WHERE o_custkey = c_custkey) THEN 1 ELSE 0 END) AS BIGINT) AS n_no_orders
+      FROM customer GROUP BY c_nationkey ORDER BY nationkey"""))
+
+  /** Grouped OLS forecast with widening CI (M9, mrp_website.py:672-685)
+    * over the per-user event series — 12 projected months per user.
+    */
+  private val q34 = GQuery(
+    (s, d) => {
+      import s.implicits._
+      val series = T.events(s, d)
+        .select($"user_id", to_date($"ts").as("date"), $"value")
+      Forecast.monthlyForecast(series, "user_id", "date", "value", 12)
+        .select($"user_id", $"k".cast("long").as("k"),
+          date_format($"future_month", "yyyy-MM-dd").as("future_month"),
+          round($"y_future", 4).as("y_future"),
+          round($"upper", 4).as("upper"),
+          round($"lower", 4).as("lower"))
+        .orderBy($"user_id", $"k")
+    },
+    Some("""WITH base AS (
+        SELECT user_id,
+          (date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) + 719163)::DOUBLE AS x,
+          value::DOUBLE AS y, CAST(ts AS DATE) AS dt
+        FROM events WHERE value IS NOT NULL),
+      fit AS (
+        SELECT user_id, COUNT(*) AS n,
+          REGR_SLOPE(y, x) AS m, REGR_INTERCEPT(y, x) AS b,
+          AVG(y) AS y_mean, AVG(x) AS x_mean,
+          AVG(y*y) AS yy, AVG(x*x) AS xx, AVG(x*y) AS xy,
+          AVG(ABS(y)) AS abs_mean, MAX(dt) AS last_date
+        FROM base GROUP BY user_id HAVING COUNT(*) >= 3),
+      fit2 AS (
+        SELECT *, (yy - y_mean*y_mean - m*m*(xx - x_mean*x_mean)) AS resid_var
+        FROM fit),
+      fit3 AS (
+        SELECT *, GREATEST(1e-6, SQRT(GREATEST(resid_var, 0.0))) AS sigma,
+          GREATEST(1.0, abs_mean) AS baseline
+        FROM fit2),
+      proj AS (
+        SELECT f.*, k.k,
+          date_trunc('month', f.last_date + (k.k * INTERVAL 1 MONTH)) AS future_month
+        FROM fit3 f CROSS JOIN (SELECT UNNEST(generate_series(1, 12)) AS k) k),
+      calc AS (
+        SELECT user_id, k, future_month,
+          (date_diff('day', DATE '1970-01-01', CAST(future_month AS DATE)) + 719163)::DOUBLE AS xf,
+          m, b, sigma, baseline
+        FROM proj)
+      SELECT user_id, k, STRFTIME(future_month, '%Y-%m-%d') AS future_month,
+        ROUND(m * xf + b, 4) AS y_future,
+        ROUND((m * xf + b) + (sigma + (k / 12.0) * (0.15 * baseline)), 4) AS upper,
+        ROUND((m * xf + b) - (sigma + (k / 12.0) * (0.15 * baseline)), 4) AS lower
+      FROM calc ORDER BY user_id, k"""))
+
+  def all: Map[String, GQuery] = Map(
+    "q29_asof_join" -> q29,
+    "q30_rollup" -> q30,
+    "q31_percentiles" -> q31,
+    "q32_corr_stats" -> q32,
+    "q33_semi_anti_join" -> q33,
+    "q34_forecast" -> q34,
+  )
+}
