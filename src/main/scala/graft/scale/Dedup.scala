@@ -121,7 +121,10 @@ object Dedup {
       .withColumn("sh", hashedShingles(col("th"), shingleSize))    // array<long> shingles
       .select(col("id"), col("sh"))
       .withColumn("xs", transform(col("sh"), x => pmod(x, lit(Prime))))
-      .withColumn("sig", minhashSignature(col("xs"), numPerm))
+      // native codegen expression: one array pass for all perms (the HOF
+      // formulation in minhashSignature is its bit-identical reference)
+      .withColumn("sig",
+        graft.functions.NativeExpressions.minhash_signature(col("xs"), numPerm, Prime))
       .drop("xs")
       .cache()  // read 3×: banding + both sides of the verify join
     val banded = withShingles

@@ -37,6 +37,13 @@ object Similarity {
     when(na > 0 && nb > 0, dot(a, b) / (na * nb)).otherwise(lit(0.0))
   }
 
+  /** Native fused kernel (graft.functions.CosineSimilarity) — bit-identical
+    * to [[cosine]] (same accumulation order), one codegen'd loop instead of
+    * three intermediate arrays per row.
+    */
+  def cosineNative(a: Column, b: Column): Column =
+    graft.functions.NativeExpressions.cosine_similarity(a, b)
+
   /** Brute-force cosine top-k: for each row of `queries` (small; broadcast),
     * the k nearest rows of `corpus` by cosine, ties broken by corpus id.
     * Self-matches (same id) are excluded.
@@ -47,7 +54,7 @@ object Similarity {
       toDouble(col(vecCol)).as("qv")))
     val c = corpus.select(col(idCol).as("neighbor_id"), toDouble(col(vecCol)).as("cv"))
     val scored = q.join(c, col("query_id") =!= col("neighbor_id"))
-      .withColumn("sim", cosine(col("qv"), col("cv")))
+      .withColumn("sim", cosineNative(col("qv"), col("cv")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))
@@ -85,7 +92,7 @@ object Similarity {
       .withColumn("bucket", hyperplaneSig(col("cv"), dim, bits))
     val scored = q.join(c, Seq("bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("sim", cosine(col("qv"), col("cv")))
+      .withColumn("sim", cosineNative(col("qv"), col("cv")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))

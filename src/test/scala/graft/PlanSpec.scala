@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Plan-shape regression tests — the properties that decide whether a query
+  * survives a 100 TB scale-up: filters reaching the parquet scan, column
+  * pruning, broadcast joins for dims, single-exchange windows.
+  */
+class PlanSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("predicate pushdown reaches the parquet scan") {
+    val df = spark.read.parquet(s"$sf/lineitem.parquet")
+      .filter(col("l_returnflag") === "R")
+      .select("l_orderkey", "l_quantity")
+    val p = plan(df)
+    assert(p.contains("PushedFilters: [IsNotNull(l_returnflag), EqualTo(l_returnflag,R)]"), p)
+  }
+
+  test("column pruning: scan reads only projected columns") {
+    val df = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select("l_orderkey", "l_quantity")
+    val p = plan(df)
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_quantity:double>"), p)
+  }
+
+  test("dimension joins broadcast (no shuffle of the fact table for dims)") {
+    val q3 = SparkEntry.queries("q03_region_rollup")(spark, sf)
+    val p = plan(q3)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("latest-per-group window plans one exchange on the partition keys") {
+    val q11 = SparkEntry.queries("q11_latest_per_group")(spark, sf)
+    val p = plan(q11)
+    // one hashpartitioning exchange for the window (plus the final sort)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 1, s"expected 1 hash exchange, plan:\n$p")
+    assert(p.contains("user_id"), p)
+  }
+
+  test("whole-stage codegen covers the banding projection") {
+    val q18 = SparkEntry.queries("q18_cvd_report")(spark, sf)
+    q18.collect() // AQE only materializes codegen spans in the final plan
+    val p = plan(q18)
+    // "*(n)" prefixes mark whole-stage-codegen stages in the plan string
+    assert(p.contains("*(") , p)
+    assert("\\*\\(\\d+\\) Project".r.findFirstIn(p).isDefined, p)
+  }
+
+  test("native expressions participate in codegen (no eval fallback crash)") {
+    // run with codegen fallback disabled: if doGenCode were broken this throws
+    withSQLConf("spark.sql.codegen.fallback" -> "false") {
+      val emb = graft.core.Tables.embeddings(spark, sf).limit(10)
+      val n = emb.as("a").crossJoin(emb.as("b"))
+        .select(graft.functions.NativeExpressions.cosine_similarity(
+          col("a.embedding"), col("b.embedding")).as("s"))
+        .filter(col("s") > -2).count()
+      assert(n == 100)
+    }
+  }
+
+  private def withSQLConf[A](pairs: (String, String)*)(f: => A): A = {
+    val conf = spark.conf
+    val olds = pairs.map { case (k, _) => k -> conf.getOption(k) }
+    pairs.foreach { case (k, v) => conf.set(k, v) }
+    try f finally olds.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
+}
