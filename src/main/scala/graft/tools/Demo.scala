@@ -2,7 +2,7 @@ package graft.tools
 
 import org.apache.spark.sql.{Row, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.ingest.FhirIngest
+import graft.ingest.{FhirIngest, LabPanel, LenientFhir}
 import graft.ml.{FeatureBuilder, Scorer}
 import graft.multimodal.Multimodal
 import graft.queries.Catalog
@@ -65,6 +65,26 @@ object Demo {
     Streaming.incrementalIngest(spark, s"$tmp/in", obs.schema,
       s"$tmp/out", s"$tmp/ckpt")
     println(s"after drain 2 (no new files): ${spark.read.parquet(s"$tmp/out").count()} rows")
+
+    println("== Lenient ingest: shape-variant bundle via jget ladders ==")
+    val variants = bundles.replace("bundle1.json", "bundle2_variants.json")
+    if (new java.io.File(variants).exists()) {
+      LenientFhir.observations(
+        LenientFhir.entries(LenientFhir.readBundles(spark, variants)))
+        .select("observation_id", "code_display", "value_quantity", "value_string")
+        .show(20, truncate = 22)
+    }
+
+    println("== Lab-panel CSV: optional columns + confidence ==")
+    val csvDir = java.nio.file.Files.createTempDirectory("graft_csv").toString
+    Seq(("P001", 168.0, 38.0), ("P001", 150.0, 42.0), ("P001", 135.0, 48.0))
+      .toDF("patient_id", "LDL", "HDL")
+      .coalesce(1).write.option("header", "true").csv(s"$csvDir/panel")
+    val panel = LabPanel.read(spark, s"$csvDir/panel")
+    LabPanel.diseaseConfidence(panel, "Cardiovascular").show()
+    LabPanel.latestScored(panel)
+      .select("patient_id", "date", "sub_cardiovascular", "wellness", "confidence")
+      .show()
 
     println("== Multimodal: binary columns + stubbed decode ==")
     val media = spark.createDataFrame(
