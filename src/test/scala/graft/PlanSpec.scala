@@ -65,6 +65,32 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("partition pruning: partitioned sink + partition filter prune the scan") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
+    val obs = Seq(
+      ("o1", "2023-01", 1.0), ("o2", "2023-02", 2.0), ("o3", "2023-03", 3.0))
+      .toDF("id", "month", "v")
+    graft.ingest.FhirIngest.writeParquet(obs, dir, partitions = Seq("month"))
+    val scan = spark.read.parquet(dir).filter(col("month") === "2023-02")
+    val p = plan(scan)
+    // the scan node carries the filter as a PartitionFilter (pruned at
+    // planning, not post-read); inputFiles would list the whole relation
+    assert(p.contains("PartitionFilters: [isnotnull(month"), p)
+    assert(p.contains("(month#") && p.contains("= 2023-02"), p)
+    assert(scan.count() == 1)
+  }
+
+  test("salted aggregates agree with direct aggregates") {
+    import spark.implicits._
+    val df = Seq.tabulate(1000)(i => ("hot", i % 37, i.toDouble)).toDF("k", "g", "v")
+    val salted = graft.scale.Skew.saltedSum(df, "k", "v").collect().head
+    assert(salted.getAs[Double]("sum_v") == (0 until 1000).map(_.toDouble).sum)
+    assert(salted.getAs[Long]("n") == 1000L)
+    val dist = graft.scale.Skew.saltedCountDistinct(df, "k", "g").collect().head
+    assert(dist.getAs[Long]("n_distinct_g") == 37L)
+  }
+
   private def withSQLConf[A](pairs: (String, String)*)(f: => A): A = {
     val conf = spark.conf
     val olds = pairs.map { case (k, _) => k -> conf.getOption(k) }

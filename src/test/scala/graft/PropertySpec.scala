@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import graft.queries.Reports
+import graft.wellness.Wellness
+
+/** Property-based invariants (SURVEY.md §5.4), driven by raw ScalaCheck
+  * generators under fixed seeds (the scalatest bridge isn't on the
+  * classpath): latest-per-group equals argmax-by-timestamp under arbitrary
+  * orderings; subscores stay in [0,100]; banding is total; jaccard is a
+  * bounded symmetric similarity.
+  */
+class PropertySpec extends SparkSpec {
+
+  private def samples[A](g: Gen[A], n: Int): Seq[A] =
+    (1 to n).map(i => g.pureApply(Gen.Parameters.default, Seed(42L + i)))
+
+  private val obsGen = Gen.listOfN(40, for {
+    pid <- Gen.oneOf("p1", "p2", "p3")
+    key <- Gen.oneOf("A", "B")
+    v <- Gen.choose(0.0, 300.0)
+    t <- Gen.choose(0L, 1000L)
+    id <- Gen.choose(0L, 1000000L)
+  } yield (pid, key, v, t, id))
+
+  test("latest-per-key == argmax by (ts, tiebreak) under any row order") {
+    import spark.implicits._
+    samples(obsGen, 8).foreach { rows =>
+      val df = rows.toDF("pid", "key", "v", "t", "id")
+      val got = Reports.latestPerKey(df, "pid", "key", "t", "id")
+        .select("pid", "key", "v").collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+      val want = rows.groupBy(r => (r._1, r._2)).map { case (k, g) =>
+        k -> g.maxBy(r => (r._4, r._5))._3
+      }
+      assert(got == want)
+    }
+  }
+
+  test("disease subscores always in [0,100] or null; confidence in [0,1]") {
+    import spark.implicits._
+    val analytes = Wellness.Refs.keys.toSeq.sorted
+    val rowGen = Gen.listOfN(analytes.size, Gen.option(Gen.choose(-50.0, 500.0)))
+    samples(Gen.listOfN(20, rowGen), 5).foreach { rows =>
+      val df0 = rows.indices.toDF("id")
+      val withCols = analytes.zipWithIndex.foldLeft(df0) { case (acc, (a, j)) =>
+        val vals = rows.map(_(j))
+        acc.withColumn(a, element_at(typedLit(vals), col("id") + 1))
+      }
+      val scored = Wellness.scoreWide(withCols, identity).collect()
+      scored.foreach { r =>
+        Wellness.DiseaseWeights.keys.foreach { dis =>
+          val i = r.fieldIndex(s"sub_${dis.toLowerCase}")
+          if (!r.isNullAt(i)) {
+            val s = r.getDouble(i)
+            assert(s >= 0.0 && s <= 100.0, s"$dis -> $s")
+          }
+        }
+        val ci = r.fieldIndex("confidence")
+        assert(r.getDouble(ci) >= 0.0 && r.getDouble(ci) <= 1.0 + 1e-12)
+        val wi = r.fieldIndex("wellness")
+        if (!r.isNullAt(wi))
+          assert(r.getDouble(wi) >= 0.0 && r.getDouble(wi) <= 100.0 + 1e-9)
+      }
+    }
+  }
+
+  test("CVD banding is total over doubles and null (never errors)") {
+    import spark.implicits._
+    val vals: Seq[Option[Double]] = Seq(Some(-1.0), Some(0.0), Some(39.999),
+      Some(40.0), Some(59.0), Some(59.5), Some(60.0), Some(1e9), None)
+    val df = vals.toDF("hdl")
+    val got = df.select(Reports.banded(col("hdl"), "n/a", Reports.hdlBands)
+      .as("b")).collect()
+    assert(got.length == vals.length)
+    assert(got.count(_.isNullAt(0)) == 1) // only 59.5 falls in the documented gap
+  }
+
+  test("jaccard: bounded, symmetric, 1 on self") {
+    import spark.implicits._
+    val arrGen = Gen.listOfN(12, Gen.choose(0L, 20L))
+    val pairs = samples(Gen.zip(arrGen, arrGen), 10)
+    val df = pairs.toDF("a", "b")
+    val rs = df.select(
+      graft.scale.Dedup.jaccard(col("a"), col("b")).as("ab"),
+      graft.scale.Dedup.jaccard(col("b"), col("a")).as("ba"),
+      graft.scale.Dedup.jaccard(col("a"), col("a")).as("aa")).collect()
+    rs.foreach { r =>
+      assert(r.getDouble(0) >= 0.0 && r.getDouble(0) <= 1.0)
+      assert(r.getDouble(0) == r.getDouble(1))
+      assert(r.getDouble(2) == 1.0)
+    }
+  }
+}
