@@ -116,6 +116,22 @@ object Wellness {
       flag(a("Hemoglobin").isNotNull && a("Hemoglobin") < 12.0, "low_hemoglobin")))
   }
 
+  /** Liver summary (mrp_website.py ~:400-410): count of liver analytes
+    * (ALT/AST/Bilirubin/Albumin) with penalty >= 2 → tiered label;
+    * no analyte present → "Insufficient data".
+    */
+  def liverSummary(a: String => Column): Column = {
+    val liverAnalytes = Seq("ALT", "AST", "Bilirubin", "Albumin")
+    val multi = liverAnalytes.map { an =>
+      when(penalty(a(an), Refs(an)) >= 2, 1).otherwise(0)
+    }.reduce(_ + _)
+    val anyPresent = liverAnalytes.map(an => a(an).isNotNull).reduce(_ || _)
+    when(!anyPresent, "Insufficient data")
+      .when(multi >= 2, "Liver dysfunction likely (multiple abnormalities)")
+      .when(multi === 1, "Possible liver dysfunction")
+      .otherwise("No liver dysfunction signal")
+  }
+
   /** Add all five subscores + wellness + confidence + patterns to a wide
     * frame whose analyte columns are named by `colFor`.
     */
@@ -130,5 +146,6 @@ object Wellness {
       .withColumn("wellness", score)
       .withColumn("confidence", conf)
       .withColumn("patterns", patterns(a))
+      .withColumn("liver_summary", liverSummary(a))
   }
 }

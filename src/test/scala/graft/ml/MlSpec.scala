@@ -54,6 +54,27 @@ class MlSpec extends SparkSpec {
     p.kmeansCenters.indices.foreach(k => assert(got(s"c$k") == k))
   }
 
+  test("cluster centers decode to the reference's documented semantics") {
+    // Independent cross-validation of the extracted M1-M4 parameters: the
+    // inverse-transformed KMeans centers must match CLUSTER_DESCRIPTIONS
+    // (test.py:125-130) — 0 youngest/healthiest, 1 high-lipid, 2/3 older
+    // with renal abnormality, 3 oldest.
+    val p = PipelineParams.default
+    def rawFeature(k: Int, name: String): Double = {
+      val j = p.features.indexOf(name)
+      val zj = p.pcaMean(j) +
+        p.pcaComponents.indices.map(i => p.kmeansCenters(k)(i) * p.pcaComponents(i)(j)).sum
+      zj * p.scalerScale(j) + p.scalerMean(j)
+    }
+    val ages = (0 to 3).map(rawFeature(_, "age"))
+    assert(ages(0) == ages.min)            // cluster 0: youngest
+    assert(ages(3) == ages.max)            // cluster 3: oldest
+    val ldls = (0 to 3).map(rawFeature(_, "ldl_latest"))
+    assert(ldls(1) == ldls.max && ldls(1) > 150) // cluster 1: lipid risk
+    val creat = (0 to 3).map(rawFeature(_, "creatinine_latest"))
+    assert(creat(3) > creat(0) && creat(2) > creat(0)) // 2/3: renal burden
+  }
+
   test("xgb model loads 400 trees and scores deterministically") {
     val m = XgbModel.load(s"$refModels/xgb_cvd_model.json")
     assert(m.trees.length == 400)

@@ -54,6 +54,19 @@ class WellnessSpec extends SparkSpec {
     assert(r.getAs[Double]("confidence") == 0.0)
   }
 
+  test("liver summary tiers by count of penalty>=2 abnormalities") {
+    // ALT 60 (pen 2) + Bilirubin 2.0 (pen 2) -> multiple
+    assert(score1(Map("ALT" -> 60.0, "Bilirubin" -> 2.0))
+      .getAs[String]("liver_summary")
+      == "Liver dysfunction likely (multiple abnormalities)")
+    assert(score1(Map("ALT" -> 60.0, "AST" -> 20.0))
+      .getAs[String]("liver_summary") == "Possible liver dysfunction")
+    assert(score1(Map("ALT" -> 20.0)).getAs[String]("liver_summary")
+      == "No liver dysfunction signal")
+    assert(score1(Map("LDL" -> 100.0)).getAs[String]("liver_summary")
+      == "Insufficient data")
+  }
+
   test("patterns fire per the reference rules") {
     val r = score1(Map("LDL" -> 165.0, "HDL" -> 50.0, "Hemoglobin" -> 11.0,
       "eGFR" -> 50.0, "Creatinine" -> 1.0))
