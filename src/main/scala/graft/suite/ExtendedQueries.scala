@@ -204,6 +204,59 @@ object ExtendedQueries {
         ROUND((m * xf + b) - (sigma + (k / 12.0) * (0.15 * baseline)), 4) AS lower
       FROM calc ORDER BY user_id, k"""))
 
+  /** Approximate distinct (HLL-family sketches). The sketch values differ
+    * across engines by design, so the oracle-able output is the exact count
+    * plus a boolean asserting each engine's own sketch lands within 5% of
+    * exact — verifying sketch accuracy, not sketch bits.
+    */
+  private val q35 = GQuery(
+    (s, d) => {
+      import s.implicits._
+      T.events(s, d)
+        .groupBy($"event_type")
+        .agg(countDistinct($"user_id").as("n_exact_users"),
+          countDistinct(get_json_object($"props", "$.k")).as("n_exact_k"),
+          approx_count_distinct($"user_id").as("approx_users"),
+          approx_count_distinct(get_json_object($"props", "$.k")).as("approx_k"))
+        .select($"event_type", $"n_exact_users", $"n_exact_k",
+          (abs($"approx_users" - $"n_exact_users").cast("double") /
+            $"n_exact_users" <= 0.05).as("approx_users_ok"),
+          (abs($"approx_k" - $"n_exact_k").cast("double") /
+            $"n_exact_k" <= 0.05).as("approx_k_ok"))
+        .orderBy($"event_type")
+    },
+    Some("""SELECT event_type,
+        COUNT(DISTINCT user_id) AS n_exact_users,
+        COUNT(DISTINCT json_extract_string(props, '$.k')) AS n_exact_k,
+        (ABS(approx_count_distinct(user_id) - COUNT(DISTINCT user_id))::DOUBLE
+          / COUNT(DISTINCT user_id) <= 0.05) AS approx_users_ok,
+        (ABS(approx_count_distinct(json_extract_string(props, '$.k')) - COUNT(DISTINCT json_extract_string(props, '$.k')))::DOUBLE
+          / COUNT(DISTINCT json_extract_string(props, '$.k')) <= 0.05) AS approx_k_ok
+      FROM events GROUP BY event_type ORDER BY event_type"""))
+
+  /** RANGE-frame window: per-user rolling 24-hour event-value sum keyed on
+    * event time (rowsBetween frames are covered by q13/q14; this is the
+    * value-range frame).
+    */
+  private val q36 = GQuery(
+    (s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy(unix_micros($"ts"))
+        .rangeBetween(-86400000000L, 0L)
+      T.events(s, d)
+        .withColumn("rolling_24h",
+          sum($"value".cast("decimal(18,2)")).over(w).cast("double"))
+        .select($"event_id", $"user_id", unix_micros($"ts").as("ts_us"),
+          $"rolling_24h")
+        .orderBy($"event_id")
+    },
+    Some("""SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+        CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
+          PARTITION BY user_id ORDER BY epoch_us(ts)
+          RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW) AS DOUBLE)
+          AS rolling_24h
+      FROM events ORDER BY event_id"""))
+
   def all: Map[String, GQuery] = Map(
     "q29_asof_join" -> q29,
     "q30_rollup" -> q30,
@@ -211,5 +264,7 @@ object ExtendedQueries {
     "q32_corr_stats" -> q32,
     "q33_semi_anti_join" -> q33,
     "q34_forecast" -> q34,
+    "q35_approx_distinct" -> q35,
+    "q36_range_frame_window" -> q36,
   )
 }
