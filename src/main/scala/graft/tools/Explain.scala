@@ -1,0 +1,49 @@
+package graft.tools
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.SparkSession
+import graft.SparkEntry
+
+/** Dumps `explain("formatted")` for the flagship queries to EXPLAIN.md —
+  * the plan-review loop (pushdown present? dims broadcast? exchanges
+  * minimal?) captured as a repo artifact.
+  * Usage: runMain graft.tools.Explain [sfDir] [outFile]
+  */
+object Explain {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val out = args.lift(1).getOrElse("EXPLAIN.md")
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val flagships = Seq(
+      "q01_pricing_summary",   // pushdown + partial agg
+      "q03_region_rollup",     // broadcast dim joins
+      "q11_latest_per_group",  // single-exchange window
+      "q18_cvd_report",        // window + pivot + banding
+      "q24_minhash_dedup_pairs", // LSH candidate join + native expr
+      "q27_cosine_topk",       // broadcast queries + native cosine
+      "q29_asof_join")         // union-tag-window as-of
+
+    val sb = new StringBuilder
+    sb.append("# EXPLAIN — flagship physical plans\n\n")
+    sb.append(s"Generated from `$sfDir` (AQE on). Things to check per plan:\n")
+    sb.append("PushedFilters / ReadSchema on scans, BroadcastHashJoin for dims,\n")
+    sb.append("one hashpartitioning Exchange per window/agg, `*(n)` codegen spans.\n\n")
+    flagships.foreach { name =>
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      val formatted = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      sb.append(s"## $name\n\n```\n$formatted\n```\n\n")
+    }
+    Files.writeString(Paths.get(out), sb.toString)
+    println(s"[explain] wrote $out (${flagships.size} plans)")
+    spark.stop()
+  }
+}
