@@ -1,5 +1,15 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark entry point: times every suite query on
+  * SPARK_GRAFT_SF_DIR and prints ONE JSON line with per-query seconds.
+  *
+  * Each query is forced through a `noop`-format write rather than
+  * `count()` — count() lets Catalyst prune the final projection, so a
+  * narrow map query (e.g. a regexp-extract or fingerprint projection)
+  * would be timed as a bare scan. The noop sink materializes every
+  * output column, which is the honest cost of the operator.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -12,13 +22,17 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+
+    def force(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.mode("overwrite").format("noop").save()
+
     // JVM/codegen warmup so the first measured query doesn't absorb
     // session-startup cost (it showed as +4-5s on whichever query ran first)
-    try SparkEntry.queries.headOption.foreach(_._2(spark, sfDir).count())
+    try SparkEntry.queries.headOption.foreach(q => force(q._2(spark, sfDir)))
     catch { case _: Throwable => () }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { force(fn(spark, sfDir)) } catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
