@@ -47,6 +47,9 @@ object NativeExpressions {
   def cosine_similarity(a: Column, b: Column): Column =
     Bridge.column(CosineSimilarity(
       Bridge.expression(a), Bridge.expression(b)))
+
+  def simhash64(tokenHashes: Column): Column =
+    Bridge.column(SimHash64(Bridge.expression(tokenHashes)))
 }
 
 /** minhash over pre-hashed shingles (values in [0, prime)): for each perm i,
@@ -166,4 +169,65 @@ case class CosineSimilarity(left: Expression, right: Expression)
 
   override protected def withNewChildrenInternal(newLeft: Expression,
       newRight: Expression): Expression = copy(left = newLeft, right = newRight)
+}
+
+/** 64-bit SimHash over pre-hashed tokens (array<long>): per-bit ±1 vote of
+  * each token hash's bit, positive vote → bit set. Bit-identical to the HOF
+  * reference `Dedup.simhash` (which votes with `shiftright(h, i) & 1` —
+  * arithmetic vs logical shift is irrelevant under `& 1`), but hashes each
+  * token ONCE and runs 64 bit-tests in a tight loop instead of re-evaluating
+  * `xxhash64(token)` inside a 64-element `transform` lambda (64× the hashing,
+  * plus a 64-long allocation per token, outside whole-stage codegen).
+  * Ties (vote == 0, even token counts) leave the bit clear — same as the HOF.
+  */
+case class SimHash64(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = child.nullable
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val votes = new Array[Int](64)
+    var j = 0
+    while (j < n) {
+      val h = arr.getLong(j)
+      var i = 0
+      while (i < 64) {
+        if (((h >>> i) & 1L) == 1L) votes(i) += 1 else votes(i) -= 1
+        i += 1
+      }
+      j += 1
+    }
+    var out = 0L
+    var i = 0
+    while (i < 64) { if (votes(i) > 0) out |= (1L << i); i += 1 }
+    out
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val votes = ctx.freshName("votes")
+      val j = ctx.freshName("j")
+      val i = ctx.freshName("i")
+      val h = ctx.freshName("h")
+      val out = ctx.freshName("out")
+      s"""
+        int[] $votes = new int[64];
+        for (int $j = 0; $j < $c.numElements(); $j++) {
+          long $h = $c.getLong($j);
+          for (int $i = 0; $i < 64; $i++) {
+            if ((($h >>> $i) & 1L) == 1L) $votes[$i]++; else $votes[$i]--;
+          }
+        }
+        long $out = 0L;
+        for (int $i = 0; $i < 64; $i++) {
+          if ($votes[$i] > 0) $out |= (1L << $i);
+        }
+        ${ev.value} = $out;
+      """
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }

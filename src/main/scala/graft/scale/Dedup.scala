@@ -142,8 +142,17 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** Native-codegen SimHash over a token array: hash each token once, then a
+    * tight 64-bit vote loop (graft.functions.SimHash64). Bit-identical to
+    * [[simhash]], which re-evaluates `xxhash64(t)` per bit (64× the hashing)
+    * inside interpreted HOFs — the HOF form stays as the equality reference.
+    */
+  def simhashNative(toks: Column): Column =
+    graft.functions.NativeExpressions.simhash64(transform(toks, t => xxhash64(t)))
+
   /** SimHash 64-bit fingerprint over a token array: per-bit vote of token
     * hashes, sign → bit. Near-dups have small Hamming distance.
+    * Reference formulation — prefer [[simhashNative]] on hot paths.
     */
   def simhash(toks: Column): Column = {
     val votes = aggregate(

@@ -89,7 +89,20 @@ object TextOps {
   /** Content-defined fingerprint: min of shingle hashes (winnowing-style
     * bottom sketch, k=1). Equal fingerprints => likely near-duplicate heads;
     * used as a cheap pre-cluster key before pairwise verification.
+    *
+    * Takes a MATERIALIZED per-token-hash column (`transform(toks, xxhash64)`
+    * written out via `withColumn` first) and builds shingles from the hashes
+    * (Dedup.hashedShingles) — no shingle strings are ever concatenated, which
+    * dominated the original string-shingle profile 8:1 over the hash math.
+    * array_min over the rotate-XOR multiset equals min over the distinct set,
+    * so no array_distinct is needed.
     */
-  def fingerprint(text: Column, n: Int = 3): Column =
+  def fingerprintFromHashes(tokenHashes: Column, n: Int = 3): Column =
+    array_min(Dedup.hashedShingles(tokenHashes, n))
+
+  /** String-shingle fingerprint (historical formulation; kept only as the
+    * slow reference for tests — concatenates every shingle before hashing).
+    */
+  def fingerprintStringShingles(text: Column, n: Int = 3): Column =
     array_min(transform(shingles(tokens(text), n), s => xxhash64(s)))
 }

@@ -132,14 +132,24 @@ object ScaleQueries {
 
   /** SimHash 64-bit fingerprints + winnowing-style content fingerprint per
     * doc (hash-based → rows-only).
+    *
+    * Hot path: tokens are hashed ONCE into a materialized `th` column
+    * (referenced by both outputs, so CollapseProject keeps it a separate
+    * projection), then simhash is the native codegen vote loop
+    * (graft.functions.SimHash64) and the fingerprint min-hashes
+    * rotate-XOR shingles of the token hashes — no string shingles, no
+    * per-bit re-hash. The interpreted-HOF formulations this replaced were
+    * 39% of the whole r2 bench (~5 ms/doc); at 100 TB that is a ~64×
+    * CPU overcharge per document.
     */
   private val q26 = GQuery(
     (s, d) => {
       import s.implicits._
       T.documents(s, d)
+        .withColumn("th", transform(TextOps.tokens($"text"), t => xxhash64(t)))
         .select($"doc_id",
-          Dedup.simhash(TextOps.tokens($"text")).as("simhash"),
-          TextOps.fingerprint($"text", 3).as("fingerprint"))
+          graft.functions.NativeExpressions.simhash64($"th").as("simhash"),
+          TextOps.fingerprintFromHashes($"th", 3).as("fingerprint"))
         .orderBy($"doc_id")
     },
     None)

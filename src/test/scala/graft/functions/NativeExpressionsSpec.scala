@@ -50,6 +50,42 @@ class NativeExpressionsSpec extends SparkSpec {
     }
   }
 
+  test("native simhash == HOF simhash on the documents table") {
+    val docs = T.documents(spark, sf)
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+    val both = docs
+      .withColumn("hof", Dedup.simhash(col("toks")))
+      .withColumn("native", Dedup.simhashNative(col("toks")))
+    assert(both.filter(col("hof") =!= col("native")).count() == 0)
+    assert(both.count() == 500)
+  }
+
+  test("simhash codegen and interpreted paths agree; empty/odd-count inputs") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import spark.implicits._
+    for (input <- Seq(Seq.empty[Long], Seq(-1L), Seq(7L, -7L), Seq(1L, 2L, 3L, Long.MinValue))) {
+      val expr = SimHash64(Literal.create(new GenericArrayData(input.toArray),
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.LongType)))
+      val interp = expr.eval(null).asInstanceOf[Long]
+      val viaDf = Seq(input).toDF("th")
+        .select(NativeExpressions.simhash64(col("th")).as("h"))
+        .collect().head.getLong(0)
+      assert(interp == viaDf, s"mismatch on $input")
+    }
+  }
+
+  test("hashed fingerprint == min over distinct hashed shingles (multiset min)") {
+    // fingerprintFromHashes skips array_distinct; min(multiset) == min(set)
+    val docs = T.documents(spark, sf)
+      .withColumn("th", transform(TextOps.tokens(col("text")), t => xxhash64(t)))
+    val both = docs.select(
+      TextOps.fingerprintFromHashes(col("th"), 3).as("fast"),
+      array_min(array_distinct(Dedup.hashedShingles(col("th"), 3))).as("ref"))
+    assert(both.filter(col("fast") =!= col("ref")).count() == 0)
+  }
+
   test("codegen and interpreted paths agree") {
     // force interpreted eval by constructing rows and calling eval directly
     import org.apache.spark.sql.catalyst.expressions.Literal
