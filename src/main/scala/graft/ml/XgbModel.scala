@@ -32,7 +32,13 @@ final case class XgbModel(trees: Array[XgbTree], baseScore: Double, numFeature: 
 
   private val baseMargin: Double = math.log(baseScore / (1.0 - baseScore))
 
-  /** Margin contribution of one tree for a feature vector (NaN = missing). */
+  /** Margin contribution of one tree for a feature vector (NaN = missing).
+    * xgboost stores features and thresholds as float32 and compares at
+    * float32 (`fvalue < split_condition` on bst_float) — widening the
+    * threshold to double and comparing a double feature against it can
+    * route boundary values differently, so the feature is narrowed to
+    * Float first and the comparison runs at Float precision.
+    */
   private def treeScore(t: XgbTree, x: Array[Double]): Double = {
     var i = 0
     while (t.leftChildren(i) != -1) {
@@ -40,7 +46,7 @@ final case class XgbModel(trees: Array[XgbTree], baseScore: Double, numFeature: 
       val v = if (f < x.length) x(f) else Double.NaN
       i = if (v.isNaN) {
         if (t.defaultLeft(i)) t.leftChildren(i) else t.rightChildren(i)
-      } else if (v < t.splitConditions(i)) t.leftChildren(i)
+      } else if (v.toFloat < t.splitConditions(i)) t.leftChildren(i)
       else t.rightChildren(i)
     }
     t.splitConditions(i)
