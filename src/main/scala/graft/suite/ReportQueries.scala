@@ -150,10 +150,80 @@ object ReportQueries {
     },
     Some(WellnessOracle.sql))
 
+  /** F11/F12 lab summary (test.py:37-116,166-193,296-321): latest-per-key
+    * pivot to `*_latest` analyte columns, then LabInfo.labSummary unpivots
+    * to one row per (patient, analyte) with the 5-way ±10%/+20% banding,
+    * emoji decoration and severity rank. The analyte mapping picks ranges
+    * that exercise all 5 bands against the events value distribution
+    * (glucose 70-140 straddles the data; hemoglobin 12-17 mostly High;
+    * hdl low-side bands; missing pivots hit Unknown).
+    */
+  private val q38 = GQuery(
+    (s, d) => {
+      val piv = Reports.pivotLatest(T.events(s, d), "user_id", "event_type",
+        "value", "ts", "event_id",
+        Seq("glucose_latest" -> "click", "hdl_latest" -> "view",
+          "triglycerides_latest" -> "purchase", "hemoglobin_latest" -> "error",
+          "creatinine_latest" -> "signup"))
+      graft.wellness.LabInfo.labSummary(piv, "user_id")
+        .withColumn("severity_rank", col("severity_rank").cast("long"))
+        .orderBy(col("user_id"), col("lab_key"))
+    },
+    Some("""WITH latest AS (
+        SELECT user_id, event_type, value,
+          ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+            ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+        WHERE event_type IN ('click', 'view', 'purchase', 'error', 'signup')),
+      pvt AS (
+        SELECT user_id,
+          MAX(CASE WHEN event_type = 'click' THEN TRY_CAST(value AS DOUBLE) END) AS glucose_latest,
+          MAX(CASE WHEN event_type = 'view' THEN TRY_CAST(value AS DOUBLE) END) AS hdl_latest,
+          MAX(CASE WHEN event_type = 'purchase' THEN TRY_CAST(value AS DOUBLE) END) AS triglycerides_latest,
+          MAX(CASE WHEN event_type = 'error' THEN TRY_CAST(value AS DOUBLE) END) AS hemoglobin_latest,
+          MAX(CASE WHEN event_type = 'signup' THEN TRY_CAST(value AS DOUBLE) END) AS creatinine_latest
+        FROM latest WHERE rn = 1 GROUP BY user_id),
+      labs(lab_key, lab, unit, ref_low, ref_high) AS (VALUES
+        ('creatinine_latest', 'Creatinine', 'mg/dL', 0.4, 1.3),
+        ('glucose_latest', 'Glucose', 'mg/dL', 70.0, 140.0),
+        ('hdl_latest', 'HDL cholesterol', 'mg/dL', 40.0, 999.0),
+        ('triglycerides_latest', 'Triglycerides', 'mg/dL', 0.0, 150.0),
+        ('hemoglobin_latest', 'Hemoglobin', 'g/dL', 12.0, 17.0)),
+      u AS (
+        SELECT user_id, lab_key, lab, unit,
+          (CASE lab_key
+            WHEN 'creatinine_latest' THEN creatinine_latest
+            WHEN 'glucose_latest' THEN glucose_latest
+            WHEN 'hdl_latest' THEN hdl_latest
+            WHEN 'triglycerides_latest' THEN triglycerides_latest
+            WHEN 'hemoglobin_latest' THEN hemoglobin_latest END) AS value,
+          ref_low, ref_high
+        FROM pvt CROSS JOIN labs),
+      banded AS (
+        SELECT user_id, lab_key, lab, unit, value, ref_low, ref_high,
+          (CASE WHEN value IS NULL THEN 'Unknown'
+            WHEN value < ref_low * 0.9 THEN 'Low'
+            WHEN value < ref_low THEN 'Borderline low'
+            WHEN value <= ref_high THEN 'In range'
+            WHEN value <= ref_high * 1.2 THEN 'Borderline high'
+            ELSE 'High' END) AS status
+        FROM u)
+      SELECT user_id, lab_key, lab, unit, value, ref_low, ref_high, status,
+        (CASE WHEN status = 'In range' THEN '🟢'
+          WHEN status IN ('Borderline high', 'Borderline low') THEN '🟡'
+          WHEN status IN ('High', 'Low') THEN '🔴'
+          ELSE '⚪️' END) AS emoji,
+        CAST(CASE WHEN status IN ('High', 'Low') THEN 0
+          WHEN status IN ('Borderline high', 'Borderline low') THEN 1
+          WHEN status = 'In range' THEN 2
+          ELSE 3 END AS BIGINT) AS severity_rank
+      FROM banded ORDER BY user_id, lab_key"""))
+
   def all: Map[String, GQuery] = Map(
     "q18_cvd_report" -> q18,
     "q19_t2d_report" -> q19,
     "q20_wellness_score" -> q20,
+    "q38_lab_summary" -> q38,
   )
 }
 
