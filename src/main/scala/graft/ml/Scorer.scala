@@ -26,7 +26,14 @@ object Scorer {
     * dist²_k = Σ_i (y_i - c_k_i)²; cluster = argmin_k (ties → lower k,
     * matching sklearn's argmin).
     */
-  def addCluster(df: DataFrame, p: PipelineParams = PipelineParams.default): DataFrame = {
+  def addCluster(df: DataFrame, p: PipelineParams = PipelineParams.default): DataFrame =
+    addCluster(df, p, keepY = false)
+
+  /** As [[addCluster]]; `keepY = true` additionally retains the 14-dim PCA
+    * projection as an array column `pca_y` (used by the oracle suite to
+    * pin the projection math, and by callers that want the embedding).
+    */
+  def addCluster(df: DataFrame, p: PipelineParams, keepY: Boolean): DataFrame = {
     val scaled: Vector[Column] = p.features.zipWithIndex.map { case (f, j) =>
       (col(f) - p.scalerMean(j)) / p.scalerScale(j) - p.pcaMean(j)
     }
@@ -43,7 +50,8 @@ object Scorer {
     val minDist = dists.reduce((a, b) => least(a, b))
     val cluster = dists.zipWithIndex.reverse
       .foldLeft(lit(-1)) { case (acc, (d, k)) => when(d === minDist, k).otherwise(acc) }
-    withY.withColumn("cluster", cluster).drop("__y")
+    val out = withY.withColumn("cluster", cluster)
+    if (keepY) out.withColumnRenamed("__y", "pca_y") else out.drop("__y")
   }
 
   /** M5: align to the 14 model columns (feature_columns.json). */
