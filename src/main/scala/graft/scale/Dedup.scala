@@ -106,14 +106,25 @@ object Dedup {
     * Plan shape at scale: shingle+sign map (narrow) → explode bands (×bands)
     * → self-equi-join on band key (one shuffle, bucket-local pairs only) →
     * distinct pairs → join back signatures/shingles (shuffle on doc id) →
-    * exact verify. Skewed buckets (boilerplate docs) are the known hazard:
-    * cap handled by AQE skew-join; a salting pass can split mega-buckets.
+    * exact verify.
+    *
+    * Skewed buckets (boilerplate docs — thousands of near-identical pages
+    * landing in ONE band bucket) are the known hazard: a plain self-join
+    * puts that bucket's O(n²) pair generation on a single task. Buckets
+    * larger than `maxBucket` are therefore split deterministically into
+    * m = ⌈n/maxBucket⌉ blocks by a secondary hash of the id, and the
+    * self-join runs per block-pair cell (i ≤ j) of the triangle
+    * decomposition — every within-bucket pair is still produced exactly
+    * once (as (least, greatest)), but the work spreads over m(m+1)/2
+    * tasks of ≤ maxBucket² pairs each. For buckets ≤ maxBucket (m = 1)
+    * the plan degenerates to the original single-cell join. AQE skew-join
+    * remains on as a second line of defense.
     *
     * Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
     */
   def minhashDupPairs(docs: DataFrame, idCol: String, textCol: String,
       shingleSize: Int = 3, numPerm: Int = 64, bands: Int = 16,
-      threshold: Double = 0.6): DataFrame = {
+      threshold: Double = 0.6, maxBucket: Int = 1024): DataFrame = {
     val rowsPerBand = numPerm / bands
     val withShingles = docs
       .select(col(idCol).as("id"), TextOps.tokens(col(textCol)).as("toks"))
@@ -129,9 +140,28 @@ object Dedup {
       .cache()  // read 3×: banding + both sides of the verify join
     val banded = withShingles
       .select(col("id"), explode(bandKeys(col("sig"), bands, rowsPerBand)).as("bk"))
-    val candidates = banded.as("l")
-      .join(banded.as("r"), col("l.bk") === col("r.bk") && col("l.id") < col("r.id"))
-      .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
+    // bucket sizes → blocks-per-bucket m; members salted to block pmod m
+    val sizes = banded.groupBy(col("bk")).agg(count(lit(1)).as("bucket_n"))
+    val salted = banded.join(sizes, "bk")
+      .withColumn("m", floor((col("bucket_n") + (maxBucket - 1)) / maxBucket))
+      .withColumn("blk", pmod(xxhash64(col("id")), col("m")))
+      .select(col("bk"), col("id"), col("m"), col("blk"))
+    // triangle decomposition: member of block b is the LEFT of cells (b, j≥b)
+    // and the RIGHT of cells (i≤b, b); cell (i,i) self-joins one block.
+    val leftT = salted.withColumn("cell",
+        explode(transform(sequence(col("blk"), col("m") - 1),
+          j => struct(col("blk").as("i"), j.as("j")))))
+      .select(col("bk"), col("cell"), col("id"))
+    val rightT = salted.withColumn("cell",
+        explode(transform(sequence(lit(0L), col("blk")),
+          i => struct(i.as("i"), col("blk").as("j")))))
+      .select(col("bk"), col("cell"), col("id"))
+    val candidates = leftT.as("l")
+      .join(rightT.as("r"),
+        col("l.bk") === col("r.bk") && col("l.cell") === col("r.cell") &&
+          col("l.id") =!= col("r.id"))
+      .select(least(col("l.id"), col("r.id")).as("id_a"),
+        greatest(col("l.id"), col("r.id")).as("id_b"))
       .distinct()
     val sh = withShingles.select(col("id"), col("sh"))
     candidates

@@ -29,6 +29,28 @@ class ScaleSpec extends SparkSpec {
     assert(pairs.head.getAs[Double]("jaccard") > 0.8)
   }
 
+  test("mega-bucket triangle split produces every pair exactly once") {
+    import spark.implicits._
+    // 300 identical docs all land in the same band buckets; maxBucket=32
+    // forces m=10 blocks -> 55 triangle cells per band. Every unordered
+    // pair must still appear exactly once, nothing may leak to the
+    // unrelated doc, and jaccard is exactly 1.0 for identical content.
+    val text = (1 to 20).map(i => s"tok$i").mkString(" ")
+    val docs = ((1 to 300).map(i => (i.toLong, text)) :+
+      (900L, (50 to 80).map(i => s"zzz$i").mkString(" "))).toDF("doc_id", "text")
+    val pairs = Dedup.minhashDupPairs(docs, "doc_id", "text",
+      threshold = 0.9, maxBucket = 32)
+    assert(pairs.count() == 300L * 299 / 2)
+    assert(pairs.filter(col("id_a") === col("id_b")).count() == 0)
+    assert(pairs.filter(col("id_a") === 900L || col("id_b") === 900L).count() == 0)
+    assert(pairs.filter(col("jaccard") =!= 1.0).count() == 0)
+    // results identical to the unsplit plan (maxBucket large -> m=1)
+    val unsplit = Dedup.minhashDupPairs(docs, "doc_id", "text",
+      threshold = 0.9, maxBucket = 1 << 20)
+    assert(unsplit.count() == 300L * 299 / 2)
+    assert(pairs.select("id_a", "id_b").except(unsplit.select("id_a", "id_b")).count() == 0)
+  }
+
   test("simhash: identical docs equal, near-dups close, unrelated far") {
     import spark.implicits._
     val a = (1 to 50).map(i => s"w$i").mkString(" ")
