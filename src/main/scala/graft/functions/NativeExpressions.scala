@@ -50,6 +50,14 @@ object NativeExpressions {
 
   def simhash64(tokenHashes: Column): Column =
     Bridge.column(SimHash64(Bridge.expression(tokenHashes)))
+
+  /** Single-pass text statistics over a token array. Output layout
+    * (array<long>, see [[TextStats]]): [0]=Σ numChars, [1]=tokens matching
+    * ANY stopword list, [2..6]=per-language hits in `langs` order.
+    */
+  def text_stats(toks: Column, stopwords: Map[String, Seq[String]],
+      langs: Seq[String]): Column =
+    Bridge.column(TextStats(Bridge.expression(toks), stopwords, langs))
 }
 
 /** minhash over pre-hashed shingles (values in [0, prime)): for each perm i,
@@ -104,6 +112,93 @@ case class MinHashSignature(child: Expression, numPerm: Int, prime: Long)
           for (int $i = 0; $i < $numPerm; $i++) {
             long $h = ($paRef[$i] * $x + $pbRef[$i]) % ${prime}L;
             if ($h < $out[$i]) $out[$i] = $h;
+          }
+        }
+        ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+      """
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** One pass over a token array computing every statistic the text-quality
+  * and language-ID operators need: total character count, tokens matching
+  * ANY stopword list, and per-language stopword hits. The HOF formulation
+  * walks the array once per statistic (3 quality ratios + 5 language
+  * filters = 8 interpreted passes, each re-evaluating a 10-26-literal
+  * `isin` per token); here each token does ONE hash-map probe against a
+  * language-bitmask table, inside whole-stage codegen.
+  *
+  * Output array<long>: [0] Σ numChars, [1] any-list hits, [2..] hits per
+  * language in `langs` order. Null input → null.
+  */
+case class TextStats(child: Expression, stopwords: Map[String, Seq[String]],
+    langs: Seq[String]) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  /** word → bitmask of languages containing it (bit i = langs(i)). */
+  @transient private lazy val maskMap: java.util.HashMap[org.apache.spark.unsafe.types.UTF8String, Integer] = {
+    val m = new java.util.HashMap[org.apache.spark.unsafe.types.UTF8String, Integer]()
+    langs.zipWithIndex.foreach { case (l, i) =>
+      stopwords(l).foreach { w =>
+        val k = org.apache.spark.unsafe.types.UTF8String.fromString(w)
+        val prev = m.get(k)
+        m.put(k, Integer.valueOf((if (prev == null) 0 else prev.intValue()) | (1 << i)))
+      }
+    }
+    m
+  }
+
+  private def nLangs: Int = langs.length
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val out = new Array[Long](2 + nLangs)
+    var j = 0
+    while (j < n) {
+      val t = arr.getUTF8String(j)
+      out(0) += t.numChars()
+      val m = maskMap.get(t)
+      if (m != null) {
+        out(1) += 1
+        val mi = m.intValue()
+        var b = 0
+        while (b < nLangs) {
+          if ((mi & (1 << b)) != 0) out(2 + b) += 1
+          b += 1
+        }
+      }
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val mapRef = ctx.addReferenceObj("maskMap", maskMap, "java.util.HashMap")
+    nullSafeCodeGen(ctx, ev, c => {
+      val out = ctx.freshName("out")
+      val j = ctx.freshName("j")
+      val t = ctx.freshName("t")
+      val m = ctx.freshName("m")
+      val mi = ctx.freshName("mi")
+      val b = ctx.freshName("b")
+      s"""
+        long[] $out = new long[${2 + nLangs}];
+        for (int $j = 0; $j < $c.numElements(); $j++) {
+          org.apache.spark.unsafe.types.UTF8String $t = $c.getUTF8String($j);
+          $out[0] += $t.numChars();
+          Integer $m = (Integer) $mapRef.get($t);
+          if ($m != null) {
+            $out[1]++;
+            int $mi = $m.intValue();
+            for (int $b = 0; $b < $nLangs; $b++) {
+              if (($mi & (1 << $b)) != 0) $out[2 + $b]++;
+            }
           }
         }
         ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);

@@ -24,11 +24,17 @@ object TextOps {
     when(size(toks) > 0, totalLen.cast("double") / size(toks).cast("double"))
   }
 
+  /** Count of the punctuation characters `.,;:!?` — as length minus the
+    * length with those characters translated away (codegen'd `translate`
+    * instead of a full-document `regexp_replace` rewrite; identical counts).
+    */
+  def punctCount(text: Column): Column =
+    length(text) - length(translate(text, ".,;:!?", ""))
+
   /** Punctuation characters / total characters. */
   def punctRatio(text: Column): Column =
     when(length(text) > 0,
-      length(regexp_replace(text, "[^.,;:!?]", "")).cast("double") /
-        length(text).cast("double"))
+      punctCount(text).cast("double") / length(text).cast("double"))
 
   /** Per-language stopword lists for the heuristic scorer. Tiny on purpose:
     * broadcast as literals into the expression (no join).
@@ -72,6 +78,53 @@ object TextOps {
     val langs = Seq("en", "es", "fr", "de", "zh")
     val hits = langs.map(l => l -> stopwordHits(toks, l))
     // first language whose count >= all others (ties -> earlier in list)
+    val maxHits = hits.map(_._2).reduce((a, b) => greatest(a, b))
+    hits.foldLeft(when(lit(false), "und")) { case (acc, (l, h)) =>
+      acc.when(h === maxHits, l)
+    }.otherwise("und")
+  }
+
+  /** Fixed language order for the stats-array layout (and the langId tie
+    * preference — first language with the max vote wins).
+    */
+  val Langs: Seq[String] = Seq("en", "es", "fr", "de", "zh")
+
+  /** Single-pass native statistics array over a token column (see
+    * [[graft.functions.TextStats]]): materialize ONCE with `withColumn`,
+    * then derive every quality/language metric from it. Layout:
+    * [1]=Σ token chars, [2]=any-stopword hits, [3..7]=per-language hits
+    * (1-based element_at indexing).
+    */
+  def stats(toks: Column): Column =
+    graft.functions.NativeExpressions.text_stats(toks, Stopwords, Langs)
+
+  /** avgTokenLen from a materialized stats array (== [[avgTokenLen]]). */
+  def avgTokenLenFromStats(st: Column, nToks: Column): Column =
+    when(nToks > 0, element_at(st, 1).cast("double") / nToks.cast("double"))
+
+  /** stopwordRatio from a materialized stats array (== [[stopwordRatio]]). */
+  def stopwordRatioFromStats(st: Column, nToks: Column): Column =
+    when(nToks > 0, element_at(st, 2).cast("double") / nToks.cast("double"))
+
+  /** qualityScore from a materialized stats array and punct-ratio column —
+    * identical arithmetic (same operation order) to [[qualityScore]], minus
+    * 4 interpreted array passes and a duplicate punctuation scan.
+    */
+  def qualityScoreFromStats(punctRatioCol: Column, st: Column, nToks: Column): Column = {
+    val lenScore = least(nToks.cast("double") / lit(50.0), lit(1.0))
+    val punct = coalesce(punctRatioCol, lit(0.0))
+    val punctScore = when(punct <= 0.1, lit(1.0)).otherwise(
+      greatest(lit(0.0), lit(1.0) - (punct - lit(0.1)) * lit(5.0)))
+    val stopScore = least(
+      coalesce(stopwordRatioFromStats(st, nToks), lit(0.0)) * lit(4.0), lit(1.0))
+    (lenScore * lit(0.4) + punctScore * lit(0.3) + stopScore * lit(0.3))
+  }
+
+  /** langId from a materialized stats array (== [[langId]]: argmax with
+    * ties to the earlier language in [[Langs]]).
+    */
+  def langIdFromStats(st: Column): Column = {
+    val hits = Langs.zipWithIndex.map { case (l, i) => l -> element_at(st, 3 + i) }
     val maxHits = hits.map(_._2).reduce((a, b) => greatest(a, b))
     hits.foldLeft(when(lit(false), "und")) { case (acc, (l, h)) =>
       acc.when(h === maxHits, l)

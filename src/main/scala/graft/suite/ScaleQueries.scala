@@ -20,14 +20,18 @@ object ScaleQueries {
   private val q21 = GQuery(
     (s, d) => {
       import s.implicits._
-      val toks = TextOps.tokens($"text")
+      // tokens + the single-pass native stats array materialized once;
+      // all five metrics derive from them (was: 8 interpreted HOF passes)
       T.documents(s, d)
+        .withColumn("toks", TextOps.tokens($"text"))
+        .withColumn("st", TextOps.stats($"toks"))
+        .withColumn("pr", TextOps.punctRatio($"text"))
         .select($"doc_id", $"lang",
-          TextOps.tokenCount($"text").cast("long").as("n_tokens"),
-          round(TextOps.avgTokenLen(toks), 6).as("avg_token_len"),
-          round(TextOps.punctRatio($"text"), 6).as("punct_ratio"),
-          round(TextOps.stopwordRatio(toks), 6).as("stopword_ratio"),
-          round(TextOps.qualityScore($"text"), 6).as("quality"))
+          size($"toks").cast("long").as("n_tokens"),
+          round(TextOps.avgTokenLenFromStats($"st", size($"toks")), 6).as("avg_token_len"),
+          round($"pr", 6).as("punct_ratio"),
+          round(TextOps.stopwordRatioFromStats($"st", size($"toks")), 6).as("stopword_ratio"),
+          round(TextOps.qualityScoreFromStats($"pr", $"st", size($"toks")), 6).as("quality"))
         .orderBy($"doc_id")
     },
     Some {
@@ -57,9 +61,9 @@ object ScaleQueries {
   private val q22 = GQuery(
     (s, d) => {
       import s.implicits._
-      val toks = TextOps.tokens($"text")
       T.documents(s, d)
-        .select($"doc_id", $"lang", TextOps.langId(toks).as("predicted"))
+        .withColumn("st", TextOps.stats(TextOps.tokens($"text")))
+        .select($"doc_id", $"lang", TextOps.langIdFromStats($"st").as("predicted"))
         .groupBy($"lang", $"predicted")
         .agg(count(lit(1)).as("n"))
         .orderBy($"lang", $"predicted")

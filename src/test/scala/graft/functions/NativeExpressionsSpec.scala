@@ -86,6 +86,36 @@ class NativeExpressionsSpec extends SparkSpec {
     assert(both.filter(col("fast") =!= col("ref")).count() == 0)
   }
 
+  test("native text stats == HOF quality/language metrics on the documents table") {
+    val docs = T.documents(spark, sf)
+      .withColumn("toks", TextOps.tokens(col("text")))
+      .withColumn("st", TextOps.stats(col("toks")))
+    val both = docs.select(
+      TextOps.avgTokenLen(col("toks")).as("h_avg"),
+      TextOps.avgTokenLenFromStats(col("st"), size(col("toks"))).as("n_avg"),
+      TextOps.stopwordRatio(col("toks")).as("h_stop"),
+      TextOps.stopwordRatioFromStats(col("st"), size(col("toks"))).as("n_stop"),
+      TextOps.qualityScore(col("text")).as("h_q"),
+      TextOps.qualityScoreFromStats(TextOps.punctRatio(col("text")), col("st"),
+        size(col("toks"))).as("n_q"),
+      TextOps.langId(col("toks")).as("h_lang"),
+      TextOps.langIdFromStats(col("st")).as("n_lang"))
+    assert(both.filter(
+      col("h_avg") =!= col("n_avg") || col("h_stop") =!= col("n_stop") ||
+      col("h_q") =!= col("n_q") || col("h_lang") =!= col("n_lang")).count() == 0)
+    assert(both.count() == 500)
+  }
+
+  test("text stats counts multi-list words once in 'any' but per language") {
+    import spark.implicits._
+    // "de" is in the es, fr and zh lists; "the" only en; "xyz" none
+    val got = Seq(Seq("de", "the", "xyz")).toDF("toks")
+      .select(TextOps.stats(col("toks")).as("st"))
+      .collect().head.getSeq[Long](0)
+    // layout: [totalChars, any, en, es, fr, de, zh]
+    assert(got == Seq(8L, 2L, 1L, 1L, 1L, 0L, 1L))
+  }
+
   test("codegen and interpreted paths agree") {
     // force interpreted eval by constructing rows and calling eval directly
     import org.apache.spark.sql.catalyst.expressions.Literal
