@@ -4,13 +4,22 @@ import org.apache.spark.sql.SparkSession
 /** Benchmark entry point: times every suite query on
   * SPARK_GRAFT_SF_DIR and prints ONE JSON line with per-query seconds.
   *
-  * Each query is forced through a `noop`-format write rather than
-  * `count()` — count() lets Catalyst prune the final projection, so a
-  * narrow map query (e.g. a regexp-extract or fingerprint projection)
-  * would be timed as a bare scan. The noop sink materializes every
-  * output column, which is the honest cost of the operator.
+  * Methodology:
+  *  - each query is forced through a `noop`-format write rather than
+  *    `count()` — count() lets Catalyst prune the final projection, so a
+  *    narrow map query (e.g. a regexp-extract or fingerprint projection)
+  *    would be timed as a bare scan; the noop sink materializes every
+  *    output column, which is the honest cost of the operator;
+  *  - min-of-RUNS per query (JVM/codegen/page-cache noise showed ±20%
+  *    run-to-run swings on unchanged queries between rounds; the min is
+  *    the stable "cost of the plan" estimator);
+  *  - a query whose force() throws is recorded as -1.0 and listed in
+  *    `failed` — never as its time-to-failure, which would let a crashing
+  *    query masquerade as a fast one.
   */
 object Bench {
+  private val Runs = 3
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -30,15 +39,21 @@ object Bench {
     // session-startup cost (it showed as +4-5s on whichever query ran first)
     try SparkEntry.queries.headOption.foreach(q => force(q._2(spark, sfDir)))
     catch { case _: Throwable => () }
+
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { force(fn(spark, sfDir)) } catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      val times = (1 to Runs).flatMap { _ =>
+        val t0 = System.nanoTime()
+        try { force(fn(spark, sfDir)); Some((System.nanoTime() - t0) / 1e9) }
+        catch { case _: Throwable => None }
+      }
+      name -> (if (times.isEmpty) -1.0 else times.min)
     }
+    val failed = results.collect { case (n, t) if t < 0 => n }.toSeq.sorted
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val total = results.values.filter(_ >= 0).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$Runs,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
