@@ -32,10 +32,18 @@ object LabPanel {
         raw.withColumn("date", to_date(col("date")))
       else {
         // synthesized daily grid ending today (mrp_website.py:287): needs a
-        // stable per-row index — row_number over the input order.
-        val w = Window.orderBy(monotonically_increasing_id())
+        // stable contiguous per-row index. zipWithIndex assigns it from
+        // per-partition offsets — no global single-partition window, so the
+        // path stays distributed even if a "panel" arrives at warehouse
+        // scale. (Index order = partition order, matching the file order
+        // for file sources, which is the reference's implicit row order.)
         val n = raw.count()
-        raw.withColumn("__rn", row_number().over(w))
+        val schema = raw.schema.add("__rn", org.apache.spark.sql.types.LongType)
+        val indexed = raw.sparkSession.createDataFrame(
+          raw.rdd.zipWithIndex.map { case (row, i) =>
+            org.apache.spark.sql.Row.fromSeq(row.toSeq :+ (i + 1)) },
+          schema)
+        indexed
           .withColumn("date",
             date_add(to_date(lit(today)), (col("__rn") - n).cast("int")))
           .drop("__rn")

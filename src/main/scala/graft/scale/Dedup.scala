@@ -172,6 +172,57 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** Embedding-cosine near-duplicate pairs: hyperplane-LSH candidate
+    * generation (the [[Similarity]] bucketing — independent tables +
+    * query-side flip-1-bit probes) followed by exact-cosine verification.
+    * The analogue of [[minhashDupPairs]] for dense vectors: O(n·tables)
+    * bucket rows and bucket-local pairing instead of the O(n²) cross join.
+    *
+    * Parameter guidance: candidate recall for a pair at angle θ is
+    * 1-(1-p_t)^tables with p_t = p^bits + bits·p^(bits-1)(1-p) (multi-probe)
+    * and p = 1-θ/π; pick bits from the corpus size (bucket ≈ n/2^bits) and
+    * buy recall with tables/probes. The hyperplane family is FIXED, so for
+    * a given corpus the candidate set — and therefore the result — is
+    * deterministic (q39's oracle certifies it equals the exact O(n²)
+    * ground truth at threshold 0.4 on the test corpus).
+    *
+    * Returns (id_a, id_b, cosine) with id_a < id_b, cosine >= threshold.
+    */
+  def embeddingDupPairs(df: DataFrame, idCol: String, vecCol: String,
+      dim: Int, threshold: Double, bits: Int = 4, tables: Int = 16,
+      multiProbe: Boolean = true): DataFrame = {
+    val v = df.select(col(idCol).as("id"), Similarity.toDouble(col(vecCol)).as("v"))
+    val withSigs = (0 until tables).foldLeft(v)((acc, t) =>
+      acc.withColumn(s"__sig$t", Similarity.hyperplaneSig(col("v"), dim, bits, t)))
+    val home = withSigs.withColumn("tb", explode(array((0 until tables).map { t =>
+        struct(lit(t).as("t"), col(s"__sig$t").as("bucket"))
+      }: _*)))
+      .select(col("id"), col("tb.t").as("t"), col("tb.bucket").as("bucket"))
+    // probes on ONE side only: pair (a,b) is caught when a probe bucket of
+    // either member hits the other's home bucket (symmetric via least/greatest)
+    val probed = withSigs.withColumn("tb", explode(array((0 until tables).flatMap { t =>
+        val sig = col(s"__sig$t")
+        val probes = sig +: (if (multiProbe)
+          (0 until bits).map(i => sig.bitwiseXOR(lit(1L << i))) else Seq.empty)
+        probes.map(b => struct(lit(t).as("t"), b.as("bucket")))
+      }: _*)))
+      .select(col("id"), col("tb.t").as("t"), col("tb.bucket").as("bucket"))
+    val candidates = probed.as("l")
+      .join(home.as("r"),
+        col("l.t") === col("r.t") && col("l.bucket") === col("r.bucket") &&
+          col("l.id") =!= col("r.id"))
+      .select(least(col("l.id"), col("r.id")).as("id_a"),
+        greatest(col("l.id"), col("r.id")).as("id_b"))
+      .distinct()
+    val vv = v.select(col("id"), col("v"))
+    candidates
+      .join(vv.withColumnRenamed("id", "id_a").withColumnRenamed("v", "v_a"), "id_a")
+      .join(vv.withColumnRenamed("id", "id_b").withColumnRenamed("v", "v_b"), "id_b")
+      .withColumn("cosine", Similarity.cosineNative(col("v_a"), col("v_b")))
+      .filter(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
+  }
+
   /** Native-codegen SimHash over a token array: hash each token once, then a
     * tight 64-bit vote loop (graft.functions.SimHash64). Bit-identical to
     * [[simhash]], which re-evaluates `xxhash64(t)` per bit (64× the hashing)
@@ -179,6 +230,46 @@ object Dedup {
     */
   def simhashNative(toks: Column): Column =
     graft.functions.NativeExpressions.simhash64(transform(toks, t => xxhash64(t)))
+
+  /** SimHash near-duplicate pairs within Hamming distance `maxHamming`,
+    * via the pigeonhole block index: the 64 signature bits split into
+    * maxHamming+1 disjoint blocks — any pair differing in ≤ maxHamming
+    * bits must agree EXACTLY on at least one block (≤ maxHamming blocks
+    * can contain a differing bit). Self-equi-join on (block index, block
+    * value) — one shuffle, block-bucket-local pairs, O(n·blocks) keys —
+    * then exact `bit_count(xor)` verification. The Hamming-ball analogue
+    * of [[minhashDupPairs]]'s band join; recall is exactly 1 by
+    * construction (pigeonhole, not probability).
+    *
+    * Returns (id_a, id_b, hamming) with id_a < id_b, hamming <= maxHamming.
+    */
+  def simhashDupPairs(docs: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 64, "maxHamming in [0, 64)")
+    val blocks = maxHamming + 1
+    // block widths partition all 64 bits (remainder spread over the first)
+    val widths = (0 until blocks).map(b => 64 / blocks + (if (b < 64 % blocks) 1 else 0))
+    val offsets = widths.scanLeft(0)(_ + _)
+    val sh = docs.select(col(idCol).as("id"),
+      simhashNative(TextOps.tokens(col(textCol))).as("sig"))
+    val keyed = sh.withColumn("bk", explode(array((0 until blocks).map { b =>
+        val mask = if (widths(b) == 64) -1L else (1L << widths(b)) - 1
+        struct(lit(b).as("b"),
+          call_function("shiftrightunsigned", col("sig"), lit(offsets(b)))
+            .bitwiseAND(lit(mask)).as("v"))
+      }: _*)))
+      .select(col("id"), col("bk"))
+    val candidates = keyed.as("l")
+      .join(keyed.as("r"), col("l.bk") === col("r.bk") && col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
+      .distinct()
+    candidates
+      .join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sig", "sig_a"), "id_a")
+      .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sig", "sig_b"), "id_b")
+      .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
 
   /** SimHash 64-bit fingerprint over a token array: per-bit vote of token
     * hashes, sign → bit. Near-dups have small Hamming distance.

@@ -158,6 +158,15 @@ object ScaleQueries {
     },
     None)
 
+  /** SimHash Hamming-ball near-dup pairs (pigeonhole block join, recall 1
+    * by construction; hash-based signature → rows-only like q26).
+    */
+  private val q40 = GQuery(
+    (s, d) => Dedup.simhashDupPairs(T.documents(s, d), "doc_id", "text",
+      maxHamming = 3)
+      .orderBy(col("id_a"), col("id_b")),
+    None)
+
   private val EmbeddingDim = 64
 
   /** Unrolled left-fold sum for DuckDB mirroring Spark's sequential
@@ -227,6 +236,35 @@ object ScaleQueries {
       FROM embeddings GROUP BY label ORDER BY label"""
     })
 
+  /** Embedding-cosine near-duplicate pairs at threshold 0.4 — LSH-bucketed
+    * candidates + exact verify on the Spark side; the DuckDB oracle is the
+    * exact O(n²) ground truth (q24's certification pattern: a hash-match
+    * proves candidate recall = 1 for this corpus at these parameters).
+    * 0.4 is a 66° angle — far looser than any real near-dup threshold, so
+    * it stress-tests recall; bits=4/tables=16/multi-probe gives a
+    * theoretical per-pair miss rate ≈ 5e-6 there.
+    */
+  private val q39 = GQuery(
+    (s, d) => Dedup.embeddingDupPairs(T.embeddings(s, d), "vec_id", "embedding",
+      dim = EmbeddingDim, threshold = 0.4, bits = 4, tables = 16,
+      multiProbe = true)
+      .orderBy(col("id_a"), col("id_b")),
+    Some {
+      val dot = foldSum((1 to EmbeddingDim).map(i =>
+        s"a.embedding[$i]::DOUBLE * b.embedding[$i]::DOUBLE"))
+      val na = foldSum((1 to EmbeddingDim).map(i =>
+        s"a.embedding[$i]::DOUBLE * a.embedding[$i]::DOUBLE"))
+      val nb = foldSum((1 to EmbeddingDim).map(i =>
+        s"b.embedding[$i]::DOUBLE * b.embedding[$i]::DOUBLE"))
+      s"""WITH scored AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+          CASE WHEN SQRT($na) > 0 AND SQRT($nb) > 0
+            THEN ($dot) / (SQRT($na) * SQRT($nb)) ELSE 0.0 END AS cosine
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+      SELECT id_a, id_b, ROUND(cosine, 6) AS cosine
+      FROM scored WHERE cosine >= 0.4 ORDER BY id_a, id_b"""
+    })
+
   def all: Map[String, GQuery] = Map(
     "q21_text_quality" -> q21,
     "q22_lang_id" -> q22,
@@ -235,5 +273,7 @@ object ScaleQueries {
     "q26_simhash_fingerprint" -> q26,
     "q27_cosine_topk" -> q27,
     "q28_embedding_stats" -> q28,
+    "q39_embedding_dup_pairs" -> q39,
+    "q40_simhash_dup_pairs" -> q40,
   )
 }

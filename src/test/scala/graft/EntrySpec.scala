@@ -12,7 +12,7 @@ class EntrySpec extends SparkSpec {
     val o = SparkEntry.oracleSql.keySet
     assert(o.subsetOf(q))
     // rows-only exceptions are the hash-based ops
-    assert((q -- o) == Set("q26_simhash_fingerprint"))
+    assert((q -- o) == Set("q26_simhash_fingerprint", "q40_simhash_dup_pairs"))
   }
 
   test("oracle SQL map has no blank statements") {

@@ -64,6 +64,31 @@ class ScaleSpec extends SparkSpec {
     assert(hamming(h(0), h(2)) < hamming(h(0), h(3)))
   }
 
+  test("simhash Hamming-ball pairs == brute-force pairs (pigeonhole recall 1)") {
+    import spark.implicits._
+    // 60 docs in 20 families of 3 near-identical variants + noise docs;
+    // the block join must find EXACTLY the brute-force Hamming<=3 pairs.
+    val docs = (0 until 20).flatMap { f =>
+      (0 until 3).map { v =>
+        val toks = (1 to 40).map(i =>
+          if (i == v + 5) s"variant${f}_$v" else s"fam${f}_tok$i")
+        ((f * 3 + v).toLong, toks.mkString(" "))
+      }
+    }.toDF("doc_id", "text")
+    val got = Dedup.simhashDupPairs(docs, "doc_id", "text", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // brute force over all simhashes
+    val sigs = docs.select(col("doc_id"),
+      Dedup.simhashNative(TextOps.tokens(col("text"))).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val expected = (for {
+      (ia, sa) <- sigs; (ib, sb) <- sigs if ia < ib
+      h = java.lang.Long.bitCount(sa ^ sb) if h <= 3
+    } yield (ia, ib, h.toLong)).toSet
+    assert(got == expected)
+    assert(expected.nonEmpty, "test corpus should contain close pairs")
+  }
+
   test("brute-force cosine top-k ranks by exact cosine") {
     import spark.implicits._
     val vecs = Seq(
