@@ -60,16 +60,18 @@ object Scorer {
 
   /** M6: score one disease model over the aligned frame; adds
     * `<disease>_prob` (double) and `<disease>_label` (prob > threshold,
-    * test.py:330).
+    * test.py:330). Scoring is the [[XgbScoreExpr]] native expression —
+    * the tree walk runs inside whole-stage codegen on the unsafe feature
+    * array (the previous Scala UDF boxed a Seq[Double] per row and split
+    * the codegen span).
     */
   def scoreDisease(spark: SparkSession, df: DataFrame, disease: String,
       modelPath: String, threshold: Double = 0.5): DataFrame = {
     val model = XgbModel.load(modelPath)
     val bc = spark.sparkContext.broadcast(model)
-    val score = udf { xs: Seq[Double] => bc.value.predictProb(xs.toArray) }
     val featArray = array(PipelineParams.modelColumns.map(c =>
       coalesce(col(c).cast("double"), lit(Double.NaN))): _*)
-    df.withColumn(s"${disease}_prob", score(featArray))
+    df.withColumn(s"${disease}_prob", XgbScoreExpr.score(featArray, bc))
       .withColumn(s"${disease}_label", col(s"${disease}_prob") > threshold)
   }
 

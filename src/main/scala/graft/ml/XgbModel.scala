@@ -60,6 +60,18 @@ final case class XgbModel(trees: Array[XgbTree], baseScore: Double, numFeature: 
   }
 
   def predictProb(x: Array[Double]): Double = 1.0 / (1.0 + math.exp(-margin(x)))
+
+  /** Zero-boxing entry point for [[XgbScoreExpr]]: reads the features
+    * straight out of the catalyst array (same semantics as
+    * [[predictProb]]; NaN = missing).
+    */
+  def predictProbArray(a: org.apache.spark.sql.catalyst.util.ArrayData): Double = {
+    val n = a.numElements()
+    val x = new Array[Double](n)
+    var i = 0
+    while (i < n) { x(i) = a.getDouble(i); i += 1 }
+    predictProb(x)
+  }
 }
 
 object XgbModel {
