@@ -27,9 +27,13 @@ object Explain {
       "q03_region_rollup",     // broadcast dim joins
       "q11_latest_per_group",  // single-exchange window
       "q18_cvd_report",        // window + pivot + banding
-      "q24_minhash_dedup_pairs", // LSH candidate join + native expr
+      "q24_minhash_dedup_pairs", // LSH candidate join + native expr + triangle split
+      "q26_simhash_fingerprint", // native SimHash64 + hashed fingerprint (narrow map)
       "q27_cosine_topk",       // broadcast queries + native cosine
-      "q29_asof_join")         // union-tag-window as-of
+      "q29_asof_join",         // union-tag-window as-of
+      "q37_ml_cluster_pipeline", // impute/PCA/KMeans as one codegen projection
+      "q38_lab_summary",       // pivot + explode-literal unpivot (no metadata join)
+      "q39_embedding_dup_pairs") // hyperplane-LSH pair gen + exact verify
 
     val sb = new StringBuilder
     sb.append("# EXPLAIN — flagship physical plans\n\n")

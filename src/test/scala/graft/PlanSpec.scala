@@ -65,6 +65,38 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("SimHash64 and TextStats run with codegen fallback disabled") {
+    withSQLConf("spark.sql.codegen.fallback" -> "false") {
+      import spark.implicits._
+      val docs = graft.core.Tables.documents(spark, sf).limit(50)
+        .withColumn("toks", graft.scale.TextOps.tokens(col("text")))
+      val n = docs.select(
+        graft.scale.Dedup.simhashNative(col("toks")).as("h"),
+        graft.scale.TextOps.stats(col("toks")).as("st"))
+        .filter(col("h").isNotNull && size(col("st")) === 7).count()
+      assert(n == 50)
+    }
+  }
+
+  test("lab summary is a pure projection: no exchange beyond the pivot") {
+    // labSummary itself (wide frame in -> unpivoted rows) must add NO
+    // shuffle: generate from an in-memory wide frame and check the plan.
+    import spark.implicits._
+    val wide = Seq(("p1", 100.0, 5.0)).toDF("patient_id", "glucose_latest", "hba1c_latest")
+    val p = plan(graft.wellness.LabInfo.labSummary(wide, "patient_id"))
+    assert(!p.contains("Exchange"), p)
+    assert(p.contains("Generate explode"), p)
+  }
+
+  test("near-dup pair generators never plan a cartesian product") {
+    for (name <- Seq("q24_minhash_dedup_pairs", "q39_embedding_dup_pairs",
+        "q40_simhash_dup_pairs")) {
+      val p = plan(SparkEntry.queries(name)(spark, sf))
+      assert(!p.contains("CartesianProduct"), s"$name:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$name:\n$p")
+    }
+  }
+
   test("partition pruning: partitioned sink + partition filter prune the scan") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
