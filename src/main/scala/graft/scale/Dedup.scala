@@ -172,6 +172,70 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** Connected components over a pair list by iterative min-label
+    * propagation: every node starts labeled with its own id; each round a
+    * node adopts the minimum label among itself and its neighbors; at
+    * fixpoint the label is the component's minimum id (the deterministic
+    * "cluster representative"). Rounds needed = graph diameter — near-dup
+    * clusters are shallow (stars/short chains), so this converges in a few
+    * rounds; `maxIter` bounds pathological chains. Each round is one
+    * shuffle (join + min-aggregate); lineage is truncated per round with a
+    * local checkpoint so the loop cannot build an unbounded plan.
+    *
+    * Returns (id, component) for every id in `ids`.
+    */
+  def connectedComponents(ids: DataFrame, pairs: DataFrame,
+      maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .localCheckpoint()
+    var labels = ids.select(col("id"), col("id").as("component")).localCheckpoint()
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val nbrMin = edges
+        .join(labels.withColumnRenamed("id", "src"), "src")
+        .groupBy(col("dst").as("id"))
+        .agg(min(col("component")).as("nbr_min"))
+      val updated = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("component"), coalesce(col("nbr_min"), col("component")))
+            .as("component"),
+          (col("nbr_min") < col("component")).as("__changed"))
+        .localCheckpoint()
+      converged = updated.filter(col("__changed")).isEmpty
+      labels = updated.drop("__changed")
+      iter += 1
+    }
+    labels
+  }
+
+  /** Near-duplicate CLUSTERS from MinHash-LSH pairs: (id, component) where
+    * component = the cluster's minimum doc id. Docs with no near-dup are
+    * their own singleton component.
+    */
+  def nearDupClusters(docs: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int = 3, numPerm: Int = 64, bands: Int = 16,
+      threshold: Double = 0.6, maxBucket: Int = 1024): DataFrame = {
+    val pairs = minhashDupPairs(docs, idCol, textCol, shingleSize, numPerm,
+      bands, threshold, maxBucket)
+    connectedComponents(docs.select(col(idCol).as("id")), pairs)
+  }
+
+  /** The end-to-end training-data dedup operator: keep exactly one document
+    * per near-dup cluster (the minimum-id representative — deterministic
+    * "keep first", matching [[exactDedup]]'s tie rule). Everything else
+    * passes through untouched.
+    */
+  def dedupNearDups(docs: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int = 3, numPerm: Int = 64, bands: Int = 16,
+      threshold: Double = 0.6, maxBucket: Int = 1024): DataFrame = {
+    val clusters = nearDupClusters(docs, idCol, textCol, shingleSize, numPerm,
+      bands, threshold, maxBucket)
+    docs.join(clusters.filter(col("id") === col("component"))
+      .select(col("id").as(idCol)), idCol)
+  }
+
   /** Embedding-cosine near-duplicate pairs: hyperplane-LSH candidate
     * generation (the [[Similarity]] bucketing — independent tables +
     * query-side flip-1-bit probes) followed by exact-cosine verification.

@@ -158,6 +158,42 @@ object ScaleQueries {
     },
     None)
 
+  /** Near-dup clusters: MinHash-LSH pairs (q24's certified candidate set at
+    * threshold 0.8) → connected components by min-label propagation. The
+    * DuckDB oracle recomputes the exact O(n²) pairs and resolves components
+    * with a recursive CTE — a hash-match certifies both the pair recall AND
+    * the distributed label-propagation fixpoint.
+    */
+  private val q41 = GQuery(
+    (s, d) => Dedup.nearDupClusters(T.documents(s, d), "doc_id", "text",
+      shingleSize = 3, numPerm = 64, bands = 16, threshold = 0.8)
+      .orderBy(col("id")),
+    Some("""WITH RECURSIVE toks AS (
+        SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS t
+        FROM documents),
+      sh AS (
+        SELECT doc_id,
+          CASE WHEN len(t) >= 3
+            THEN list_distinct(list_transform(range(1, len(t)-1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+            ELSE [array_to_string(t, ' ')] END AS s
+        FROM toks),
+      pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE (CASE WHEN (len(a.s) + len(b.s))::DOUBLE - len(list_intersect(a.s, b.s))::DOUBLE > 0
+          THEN len(list_intersect(a.s, b.s))::DOUBLE
+            / ((len(a.s) + len(b.s))::DOUBLE - len(list_intersect(a.s, b.s))::DOUBLE)
+          ELSE 1.0 END) >= 0.8),
+      edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION ALL
+        SELECT id_b AS src, id_a AS dst FROM pairs),
+      reach(id, comp) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.id)
+      SELECT id, MIN(comp) AS component FROM reach GROUP BY id ORDER BY id"""))
+
   /** SimHash Hamming-ball near-dup pairs (pigeonhole block join, recall 1
     * by construction; hash-based signature → rows-only like q26).
     */
@@ -275,5 +311,6 @@ object ScaleQueries {
     "q28_embedding_stats" -> q28,
     "q39_embedding_dup_pairs" -> q39,
     "q40_simhash_dup_pairs" -> q40,
+    "q41_near_dup_clusters" -> q41,
   )
 }

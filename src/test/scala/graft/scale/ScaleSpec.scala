@@ -64,6 +64,31 @@ class ScaleSpec extends SparkSpec {
     assert(hamming(h(0), h(2)) < hamming(h(0), h(3)))
   }
 
+  test("connected components propagate min labels across dup chains") {
+    import spark.implicits._
+    val ids = Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L).toDF("id")
+    // chain 1-2-3-4, pair 5-6, isolated 7
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (5L, 6L)).toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(ids, pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      5L -> 5L, 6L -> 5L, 7L -> 7L))
+  }
+
+  test("dedupNearDups keeps one representative per near-dup cluster") {
+    import spark.implicits._
+    val base = (1 to 60).map(i => s"tok$i").mkString(" ")
+    def variant(at: Int) = (1 to 60).map(i => if (i == at) "X" else s"tok$i").mkString(" ")
+    val docs = Seq(
+      (10L, base), (11L, variant(30)), (12L, variant(31)), // one cluster
+      (20L, (100 to 160).map(i => s"a$i").mkString(" ")),  // unique
+      (21L, (200 to 260).map(i => s"b$i").mkString(" ")))  // unique
+      .toDF("doc_id", "text")
+    val kept = Dedup.dedupNearDups(docs, "doc_id", "text", threshold = 0.6)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(10L, 20L, 21L))
+  }
+
   test("simhash Hamming-ball pairs == brute-force pairs (pigeonhole recall 1)") {
     import spark.implicits._
     // 60 docs in 20 families of 3 near-identical variants + noise docs;
