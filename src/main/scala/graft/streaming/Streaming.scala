@@ -46,6 +46,20 @@ object Streaming {
       .groupBy(window(col(tsCol), window_), col(keyCol))
       .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
 
+  /** Streaming exact dedup — the streaming twin of `Dedup.exactDedup`:
+    * drops rows whose dedup key was already seen within the watermark
+    * horizon. `dropDuplicatesWithinWatermark` evicts key state older than
+    * the watermark, which is the only scalable form of streaming dedup —
+    * a plain `dropDuplicates` keeps every key ever seen and its state
+    * store grows without bound on an infinite stream. The key should be a
+    * content hash (xxhash64 of the payload), not the payload itself, to
+    * keep state rows narrow.
+    */
+  def dedupStream(events: DataFrame, tsCol: String, keyCols: Seq[String],
+      watermark: String = "1 hour"): DataFrame =
+    events.withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
+
   final case class SessionInput(user_id: Long, ts: java.sql.Timestamp, value: Double)
   final case class SessionState(start_ms: Long, last_ms: Long, n: Long, total: Double)
   final case class SessionOut(user_id: Long, start_ms: Long, end_ms: Long,

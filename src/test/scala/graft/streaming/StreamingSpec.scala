@@ -55,6 +55,26 @@ class StreamingSpec extends SparkSpec {
       ("2024-01-01 10:00:00", "view", 1L)))
   }
 
+  test("streaming dedup drops within-watermark duplicate keys") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_dd").toString
+    val base = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+    def ts(minutes: Int) = new java.sql.Timestamp(base.getTime + minutes * 60000L)
+    Seq(
+      (ts(0), "k1", 1.0), (ts(5), "k1", 2.0),   // dup of k1 within watermark
+      (ts(1), "k2", 3.0), (ts(8), "k3", 4.0))
+      .toDF("ts", "content_key", "value").write.parquet(s"$dir/data")
+    val schema = spark.read.parquet(s"$dir/data").schema
+    val stream = spark.readStream.schema(schema).parquet(s"$dir/data")
+    val q = Streaming.dedupStream(stream, "ts", Seq("content_key"), "1 hour")
+      .writeStream.format("memory").queryName("dedupstream")
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("dedupstream")
+      .select("content_key").collect().map(_.getString(0)).sorted.toSeq
+    assert(got == Seq("k1", "k2", "k3"))
+  }
+
   test("stateful sessionizer splits on gap and aggregates in order") {
     import spark.implicits._
     val base = java.sql.Timestamp.valueOf("2024-01-01 10:00:00").getTime
