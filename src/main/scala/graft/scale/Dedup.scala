@@ -137,7 +137,11 @@ object Dedup {
       .withColumn("sig",
         graft.functions.NativeExpressions.minhash_signature(col("xs"), numPerm, Prime))
       .drop("xs")
-      .cache()  // read 3×: banding + both sides of the verify join
+      // read 3× (banding + both sides of the verify join); MEMORY_AND_DISK
+      // so signature partitions spill instead of evicting (plain cache() is
+      // memory-only and would silently recompute the whole shingle+sign map
+      // per consumer once the corpus outgrows executor storage)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = withShingles
       .select(col("id"), explode(bandKeys(col("sig"), bands, rowsPerBand)).as("bk"))
     // bucket sizes → blocks-per-bucket m; members salted to block pmod m

@@ -78,6 +78,49 @@ class PropertySpec extends SparkSpec {
     assert(got.count(_.isNullAt(0)) == 1) // only 59.5 falls in the documented gap
   }
 
+  test("connectedComponents == union-find on random graphs") {
+    import spark.implicits._
+    val edgeGen = Gen.listOfN(15,
+      Gen.zip(Gen.choose(0L, 19L), Gen.choose(0L, 19L)).suchThat(p => p._1 != p._2))
+    samples(edgeGen, 6).foreach { edges =>
+      val norm = edges.map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
+      val ids = (0L to 19L).toDF("id")
+      val got = graft.scale.Dedup.connectedComponents(ids, norm.toDF("id_a", "id_b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // reference union-find
+      val parent = scala.collection.mutable.Map((0L to 19L).map(i => i -> i): _*)
+      def find(x: Long): Long = if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+      norm.foreach { case (a, b) => val (ra, rb) = (find(a), find(b)); if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb) }
+      val want = (0L to 19L).map(i => i -> find(i)).toMap
+      assert(got == want, s"edges=$norm")
+    }
+  }
+
+  test("lab-status banding is total and ordered over random doubles") {
+    import spark.implicits._
+    val refs = graft.wellness.LabInfo.all
+    val valGen = Gen.option(Gen.choose(-100.0, 2000.0))
+    samples(Gen.listOfN(30, Gen.zip(Gen.choose(0, refs.length - 1), valGen)), 5)
+      .foreach { cases =>
+        cases.foreach { case (ri, vOpt) =>
+          val r = refs(ri)
+          val df = Seq(vOpt).toDF("v")
+          val status = df.select(graft.wellness.LabInfo
+            .statusFromLabValue(col("v"), r.low, r.high).as("s"))
+            .collect().head.getString(0)
+          val want = vOpt match {
+            case None => "Unknown"
+            case Some(v) if v < r.low * 0.9 => "Low"
+            case Some(v) if v < r.low => "Borderline low"
+            case Some(v) if v <= r.high => "In range"
+            case Some(v) if v <= r.high * 1.2 => "Borderline high"
+            case _ => "High"
+          }
+          assert(status == want, s"${r.key} $vOpt")
+        }
+      }
+  }
+
   test("jaccard: bounded, symmetric, 1 on self") {
     import spark.implicits._
     val arrGen = Gen.listOfN(12, Gen.choose(0L, 20L))
