@@ -58,6 +58,26 @@ object NativeExpressions {
   def text_stats(toks: Column, stopwords: Map[String, Seq[String]],
       langs: Seq[String]): Column =
     Bridge.column(TextStats(Bridge.expression(toks), stopwords, langs))
+
+  /** Deterministic ±1 hyperplane component for (table, plane i, dim j) —
+    * splitmix64 avalanche. THE single definition shared by the HOF
+    * formulation (Similarity.hyperplaneSig) and the native
+    * [[HyperplaneSigs]] kernel; they must stay bit-identical.
+    */
+  def hyperplaneSign(table: Int, i: Int, j: Int): Double = {
+    var z = table * 0x517CC1B727220A95L + i * 0x9E3779B97F4A7C15L + j
+    z += 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^= z >>> 31
+    if ((z & 1L) == 1L) 1.0 else -1.0
+  }
+
+  /** All `tables` hyperplane-LSH signatures of a double vector in one
+    * loop (array<long>, element t = table-t signature).
+    */
+  def hyperplane_sigs(v: Column, dim: Int, bits: Int, tables: Int): Column =
+    Bridge.column(HyperplaneSigs(Bridge.expression(v), dim, bits, tables))
 }
 
 /** minhash over pre-hashed shingles (values in [0, prime)): for each perm i,
@@ -200,6 +220,98 @@ case class TextStats(child: Expression, stopwords: Map[String, Seq[String]],
               if (($mi & (1 << $b)) != 0) $out[2 + $b]++;
             }
           }
+        }
+        ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+      """
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** All multi-table hyperplane-LSH signatures of one vector in a single
+  * fused loop. The expression-combinator formulation unrolls
+  * tables×bits×dim multiply-adds into one mega-expression (≈6k terms for
+  * 16×6×64), which janino recompiles per enclosing codegen stage —
+  * SECONDS of compile time per join stage that embeds it. Here the signs
+  * live in one broadcast double[] and the generated code is a constant
+  * 12-line triple loop. Bit-identical to per-table
+  * Similarity.hyperplaneSig (shared sign function, same > 0 test, same
+  * bit packing); element t of the output = table-t signature.
+  */
+case class HyperplaneSigs(child: Expression, dim: Int, bits: Int, tables: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  // signs laid out [(t*bits + i)*dim + j]
+  @transient private lazy val signs: Array[Double] = {
+    val a = new Array[Double](tables * bits * dim)
+    var t = 0
+    while (t < tables) {
+      var i = 0
+      while (i < bits) {
+        var j = 0
+        while (j < dim) {
+          a((t * bits + i) * dim + j) = NativeExpressions.hyperplaneSign(t, i, j)
+          j += 1
+        }
+        i += 1
+      }
+      t += 1
+    }
+    a
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = math.min(dim, arr.numElements())
+    val out = new Array[Long](tables)
+    var t = 0
+    while (t < tables) {
+      var sig = 0L
+      var i = 0
+      while (i < bits) {
+        var proj = 0.0
+        val base = (t * bits + i) * dim
+        var j = 0
+        while (j < n) { proj += arr.getDouble(j) * signs(base + j); j += 1 }
+        if (proj > 0) sig |= 1L << i
+        i += 1
+      }
+      out(t) = sig
+      t += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val signsRef = ctx.addReferenceObj("signs", signs, "double[]")
+    nullSafeCodeGen(ctx, ev, c => {
+      val out = ctx.freshName("out")
+      val n = ctx.freshName("n")
+      val t = ctx.freshName("t")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val sig = ctx.freshName("sig")
+      val proj = ctx.freshName("proj")
+      val base = ctx.freshName("base")
+      s"""
+        int $n = Math.min($dim, $c.numElements());
+        long[] $out = new long[$tables];
+        for (int $t = 0; $t < $tables; $t++) {
+          long $sig = 0L;
+          for (int $i = 0; $i < $bits; $i++) {
+            double $proj = 0.0;
+            int $base = ($t * $bits + $i) * $dim;
+            for (int $j = 0; $j < $n; $j++) {
+              $proj += $c.getDouble($j) * $signsRef[$base + $j];
+            }
+            if ($proj > 0) $sig |= 1L << $i;
+          }
+          $out[$t] = $sig;
         }
         ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
       """

@@ -260,16 +260,18 @@ object Dedup {
       dim: Int, threshold: Double, bits: Int = 4, tables: Int = 16,
       multiProbe: Boolean = true): DataFrame = {
     val v = df.select(col(idCol).as("id"), Similarity.toDouble(col(vecCol)).as("v"))
-    val withSigs = (0 until tables).foldLeft(v)((acc, t) =>
-      acc.withColumn(s"__sig$t", Similarity.hyperplaneSig(col("v"), dim, bits, t)))
+    // one native-kernel array column for all table signatures (janino-safe,
+    // compiled once — see Similarity.sigsNative)
+    val withSigs = v.withColumn("__sigs",
+      Similarity.sigsNative(col("v"), dim, bits, tables))
     val home = withSigs.withColumn("tb", explode(array((0 until tables).map { t =>
-        struct(lit(t).as("t"), col(s"__sig$t").as("bucket"))
+        struct(lit(t).as("t"), element_at(col("__sigs"), t + 1).as("bucket"))
       }: _*)))
       .select(col("id"), col("tb.t").as("t"), col("tb.bucket").as("bucket"))
     // probes on ONE side only: pair (a,b) is caught when a probe bucket of
     // either member hits the other's home bucket (symmetric via least/greatest)
     val probed = withSigs.withColumn("tb", explode(array((0 until tables).flatMap { t =>
-        val sig = col(s"__sig$t")
+        val sig = element_at(col("__sigs"), t + 1)
         val probes = sig +: (if (multiProbe)
           (0 until bits).map(i => sig.bitwiseXOR(lit(1L << i))) else Seq.empty)
         probes.map(b => struct(lit(t).as("t"), b.as("bucket")))

