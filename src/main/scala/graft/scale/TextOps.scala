@@ -18,6 +18,25 @@ object TextOps {
 
   def tokenCount(text: Column): Column = size(tokens(text))
 
+  /** GPT-2-style pre-tokenizer pattern, restricted to RE2-compatible
+    * syntax (no lookahead) so the SAME pattern runs on Spark (java.util
+    * .regex) and DuckDB (RE2) with identical match counts: contractions,
+    * optional-space letter runs, optional-space digit runs, optional-space
+    * punctuation runs. Whitespace between matches is skipped by the
+    * scanner (no whitespace branch), so the match count IS the token
+    * count.
+    */
+  val BpeTokenPattern: String =
+    "'(?:s|d|m|t|ll|ve|re)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+"
+
+  /** BPE-ish token count: number of pre-tokenizer matches — the standard
+    * cheap estimator for "how many BPE tokens will this document cost"
+    * without a vocab file. Narrow codegen'd map (regexp_count), no
+    * shuffle.
+    */
+  def bpeTokenCount(text: Column): Column =
+    regexp_count(text, lit(BpeTokenPattern))
+
   /** Mean token length (null on empty docs). */
   def avgTokenLen(toks: Column): Column = {
     val totalLen = aggregate(toks, lit(0L), (acc, t) => acc + length(t))

@@ -84,6 +84,35 @@ object ScaleQueries {
       FROM m GROUP BY lang, predicted ORDER BY lang, predicted"""
     })
 
+  /** BPE-ish token counting (the training-cost estimator): the GPT-2-style
+    * pre-tokenizer pattern (RE2-compatible subset, TextOps.BpeTokenPattern)
+    * runs verbatim on both engines; per-language totals compare whitespace
+    * vs BPE-ish counts.
+    */
+  private val q42 = GQuery(
+    (s, d) => {
+      import s.implicits._
+      T.documents(s, d)
+        .select($"lang",
+          TextOps.tokenCount($"text").cast("long").as("ws_tokens"),
+          TextOps.bpeTokenCount($"text").cast("long").as("bpe_tokens"))
+        .groupBy($"lang")
+        .agg(sum($"ws_tokens").as("ws_tokens"),
+          sum($"bpe_tokens").as("bpe_tokens"),
+          count(lit(1)).as("docs"))
+        .orderBy($"lang")
+    },
+    Some {
+      // SQL string literal: only quotes need escaping (DuckDB '…' literals
+      // do not process backslashes)
+      val pat = TextOps.BpeTokenPattern.replace("'", "''")
+      s"""SELECT lang,
+        CAST(SUM(len(list_filter(string_split_regex(text, '\\s+'), x -> len(x) > 0))) AS BIGINT) AS ws_tokens,
+        CAST(SUM(len(regexp_extract_all(text, '$pat'))) AS BIGINT) AS bpe_tokens,
+        COUNT(*) AS docs
+      FROM documents GROUP BY lang ORDER BY lang"""
+    })
+
   /** E1 explode — token frequency top-20 (generator + re-aggregation). */
   private val q23 = GQuery(
     (s, d) => {
@@ -325,5 +354,6 @@ object ScaleQueries {
     "q39_embedding_dup_pairs" -> q39,
     "q40_simhash_dup_pairs" -> q40,
     "q41_near_dup_clusters" -> q41,
+    "q42_bpe_token_count" -> q42,
   )
 }

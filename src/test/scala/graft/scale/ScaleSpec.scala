@@ -151,6 +151,21 @@ class ScaleSpec extends SparkSpec {
     assert(recall >= 0.9, f"recall@5 $recall%.3f < 0.9")
   }
 
+  test("BPE-ish token count segments contractions, numbers and punctuation") {
+    import spark.implicits._
+    val cases = Seq(
+      ("don't stop", 3L),            // don | 't | _stop
+      ("hello world", 2L),
+      ("a1b2", 4L),                  // a | 1 | b | 2
+      ("price: $9.99!", 7L),         // price | : | _$ | 9 | . | 99 | !
+      ("  spaced   out  ", 2L),
+      ("", 0L))
+    val got = cases.map(_._1).toDF("text")
+      .select(TextOps.bpeTokenCount(col("text")).as("n"))
+      .collect().map(_.getInt(0).toLong).toSeq
+    assert(got == cases.map(_._2), s"got $got")
+  }
+
   test("langId votes deterministically; quality in [0,1]") {
     import spark.implicits._
     val df = Seq(
