@@ -78,6 +78,37 @@ object NativeExpressions {
     */
   def hyperplane_sigs(v: Column, dim: Int, bits: Int, tables: Int): Column =
     Bridge.column(HyperplaneSigs(Bridge.expression(v), dim, bits, tables))
+
+  /** Minimum Rabin-Karp rolling hash over all `window`-byte windows of the
+    * UTF-8 text (winnowing bottom-1 sketch at character level).
+    */
+  def rolling_hash_min(text: Column, window: Int): Column =
+    Bridge.column(RollingHashMin(Bridge.expression(text), window))
+
+  /** Reference JVM implementation of [[RollingHashMin]] — used by eval,
+    * codegen (via static call) and tests alike, so all paths are one code
+    * path. Polynomial hash base FNV-prime, wrapping 2^64 arithmetic,
+    * unsigned min. Texts shorter than `window` hash as one window.
+    */
+  def rollingHashMin(bytes: Array[Byte], window: Int): Long = {
+    val B = 0x100000001b3L
+    var bw = 1L // B^window
+    var i = 0
+    while (i < window) { bw *= B; i += 1 }
+    val n = bytes.length
+    var h = 0L
+    var best = -1L // unsigned max
+    i = 0
+    while (i < n) {
+      h = h * B + (bytes(i) & 0xff)
+      if (i >= window) h -= bw * (bytes(i - window) & 0xff)
+      if (i >= window - 1 && java.lang.Long.compareUnsigned(h, best) < 0) best = h
+      i += 1
+    }
+    if (n == 0) 0L
+    else if (n < window) h
+    else best
+  }
 }
 
 /** minhash over pre-hashed shingles (values in [0, prime)): for each perm i,
@@ -317,6 +348,31 @@ case class HyperplaneSigs(child: Expression, dim: Int, bits: Int, tables: Int)
       """
     })
   }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Winnowing-style rolling-hash fingerprint (SURVEY scale layer: document
+  * fingerprinting, rolling hash): the unsigned-minimum Rabin-Karp hash
+  * over every `window`-byte window of the UTF-8 text. Equal fingerprints
+  * mark documents sharing their rarest window — a cheap pre-cluster key
+  * that, unlike the shingle fingerprint, is insensitive to tokenization
+  * and catches byte-level near-dups. One pass, O(1) state, codegen'd.
+  */
+case class RollingHashMin(child: Expression, window: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = child.nullable
+
+  override def nullSafeEval(input: Any): Any =
+    NativeExpressions.rollingHashMin(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes, window)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""${ev.value} = graft.functions.NativeExpressions.rollingHashMin($c.getBytes(), $window);""")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

@@ -172,6 +172,14 @@ object TextOps {
   def fingerprintFromHashes(tokenHashes: Column, n: Int = 3): Column =
     array_min(Dedup.hashedShingles(tokenHashes, n))
 
+  /** Character-level rolling-hash fingerprint (winnowing bottom-1 over
+    * `window`-byte Rabin-Karp hashes; native codegen kernel). Unlike the
+    * shingle fingerprint it is tokenization-insensitive and catches
+    * byte-level near-dups (whitespace/punctuation edits).
+    */
+  def rollingFingerprint(text: Column, window: Int = 32): Column =
+    graft.functions.NativeExpressions.rolling_hash_min(text, window)
+
   /** String-shingle fingerprint (historical formulation; kept only as the
     * slow reference for tests — concatenates every shingle before hashing).
     */

@@ -182,7 +182,8 @@ object ScaleQueries {
         .withColumn("th", transform(TextOps.tokens($"text"), t => xxhash64(t)))
         .select($"doc_id",
           graft.functions.NativeExpressions.simhash64($"th").as("simhash"),
-          TextOps.fingerprintFromHashes($"th", 3).as("fingerprint"))
+          TextOps.fingerprintFromHashes($"th", 3).as("fingerprint"),
+          TextOps.rollingFingerprint($"text", 32).as("rolling_fp"))
         .orderBy($"doc_id")
     },
     None)

@@ -129,6 +129,31 @@ class NativeExpressionsSpec extends SparkSpec {
     assert(got == Seq(8L, 2L, 1L, 1L, 1L, 0L, 1L))
   }
 
+  test("rolling-hash fingerprint: reference parity, shift invariance, short docs") {
+    import spark.implicits._
+    val texts = Seq(
+      "the quick brown fox jumps over the lazy dog and keeps running far",
+      "tiny", // shorter than window -> single-window hash
+      "")
+    val got = texts.toDF("text")
+      .select(TextOps.rollingFingerprint(col("text"), 32).as("fp"))
+      .collect().map(_.getLong(0)).toSeq
+    val want = texts.map(t =>
+      NativeExpressions.rollingHashMin(t.getBytes("UTF-8"), 32))
+    assert(got == want)
+    // a doc sharing its rarest 32-byte window with a prefixed variant
+    // keeps the same fingerprint when the min window survives the edit
+    val base = "x" * 10 + "X-RARE-WINDOW-CONTENT-0123456789ABCD" + "y" * 200
+    val shifted = "PREFIX " + base
+    val fps = Seq(base, shifted).toDF("text")
+      .select(TextOps.rollingFingerprint(col("text"), 32).as("fp"))
+      .collect().map(_.getLong(0))
+    // both contain every window of `base`; min over a superset is <= —
+    // equality holds when the shared windows contain the global min
+    assert(fps(1) == fps(0) ||
+      java.lang.Long.compareUnsigned(fps(1), fps(0)) < 0)
+  }
+
   test("codegen and interpreted paths agree") {
     // force interpreted eval by constructing rows and calling eval directly
     import org.apache.spark.sql.catalyst.expressions.Literal
