@@ -85,6 +85,54 @@ object NativeExpressions {
   def rolling_hash_min(text: Column, window: Int): Column =
     Bridge.column(RollingHashMin(Bridge.expression(text), window))
 
+  /** The `nprobe` nearest centroids of a double vector by L2 distance,
+    * ordered nearest-first (ties → lower index). Centroids are a flattened
+    * row-major (k × dim) broadcast array.
+    */
+  def nearest_centroids(v: Column, centroids: Array[Double], k: Int, dim: Int,
+      nprobe: Int): Column =
+    Bridge.column(NearestCentroids(Bridge.expression(v), centroids, k, dim, nprobe))
+
+  /** Shared JVM implementation for [[NearestCentroids]] (eval + generated
+    * code + tests): full-scan L2 to all k centroids, then selection of the
+    * nprobe smallest (k is small — the coarse quantizer, not the corpus).
+    */
+  def nearestCentroidsImpl(v: ArrayData, cents: Array[Double], k: Int,
+      dim: Int, nprobe: Int): ArrayData = {
+    val n = math.min(dim, v.numElements())
+    val d2 = new Array[Double](k)
+    var c = 0
+    while (c < k) {
+      var s = 0.0
+      val base = c * dim
+      var j = 0
+      while (j < n) {
+        val d = v.getDouble(j) - cents(base + j)
+        s += d * d
+        j += 1
+      }
+      d2(c) = s
+      c += 1
+    }
+    val m = math.min(nprobe, k)
+    val out = new Array[Int](m)
+    val used = new Array[Boolean](k)
+    var r = 0
+    while (r < m) {
+      var bi = -1
+      var bd = Double.MaxValue
+      var i = 0
+      while (i < k) {
+        if (!used(i) && d2(i) < bd) { bd = d2(i); bi = i }
+        i += 1
+      }
+      used(bi) = true
+      out(r) = bi
+      r += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Reference JVM implementation of [[RollingHashMin]] — used by eval,
     * codegen (via static call) and tests alike, so all paths are one code
     * path. Polynomial hash base FNV-prime, wrapping 2^64 arithmetic,
@@ -347,6 +395,32 @@ case class HyperplaneSigs(child: Expression, dim: Int, bits: Int, tables: Int)
         ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
       """
     })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** IVF coarse-quantizer probe: indices of the `nprobe` nearest of `k`
+  * centroids (flattened row-major broadcast array), nearest-first. One
+  * tight k×dim loop via the shared static implementation — tiny generated
+  * code, no unrolled expression tree.
+  */
+case class NearestCentroids(child: Expression, centroids: Array[Double],
+    k: Int, dim: Int, nprobe: Int) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  override def nullSafeEval(input: Any): Any =
+    NativeExpressions.nearestCentroidsImpl(
+      input.asInstanceOf[ArrayData], centroids, k, dim, nprobe)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val centsRef = ctx.addReferenceObj("centroids", centroids, "double[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""${ev.value} = graft.functions.NativeExpressions.nearestCentroidsImpl(
+            $c, $centsRef, $k, $dim, $nprobe);""")
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =

@@ -166,6 +166,63 @@ class ScaleSpec extends SparkSpec {
     assert(got == cases.map(_._2), s"got $got")
   }
 
+  private def neighborSetsOf(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+    df.collect().groupBy(_.getAs[Long]("query_id"))
+      .map { case (q, rs) => q -> rs.map(_.getAs[Long]("neighbor_id")).toSet }
+
+  private def recallAt5(truth: Map[Long, Set[Long]],
+      approx: Map[Long, Set[Long]]): Double = {
+    val hits = truth.map { case (q, t) =>
+      (t intersect approx.getOrElse(q, Set.empty)).size }.sum
+    hits.toDouble / (truth.size * 5)
+  }
+
+  test("IVF ANN on isotropic data: measured recall tracks scan fraction") {
+    // The sf0.01 embeddings are isotropic (top-5 neighbors ~70 degrees
+    // apart): learned cells can't concentrate neighbors, so recall ~
+    // scan-fraction + modest lift — measured 0.57@25%, 0.81@50%,
+    // 0.94@75%. The honest conclusion (documented on Ivf): IVF needs
+    // clustered data to beat LSH; see the planted-cluster test below.
+    val emb = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.01")
+    val queries = emb.filter(col("vec_id") < 100)
+    val cents = Ivf.trainCentroids(emb, "vec_id", "embedding", dim = 64,
+      k = 16, iters = 5)
+    val truth = neighborSetsOf(
+      Similarity.bruteForceTopK(queries, emb, "vec_id", "embedding", k = 5))
+    val approx = neighborSetsOf(Ivf.ivfTopK(queries, emb, "vec_id", "embedding",
+      dim = 64, k = 5, centroids = cents, nCells = 16, nprobe = 12))
+    val recall = recallAt5(truth, approx)
+    info(f"isotropic IVF recall@5 = $recall%.3f (16 cells, nprobe 12 = 75%% scan)")
+    assert(recall >= 0.9, f"recall@5 $recall%.3f < 0.9")
+  }
+
+  test("IVF ANN on clustered data: high recall at a small scan fraction") {
+    import spark.implicits._
+    // 16 planted clusters on the unit sphere, 50 members each, tight noise
+    // — the corpus shape IVF is built for. nprobe=2 of 24 cells ≈ 8% scan.
+    val rnd = new scala.util.Random(7)
+    def unit(v: Array[Double]) = {
+      val n = math.sqrt(v.map(x => x * x).sum); v.map(_ / n)
+    }
+    val centers = Array.fill(16)(unit(Array.fill(64)(rnd.nextGaussian())))
+    val vecs = (0 until 800).map { i =>
+      val c = centers(i % 16)
+      (i.toLong, unit(c.zip(Array.fill(64)(rnd.nextGaussian() * 0.15))
+        .map { case (a, b) => a + b }).map(_.toFloat))
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val queries = df.filter(col("vec_id") < 64)
+    val cents = Ivf.trainCentroids(df, "vec_id", "embedding", dim = 64,
+      k = 24, iters = 5)
+    val truth = neighborSetsOf(
+      Similarity.bruteForceTopK(queries, df, "vec_id", "embedding", k = 5))
+    val approx = neighborSetsOf(Ivf.ivfTopK(queries, df, "vec_id", "embedding",
+      dim = 64, k = 5, centroids = cents, nCells = 24, nprobe = 2))
+    val recall = recallAt5(truth, approx)
+    info(f"clustered IVF recall@5 = $recall%.3f (24 cells, nprobe 2 = ~8%% scan)")
+    assert(recall >= 0.95, f"recall@5 $recall%.3f < 0.95")
+  }
+
   test("langId votes deterministically; quality in [0,1]") {
     import spark.implicits._
     val df = Seq(
