@@ -223,6 +223,27 @@ class ScaleSpec extends SparkSpec {
     assert(recall >= 0.95, f"recall@5 $recall%.3f < 0.95")
   }
 
+  test("hash splits: deterministic, disjoint, partitioning-invariant") {
+    import spark.implicits._
+    val df = (1L to 2000L).toDF("id")
+    val split = Sampling.splitByHash(df, col("id"),
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    val byName = split.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byName.values.sum == 2000L) // full coverage at sum == 1
+    assert(byName("train") > 1500 && byName("train") < 1700) // ~0.8 of 2000
+    // disjoint by construction; same rows regardless of partitioning
+    val a = split.filter($"split" === "val").select("id").collect().map(_.getLong(0)).toSet
+    val b = Sampling.splitByHash(df.repartition(13), col("id"),
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .filter($"split" === "val").select("id").collect().map(_.getLong(0)).toSet
+    assert(a == b && a.nonEmpty)
+    // hashRange subsample equals the matching split range
+    val r = Sampling.hashRange(df, col("id"), 0.8, 0.9)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(r == a)
+  }
+
   test("langId votes deterministically; quality in [0,1]") {
     import spark.implicits._
     val df = Seq(
