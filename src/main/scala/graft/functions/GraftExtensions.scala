@@ -18,42 +18,50 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
   * registration.)
   */
 object GraftExtensions {
+
+  private def intArg(children: Seq[Expression], i: Int, default: Int): Int =
+    children.lift(i) match {
+      case Some(Literal(v, _)) => v.toString.toInt
+      case _ => default
+    }
+
+  /** (name, builder) for every registered native function — one list
+    * shared by runtime registration and the session-extension injector.
+    */
+  private[functions] val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "cosine_similarity" ->
+      ((c: Seq[Expression]) => CosineSimilarity(c(0), c(1))),
+    "minhash_signature" ->
+      ((c: Seq[Expression]) => MinHashSignature(c.head, intArg(c, 1, 64), 2147483647L)),
+    "simhash64" ->
+      ((c: Seq[Expression]) => SimHash64(c.head)),
+    "rolling_hash_min" ->
+      ((c: Seq[Expression]) => RollingHashMin(c.head, intArg(c, 1, 32))),
+    "hyperplane_sigs" ->
+      ((c: Seq[Expression]) => HyperplaneSigs(c.head,
+        intArg(c, 1, 64), intArg(c, 2, 12), intArg(c, 3, 1))),
+    "graft_text_stats" ->
+      ((c: Seq[Expression]) => TextStats(c.head,
+        graft.scale.TextOps.Stopwords, graft.scale.TextOps.Langs)))
+
   /** Runtime registration into an EXISTING session (withExtensions only
     * applies at session build; getOrCreate on a live session ignores it).
     */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    reg.createOrReplaceTempFunction("cosine_similarity",
-      (children: Seq[Expression]) => CosineSimilarity(children(0), children(1)),
-      "built-in")
-    reg.createOrReplaceTempFunction("minhash_signature",
-      (children: Seq[Expression]) => {
-        val numPerm = children.lift(1) match {
-          case Some(Literal(v, _)) => v.toString.toInt
-          case _ => 64
-        }
-        MinHashSignature(children.head, numPerm, 2147483647L)
-      },
-      "built-in")
+    builders.foreach { case (name, b) =>
+      reg.createOrReplaceTempFunction(name, b, "built-in")
+    }
   }
 }
 
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
-  override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction((
-      new FunctionIdentifier("cosine_similarity"),
-      new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_similarity"),
-      (children: Seq[Expression]) => CosineSimilarity(children(0), children(1))))
-    ext.injectFunction((
-      new FunctionIdentifier("minhash_signature"),
-      new ExpressionInfo(classOf[MinHashSignature].getName, "minhash_signature"),
-      (children: Seq[Expression]) => {
-        val numPerm = children.lift(1) match {
-          case Some(Literal(v, _)) => v.toString.toInt
-          case _ => 64
-        }
-        MinHashSignature(children.head, numPerm, 2147483647L)
-      }))
-  }
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.builders.foreach { case (name, b) =>
+      ext.injectFunction((
+        new FunctionIdentifier(name),
+        new ExpressionInfo(classOf[NativeExpressions.type].getName, name),
+        b))
+    }
 }

@@ -30,5 +30,22 @@ class ExtensionsSpec extends SparkSpec {
       .asInstanceOf[org.apache.spark.sql.catalyst.util.GenericArrayData]
       .toLongArray()
     assert(sig == expected.toSeq)
+
+    // round-3 registrations: simhash, rolling hash, hyperplane sigs, text stats
+    val r3 = spark.sql(
+      """SELECT simhash64(array(5L, -7L)) AS sh,
+                rolling_hash_min('hello rolling world', 8) AS rh,
+                size(hyperplane_sigs(array(1.0D, -1.0D), 2, 6, 4)) AS nsigs,
+                graft_text_stats(array('the', 'de', 'xyz'))[1] AS anyhits""")
+      .collect().head
+    assert(r3.getLong(0) == SimHash64(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(Array(5L, -7L)),
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.LongType))).eval(null))
+    assert(r3.getLong(1) == NativeExpressions.rollingHashMin(
+      "hello rolling world".getBytes("UTF-8"), 8))
+    assert(r3.getInt(2) == 4)
+    assert(r3.getLong(3) == 2L) // 'the' (en) + 'de' (es/fr/zh)
   }
 }
