@@ -211,6 +211,13 @@ object Dedup {
       labels = updated.drop("__changed")
       iter += 1
     }
+    // Partial labels are silently WRONG answers (components would split);
+    // fail loudly instead — a corpus whose dup graph has diameter > maxIter
+    // needs a larger bound (or a large-star/small-star variant).
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds; " +
+          "raise maxIter (component diameter exceeds it)")
     labels
   }
 
@@ -249,7 +256,10 @@ object Dedup {
     * Parameter guidance: candidate recall for a pair at angle θ is
     * 1-(1-p_t)^tables with p_t = p^bits + bits·p^(bits-1)(1-p) (multi-probe)
     * and p = 1-θ/π; pick bits from the corpus size (bucket ≈ n/2^bits) and
-    * buy recall with tables/probes. The hyperplane family is FIXED, so for
+    * buy recall with tables/probes. Sizing bits this way bounds the
+    * EXPECTED bucket, but byte-identical vectors share a bucket at any
+    * bits — run [[exactDedup]] on the vector bytes first if the corpus
+    * can contain exact duplicates (AQE skew-join is the backstop). The hyperplane family is FIXED, so for
     * a given corpus the candidate set — and therefore the result — is
     * deterministic (q39's oracle certifies it equals the exact O(n²)
     * ground truth at threshold 0.4 on the test corpus).

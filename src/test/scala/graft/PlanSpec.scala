@@ -97,6 +97,14 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("hash-split sampling is a shuffle-free narrow filter") {
+    import spark.implicits._
+    val df = (1L to 100L).toDF("id")
+    val p = plan(graft.scale.Sampling.splitByHash(df, col("id"),
+      Seq("train" -> 0.9, "eval" -> 0.1)))
+    assert(!p.contains("Exchange"), p)
+  }
+
   test("partition pruning: partitioned sink + partition filter prune the scan") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
