@@ -88,6 +88,58 @@ object Multimodal {
       }
   }
 
+  /** Bilinear resize of a row-major grayscale pixel grid — REAL math, not
+    * stubbed (resize after decode is pure arithmetic; only the codec needs
+    * a library). Standard align-corners-false sampling with edge clamp:
+    * src coordinate of output pixel x is (x+0.5)·(srcW/dstW) − 0.5.
+    */
+  def resizeBilinear(px: Array[Float], srcW: Int, srcH: Int,
+      dstW: Int, dstH: Int): Array[Float] = {
+    require(px.length == srcW * srcH, s"expected ${srcW * srcH} pixels, got ${px.length}")
+    val out = new Array[Float](dstW * dstH)
+    val xs = srcW.toDouble / dstW
+    val ys = srcH.toDouble / dstH
+    var y = 0
+    while (y < dstH) {
+      val sy = math.min(math.max((y + 0.5) * ys - 0.5, 0.0), srcH - 1.0)
+      val y0 = sy.toInt
+      val y1 = math.min(y0 + 1, srcH - 1)
+      val fy = sy - y0
+      var x = 0
+      while (x < dstW) {
+        val sx = math.min(math.max((x + 0.5) * xs - 0.5, 0.0), srcW - 1.0)
+        val x0 = sx.toInt
+        val x1 = math.min(x0 + 1, srcW - 1)
+        val fx = sx - x0
+        val top = px(y0 * srcW + x0) * (1 - fx) + px(y0 * srcW + x1) * fx
+        val bot = px(y1 * srcW + x0) * (1 - fx) + px(y1 * srcW + x1) * fx
+        out(y * dstW + x) = (top * (1 - fy) + bot * fy).toFloat
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  final case class ResizedMedia(media_id: Long, kind: String, pixels: Array[Float])
+
+  /** Decode (stub) at source resolution, then REAL bilinear resize to the
+    * target grid — partition-batched like [[extractFeatures]].
+    */
+  def decodeAndResize(media: DataFrame, srcW: Int, srcH: Int,
+      dstW: Int, dstH: Int): Dataset[ResizedMedia] = {
+    import media.sparkSession.implicits._
+    media.select(col("media_id"), col("kind"), col("content"))
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, kind, bytes) =>
+          val px = decodePixelsStub(
+            Option(bytes).getOrElse(Array.emptyByteArray), srcW, srcH)
+          ResizedMedia(id, kind, resizeBilinear(px, srcW, srcH, dstW, dstH))
+        }
+      }
+  }
+
   /** Deterministic frame sampling for video rows: n evenly-spaced frame
     * timestamps from the metadata duration — pure column math, no decode.
     */

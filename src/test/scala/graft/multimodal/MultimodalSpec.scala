@@ -53,6 +53,34 @@ class MultimodalSpec extends SparkSpec {
     assert(f1(2L).intensity_var > 0.0)
   }
 
+  test("bilinear resize: exact interpolation values, edges clamped") {
+    // 2x2 checkerboard -> 1x1: the single output samples the exact center
+    val down = Multimodal.resizeBilinear(
+      Array(0f, 1f, 1f, 0f), 2, 2, 1, 1)
+    assert(down.toSeq == Seq(0.5f))
+    // 2x2 -> 4x4: corners clamp to the source corners; center of each
+    // quadrant-adjacent pair interpolates linearly
+    val up = Multimodal.resizeBilinear(Array(0f, 1f, 1f, 0f), 2, 2, 4, 4)
+    assert(up(0) == 0f && up(3) == 1f && up(12) == 1f && up(15) == 0f)
+    // row 0: sx for x=1 is (1.5*0.5)-0.5 = 0.25 -> 0.75*0 + 0.25*1
+    assert(math.abs(up(1) - 0.25f) < 1e-6)
+    assert(math.abs(up(2) - 0.75f) < 1e-6)
+    // identity resize returns the input
+    val id = Multimodal.resizeBilinear(Array(0.1f, 0.2f, 0.3f, 0.4f), 2, 2, 2, 2)
+    assert(id.toSeq == Seq(0.1f, 0.2f, 0.3f, 0.4f))
+  }
+
+  test("decode+resize runs partition-batched over the media frame") {
+    val out = Multimodal.decodeAndResize(mediaDf, 8, 8, 4, 4).collect()
+      .map(r => r.media_id -> r).toMap
+    assert(out.keySet == Set(1L, 2L, 3L))
+    out.values.foreach(r => assert(r.pixels.length == 16))
+    // deterministic: same content -> same resized pixels
+    val again = Multimodal.decodeAndResize(mediaDf, 8, 8, 4, 4).collect()
+      .map(r => r.media_id -> r.pixels.toSeq).toMap
+    out.foreach { case (id, r) => assert(r.pixels.toSeq == again(id)) }
+  }
+
   test("frame sampling derives offsets from metadata only") {
     val got = Multimodal.sampleFrameOffsets(mediaDf, 4)
       .select("media_id", "frame_offsets_ms").collect()
