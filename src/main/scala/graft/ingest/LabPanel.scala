@@ -40,7 +40,7 @@ object LabPanel {
         val n = raw.count()
         val schema = raw.schema.add("__rn", org.apache.spark.sql.types.LongType)
         val indexed = raw.sparkSession.createDataFrame(
-          raw.rdd.zipWithIndex.map { case (row, i) =>
+          raw.rdd.zipWithIndex().map { case (row, i) =>
             org.apache.spark.sql.Row.fromSeq(row.toSeq :+ (i + 1)) },
           schema)
         indexed

@@ -44,8 +44,8 @@ object AsOfJoin {
     val rAligned = lCols.foldLeft(r) { (acc, c) =>
       if (acc.columns.contains(c)) acc
       else acc.withColumn(c, lit(null).cast(left.schema(c).dataType))
-    }.select((lCols.map(col) :+ col("__side") :+ col("__ts") :+ col("__payload")): _*)
-    val lAligned = l.select((lCols.map(col) :+ col("__side") :+ col("__ts") :+ col("__payload")): _*)
+    }.select((lCols.toIndexedSeq.map(col) :+ col("__side") :+ col("__ts") :+ col("__payload")): _*)
+    val lAligned = l.select((lCols.toIndexedSeq.map(col) :+ col("__side") :+ col("__ts") :+ col("__payload")): _*)
     // order right rows BEFORE left rows at equal ts (asof is <=)
     val w = Window.partitionBy(col(key))
       .orderBy(col("__ts").asc, col("__side").asc)
