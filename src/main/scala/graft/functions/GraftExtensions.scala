@@ -21,8 +21,12 @@ object GraftExtensions {
 
   private def intArg(children: Seq[Expression], i: Int, default: Int): Int =
     children.lift(i) match {
-      case Some(Literal(v, _)) => v.toString.toInt
-      case _ => default
+      case Some(Literal(v, _)) if v != null => v.toString.toInt
+      case None => default
+      // Falling back silently on a column/computed argument would compute
+      // fingerprints/signatures with the WRONG parameters and no error.
+      case Some(other) => throw new IllegalArgumentException(
+        s"argument ${i + 1} must be a non-null integer literal, got: ${other.sql}")
     }
 
   /** (name, builder) for every registered native function — one list

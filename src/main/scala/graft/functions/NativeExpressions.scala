@@ -111,7 +111,11 @@ object NativeExpressions {
         s += d * d
         j += 1
       }
-      d2(c) = s
+      // NaN distances (corrupt vector coordinates) would otherwise lose
+      // every `<` comparison and leave the selection with no pick at all —
+      // treat them as +inf so assignment degrades deterministically
+      // (lowest centroid index) instead of crashing the job.
+      d2(c) = if (java.lang.Double.isNaN(s)) Double.PositiveInfinity else s
       c += 1
     }
     val m = math.min(nprobe, k)
@@ -123,7 +127,7 @@ object NativeExpressions {
       var bd = Double.MaxValue
       var i = 0
       while (i < k) {
-        if (!used(i) && d2(i) < bd) { bd = d2(i); bi = i }
+        if (!used(i) && (bi == -1 || d2(i) < bd)) { bd = d2(i); bi = i }
         i += 1
       }
       used(bi) = true
@@ -261,15 +265,17 @@ case class TextStats(child: Expression, stopwords: Map[String, Seq[String]],
     var j = 0
     while (j < n) {
       val t = arr.getUTF8String(j)
-      out(0) += t.numChars()
-      val m = maskMap.get(t)
-      if (m != null) {
-        out(1) += 1
-        val mi = m.intValue()
-        var b = 0
-        while (b < nLangs) {
-          if ((mi & (1 << b)) != 0) out(2 + b) += 1
-          b += 1
+      if (t != null) { // null tokens: non-matches, as in the HOF reference
+        out(0) += t.numChars()
+        val m = maskMap.get(t)
+        if (m != null) {
+          out(1) += 1
+          val mi = m.intValue()
+          var b = 0
+          while (b < nLangs) {
+            if ((mi & (1 << b)) != 0) out(2 + b) += 1
+            b += 1
+          }
         }
       }
       j += 1
@@ -290,13 +296,15 @@ case class TextStats(child: Expression, stopwords: Map[String, Seq[String]],
         long[] $out = new long[${2 + nLangs}];
         for (int $j = 0; $j < $c.numElements(); $j++) {
           org.apache.spark.unsafe.types.UTF8String $t = $c.getUTF8String($j);
-          $out[0] += $t.numChars();
-          Integer $m = (Integer) $mapRef.get($t);
-          if ($m != null) {
-            $out[1]++;
-            int $mi = $m.intValue();
-            for (int $b = 0; $b < $nLangs; $b++) {
-              if (($mi & (1 << $b)) != 0) $out[2 + $b]++;
+          if ($t != null) {
+            $out[0] += $t.numChars();
+            Integer $m = (Integer) $mapRef.get($t);
+            if ($m != null) {
+              $out[1]++;
+              int $mi = $m.intValue();
+              for (int $b = 0; $b < $nLangs; $b++) {
+                if (($mi & (1 << $b)) != 0) $out[2 + $b]++;
+              }
             }
           }
         }

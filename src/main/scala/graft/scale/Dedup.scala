@@ -140,18 +140,42 @@ object Dedup {
       // read 3× (banding + both sides of the verify join); MEMORY_AND_DISK
       // so signature partitions spill instead of evicting (plain cache() is
       // memory-only and would silently recompute the whole shingle+sign map
-      // per consumer once the corpus outgrows executor storage)
+      // per consumer once the corpus outgrows executor storage).
+      // Lifecycle note: the storage lives until the session ends or the
+      // caller unpersists — a long-lived session running many dedup passes
+      // should `spark.catalog.clearCache()` between corpora (the returned
+      // plan keeps referencing this frame, so it cannot self-unpersist).
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = withShingles
       .select(col("id"), explode(bandKeys(col("sig"), bands, rowsPerBand)).as("bk"))
-    // bucket sizes → blocks-per-bucket m; members salted to block pmod m
-    val sizes = banded.groupBy(col("bk")).agg(count(lit(1)).as("bucket_n"))
-    val salted = banded.join(sizes, "bk")
+    val candidates = bucketPairs(banded, maxBucket)
+    val sh = withShingles.select(col("id"), col("sh"))
+    candidates
+      .join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+      .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** All distinct within-bucket unordered id pairs of a (id, bk)-shaped
+    * frame, with buckets larger than `maxBucket` split deterministically
+    * into m = ⌈n/maxBucket⌉ blocks by a secondary id hash and self-joined
+    * per triangle-decomposition cell (i ≤ j): every within-bucket pair is
+    * produced exactly once as (least, greatest), but a skewed bucket's
+    * O(n²) pair generation spreads over m(m+1)/2 tasks of ≤ maxBucket²
+    * pairs each. Buckets ≤ maxBucket (m = 1) degenerate to the plain
+    * single-cell self-join. Shared by every bucketed pair generator
+    * (MinHash bands, SimHash blocks).
+    */
+  private def bucketPairs(keyed: DataFrame, maxBucket: Int): DataFrame = {
+    val sizes = keyed.groupBy(col("bk")).agg(count(lit(1)).as("bucket_n"))
+    val salted = keyed.join(sizes, "bk")
       .withColumn("m", floor((col("bucket_n") + (maxBucket - 1)) / maxBucket))
       .withColumn("blk", pmod(xxhash64(col("id")), col("m")))
       .select(col("bk"), col("id"), col("m"), col("blk"))
-    // triangle decomposition: member of block b is the LEFT of cells (b, j≥b)
-    // and the RIGHT of cells (i≤b, b); cell (i,i) self-joins one block.
+    // member of block b is the LEFT of cells (b, j≥b) and the RIGHT of
+    // cells (i≤b, b); cell (i,i) self-joins one block.
     val leftT = salted.withColumn("cell",
         explode(transform(sequence(col("blk"), col("m") - 1),
           j => struct(col("blk").as("i"), j.as("j")))))
@@ -160,20 +184,13 @@ object Dedup {
         explode(transform(sequence(lit(0L), col("blk")),
           i => struct(i.as("i"), col("blk").as("j")))))
       .select(col("bk"), col("cell"), col("id"))
-    val candidates = leftT.as("l")
+    leftT.as("l")
       .join(rightT.as("r"),
         col("l.bk") === col("r.bk") && col("l.cell") === col("r.cell") &&
           col("l.id") =!= col("r.id"))
       .select(least(col("l.id"), col("r.id")).as("id_a"),
         greatest(col("l.id"), col("r.id")).as("id_b"))
       .distinct()
-    val sh = withShingles.select(col("id"), col("sh"))
-    candidates
-      .join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
-      .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
-      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
-      .filter(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
   /** Connected components over a pair list by iterative min-label
@@ -324,7 +341,7 @@ object Dedup {
     * Returns (id_a, id_b, hamming) with id_a < id_b, hamming <= maxHamming.
     */
   def simhashDupPairs(docs: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3, maxBucket: Int = 1024): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 64, "maxHamming in [0, 64)")
     val blocks = maxHamming + 1
     // block widths partition all 64 bits (remainder spread over the first)
@@ -339,10 +356,9 @@ object Dedup {
             .bitwiseAND(lit(mask)).as("v"))
       }: _*)))
       .select(col("id"), col("bk"))
-    val candidates = keyed.as("l")
-      .join(keyed.as("r"), col("l.bk") === col("r.bk") && col("l.id") < col("r.id"))
-      .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
-      .distinct()
+    // identical docs share ALL blocks — the same boilerplate mega-bucket
+    // hazard as the MinHash band join, so the same triangle split applies
+    val candidates = bucketPairs(keyed, maxBucket)
     candidates
       .join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sig", "sig_a"), "id_a")
       .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sig", "sig_b"), "id_b")

@@ -72,6 +72,23 @@ object Ivf {
           j += 1
         }
       }
+      // Spherical k-means: re-normalize each centroid after the mean
+      // update. Means of unit vectors have norms < 1 that differ per cell;
+      // without this, argmin |v-c|² carries a per-cell |c|² bias and
+      // assignment is no longer monotone in angle (diffuse cells steal
+      // members from angularly-closer tight cells).
+      var c2 = 0
+      while (c2 < k) {
+        var s = 0.0
+        var j = 0
+        while (j < dim) { val x = next(c2 * dim + j); s += x * x; j += 1 }
+        val nrm = math.sqrt(s)
+        if (nrm > 0) {
+          j = 0
+          while (j < dim) { next(c2 * dim + j) /= nrm; j += 1 }
+        }
+        c2 += 1
+      }
       cents = next
       it += 1
     }

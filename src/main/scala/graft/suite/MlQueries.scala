@@ -72,6 +72,7 @@ object MlQueries {
         }.reduceLeft((a, b) => s"($a + $b)")
         s"$sum AS dist$k"
       }.mkString(", ")
+      val distCols = p.kmeansCenters.indices.map(k => s"dist$k").mkString(", ")
       val minD = (0 until p.kmeansCenters.length).map(k => s"dist$k")
         .reduceLeft((a, b) => s"LEAST($a, $b)")
       val armK = (0 until p.kmeansCenters.length)
@@ -93,7 +94,7 @@ object MlQueries {
       feat AS (SELECT user_id, $imputed FROM pvt),
       proj AS (SELECT user_id, $ys FROM feat),
       dst AS (SELECT user_id, y1, $dists FROM proj),
-      m AS (SELECT user_id, y1, dist0, dist1, dist2, dist3, $minD AS mind FROM dst)
+      m AS (SELECT user_id, y1, $distCols, $minD AS mind FROM dst)
       SELECT user_id,
         CAST(CASE $armK END AS BIGINT) AS cluster,
         ROUND(y1, 6) AS pca1

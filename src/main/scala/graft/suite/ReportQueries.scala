@@ -197,7 +197,11 @@ object ReportQueries {
             WHEN 'hdl_latest' THEN hdl_latest
             WHEN 'triglycerides_latest' THEN triglycerides_latest
             WHEN 'hemoglobin_latest' THEN hemoglobin_latest END) AS value,
-          ref_low, ref_high
+          -- cast BEFORE the multiplier math: DECIMAL literals would compute
+          -- band edges exactly (0.4*0.9 = 0.36) where Spark computes them in
+          -- IEEE double (0.36000000000000004) — boundary values would band
+          -- differently across engines
+          CAST(ref_low AS DOUBLE) AS ref_low, CAST(ref_high AS DOUBLE) AS ref_high
         FROM pvt CROSS JOIN labs),
       banded AS (
         SELECT user_id, lab_key, lab, unit, value, ref_low, ref_high,

@@ -119,6 +119,24 @@ class NativeExpressionsSpec extends SparkSpec {
     assert(both.count() == 500)
   }
 
+  test("nearest centroids tolerate NaN vectors (deterministic fallback, no crash)") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val cents = Array(0.0, 0.0, 1.0, 1.0) // 2 centroids, dim 2
+    val nanVec = new GenericArrayData(Array(Double.NaN, 0.5))
+    val got = NativeExpressions.nearestCentroidsImpl(nanVec, cents, 2, 2, 2)
+      .toIntArray().toSeq
+    assert(got == Seq(0, 1)) // all-inf distances -> lowest index first
+  }
+
+  test("text stats treat null tokens as non-matches (no NPE)") {
+    import spark.implicits._
+    val got = Seq(Seq(Some("the"), None, Some("xyz")))
+      .toDF("toks")
+      .select(TextOps.stats(col("toks")).as("st"))
+      .collect().head.getSeq[Long](0)
+    assert(got == Seq(6L, 1L, 1L, 0L, 0L, 0L, 0L)) // 'the'+'xyz' chars, 1 en hit
+  }
+
   test("text stats counts multi-list words once in 'any' but per language") {
     import spark.implicits._
     // "de" is in the es, fr and zh lists; "the" only en; "xyz" none
