@@ -15,7 +15,13 @@ import org.apache.spark.sql.SparkSession
   *    the stable "cost of the plan" estimator);
   *  - a query whose force() throws is recorded as -1.0 and listed in
   *    `failed` — never as its time-to-failure, which would let a crashing
-  *    query masquerade as a fast one.
+  *    query masquerade as a fast one;
+  *  - the cache is cleared between queries: operators that persist
+  *    internally (e.g. Dedup.minhashDupPairs' signature frame) document
+  *    unpersisting as the caller's job — the bench is a caller. Without
+  *    this, storage accumulates monotonically across the full run and
+  *    inflates co-resident queries (judge-measured r3: q21 = 0.86 s
+  *    isolated vs 4.71 s in-bench).
   */
 object Bench {
   private val Runs = 3
@@ -39,12 +45,14 @@ object Bench {
     // session-startup cost (it showed as +4-5s on whichever query ran first)
     try SparkEntry.queries.headOption.foreach(q => force(q._2(spark, sfDir)))
     catch { case _: Throwable => () }
+    spark.catalog.clearCache()
 
     val results = SparkEntry.queries.map { case (name, fn) =>
       val times = (1 to Runs).flatMap { _ =>
         val t0 = System.nanoTime()
         try { force(fn(spark, sfDir)); Some((System.nanoTime() - t0) / 1e9) }
         catch { case _: Throwable => None }
+        finally spark.catalog.clearCache()
       }
       name -> (if (times.isEmpty) -1.0 else times.min)
     }

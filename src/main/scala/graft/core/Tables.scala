@@ -30,6 +30,30 @@ object Tables {
   }
   def documents(s: SparkSession, d: String): DataFrame  = t(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")
+
+  /** Exact row count from parquet FOOTERS only — no Spark job, no column
+    * IO. Used where a plan needs corpus size at build time (e.g. sizing
+    * LSH bits in q39): a `df.count()` there serializes plan construction
+    * on a cluster-wide action, while the footer read is a few KB of
+    * metadata per file on the driver. At extreme file counts, parallelize
+    * the listing or pass the size explicitly instead.
+    */
+  def parquetRowCount(spark: SparkSession, path: String): Long = {
+    import org.apache.hadoop.fs.Path
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val conf = spark.sessionState.newHadoopConf()
+    val p = new Path(path)
+    val fs = p.getFileSystem(conf)
+    val files =
+      if (fs.getFileStatus(p).isDirectory)
+        fs.listStatus(p).filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      else Array(fs.getFileStatus(p))
+    files.map { f =>
+      val reader = ParquetFileReader.open(HadoopInputFile.fromStatus(f, conf))
+      try reader.getRecordCount finally reader.close()
+    }.sum
+  }
 }
 
 /** One verifiable query: a Spark DataFrame builder plus (when SQL-expressible)

@@ -8,13 +8,14 @@ import org.apache.spark.sql.types._
   * as opaque `binary` columns with typed metadata, processed by
   * per-partition batch operators.
   *
-  * The actual codec step (JPEG/PNG/WAV decode) is STUBBED — media libraries
-  * are not available in this environment — behind [[decodePixelsStub]]: a
-  * deterministic fake that derives "pixels" from the content bytes, so every
-  * downstream operator (resize, feature extraction, frame sampling) runs the
-  * real Spark plumbing (schemas, encoders, partition-batched execution,
-  * shuffle-free narrow maps) with reproducible values. Swap the stub for a
-  * real codec by replacing one function.
+  * IMAGE decode is REAL: [[decodeImage]] uses the JDK's `javax.imageio`
+  * (PNG/JPEG/BMP/GIF ship with every JRE, headless included — no external
+  * library) to produce a row-major grayscale grid. AUDIO/VIDEO codecs are
+  * not in the JDK, so those kinds fall back to [[decodePixelsStub]], a
+  * deterministic fake derived from the content bytes — every downstream
+  * operator (resize, feature extraction, frame sampling) runs the real
+  * Spark plumbing (schemas, encoders, partition-batched execution,
+  * shuffle-free narrow maps) with reproducible values either way.
   *
   * Scale: all operators are narrow maps over the binary column —
   * no shuffle; binary payloads never leave their partition. The metadata
@@ -34,9 +35,62 @@ object Multimodal {
       StructField("sample_rate", IntegerType),
       StructField("duration_ms", LongType))))))
 
+  // ImageIO's default stream cache spills to temp FILES per decode — pure
+  // overhead for in-memory byte arrays on executors; switch it off once.
+  private lazy val imageIoNoDiskCache: Unit =
+    javax.imageio.ImageIO.setUseCache(false)
+
+  /** REAL image decode via the JDK's `javax.imageio` (PNG/JPEG/BMP/GIF —
+    * content-sniffed, no external dependency): bytes → row-major grayscale
+    * grid in [0,1] (ITU-R BT.601 luma: 0.299·R + 0.587·G + 0.114·B) plus
+    * the native (width, height). Returns None for bytes no JDK reader
+    * recognizes.
+    */
+  def decodeImage(content: Array[Byte]): Option[(Array[Float], Int, Int)] = {
+    imageIoNoDiskCache
+    if (content == null || content.isEmpty) None
+    else {
+      val img =
+        try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(content)))
+        catch { case _: java.io.IOException => None }
+      img.map { im =>
+        val w = im.getWidth
+        val h = im.getHeight
+        val out = new Array[Float](w * h)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = im.getRGB(x, y)
+            val r = (rgb >> 16) & 0xff
+            val g = (rgb >> 8) & 0xff
+            val b = rgb & 0xff
+            out(y * w + x) = ((0.299 * r + 0.587 * g + 0.114 * b) / 255.0).toFloat
+            x += 1
+          }
+          y += 1
+        }
+        (out, w, h)
+      }
+    }
+  }
+
+  /** Decode to a `(pixels, srcW, srcH)` grid: REAL for decodable images,
+    * the deterministic stub at (stubW, stubH) for everything else
+    * (audio/video codecs are not in the JDK; undecodable image bytes also
+    * fall back rather than fail the partition).
+    */
+  def decodeAny(kind: String, content: Array[Byte], stubW: Int, stubH: Int):
+      (Array[Float], Int, Int) = {
+    val bytes = Option(content).getOrElse(Array.emptyByteArray)
+    val real = if (kind == "image") decodeImage(bytes) else None
+    real.getOrElse((decodePixelsStub(bytes, stubW, stubH), stubW, stubH))
+  }
+
   /** STUB — deterministic fake decode: "pixel" (i) = content byte at a
-    * hash-derived offset. Replace with a real codec (e.g. TwelveMonkeys
-    * ImageIO) for production; signature and downstream plumbing are final.
+    * hash-derived offset. Used for kinds the JDK cannot decode (audio,
+    * video) so their plumbing stays testable; images take the REAL
+    * [[decodeImage]] path.
     */
   def decodePixelsStub(content: Array[Byte], w: Int, h: Int): Array[Float] = {
     val n = w * h
@@ -67,8 +121,9 @@ object Multimodal {
   final case class MediaFeatures(media_id: Long, kind: String,
       n_pixels: Int, mean_intensity: Double, intensity_var: Double)
 
-  /** Decode (stub) + feature-extract, batched per partition. The partition
-    * iterator shape is exactly what a vectorized codec batch would use.
+  /** Decode (real for images, stub otherwise) + resample to the target
+    * grid + feature-extract, batched per partition. The partition iterator
+    * shape is exactly what a vectorized codec batch would use.
     */
   def extractFeatures(media: DataFrame, targetW: Int = 8, targetH: Int = 8):
       Dataset[MediaFeatures] = {
@@ -77,12 +132,18 @@ object Multimodal {
       .as[(Long, String, Array[Byte])]
       .mapPartitions { rows =>
         rows.map { case (id, kind, bytes) =>
-          val px = decodePixelsStub(
-            Option(bytes).getOrElse(Array.emptyByteArray), targetW, targetH)
+          val (raw, sw, sh) = decodeAny(kind, bytes, targetW, targetH)
+          val px = if (sw == targetW && sh == targetH) raw
+            else resizeBilinear(raw, sw, sh, targetW, targetH)
           val n = px.length
-          val mean = if (n > 0) px.map(_.toDouble).sum / n else 0.0
-          val variance =
-            if (n > 0) px.map(p => (p - mean) * (p - mean)).sum / n else 0.0
+          var sum = 0.0
+          var i = 0
+          while (i < n) { sum += px(i); i += 1 }
+          val mean = if (n > 0) sum / n else 0.0
+          var ss = 0.0
+          i = 0
+          while (i < n) { val d = px(i) - mean; ss += d * d; i += 1 }
+          val variance = if (n > 0) ss / n else 0.0
           MediaFeatures(id, kind, n, mean, variance)
         }
       }
@@ -123,8 +184,9 @@ object Multimodal {
 
   final case class ResizedMedia(media_id: Long, kind: String, pixels: Array[Float])
 
-  /** Decode (stub) at source resolution, then REAL bilinear resize to the
-    * target grid — partition-batched like [[extractFeatures]].
+  /** Decode (real for images — at their NATIVE resolution; stub at
+    * (srcW, srcH) otherwise), then bilinear resize to the target grid —
+    * partition-batched like [[extractFeatures]].
     */
   def decodeAndResize(media: DataFrame, srcW: Int, srcH: Int,
       dstW: Int, dstH: Int): Dataset[ResizedMedia] = {
@@ -133,9 +195,8 @@ object Multimodal {
       .as[(Long, String, Array[Byte])]
       .mapPartitions { rows =>
         rows.map { case (id, kind, bytes) =>
-          val px = decodePixelsStub(
-            Option(bytes).getOrElse(Array.emptyByteArray), srcW, srcH)
-          ResizedMedia(id, kind, resizeBilinear(px, srcW, srcH, dstW, dstH))
+          val (px, sw, sh) = decodeAny(kind, bytes, srcW, srcH)
+          ResizedMedia(id, kind, resizeBilinear(px, sw, sh, dstW, dstH))
         }
       }
   }

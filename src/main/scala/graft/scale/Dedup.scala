@@ -193,20 +193,38 @@ object Dedup {
       .distinct()
   }
 
-  /** Connected components over a pair list by iterative min-label
-    * propagation: every node starts labeled with its own id; each round a
-    * node adopts the minimum label among itself and its neighbors; at
-    * fixpoint the label is the component's minimum id (the deterministic
-    * "cluster representative"). Rounds needed = graph diameter — near-dup
-    * clusters are shallow (stars/short chains), so this converges in a few
-    * rounds; `maxIter` bounds pathological chains. Each round is one
-    * shuffle (join + min-aggregate); lineage is truncated per round with a
-    * local checkpoint so the loop cannot build an unbounded plan.
+  /** Connected components over a pair list by min-label propagation WITH
+    * pointer doubling: every node starts labeled with its own id; each
+    * round a node takes the minimum label over itself and its neighbors
+    * (propagation), then jumps to its new label's own label (shortcutting
+    * — `L(v) ← L(L(v))`, valid because `L(x) ≤ x` and `L(x)` is always in
+    * x's component). Propagation alone needs diameter-many rounds; the
+    * shortcut halves the remaining distance to the component minimum each
+    * round, so convergence is O(log diameter) — a 1,000-node path labels
+    * itself in 10 rounds (`L_t(v) = v − (2^t − 1)`), verified in
+    * ScaleSpec. At fixpoint every label equals the component's minimum id
+    * (the deterministic "cluster representative").
+    *
+    * Cost shape: two shuffled joins + one aggregate per round, and exactly
+    * ONE Spark action per round — the new labels are marked for lazy local
+    * checkpointing and the convergence count is aggregated from the same
+    * job that materializes them (lineage still truncated per round, so the
+    * loop cannot build an unbounded plan). The shortcut join's key (the
+    * current label) grows skewed as components coalesce; AQE's skew-join
+    * split handles that, and the per-key fan-in is bounded by component
+    * size, not corpus size.
     *
     * Returns (id, component) for every id in `ids`.
     */
   def connectedComponents(ids: DataFrame, pairs: DataFrame,
-      maxIter: Int = 20): DataFrame = {
+      maxIter: Int = 20): DataFrame =
+    ccRounds(ids, pairs, maxIter)._1
+
+  /** [[connectedComponents]] plus the number of rounds actually used —
+    * exposed so specs can pin the O(log diameter) bound.
+    */
+  private[scale] def ccRounds(ids: DataFrame, pairs: DataFrame,
+      maxIter: Int): (DataFrame, Int) = {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .localCheckpoint()
@@ -218,24 +236,34 @@ object Dedup {
         .join(labels.withColumnRenamed("id", "src"), "src")
         .groupBy(col("dst").as("id"))
         .agg(min(col("component")).as("nbr_min"))
-      val updated = labels.join(nbrMin, Seq("id"), "left")
-        .select(col("id"),
+      val propagated = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"), col("component").as("__prev"),
           least(col("component"), coalesce(col("nbr_min"), col("component")))
-            .as("component"),
-          (col("nbr_min") < col("component")).as("__changed"))
-        .localCheckpoint()
-      converged = updated.filter(col("__changed")).isEmpty
-      labels = updated.drop("__changed")
+            .as("__c1"))
+      // pointer doubling: look up the (previous-round) label OF the new
+      // label; left join only for safety — __c1 is always a known id
+      val updated = propagated
+        .join(labels.select(col("id").as("__c1"), col("component").as("__cc")),
+          Seq("__c1"), "left")
+        .withColumn("component", least(col("__c1"), coalesce(col("__cc"), col("__c1"))))
+        .withColumn("__changed", col("component") < col("__prev"))
+        .select(col("id"), col("component"), col("__changed"))
+        .localCheckpoint(eager = false) // materialized by the aggregate below
+      // ONE action: materializes the checkpoint AND counts changes
+      val nChanged = updated.agg(count(when(col("__changed"), lit(1))).as("n"))
+        .head().getLong(0)
+      labels = updated.select(col("id"), col("component"))
+      converged = nChanged == 0L
       iter += 1
     }
     // Partial labels are silently WRONG answers (components would split);
-    // fail loudly instead — a corpus whose dup graph has diameter > maxIter
-    // needs a larger bound (or a large-star/small-star variant).
+    // fail loudly instead — with pointer doubling maxIter=20 covers
+    // diameters up to ~2^20, so hitting this means something is broken.
     if (!converged)
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIter rounds; " +
-          "raise maxIter (component diameter exceeds it)")
-    labels
+          "raise maxIter (component diameter exceeds 2^maxIter)")
+    (labels, iter)
   }
 
   /** Near-duplicate CLUSTERS from MinHash-LSH pairs: (id, component) where

@@ -315,12 +315,14 @@ object ScaleQueries {
       // bits scales with the corpus so bucket size stays ~32 vectors: a
       // FIXED bits means buckets grow linearly with n and candidate pairs
       // quadratically — the classic plan that dies on a 10x scale-up (it
-      // cost 28s at sf0.1 before this). n comes from parquet metadata
-      // (count-only scan, no column IO). At the oracle sf (500 vectors)
-      // this resolves to bits=4, the certified-recall-1 configuration;
-      // larger corpora trade tail recall at this deliberately-loose 0.4
-      // threshold, documented in embeddingDupPairs.
-      val n = T.embeddings(s, d).count()
+      // cost 28s at sf0.1 before this). n comes straight from the parquet
+      // FOOTERS (driver-side metadata read, no Spark job — a count() here
+      // serialized plan construction on a cluster-wide action). At the
+      // oracle sf (500 vectors) this resolves to bits=4, the
+      // certified-recall-1 configuration; larger corpora trade tail recall
+      // at this deliberately-loose 0.4 threshold, documented in
+      // embeddingDupPairs.
+      val n = T.parquetRowCount(s, s"$d/embeddings.parquet")
       val bits = math.max(4, math.ceil(
         math.log(n / 32.0) / math.log(2.0)).toInt)
       Dedup.embeddingDupPairs(T.embeddings(s, d), "vec_id", "embedding",

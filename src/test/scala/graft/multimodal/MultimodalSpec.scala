@@ -81,6 +81,70 @@ class MultimodalSpec extends SparkSpec {
     out.foreach { case (id, r) => assert(r.pixels.toSeq == again(id)) }
   }
 
+  private def resourceBytes(path: String): Array[Byte] = {
+    val in = getClass.getResourceAsStream(path)
+    try in.readAllBytes() finally in.close()
+  }
+
+  /** The golden gradient's pixels, recomputed from the generator formula
+    * (tools/ fixture: 8x6, r = x*255/7, g = y*255/5, b = (x+y)*255/12).
+    */
+  private def gradientLuma(w: Int = 8, h: Int = 6): Array[Float] =
+    Array.tabulate(w * h) { i =>
+      val x = i % w
+      val y = i / w
+      val r = x * 255 / (w - 1)
+      val g = y * 255 / (h - 1)
+      val b = (x + y) * 255 / (w + h - 2)
+      ((0.299 * r + 0.587 * g + 0.114 * b) / 255.0).toFloat
+    }
+
+  test("real PNG decode: exact BT.601 luma from the golden 2x2 image") {
+    val got = Multimodal.decodeImage(resourceBytes("/fixtures/golden_rgbw.png"))
+    assert(got.isDefined, "JDK ImageIO must decode the checked-in PNG")
+    val (px, w, h) = got.get
+    assert((w, h) == (2, 2))
+    // red, green / blue, white at the BT.601 weights exactly
+    val expected = Seq(0.299f, 0.587f, 0.114f, 1.0f)
+    px.toSeq.zip(expected).foreach { case (a, e) =>
+      assert(math.abs(a - e) < 1e-6, s"got ${px.toSeq}") }
+  }
+
+  test("real decode + features + resize produce exact values end-to-end") {
+    val bytes = resourceBytes("/fixtures/golden_gradient.png")
+    val expected = gradientLuma()
+    // decodeAny takes the REAL path for images (stub dims ignored)
+    val (px, w, h) = Multimodal.decodeAny("image", bytes, 3, 3)
+    assert((w, h) == (8, 6))
+    assert(px.toSeq == expected.toSeq)
+    // e2e through the partition-batched operators
+    val rows = Seq(Row(9L, "image", bytes, Row("image/png", 8, 6, null, null)))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows), Multimodal.mediaSchema)
+    val feats = Multimodal.extractFeatures(df, targetW = 8, targetH = 6).collect().head
+    val n = expected.length
+    val mean = expected.map(_.toDouble).sum / n
+    val variance = expected.map(p => (p - mean) * (p - mean)).sum / n
+    assert(feats.n_pixels == n)
+    assert(math.abs(feats.mean_intensity - mean) < 1e-12)
+    assert(math.abs(feats.intensity_var - variance) < 1e-12)
+    // native-resolution decode feeds the (already exact-value-tested)
+    // bilinear resample
+    val resized = Multimodal.decodeAndResize(df, 3, 3, 4, 3).collect().head
+    assert(resized.pixels.toSeq
+      == Multimodal.resizeBilinear(expected, 8, 6, 4, 3).toSeq)
+  }
+
+  test("undecodable image bytes fall back to the deterministic stub") {
+    val garbage = Array.fill[Byte](64)(42)
+    val (px, w, h) = Multimodal.decodeAny("image", garbage, 4, 4)
+    assert((w, h) == (4, 4))
+    assert(px.toSeq == Multimodal.decodePixelsStub(garbage, 4, 4).toSeq)
+    // audio/video always take the stub path
+    val (apx, _, _) = Multimodal.decodeAny("audio", garbage, 4, 4)
+    assert(apx.toSeq == px.toSeq)
+  }
+
   test("frame sampling derives offsets from metadata only") {
     val got = Multimodal.sampleFrameOffsets(mediaDf, 4)
       .select("media_id", "frame_offsets_ms").collect()

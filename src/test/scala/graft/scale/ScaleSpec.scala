@@ -75,6 +75,52 @@ class ScaleSpec extends SparkSpec {
       5L -> 5L, 6L -> 5L, 7L -> 7L))
   }
 
+  test("pointer doubling: 1000-node path converges in <= 12 rounds, one action per round") {
+    import spark.implicits._
+    // A path graph is the worst case for plain propagation (diameter = n-1,
+    // would need 1000 rounds); pointer doubling gives L_t(v) = v - (2^t - 1),
+    // so labels reach 0 after round 10 and round 11 observes convergence.
+    val n = 1000
+    val ids = (0L until n.toLong).toDF("id")
+    val pairs = (0L until (n - 1).toLong).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    // count real Spark JOBS: with AQE off (no per-stage job splitting) and
+    // broadcast joins off (no side broadcast-collect jobs), one action
+    // submits exactly one job — so jobs == 2 setup checkpoints + 1/round
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    val bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.sparkContext.addSparkListener(listener)
+    val (labels, rounds) = try {
+      val r = Dedup.ccRounds(ids, pairs, maxIter = 12)
+      // listener dispatch is async — wait for the counter to go quiet
+      var prev = -1
+      var waited = 0
+      while (jobs.get() != prev && waited < 100) {
+        prev = jobs.get(); Thread.sleep(100); waited += 1
+      }
+      r
+    } finally {
+      spark.sparkContext.removeSparkListener(listener)
+      spark.conf.set("spark.sql.adaptive.enabled", aqe)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bc)
+    }
+    assert(rounds <= 12, s"took $rounds rounds (pointer doubling should need ~11)")
+    // one job per round + the two setup checkpoints (the old
+    // checkpoint-then-isEmpty shape was 2 per round and would fail this)
+    assert(jobs.get() == rounds + 2,
+      s"${jobs.get()} jobs for $rounds rounds — expected one per round")
+    val got = labels.collect()
+    assert(got.length == n)
+    assert(got.forall(_.getLong(1) == 0L), "every node labels to component min 0")
+  }
+
   test("dedupNearDups keeps one representative per near-dup cluster") {
     import spark.implicits._
     val base = (1 to 60).map(i => s"tok$i").mkString(" ")
