@@ -41,6 +41,10 @@ object GraftExtensions {
       ((c: Seq[Expression]) => SimHash64(c.head)),
     "rolling_hash_min" ->
       ((c: Seq[Expression]) => RollingHashMin(c.head, intArg(c, 1, 32))),
+    "portable_token_hashes" ->
+      ((c: Seq[Expression]) => PortableTokenHashes(c.head)),
+    "portable_rolling_min" ->
+      ((c: Seq[Expression]) => PortableRollingMin(c.head, intArg(c, 1, 32))),
     "hyperplane_sigs" ->
       ((c: Seq[Expression]) => HyperplaneSigs(c.head,
         intArg(c, 1, 64), intArg(c, 2, 12), intArg(c, 3, 1))),

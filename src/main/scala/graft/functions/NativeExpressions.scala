@@ -137,6 +137,79 @@ object NativeExpressions {
     new GenericArrayData(out)
   }
 
+  /** Engine-PORTABLE token hashes (array<string> → array<long>): the
+    * oracle-verifiable alternative hash parameter for the hash-generic
+    * operators (q26/q40). See [[NativeExpressions.portableHash62]].
+    */
+  def portable_token_hashes(toks: Column): Column =
+    Bridge.column(PortableTokenHashes(Bridge.expression(toks)))
+
+  /** Engine-portable winnowing bottom-1 fingerprint over
+    * `window`-codepoint affine-mod-P windows of the text. See
+    * [[NativeExpressions.portableRollingMin]].
+    */
+  def portable_rolling_min(text: Column, window: Int = 32): Column =
+    Bridge.column(PortableRollingMin(Bridge.expression(text), window))
+
+  /** Engine-portable 62-bit string hash: two independent affine
+    * codepoint folds mod P = 2^31−1, packed as h1·2^31 + h2. Unlike
+    * xxhash64 this is exactly mirrorable in portable SQL (DuckDB:
+    * `string_split_regex(t,'')` + `unicode` + `list_reduce`) because
+    * every intermediate stays below 2^48 — so SimHash voting, shingle
+    * winnowing and the pigeonhole block join built on it can be
+    * hash-matched against an independent engine. Seeds/multipliers are
+    * ~2^20-sized so even 1-character tokens spread over the full 31-bit
+    * range of each half; bits 62-63 of the packed value are always 0
+    * (votes for them resolve deterministically to clear).
+    */
+  def portableHash62(t: org.apache.spark.unsafe.types.UTF8String): Long = {
+    val P = 2147483647L
+    val s = t.toString
+    var h1 = 1000003L
+    var h2 = 2000003L
+    var i = 0
+    val n = s.length
+    while (i < n) {
+      val cp = s.codePointAt(i)
+      h1 = (h1 * 65599L + cp) % P
+      h2 = (h2 * 92821L + cp) % P
+      i += Character.charCount(cp)
+    }
+    h1 * 2147483648L + h2
+  }
+
+  /** Engine-portable counterpart of [[rollingHashMin]]: minimum affine-mod-P
+    * hash (seed 11, mult 31) over every `window`-CODEPOINT window of the
+    * text ([[rollingHashMin]]'s wrapping 2^64 byte arithmetic has no
+    * portable SQL form; mod-P codepoint folds do). Texts shorter than
+    * `window` hash as one window; empty text → the seed. Recomputing each
+    * window (O(n·window), compiled) exactly mirrors the SQL twin — the
+    * rolling-update optimization would produce the same residues mod P.
+    */
+  def portableRollingMin(t: org.apache.spark.unsafe.types.UTF8String,
+      window: Int): Long = {
+    val P = 2147483647L
+    val cps = t.toString.codePoints().toArray
+    val n = cps.length
+    if (n < window) {
+      var h = 11L
+      var i = 0
+      while (i < n) { h = (h * 31L + cps(i)) % P; i += 1 }
+      h
+    } else {
+      var best = Long.MaxValue
+      var i = 0
+      while (i + window <= n) {
+        var h = 11L
+        var j = 0
+        while (j < window) { h = (h * 31L + cps(i + j)) % P; j += 1 }
+        if (h < best) best = h
+        i += 1
+      }
+      best
+    }
+  }
+
   /** Reference JVM implementation of [[RollingHashMin]] — used by eval,
     * codegen (via static call) and tests alike, so all paths are one code
     * path. Polynomial hash base FNV-prime, wrapping 2^64 arithmetic,
@@ -514,6 +587,72 @@ case class CosineSimilarity(left: Expression, right: Expression)
 
   override protected def withNewChildrenInternal(newLeft: Expression,
       newRight: Expression): Expression = copy(left = newLeft, right = newRight)
+}
+
+/** Engine-portable per-token hashes (see
+  * [[NativeExpressions.portableHash62]]): array<string> → array<long>,
+  * one tight codepoint loop per token inside whole-stage codegen. Null
+  * tokens hash as the empty string (the HOF/SQL twins never see nulls —
+  * tokenization filters them).
+  */
+case class PortableTokenHashes(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      val t = arr.getUTF8String(i)
+      out(i) = NativeExpressions.portableHash62(
+        if (t == null) org.apache.spark.unsafe.types.UTF8String.EMPTY_UTF8 else t)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val out = ctx.freshName("out")
+      val i = ctx.freshName("i")
+      val t = ctx.freshName("t")
+      s"""
+        long[] $out = new long[$c.numElements()];
+        for (int $i = 0; $i < $c.numElements(); $i++) {
+          org.apache.spark.unsafe.types.UTF8String $t = $c.getUTF8String($i);
+          $out[$i] = graft.functions.NativeExpressions.portableHash62(
+            $t == null ? org.apache.spark.unsafe.types.UTF8String.EMPTY_UTF8 : $t);
+        }
+        ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+      """
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Engine-portable rolling fingerprint (see
+  * [[NativeExpressions.portableRollingMin]]).
+  */
+case class PortableRollingMin(child: Expression, window: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = child.nullable
+
+  override def nullSafeEval(input: Any): Any =
+    NativeExpressions.portableRollingMin(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], window)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""${ev.value} = graft.functions.NativeExpressions.portableRollingMin($c, $window);""")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }
 
 /** 64-bit SimHash over pre-hashed tokens (array<long>): per-bit ±1 vote of

@@ -356,6 +356,48 @@ object Dedup {
   def simhashNative(toks: Column): Column =
     graft.functions.NativeExpressions.simhash64(transform(toks, t => xxhash64(t)))
 
+  /** The default token-hash parameter for the hash-generic operators:
+    * xxhash64 per token (fast, 64 well-mixed bits, engine-specific).
+    */
+  def xxhashTokens(toks: Column): Column = transform(toks, t => xxhash64(t))
+
+  /** The engine-PORTABLE token-hash parameter (two affine-mod-P codepoint
+    * folds packed to 62 bits, native kernel — see
+    * [[graft.functions.NativeExpressions.portableHash62]]): same single-pass
+    * cost as [[xxhashTokens]], but exactly mirrorable in DuckDB SQL, so the
+    * SimHash voting / winnowing / pigeonhole logic built on it gets a full
+    * hash-match oracle (q26/q40) instead of a rows-only check.
+    */
+  def portableTokenHashes(toks: Column): Column =
+    graft.functions.NativeExpressions.portable_token_hashes(toks)
+
+  private val FpSeed = 17L
+
+  /** Affine-mod-P shingle hashes over each run of `n` consecutive token
+    * hashes — the engine-portable counterpart of [[hashedShingles]] (whose
+    * rotate-XOR combine needs 64-bit wrapping shifts, inexpressible in
+    * portable SQL): fold (acc·31 + (x mod P)) mod P from seed 17, exact on
+    * any engine because every intermediate stays below 2^37. Docs shorter
+    * than `n` tokens fold all hashes into one shingle, like
+    * [[hashedShingles]].
+    */
+  def portableShingles(th: Column, n: Int): Column = {
+    def step(acc: Column, x: Column): Column =
+      pmod(acc * 31 + pmod(x, lit(Prime)), lit(Prime))
+    when(size(th) >= n,
+      transform(sequence(lit(1), size(th) - (n - 1)),
+        i => (0 until n).foldLeft(lit(FpSeed): Column)((acc, j) =>
+          step(acc, element_at(th, i + j)))))
+      .otherwise(array(aggregate(th, lit(FpSeed), step)))
+  }
+
+  /** Winnowing bottom-1 fingerprint over [[portableShingles]] — the
+    * oracle-verifiable counterpart of
+    * [[TextOps.fingerprintFromHashes]].
+    */
+  def portableFingerprint(th: Column, n: Int = 3): Column =
+    array_min(portableShingles(th, n))
+
   /** SimHash near-duplicate pairs within Hamming distance `maxHamming`,
     * via the pigeonhole block index: the 64 signature bits split into
     * maxHamming+1 disjoint blocks — any pair differing in ≤ maxHamming
@@ -366,17 +408,24 @@ object Dedup {
     * of [[minhashDupPairs]]'s band join; recall is exactly 1 by
     * construction (pigeonhole, not probability).
     *
+    * The SimHash signature is generic over the per-token hash
+    * (`tokenHashes`): [[xxhashTokens]] by default,
+    * [[portableTokenHashes]] when the result must be mirrorable on
+    * another engine (q40's oracle).
+    *
     * Returns (id_a, id_b, hamming) with id_a < id_b, hamming <= maxHamming.
     */
   def simhashDupPairs(docs: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3, maxBucket: Int = 1024): DataFrame = {
+      maxHamming: Int = 3, maxBucket: Int = 1024,
+      tokenHashes: Column => Column = xxhashTokens): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 64, "maxHamming in [0, 64)")
     val blocks = maxHamming + 1
     // block widths partition all 64 bits (remainder spread over the first)
     val widths = (0 until blocks).map(b => 64 / blocks + (if (b < 64 % blocks) 1 else 0))
     val offsets = widths.scanLeft(0)(_ + _)
     val sh = docs.select(col(idCol).as("id"),
-      simhashNative(TextOps.tokens(col(textCol))).as("sig"))
+      graft.functions.NativeExpressions.simhash64(
+        tokenHashes(TextOps.tokens(col(textCol)))).as("sig"))
     val keyed = sh.withColumn("bk", explode(array((0 until blocks).map { b =>
         val mask = if (widths(b) == 64) -1L else (1L << widths(b)) - 1
         struct(lit(b).as("b"),

@@ -163,30 +163,111 @@ object ScaleQueries {
       WHERE (CASE WHEN tot - inter > 0 THEN inter / (tot - inter) ELSE 1.0 END) >= 0.8
       ORDER BY id_a, id_b"""))
 
-  /** SimHash 64-bit fingerprints + winnowing-style content fingerprint per
-    * doc (hash-based → rows-only).
+  // ---- engine-portable hash family: DuckDB SQL twins of
+  // NativeExpressions.portableHash62 / Dedup.portableShingles /
+  // NativeExpressions.portableRollingMin. These strings ARE the portable
+  // spec — every constant must stay identical to the Scala side.
+
+  private val P31 = "2147483647"
+
+  /** DuckDB: the 62-bit portable hash of token expression `tok`. */
+  private def h62Sql(tok: String): String = {
+    def fold(seed: Long, mult: Long) =
+      s"list_reduce(list_prepend($seed::BIGINT, " +
+        s"list_transform(list_filter(string_split_regex($tok, ''), ch -> len(ch) > 0), " +
+        s"ch -> unicode(ch)::BIGINT)), (a, c) -> (a * $mult + c) % $P31)"
+    s"(${fold(1000003L, 65599L)} * 2147483648 + ${fold(2000003L, 92821L)})"
+  }
+
+  /** DuckDB: SimHash64 over a th (array<bigint>) column — 62 unrolled
+    * per-bit votes (bits 62-63 of the portable hash are always 0, so
+    * their votes are uniformly −1 and the bits stay clear — same as the
+    * kernel). Tie votes (2·ones == n) leave the bit clear on both sides;
+    * empty docs give NULL list_sum → CASE false → 0, matching the
+    * kernel's all-zero votes.
+    */
+  private def simhashSql(th: String): String =
+    (0 until 62).map(i =>
+      s"(CASE WHEN 2 * list_sum(list_transform($th, h -> (h >> $i) & 1)) > len($th)" +
+        s" THEN (1::BIGINT << $i) ELSE 0::BIGINT END)")
+      .mkString("(", " + ", ")")
+
+  /** DuckDB: Dedup.portableFingerprint — min affine-mod-P fold (seed 17,
+    * mult 31) over each run of 3 consecutive token hashes.
+    */
+  private def fpSql(th: String): String = {
+    def x(e: String) = s"($e % $P31)"
+    val w = s"(((((17 * 31 + ${x(s"$th[i]")}) % $P31) * 31 + ${x(s"$th[i+1]")}) % $P31)" +
+      s" * 31 + ${x(s"$th[i+2]")}) % $P31"
+    s"""CASE WHEN len($th) >= 3
+         THEN list_min(list_transform(range(1, len($th) - 1), i -> $w))
+         ELSE list_reduce(list_prepend(17::BIGINT, list_transform($th, v -> v % $P31)),
+           (a, v) -> (a * 31 + v) % $P31) END"""
+  }
+
+  /** DuckDB: NativeExpressions.portableRollingMin over a codes
+    * (array<bigint> codepoints) column.
+    */
+  private def rollSql(codes: String, window: Int): String =
+    s"""CASE WHEN len($codes) >= $window
+         THEN list_min(list_transform(range(1, len($codes) - ${window - 2}), i ->
+           list_reduce(list_prepend(11::BIGINT, $codes[i:i+${window - 1}]),
+             (a, c) -> (a * 31 + c) % $P31)))
+         ELSE list_reduce(list_prepend(11::BIGINT, $codes),
+           (a, c) -> (a * 31 + c) % $P31) END"""
+
+  /** Shared CTE prefix: tokens → portable 62-bit token hashes (+ raw
+    * codepoints when the rolling fingerprint needs them).
+    */
+  private def thCtes(withCodes: Boolean): String = {
+    val codesCol = if (withCodes)
+      s""", list_transform(list_filter(string_split_regex(text, ''), ch -> len(ch) > 0),
+            ch -> unicode(ch)::BIGINT) AS codes""" else ""
+    s"""WITH toks AS (
+        SELECT doc_id, text,
+          list_filter(string_split_regex(text, '\\s+'), x -> len(x) > 0) AS t
+        FROM documents),
+      th AS (
+        SELECT doc_id, list_transform(t, tok -> ${h62Sql("tok")}) AS th$codesCol
+        FROM toks)"""
+  }
+
+  /** SimHash 64-bit fingerprints + two winnowing-style content
+    * fingerprints per doc, over the engine-PORTABLE hash family — which
+    * gives the voting and winnowing logic a full DuckDB hash-match (the
+    * xxhash64 production variants are bit-for-bit spec-verified against
+    * their HOF references instead; the operator STRUCTURE is identical,
+    * only the token-hash parameter differs).
     *
-    * Hot path: tokens are hashed ONCE into a materialized `th` column
-    * (referenced by both outputs, so CollapseProject keeps it a separate
-    * projection), then simhash is the native codegen vote loop
-    * (graft.functions.SimHash64) and the fingerprint min-hashes
-    * rotate-XOR shingles of the token hashes — no string shingles, no
-    * per-bit re-hash. The interpreted-HOF formulations this replaced were
-    * 39% of the whole r2 bench (~5 ms/doc); at 100 TB that is a ~64×
-    * CPU overcharge per document.
+    * Hot path is unchanged in shape from the xxhash64 variant: tokens are
+    * hashed ONCE into a materialized `th` column by a native single-pass
+    * kernel, simhash is the native codegen vote loop
+    * (graft.functions.SimHash64), the shingle fingerprint min-folds runs
+    * of 3 token hashes, and the rolling fingerprint is a native
+    * codepoint-window kernel. No string shingles, no per-bit re-hash —
+    * the interpreted-HOF formulations this family replaced were 39% of
+    * the whole r2 bench (~5 ms/doc).
     */
   private val q26 = GQuery(
     (s, d) => {
       import s.implicits._
       T.documents(s, d)
-        .withColumn("th", transform(TextOps.tokens($"text"), t => xxhash64(t)))
+        .withColumn("th", Dedup.portableTokenHashes(TextOps.tokens($"text")))
         .select($"doc_id",
           graft.functions.NativeExpressions.simhash64($"th").as("simhash"),
-          TextOps.fingerprintFromHashes($"th", 3).as("fingerprint"),
-          TextOps.rollingFingerprint($"text", 32).as("rolling_fp"))
+          Dedup.portableFingerprint($"th", 3).as("fingerprint"),
+          graft.functions.NativeExpressions.portable_rolling_min($"text", 32)
+            .as("rolling_fp"))
         .orderBy($"doc_id")
     },
-    None)
+    Some {
+      s"""${thCtes(withCodes = true)}
+      SELECT doc_id,
+        ${simhashSql("th")} AS simhash,
+        ${fpSql("th")} AS fingerprint,
+        ${rollSql("codes", 32)} AS rolling_fp
+      FROM th ORDER BY doc_id"""
+    })
 
   /** Near-dup clusters: MinHash-LSH pairs (q24's certified candidate set at
     * threshold 0.8) → connected components by min-label propagation. The
@@ -224,14 +305,26 @@ object ScaleQueries {
         SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.id)
       SELECT id, MIN(comp) AS component FROM reach GROUP BY id ORDER BY id"""))
 
-  /** SimHash Hamming-ball near-dup pairs (pigeonhole block join, recall 1
-    * by construction; hash-based signature → rows-only like q26).
+  /** SimHash Hamming-ball near-dup pairs over the portable hash family.
+    * The Spark side runs the pigeonhole block join (recall 1 by
+    * construction — O(n·blocks) keys, bucket-local pairs); the DuckDB
+    * oracle recomputes the signatures and takes the exact O(n²)
+    * `bit_count(xor) <= maxHamming` pairs, so a hash-match certifies BOTH
+    * the signature math and the block join's recall-1 claim.
     */
   private val q40 = GQuery(
     (s, d) => Dedup.simhashDupPairs(T.documents(s, d), "doc_id", "text",
-      maxHamming = 3)
+      maxHamming = 3, tokenHashes = Dedup.portableTokenHashes)
       .orderBy(col("id_a"), col("id_b")),
-    None)
+    Some {
+      s"""${thCtes(withCodes = false)},
+      sig AS (SELECT doc_id, ${simhashSql("th")} AS sig FROM th)
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+      FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.sig, b.sig)) <= 3
+      ORDER BY id_a, id_b"""
+    })
 
   private val EmbeddingDim = 64
 

@@ -7,12 +7,13 @@ class EntrySpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
-  test("every query name has either an oracle or is explicitly rows-only") {
+  test("every query has a DuckDB oracle (zero rows-only since round 4)") {
     val q = SparkEntry.queries.keySet
     val o = SparkEntry.oracleSql.keySet
     assert(o.subsetOf(q))
-    // rows-only exceptions are the hash-based ops
-    assert((q -- o) == Set("q26_simhash_fingerprint", "q40_simhash_dup_pairs"))
+    // q26/q40 gained oracles via the engine-portable hash family; nothing
+    // may silently drop back to a rows-only check
+    assert((q -- o) == Set.empty[String])
   }
 
   test("oracle SQL map has no blank statements") {

@@ -172,6 +172,38 @@ class NativeExpressionsSpec extends SparkSpec {
       java.lang.Long.compareUnsigned(fps(1), fps(0)) < 0)
   }
 
+  test("portable hashes match DuckDB-computed goldens (cross-engine)") {
+    import spark.implicits._
+    // Golden values computed in DuckDB v1.0 with the exact oracle SQL
+    // shapes (ScaleQueries.h62Sql / rollSql / fpSql) — pins the
+    // cross-engine contract without needing DuckDB in this JVM. Includes
+    // accents (é), CJK and an astral codepoint (surrogate-pair handling).
+    val goldens = Seq(
+      "the" -> 4571912497455089051L,
+      "héllo" -> 4379529148477792995L,
+      "中文字" -> 1508881211234623005L,
+      "😀" -> 2522897933471732885L, // 😀 U+1F600
+      "a" -> 2522622164358946550L,
+      "" -> 2147490092450947L) // no codepoints -> seed1*2^31 + seed2
+    val toks = goldens.map(_._1)
+    val got = Seq(Tuple1(toks)).toDF("toks")
+      .select(NativeExpressions.portable_token_hashes(col("toks")).as("h"))
+      .collect().head.getSeq[Long](0)
+    assert(got == goldens.map(_._2), s"got $got")
+
+    val roll = Seq((1L, "hello world"), (2L, "hi")).toDF("id", "text")
+      .select(col("id"), NativeExpressions.portable_rolling_min(col("text"), 5).as("r"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(roll == Map(1L -> 348128775L, 2L -> 13900L), s"got $roll")
+
+    val fp = Seq((1L, Seq("aa", "bb", "cc", "dd")), (2L, Seq("aa", "bb")))
+      .toDF("id", "toks")
+      .withColumn("th", NativeExpressions.portable_token_hashes(col("toks")))
+      .select(col("id"), Dedup.portableFingerprint(col("th"), 3).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fp == Map(1L -> 1776235046L, 2L -> 1341827637L), s"got $fp")
+  }
+
   test("codegen and interpreted paths agree") {
     // force interpreted eval by constructing rows and calling eval directly
     import org.apache.spark.sql.catalyst.expressions.Literal
