@@ -60,6 +60,22 @@ object Streaming {
     events.withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
 
+  /** Batch twin of [[dedupStream]] (the q13 sessionize pattern): once all
+    * data has arrived, streaming first-wins dedup keeps exactly one row
+    * per key — made deterministic here as the earliest by event time with
+    * lowest `idCol` as tiebreak (a stream fed in event-time order arbitrates
+    * identically, which is what StreamingSpec asserts). This is the form
+    * the DuckDB oracle can verify (q44).
+    */
+  def dedupBatchTwin(events: DataFrame, tsCol: String, keyCols: Seq[String],
+      idCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols.map(col): _*)
+      .orderBy(col(tsCol).asc, col(idCol).asc)
+    events.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
   final case class SessionInput(user_id: Long, ts: java.sql.Timestamp, value: Double)
   final case class SessionState(start_ms: Long, last_ms: Long, n: Long, total: Double)
   final case class SessionOut(user_id: Long, start_ms: Long, end_ms: Long,

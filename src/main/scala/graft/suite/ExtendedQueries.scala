@@ -257,6 +257,51 @@ object ExtendedQueries {
           AS rolling_24h
       FROM events ORDER BY event_id"""))
 
+  /** Two-stage salted aggregation (Skew.saltedSum) on the HOT lineitem
+    * keys — l_returnflag has 3 values over the whole table, the shape
+    * where a single reducer key melts at 100 TB. The salt spreads each
+    * key over 32 partial aggregates; the oracle is a plain GROUP BY, so a
+    * hash-match proves the two-stage plan loses nothing. DECIMAL-cast
+    * sums make the double total independent of partial-aggregation order
+    * (the oracle-parity rule for money/quantity sums).
+    */
+  private val q43 = GQuery(
+    (s, d) => {
+      import s.implicits._
+      val li = T.lineitem(s, d)
+        .select($"l_returnflag", $"l_quantity".cast("decimal(18,2)").as("qty"))
+      graft.scale.Skew.saltedSum(li, "l_returnflag", "qty", saltBuckets = 32)
+        .select($"l_returnflag", $"sum_qty".cast("double").as("sum_qty"), $"n")
+        .orderBy($"l_returnflag")
+    },
+    Some("""SELECT l_returnflag,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        COUNT(*) AS n
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
+  /** Batch twin of the streaming first-wins dedup
+    * (Streaming.dedupBatchTwin, the q13 pattern): exactly one event per
+    * (user_id, event_type) — earliest by event time, lowest event_id on
+    * ties. Passthrough columns need no rounding (no arithmetic touches
+    * them on either engine).
+    */
+  private val q44 = GQuery(
+    (s, d) => {
+      import s.implicits._
+      graft.streaming.Streaming.dedupBatchTwin(T.events(s, d), "ts",
+        Seq("user_id", "event_type"), "event_id")
+        .select($"event_id", $"user_id", $"event_type",
+          unix_micros($"ts").as("ts_us"), $"value")
+        .orderBy($"user_id", $"event_type")
+    },
+    Some("""WITH ranked AS (
+        SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us, value,
+          ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+            ORDER BY ts, event_id) AS rn
+        FROM events)
+      SELECT event_id, user_id, event_type, ts_us, value
+      FROM ranked WHERE rn = 1 ORDER BY user_id, event_type"""))
+
   def all: Map[String, GQuery] = Map(
     "q29_asof_join" -> q29,
     "q30_rollup" -> q30,
@@ -266,5 +311,7 @@ object ExtendedQueries {
     "q34_forecast" -> q34,
     "q35_approx_distinct" -> q35,
     "q36_range_frame_window" -> q36,
+    "q43_salted_agg" -> q43,
+    "q44_stream_dedup_twin" -> q44,
   )
 }

@@ -75,6 +75,39 @@ class StreamingSpec extends SparkSpec {
     assert(got == Seq("k1", "k2", "k3"))
   }
 
+  test("streaming dedup equals its batch twin on event-time-ordered input") {
+    import spark.implicits._
+    // one file of rows already in event-time order: the stream's
+    // first-wins arbitration then matches the batch twin's
+    // earliest-ts/lowest-id rule exactly (the q13 sessionize pattern)
+    val dir = Files.createTempDirectory("graft_ddt").toString
+    val base = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+    def ts(minutes: Int) = new java.sql.Timestamp(base.getTime + minutes * 60000L)
+    val rows = Seq(
+      (1L, ts(0), 10L, "click", 1.0),
+      (2L, ts(2), 10L, "click", 2.0),  // dup key (10, click) -> dropped
+      (3L, ts(3), 10L, "view", 3.0),
+      (4L, ts(4), 11L, "click", 4.0),
+      (5L, ts(6), 10L, "click", 5.0),  // still within watermark -> dropped
+      (6L, ts(7), 11L, "view", 6.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    rows.coalesce(1).write.parquet(s"$dir/data")
+    val schema = spark.read.parquet(s"$dir/data").schema
+    val stream = spark.readStream.schema(schema).parquet(s"$dir/data")
+    val q = Streaming.dedupStream(stream, "ts", Seq("user_id", "event_type"))
+      .writeStream.format("memory").queryName("deduptwin")
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("deduptwin")
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    val batch = Streaming.dedupBatchTwin(
+        spark.read.parquet(s"$dir/data"), "ts", Seq("user_id", "event_type"),
+        "event_id")
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    assert(streamed == batch)
+    assert(batch == Set(1L, 3L, 4L, 6L))
+  }
+
   test("stateful sessionizer splits on gap and aggregates in order") {
     import spark.implicits._
     val base = java.sql.Timestamp.valueOf("2024-01-01 10:00:00").getTime
