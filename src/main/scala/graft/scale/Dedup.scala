@@ -241,10 +241,16 @@ object Dedup {
           least(col("component"), coalesce(col("nbr_min"), col("component")))
             .as("__c1"))
       // pointer doubling: look up the (previous-round) label OF the new
-      // label; left join only for safety — __c1 is always a known id
-      val updated = propagated
-        .join(labels.select(col("id").as("__c1"), col("component").as("__cc")),
+      // label; left join only for safety — __c1 is always a known id. In
+      // round 0 the label map is still the identity, so the lookup is a
+      // no-op — skip its join (shallow star/chain graphs often converge
+      // in 2-3 rounds, where that join would be pure overhead).
+      val doubled =
+        if (iter == 0) propagated.withColumn("__cc", col("__c1"))
+        else propagated.join(
+          labels.select(col("id").as("__c1"), col("component").as("__cc")),
           Seq("__c1"), "left")
+      val updated = doubled
         .withColumn("component", least(col("__c1"), coalesce(col("__cc"), col("__c1"))))
         .withColumn("__changed", col("component") < col("__prev"))
         .select(col("id"), col("component"), col("__changed"))
