@@ -43,6 +43,8 @@ object GraftExtensions {
       ((c: Seq[Expression]) => RollingHashMin(c.head, intArg(c, 1, 32))),
     "portable_token_hashes" ->
       ((c: Seq[Expression]) => PortableTokenHashes(c.head)),
+    "portable_shingle_min" ->
+      ((c: Seq[Expression]) => PortableShingleMin(c.head, intArg(c, 1, 3))),
     "portable_rolling_min" ->
       ((c: Seq[Expression]) => PortableRollingMin(c.head, intArg(c, 1, 32))),
     "hyperplane_sigs" ->

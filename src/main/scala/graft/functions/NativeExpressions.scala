@@ -178,6 +178,39 @@ object NativeExpressions {
     h1 * 2147483648L + h2
   }
 
+  /** Engine-portable winnowing bottom-1 over shingles of `n` consecutive
+    * token hashes: min over windows of fold (acc·31 + (x mod P)) mod P from
+    * seed 17 — one tight pass (see [[PortableShingleMin]]). Shorter inputs
+    * fold everything into one shingle. Bit-identical to
+    * `array_min(Dedup.portableShingles(th, n))`, the interpreted HOF
+    * reference (parity spec), and to the DuckDB mirror in q26's oracle.
+    */
+  def portable_shingle_min(th: Column, n: Int): Column =
+    Bridge.column(PortableShingleMin(Bridge.expression(th), n))
+
+  /** Shared JVM implementation for [[PortableShingleMin]]. */
+  def portableShingleMin(arr: ArrayData, n: Int): Long = {
+    val P = 2147483647L
+    val len = arr.numElements()
+    if (len >= n) {
+      var best = Long.MaxValue
+      var i = 0
+      while (i + n <= len) {
+        var h = 17L
+        var j = 0
+        while (j < n) { h = (h * 31L + arr.getLong(i + j) % P) % P; j += 1 }
+        if (h < best) best = h
+        i += 1
+      }
+      best
+    } else {
+      var h = 17L
+      var i = 0
+      while (i < len) { h = (h * 31L + arr.getLong(i) % P) % P; i += 1 }
+      h
+    }
+  }
+
   /** Engine-portable counterpart of [[rollingHashMin]]: minimum affine-mod-P
     * hash (seed 11, mult 31) over every `window`-CODEPOINT window of the
     * text ([[rollingHashMin]]'s wrapping 2^64 byte arithmetic has no
@@ -629,6 +662,26 @@ case class PortableTokenHashes(child: Expression) extends UnaryExpression {
         ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
       """
     })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Engine-portable shingle fingerprint (see
+  * [[NativeExpressions.portableShingleMin]]).
+  */
+case class PortableShingleMin(child: Expression, n: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = child.nullable
+
+  override def nullSafeEval(input: Any): Any =
+    NativeExpressions.portableShingleMin(input.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""${ev.value} = graft.functions.NativeExpressions.portableShingleMin($c, $n);""")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

@@ -298,6 +298,24 @@ object Dedup {
       .select(col("id").as(idCol)), idCol)
   }
 
+  /** Leakage-safe train/eval split: every near-dup CLUSTER lands wholly on
+    * one side, because the split hashes the cluster representative
+    * (component minimum id), not the document. A plain per-document split
+    * leaks training data into eval through near-duplicates — the standard
+    * contamination failure when splitting a crawled corpus. Returns the
+    * input rows plus (component, split); split fractions follow
+    * [[Sampling.splitByPortableHash]] semantics (fractions summing below 1
+    * subsample the corpus cluster-coherently).
+    */
+  def splitByNearDupCluster(docs: DataFrame, idCol: String, textCol: String,
+      fractions: Seq[(String, Double)], shingleSize: Int = 3, numPerm: Int = 64,
+      bands: Int = 16, threshold: Double = 0.6, maxBucket: Int = 1024): DataFrame = {
+    val clusters = nearDupClusters(docs, idCol, textCol, shingleSize, numPerm,
+      bands, threshold, maxBucket)
+    val assigned = Sampling.splitByPortableHash(clusters, col("component"), fractions)
+    docs.join(assigned.withColumnRenamed("id", idCol), idCol)
+  }
+
   /** Embedding-cosine near-duplicate pairs: hyperplane-LSH candidate
     * generation (the [[Similarity]] bucketing — independent tables +
     * query-side flip-1-bit probes) followed by exact-cosine verification.
@@ -397,12 +415,13 @@ object Dedup {
       .otherwise(array(aggregate(th, lit(FpSeed), step)))
   }
 
-  /** Winnowing bottom-1 fingerprint over [[portableShingles]] — the
-    * oracle-verifiable counterpart of
-    * [[TextOps.fingerprintFromHashes]].
+  /** Winnowing bottom-1 fingerprint over portable shingles — the
+    * oracle-verifiable counterpart of [[TextOps.fingerprintFromHashes]].
+    * Native one-pass kernel; `array_min(portableShingles(th, n))` is its
+    * bit-identical interpreted reference (parity spec).
     */
   def portableFingerprint(th: Column, n: Int = 3): Column =
-    array_min(portableShingles(th, n))
+    graft.functions.NativeExpressions.portable_shingle_min(th, n)
 
   /** SimHash near-duplicate pairs within Hamming distance `maxHamming`,
     * via the pigeonhole block index: the 64 signature bits split into

@@ -35,18 +35,59 @@ object Sampling {
     * remainder is dropped — useful for subsampling a corpus).
     */
   def splitByHash(df: DataFrame, key: Column,
+      fractions: Seq[(String, Double)]): DataFrame =
+    assignSplits(df, bucket(key), Buckets, fractions)
+
+  private val P31 = 2147483647L
+
+  /** Engine-PORTABLE stable bucket in [0, 2^31-1): affine hash of the key
+    * reduced mod P = 2^31−1 — identical on any engine (DuckDB:
+    * `(1103515245 * (((k % P) + P) % P) + 12345) % P`), every intermediate
+    * below 2^62. [[bucket]] (xxhash64) is the production default; this one
+    * backs the oracle-verified sampling operators.
+    */
+  def portableBucket(key: Column): Column =
+    pmod(lit(1103515245L) * pmod(key, lit(P31)) + 12345L, lit(P31))
+
+  /** [[splitByHash]] over the portable bucket — used where the split
+    * assignment itself must be verifiable cross-engine (q46's
+    * cluster-coherent split oracle).
+    */
+  def splitByPortableHash(df: DataFrame, key: Column,
+      fractions: Seq[(String, Double)]): DataFrame =
+    assignSplits(df, portableBucket(key), P31, fractions)
+
+  private def assignSplits(df: DataFrame, b: Column, buckets: Long,
       fractions: Seq[(String, Double)]): DataFrame = {
     require(fractions.nonEmpty && fractions.map(_._2).sum <= 1.0 + 1e-9,
       "fractions must sum to <= 1")
-    val b = bucket(key)
     val bounds = fractions.scanLeft(0.0)(_ + _._2)
     val arms = fractions.zip(bounds.zip(bounds.tail)).map {
       case ((name, _), (lo, hi)) =>
-        (b >= (lo * Buckets).toLong && b < (hi * Buckets).toLong, name)
+        (b >= (lo * buckets).toLong && b < (hi * buckets).toLong, name)
     }
     val split = arms.tail.foldLeft(when(arms.head._1, arms.head._2)) {
       case (acc, (cond, name)) => acc.when(cond, name)
     }
     df.withColumn("split", split).filter(col("split").isNotNull)
+  }
+
+  /** Deterministic per-stratum subsampling — the "compose a training mix
+    * with per-language rates" operator: keep a row iff its portable key
+    * bucket falls below rate(stratum)·P. Reproducible,
+    * partitioning-invariant, one codegen'd narrow map (the rates map
+    * becomes a literal CASE — no join), and subsets nest: a stratum
+    * sampled at 0.1 is a subset of the same stratum sampled at 0.5.
+    * Strata not in `rates` use `defaultRate` (0 = drop).
+    */
+  def sampleStratified(df: DataFrame, key: Column, strata: Column,
+      rates: Map[String, Double], defaultRate: Double = 0.0): DataFrame = {
+    require((rates.values ++ Seq(defaultRate)).forall(r => r >= 0.0 && r <= 1.0),
+      "rates must be in [0, 1]")
+    val thr = rates.toSeq.sortBy(_._1)
+      .foldLeft(when(lit(false), lit(0L))) { case (acc, (s, r)) =>
+        acc.when(strata === s, lit((r * P31).toLong))
+      }.otherwise(lit((defaultRate * P31).toLong))
+    df.filter(portableBucket(key) < thr)
   }
 }

@@ -3,7 +3,7 @@ package graft.suite
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import graft.core.{GQuery, Tables => T}
-import graft.scale.{Dedup, Similarity, TextOps}
+import graft.scale.{Dedup, Sampling, Similarity, TextOps}
 
 /** Training-data-pipeline operators (dedup, similarity search, text
   * analysis) as verifiable queries. Where the operator is SQL-expressible we
@@ -275,11 +275,10 @@ object ScaleQueries {
     * with a recursive CTE — a hash-match certifies both the pair recall AND
     * the distributed label-propagation fixpoint.
     */
-  private val q41 = GQuery(
-    (s, d) => Dedup.nearDupClusters(T.documents(s, d), "doc_id", "text",
-      shingleSize = 3, numPerm = 64, bands = 16, threshold = 0.8)
-      .orderBy(col("id")),
-    Some("""WITH RECURSIVE toks AS (
+  /** Exact near-dup components as a recursive CTE — shared by the q41 and
+    * q46 oracles (the ground truth both compare against).
+    */
+  private val clustersCteSql = """WITH RECURSIVE toks AS (
         SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS t
         FROM documents),
       sh AS (
@@ -302,8 +301,67 @@ object ScaleQueries {
       reach(id, comp) AS (
         SELECT doc_id, doc_id FROM documents
         UNION
-        SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.id)
+        SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.id)"""
+
+  private val q41 = GQuery(
+    (s, d) => Dedup.nearDupClusters(T.documents(s, d), "doc_id", "text",
+      shingleSize = 3, numPerm = 64, bands = 16, threshold = 0.8)
+      .orderBy(col("id")),
+    Some(s"""$clustersCteSql
       SELECT id, MIN(comp) AS component FROM reach GROUP BY id ORDER BY id"""))
+
+  private val P31L = 2147483647L
+
+  /** DuckDB twin of Sampling.portableBucket. */
+  private def bucketSql(k: String): String =
+    s"(1103515245 * ((($k % $P31) + $P31) % $P31) + 12345) % $P31"
+
+  /** Per-language stratified subsampling (Sampling.sampleStratified) —
+    * the "compose a training mix" operator: each language keeps a
+    * different deterministic fraction. The oracle recomputes the portable
+    * bucket and thresholds in SQL, so a hash-match certifies the exact
+    * membership, not just the rates.
+    */
+  private val q45 = GQuery(
+    (s, d) => {
+      import s.implicits._
+      Sampling.sampleStratified(T.documents(s, d), $"doc_id", $"lang",
+        Map("en" -> 0.5, "es" -> 0.25, "fr" -> 0.25, "de" -> 0.1, "zh" -> 0.1))
+        .select($"doc_id", $"lang")
+        .orderBy($"doc_id")
+    },
+    Some {
+      val arms = Seq("de" -> 0.1, "en" -> 0.5, "es" -> 0.25, "fr" -> 0.25,
+        "zh" -> 0.1)
+        .map { case (l, r) => s"WHEN '$l' THEN ${(r * P31L).toLong}" }
+        .mkString(" ")
+      s"""SELECT doc_id, lang FROM documents
+        WHERE (${bucketSql("doc_id")}) < (CASE lang $arms ELSE 0 END)
+        ORDER BY doc_id"""
+    })
+
+  /** Leakage-safe cluster-coherent split (Dedup.splitByNearDupCluster):
+    * near-dup clusters land wholly in train OR eval — the contamination
+    * guard for corpus splits. The oracle recomputes exact components
+    * (q41's recursive CTE) AND the portable split hash, so a match
+    * certifies both the clustering and that no cluster straddles splits.
+    */
+  private val q46 = GQuery(
+    (s, d) => Dedup.splitByNearDupCluster(T.documents(s, d), "doc_id", "text",
+      Seq("train" -> 0.8, "eval" -> 0.2), threshold = 0.8)
+      .select(col("doc_id"), col("component"), col("split"))
+      .orderBy(col("doc_id")),
+    Some {
+      val t1 = (0.8 * P31L).toLong
+      val t2 = (1.0 * P31L).toLong
+      s"""$clustersCteSql,
+      comps AS (SELECT id, MIN(comp) AS component FROM reach GROUP BY id),
+      hashed AS (SELECT id, component, ${bucketSql("component")} AS b FROM comps)
+      SELECT id AS doc_id, component,
+        CASE WHEN b >= 0 AND b < $t1 THEN 'train'
+             WHEN b >= $t1 AND b < $t2 THEN 'eval' END AS split
+      FROM hashed ORDER BY doc_id"""
+    })
 
   /** SimHash Hamming-ball near-dup pairs over the portable hash family.
     * The Spark side runs the pigeonhole block join (recall 1 by
@@ -451,5 +509,7 @@ object ScaleQueries {
     "q40_simhash_dup_pairs" -> q40,
     "q41_near_dup_clusters" -> q41,
     "q42_bpe_token_count" -> q42,
+    "q45_stratified_sample" -> q45,
+    "q46_cluster_split" -> q46,
   )
 }

@@ -172,6 +172,17 @@ class NativeExpressionsSpec extends SparkSpec {
       java.lang.Long.compareUnsigned(fps(1), fps(0)) < 0)
   }
 
+  test("portable shingle-min kernel == HOF reference on the documents table") {
+    val docs = T.documents(spark, sf)
+      .withColumn("th",
+        NativeExpressions.portable_token_hashes(TextOps.tokens(col("text"))))
+    val both = docs
+      .withColumn("hof", array_min(Dedup.portableShingles(col("th"), 3)))
+      .withColumn("native", NativeExpressions.portable_shingle_min(col("th"), 3))
+    assert(both.filter(col("hof") =!= col("native")).count() == 0)
+    assert(both.count() == 500)
+  }
+
   test("portable hashes match DuckDB-computed goldens (cross-engine)") {
     import spark.implicits._
     // Golden values computed in DuckDB v1.0 with the exact oracle SQL

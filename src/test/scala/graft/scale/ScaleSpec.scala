@@ -290,6 +290,54 @@ class ScaleSpec extends SparkSpec {
     assert(r == a)
   }
 
+  test("stratified sampling: deterministic, nested, partitioning-invariant") {
+    import spark.implicits._
+    val df = (1L to 4000L).map(i => (i, if (i % 2 == 0) "en" else "zh"))
+      .toDF("id", "lang")
+    val s50 = Sampling.sampleStratified(df, $"id", $"lang",
+      Map("en" -> 0.5, "zh" -> 0.1))
+    val byLang = s50.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byLang("en") > 800 && byLang("en") < 1200)  // ~0.5 of 2000
+    assert(byLang("zh") > 100 && byLang("zh") < 300)   // ~0.1 of 2000
+    // rates nest: the 0.1 sample is a strict subset of the 0.5 sample
+    val en10 = Sampling.sampleStratified(df, $"id", $"lang", Map("en" -> 0.1))
+      .select("id").collect().map(_.getLong(0)).toSet
+    val en50 = s50.filter($"lang" === "en")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(en10.nonEmpty && en10.subsetOf(en50))
+    // same rows regardless of partitioning
+    val again = Sampling.sampleStratified(df.repartition(7), $"id", $"lang",
+      Map("en" -> 0.5, "zh" -> 0.1)).select("id").collect().map(_.getLong(0)).toSet
+    assert(again == s50.select("id").collect().map(_.getLong(0)).toSet)
+    // strata without a rate default to drop
+    assert(Sampling.sampleStratified(df, $"id", $"lang", Map("en" -> 0.5))
+      .filter($"lang" === "zh").count() == 0)
+  }
+
+  test("cluster-coherent split never separates near-duplicates") {
+    import spark.implicits._
+    // 10 families of 3 near-identical docs: a per-document split would
+    // scatter most families across train/eval; the cluster split may not
+    val docs = (0 until 10).flatMap { f =>
+      (0 until 3).map { v =>
+        val toks = (1 to 50).map(i =>
+          if (i == v + 3) s"var${f}_$v" else s"fam${f}_w$i")
+        ((f * 10 + v).toLong, toks.mkString(" "))
+      }
+    }.toDF("doc_id", "text")
+    val split = Dedup.splitByNearDupCluster(docs, "doc_id", "text",
+      Seq("train" -> 0.5, "eval" -> 0.5), threshold = 0.5)
+    assert(split.count() == 30)
+    val perComp = split.select("component", "split").distinct().collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getString(1)).distinct.length)
+    assert(perComp.values.forall(_ == 1), "a cluster straddles splits")
+    assert(perComp.size == 10, "expected one component per family")
+    // the hash actually spreads clusters over both sides
+    val sides = split.select("split").distinct().collect().map(_.getString(0)).toSet
+    assert(sides == Set("train", "eval"))
+  }
+
   test("langId votes deterministically; quality in [0,1]") {
     import spark.implicits._
     val df = Seq(
