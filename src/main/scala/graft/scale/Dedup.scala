@@ -448,9 +448,15 @@ object Dedup {
     // block widths partition all 64 bits (remainder spread over the first)
     val widths = (0 until blocks).map(b => 64 / blocks + (if (b < 64 % blocks) 1 else 0))
     val offsets = widths.scanLeft(0)(_ + _)
+    // read ~4x (block keys, bucket sizing, both sides of the verify join);
+    // persist the 16-byte (id, sig) rows rather than re-scanning the
+    // document text and re-hashing per consumer. Same lifecycle rule as
+    // minhashDupPairs: storage is released by the caller/session
+    // (Bench/Verify clearCache between queries).
     val sh = docs.select(col(idCol).as("id"),
       graft.functions.NativeExpressions.simhash64(
         tokenHashes(TextOps.tokens(col(textCol)))).as("sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val keyed = sh.withColumn("bk", explode(array((0 until blocks).map { b =>
         val mask = if (widths(b) == 64) -1L else (1L << widths(b)) - 1
         struct(lit(b).as("b"),

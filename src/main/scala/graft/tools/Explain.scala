@@ -33,7 +33,11 @@ object Explain {
       "q29_asof_join",         // union-tag-window as-of
       "q37_ml_cluster_pipeline", // impute/PCA/KMeans as one codegen projection
       "q38_lab_summary",       // pivot + explode-literal unpivot (no metadata join)
-      "q39_embedding_dup_pairs") // hyperplane-LSH pair gen + exact verify
+      "q39_embedding_dup_pairs", // hyperplane-LSH pair gen + exact verify
+      "q40_simhash_dup_pairs", // pigeonhole block join over portable sigs
+      "q43_salted_agg",        // two-stage salted aggregation
+      "q45_stratified_sample", // portable-bucket stratified sampling (narrow map)
+      "q44_stream_dedup_twin") // first-wins dedup window
 
     val sb = new StringBuilder
     sb.append("# EXPLAIN — flagship physical plans\n\n")
