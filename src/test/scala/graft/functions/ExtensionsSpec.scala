@@ -47,5 +47,17 @@ class ExtensionsSpec extends SparkSpec {
       "hello rolling world".getBytes("UTF-8"), 8))
     assert(r3.getInt(2) == 4)
     assert(r3.getLong(3) == 2L) // 'the' (en) + 'de' (es/fr/zh)
+
+    // round-4 registrations: the engine-portable hash family
+    val r4 = spark.sql(
+      """SELECT portable_token_hashes(array('the'))[0] AS h,
+                portable_shingle_min(array(10L, 20L, 30L, 40L), 3) AS sm,
+                portable_rolling_min('hello world', 5) AS rm""")
+      .collect().head
+    assert(r4.getLong(0) == 4571912497455089051L) // DuckDB golden ('the')
+    assert(r4.getLong(1) == NativeExpressions.portableShingleMin(
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Array(10L, 20L, 30L, 40L)), 3))
+    assert(r4.getLong(2) == 348128775L)           // DuckDB golden
   }
 }
