@@ -338,11 +338,16 @@ object Dedup {
   def embeddingDupPairs(df: DataFrame, idCol: String, vecCol: String,
       dim: Int, threshold: Double, bits: Int = 4, tables: Int = 16,
       multiProbe: Boolean = true): DataFrame = {
-    val v = df.select(col(idCol).as("id"), Similarity.toDouble(col(vecCol)).as("v"))
+    val v0 = df.select(col(idCol).as("id"), Similarity.toDouble(col(vecCol)).as("v"))
     // one native-kernel array column for all table signatures (janino-safe,
-    // compiled once — see Similarity.sigsNative)
-    val withSigs = v.withColumn("__sigs",
+    // compiled once — see Similarity.sigsNative). Read by the home-bucket
+    // explode, the probe explode AND (v only) both verify-join sides —
+    // persist instead of re-scanning the embeddings and re-projecting the
+    // signatures per consumer. Same lifecycle rule as minhashDupPairs.
+    val withSigs = v0.withColumn("__sigs",
       Similarity.sigsNative(col("v"), dim, bits, tables))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val v = withSigs.select(col("id"), col("v"))
     val home = withSigs.withColumn("tb", explode(array((0 until tables).map { t =>
         struct(lit(t).as("t"), element_at(col("__sigs"), t + 1).as("bucket"))
       }: _*)))
