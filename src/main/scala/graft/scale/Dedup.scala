@@ -184,10 +184,16 @@ object Dedup {
         explode(transform(sequence(lit(0L), col("blk")),
           i => struct(i.as("i"), col("blk").as("j")))))
       .select(col("bk"), col("cell"), col("id"))
+    // a diagonal cell (i,i) self-joins one block, so each unordered pair
+    // would appear in both orientations — id < id emits it once (halving
+    // the raw volume of the m=1 common case, where EVERY pair is
+    // diagonal). Off-diagonal cells pair two disjoint blocks: exactly one
+    // orientation exists, which least/greatest then orders.
     leftT.as("l")
       .join(rightT.as("r"),
         col("l.bk") === col("r.bk") && col("l.cell") === col("r.cell") &&
-          col("l.id") =!= col("r.id"))
+          when(col("l.cell.i") === col("l.cell.j"), col("l.id") < col("r.id"))
+            .otherwise(col("l.id") =!= col("r.id")))
       .select(least(col("l.id"), col("r.id")).as("id_a"),
         greatest(col("l.id"), col("r.id")).as("id_b"))
       .distinct()
@@ -361,12 +367,16 @@ object Dedup {
         probes.map(b => struct(lit(t).as("t"), b.as("bucket")))
       }: _*)))
       .select(col("id"), col("tb.t").as("t"), col("tb.bucket").as("bucket"))
+    // probe hits are SYMMETRIC (sig_a == sig_b, or 1-bit flip: a's flip
+    // reaching b's home implies b's same flip reaches a's home), so every
+    // unordered pair would surface in both orientations — requiring
+    // id < id generates each exactly once and HALVES the raw candidate
+    // volume feeding the distinct, the operator's dominant stage.
     val candidates = probed.as("l")
       .join(home.as("r"),
         col("l.t") === col("r.t") && col("l.bucket") === col("r.bucket") &&
-          col("l.id") =!= col("r.id"))
-      .select(least(col("l.id"), col("r.id")).as("id_a"),
-        greatest(col("l.id"), col("r.id")).as("id_b"))
+          col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
       .distinct()
     val vv = v.select(col("id"), col("v"))
     candidates
