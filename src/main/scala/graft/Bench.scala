@@ -52,7 +52,14 @@ object Bench {
         val t0 = System.nanoTime()
         try { force(fn(spark, sfDir)); Some((System.nanoTime() - t0) / 1e9) }
         catch { case _: Throwable => None }
-        finally spark.catalog.clearCache()
+        finally {
+          // clearCache drains Dataset.persist storage; localCheckpoint RDD
+          // blocks (the CC loop's per-round checkpoints) are only freed
+          // when the ContextCleaner GCs the dropped references — nudge it
+          // so block storage can't drift across the 45x3 runs.
+          spark.catalog.clearCache()
+          System.gc()
+        }
       }
       name -> (if (times.isEmpty) -1.0 else times.min)
     }

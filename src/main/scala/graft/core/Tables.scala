@@ -45,10 +45,19 @@ object Tables {
     val conf = spark.sessionState.newHadoopConf()
     val p = new Path(path)
     val fs = p.getFileSystem(conf)
-    val files =
-      if (fs.getFileStatus(p).isDirectory)
-        fs.listStatus(p).filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
-      else Array(fs.getFileStatus(p))
+    // recursive: partitioned datasets nest part files under key=value
+    // subdirectories — a flat listing would silently count them as 0 rows
+    val files = scala.collection.mutable.ArrayBuffer.empty[org.apache.hadoop.fs.FileStatus]
+    if (fs.getFileStatus(p).isDirectory) {
+      val it = fs.listFiles(p, true)
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.getPath.getName.endsWith(".parquet")) files += f
+      }
+    } else files += fs.getFileStatus(p)
+    // an empty listing means the caller's plan would be sized from a bogus
+    // zero — fail loudly rather than silently degrade
+    require(files.nonEmpty, s"no parquet files under $path")
     files.map { f =>
       val reader = ParquetFileReader.open(HadoopInputFile.fromStatus(f, conf))
       try reader.getRecordCount finally reader.close()

@@ -188,9 +188,15 @@ object NativeExpressions {
   def portable_shingle_min(th: Column, n: Int): Column =
     Bridge.column(PortableShingleMin(Bridge.expression(th), n))
 
-  /** Shared JVM implementation for [[PortableShingleMin]]. */
+  /** Shared JVM implementation for [[PortableShingleMin]]. Inputs reduce
+    * with a POSITIVE mod (Java `%` preserves sign), matching the `pmod` of
+    * the HOF reference — the operators are generic over the token hash, so
+    * negative inputs (xxhash64) must fold identically, not just the
+    * non-negative portable family.
+    */
   def portableShingleMin(arr: ArrayData, n: Int): Long = {
     val P = 2147483647L
+    def red(x: Long): Long = { val r = x % P; if (r < 0) r + P else r }
     val len = arr.numElements()
     if (len >= n) {
       var best = Long.MaxValue
@@ -198,7 +204,7 @@ object NativeExpressions {
       while (i + n <= len) {
         var h = 17L
         var j = 0
-        while (j < n) { h = (h * 31L + arr.getLong(i + j) % P) % P; j += 1 }
+        while (j < n) { h = (h * 31L + red(arr.getLong(i + j))) % P; j += 1 }
         if (h < best) best = h
         i += 1
       }
@@ -206,7 +212,7 @@ object NativeExpressions {
     } else {
       var h = 17L
       var i = 0
-      while (i < len) { h = (h * 31L + arr.getLong(i) % P) % P; i += 1 }
+      while (i < len) { h = (h * 31L + red(arr.getLong(i))) % P; i += 1 }
       h
     }
   }

@@ -46,14 +46,27 @@ object Multimodal {
     * the native (width, height). Returns None for bytes no JDK reader
     * recognizes.
     */
+  /** Images above this pixel count fall back to the stub instead of
+    * allocating: a decompression-bomb header (tiny file, huge declared
+    * dimensions) must not OOM an executor. 2^24 px ≈ 4096×4096 ≈ 67 MB of
+    * floats — far above any sane training thumbnail.
+    */
+  val MaxDecodePixels: Long = 1L << 24
+
   def decodeImage(content: Array[Byte]): Option[(Array[Float], Int, Int)] = {
     imageIoNoDiskCache
     if (content == null || content.isEmpty) None
     else {
+      // ImageIO throws RuntimeExceptions, not just IOException, on corrupt
+      // bytes (CMMException on broken ICC profiles, AIOOBE on truncated
+      // scanlines) — a crawled corpus WILL contain such rows, and one must
+      // degrade to the stub, not kill the task.
       val img =
         try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(content)))
-        catch { case _: java.io.IOException => None }
-      img.map { im =>
+        catch { case scala.util.control.NonFatal(_) => None }
+      img.filter(im =>
+          im.getWidth.toLong * im.getHeight <= MaxDecodePixels)
+        .map { im =>
         val w = im.getWidth
         val h = im.getHeight
         val out = new Array[Float](w * h)

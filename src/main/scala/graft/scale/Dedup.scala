@@ -128,7 +128,7 @@ object Dedup {
     val rowsPerBand = numPerm / bands
     val withShingles = docs
       .select(col(idCol).as("id"), TextOps.tokens(col(textCol)).as("toks"))
-      .withColumn("th", transform(col("toks"), t => xxhash64(t)))  // hash each token once
+      .withColumn("th", xxhashTokens(col("toks")))  // hash each token once
       .withColumn("sh", hashedShingles(col("th"), shingleSize))    // array<long> shingles
       .select(col("id"), col("sh"))
       .withColumn("xs", transform(col("sh"), x => pmod(x, lit(Prime))))
@@ -387,18 +387,18 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
   }
 
+  /** The default token-hash parameter for the hash-generic operators:
+    * xxhash64 per token (fast, 64 well-mixed bits, engine-specific).
+    */
+  def xxhashTokens(toks: Column): Column = transform(toks, t => xxhash64(t))
+
   /** Native-codegen SimHash over a token array: hash each token once, then a
     * tight 64-bit vote loop (graft.functions.SimHash64). Bit-identical to
     * [[simhash]], which re-evaluates `xxhash64(t)` per bit (64× the hashing)
     * inside interpreted HOFs — the HOF form stays as the equality reference.
     */
   def simhashNative(toks: Column): Column =
-    graft.functions.NativeExpressions.simhash64(transform(toks, t => xxhash64(t)))
-
-  /** The default token-hash parameter for the hash-generic operators:
-    * xxhash64 per token (fast, 64 well-mixed bits, engine-specific).
-    */
-  def xxhashTokens(toks: Column): Column = transform(toks, t => xxhash64(t))
+    graft.functions.NativeExpressions.simhash64(xxhashTokens(toks))
 
   /** The engine-PORTABLE token-hash parameter (two affine-mod-P codepoint
     * folds packed to 62 bits, native kernel — see

@@ -63,9 +63,16 @@ object Streaming {
   /** Batch twin of [[dedupStream]] (the q13 sessionize pattern): once all
     * data has arrived, streaming first-wins dedup keeps exactly one row
     * per key — made deterministic here as the earliest by event time with
-    * lowest `idCol` as tiebreak (a stream fed in event-time order arbitrates
-    * identically, which is what StreamingSpec asserts). This is the form
-    * the DuckDB oracle can verify (q44).
+    * lowest `idCol` as tiebreak.
+    *
+    * Equivalence precondition: the stream matches this twin when fed in
+    * event-time order AND every recurrence of a key falls within the
+    * watermark horizon of its first occurrence —
+    * `dropDuplicatesWithinWatermark` deliberately EVICTS key state once
+    * the watermark passes (that bounded state is the point), so a key
+    * recurring later than the horizon is re-emitted by the stream but
+    * deduped globally here. StreamingSpec asserts the equivalence on data
+    * satisfying the precondition; q44 oracle-verifies the batch form.
     */
   def dedupBatchTwin(events: DataFrame, tsCol: String, keyCols: Seq[String],
       idCol: String): DataFrame = {

@@ -181,6 +181,13 @@ class NativeExpressionsSpec extends SparkSpec {
       .withColumn("native", NativeExpressions.portable_shingle_min(col("th"), 3))
     assert(both.filter(col("hof") =!= col("native")).count() == 0)
     assert(both.count() == 500)
+    // the operators are hash-generic: NEGATIVE token hashes (xxhash64)
+    // must fold identically too (positive-mod reduction in the kernel)
+    val xx = T.documents(spark, sf)
+      .withColumn("th", Dedup.xxhashTokens(TextOps.tokens(col("text"))))
+      .withColumn("hof", array_min(Dedup.portableShingles(col("th"), 3)))
+      .withColumn("native", NativeExpressions.portable_shingle_min(col("th"), 3))
+    assert(xx.filter(col("hof") =!= col("native")).count() == 0)
   }
 
   test("portable hashes match DuckDB-computed goldens (cross-engine)") {
