@@ -52,15 +52,15 @@ object Bench {
         val t0 = System.nanoTime()
         try { force(fn(spark, sfDir)); Some((System.nanoTime() - t0) / 1e9) }
         catch { case _: Throwable => None }
-        finally {
-          // clearCache drains Dataset.persist storage; localCheckpoint RDD
-          // blocks (the CC loop's per-round checkpoints) are only freed
-          // when the ContextCleaner GCs the dropped references — nudge it
-          // so block storage can't drift across the 45x3 runs.
-          spark.catalog.clearCache()
-          System.gc()
-        }
+        finally spark.catalog.clearCache()
       }
+      // clearCache drains Dataset.persist storage; localCheckpoint RDD
+      // blocks (the CC loop's per-round checkpoints) are only freed when
+      // the ContextCleaner GCs the dropped references — nudge it BETWEEN
+      // queries so block storage can't drift across the suite. (Not
+      // between runs: the cleaner's async block-removal RPCs would then
+      // overlap the next timed run and inflate it ~10%.)
+      System.gc()
       name -> (if (times.isEmpty) -1.0 else times.min)
     }
     val failed = results.collect { case (n, t) if t < 0 => n }.toSeq.sorted
