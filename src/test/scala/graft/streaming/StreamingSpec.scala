@@ -108,6 +108,48 @@ class StreamingSpec extends SparkSpec {
     assert(batch == Set(1L, 3L, 4L, 6L))
   }
 
+  test("streaming dedup re-emits keys recurring beyond the watermark horizon") {
+    import spark.implicits._
+    // dropDuplicatesWithinWatermark EVICTS key state once the watermark
+    // passes — that bounded state is the point. A key recurring after the
+    // horizon is therefore re-emitted by the stream while the batch twin
+    // dedups it globally: the documented precondition of the q44
+    // equivalence, pinned here so nobody "fixes" it into an overclaim.
+    val dir = Files.createTempDirectory("graft_ddh").toString
+    val ckpt = Files.createTempDirectory("graft_ddh_ck").toString
+    val base = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+    def ts(minutes: Int) = new java.sql.Timestamp(base.getTime + minutes * 60000L)
+    // batch 1: the key at t=0, plus a later event pushing the watermark
+    // (1h horizon) past t=0+1h by the end of the batch
+    Seq((1L, ts(0), 10L, "click", 1.0), (2L, ts(180), 99L, "view", 2.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .coalesce(1).write.parquet(s"$dir/b1")
+    val schema = spark.read.parquet(s"$dir/b1").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/*")
+    val q = Streaming.dedupStream(stream, "ts", Seq("user_id", "event_type"))
+      .writeStream.format("memory").queryName("dedup_horizon")
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    q.processAllAvailable()
+    // batch 2: the SAME key, 3h later — its state was evicted
+    Seq((3L, ts(185), 10L, "click", 3.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .coalesce(1).write.parquet(s"$dir/b2")
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("dedup_horizon")
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    assert(streamed.contains(1L) && streamed.contains(3L),
+      s"expected both occurrences past the horizon, got $streamed")
+    // the batch twin keeps only the earliest — the twin is a HORIZON-
+    // BOUNDED equivalence, not a general one
+    val batch = Streaming.dedupBatchTwin(
+        spark.read.parquet(s"$dir/*"), "ts", Seq("user_id", "event_type"),
+        "event_id")
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    assert(batch == Set(1L, 2L))
+  }
+
   test("stateful sessionizer splits on gap and aggregates in order") {
     import spark.implicits._
     val base = java.sql.Timestamp.valueOf("2024-01-01 10:00:00").getTime
