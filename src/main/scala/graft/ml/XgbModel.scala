@@ -30,7 +30,11 @@ final case class XgbTree(
 
 final case class XgbModel(trees: Array[XgbTree], baseScore: Double, numFeature: Int) {
 
-  private val baseMargin: Double = math.log(baseScore / (1.0 - baseScore))
+  /** logit(base_score); public so [[XgbSql]] can embed the IDENTICAL double
+    * in the compiled oracle SQL (one `math.log` call, rendered via
+    * shortest-round-trip repr — no cross-engine libm dependence).
+    */
+  val baseMargin: Double = math.log(baseScore / (1.0 - baseScore))
 
   /** Margin contribution of one tree for a feature vector (NaN = missing).
     * xgboost stores features and thresholds as float32 and compares at
@@ -71,6 +75,19 @@ final case class XgbModel(trees: Array[XgbTree], baseScore: Double, numFeature: 
     var i = 0
     while (i < n) { x(i) = a.getDouble(i); i += 1 }
     predictProb(x)
+  }
+
+  /** As [[predictProbArray]] but returns the raw additive margin — pure
+    * float32-leaf additions into a double accumulator, no transcendental —
+    * so a DuckDB mirror ([[XgbSql]]) reproduces it bit-exactly where the
+    * sigmoid probability would be exposed to libm `exp` ULP differences.
+    */
+  def marginArray(a: org.apache.spark.sql.catalyst.util.ArrayData): Double = {
+    val n = a.numElements()
+    val x = new Array[Double](n)
+    var i = 0
+    while (i < n) { x(i) = a.getDouble(i); i += 1 }
+    margin(x)
   }
 }
 

@@ -17,20 +17,25 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
   * serialized with every task) stays bytes-small while the ~MB tree
   * arrays ship once per executor.
   */
-case class XgbScoreExpr(child: Expression, model: Broadcast[XgbModel])
+case class XgbScoreExpr(child: Expression, model: Broadcast[XgbModel],
+    outputMargin: Boolean = false)
     extends UnaryExpression {
 
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = child.nullable
 
-  override def nullSafeEval(input: Any): Any =
-    model.value.predictProbArray(input.asInstanceOf[ArrayData])
+  private def method: String = if (outputMargin) "marginArray" else "predictProbArray"
+
+  override def nullSafeEval(input: Any): Any = {
+    val a = input.asInstanceOf[ArrayData]
+    if (outputMargin) model.value.marginArray(a) else model.value.predictProbArray(a)
+  }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val bcRef = ctx.addReferenceObj("xgbModel", model,
       "org.apache.spark.broadcast.Broadcast")
     nullSafeCodeGen(ctx, ev, c =>
-      s"""${ev.value} = ((graft.ml.XgbModel) $bcRef.value()).predictProbArray($c);""")
+      s"""${ev.value} = ((graft.ml.XgbModel) $bcRef.value()).$method($c);""")
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
@@ -40,4 +45,10 @@ case class XgbScoreExpr(child: Expression, model: Broadcast[XgbModel])
 object XgbScoreExpr {
   def score(features: Column, model: Broadcast[XgbModel]): Column =
     Bridge.column(XgbScoreExpr(Bridge.expression(features), model))
+
+  /** Raw additive margin (no sigmoid) — the oracle-exact surface; see
+    * [[XgbModel.marginArray]].
+    */
+  def margin(features: Column, model: Broadcast[XgbModel]): Column =
+    Bridge.column(XgbScoreExpr(Bridge.expression(features), model, outputMargin = true))
 }

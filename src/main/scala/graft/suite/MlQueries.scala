@@ -1,8 +1,9 @@
 package graft.suite
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import graft.core.{GQuery, Tables => T}
-import graft.ml.{PipelineParams, Scorer}
+import graft.ml.{PipelineParams, Scorer, XgbModel, XgbScoreExpr, XgbSql}
 import graft.queries.Reports
 
 /** DuckDB-oracle coverage for the ML numeric core (SURVEY §2.5 M1-M5): the
@@ -101,7 +102,140 @@ object MlQueries {
       FROM m ORDER BY user_id"""
     })
 
+  /** q47: the M6 XGB scorer + M7 risk bands under a FULL DuckDB oracle —
+    * the reference's smallest ensemble (xgb_ckd_model.json, 400 trees × 14
+    * features) compiled to staged CASE-WHEN SQL by [[XgbSql]]. Closes the
+    * round-3 verdict's "M6 is spec-only" gap: until now the scorer was
+    * pinned only by the 204-probe golden file.
+    *
+    * Features are synthesized deterministically from `customer` in model
+    * column order (age/sex/strata from custkey arithmetic, the 11 lab
+    * columns as affine maps of c_acctbal into clinically-plausible ranges)
+    * — non-NULL by construction, as [[XgbSql.marginCtes]] requires.
+    *
+    * The query emits the raw MARGIN, not the sigmoid probability, and maps
+    * the M7 band thresholds into margin space (prob<0.25 ⇔ margin<ln(1/3),
+    * prob<0.5 ⇔ margin<0 — exact by monotonicity): bit-identical
+    * cross-engine where the probability would expose libm `exp` ULPs.
+    */
+  private val ckdModelPath = "/root/reference/xgb_ckd_model.json"
+  private lazy val ckdModel = XgbModel.load(ckdModelPath)
+  private val labScales = Vector(45.0, 200.0, 2.6, 105.0, 240.0, 8.0, 80.0, 30.0, 12.0, 210.0, 450.0)
+  private val labOffsets = Vector(5.0, 100.0, 0.4, 15.0, 60.0, 4.0, 20.0, 25.0, 6.0, 40.0, 50.0)
+  private val lowBandCut = math.log(1.0 / 3.0)
+
+  private val q47 = GQuery(
+    (s, dir) => {
+      val bc = s.sparkContext.broadcast(ckdModel)
+      val norm = (col("c_acctbal") + lit(1000.0)) / lit(11000.0)
+      val feats: Seq[Column] =
+        Seq((col("c_custkey") % 60 + 20).cast("double"),
+          (col("c_custkey") % 2).cast("double")) ++
+        labScales.zip(labOffsets).map { case (sc, off) => norm * sc + off } ++
+        Seq((col("c_custkey") % 4).cast("double"))
+      T.customer(s, dir)
+        .withColumn("margin", XgbScoreExpr.margin(array(feats: _*), bc))
+        .select(col("c_custkey").as("id"), col("margin"),
+          (col("margin") > 0.0).cast("int").as("ckd_label"),
+          when(col("margin") < lowBandCut, "Low")
+            .when(col("margin") < 0.0, "Moderate")
+            .otherwise("High").as("risk_band"))
+        .orderBy("id")
+    },
+    Some {
+      val featureExprs =
+        Seq("CAST(c_custkey % 60 + 20 AS DOUBLE)",
+          "CAST(c_custkey % 2 AS DOUBLE)") ++
+        labScales.zip(labOffsets).map { case (sc, off) =>
+          s"(((c_acctbal + ${d(1000.0)}) / ${d(11000.0)}) * ${d(sc)} + ${d(off)})"
+        } ++
+        Seq("CAST(c_custkey % 4 AS DOUBLE)")
+      val (ctes, last, m) = XgbSql.marginCtes(ckdModel, "c_custkey", featureExprs, "customer")
+      s"""WITH $ctes
+      SELECT id, $m AS margin,
+        CAST($m > ${d(0.0)} AS INT) AS ckd_label,
+        CASE WHEN $m < ${d(lowBandCut)} THEN 'Low'
+             WHEN $m < ${d(0.0)} THEN 'Moderate'
+             ELSE 'High' END AS risk_band
+      FROM $last ORDER BY id"""
+    })
+
+  /** q48: M8 doctor-question rules (generate_doctor_questions,
+    * test.py:196-239) under a DuckDB oracle, through the REAL
+    * [[Scorer.questionFlags]] surface: ckd_prob comes from the actual M6
+    * sigmoid scorer; the other three probs are absent (NULL — the
+    * reference's own predm situation), so their flags reduce to the raw-lab
+    * arms. Labs are synthesized affine maps of c_acctbal with periodic
+    * NULLs (custkey mod k) to exercise the pd.notna guards on every rule.
+    *
+    * Oracle boundary note: the probability arm `coalesce(prob,0) >= 0.5`
+    * is mirrored as `margin >= 0` (exact by monotonicity of the sigmoid;
+    * a cross-engine divergence would need |margin| < ~1e-16, while these
+    * ensembles produce margins of order 1e-1..1e1).
+    */
+  private val q48 = GQuery(
+    (s, dir) => {
+      val bc = s.sparkContext.broadcast(ckdModel)
+      val norm = (col("c_acctbal") + lit(1000.0)) / lit(11000.0)
+      val feats: Seq[Column] =
+        Seq((col("c_custkey") % 60 + 20).cast("double"),
+          (col("c_custkey") % 2).cast("double")) ++
+        labScales.zip(labOffsets).map { case (sc, off) => norm * sc + off } ++
+        Seq((col("c_custkey") % 4).cast("double"))
+      def lab(modK: Int, scale: Double, off: Double): Column =
+        when(col("c_custkey") % modK === 0, lit(null).cast("double"))
+          .otherwise(norm * scale + off)
+      val base = T.customer(s, dir)
+        .withColumn("hba1c_latest", lab(7, 8.0, 4.0))
+        .withColumn("ldl_latest", lab(5, 200.0, 40.0))
+        .withColumn("creatinine_latest", lab(3, 2.6, 0.4))
+        .withColumn("egfr_latest", lab(11, 105.0, 15.0))
+        .withColumn("hemoglobin_latest", lab(2, 12.0, 6.0))
+        .withColumn("ckd_prob", XgbScoreExpr.score(array(feats: _*), bc))
+        .withColumn("predm_prob", lit(null).cast("double"))
+        .withColumn("cvd_prob", lit(null).cast("double"))
+        .withColumn("anemia_prob", lit(null).cast("double"))
+      Scorer.questionFlags(base)
+        .select(col("c_custkey").as("id"),
+          col("q_prediabetes").cast("int").as("q_prediabetes"),
+          col("q_cvd").cast("int").as("q_cvd"),
+          col("q_ckd").cast("int").as("q_ckd"),
+          col("q_anemia").cast("int").as("q_anemia"))
+        .orderBy("id")
+    },
+    Some {
+      val featureExprs =
+        Seq("CAST(c_custkey % 60 + 20 AS DOUBLE)",
+          "CAST(c_custkey % 2 AS DOUBLE)") ++
+        labScales.zip(labOffsets).map { case (sc, off) =>
+          s"(((c_acctbal + ${d(1000.0)}) / ${d(11000.0)}) * ${d(sc)} + ${d(off)})"
+        } ++
+        Seq("CAST(c_custkey % 4 AS DOUBLE)")
+      val (ctes, last, m) = XgbSql.marginCtes(ckdModel, "c_custkey", featureExprs, "customer")
+      def lab(modK: Int, scale: Double, off: Double): String =
+        s"CASE WHEN c_custkey % $modK = 0 THEN NULL " +
+          s"ELSE (((c_acctbal + ${d(1000.0)}) / ${d(11000.0)}) * ${d(scale)} + ${d(off)}) END"
+      s"""WITH $ctes,
+      labs AS (
+        SELECT c_custkey AS lid,
+          ${lab(7, 8.0, 4.0)} AS hba1c,
+          ${lab(5, 200.0, 40.0)} AS ldl,
+          ${lab(3, 2.6, 0.4)} AS creat,
+          ${lab(11, 105.0, 15.0)} AS egfr,
+          ${lab(2, 12.0, 6.0)} AS hgb
+        FROM customer)
+      SELECT id,
+        CAST(hba1c IS NOT NULL AND hba1c >= ${d(5.7)} AS INT) AS q_prediabetes,
+        CAST(ldl IS NOT NULL AND ldl >= ${d(130.0)} AS INT) AS q_cvd,
+        CAST(($m >= ${d(0.0)}) OR (creat IS NOT NULL AND creat > ${d(1.3)})
+          OR (egfr IS NOT NULL AND egfr < ${d(60.0)}) AS INT) AS q_ckd,
+        CAST(hgb IS NOT NULL AND hgb < ${d(12.0)} AS INT) AS q_anemia
+      FROM $last JOIN labs ON id = lid ORDER BY id"""
+    })
+
   def all: Map[String, GQuery] = Map(
     "q37_ml_cluster_pipeline" -> q37,
+    "q47_xgb_score" -> q47,
+    "q48_doctor_flags" -> q48,
   )
 }
