@@ -11,7 +11,14 @@ import graft.suite.{CoreQueries, ExtendedQueries, IngestQueries, MlQueries, Repo
   */
 object SparkEntry {
 
-  private val registry = Seq(
+  /** Host coupling: building the registry resolves MlQueries' XGB model
+    * artifact (default `/root/reference/xgb_ckd_model.json`, overridable via
+    * env `GRAFT_XGB_CKD_MODEL`) and IngestQueries' checked-in fixtures under
+    * `/root/repo/src/test/resources/fixtures/`. Lazy so merely linking
+    * SparkEntry never touches the filesystem; first use of
+    * entry/queries/oracleSql does.
+    */
+  private lazy val registry = Seq(
     CoreQueries.all, WindowQueries.all, ReportQueries.all, ScaleQueries.all,
     ExtendedQueries.all, MlQueries.all, IngestQueries.all)
     .reduce(_ ++ _)

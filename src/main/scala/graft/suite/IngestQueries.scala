@@ -1,6 +1,6 @@
 package graft.suite
 
-import org.apache.spark.sql.functions.{array_join, col, round}
+import org.apache.spark.sql.functions.{array_join, col}
 import graft.core.GQuery
 import graft.ingest.{FhirIngest, LabPanel}
 import graft.wellness.Wellness
@@ -66,7 +66,7 @@ object IngestQueries {
 
   private val fkRe = "urn:uuid:([A-Za-z0-9-]+)"
 
-  private val q52 = GQuery(
+  private val q49 = GQuery(
     (s, _) => FhirIngest.observations(flat(s)).orderBy("observation_id"),
     Some(s"""$duckBase,
     obs AS (
@@ -102,7 +102,7 @@ object IngestQueries {
       value_string, effective_datetime
     FROM dd WHERE rn = 1 ORDER BY observation_id"""))
 
-  private val q53 = GQuery(
+  private val q50 = GQuery(
     (s, _) => FhirIngest.patients(flat(s)).orderBy("patient_id"),
     Some(s"""$duckBase,
     p AS (
@@ -227,7 +227,10 @@ object IngestQueries {
       val panel = LabPanel.read(s, panelCsv)
       val latest = LabPanel.latestScored(panel)
         .select(col("patient_id"),
-          round(col("wellness"), 6).as("wellness"),
+          // unrounded: the fold is bit-identical on both engines, while
+          // Spark round (BigDecimal HALF_UP) vs DuckDB ROUND(DOUBLE) can
+          // differ in the last ULP near a 6-decimal tie (ADVICE r4)
+          col("wellness"),
           col("confidence").as("wellness_confidence"),
           array_join(col("patterns"), ",").as("patterns"),
           col("liver_summary"))
@@ -298,7 +301,7 @@ object IngestQueries {
         SELECT patient_id, CASE WHEN n_present >= 2 THEN 'High'
           WHEN n_present = 1 THEN 'Medium' ELSE 'Low' END AS ckd_confidence
         FROM conf)
-      SELECT a.patient_id, ROUND(a.wellness, 6) AS wellness,
+      SELECT a.patient_id, a.wellness,
         a.wellness_confidence, a.patterns, a.liver_summary, c.ckd_confidence
       FROM agg a JOIN ckd c ON a.patient_id = c.patient_id
       ORDER BY a.patient_id"""

@@ -118,13 +118,17 @@ object MlQueries {
     * prob<0.5 ⇔ margin<0 — exact by monotonicity): bit-identical
     * cross-engine where the probability would expose libm `exp` ULPs.
     */
-  private val ckdModelPath = "/root/reference/xgb_ckd_model.json"
+  private val ckdModelPath =
+    sys.env.getOrElse("GRAFT_XGB_CKD_MODEL", "/root/reference/xgb_ckd_model.json")
   private lazy val ckdModel = XgbModel.load(ckdModelPath)
   private val labScales = Vector(45.0, 200.0, 2.6, 105.0, 240.0, 8.0, 80.0, 30.0, 12.0, 210.0, 450.0)
   private val labOffsets = Vector(5.0, 100.0, 0.4, 15.0, 60.0, 4.0, 20.0, 25.0, 6.0, 40.0, 50.0)
   private val lowBandCut = math.log(1.0 / 3.0)
 
-  private val q47 = GQuery(
+  // lazy: building the oracle SQL loads the model artifact; deferring it
+  // keeps registry construction host-independent (ADVICE r4) — the path
+  // is only resolved when q47/q48 actually run (override: GRAFT_XGB_CKD_MODEL)
+  private lazy val q47 = GQuery(
     (s, dir) => {
       val bc = s.sparkContext.broadcast(ckdModel)
       val norm = (col("c_acctbal") + lit(1000.0)) / lit(11000.0)
@@ -173,7 +177,7 @@ object MlQueries {
     * a cross-engine divergence would need |margin| < ~1e-16, while these
     * ensembles produce margins of order 1e-1..1e1).
     */
-  private val q48 = GQuery(
+  private lazy val q48 = GQuery(
     (s, dir) => {
       val bc = s.sparkContext.broadcast(ckdModel)
       val norm = (col("c_acctbal") + lit(1000.0)) / lit(11000.0)
