@@ -10,12 +10,15 @@ import org.apache.spark.sql.types._
   *
   * IMAGE decode is REAL: [[decodeImage]] uses the JDK's `javax.imageio`
   * (PNG/JPEG/BMP/GIF ship with every JRE, headless included — no external
-  * library) to produce a row-major grayscale grid. AUDIO/VIDEO codecs are
-  * not in the JDK, so those kinds fall back to [[decodePixelsStub]], a
-  * deterministic fake derived from the content bytes — every downstream
-  * operator (resize, feature extraction, frame sampling) runs the real
-  * Spark plumbing (schemas, encoders, partition-batched execution,
-  * shuffle-free narrow maps) with reproducible values either way.
+  * library) to produce a row-major grayscale grid. AUDIO decode is REAL
+  * for the formats the JDK ships (`javax.sound.sampled`: WAV/AIFF/AU with
+  * PCM payloads): [[decodeAudio]] produces normalized mono samples plus
+  * the sample rate. VIDEO codecs are not in the JDK, so that kind falls
+  * back to [[decodePixelsStub]], a deterministic fake derived from the
+  * content bytes — every downstream operator (resize, feature extraction,
+  * frame sampling) runs the real Spark plumbing (schemas, encoders,
+  * partition-batched execution, shuffle-free narrow maps) with
+  * reproducible values either way.
   *
   * Scale: all operators are narrow maps over the binary column —
   * no shuffle; binary payloads never leave their partition. The metadata
@@ -85,6 +88,60 @@ object Multimodal {
         }
         (out, w, h)
       }
+    }
+  }
+
+  /** Samples above this count fall back to the stub instead of allocating
+    * — same decompression-bomb reasoning as [[MaxDecodePixels]]: 2^26
+    * samples ≈ 25 min of 44.1 kHz mono ≈ 256 MB of floats.
+    */
+  val MaxDecodeSamples: Long = 1L << 26
+
+  /** REAL audio decode via the JDK's `javax.sound.sampled` (WAV/AIFF/AU
+    * with PCM payloads — content-sniffed, no external dependency): bytes →
+    * mono samples in [-1,1] (channels averaged) plus the sample rate.
+    * Returns None for bytes no JDK reader recognizes (MP3/OGG/FLAC need
+    * external codecs → stub path).
+    */
+  def decodeAudio(content: Array[Byte]): Option[(Array[Float], Int)] = {
+    import javax.sound.sampled.{AudioFormat, AudioSystem}
+    if (content == null || content.isEmpty) return None
+    val in =
+      try Some(AudioSystem.getAudioInputStream(new java.io.ByteArrayInputStream(content)))
+      catch { case scala.util.control.NonFatal(_) => None }
+    in.flatMap { stream =>
+      try {
+        val src = stream.getFormat
+        // normalize any PCM variant (8/24/32-bit, big-endian, unsigned) to
+        // signed 16-bit little-endian at the native rate/channel count
+        val target = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
+          src.getSampleRate, 16, src.getChannels,
+          2 * src.getChannels, src.getSampleRate, false)
+        val pcm = AudioSystem.getAudioInputStream(target, stream)
+        val channels = target.getChannels
+        val frames = pcm.getFrameLength
+        if (frames <= 0 || frames > MaxDecodeSamples) None
+        else {
+          val bytes = pcm.readAllBytes()
+          val n = bytes.length / (2 * channels)
+          val out = new Array[Float](n)
+          var i = 0
+          while (i < n) {
+            var sum = 0.0f
+            var ch = 0
+            while (ch < channels) {
+              val o = (i * channels + ch) * 2
+              val s = ((bytes(o) & 0xff) | (bytes(o + 1) << 8)).toShort
+              sum += s / 32768.0f
+              ch += 1
+            }
+            out(i) = sum / channels
+            i += 1
+          }
+          Some((out, target.getSampleRate.toInt))
+        }
+      } catch { case scala.util.control.NonFatal(_) => None }
+      finally stream.close()
     }
   }
 
@@ -193,6 +250,53 @@ object Multimodal {
       y += 1
     }
     out
+  }
+
+  final case class AudioFeatures(media_id: Long, kind: String,
+      decoded: Boolean, sample_rate: Int, n_samples: Int, duration_ms: Long,
+      rms: Double, peak: Double, zero_cross_rate: Double)
+
+  /** Audio curation features — RMS level, peak, zero-crossing rate,
+    * duration — REAL for JDK-decodable audio ([[decodeAudio]]), derived
+    * from the deterministic stub otherwise (`decoded` says which). Same
+    * partition-batched narrow-map shape as [[extractFeatures]]: bytes
+    * never leave their partition, no shuffle.
+    */
+  def extractAudioFeatures(media: DataFrame, stubRate: Int = 16000,
+      stubSamples: Int = 1024): Dataset[AudioFeatures] = {
+    import media.sparkSession.implicits._
+    media.select(col("media_id"), col("kind"), col("content"))
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, kind, bytes) =>
+          val real = if (kind == "audio") decodeAudio(bytes) else None
+          val (samples, rate) = real.getOrElse {
+            // stub pixels are in [0,1] — recentre to the audio range
+            val px = decodePixelsStub(
+              Option(bytes).getOrElse(Array.emptyByteArray), stubSamples, 1)
+            var i = 0
+            while (i < px.length) { px(i) = px(i) * 2f - 1f; i += 1 }
+            (px, stubRate)
+          }
+          val n = samples.length
+          var ss = 0.0
+          var peak = 0.0
+          var crossings = 0L
+          var i = 0
+          while (i < n) {
+            val s = samples(i)
+            ss += s.toDouble * s
+            val a = math.abs(s.toDouble)
+            if (a > peak) peak = a
+            if (i > 0 && (samples(i - 1) >= 0) != (s >= 0)) crossings += 1
+            i += 1
+          }
+          AudioFeatures(id, kind, real.isDefined, rate, n,
+            if (rate > 0) n * 1000L / rate else 0L,
+            if (n > 0) math.sqrt(ss / n) else 0.0, peak,
+            if (n > 1) crossings.toDouble / (n - 1) else 0.0)
+        }
+      }
   }
 
   final case class ResizedMedia(media_id: Long, kind: String, pixels: Array[Float])

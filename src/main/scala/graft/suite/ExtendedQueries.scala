@@ -302,6 +302,37 @@ object ExtendedQueries {
       SELECT event_id, user_id, event_type, ts_us, value
       FROM ranked WHERE rn = 1 ORDER BY user_id, event_type"""))
 
+  /** Bucketed co-located join (scale.Bucketing): both sides written as
+    * bucketed tables on the join key (the one-time shuffle), then joined
+    * — sort-merge over bucketed scans, ZERO runtime exchange (plan shape
+    * asserted in LayoutSpec) — and aggregated by market segment. The
+    * oracle is the plain DuckDB join over the raw parquet: the layout
+    * must not change the answer. The timed cost honestly includes both
+    * bucketed writes — the point of the pattern is that the write is paid
+    * once while the join recurs.
+    */
+  private val q54 = GQuery(
+    (s, d) => {
+      import s.implicits._
+      val dir = s"${sys.props("java.io.tmpdir")}/graft_bkt_${java.lang.Integer.toHexString(d.hashCode)}"
+      graft.scale.Bucketing.writeBucketed(
+        T.customer(s, d).select($"c_custkey", $"c_mktsegment"),
+        "graft_bkt_customer", s"$dir/customer", "c_custkey", 8)
+      graft.scale.Bucketing.writeBucketed(
+        T.orders(s, d).select($"o_custkey", $"o_totalprice"),
+        "graft_bkt_orders", s"$dir/orders", "o_custkey", 8)
+      graft.scale.Bucketing.colocatedJoin(s,
+          "graft_bkt_customer", "graft_bkt_orders", "c_custkey", "o_custkey")
+        .groupBy($"c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"),
+          sum($"o_totalprice".cast("decimal(18,2)")).cast("double").as("total_price"))
+        .orderBy($"c_mktsegment")
+    },
+    Some("""SELECT c_mktsegment, COUNT(*) AS n_orders,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+      FROM customer JOIN orders ON c_custkey = o_custkey
+      GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
+
   def all: Map[String, GQuery] = Map(
     "q29_asof_join" -> q29,
     "q30_rollup" -> q30,
@@ -313,5 +344,6 @@ object ExtendedQueries {
     "q36_range_frame_window" -> q36,
     "q43_salted_agg" -> q43,
     "q44_stream_dedup_twin" -> q44,
+    "q54_bucketed_join" -> q54,
   )
 }

@@ -145,6 +145,76 @@ class MultimodalSpec extends SparkSpec {
     assert(apx.toSeq == px.toSeq)
   }
 
+  /** 16-bit PCM WAV bytes built through the same JDK encoder the decoder
+    * uses (javax.sound.sampled ships in every JRE) — interleaved channels,
+    * little-endian.
+    */
+  private def wavBytes(samples: Array[Short], rate: Float, channels: Int): Array[Byte] = {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    val fmt = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED, rate, 16,
+      channels, 2 * channels, rate, false)
+    val data = new Array[Byte](samples.length * 2)
+    var i = 0
+    while (i < samples.length) {
+      data(2 * i) = (samples(i) & 0xff).toByte
+      data(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+      i += 1
+    }
+    val ais = new AudioInputStream(new java.io.ByteArrayInputStream(data),
+      fmt, samples.length / channels)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  test("real WAV decode: exact 16-bit sample values and rate") {
+    val samples = Array[Short](0, 16384, -16384, 32767, -32768, 1)
+    val got = Multimodal.decodeAudio(wavBytes(samples, 8000f, 1))
+    assert(got.isDefined, "JDK javax.sound must decode PCM WAV")
+    val (out, rate) = got.get
+    assert(rate == 8000)
+    assert(out.toSeq == samples.toSeq.map(_ / 32768.0f))
+  }
+
+  test("real WAV decode: stereo downmixes to the channel average") {
+    // frames: (L,R) = (16384, -16384), (8192, 8192), (-32768, 0)
+    val interleaved = Array[Short](16384, -16384, 8192, 8192, -32768, 0)
+    val (out, rate) = Multimodal.decodeAudio(wavBytes(interleaved, 44100f, 2)).get
+    assert(rate == 44100)
+    assert(out.toSeq == Seq(0.0f, 0.25f, -0.5f))
+  }
+
+  test("undecodable audio bytes return None; feature operator falls back to stub") {
+    assert(Multimodal.decodeAudio(Array.fill[Byte](64)(42)).isEmpty)
+    assert(Multimodal.decodeAudio(Array.emptyByteArray).isEmpty)
+    val rows = Seq(Row(7L, "audio", Array.fill[Byte](64)(42),
+      Row("audio/mpeg", null, null, 44100, 1000L)))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows), Multimodal.mediaSchema)
+    val f = Multimodal.extractAudioFeatures(df, stubSamples = 256).collect().head
+    assert(!f.decoded)
+    assert(f.n_samples == 256 && f.sample_rate == 16000)
+    // deterministic: same content -> same stub features
+    val f2 = Multimodal.extractAudioFeatures(df, stubSamples = 256).collect().head
+    assert(f == f2)
+  }
+
+  test("audio features: exact RMS/peak/zero-crossings on a real WAV") {
+    // 8000 samples of a +/-16384 square wave at 8 kHz: amplitude 0.5,
+    // 1000 ms, a crossing at every sample boundary
+    val samples = Array.tabulate[Short](8000)(i => if (i % 2 == 0) 16384 else -16384)
+    val rows = Seq(Row(8L, "audio", wavBytes(samples, 8000f, 1),
+      Row("audio/wav", null, null, 8000, 1000L)))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows), Multimodal.mediaSchema)
+    val f = Multimodal.extractAudioFeatures(df).collect().head
+    assert(f.decoded)
+    assert(f.sample_rate == 8000 && f.n_samples == 8000)
+    assert(f.duration_ms == 1000L)
+    assert(f.rms == 0.5 && f.peak == 0.5)
+    assert(f.zero_cross_rate == 1.0)
+  }
+
   test("frame sampling derives offsets from metadata only") {
     val got = Multimodal.sampleFrameOffsets(mediaDf, 4)
       .select("media_id", "frame_offsets_ms").collect()
