@@ -47,7 +47,14 @@ object Bench {
     catch { case _: Throwable => () }
     spark.catalog.clearCache()
 
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // dev knob: SPARK_GRAFT_ONLY=q41,q46 times just those queries
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = only match {
+      case Some(keys) => SparkEntry.queries.filter { case (n, _) => keys.exists(n.startsWith) }
+      case None => SparkEntry.queries
+    }
+    val results = selected.map { case (name, fn) =>
       val times = (1 to Runs).flatMap { _ =>
         val t0 = System.nanoTime()
         try { force(fn(spark, sfDir)); Some((System.nanoTime() - t0) / 1e9) }

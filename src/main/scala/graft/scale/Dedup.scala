@@ -222,13 +222,86 @@ object Dedup {
     *
     * Returns (id, component) for every id in `ids`.
     */
+  /** Edge sets at or below this size take [[localComponents]] (driver
+    * union-find + broadcast of the label map) instead of the distributed
+    * label-propagation loop. Post-LSH dup-pair sets are SMALL relative to
+    * the corpus — a few percent of docs even on crawl data — so at one
+    * million edges (~32 MB collected) this covers corpora into the tens
+    * of millions of documents while skipping ~10 rounds × 3 shuffles of
+    * fixed distributed-loop cost. Above it, the O(log diameter)
+    * pointer-doubling loop runs as before. The same adaptive cut GraphX's
+    * ConnectedComponents ecosystem uses: the edge list, not the corpus,
+    * decides the algorithm.
+    */
+  val LocalEdgeLimit: Long = 1L << 20
+
   def connectedComponents(ids: DataFrame, pairs: DataFrame,
-      maxIter: Int = 20): DataFrame =
-    ccRounds(ids, pairs, maxIter)._1
+      maxIter: Int = 20, localEdgeLimit: Long = LocalEdgeLimit): DataFrame = {
+    // the size probe and the chosen algorithm both consume pairs — persist
+    // across the two (limit-count touches at most localEdgeLimit+1 rows).
+    // Safe to drop on exit either way: localComponents has collected, and
+    // ccRounds eagerly localCheckpoints its edge frame.
+    val p = pairs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      if (p.limit((localEdgeLimit + 1).toInt).count() <= localEdgeLimit)
+        localComponents(ids, p)
+      else ccRounds(ids, p, maxIter)._1
+    } finally p.unpersist(blocking = false)
+  }
+
+  /** Components for a BOUNDED edge list: collect the edges (the caller
+    * guarantees ≤ localEdgeLimit rows of two ids), union-find on the
+    * driver with union-by-min + path compression, broadcast-join the
+    * resulting label map back onto the ids. Nodes in no edge stay their
+    * own singleton component. Label semantics are identical to the
+    * distributed loop's fixpoint: component = min id, so the two paths
+    * are interchangeable (asserted in ScaleSpec).
+    */
+  private[graft] def localComponents(ids: DataFrame, pairs: DataFrame): DataFrame = {
+    val spark = ids.sparkSession
+    val idType = ids.schema("id").dataType
+    val ord: Ordering[Any] = new Ordering[Any] {
+      def compare(a: Any, b: Any): Int = (a, b) match {
+        case (x: Long, y: Long) => java.lang.Long.compare(x, y)
+        case (x: Int, y: Int) => Integer.compare(x, y)
+        case (x: String, y: String) => x.compareTo(y)
+        case _ => sys.error(s"unsupported id type for union-find: $idType")
+      }
+    }
+    val parent = new scala.collection.mutable.HashMap[Any, Any]
+    def find(x: Any): Any = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+      var c = x // path compression
+      while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    pairs.select(col("id_a"), col("id_b")).collect().foreach { row =>
+      val (ra, rb) = (find(row.get(0)), find(row.get(1)))
+      if (ra != rb) {
+        if (ord.lt(ra, rb)) parent(rb) = ra else parent(ra) = rb
+      }
+    }
+    val labels = parent.keys.map(k => (k, find(k))).filter { case (k, r) => k != r }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", idType),
+      org.apache.spark.sql.types.StructField("component", idType)))
+    val mapping = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        labels.map { case (k, r) => org.apache.spark.sql.Row(k, r) }.toSeq, 1),
+      schema)
+    ids.select(col("id"))
+      .join(broadcast(mapping.withColumnRenamed("component", "__comp")), Seq("id"), "left")
+      .select(col("id"), coalesce(col("__comp"), col("id")).as("component"))
+  }
 
   /** [[connectedComponents]] plus the number of rounds actually used —
     * exposed so specs can pin the O(log diameter) bound.
     */
+  /** [[ccRounds]] opened up for the dev profiler (tools.ProfileQ41). */
+  private[graft] def ccProbe(ids: DataFrame, pairs: DataFrame,
+      maxIter: Int = 20): (DataFrame, Int) = ccRounds(ids, pairs, maxIter)
+
   private[scale] def ccRounds(ids: DataFrame, pairs: DataFrame,
       maxIter: Int): (DataFrame, Int) = {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))

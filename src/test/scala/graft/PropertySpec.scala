@@ -78,21 +78,27 @@ class PropertySpec extends SparkSpec {
     assert(got.count(_.isNullAt(0)) == 1) // only 59.5 falls in the documented gap
   }
 
-  test("connectedComponents == union-find on random graphs") {
+  test("connectedComponents (both paths) == union-find on random graphs") {
     import spark.implicits._
     val edgeGen = Gen.listOfN(15,
       Gen.zip(Gen.choose(0L, 19L), Gen.choose(0L, 19L)).suchThat(p => p._1 != p._2))
     samples(edgeGen, 6).foreach { edges =>
       val norm = edges.map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
       val ids = (0L to 19L).toDF("id")
-      val got = graft.scale.Dedup.connectedComponents(ids, norm.toDF("id_a", "id_b"))
+      // local (driver union-find) path — the default at this edge count
+      val local = graft.scale.Dedup.connectedComponents(ids, norm.toDF("id_a", "id_b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // distributed label-propagation path, forced via localEdgeLimit = 0
+      val dist = graft.scale.Dedup.connectedComponents(ids,
+          norm.toDF("id_a", "id_b"), localEdgeLimit = 0L)
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       // reference union-find
       val parent = scala.collection.mutable.Map((0L to 19L).map(i => i -> i): _*)
       def find(x: Long): Long = if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
       norm.foreach { case (a, b) => val (ra, rb) = (find(a), find(b)); if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb) }
       val want = (0L to 19L).map(i => i -> find(i)).toMap
-      assert(got == want, s"edges=$norm")
+      assert(local == want, s"local path, edges=$norm")
+      assert(dist == want, s"distributed path, edges=$norm")
     }
   }
 
