@@ -32,6 +32,67 @@ object Layout {
       .sortWithinPartitions(c)
       .write.mode("overwrite").parquet(path)
 
+  /** Z-order (Morton) interleave of two non-negative integer columns,
+    * `bitsPer` low bits each: x's bit i lands at output bit 2i, y's at
+    * 2i+1. Built from plain shift/and/or column arithmetic, so it
+    * constant-folds into whole-stage codegen — no UDF, no custom
+    * expression needed. 21 bits per column keeps the result inside a
+    * signed long (42 bits).
+    */
+  def zValue(x: Column, y: Column, bitsPer: Int = 21): Column = {
+    import org.apache.spark.sql.functions.{lit, shiftleft, shiftright}
+    require(bitsPer >= 1 && bitsPer <= 31, s"bitsPer out of range: $bitsPer")
+    (0 until bitsPer).map { i =>
+      val xb = shiftleft(shiftright(x, i).bitwiseAND(lit(1L)), 2 * i)
+      val yb = shiftleft(shiftright(y, i).bitwiseAND(lit(1L)), 2 * i + 1)
+      xb.bitwiseOR(yb)
+    }.reduce(_ bitwiseOR _)
+  }
+
+  /** Write `df` Z-ordered on two integer columns: range-partition and
+    * sort by the interleaved Morton value. Linear sort on (a, b) makes
+    * row-group pruning useless for filters on b alone; Z-ordering makes
+    * BOTH columns' min/max ranges narrow per row group, so a selective
+    * filter on EITHER column prunes most groups (the ScaleSpec assertion;
+    * same idea as Delta/Iceberg OPTIMIZE ZORDER). The z column is dropped
+    * before writing — it exists only to drive the clustering.
+    */
+  def writeZOrdered(df: DataFrame, path: String, a: Column, b: Column,
+      numFiles: Int, bitsPer: Int = 21): Unit =
+    df.withColumn("__z", zValue(a, b, bitsPer))
+      .repartitionByRange(numFiles, org.apache.spark.sql.functions.col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode("overwrite").parquet(path)
+
+  /** Compact a parquet dataset toward `targetFileBytes` per file — the
+    * small-files fix. Streaming sinks, per-task writes and fine-grained
+    * partitioning leave thousands of KB-sized files; at 100 TB that
+    * means millions of scan tasks and a hammered namenode/listing API.
+    * Sizes the output file count from the dataset's CURRENT on-disk bytes
+    * (compressed, from the filesystem — no data pass), then rewrites:
+    * range-clustered by `sortCol` when given (preserving a [[writeSorted]]
+    * layout's pruning property through the rewrite), plain repartition
+    * otherwise. Returns the output file count.
+    */
+  def compact(spark: SparkSession, inPath: String, outPath: String,
+      targetFileBytes: Long, sortCol: Option[String] = None): Int = {
+    import org.apache.hadoop.fs.Path
+    val conf = spark.sessionState.newHadoopConf()
+    val in = new Path(inPath)
+    val fs = in.getFileSystem(conf)
+    val bytes = fs.listStatus(in).toSeq
+      .filter(_.getPath.getName.endsWith(".parquet")).map(_.getLen).sum
+    val numFiles = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
+    val df = spark.read.parquet(inPath)
+    val out = sortCol match {
+      case Some(c) => df.repartitionByRange(numFiles, df(c)).sortWithinPartitions(c)
+      case None => df.repartition(numFiles)
+    }
+    out.write.mode("overwrite").parquet(outPath)
+    numFiles
+  }
+
   /** Per-row-group (min, max, rows) for a long-typed column, straight from
     * the parquet footers: the ground truth the reader's row-group skipping
     * uses. Returns one triple per row group across all files under `path`.

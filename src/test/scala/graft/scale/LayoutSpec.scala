@@ -55,6 +55,65 @@ class LayoutSpec extends SparkSpec {
       s"hash layout cannot prune: $surviving of $all groups survived")
   }
 
+  test("z-order layout prunes on BOTH columns; linear sort only on the leading one") {
+    import spark.implicits._
+    // 256x256 grid; narrow window = 16/256 = 6% on each axis
+    val grid = spark.range(0, 65536).select(
+      (col("id") / 256).cast("long").as("x"),
+      (col("id") % 256).cast("long").as("y"))
+
+    // morton reference: zValue must interleave bits exactly
+    val z = grid.filter(col("x") === 3 && col("y") === 5)
+      .select(Layout.zValue(col("x"), col("y"), 8)).head().getLong(0)
+    // x=3 (011) -> bits 0,2; y=5 (101) -> bits 1,5 => 1+2+4+32 = 39
+    assert(z == 39L, s"zValue(3,5) = $z")
+
+    val zDir = tmp("graft_zorder")
+    Layout.writeZOrdered(grid, zDir, col("x"), col("y"), numFiles = 16, bitsPer = 8)
+    val zTotal = Layout.columnRanges(spark, zDir, "x").size
+    val zx = Layout.survivingRowGroups(spark, zDir, "x", 100, 115)
+    val zy = Layout.survivingRowGroups(spark, zDir, "y", 100, 115)
+    assert(zx <= zTotal / 2, s"z-order: x-filter kept $zx of $zTotal groups")
+    assert(zy <= zTotal / 2, s"z-order: y-filter kept $zy of $zTotal groups")
+
+    // linear sort on x: great for x, useless for y
+    val linDir = tmp("graft_linear")
+    Layout.writeSorted(grid, linDir, col("x"), numFiles = 16)
+    val linTotal = Layout.columnRanges(spark, linDir, "x").size
+    val lx = Layout.survivingRowGroups(spark, linDir, "x", 100, 115)
+    val ly = Layout.survivingRowGroups(spark, linDir, "y", 100, 115)
+    assert(lx <= 2, s"x-sorted: x-filter kept $lx of $linTotal groups")
+    assert(ly == linTotal,
+      s"x-sorted layout cannot prune on y ($ly of $linTotal) — the z-order motivation")
+  }
+
+  test("compaction merges small files and preserves rows + sorted layout") {
+    import spark.implicits._
+    val inDir = tmp("graft_small")
+    val df = (0L until 50000L).toDF("k").withColumn("v", col("k") * 3)
+    // simulate a small-files mess: 50 files of ~1000 rows
+    df.repartition(50).write.mode("overwrite").parquet(inDir)
+    val fs = new java.io.File(inDir)
+    val smallCount = fs.listFiles.count(_.getName.endsWith(".parquet"))
+    assert(smallCount == 50)
+    val bytes = fs.listFiles.filter(_.getName.endsWith(".parquet")).map(_.length).sum
+
+    val outDir = tmp("graft_compacted")
+    // target ~quarter of the dataset per file -> 4 files
+    val n = Layout.compact(spark, inDir, outDir, targetFileBytes = bytes / 4 + 1,
+      sortCol = Some("k"))
+    val outFiles = new java.io.File(outDir).listFiles
+      .count(_.getName.endsWith(".parquet"))
+    assert(n == 4 && outFiles == 4, s"expected 4 files, got $outFiles (n=$n)")
+    // same data
+    assert(spark.read.parquet(outDir).count() == 50000)
+    assert(spark.read.parquet(outDir).agg(sum("v")).head().getLong(0)
+      == (0L until 50000L).map(_ * 3).sum)
+    // sortCol preserved the pruning property through the rewrite
+    val surviving = Layout.survivingRowGroups(spark, outDir, "k", 10000, 10500)
+    assert(surviving <= 2, s"compacted layout should still prune, kept $surviving")
+  }
+
   test("bucketed co-located join: sort-merge with zero exchange, right answer") {
     import spark.implicits._
     val dir = tmp("graft_bkt")
