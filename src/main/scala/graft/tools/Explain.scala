@@ -37,7 +37,8 @@ object Explain {
       "q40_simhash_dup_pairs", // pigeonhole block join over portable sigs
       "q43_salted_agg",        // two-stage salted aggregation
       "q45_stratified_sample", // portable-bucket stratified sampling (narrow map)
-      "q44_stream_dedup_twin") // first-wins dedup window
+      "q44_stream_dedup_twin", // first-wins dedup window
+      "q54_bucketed_join")     // bucketed scans -> zero-exchange SMJ
 
     val sb = new StringBuilder
     sb.append("# EXPLAIN — flagship physical plans\n\n")
