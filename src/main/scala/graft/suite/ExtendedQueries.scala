@@ -333,6 +333,35 @@ object ExtendedQueries {
       FROM customer JOIN orders ON c_custkey = o_custkey
       GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
 
+  /** Partitioned parquet sink round trip (S2): write lineitem partitioned
+    * by l_returnflag (the reference's Glue partitionBy sink shape), read
+    * it back with a partition filter, aggregate. The oracle runs the same
+    * aggregate on the RAW table, so a hash-match certifies the sink wrote
+    * losslessly AND the partition-encoded column round-trips; PlanSpec
+    * separately asserts the read side prunes to the one matching
+    * partition directory.
+    */
+  private val q55 = GQuery(
+    (s, d) => {
+      import s.implicits._
+      val dir = s"${sys.props("java.io.tmpdir")}/graft_sink_${java.lang.Integer.toHexString(d.hashCode)}"
+      T.lineitem(s, d)
+        .select($"l_orderkey", $"l_returnflag", $"l_quantity", $"l_extendedprice")
+        .write.mode("overwrite").partitionBy("l_returnflag").parquet(dir)
+      s.read.parquet(dir)
+        .filter($"l_returnflag" === "R")
+        .groupBy($"l_returnflag")
+        .agg(count(lit(1)).as("n_items"),
+          sum($"l_quantity".cast("decimal(18,2)")).cast("double").as("sum_qty"),
+          sum($"l_extendedprice".cast("decimal(18,2)")).cast("double").as("sum_price"))
+        .orderBy($"l_returnflag")
+    },
+    Some("""SELECT l_returnflag, COUNT(*) AS n_items,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      FROM lineitem WHERE l_returnflag = 'R'
+      GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
   def all: Map[String, GQuery] = Map(
     "q29_asof_join" -> q29,
     "q30_rollup" -> q30,
@@ -345,5 +374,6 @@ object ExtendedQueries {
     "q43_salted_agg" -> q43,
     "q44_stream_dedup_twin" -> q44,
     "q54_bucketed_join" -> q54,
+    "q55_sink_roundtrip" -> q55,
   )
 }
