@@ -362,6 +362,36 @@ object ExtendedQueries {
       FROM lineitem WHERE l_returnflag = 'R'
       GROUP BY l_returnflag ORDER BY l_returnflag"""))
 
+  /** Bin-bucketed range join (operators.RangeJoin): every 97th event
+    * anchors a 30-minute window; count all events falling in each window.
+    * The Spark side is the bin-equi join (shuffled, linear — NO
+    * BroadcastNestedLoopJoin, asserted in RangeJoinSpec); the oracle is
+    * DuckDB's native `BETWEEN` range join, so a hash-match certifies the
+    * binning produces exactly the containment pairs.
+    */
+  private val q56 = GQuery(
+    (s, d) => {
+      import s.implicits._
+      val halfHourUs = 30L * 60 * 1000000
+      val ev = T.events(s, d)
+        .select($"event_id", unix_micros($"ts").as("ts_us"))
+      val intervals = ev.filter($"event_id" % 97 === 0)
+        .select($"event_id".as("window_id"), $"ts_us".as("lo_us"),
+          ($"ts_us" + halfHourUs).as("hi_us"))
+      graft.operators.RangeJoin.pointInInterval(ev, "ts_us",
+          intervals, "lo_us", "hi_us", binWidth = halfHourUs)
+        .groupBy($"window_id")
+        .agg(count(lit(1)).as("n_events"), min($"event_id").as("first_event"))
+        .orderBy($"window_id")
+    },
+    Some("""WITH ev AS (SELECT event_id, epoch_us(ts) AS ts_us FROM events),
+      iv AS (SELECT event_id AS window_id, ts_us AS lo_us,
+               ts_us + 1800000000 AS hi_us
+             FROM ev WHERE event_id % 97 = 0)
+      SELECT window_id, COUNT(*) AS n_events, MIN(e.event_id) AS first_event
+      FROM iv JOIN ev e ON e.ts_us >= iv.lo_us AND e.ts_us <= iv.hi_us
+      GROUP BY window_id ORDER BY window_id"""))
+
   def all: Map[String, GQuery] = Map(
     "q29_asof_join" -> q29,
     "q30_rollup" -> q30,
@@ -375,5 +405,6 @@ object ExtendedQueries {
     "q44_stream_dedup_twin" -> q44,
     "q54_bucketed_join" -> q54,
     "q55_sink_roundtrip" -> q55,
+    "q56_range_join" -> q56,
   )
 }
