@@ -52,7 +52,10 @@ object GraftExtensions {
         intArg(c, 1, 64), intArg(c, 2, 12), intArg(c, 3, 1))),
     "graft_text_stats" ->
       ((c: Seq[Expression]) => TextStats(c.head,
-        graft.scale.TextOps.Stopwords, graft.scale.TextOps.Langs)))
+        graft.scale.TextOps.Stopwords, graft.scale.TextOps.Langs)),
+    "kmv_distinct" ->
+      ((c: Seq[Expression]) => KMinValues(c.head, intArg(c, 1, 256),
+        2147483647.0).toAggregateExpression()))
 
   /** Runtime registration into an EXISTING session (withExtensions only
     * applies at session build; getOrCreate on a live session ignores it).

@@ -51,6 +51,16 @@ object NativeExpressions {
   def simhash64(tokenHashes: Column): Column =
     Bridge.column(SimHash64(Bridge.expression(tokenHashes)))
 
+  /** KMV distinct sketch over a pre-hashed long column (see
+    * [[KMinValues]]); `domain` must match the hash range — 2^31−1 for
+    * [[graft.scale.Sampling.portableBucket]] (the oracle-verifiable
+    * configuration).
+    */
+  def kmv_distinct(hash: Column, k: Int = 256,
+      domain: Double = 2147483647.0): Column =
+    Bridge.column(KMinValues(Bridge.expression(hash), k, domain)
+      .toAggregateExpression())
+
   /** Single-pass text statistics over a token array. Output layout
     * (array<long>, see [[TextStats]]): [0]=Σ numChars, [1]=tokens matching
     * ANY stopword list, [2..6]=per-language hits in `langs` order.

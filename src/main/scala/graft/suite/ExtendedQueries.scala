@@ -392,6 +392,50 @@ object ExtendedQueries {
       FROM iv JOIN ev e ON e.ts_us >= iv.lo_us AND e.ts_us <= iv.hi_us
       GROUP BY window_id ORDER BY window_id"""))
 
+  /** KMV distinct sketch (functions.KMinValues) over the portable hash —
+    * a SKETCH with a full value oracle, not just an error bound: the
+    * estimate is a deterministic function of the k smallest hash values,
+    * and the DuckDB mirror recomputes the same hashes, k-th minimum, and
+    * closed-form estimate. exact_users pins the true cardinality next to
+    * the estimate; identical double arithmetic order on both engines
+    * ((k−1)·domain then ÷ h_k) keeps the match bit-exact.
+    */
+  private val q57 = GQuery(
+    (s, d) => {
+      import s.implicits._
+      T.events(s, d)
+        .select($"event_type",
+          graft.scale.Sampling.portableBucket($"user_id").as("hv"),
+          $"user_id")
+        .groupBy($"event_type")
+        .agg(graft.functions.NativeExpressions
+            .kmv_distinct($"hv", k = 128).as("kmv_users"),
+          countDistinct($"user_id").cast("double").as("exact_users"))
+        .orderBy($"event_type")
+    },
+    Some {
+      val P = 2147483647L
+      val bucket = s"(1103515245 * (((user_id % $P) + $P) % $P) + 12345) % $P"
+      s"""WITH h AS (
+        SELECT DISTINCT event_type, $bucket AS hv, user_id FROM events),
+      hd AS (SELECT DISTINCT event_type, hv FROM h),
+      r AS (SELECT event_type, hv,
+          ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hv) AS rn,
+          COUNT(*) OVER (PARTITION BY event_type) AS nd
+        FROM hd),
+      g AS (SELECT event_type, MAX(nd) AS nd,
+          MAX(CASE WHEN rn = 128 THEN hv END) AS hk
+        FROM r GROUP BY event_type),
+      ex AS (SELECT event_type, CAST(COUNT(DISTINCT user_id) AS DOUBLE) AS exact_users
+        FROM events GROUP BY event_type)
+      SELECT g.event_type,
+        CASE WHEN g.nd < 128 THEN CAST(g.nd AS DOUBLE)
+             ELSE (127.0 * 2147483647.0) / CAST(g.hk AS DOUBLE) END AS kmv_users,
+        ex.exact_users
+      FROM g JOIN ex ON g.event_type = ex.event_type
+      ORDER BY g.event_type"""
+    })
+
   def all: Map[String, GQuery] = Map(
     "q29_asof_join" -> q29,
     "q30_rollup" -> q30,
@@ -406,5 +450,6 @@ object ExtendedQueries {
     "q54_bucketed_join" -> q54,
     "q55_sink_roundtrip" -> q55,
     "q56_range_join" -> q56,
+    "q57_kmv_distinct" -> q57,
   )
 }
