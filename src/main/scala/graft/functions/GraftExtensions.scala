@@ -70,11 +70,14 @@ object GraftExtensions {
 
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.builders.foreach { case (name, b) =>
       ext.injectFunction((
         new FunctionIdentifier(name),
         new ExpressionInfo(classOf[NativeExpressions.type].getName, name),
         b))
     }
+    // equi-keyless BETWEEN joins -> bin-bucketed equi joins
+    ext.injectOptimizerRule(_ => graft.plans.RangeJoinRewrite)
+  }
 }
