@@ -1,0 +1,199 @@
+package graft.scale
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators a training-data pipeline runs between ingest
+  * and tokenization: eval-set decontamination, intra-document repetition
+  * signals (the Gopher/C4 quality-filter family), and per-source quota
+  * capping. All three are shuffle-lean by construction and every output
+  * column is integer counts or exact IEEE quotients of them, so each gets
+  * a full DuckDB hash-match oracle (q58-q60) — no rounding, no
+  * engine-specific hashes on the output path.
+  */
+object Curation {
+
+  private val P31 = 2147483647L
+
+  /** Train→eval contamination report by distinct-shingle overlap — the
+    * decontamination step every eval suite needs before quoting numbers
+    * (an eval doc that shares most of its n-grams with the train split is
+    * leaked, not solved).
+    *
+    * Shape, in scale order:
+    *   1. split: one narrow codegen'd map ([[Sampling.portableBucket]] on
+    *      the id — deterministic, partitioning-invariant; no split table).
+    *   2. each doc → DISTINCT portable shingle hashes (64-bit longs, the
+    *      q26 affine family — engine-portable so the oracle can replay
+    *      them).
+    *   3. the train side collapses to a global distinct-shingle set — the
+    *      shuffle carries one 8-byte key per distinct shingle, and the
+    *      distinct means a white-hot shingle ("the quick brown") appears
+    *      ONCE, so the eval⋈train equi-join below fans out at most 1:1 —
+    *      no hot-key pair explosion, unlike joining doc-level postings.
+    *   4. eval shingles explode and equi-join the train set; count of
+    *      matches per eval doc IS the distinct-overlap count (eval
+    *      shingles are distinct per doc). groupBy(doc) + a left join back
+    *      fills the zero-overlap docs.
+    *
+    * Everything shuffles on 8-byte hashes or the doc id; document text
+    * never moves. Returns (doc_id, n_shingles, shared, contamination)
+    * for every EVAL doc, contamination = shared / n_shingles exact IEEE.
+    *
+    * A doc with fewer than `n` tokens folds to a single whole-doc shingle
+    * (matching [[Dedup.portableShingles]]) — an empty eval doc is
+    * "contaminated" iff the train split also has an empty doc, which is
+    * the right call for dedup purposes.
+    */
+  def contamination(docs: DataFrame, idCol: String, textCol: String,
+      trainFrac: Double, shingleSize: Int = 3): DataFrame = {
+    require(trainFrac > 0 && trainFrac < 1, s"trainFrac in (0,1): $trainFrac")
+    val thr = (trainFrac * P31).toLong
+    // token hashes materialize as their own projection before the shingle
+    // transform: portableShingles' lambda reads its input n times per
+    // position, and an element_at on a MATERIALIZED array is O(1) while
+    // on an expression tree it re-evaluates the whole tokenize+hash
+    // pipeline per access (interpreted HOFs don't CSE) — O(L²) per doc.
+    // CollapseProject keeps the stages apart: __th is non-cheap and
+    // multiply-referenced, so the optimizer won't inline it back.
+    val sh = docs.select(
+      col(idCol).as("doc_id"),
+      Sampling.portableBucket(col(idCol)).as("__b"),
+      Dedup.portableTokenHashes(TextOps.tokens(col(textCol))).as("__th"))
+      .select(col("doc_id"), col("__b"),
+        array_distinct(Dedup.portableShingles(col("__th"), shingleSize))
+          .as("sh"))
+    val train = sh.filter(col("__b") < thr)
+      .select(explode(col("sh")).as("g")).distinct()
+    val eval_ = sh.filter(col("__b") >= thr)
+      .select(col("doc_id"), size(col("sh")).cast("long").as("n_shingles"),
+        col("sh"))
+    val hits = eval_
+      .select(col("doc_id"), explode(col("sh")).as("g"))
+      .join(train, "g")
+      .groupBy("doc_id").agg(count(lit(1)).as("shared"))
+    eval_.drop("sh")
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_shingles"),
+        coalesce(col("shared"), lit(0L)).as("shared"),
+        (coalesce(col("shared"), lit(0L)).cast("double") /
+          col("n_shingles").cast("double")).as("contamination"))
+  }
+
+  /** Intra-document repetition signals (Gopher rules 4-8 flavor): the
+    * duplicate-line and most-repeated-bigram measures that catch
+    * boilerplate, scraped navigation, and degenerate generations.
+    *
+    * Entirely a narrow per-row map — zero shuffle, whatever the corpus
+    * size; the only non-O(tokens) step is the two in-row sorts
+    * (O(L log L) per doc). The naive formulation (for each line, count
+    * equal lines) is O(L²) per doc and dies on a 100k-line document;
+    * sorting makes equal values ADJACENT, so one linear pass gets every
+    * duplicate count:
+    *   - a position is part of a duplicated value iff it equals either
+    *     sorted neighbor,
+    *   - occurrences-beyond-first = L − distinct,
+    *   - the longest equal-run over sorted bigrams = the max bigram
+    *     frequency.
+    *
+    * Returns per doc: n_lines, dup_lines (occurrences beyond first),
+    * dup_line_chars / line_chars (chars inside any duplicated line vs
+    * all line chars), n_bigrams, top_bigram_n, and the two exact-IEEE
+    * fractions. Docs with no lines / no bigrams yield NULL fractions
+    * rather than fake zeros.
+    */
+  def repetitionSignals(docs: DataFrame, idCol: String, textCol: String,
+      lineSep: String = "\n"): DataFrame = {
+    // Stage 1+2: materialize the sorted-line and sorted-bigram arrays as
+    // their own projections. The aggregate lambdas below index into them
+    // with element_at per element; on a MATERIALIZED array that's O(1),
+    // while on an expression tree every access re-evaluates the whole
+    // split/sort pipeline (interpreted HOFs don't CSE) — O(L²) per doc,
+    // the exact blowup this operator exists to avoid. CollapseProject
+    // won't inline them back: both are non-cheap and multiply-referenced.
+    val st1 = docs.select(
+      col(idCol).as("doc_id"),
+      sort_array(filter(split(col(textCol), lineSep), l => length(l) > 0))
+        .as("__s"),
+      TextOps.tokens(col(textCol)).as("__t"))
+    // guard: Spark's sequence(1, n) turns DESCENDING for n < 1 (and
+    // element_at(t, 0) throws), so short docs get a typed empty list
+    val t = col("__t")
+    val st2 = st1.select(
+      col("doc_id"), col("__s"),
+      when(size(t) >= 2,
+        sort_array(transform(sequence(lit(1), size(t) - 1),
+          i => concat(element_at(t, i), lit(" "), element_at(t, i + 1)))))
+        .otherwise(lit(Array.empty[String])).as("__g"))
+
+    val s = col("__s")
+    val nL = size(s)
+    // chars at positions whose value equals a sorted neighbor
+    val dupChars = aggregate(
+      sequence(lit(1), nL),
+      lit(0L),
+      (acc, i) => acc + when(
+        (i > 1 && element_at(s, i) === element_at(s, i - 1)) ||
+          (i < nL && element_at(s, i) === element_at(s, i + 1)),
+        length(element_at(s, i)).cast("long")).otherwise(0L))
+    val allChars = aggregate(s, lit(0L), (acc, x) => acc + length(x).cast("long"))
+
+    val grams = col("__g")
+    val nG = size(grams)
+    // longest run of equal adjacent values == max bigram frequency
+    val topRun = aggregate(
+      sequence(lit(2), nG),
+      struct(lit(1L).as("cur"), lit(1L).as("best")),
+      (acc, i) => {
+        val cur = when(element_at(grams, i) === element_at(grams, i - 1),
+          acc.getField("cur") + 1L).otherwise(lit(1L))
+        struct(cur.as("cur"),
+          greatest(acc.getField("best"), cur).as("best"))
+      },
+      acc => acc.getField("best"))
+
+    st2.select(
+      col("doc_id"),
+      nL.cast("long").as("n_lines"),
+      (nL - size(array_distinct(s))).cast("long").as("dup_lines"),
+      when(nL >= 1, (nL - size(array_distinct(s))).cast("double") /
+        nL.cast("double")).as("dup_line_frac"),
+      when(nL >= 1, dupChars.cast("double") /
+        when(allChars > 0, allChars).cast("double")).as("dup_char_frac"),
+      nG.cast("long").as("n_bigrams"),
+      when(nG >= 2, topRun).when(nG === 1, lit(1L)).as("top_bigram_n"),
+      when(nG >= 2, topRun.cast("double") / nG.cast("double"))
+        .when(nG === 1, lit(1.0)).as("top_bigram_frac"))
+  }
+
+  /** Per-source quota cap — the "no domain dominates the mix" operator
+    * (C4 keeps per-domain caps for the same reason): deterministically
+    * keep at most `quota` docs per source, ordered by the portable hash
+    * bucket (so the kept subset is a stable pseudo-random sample, not
+    * "whatever sorted first", and is reproducible across engines and
+    * partitionings).
+    *
+    * The rank runs over a NARROW projection (id, source, bucket — ~24
+    * bytes/row) and the kept ids join back to the full-width rows, so
+    * the per-source sort never moves document text — at 100 TB the
+    * window input is GBs, not the corpus. A single mega-source makes one
+    * fat sort partition; if a source can exceed an executor, pre-filter
+    * with an approximate per-source bucket threshold first (the same
+    * two-phase trick as Skew.saltedSum) — at `quota` ≪ source size the
+    * threshold cuts the sort input to ~quota rows per source.
+    */
+  def sourceQuota(docs: DataFrame, idCol: String, srcCol: String,
+      quota: Int): DataFrame = {
+    require(quota > 0, s"quota must be positive: $quota")
+    import org.apache.spark.sql.expressions.Window
+    val keys = docs.select(col(idCol).as("doc_id"), col(srcCol).as("source"),
+      Sampling.portableBucket(col(idCol)).as("__b"))
+    val kept = keys
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("source")).orderBy(col("__b"), col("doc_id"))))
+      .filter(col("rank") <= quota)
+      .select(col("doc_id"), col("rank").cast("long").as("rank"))
+    docs.select(col(idCol).as("doc_id"), col(srcCol).as("source"))
+      .join(kept, "doc_id")
+  }
+}

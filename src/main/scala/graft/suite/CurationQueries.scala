@@ -1,0 +1,133 @@
+package graft.suite
+
+import org.apache.spark.sql.functions._
+import graft.core.{GQuery, Tables => T}
+import graft.scale.Curation
+
+/** Corpus-curation operators (graft.scale.Curation) as fully-oracled
+  * queries: q58 eval-set decontamination, q59 repetition signals, q60
+  * per-source quota. All outputs are integer counts and exact-IEEE
+  * quotients — no rounding anywhere (the q53 lesson: Spark's BigDecimal
+  * HALF_UP round and DuckDB's double ROUND can split on a tie; plain
+  * `a/b` of the same two longs cannot).
+  */
+object CurationQueries {
+
+  private val P = ScaleQueries.P31
+
+  /** DuckDB: Dedup.portableShingles(th, 3) as a LIST (the q26 fingerprint
+    * takes the min of this list; decontamination needs the members).
+    */
+  private def shingleListSql(th: String): String = {
+    def x(e: String) = s"($e % $P)"
+    val w = s"(((((17 * 31 + ${x(s"$th[i]")}) % $P) * 31 + ${x(s"$th[i+1]")}) % $P)" +
+      s" * 31 + ${x(s"$th[i+2]")}) % $P"
+    s"""CASE WHEN len($th) >= 3
+         THEN list_transform(range(1, len($th) - 1), i -> $w)
+         ELSE [list_reduce(list_prepend(17::BIGINT, list_transform($th, v -> v % $P)),
+           (a, v) -> (a * 31 + v) % $P)] END"""
+  }
+
+  /** Eval-set decontamination at train fraction 0.7: for every eval doc,
+    * how many of its distinct 3-token shingles appear anywhere in the
+    * train split. The oracle replays the identical portable hash family
+    * (q26's), the identical portable bucket split (q45/q46's), and a
+    * plain set-semijoin — so `shared` and the exact-IEEE `contamination`
+    * quotient hash-match.
+    */
+  private val trainFrac = 0.7
+  private val thr = (trainFrac * 2147483647L).toLong
+
+  private val q58 = GQuery(
+    (s, d) => Curation.contamination(T.documents(s, d), "doc_id", "text",
+      trainFrac, shingleSize = 3).orderBy("doc_id"),
+    Some(s"""${ScaleQueries.thCtes(withCodes = false)},
+      sh AS (
+        SELECT doc_id, ${ScaleQueries.bucketSql("doc_id")} AS b,
+          list_distinct(${shingleListSql("th")}) AS s
+        FROM th),
+      train AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE b < $thr),
+      ev AS (SELECT doc_id, CAST(len(s) AS BIGINT) AS n_shingles, s
+        FROM sh WHERE b >= $thr),
+      hits AS (
+        SELECT e.doc_id, COUNT(*) AS shared
+        FROM (SELECT doc_id, unnest(s) AS g FROM ev) e
+        JOIN train t ON e.g = t.g
+        GROUP BY e.doc_id)
+      SELECT e.doc_id, e.n_shingles,
+        COALESCE(h.shared, 0) AS shared,
+        COALESCE(h.shared, 0)::DOUBLE / e.n_shingles::DOUBLE AS contamination
+      FROM ev e LEFT JOIN hits h ON e.doc_id = h.doc_id
+      ORDER BY e.doc_id"""))
+
+  /** Repetition signals with sentence-level "lines" (the corpus has no
+    * newlines, so the line separator is the sentence boundary `\.` —
+    * same regex on both engines). Spark computes duplicate counts and
+    * the max-bigram run in O(L log L) per doc via sort-adjacency
+    * (Curation.repetitionSignals); the oracle recomputes them the naive
+    * O(L²) way — slow is fine for ground truth.
+    */
+  private val q59 = GQuery(
+    (s, d) => Curation.repetitionSignals(T.documents(s, d), "doc_id", "text",
+      lineSep = "\\.").orderBy("doc_id"),
+    Some("""WITH base AS (
+        SELECT doc_id,
+          list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS toks,
+          list_sort(list_filter(string_split_regex(text, '\.'), l -> len(l) > 0)) AS s
+        FROM documents),
+      b2 AS (
+        SELECT doc_id, s, len(s) AS nl,
+          len(s) - len(list_distinct(s)) AS dupl,
+          list_sort(list_transform(range(1, len(toks)),
+            i -> toks[i] || ' ' || toks[i+1])) AS g
+        FROM base),
+      b3 AS (
+        SELECT doc_id, nl, dupl, g, len(g) AS ng,
+          COALESCE(list_sum(list_transform(range(1, nl + 1), i ->
+            CASE WHEN (i > 1 AND s[i] = s[i-1]) OR (i < nl AND s[i] = s[i+1])
+              THEN len(s[i]) ELSE 0 END)), 0) AS dupchars,
+          COALESCE(list_sum(list_transform(s, x -> len(x))), 0) AS allchars
+        FROM b2),
+      b4 AS (
+        SELECT doc_id, nl, dupl, ng, dupchars, allchars,
+          CASE WHEN ng >= 2 THEN
+              list_max(list_transform(list_distinct(g),
+                x -> len(list_filter(g, y -> y = x))))
+            WHEN ng = 1 THEN 1 END AS topn
+        FROM b3)
+      SELECT doc_id,
+        CAST(nl AS BIGINT) AS n_lines,
+        CAST(dupl AS BIGINT) AS dup_lines,
+        CASE WHEN nl >= 1 THEN dupl::DOUBLE / nl::DOUBLE END AS dup_line_frac,
+        CASE WHEN nl >= 1 THEN dupchars::DOUBLE / allchars::DOUBLE END AS dup_char_frac,
+        CAST(ng AS BIGINT) AS n_bigrams,
+        CAST(topn AS BIGINT) AS top_bigram_n,
+        CASE WHEN ng >= 2 THEN topn::DOUBLE / ng::DOUBLE
+          WHEN ng = 1 THEN 1.0 END AS top_bigram_frac
+      FROM b4 ORDER BY doc_id"""))
+
+  /** Per-source quota cap at 10 of each source's 25 docs: the kept
+    * subset is the 10 smallest portable-hash buckets per source —
+    * deterministic, partitioning-invariant, and replayable in SQL as a
+    * plain ROW_NUMBER.
+    */
+  private val q60 = GQuery(
+    (s, d) => Curation.sourceQuota(T.documents(s, d), "doc_id", "source",
+      quota = 10).orderBy("doc_id"),
+    Some(s"""WITH k AS (
+        SELECT doc_id, source, ${ScaleQueries.bucketSql("doc_id")} AS b
+        FROM documents),
+      r AS (
+        SELECT doc_id, source,
+          CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY b, doc_id)
+            AS BIGINT) AS rank
+        FROM k)
+      SELECT doc_id, source, rank FROM r WHERE rank <= 10
+      ORDER BY doc_id"""))
+
+  def all: Map[String, GQuery] = Map(
+    "q58_decontamination" -> q58,
+    "q59_repetition_signals" -> q59,
+    "q60_source_quota" -> q60,
+  )
+}

@@ -168,10 +168,10 @@ object ScaleQueries {
   // NativeExpressions.portableRollingMin. These strings ARE the portable
   // spec — every constant must stay identical to the Scala side.
 
-  private val P31 = "2147483647"
+  private[suite] val P31 = "2147483647"
 
   /** DuckDB: the 62-bit portable hash of token expression `tok`. */
-  private def h62Sql(tok: String): String = {
+  private[suite] def h62Sql(tok: String): String = {
     def fold(seed: Long, mult: Long) =
       s"list_reduce(list_prepend($seed::BIGINT, " +
         s"list_transform(list_filter(string_split_regex($tok, ''), ch -> len(ch) > 0), " +
@@ -219,7 +219,7 @@ object ScaleQueries {
   /** Shared CTE prefix: tokens → portable 62-bit token hashes (+ raw
     * codepoints when the rolling fingerprint needs them).
     */
-  private def thCtes(withCodes: Boolean): String = {
+  private[suite] def thCtes(withCodes: Boolean): String = {
     val codesCol = if (withCodes)
       s""", list_transform(list_filter(string_split_regex(text, ''), ch -> len(ch) > 0),
             ch -> unicode(ch)::BIGINT) AS codes""" else ""
@@ -313,7 +313,7 @@ object ScaleQueries {
   private val P31L = 2147483647L
 
   /** DuckDB twin of Sampling.portableBucket. */
-  private def bucketSql(k: String): String =
+  private[suite] def bucketSql(k: String): String =
     s"(1103515245 * ((($k % $P31) + $P31) % $P31) + 12345) % $P31"
 
   /** Per-language stratified subsampling (Sampling.sampleStratified) —

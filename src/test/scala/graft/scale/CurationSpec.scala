@@ -1,0 +1,107 @@
+package graft.scale
+
+import graft.SparkSpec
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+/** Curation operators on crafted fixtures with hand-computed expectations:
+  * decontamination set algebra, repetition-signal arithmetic (including
+  * the short-doc guard rails), and quota determinism.
+  */
+class CurationSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private val P = 2147483647L
+  private def bucket(id: Long): Long =
+    Math.floorMod(1103515245L * Math.floorMod(id, P) + 12345L, P)
+
+  test("contamination: copied eval doc reads 1.0, fresh reads 0.0, partial in between") {
+    val frac = 0.5
+    val thr = (frac * P).toLong
+    // pick concrete ids on each side of the split with the same formula
+    // the operator uses — the test controls the corpus, not the hash
+    val ids = (1L to 50L)
+    val train = ids.filter(bucket(_) < thr)
+    val eval_ = ids.filter(bucket(_) >= thr)
+    assert(train.size >= 2 && eval_.size >= 3)
+
+    val trainText = "the quick brown fox jumps over the lazy dog"
+    val docs = Seq(
+      (train.head, trainText),                        // train corpus member
+      (train(1), "completely unrelated training words here"),
+      (eval_.head, trainText),                        // verbatim leak
+      (eval_(1), "genuinely novel evaluation sentence nothing shared"),
+      // shares the "quick brown fox" run with train but nothing else
+      (eval_(2), "quick brown fox went home early tonight")
+    ).toDF("doc_id", "text")
+
+    val out = Curation.contamination(docs, "doc_id", "text", frac)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+
+    val (nLeak, sharedLeak, cLeak) = out(eval_.head)
+    assert(nLeak == 7 && sharedLeak == 7 && cLeak == 1.0) // 9 tokens -> 7 shingles
+    val (_, shared0, c0) = out(eval_(1))
+    assert(shared0 == 0 && c0 == 0.0)
+    val (n2, shared2, c2) = out(eval_(2))
+    // only the single ("quick","brown","fox") shingle survives in train
+    assert(n2 == 5 && shared2 == 1 && c2 == 1.0 / 5.0)
+  }
+
+  test("repetition signals: exact counts on crafted docs, nulls on degenerate ones") {
+    val docs = Seq(
+      (1L, "x\nx\ny"),       // dup line, tokens x x y
+      (2L, "a a a a"),       // one line; bigrams "a a" x3
+      (3L, "solo line"),     // no dups, one bigram
+      (4L, "hi"),            // no bigrams
+      (5L, "")               // nothing at all
+    ).toDF("doc_id", "text")
+
+    val rows = Curation.repetitionSignals(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+
+    val r1 = rows(0)
+    assert(r1.getLong(1) == 3 && r1.getLong(2) == 1)           // 3 lines, 1 dup
+    assert(r1.getDouble(3) == 1.0 / 3.0)
+    assert(r1.getDouble(4) == 2.0 / 3.0)                        // both x's chars
+    assert(r1.getLong(5) == 2 && r1.getLong(6) == 1)            // x-x, x-y
+    assert(r1.getDouble(7) == 0.5)
+
+    val r2 = rows(1)
+    assert(r2.getLong(1) == 1 && r2.getLong(2) == 0 && r2.getDouble(3) == 0.0)
+    assert(r2.getLong(5) == 3 && r2.getLong(6) == 3 && r2.getDouble(7) == 1.0)
+
+    val r3 = rows(2)
+    assert(r3.getLong(5) == 1 && r3.getLong(6) == 1 && r3.getDouble(7) == 1.0)
+
+    val r4 = rows(3)
+    assert(r4.getLong(1) == 1 && r4.getLong(5) == 0)
+    assert(r4.isNullAt(6) && r4.isNullAt(7))
+
+    val r5 = rows(4)
+    assert(r5.getLong(1) == 0 && r5.getLong(2) == 0)
+    assert(r5.isNullAt(3) && r5.isNullAt(4) && r5.isNullAt(6) && r5.isNullAt(7))
+  }
+
+  test("sourceQuota: caps per source, keeps the smallest buckets, partitioning-invariant") {
+    val docs = (1L to 10L).map(i =>
+      (i, if (i <= 5) "sA" else "sB", s"text $i")).toDF("doc_id", "source", "text")
+
+    val kept = Curation.sourceQuota(docs, "doc_id", "source", quota = 3)
+    val bySrc = kept.collect().groupBy(_.getString(1))
+    assert(bySrc("sA").length == 3 && bySrc("sB").length == 3)
+
+    // expected: the 3 ids with smallest portable bucket per source
+    def expect(ids: Seq[Long]) = ids.sortBy(i => (bucket(i), i)).take(3).toSet
+    assert(bySrc("sA").map(_.getLong(0)).toSet == expect(1L to 5L))
+    assert(bySrc("sB").map(_.getLong(0)).toSet == expect(6L to 10L))
+
+    // ranks are 1..quota and deterministic under a different partitioning
+    val again = Curation.sourceQuota(docs.repartition(7, col("text")),
+      "doc_id", "source", quota = 3)
+    assert(again.collect().toSet == kept.collect().toSet)
+    assert(kept.select("rank").as[Long].collect().sorted.toSeq ==
+      Seq(1L, 1L, 2L, 2L, 3L, 3L))
+  }
+}
