@@ -182,6 +182,82 @@ object Curation {
     * two-phase trick as Skew.saltedSum) — at `quota` ≪ source size the
     * threshold cuts the sort input to ~quota rows per source.
     */
+  /** PII redaction — scrub emails, NANP-style phone numbers, and IPv4
+    * addresses, reporting per-doc counts alongside the redacted text.
+    * A pure narrow codegen'd string map: zero shuffle at any corpus
+    * size, and the regex work is O(chars) per doc.
+    *
+    * Patterns are deliberately written in the Java-regex ∩ RE2 common
+    * dialect (character classes, bounded quantifiers, `\b`, `\d` — no
+    * backreferences or lookaround) so the DuckDB oracle replays them
+    * verbatim. Counts and replacements CHAIN (emails scrubbed before
+    * phones are counted, phones before IPs): a phone-like fragment
+    * inside an email's domain is counted exactly once, by the first
+    * pattern that claims it, on both engines.
+    */
+  def redactPii(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val r1 = regexp_replace(t, PiiEmail, "<EMAIL>")
+    val r2 = regexp_replace(r1, PiiPhone, "<PHONE>")
+    val r3 = regexp_replace(r2, PiiIp, "<IP>")
+    docs.select(col(idCol).as("doc_id"),
+      regexp_count(t, lit(PiiEmail)).cast("long").as("n_emails"),
+      regexp_count(r1, lit(PiiPhone)).cast("long").as("n_phones"),
+      regexp_count(r2, lit(PiiIp)).cast("long").as("n_ips"),
+      r3.as("redacted"))
+  }
+
+  /** The shared Java/RE2 pattern dialect — see [[redactPii]]. */
+  val PiiEmail = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PiiPhone = "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b"
+  val PiiIp = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /** Corpus-global exact sentence dedup (the C4 move: drop every
+    * occurrence of a repeated sentence except the globally-first one,
+    * then reassemble documents) — the workhorse against boilerplate
+    * headers/footers repeated across millions of pages.
+    *
+    * First-occurrence-wins is defined by (doc_id, pos) lexicographic
+    * order — deterministic and partitioning-invariant. Sentences key by
+    * their 62-bit portable hash, so the decision replays exactly on the
+    * oracle side; at ~2^62 a collision (which would drop a non-duplicate
+    * sentence) is negligible and the alternative — keying the shuffle on
+    * full sentence text — is strictly worse at 100 TB.
+    *
+    * Scale shape: one explode (narrow: id, pos, sentence), one window
+    * shuffle on the 8-byte hash, one groupBy(doc) to reassemble. The
+    * window partition is per-DISTINCT-sentence, so a boilerplate
+    * sentence repeated 10^8 times makes one hot partition — at that
+    * skew, pre-aggregate min(doc_id, pos) per hash (two-stage, like
+    * Skew.saltedSum) before joining back instead; same semantics, the
+    * window form is the clearer default.
+    *
+    * Returns (doc_id, n_sentences, n_kept, cleaned); docs with zero
+    * non-empty sentences are absent (nothing to clean).
+    */
+  def dedupSentences(docs: DataFrame, idCol: String, textCol: String,
+      sep: String = "\\."): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sents = docs
+      .select(col(idCol).as("doc_id"),
+        filter(transform(split(col(textCol), sep), x => trim(x)),
+          s => length(s) > 0).as("__sents"))
+      .select(col("doc_id"), posexplode(col("__sents")).as(Seq("pos", "sent")))
+    val keep = sents
+      .withColumn("__h", element_at(
+        graft.functions.NativeExpressions.portable_token_hashes(
+          array(col("sent"))), 1))
+      .withColumn("keep", row_number().over(
+        Window.partitionBy(col("__h")).orderBy(col("doc_id"), col("pos"))) === 1)
+    keep.groupBy("doc_id").agg(
+      count(lit(1)).as("n_sentences"),
+      sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+      array_join(transform(
+        array_sort(collect_list(when(col("keep"),
+          struct(col("pos"), col("sent"))))),
+        x => x.getField("sent")), " ").as("cleaned"))
+  }
+
   def sourceQuota(docs: DataFrame, idCol: String, srcCol: String,
       quota: Int): DataFrame = {
     require(quota > 0, s"quota must be positive: $quota")

@@ -125,9 +125,98 @@ object CurationQueries {
       SELECT doc_id, source, rank FROM r WHERE rank <= 10
       ORDER BY doc_id"""))
 
+  /** The corpus carries no natural PII, so the query derives one
+    * deterministic email + phone + IPv4 per doc from doc_id with the
+    * same concat/lpad arithmetic on both engines — every row then
+    * exercises real redaction, not the no-op path. Patterns live in the
+    * Java ∩ RE2 dialect; DuckDB needs the explicit 'g' flag (Spark's
+    * regexp_replace is global by default) and counts via
+    * len(regexp_extract_all) (no regexp_count there).
+    */
+  private val q61 = {
+    import org.apache.spark.sql.Column
+    def pii(textC: Column, idC: Column): Column = concat(textC,
+      lit(" reach u"), idC.cast("string"), lit("@example.com or 555-"),
+      lpad(pmod(idC, lit(1000)).cast("string"), 3, "0"), lit("-"),
+      lpad(pmod(idC * 7, lit(10000)).cast("string"), 4, "0"),
+      lit(" at 10."), pmod(idC, lit(256)).cast("string"),
+      lit(".0."), pmod(idC * 3, lit(256)).cast("string"))
+    val piiSql =
+      """text || ' reach u' || doc_id::VARCHAR || '@example.com or 555-' ||
+         lpad((doc_id % 1000)::VARCHAR, 3, '0') || '-' ||
+         lpad((doc_id * 7 % 10000)::VARCHAR, 4, '0') ||
+         ' at 10.' || (doc_id % 256)::VARCHAR || '.0.' ||
+         (doc_id * 3 % 256)::VARCHAR"""
+    val (e, p, ip) = (Curation.PiiEmail, Curation.PiiPhone, Curation.PiiIp)
+    GQuery(
+      (s, d) => Curation.redactPii(
+        T.documents(s, d).withColumn("text", pii(col("text"), col("doc_id"))),
+        "doc_id", "text").orderBy("doc_id"),
+      Some(s"""WITH base AS (SELECT doc_id, $piiSql AS text FROM documents),
+        r AS (
+          SELECT doc_id, text,
+            regexp_replace(text, '$e', '<EMAIL>', 'g') AS r1
+          FROM base),
+        r2 AS (
+          SELECT doc_id, text, r1,
+            regexp_replace(r1, '$p', '<PHONE>', 'g') AS r2
+          FROM r)
+        SELECT doc_id,
+          CAST(len(regexp_extract_all(text, '$e')) AS BIGINT) AS n_emails,
+          CAST(len(regexp_extract_all(r1, '$p')) AS BIGINT) AS n_phones,
+          CAST(len(regexp_extract_all(r2, '$ip')) AS BIGINT) AS n_ips,
+          regexp_replace(r2, '$ip', '<IP>', 'g') AS redacted
+        FROM r2 ORDER BY doc_id"""))
+  }
+
+  /** Corpus-global sentence dedup needs a corpus with repeated
+    * sentences; the raw table has 500 distinct one-sentence texts. The
+    * query derives a 4-sentence doc from each row with identical
+    * substr/concat arithmetic on both engines: sentence 1 repeats as
+    * sentence 3 (within-doc dup) and ". tail <doc_id % 7>" is shared by
+    * ~1/7 of the corpus (cross-doc dup) — both removal paths exercised
+    * deterministically. The oracle replays the 62-bit portable sentence
+    * hash, so keep/drop decisions match bit-for-bit.
+    */
+  private val q62 = {
+    import org.apache.spark.sql.Column
+    def derived(textC: Column, idC: Column): Column = concat(
+      substring(textC, 1, 60), lit(". "),
+      substring(textC, 31, 60), lit(". "),
+      substring(textC, 1, 60), lit(". tail "),
+      pmod(idC, lit(7)).cast("string"))
+    val derivedSql =
+      """substr(text, 1, 60) || '. ' || substr(text, 31, 60) || '. ' ||
+         substr(text, 1, 60) || '. tail ' || (doc_id % 7)::VARCHAR"""
+    GQuery(
+      (s, d) => Curation.dedupSentences(
+        T.documents(s, d).withColumn("text", derived(col("text"), col("doc_id"))),
+        "doc_id", "text").orderBy("doc_id"),
+      Some(s"""WITH base AS (SELECT doc_id, $derivedSql AS text FROM documents),
+        sl AS (SELECT doc_id,
+            list_filter(list_transform(string_split_regex(text, '\\.'),
+              x -> trim(x)), s -> len(s) > 0) AS l
+          FROM base),
+        s AS (SELECT doc_id, i - 1 AS pos, l[i] AS sent
+          FROM sl, UNNEST(range(1, len(l) + 1)) AS t(i)),
+        h AS (SELECT doc_id, pos, sent, ${ScaleQueries.h62Sql("sent")} AS hh
+          FROM s),
+        k AS (SELECT doc_id, pos, sent,
+            (ROW_NUMBER() OVER (PARTITION BY hh ORDER BY doc_id, pos)) = 1
+              AS keep
+          FROM h)
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sentences,
+          CAST(COUNT(*) FILTER (WHERE keep) AS BIGINT) AS n_kept,
+          COALESCE(string_agg(sent, ' ' ORDER BY pos) FILTER (WHERE keep), '')
+            AS cleaned
+        FROM k GROUP BY doc_id ORDER BY doc_id"""))
+  }
+
   def all: Map[String, GQuery] = Map(
     "q58_decontamination" -> q58,
     "q59_repetition_signals" -> q59,
     "q60_source_quota" -> q60,
+    "q61_pii_redaction" -> q61,
+    "q62_sentence_dedup" -> q62,
   )
 }

@@ -84,6 +84,51 @@ class CurationSpec extends SparkSpec {
     assert(r5.isNullAt(3) && r5.isNullAt(4) && r5.isNullAt(6) && r5.isNullAt(7))
   }
 
+  test("redactPii: exact counts and redacted text, chained pattern precedence") {
+    val docs = Seq(
+      (1L, "mail a.b+c@ex-corp.io or x_1@y.co today"),   // 2 emails
+      (2L, "call 555-123-4567 or 555.987.6543 now"),     // 2 phones
+      (3L, "host 10.0.0.1 and 192.168.255.3"),           // 2 ips
+      (4L, "mixed u@d.org 555-111-2222 8.8.8.8"),
+      (5L, "clean text with no pii at all 1234")
+    ).toDF("doc_id", "text")
+
+    val out = Curation.redactPii(docs, "doc_id", "text").orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getString(4)))
+
+    assert(out(0) == ((1L, 2L, 0L, 0L, "mail <EMAIL> or <EMAIL> today")))
+    assert(out(1) == ((2L, 0L, 2L, 0L, "call <PHONE> or <PHONE> now")))
+    assert(out(2) == ((3L, 0L, 0L, 2L, "host <IP> and <IP>")))
+    assert(out(3) == ((4L, 1L, 1L, 1L, "mixed <EMAIL> <PHONE> <IP>")))
+    assert(out(4) == ((5L, 0L, 0L, 0L, "clean text with no pii at all 1234")))
+  }
+
+  test("dedupSentences: first occurrence wins globally, docs reassemble in order") {
+    val docs = Seq(
+      (1L, "hello world. foo bar. hello world"),  // in-doc dup of sentence 0
+      (2L, "foo bar. unique two"),                // "foo bar" already owned by doc 1
+      (3L, "unique three. foo bar. another one"), // middle sentence drops
+      (4L, ". .")                                 // only empty sentences -> absent
+    ).toDF("doc_id", "text")
+
+    val out = Curation.dedupSentences(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+
+    assert(out.length == 3)                       // doc 4 has nothing to clean
+    assert(out(0) == ((1L, 3L, 2L, "hello world foo bar")))
+    assert(out(1) == ((2L, 2L, 1L, "unique two")))
+    assert(out(2) == ((3L, 3L, 2L, "unique three another one")))
+
+    // decisions are partitioning-invariant (ordering is by (doc_id, pos),
+    // not arrival order)
+    val again = Curation.dedupSentences(docs.repartition(5, col("text")),
+      "doc_id", "text").collect()
+    assert(again.map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getString(3))).toSet == out.toSet)
+  }
+
   test("sourceQuota: caps per source, keeps the smallest buckets, partitioning-invariant") {
     val docs = (1L to 10L).map(i =>
       (i, if (i <= 5) "sA" else "sB", s"text $i")).toDF("doc_id", "source", "text")
