@@ -198,6 +198,53 @@ object NativeExpressions {
   def portable_shingle_min(th: Column, n: Int): Column =
     Bridge.column(PortableShingleMin(Bridge.expression(th), n))
 
+  /** The DISTINCT portable shingle hashes as a sorted array — the set
+    * form of [[portable_shingle_min]] for operators that need the members
+    * (decontamination's semijoin), compiled where the HOF chain
+    * `array_distinct(transform(sequence…))` stays interpreted and
+    * re-evaluates per element. Set-equal to
+    * `array_distinct(Dedup.portableShingles(th, n))` (parity spec);
+    * order is ascending, not first-occurrence — downstream consumers are
+    * set-shaped (explode/join/count), and the DuckDB mirror compares
+    * through `list_distinct` lengths and set joins, never order.
+    */
+  def portable_distinct_shingles(th: Column, n: Int): Column =
+    Bridge.column(PortableDistinctShingles(Bridge.expression(th), n))
+
+  /** Shared JVM implementation for [[PortableDistinctShingles]]: one pass
+    * to hash every window (same fold as [[portableShingleMin]]), then
+    * sort + adjacent-dedup. O(k log k) per doc, zero boxing.
+    */
+  def portableDistinctShingles(arr: ArrayData, n: Int): ArrayData = {
+    val P = 2147483647L
+    def red(x: Long): Long = { val r = x % P; if (r < 0) r + P else r }
+    val len = arr.numElements()
+    if (len >= n) {
+      val out = new Array[Long](len - n + 1)
+      var i = 0
+      while (i + n <= len) {
+        var h = 17L
+        var j = 0
+        while (j < n) { h = (h * 31L + red(arr.getLong(i + j))) % P; j += 1 }
+        out(i) = h
+        i += 1
+      }
+      java.util.Arrays.sort(out)
+      var w = 0
+      var k = 0
+      while (k < out.length) {
+        if (k == 0 || out(k) != out(k - 1)) { out(w) = out(k); w += 1 }
+        k += 1
+      }
+      new GenericArrayData(java.util.Arrays.copyOf(out, w))
+    } else {
+      var h = 17L
+      var i = 0
+      while (i < len) { h = (h * 31L + red(arr.getLong(i))) % P; i += 1 }
+      new GenericArrayData(Array(h))
+    }
+  }
+
   /** Shared JVM implementation for [[PortableShingleMin]]. Inputs reduce
     * with a POSITIVE mod (Java `%` preserves sign), matching the `pmod` of
     * the HOF reference — the operators are generic over the token hash, so
@@ -698,6 +745,26 @@ case class PortableShingleMin(child: Expression, n: Int)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c =>
       s"""${ev.value} = graft.functions.NativeExpressions.portableShingleMin($c, $n);""")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Distinct portable shingle hashes, sorted (see
+  * [[NativeExpressions.portableDistinctShingles]]).
+  */
+case class PortableDistinctShingles(child: Expression, n: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  override def nullSafeEval(input: Any): Any =
+    NativeExpressions.portableDistinctShingles(input.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""${ev.value} = graft.functions.NativeExpressions.portableDistinctShingles($c, $n);""")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

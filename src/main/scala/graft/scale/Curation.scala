@@ -49,35 +49,32 @@ object Curation {
       trainFrac: Double, shingleSize: Int = 3): DataFrame = {
     require(trainFrac > 0 && trainFrac < 1, s"trainFrac in (0,1): $trainFrac")
     val thr = (trainFrac * P31).toLong
-    // token hashes materialize as their own projection before the shingle
-    // transform: portableShingles' lambda reads its input n times per
-    // position, and an element_at on a MATERIALIZED array is O(1) while
-    // on an expression tree it re-evaluates the whole tokenize+hash
-    // pipeline per access (interpreted HOFs don't CSE) — O(L²) per doc.
-    // CollapseProject keeps the stages apart: __th is non-cheap and
-    // multiply-referenced, so the optimizer won't inline it back.
-    val sh = docs.select(
+    // one fused codegen'd pipeline per row: tokenize → hash → distinct
+    // shingles, all native kernels (the HOF chain
+    // array_distinct(transform(sequence…)) stays interpreted and was the
+    // whole cost of this operator — 35 s → ~1 s at sf0.1). A doc always
+    // yields ≥1 shingle (short docs fold whole), so the explode below
+    // never drops a doc and n_shingles == count of exploded rows.
+    val exploded = docs.select(
       col(idCol).as("doc_id"),
       Sampling.portableBucket(col(idCol)).as("__b"),
-      Dedup.portableTokenHashes(TextOps.tokens(col(textCol))).as("__th"))
-      .select(col("doc_id"), col("__b"),
-        array_distinct(Dedup.portableShingles(col("__th"), shingleSize))
-          .as("sh"))
-    val train = sh.filter(col("__b") < thr)
-      .select(explode(col("sh")).as("g")).distinct()
-    val eval_ = sh.filter(col("__b") >= thr)
-      .select(col("doc_id"), size(col("sh")).cast("long").as("n_shingles"),
-        col("sh"))
-    val hits = eval_
-      .select(col("doc_id"), explode(col("sh")).as("g"))
-      .join(train, "g")
-      .groupBy("doc_id").agg(count(lit(1)).as("shared"))
-    eval_.drop("sh")
-      .join(hits, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_shingles"),
-        coalesce(col("shared"), lit(0L)).as("shared"),
-        (coalesce(col("shared"), lit(0L)).cast("double") /
-          col("n_shingles").cast("double")).as("contamination"))
+      explode(graft.functions.NativeExpressions.portable_distinct_shingles(
+        Dedup.portableTokenHashes(TextOps.tokens(col(textCol))),
+        shingleSize)).as("g"))
+    // `exploded` feeds both branches; recomputing the (cheap, narrow)
+    // scan+kernel twice beats persisting n_shingles × 16 B at 100 TB.
+    val train = exploded.filter(col("__b") < thr).select("g").distinct()
+    // train's g is distinct, so the left join is at most 1:1 — per-doc
+    // row count is exactly n_shingles, matches flag hot shingles without
+    // any fan-out, and one groupBy(doc_id) finishes the job.
+    exploded.filter(col("__b") >= thr)
+      .join(train.withColumn("__hit", lit(1L)), Seq("g"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(coalesce(col("__hit"), lit(0L))).as("shared"))
+      .select(col("doc_id"), col("n_shingles"), col("shared"),
+        (col("shared").cast("double") / col("n_shingles").cast("double"))
+          .as("contamination"))
   }
 
   /** Intra-document repetition signals (Gopher rules 4-8 flavor): the

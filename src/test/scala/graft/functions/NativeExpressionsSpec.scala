@@ -172,6 +172,30 @@ class NativeExpressionsSpec extends SparkSpec {
       java.lang.Long.compareUnsigned(fps(1), fps(0)) < 0)
   }
 
+  test("portable distinct-shingles kernel == sorted HOF reference, incl. short docs") {
+    val docs = T.documents(spark, sf)
+      .withColumn("th",
+        NativeExpressions.portable_token_hashes(TextOps.tokens(col("text"))))
+    val both = docs
+      .withColumn("hof", sort_array(array_distinct(
+        Dedup.portableShingles(col("th"), 3))))
+      .withColumn("native",
+        NativeExpressions.portable_distinct_shingles(col("th"), 3))
+    assert(both.filter(col("hof") =!= col("native")).count() == 0)
+    assert(both.count() == 500)
+    // short-doc fold: fewer tokens than the shingle width → ONE whole-doc
+    // shingle, same as the HOF's aggregate branch
+    import spark.implicits._
+    val shorts = Seq((1L, "one two"), (2L, "one"), (3L, "")).toDF("id", "text")
+      .withColumn("th",
+        NativeExpressions.portable_token_hashes(TextOps.tokens(col("text"))))
+      .withColumn("hof", sort_array(array_distinct(
+        Dedup.portableShingles(col("th"), 3))))
+      .withColumn("native",
+        NativeExpressions.portable_distinct_shingles(col("th"), 3))
+    assert(shorts.filter(col("hof") =!= col("native")).count() == 0)
+  }
+
   test("portable shingle-min kernel == HOF reference on the documents table") {
     val docs = T.documents(spark, sf)
       .withColumn("th",
