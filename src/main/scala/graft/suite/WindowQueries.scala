@@ -171,6 +171,27 @@ object WindowQueries {
         ORDER BY doc_id ASC) AS rn FROM documents)
       WHERE rn = 1 ORDER BY lang, source"""))
 
+  /** q12's semantics through the custom whole-operator path
+    * ([[graft.plans.TopKPerGroup]]: logical node → strategy → partial/
+    * final physical heaps) instead of a window rank — the shuffle
+    * carries at most k×groups rows per input partition, not the corpus.
+    * Same oracle subquery as q12, so the custom physical operator is
+    * hash-matched against DuckDB's window semantics.
+    */
+  private val q63 = GQuery(
+    (s, d) => {
+      import s.implicits._
+      graft.plans.TopKPerGroup(
+        T.events(s, d).select($"event_type", $"event_id", $"value"),
+        Seq("event_type"), Seq($"value".desc, $"event_id".asc), 3)
+        .select($"event_type", $"event_id", round($"value", 2).as("value"))
+        .orderBy($"event_type", $"event_id")
+    },
+    Some("""SELECT event_type, event_id, ROUND(value, 2) AS value
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+        ORDER BY value DESC, event_id ASC) AS rk FROM events)
+      WHERE rk <= 3 ORDER BY event_type, event_id"""))
+
   def all: Map[String, GQuery] = Map(
     "q11_latest_per_group" -> q11,
     "q12_topk_per_group" -> q12,
@@ -179,5 +200,6 @@ object WindowQueries {
     "q15_monthly_rollup" -> q15,
     "q16_ols_trend" -> q16,
     "q17_dedup_keep_first" -> q17,
+    "q63_topk_custom_operator" -> q63,
   )
 }
