@@ -1,0 +1,85 @@
+package graft.scale
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Sequence packing for LLM training: lay the corpus out as one virtual
+  * token stream in a deterministic document order and chunk it into
+  * fixed-length training sequences (GPT-style concat-and-chunk). The
+  * primitive underneath is a distributed EXCLUSIVE PREFIX SUM in total
+  * id order — the operation a naive plan expresses as
+  * `sum(n) OVER (ORDER BY id)`, which Spark executes as a SINGLE
+  * partition holding the entire corpus.
+  */
+object Packing {
+
+  /** Exclusive prefix sum of `nCol` in total `idCol` order, the two-job
+    * scan classic:
+    *
+    *   1. range-partition by id + sort within partitions (ONE shuffle of
+    *      16-byte rows; range boundaries are sampled, but the result is
+    *      boundary-independent — prefix(id) = Σ n over id' < id no matter
+    *      where partitions split, since ranges are disjoint and ordered);
+    *   2. job 1: per-partition totals (numPartitions longs to the
+    *      driver);
+    *   3. job 2: stream each partition once, seeding its running sum
+    *      with the broadcast cumulative offset of the partitions before
+    *      it.
+    *
+    * The narrow (id, n) projection persists between the two jobs —
+    * 16 B/doc, ~16 GB per billion docs across a cluster; released by the
+    * session's clearCache (Bench/Verify) or an explicit caller
+    * unpersist, same lifecycle rule as minhashDupPairs' signatures.
+    *
+    * Ids must be unique (they are the total order's tiebreak-free key);
+    * n must be non-negative. Returns (id, n, prefix).
+    */
+  def prefixSum(df: DataFrame, idCol: String, nCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ds: Dataset[(Long, Long)] = df
+      .select(col(idCol).cast("long"), col(nCol).cast("long"))
+      .as[(Long, Long)]
+    val ranged = ds
+      .repartitionByRange(col("_1"))
+      .sortWithinPartitions(col("_1"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val partials = ranged.rdd
+      .mapPartitionsWithIndex((pid, it) =>
+        Iterator.single(pid -> it.foldLeft(0L)(_ + _._2)))
+      .collect()
+      .sortBy(_._1)
+    val offsets = partials.map(_._2).scanLeft(0L)(_ + _)
+    val bc = spark.sparkContext.broadcast(offsets)
+    val out = ranged.rdd.mapPartitionsWithIndex { (pid, it) =>
+      var acc = bc.value(pid)
+      it.map { case (id, n) => val p = acc; acc += n; (id, n, p) }
+    }
+    out.toDF(idCol, nCol, "prefix")
+  }
+
+  /** Concat-and-chunk packing: with the corpus as one token stream in
+    * doc_id order, report where each document lands — its global start
+    * token and the first/last training sequence of length `seqLen` it
+    * touches. Downstream packers slice exactly [start_token,
+    * start_token + n_tokens) out of sequences first_seq..last_seq; a
+    * document never moves, only its coordinates are computed — zero data
+    * shuffle beyond the 16-byte prefix-sum rows.
+    *
+    * Zero-token docs occupy nothing: first_seq = last_seq = the sequence
+    * their empty position falls in.
+    */
+  def concatChunk(docs: DataFrame, idCol: String, textCol: String,
+      seqLen: Long): DataFrame = {
+    require(seqLen > 0, s"seqLen must be positive: $seqLen")
+    val counts = docs.select(col(idCol).as("doc_id"),
+      size(TextOps.tokens(col(textCol))).cast("long").as("n_tokens"))
+    prefixSum(counts, "doc_id", "n_tokens")
+      .select(col("doc_id"), col("n_tokens"),
+        col("prefix").as("start_token"),
+        expr(s"prefix div $seqLen").as("first_seq"),
+        when(col("n_tokens") > 0,
+          expr(s"(prefix + n_tokens - 1) div $seqLen"))
+          .otherwise(expr(s"prefix div $seqLen")).as("last_seq"))
+  }
+}

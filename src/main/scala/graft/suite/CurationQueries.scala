@@ -212,11 +212,38 @@ object CurationQueries {
         FROM k GROUP BY doc_id ORDER BY doc_id"""))
   }
 
+  /** Sequence packing at seqLen 512: each doc's coordinates in the
+    * virtual token stream (start token, first/last training sequence).
+    * Spark computes the prefix sum with the two-job distributed scan
+    * (Packing.prefixSum — range partition, partial totals, broadcast
+    * offsets); the oracle states the same thing as the single-partition
+    * window Spark must NOT use at scale.
+    */
+  private val q64 = GQuery(
+    (s, d) => graft.scale.Packing.concatChunk(
+      T.documents(s, d), "doc_id", "text", seqLen = 512L).orderBy("doc_id"),
+    Some("""WITH t AS (
+        SELECT doc_id,
+          CAST(len(list_filter(string_split_regex(text, '\s+'),
+            x -> len(x) > 0)) AS BIGINT) AS n_tokens
+        FROM documents),
+      p AS (
+        SELECT doc_id, n_tokens,
+          COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prefix
+        FROM t)
+      SELECT doc_id, n_tokens, prefix AS start_token,
+        prefix // 512 AS first_seq,
+        CASE WHEN n_tokens > 0 THEN (prefix + n_tokens - 1) // 512
+          ELSE prefix // 512 END AS last_seq
+      FROM p ORDER BY doc_id"""))
+
   def all: Map[String, GQuery] = Map(
     "q58_decontamination" -> q58,
     "q59_repetition_signals" -> q59,
     "q60_source_quota" -> q60,
     "q61_pii_redaction" -> q61,
     "q62_sentence_dedup" -> q62,
+    "q64_sequence_packing" -> q64,
   )
 }

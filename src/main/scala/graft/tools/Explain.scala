@@ -38,7 +38,10 @@ object Explain {
       "q43_salted_agg",        // two-stage salted aggregation
       "q45_stratified_sample", // portable-bucket stratified sampling (narrow map)
       "q44_stream_dedup_twin", // first-wins dedup window
-      "q54_bucketed_join")     // bucketed scans -> zero-exchange SMJ
+      "q54_bucketed_join",     // bucketed scans -> zero-exchange SMJ
+      "q58_decontamination",   // native distinct-shingle kernel + 1:1 semijoin
+      "q62_sentence_dedup",    // hash-keyed global first-occurrence window
+      "q63_topk_custom_operator") // custom partial/final physical heaps, no sort
 
     val sb = new StringBuilder
     sb.append("# EXPLAIN — flagship physical plans\n\n")

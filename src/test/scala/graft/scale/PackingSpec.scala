@@ -1,0 +1,56 @@
+package graft.scale
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Distributed prefix sum vs the single-partition window ground truth,
+  * partitioning invariance, and the chunk-coordinate arithmetic.
+  */
+class PackingSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("prefixSum == single-partition window, any input partitioning") {
+    val df = (1L to 1000L).map(i => (i, i % 17)).toDF("id", "n")
+    val w = org.apache.spark.sql.expressions.Window.orderBy("id")
+      .rowsBetween(Long.MinValue, -1)
+    val want = df.withColumn("prefix", coalesce(sum($"n").over(w), lit(0L)))
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+
+    for (parts <- Seq(1, 7, 32)) {
+      val got = Packing.prefixSum(df.repartition(parts, $"n"), "id", "n")
+        .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+      assert(got == want, s"parts=$parts")
+    }
+  }
+
+  test("prefix conservation: last prefix + last n == total") {
+    val df = (1L to 500L).map(i => (i, (i * 7) % 23)).toDF("id", "n")
+    val rows = Packing.prefixSum(df, "id", "n")
+      .orderBy("id").collect()
+    val total = df.agg(sum($"n")).head().getLong(0)
+    assert(rows.last.getLong(2) + rows.last.getLong(1) == total)
+    // strictly monotone in id order, stepping by exactly n
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(b.getLong(2) == a.getLong(2) + a.getLong(1))
+    }
+  }
+
+  test("concatChunk coordinates: boundaries, spans, zero-token docs") {
+    val docs = Seq(
+      (1L, "a b c d"),          // 4 tokens: [0,4) -> seq 0
+      (2L, ""),                 // 0 tokens at position 4 -> seq 0..0
+      (3L, "e f g h i"),        // 5 tokens: [4,9) -> spans seq 0..1 (L=8)
+      (4L, "j k l m n o p"),    // 7 tokens: [9,16) -> spans seq 1..1
+      (5L, "q")                 // 1 token: [16,17) -> seq 2
+    ).toDF("doc_id", "text")
+    val out = Packing.concatChunk(docs, "doc_id", "text", seqLen = 8L)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out(0) == ((1L, 4L, 0L, 0L, 0L)))
+    assert(out(1) == ((2L, 0L, 4L, 0L, 0L)))
+    assert(out(2) == ((3L, 5L, 4L, 0L, 1L)))
+    assert(out(3) == ((4L, 7L, 9L, 1L, 1L)))
+    assert(out(4) == ((5L, 1L, 16L, 2L, 2L)))
+  }
+}
