@@ -26,10 +26,12 @@ object Packing {
     *      with the broadcast cumulative offset of the partitions before
     *      it.
     *
-    * The narrow (id, n) projection persists between the two jobs —
-    * 16 B/doc, ~16 GB per billion docs across a cluster; released by the
-    * session's clearCache (Bench/Verify) or an explicit caller
-    * unpersist, same lifecycle rule as minhashDupPairs' signatures.
+    * Both jobs consume the SAME `Dataset.rdd` lineage (a lazy val), so
+    * job 2 reuses job 1's shuffle files — the map stage is skipped, only
+    * the reduce-side read + in-partition sort of 16 B rows reruns. No
+    * persist: nothing leaks into the caller's cache lifecycle, and the
+    * range boundaries (sampled once, when the shared shuffle first
+    * materializes) are identical across the two jobs by construction.
     *
     * Ids must be unique (they are the total order's tiebreak-free key);
     * n must be non-negative. Returns (id, n, prefix).
@@ -37,21 +39,25 @@ object Packing {
   def prefixSum(df: DataFrame, idCol: String, nCol: String): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
+    // Alias BEFORE the typed view: `as[(Long, Long)]` keeps the source
+    // column names (doc_id/n_tokens on a parquet scan), so partitioning
+    // on a bare col("_1") would not resolve (the r5 q64 defect — local
+    // tuple relations happened to already be named _1/_2).
     val ds: Dataset[(Long, Long)] = df
-      .select(col(idCol).cast("long"), col(nCol).cast("long"))
+      .select(col(idCol).cast("long").as("_1"), col(nCol).cast("long").as("_2"))
       .as[(Long, Long)]
     val ranged = ds
       .repartitionByRange(col("_1"))
       .sortWithinPartitions(col("_1"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val partials = ranged.rdd
+    val rangedRdd = ranged.rdd // shared lineage: one shuffle, two jobs
+    val partials = rangedRdd
       .mapPartitionsWithIndex((pid, it) =>
         Iterator.single(pid -> it.foldLeft(0L)(_ + _._2)))
       .collect()
       .sortBy(_._1)
     val offsets = partials.map(_._2).scanLeft(0L)(_ + _)
     val bc = spark.sparkContext.broadcast(offsets)
-    val out = ranged.rdd.mapPartitionsWithIndex { (pid, it) =>
+    val out = rangedRdd.mapPartitionsWithIndex { (pid, it) =>
       var acc = bc.value(pid)
       it.map { case (id, n) => val p = acc; acc += n; (id, n, p) }
     }

@@ -229,13 +229,14 @@ object CurationQueries {
         FROM documents),
       p AS (
         SELECT doc_id, n_tokens,
-          COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
-            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prefix
+          CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+            AS prefix
         FROM t)
       SELECT doc_id, n_tokens, prefix AS start_token,
-        prefix // 512 AS first_seq,
-        CASE WHEN n_tokens > 0 THEN (prefix + n_tokens - 1) // 512
-          ELSE prefix // 512 END AS last_seq
+        CAST(prefix // 512 AS BIGINT) AS first_seq,
+        CAST(CASE WHEN n_tokens > 0 THEN (prefix + n_tokens - 1) // 512
+          ELSE prefix // 512 END AS BIGINT) AS last_seq
       FROM p ORDER BY doc_id"""))
 
   def all: Map[String, GQuery] = Map(

@@ -36,6 +36,41 @@ class PackingSpec extends SparkSpec {
     }
   }
 
+  test("prefixSum resolves on parquet-backed tables (r5 q64 regression)") {
+    // The r5 defect: the typed view kept the source column names, so
+    // repartitionByRange(col("_1")) resolved on local tuple relations
+    // (already named _1/_2) but threw UNRESOLVED_COLUMN on any parquet
+    // scan. Round-trip the fixture through parquet so the spec sees the
+    // real schema path, then run the full concatChunk over it.
+    val dir = java.nio.file.Files.createTempDirectory("packing-pq").toFile
+    try {
+      val docs = (1L to 300L)
+        .map(i => (i, Seq.fill((i % 9).toInt)("w").mkString(" ")))
+        .toDF("doc_id", "text")
+      docs.write.mode("overwrite").parquet(dir + "/documents")
+      val pq = spark.read.parquet(dir + "/documents")
+
+      val counts = pq.select($"doc_id",
+        size(TextOps.tokens($"text")).cast("long").as("n_tokens"))
+      val got = Packing.prefixSum(counts, "doc_id", "n_tokens")
+        .orderBy("doc_id").collect()
+      assert(got.length == 300)
+      // exclusive prefix: strictly stepping by n in id order, from 0
+      assert(got.head.getLong(2) == 0L)
+      got.sliding(2).foreach { case Array(a, b) =>
+        assert(b.getLong(2) == a.getLong(2) + a.getLong(1))
+      }
+
+      val chunked = Packing.concatChunk(pq, "doc_id", "text", seqLen = 16L)
+      assert(chunked.count() == 300)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(dir)
+    }
+  }
+
   test("concatChunk coordinates: boundaries, spans, zero-token docs") {
     val docs = Seq(
       (1L, "a b c d"),          // 4 tokens: [0,4) -> seq 0
