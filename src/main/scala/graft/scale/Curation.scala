@@ -163,22 +163,6 @@ object Curation {
         .when(nG === 1, lit(1.0)).as("top_bigram_frac"))
   }
 
-  /** Per-source quota cap — the "no domain dominates the mix" operator
-    * (C4 keeps per-domain caps for the same reason): deterministically
-    * keep at most `quota` docs per source, ordered by the portable hash
-    * bucket (so the kept subset is a stable pseudo-random sample, not
-    * "whatever sorted first", and is reproducible across engines and
-    * partitionings).
-    *
-    * The rank runs over a NARROW projection (id, source, bucket — ~24
-    * bytes/row) and the kept ids join back to the full-width rows, so
-    * the per-source sort never moves document text — at 100 TB the
-    * window input is GBs, not the corpus. A single mega-source makes one
-    * fat sort partition; if a source can exceed an executor, pre-filter
-    * with an approximate per-source bucket threshold first (the same
-    * two-phase trick as Skew.saltedSum) — at `quota` ≪ source size the
-    * threshold cuts the sort input to ~quota rows per source.
-    */
   /** PII redaction — scrub emails, NANP-style phone numbers, and IPv4
     * addresses, reporting per-doc counts alongside the redacted text.
     * A pure narrow codegen'd string map: zero shuffle at any corpus
@@ -221,31 +205,55 @@ object Curation {
     * sentence) is negligible and the alternative — keying the shuffle on
     * full sentence text — is strictly worse at 100 TB.
     *
-    * Scale shape: one explode (narrow: id, pos, sentence), one window
-    * shuffle on the 8-byte hash, one groupBy(doc) to reassemble. The
-    * window partition is per-DISTINCT-sentence, so a boilerplate
-    * sentence repeated 10^8 times makes one hot partition — at that
-    * skew, pre-aggregate min(doc_id, pos) per hash (two-stage, like
-    * Skew.saltedSum) before joining back instead; same semantics, the
-    * window form is the clearer default.
+    * Scale shape: one explode (narrow: id, pos, sentence), one
+    * keep-decision shuffle on the 8-byte hash, one groupBy(doc) to
+    * reassemble. The keep decision has two interchangeable forms:
+    *
+    *   - **window** (small inputs, the clearer default): row_number over
+    *     (hash, ordered by doc_id/pos) == 1. Its partition is
+    *     per-DISTINCT-sentence, so a boilerplate sentence repeated 10^8
+    *     times makes one hot partition that nothing can split — a window
+    *     partition is atomic.
+    *   - **two-stage** (the skew path, auto above `twoStageBytes` of
+    *     estimated input): pre-aggregate min(struct(doc_id, pos)) per
+    *     hash — partial aggregation combines the hot hash MAP-SIDE, so
+    *     the shuffle carries one row per (partition, distinct hash) —
+    *     then equi-join the winners back and compare. The join's probe
+    *     side still clusters the hot hash, but AQE's skew-join can SPLIT
+    *     a join partition (it cannot split a window partition), and the
+    *     build side is one row per hash by construction.
+    *
+    * Both paths pick the identical (doc_id, pos)-lexicographic-min
+    * winner (struct ordering is lexicographic), asserted equivalent on a
+    * hot-sentence fixture in CurationSkewSpec.
     *
     * Returns (doc_id, n_sentences, n_kept, cleaned); docs with zero
     * non-empty sentences are absent (nothing to clean).
     */
   def dedupSentences(docs: DataFrame, idCol: String, textCol: String,
-      sep: String = "\\."): DataFrame = {
+      sep: String = "\\.", twoStageBytes: Long = SkewCutBytes): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val sents = docs
       .select(col(idCol).as("doc_id"),
         filter(transform(split(col(textCol), sep), x => trim(x)),
           s => length(s) > 0).as("__sents"))
       .select(col("doc_id"), posexplode(col("__sents")).as(Seq("pos", "sent")))
-    val keep = sents
+    val hashed = sents
       .withColumn("__h", element_at(
         graft.functions.NativeExpressions.portable_token_hashes(
           array(col("sent"))), 1))
-      .withColumn("keep", row_number().over(
-        Window.partitionBy(col("__h")).orderBy(col("doc_id"), col("pos"))) === 1)
+    val keep =
+      if (planBytes(docs) <= twoStageBytes)
+        hashed.withColumn("keep", row_number().over(
+          Window.partitionBy(col("__h")).orderBy(col("doc_id"), col("pos"))) === 1)
+      else {
+        val first = hashed.groupBy("__h")
+          .agg(min(struct(col("doc_id"), col("pos"))).as("__first"))
+        hashed.join(first, "__h")
+          .withColumn("keep",
+            struct(col("doc_id"), col("pos")) === col("__first"))
+          .drop("__first")
+      }
     keep.groupBy("doc_id").agg(
       count(lit(1)).as("n_sentences"),
       sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
@@ -255,18 +263,69 @@ object Curation {
         x => x.getField("sent")), " ").as("cleaned"))
   }
 
+  /** Per-source quota cap — the "no domain dominates the mix" operator
+    * (C4 keeps per-domain caps for the same reason): deterministically
+    * keep at most `quota` docs per source, ordered by the portable hash
+    * bucket (so the kept subset is a stable pseudo-random sample, not
+    * "whatever sorted first", and is reproducible across engines and
+    * partitionings).
+    *
+    * The rank runs over a NARROW projection (id, source, bucket — ~24
+    * bytes/row) and the kept ids join back to the full-width rows, so
+    * the per-source sort never moves document text — at 100 TB the
+    * window input is GBs, not the corpus. Two interchangeable kept-set
+    * computations:
+    *
+    *   - **window** (small inputs): row_number per source — one sort
+    *     partition per source, so a single mega-source (half the crawl
+    *     from one domain) concentrates its whole key set in one
+    *     unsplittable partition.
+    *   - **TopK combiner** (the skew path, auto above `combinerBytes`):
+    *     [[graft.plans.TopKPerGroup]] holds a bounded quota-row heap per
+    *     (source, input partition) BEFORE the exchange — the classic
+    *     top-k identity (global top-q ⊆ union of per-partition top-q)
+    *     makes this exact with no sampling, no validation job, no
+    *     probabilistic cutoff; the shuffle then carries ≤ quota rows per
+    *     source per partition and the mega-source arrives pre-shrunk.
+    *     The final rank runs over ≤ quota rows per source — trivially
+    *     safe. Working set: sources × quota per partition (same
+    *     assumption hash aggregation makes).
+    *
+    * Both paths keep the identical set (asserted on a mega-source
+    * fixture in CurationSkewSpec). Returns (doc_id, source, rank).
+    */
   def sourceQuota(docs: DataFrame, idCol: String, srcCol: String,
-      quota: Int): DataFrame = {
+      quota: Int, combinerBytes: Long = SkewCutBytes): DataFrame = {
     require(quota > 0, s"quota must be positive: $quota")
     import org.apache.spark.sql.expressions.Window
     val keys = docs.select(col(idCol).as("doc_id"), col(srcCol).as("source"),
       Sampling.portableBucket(col(idCol)).as("__b"))
-    val kept = keys
-      .withColumn("rank", row_number().over(
-        Window.partitionBy(col("source")).orderBy(col("__b"), col("doc_id"))))
-      .filter(col("rank") <= quota)
-      .select(col("doc_id"), col("rank").cast("long").as("rank"))
+    val rankW = Window.partitionBy(col("source"))
+      .orderBy(col("__b"), col("doc_id"))
+    val kept =
+      if (planBytes(docs) <= combinerBytes)
+        keys.withColumn("rank", row_number().over(rankW))
+          .filter(col("rank") <= quota)
+      else
+        // partial heaps cap every source at quota rows/partition before
+        // the shuffle; the window then ranks ≤ quota rows per source
+        graft.plans.TopKPerGroup(keys, Seq("source"),
+          Seq(col("__b").asc, col("doc_id").asc), quota)
+          .withColumn("rank", row_number().over(rankW))
     docs.select(col(idCol).as("doc_id"), col(srcCol).as("source"))
-      .join(kept, "doc_id")
+      .join(kept.select(col("doc_id"), col("rank").cast("long").as("rank")),
+        "doc_id")
   }
+
+  /** Above this estimated-input size (Catalyst plan statistics), the
+    * skew-safe formulations of [[dedupSentences]] and [[sourceQuota]]
+    * take over. 1 GiB: far below anything a hot key could break, far
+    * above the suite/oracle fixtures, so small inputs keep the simpler
+    * plans and every 100 TB run lands on the skew path. Specs pin both
+    * paths equal, so the cut affects plan shape only, never results.
+    */
+  val SkewCutBytes: Long = 1L << 30
+
+  private def planBytes(df: DataFrame): BigInt =
+    df.queryExecution.optimizedPlan.stats.sizeInBytes
 }
