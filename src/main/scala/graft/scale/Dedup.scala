@@ -237,27 +237,32 @@ object Dedup {
 
   def connectedComponents(ids: DataFrame, pairs: DataFrame,
       maxIter: Int = 20, localEdgeLimit: Long = LocalEdgeLimit): DataFrame = {
-    // the size probe and the chosen algorithm both consume pairs — persist
-    // across the two (limit-count touches at most localEdgeLimit+1 rows).
-    // Safe to drop on exit either way: localComponents has collected, and
-    // ccRounds eagerly localCheckpoints its edge frame.
+    // ONE probing traversal decides the algorithm AND feeds the local
+    // path: limit(N+1).collect() returns the COMPLETE edge list whenever
+    // it comes back with ≤ N rows (the limit dropped nothing), so the
+    // driver union-find needs no second pass over pairs. Only the
+    // distributed path re-consumes pairs — persist covers that replay;
+    // ccRounds eagerly localCheckpoints its edge frame, after which the
+    // persist can drop.
     val p = pairs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      if (p.limit((localEdgeLimit + 1).toInt).count() <= localEdgeLimit)
-        localComponents(ids, p)
+      val probe = p.select(col("id_a"), col("id_b"))
+        .limit((localEdgeLimit + 1).toInt).collect()
+      if (probe.length <= localEdgeLimit) localComponents(ids, probe)
       else ccRounds(ids, p, maxIter)._1
     } finally p.unpersist(blocking = false)
   }
 
-  /** Components for a BOUNDED edge list: collect the edges (the caller
-    * guarantees ≤ localEdgeLimit rows of two ids), union-find on the
-    * driver with union-by-min + path compression, broadcast-join the
+  /** Components for a BOUNDED, already-collected edge list (≤
+    * localEdgeLimit rows of two ids, ~32 MB at the cut): union-find on
+    * the driver with union-by-min + path compression, broadcast-join the
     * resulting label map back onto the ids. Nodes in no edge stay their
     * own singleton component. Label semantics are identical to the
     * distributed loop's fixpoint: component = min id, so the two paths
     * are interchangeable (asserted in ScaleSpec).
     */
-  private[graft] def localComponents(ids: DataFrame, pairs: DataFrame): DataFrame = {
+  private[graft] def localComponents(ids: DataFrame,
+      edges: Array[org.apache.spark.sql.Row]): DataFrame = {
     val spark = ids.sparkSession
     val idType = ids.schema("id").dataType
     val ord: Ordering[Any] = new Ordering[Any] {
@@ -276,7 +281,7 @@ object Dedup {
       while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
       r
     }
-    pairs.select(col("id_a"), col("id_b")).collect().foreach { row =>
+    edges.foreach { row =>
       val (ra, rb) = (find(row.get(0)), find(row.get(1)))
       if (ra != rb) {
         if (ord.lt(ra, rb)) parent(rb) = ra else parent(ra) = rb
