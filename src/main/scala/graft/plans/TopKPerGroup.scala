@@ -47,10 +47,14 @@ case class TopKPerGroup(groupExprs: Seq[Expression], order: Seq[SortOrder],
 }
 
 object TopKPerGroup {
-  /** DataFrame entry point; registers [[TopKStrategy]] into the live
-    * session (idempotent) the same way RangeJoinRewrite registers via
-    * extraOptimizations when the session wasn't built with
-    * GraftExtensions.
+  /** DataFrame entry point. NOTE the session-global side effect: the
+    * first call registers [[TopKStrategy]] into
+    * `spark.experimental.extraStrategies` (the same mechanism
+    * RangeJoinRewrite uses via extraOptimizations when the session
+    * wasn't built with GraftExtensions), and the strategy stays active
+    * for the session's lifetime — harmless for other plans (it matches
+    * only the [[TopKPerGroup]] logical node) but visible in
+    * `spark.experimental` state.
     */
   def apply(df: DataFrame, groupCols: Seq[String], orderBy: Seq[Column],
       k: Int): DataFrame = {
@@ -69,10 +73,17 @@ object TopKPerGroup {
       sortPlan.child))
   }
 
+  /** Check-then-append on session-global state — serialized on the
+    * session so two threads building TopK frames concurrently can't
+    * double-register the strategy (a duplicate would still plan
+    * correctly — first match wins — but grows the strategy list).
+    */
   def ensureRegistered(spark: SparkSession): Unit =
-    if (!spark.experimental.extraStrategies.contains(TopKStrategy))
-      spark.experimental.extraStrategies =
-        spark.experimental.extraStrategies :+ TopKStrategy
+    spark.experimental.synchronized {
+      if (!spark.experimental.extraStrategies.contains(TopKStrategy))
+        spark.experimental.extraStrategies =
+          spark.experimental.extraStrategies :+ TopKStrategy
+    }
 }
 
 /** Plans [[TopKPerGroup]] as partial-over-child + final; EnsureRequirements
@@ -92,6 +103,21 @@ object TopKStrategy extends SparkStrategy {
   * pre-shuffle on whatever partitioning arrives; the final node demands
   * group clustering and re-applies the same reduction, after which each
   * group exists in exactly one partition with exactly its top k.
+  *
+  * The partial is ADAPTIVE, the same escape hatch hash aggregation's
+  * partial-skip uses: after [[TopKPerGroupExec.ProbeRows]] input rows it
+  * checks how much the heaps actually dropped, and when retention
+  * exceeds half the input (high group cardinality — k × groups ≈ rows,
+  * so the heap state is nearly the input and the shuffle saves nothing)
+  * it stops heaping and passes the remaining rows through untouched.
+  * Pass-through is trivially a superset of each partition's top-k, so
+  * the final node still computes the exact answer; what the probe
+  * decides is only whether the partial's memory and copying are paying
+  * for a smaller exchange. This bounds partial memory at ~ProbeRows
+  * retained rows + pass-through streaming, and pins the measured
+  * high-cardinality penalty (26 s vs 5.8 s at 10M rows × 1M groups
+  * before; ≈ window after — tools/ProfileTopK). The FINAL node never
+  * skips; its working set is the true answer, k × groups-per-partition.
   */
 case class TopKPerGroupExec(groupExprs: Seq[Expression],
     order: Seq[SortOrder], k: Int, partial: Boolean, child: SparkPlan)
@@ -104,7 +130,9 @@ case class TopKPerGroupExec(groupExprs: Seq[Expression],
     else ClusteredDistribution(groupExprs) :: Nil
 
   override protected def doExecute(): RDD[InternalRow] = {
-    val (g, o, kk, schema) = (groupExprs, order, k, child.output)
+    val (g, o, kk, isPartial) = (groupExprs, order, k, partial)
+    val schema = child.output
+    val probeRows = TopKPerGroupExec.ProbeRows
     child.execute().mapPartitions({ iter =>
       val keyProj = UnsafeProjection.create(g, schema)
       // ord.compare(a, b) < 0 ⇔ a ranks before b; the scala PriorityQueue
@@ -112,22 +140,39 @@ case class TopKPerGroupExec(groupExprs: Seq[Expression],
       val ord: Ordering[InternalRow] = GenerateOrdering.generate(o, schema)
       val heaps = scala.collection.mutable.HashMap
         .empty[UnsafeRow, scala.collection.mutable.PriorityQueue[InternalRow]]
-      iter.foreach { row =>
+      var seen = 0L
+      var retained = 0L
+      var passThrough = false
+      while (iter.hasNext && !passThrough) {
+        val row = iter.next()
         val key = keyProj(row)
         heaps.get(key) match {
           case None =>
             val h = scala.collection.mutable.PriorityQueue.empty[InternalRow](ord)
             h += row.copy()
             heaps.put(key.copy(), h)
+            retained += 1
           case Some(h) =>
-            if (h.size < kk) h += row.copy()
+            if (h.size < kk) { h += row.copy(); retained += 1 }
             else if (ord.compare(row, h.head) < 0) { h.dequeue(); h += row.copy() }
         }
+        seen += 1
+        if (isPartial && seen == probeRows && retained * 2 > seen)
+          passThrough = true
       }
-      heaps.valuesIterator.flatMap(_.iterator)
+      heaps.valuesIterator.flatMap(_.iterator) ++ iter
     }, preservesPartitioning = true)
   }
 
   override protected def withNewChildInternal(newChild: SparkPlan): TopKPerGroupExec =
     copy(child = newChild)
+}
+
+object TopKPerGroupExec {
+  /** Input rows a partial heaps before judging its own reduction ratio
+    * (once, like hash aggregation's partial-skip probe): large enough
+    * that real low-cardinality workloads have saturated their heaps,
+    * small enough that the retained probe state is a few MB of rows.
+    */
+  val ProbeRows: Long = 1L << 16
 }

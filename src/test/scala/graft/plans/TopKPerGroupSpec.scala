@@ -63,6 +63,32 @@ class TopKPerGroupSpec extends SparkSpec {
     assert(top.count() == 25)
   }
 
+  test("adaptive partial: pass-through at high cardinality, same answer") {
+    import spark.implicits._
+    // 200k rows x ~100k groups in ONE partition: the probe (64k rows)
+    // sees retention > 1/2 and flips the partial to pass-through, so its
+    // output is heaped-prefix + raw-suffix — still a superset of top-k
+    // per group, and the final must land the exact window-form answer.
+    val n = 200000L
+    val df = spark.range(0, n, 1, 1)
+      .select(pmod(hash($"id"), lit(100000)).cast("long").as("grp"),
+        $"id", ($"id" % 997).cast("double").as("v"))
+    val top = TopKPerGroup(df, Seq("grp"), Seq($"v".desc, $"id".asc), 2)
+    val partialRows = physical(top).collect {
+      case e: TopKPerGroupExec if e.partial => e
+    }.head.execute().count()
+    // pass-through emits ~everything (bounded heaps only over the probe
+    // prefix); a non-skipping partial would have reduced toward k×groups
+    assert(partialRows > n / 2, s"partial emitted only $partialRows rows")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"grp").orderBy($"v".desc, $"id".asc)
+    val win = df.withColumn("rk", row_number().over(w)).filter($"rk" <= 2)
+      .select($"grp", $"id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = top.select($"grp", $"id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == win)
+  }
+
   test("partial bounds shuffled rows to k per group per partition") {
     import spark.implicits._
     // 4 partitions x 1 group x 10k rows: the exchange input is the
