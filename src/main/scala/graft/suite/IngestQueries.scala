@@ -27,7 +27,13 @@ import graft.wellness.Wellness
   */
 object IngestQueries {
 
-  private val fixture = "/root/repo/src/test/resources/fixtures/bundle1.json"
+  // Resolved host-independently (env → checkout-relative → classpath →
+  // driver-host absolute); the SAME resolved value lands in the oracle
+  // SQL below, so Spark and DuckDB always read one file.
+  private val fixture = graft.core.Paths.resolve("GRAFT_FIXTURE_BUNDLE",
+    Seq("src/test/resources/fixtures/bundle1.json"),
+    Some("/fixtures/bundle1.json"),
+    "/root/repo/src/test/resources/fixtures/bundle1.json")
 
   private def flat(s: org.apache.spark.sql.SparkSession) =
     FhirIngest.entries(FhirIngest.readBundles(s, fixture))

@@ -118,8 +118,12 @@ object MlQueries {
     * prob<0.5 ⇔ margin<0 — exact by monotonicity): bit-identical
     * cross-engine where the probability would expose libm `exp` ULPs.
     */
-  private val ckdModelPath =
-    sys.env.getOrElse("GRAFT_XGB_CKD_MODEL", "/root/reference/xgb_ckd_model.json")
+  // env → sibling-of-checkout → driver-host absolute (the artifact
+  // lives OUTSIDE the repo, so a foreign checkout finds it next door
+  // or points GRAFT_XGB_CKD_MODEL at it)
+  private val ckdModelPath = graft.core.Paths.resolve("GRAFT_XGB_CKD_MODEL",
+    Seq("../reference/xgb_ckd_model.json"), None,
+    "/root/reference/xgb_ckd_model.json")
   private lazy val ckdModel = XgbModel.load(ckdModelPath)
   private val labScales = Vector(45.0, 200.0, 2.6, 105.0, 240.0, 8.0, 80.0, 30.0, 12.0, 210.0, 450.0)
   private val labOffsets = Vector(5.0, 100.0, 0.4, 15.0, 60.0, 4.0, 20.0, 25.0, 6.0, 40.0, 50.0)
