@@ -111,10 +111,7 @@ object CurationQueries {
     * deterministic, partitioning-invariant, and replayable in SQL as a
     * plain ROW_NUMBER.
     */
-  private val q60 = GQuery(
-    (s, d) => Curation.sourceQuota(T.documents(s, d), "doc_id", "source",
-      quota = 10).orderBy("doc_id"),
-    Some(s"""WITH k AS (
+  private val q60Sql = s"""WITH k AS (
         SELECT doc_id, source, ${ScaleQueries.bucketSql("doc_id")} AS b
         FROM documents),
       r AS (
@@ -123,7 +120,23 @@ object CurationQueries {
             AS BIGINT) AS rank
         FROM k)
       SELECT doc_id, source, rank FROM r WHERE rank <= 10
-      ORDER BY doc_id"""))
+      ORDER BY doc_id"""
+
+  private val q60 = GQuery(
+    (s, d) => Curation.sourceQuota(T.documents(s, d), "doc_id", "source",
+      quota = 10).orderBy("doc_id"),
+    Some(q60Sql))
+
+  /** The same quota cap FORCED onto the skew path (combinerBytes = 0 →
+    * TopKPerGroup bounded-heap partials instead of the per-source
+    * window). Same oracle SQL as q60: the paths are result-identical by
+    * construction, and this row hash-certifies the custom-operator
+    * path itself, not just its spec fixtures.
+    */
+  private val q66 = GQuery(
+    (s, d) => Curation.sourceQuota(T.documents(s, d), "doc_id", "source",
+      quota = 10, combinerBytes = 0L).orderBy("doc_id"),
+    Some(q60Sql))
 
   /** The corpus carries no natural PII, so the query derives one
     * deterministic email + phone + IPv4 per doc from doc_id with the
@@ -178,21 +191,20 @@ object CurationQueries {
     * deterministically. The oracle replays the 62-bit portable sentence
     * hash, so keep/drop decisions match bit-for-bit.
     */
-  private val q62 = {
-    import org.apache.spark.sql.Column
-    def derived(textC: Column, idC: Column): Column = concat(
-      substring(textC, 1, 60), lit(". "),
-      substring(textC, 31, 60), lit(". "),
-      substring(textC, 1, 60), lit(". tail "),
-      pmod(idC, lit(7)).cast("string"))
+  private def sentenceDocs(s: org.apache.spark.sql.SparkSession, d: String) = {
+    val derived = concat(
+      substring(col("text"), 1, 60), lit(". "),
+      substring(col("text"), 31, 60), lit(". "),
+      substring(col("text"), 1, 60), lit(". tail "),
+      pmod(col("doc_id"), lit(7)).cast("string"))
+    T.documents(s, d).withColumn("text", derived)
+  }
+
+  private val q62Sql = {
     val derivedSql =
       """substr(text, 1, 60) || '. ' || substr(text, 31, 60) || '. ' ||
          substr(text, 1, 60) || '. tail ' || (doc_id % 7)::VARCHAR"""
-    GQuery(
-      (s, d) => Curation.dedupSentences(
-        T.documents(s, d).withColumn("text", derived(col("text"), col("doc_id"))),
-        "doc_id", "text").orderBy("doc_id"),
-      Some(s"""WITH base AS (SELECT doc_id, $derivedSql AS text FROM documents),
+    s"""WITH base AS (SELECT doc_id, $derivedSql AS text FROM documents),
         sl AS (SELECT doc_id,
             list_filter(list_transform(string_split_regex(text, '\\.'),
               x -> trim(x)), s -> len(s) > 0) AS l
@@ -209,8 +221,24 @@ object CurationQueries {
           CAST(COUNT(*) FILTER (WHERE keep) AS BIGINT) AS n_kept,
           COALESCE(string_agg(sent, ' ' ORDER BY pos) FILTER (WHERE keep), '')
             AS cleaned
-        FROM k GROUP BY doc_id ORDER BY doc_id"""))
+        FROM k GROUP BY doc_id ORDER BY doc_id"""
   }
+
+  private val q62 = GQuery(
+    (s, d) => Curation.dedupSentences(sentenceDocs(s, d), "doc_id", "text")
+      .orderBy("doc_id"),
+    Some(q62Sql))
+
+  /** The same corpus-global dedup FORCED onto the skew path
+    * (twoStageBytes = 0 → min-per-hash pre-aggregate + join-back
+    * instead of the per-hash window). Same oracle SQL as q62 — the
+    * first-occurrence winner is identical by construction; this row
+    * hash-certifies the two-stage plan itself.
+    */
+  private val q65 = GQuery(
+    (s, d) => Curation.dedupSentences(sentenceDocs(s, d), "doc_id", "text",
+      twoStageBytes = 0L).orderBy("doc_id"),
+    Some(q62Sql))
 
   /** Sequence packing at seqLen 512: each doc's coordinates in the
     * virtual token stream (start token, first/last training sequence).
@@ -246,5 +274,7 @@ object CurationQueries {
     "q61_pii_redaction" -> q61,
     "q62_sentence_dedup" -> q62,
     "q64_sequence_packing" -> q64,
+    "q65_sentence_dedup_twostage" -> q65,
+    "q66_source_quota_topk" -> q66,
   )
 }
