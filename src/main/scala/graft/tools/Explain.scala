@@ -41,7 +41,10 @@ object Explain {
       "q54_bucketed_join",     // bucketed scans -> zero-exchange SMJ
       "q58_decontamination",   // native distinct-shingle kernel + 1:1 semijoin
       "q62_sentence_dedup",    // hash-keyed global first-occurrence window
-      "q63_topk_custom_operator") // custom partial/final physical heaps, no sort
+      "q63_topk_custom_operator", // custom partial/final physical heaps, no sort
+      "q64_sequence_packing",  // range-partitioned two-job prefix sum
+      "q65_sentence_dedup_twostage", // skew path: min-per-hash pre-agg + join-back
+      "q66_source_quota_topk") // skew path: TopK combiner caps the mega-source
 
     val sb = new StringBuilder
     sb.append("# EXPLAIN — flagship physical plans\n\n")

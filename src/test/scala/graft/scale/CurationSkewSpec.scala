@@ -35,6 +35,25 @@ class CurationSkewSpec extends SparkSpec {
     assert(kept.length == 1 && kept.head.getLong(0) == 1L)
   }
 
+  test("skew paths plan the shapes that make them safe") {
+    import spark.implicits._
+    val docs = (1L to 100L).map(i => (i, s"alpha beta. gamma $i", "src"))
+      .toDF("doc_id", "text", "source")
+    // two-stage dedup: the keep decision must be a partial-aggregable
+    // min, not a window (a window partition cannot be split by AQE)
+    val p65 = Curation.dedupSentences(docs, "doc_id", "text",
+      twoStageBytes = 0L).queryExecution.executedPlan.toString
+    assert(!p65.contains("Window"), p65)
+    assert(p65.contains("partial_min") || p65.contains("partial min")
+      || p65.contains("min("), p65)
+    // TopK quota: the kept set must come from the custom heap operator
+    // (whose partial bounds each source per partition); the surviving
+    // window only ranks <= quota rows per source
+    val p66 = Curation.sourceQuota(docs, "doc_id", "source", quota = 10,
+      combinerBytes = 0L).queryExecution.executedPlan.toString
+    assert(p66.contains("TopKPerGroup"), p66)
+  }
+
   test("sourceQuota: TopK combiner == window under one mega-source") {
     val mega = (1L to 99000L).map(i => (i, "mega-source"))
     val tail = (99001L to 100000L).map(i => (i, s"site-${i % 10}"))
