@@ -193,6 +193,60 @@ object Curation {
   val PiiPhone = "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b"
   val PiiIp = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
 
+  /** C4's line-and-page rule filter (Raffel et al. 2020, §2.2 "we used
+    * the following heuristics"): the boilerplate scrubber that runs
+    * BEFORE statistical quality scoring —
+    *
+    *   line rules (applied per line, drop reasons counted with chained
+    *   precedence so a line failing several rules is counted once, by
+    *   the first):
+    *     1. keep only lines ending in a terminal punctuation mark
+    *        (`.`, `!`, `?`, `"`, `'`) — menus/navigation rarely do;
+    *     2. drop lines with fewer than `minWords` words;
+    *     3. drop lines containing the word "javascript" (enable-JS and
+    *        cookie notices);
+    *   page rules (flags on the whole doc):
+    *     4. a page containing `{` is code, not prose;
+    *     5. a page containing "lorem ipsum" is template filler;
+    *     6. after line filtering, a page keeping fewer than `minKept`
+    *        lines carries no prose signal.
+    *
+    * `page_keep` folds 4-6. Entirely a narrow per-row map (split, HOF
+    * filters, rejoin) — zero shuffle at any corpus size, and every
+    * output is a count, a flag, or a deterministic rejoin, so the DuckDB
+    * oracle replays it verbatim (q67).
+    *
+    * Returns (doc_id, n_lines, n_kept, dropped_punct, dropped_short,
+    * dropped_js, cleaned, page_keep) — kept lines rejoined with
+    * `joinSep`, counts/flags as BIGINT for cross-engine hashing.
+    */
+  def c4LineFilter(docs: DataFrame, idCol: String, textCol: String,
+      lineSep: String = "\n", joinSep: String = "\n", minWords: Int = 3,
+      minKept: Int = 3): DataFrame = {
+    def endsOk(l: Column) =
+      substring(l, -1, 1).isin(".", "!", "?", "\"", "'")
+    def words(l: Column) =
+      size(filter(split(l, "\\s+"), t => length(t) > 0))
+    def hasJs(l: Column) = lower(l).contains("javascript")
+    val st = docs.select(col(idCol).as("doc_id"), col(textCol).as("__t"),
+      filter(transform(split(col(textCol), lineSep), l => trim(l)),
+        l => length(l) > 0).as("__l"))
+    val L = col("__l")
+    val kept = filter(L, l => endsOk(l) && words(l) >= minWords && !hasJs(l))
+    st.select(
+      col("doc_id"),
+      size(L).cast("long").as("n_lines"),
+      size(kept).cast("long").as("n_kept"),
+      size(filter(L, l => !endsOk(l))).cast("long").as("dropped_punct"),
+      size(filter(L, l => endsOk(l) && words(l) < minWords))
+        .cast("long").as("dropped_short"),
+      size(filter(L, l => endsOk(l) && words(l) >= minWords && hasJs(l)))
+        .cast("long").as("dropped_js"),
+      array_join(kept, joinSep).as("cleaned"),
+      (!col("__t").contains("{") && !lower(col("__t")).contains("lorem ipsum")
+        && size(kept) >= minKept).cast("long").as("page_keep"))
+  }
+
   /** Corpus-global exact sentence dedup (the C4 move: drop every
     * occurrence of a repeated sentence except the globally-first one,
     * then reassemble documents) — the workhorse against boilerplate

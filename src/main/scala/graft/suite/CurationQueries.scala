@@ -240,6 +240,68 @@ object CurationQueries {
       twoStageBytes = 0L).orderBy("doc_id"),
     Some(q62Sql))
 
+  /** C4 line+page rule filter over derived multi-line pages: each doc
+    * becomes 7 lines that exercise every rule — two prose keeps, a
+    * no-terminal-punct navigation line, an enable-javascript notice, a
+    * too-short line, and two CASE lines that make 1/5 of pages code
+    * (`{`) and 1/7 template filler ("Lorem ipsum…"). Identical
+    * substr/concat derivation and identical rule replay on both
+    * engines; every output is a count, a flag, or the rejoined kept
+    * lines, so the row hash-matches.
+    */
+  private val q67 = {
+    import org.apache.spark.sql.Column
+    val nl = "\n"
+    def page(t: Column, id: Column): Column = concat_ws(nl,
+      concat(substring(t, 1, 80), lit(".")),
+      lit("Home | About | Contact"),
+      concat(lit("Please enable javascript to view "), substring(t, 10, 20), lit(".")),
+      lit("Ok."),
+      concat(substring(t, 31, 80), lit("!")),
+      when(pmod(id, lit(5)) === 0, lit("function f() { return 0; }"))
+        .otherwise(lit("All rights reserved.")),
+      when(pmod(id, lit(7)) === 0, lit("Lorem ipsum dolor sit amet."))
+        .otherwise(lit("Contact us at the office today.")))
+    val pageSql = """substr(text, 1, 80) || '.' || chr(10) ||
+      'Home | About | Contact' || chr(10) ||
+      'Please enable javascript to view ' || substr(text, 10, 20) || '.' || chr(10) ||
+      'Ok.' || chr(10) ||
+      substr(text, 31, 80) || '!' || chr(10) ||
+      CASE WHEN doc_id % 5 = 0 THEN 'function f() { return 0; }'
+           ELSE 'All rights reserved.' END || chr(10) ||
+      CASE WHEN doc_id % 7 = 0 THEN 'Lorem ipsum dolor sit amet.'
+           ELSE 'Contact us at the office today.' END"""
+    val endsOk = """right(x, 1) IN ('.', '!', '?', '"', '''')"""
+    val nWords = """len(list_filter(string_split_regex(x, '\s+'), w -> len(w) > 0))"""
+    GQuery(
+      (s, d) => graft.scale.Curation.c4LineFilter(
+        T.documents(s, d).withColumn("text", page(col("text"), col("doc_id"))),
+        "doc_id", "text").orderBy("doc_id"),
+      Some(s"""WITH base AS (SELECT doc_id, $pageSql AS text FROM documents),
+        sl AS (SELECT doc_id, text,
+            list_filter(list_transform(string_split_regex(text, '\\n'),
+              x -> trim(x)), l -> len(l) > 0) AS l
+          FROM base),
+        f AS (SELECT doc_id, text, l,
+            list_filter(l, x -> $endsOk AND $nWords >= 3
+              AND NOT contains(lower(x), 'javascript')) AS kept
+          FROM sl)
+        SELECT doc_id,
+          CAST(len(l) AS BIGINT) AS n_lines,
+          CAST(len(kept) AS BIGINT) AS n_kept,
+          CAST(len(list_filter(l, x -> NOT ($endsOk))) AS BIGINT)
+            AS dropped_punct,
+          CAST(len(list_filter(l, x -> $endsOk AND $nWords < 3)) AS BIGINT)
+            AS dropped_short,
+          CAST(len(list_filter(l, x -> $endsOk AND $nWords >= 3
+            AND contains(lower(x), 'javascript'))) AS BIGINT) AS dropped_js,
+          array_to_string(kept, chr(10)) AS cleaned,
+          CAST((NOT contains(text, '{')
+            AND NOT contains(lower(text), 'lorem ipsum')
+            AND len(kept) >= 3) AS BIGINT) AS page_keep
+        FROM f ORDER BY doc_id"""))
+  }
+
   /** Sequence packing at seqLen 512: each doc's coordinates in the
     * virtual token stream (start token, first/last training sequence).
     * Spark computes the prefix sum with the two-job distributed scan
@@ -276,5 +338,6 @@ object CurationQueries {
     "q64_sequence_packing" -> q64,
     "q65_sentence_dedup_twostage" -> q65,
     "q66_source_quota_topk" -> q66,
+    "q67_c4_line_filter" -> q67,
   )
 }

@@ -129,6 +129,32 @@ class CurationSpec extends SparkSpec {
       r.getString(3))).toSet == out.toSet)
   }
 
+  test("c4LineFilter: line rules with chained precedence, page flags") {
+    val docs = Seq(
+      // 2 prose keeps, 1 nav (no terminal punct), 1 short, 1 js notice
+      (1L, "A fine full sentence here.\nHome | About\nOk.\n" +
+        "Please enable javascript now.\nAnother proper prose line stays!"),
+      // page with code brace: lines keep individually, page dropped
+      (2L, "One good line stays here.\nif (x) { y(); }\n" +
+        "Second good line stays here.\nThird good line stays here."),
+      // lorem page + too few kept lines (< 3)
+      (3L, "Lorem ipsum dolor sit amet.\nShort.\nMenu")
+    ).toDF("doc_id", "text")
+    val out = Curation.c4LineFilter(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    // doc 1: 5 lines, kept 2; nav dropped by punct, Ok. short, js notice
+    // counted by the js rule (it passes punct + words first)
+    assert(out(0).getLong(1) == 5 && out(0).getLong(2) == 2)
+    assert(out(0).getLong(3) == 1 && out(0).getLong(4) == 1 && out(0).getLong(5) == 1)
+    assert(out(0).getString(6) ==
+      "A fine full sentence here.\nAnother proper prose line stays!")
+    assert(out(0).getLong(7) == 0L) // kept 2 < minKept 3 → page dropped
+    // doc 2: 3 prose keeps but the brace kills the page
+    assert(out(1).getLong(2) == 3 && out(1).getLong(7) == 0L)
+    // doc 3: lorem page flagged regardless of its kept line
+    assert(out(2).getLong(7) == 0L)
+  }
+
   test("sourceQuota: caps per source, keeps the smallest buckets, partitioning-invariant") {
     val docs = (1L to 10L).map(i =>
       (i, if (i <= 5) "sA" else "sB", s"text $i")).toDF("doc_id", "source", "text")
