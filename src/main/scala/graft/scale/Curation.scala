@@ -247,6 +247,78 @@ object Curation {
         && size(kept) >= minKept).cast("long").as("page_keep"))
   }
 
+  /** Gopher's document-level quality flags (Rae et al. 2021, §A1.1 —
+    * the pre-filter rules MassiveWeb applies before any model-based
+    * scoring), one flag per rule plus the conjunction:
+    *
+    *   - word count within [minWords, maxWords];
+    *   - mean word length within [minMeanLen, maxMeanLen] (kills
+    *     character-soup and concatenated-token pages);
+    *   - symbol-to-word ratio ≤ maxSymbolRatio (`#` and `...`);
+    *   - ≤ maxBulletFrac of lines starting with a bullet (`-`, `*`);
+    *   - ≤ maxEllipsisFrac of lines ending in `...`;
+    *   - ≥ minAlphaFrac of words containing an alphabetic character;
+    *   - at least minStopHits of the 8 required English stop words.
+    *
+    * Pure narrow map (token/line HOFs), zero shuffle at any size; every
+    * fraction is an exact IEEE quotient of two integer counts and the
+    * stopword probe is 8 literal membership tests, so the DuckDB oracle
+    * (q68) replays everything verbatim. Degenerate docs (no words / no
+    * lines) fail the corresponding bound rather than yielding fake
+    * passes: Gopher drops empty pages.
+    *
+    * Returns (doc_id, n_words, mean_word_len, symbol_ratio,
+    * bullet_frac, ellipsis_frac, alpha_frac, stop_hits, keep).
+    */
+  def gopherQualityFlags(docs: DataFrame, idCol: String, textCol: String,
+      lineSep: String = "\n", minWords: Long = 50, maxWords: Long = 100000,
+      minMeanLen: Double = 3.0, maxMeanLen: Double = 10.0,
+      maxSymbolRatio: Double = 0.1, maxBulletFrac: Double = 0.9,
+      maxEllipsisFrac: Double = 0.3, minAlphaFrac: Double = 0.8,
+      minStopHits: Int = 2): DataFrame = {
+    val t = col("__t")
+    val toks = col("__toks")
+    val lines = col("__lines")
+    val st = docs.select(col(idCol).as("doc_id"), col(textCol).as("__t"),
+      TextOps.tokens(col(textCol)).as("__toks"),
+      filter(transform(split(col(textCol), lineSep), l => trim(l)),
+        l => length(l) > 0).as("__lines"))
+    val nW = size(toks).cast("long")
+    val nL = size(lines).cast("long")
+    val sumLen = aggregate(toks, lit(0L), (acc, x) => acc + length(x))
+    // '#' occurrences + '...' occurrences (each ellipsis is 3 chars)
+    val nSym = (length(t) - length(translate(t, "#", ""))).cast("long") +
+      ((length(t) - length(replace(t, lit("...")))) / 3).cast("long")
+    val nBullet = size(filter(lines,
+      l => substring(l, 1, 1).isin("-", "*"))).cast("long")
+    val nEll = size(filter(lines,
+      l => substring(l, -3, 3) === "...")).cast("long")
+    val nAlpha = size(filter(toks, x => x.rlike("[A-Za-z]"))).cast("long")
+    val stopHits = GopherStopWords.map(w =>
+      when(exists(toks, x => lower(x) === w), 1L).otherwise(0L))
+      .reduce(_ + _)
+    val meanLen = when(nW > 0, sumLen.cast("double") / nW.cast("double"))
+    val symR = when(nW > 0, nSym.cast("double") / nW.cast("double"))
+    val bulF = when(nL > 0, nBullet.cast("double") / nL.cast("double"))
+    val ellF = when(nL > 0, nEll.cast("double") / nL.cast("double"))
+    val alpF = when(nW > 0, nAlpha.cast("double") / nW.cast("double"))
+    val keep = nW.between(minWords, maxWords) &&
+      coalesce(meanLen.between(minMeanLen, maxMeanLen), lit(false)) &&
+      coalesce(symR <= maxSymbolRatio, lit(false)) &&
+      coalesce(bulF <= maxBulletFrac, lit(false)) &&
+      coalesce(ellF <= maxEllipsisFrac, lit(false)) &&
+      coalesce(alpF >= minAlphaFrac, lit(false)) &&
+      stopHits >= minStopHits
+    st.select(col("doc_id"), nW.as("n_words"), meanLen.as("mean_word_len"),
+      symR.as("symbol_ratio"), bulF.as("bullet_frac"),
+      ellF.as("ellipsis_frac"), alpF.as("alpha_frac"),
+      stopHits.as("stop_hits"), keep.cast("long").as("keep"))
+  }
+
+  /** Gopher's required-stop-word list (presence of ≥2 ⇒ real prose). */
+  val GopherStopWords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
   /** Corpus-global exact sentence dedup (the C4 move: drop every
     * occurrence of a repeated sentence except the globally-first one,
     * then reassemble documents) — the workhorse against boilerplate

@@ -302,6 +302,87 @@ object CurationQueries {
         FROM f ORDER BY doc_id"""))
   }
 
+  /** Gopher document-level quality flags over derived pages: 1/4 of
+    * docs gain three bullet lines, 1/5 twenty `#` symbols, 1/6 two
+    * ellipsis lines, 1/9 a digits-only line — every fraction rule
+    * exercised; word-count and stop-word rules vary with the raw
+    * corpus. Identical derivation and rule replay on both engines; all
+    * fractions are exact IEEE quotients of integer counts, so the row
+    * hash-matches without rounding.
+    */
+  private val q68 = {
+    import org.apache.spark.sql.Column
+    def page(t: Column, id: Column): Column = concat(
+      when(pmod(id, lit(4)) === 0,
+        lit("- first item\n- second item\n* third item\n")).otherwise(lit("")),
+      t,
+      when(pmod(id, lit(5)) === 0,
+        concat(lit(" "), lit("# " * 20))).otherwise(lit("")),
+      when(pmod(id, lit(6)) === 0,
+        lit("\nRead more...\nClick here...")).otherwise(lit("")),
+      when(pmod(id, lit(9)) === 0,
+        lit("\n1234 5678 9012 3456")).otherwise(lit("")))
+    val pageSql = s"""CASE WHEN doc_id % 4 = 0 THEN '- first item' || chr(10) ||
+        '- second item' || chr(10) || '* third item' || chr(10) ELSE '' END ||
+      text ||
+      CASE WHEN doc_id % 5 = 0 THEN ' ' || repeat('# ', 20) ELSE '' END ||
+      CASE WHEN doc_id % 6 = 0 THEN chr(10) || 'Read more...' || chr(10) ||
+        'Click here...' ELSE '' END ||
+      CASE WHEN doc_id % 9 = 0 THEN chr(10) || '1234 5678 9012 3456'
+        ELSE '' END"""
+    val stopSql = graft.scale.Curation.GopherStopWords.map(w =>
+      s"CASE WHEN len(list_filter(toks, x -> lower(x) = '$w')) > 0 THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    GQuery(
+      (s, d) => graft.scale.Curation.gopherQualityFlags(
+        T.documents(s, d).withColumn("text", page(col("text"), col("doc_id"))),
+        "doc_id", "text").orderBy("doc_id"),
+      Some(s"""WITH base AS (SELECT doc_id, $pageSql AS text FROM documents),
+        s AS (SELECT doc_id, text,
+            list_filter(string_split_regex(text, '\\s+'), x -> len(x) > 0) AS toks,
+            list_filter(list_transform(string_split_regex(text, '\\n'),
+              x -> trim(x)), l -> len(l) > 0) AS lines
+          FROM base),
+        m AS (SELECT doc_id,
+            CAST(len(toks) AS BIGINT) AS nw,
+            CAST(len(lines) AS BIGINT) AS nl,
+            CAST(COALESCE(list_sum(list_transform(toks, x -> len(x))), 0)
+              AS BIGINT) AS sumlen,
+            CAST(len(text) - len(replace(text, '#', '')) AS BIGINT)
+              + CAST((len(text) - len(replace(text, '...', ''))) // 3
+                AS BIGINT) AS nsym,
+            CAST(len(list_filter(lines, l -> l[1] IN ('-', '*')))
+              AS BIGINT) AS nbul,
+            CAST(len(list_filter(lines, l -> right(l, 3) = '...'))
+              AS BIGINT) AS nell,
+            CAST(len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]')))
+              AS BIGINT) AS nalpha,
+            CAST($stopSql AS BIGINT) AS stophits
+          FROM s)
+        SELECT doc_id, nw AS n_words,
+          CASE WHEN nw > 0 THEN sumlen::DOUBLE / nw::DOUBLE END
+            AS mean_word_len,
+          CASE WHEN nw > 0 THEN nsym::DOUBLE / nw::DOUBLE END AS symbol_ratio,
+          CASE WHEN nl > 0 THEN nbul::DOUBLE / nl::DOUBLE END AS bullet_frac,
+          CASE WHEN nl > 0 THEN nell::DOUBLE / nl::DOUBLE END
+            AS ellipsis_frac,
+          CASE WHEN nw > 0 THEN nalpha::DOUBLE / nw::DOUBLE END AS alpha_frac,
+          stophits AS stop_hits,
+          CAST((nw BETWEEN 50 AND 100000)
+            AND COALESCE(CASE WHEN nw > 0 THEN sumlen::DOUBLE / nw::DOUBLE END
+              BETWEEN 3.0 AND 10.0, false)
+            AND COALESCE(CASE WHEN nw > 0 THEN nsym::DOUBLE / nw::DOUBLE END
+              <= 0.1, false)
+            AND COALESCE(CASE WHEN nl > 0 THEN nbul::DOUBLE / nl::DOUBLE END
+              <= 0.9, false)
+            AND COALESCE(CASE WHEN nl > 0 THEN nell::DOUBLE / nl::DOUBLE END
+              <= 0.3, false)
+            AND COALESCE(CASE WHEN nw > 0 THEN nalpha::DOUBLE / nw::DOUBLE END
+              >= 0.8, false)
+            AND stophits >= 2 AS BIGINT) AS keep
+        FROM m ORDER BY doc_id"""))
+  }
+
   /** Sequence packing at seqLen 512: each doc's coordinates in the
     * virtual token stream (start token, first/last training sequence).
     * Spark computes the prefix sum with the two-job distributed scan
@@ -339,5 +420,6 @@ object CurationQueries {
     "q65_sentence_dedup_twostage" -> q65,
     "q66_source_quota_topk" -> q66,
     "q67_c4_line_filter" -> q67,
+    "q68_gopher_quality" -> q68,
   )
 }

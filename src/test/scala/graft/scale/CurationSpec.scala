@@ -155,6 +155,31 @@ class CurationSpec extends SparkSpec {
     assert(out(2).getLong(7) == 0L)
   }
 
+  test("gopherQualityFlags: exact fractions and flag logic on crafted docs") {
+    // 60 words of clean prose with stop words → keep; relaxed bounds
+    // aren't needed — the doc is engineered to pass every rule
+    val prose = (1 to 12).map(_ => "the cat and dog have fun").mkString(" ")
+    val docs = Seq(
+      (1L, prose),
+      // bullet-dominated: 3 of 4 lines start with a bullet
+      (2L, "- one two three\n- four five six\n* seven eight nine\n" + prose),
+      // symbol-heavy: 20 hashes over ~60 words → ratio > 0.1
+      (3L, prose + " " + ("# " * 20).trim),
+      (4L, "")
+    ).toDF("doc_id", "text")
+    val out = Curation.gopherQualityFlags(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    // doc 1: 72 words, mean len (72*4-12)/72? hand-check the basics
+    assert(out(0).getLong(1) == 72 && out(0).getLong(8) == 1L)
+    assert(out(0).getDouble(6) == 1.0) // every word alphabetic
+    // doc 2: bullet_frac = 3/4 (≤ 0.9 passes) — fraction exact
+    assert(out(1).getDouble(4) == 0.75)
+    // doc 3: 20 extra # tokens → symbol rule fails
+    assert(out(2).getDouble(3) > 0.1 && out(2).getLong(8) == 0L)
+    // doc 4: empty — every guarded fraction NULL, keep = 0, not a crash
+    assert(out(3).getLong(1) == 0 && out(3).isNullAt(2) && out(3).getLong(8) == 0L)
+  }
+
   test("sourceQuota: caps per source, keeps the smallest buckets, partitioning-invariant") {
     val docs = (1L to 10L).map(i =>
       (i, if (i <= 5) "sA" else "sB", s"text $i")).toDF("doc_id", "source", "text")
