@@ -31,6 +31,42 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(out).count() == 3)
   }
 
+  test("curation maps run unchanged as a streaming ingest transform") {
+    import spark.implicits._
+    import graft.scale.Curation
+    // PII redaction then C4 line filtering are pure narrow maps, so the
+    // SAME composed function serves batch and stream — the curation
+    // stage of a training-data pipeline as an incremental file ingest.
+    def curate(df: org.apache.spark.sql.DataFrame) = {
+      val red = Curation.redactPii(df, "doc_id", "text")
+      Curation.c4LineFilter(
+        red.select(col("doc_id"), col("redacted").as("text")),
+        "doc_id", "text", minKept = 1)
+    }
+    val in = Files.createTempDirectory("graft_cur_in").toString
+    val out = Files.createTempDirectory("graft_cur_out").toString
+    val ckpt = Files.createTempDirectory("graft_cur_ckpt").toString
+    val d1 = Seq(
+      (1L, "Write to bob@x.co for details.\nHome | About\nA proper line stays here."),
+      (2L, "Call 555-123-4567 today!\nOk."))
+      .toDF("doc_id", "text")
+    val d2 = Seq(
+      (3L, "Please enable javascript to continue.\nReal prose survives the filter."))
+      .toDF("doc_id", "text")
+    d1.write.parquet(s"$in/b1")
+    Streaming.incrementalIngest(spark, in, d1.schema, out, ckpt, curate)
+    d2.write.parquet(s"$in/b2")
+    Streaming.incrementalIngest(spark, in, d1.schema, out, ckpt, curate)
+
+    val streamed = spark.read.parquet(out).orderBy("doc_id").collect()
+    val batch = curate(d1.union(d2)).orderBy("doc_id").collect()
+    assert(streamed.map(_.toSeq).toSeq == batch.map(_.toSeq).toSeq)
+    // the email was redacted BEFORE line filtering: the kept line of
+    // doc 1 carries the placeholder, not the address
+    assert(streamed(0).getString(6).contains("<EMAIL>")
+      || !streamed(0).getString(6).contains("bob@x.co"))
+  }
+
   test("watermarked windowed aggregation over a bounded stream") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_ev").toString
