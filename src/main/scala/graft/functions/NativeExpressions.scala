@@ -61,6 +61,15 @@ object NativeExpressions {
     Bridge.column(KMinValues(Bridge.expression(hash), k, domain)
       .toAggregateExpression())
 
+  /** Misra-Gries heavy-hitter summary over a string column (see
+    * [[MisraGries]]): at most `capacity` (token, est) counters, mergeable
+    * with map-side partials; every est is an undercount with error
+    * ≤ (N − Σ est)/(capacity+1).
+    */
+  def misra_gries(token: Column, capacity: Int): Column =
+    Bridge.column(MisraGries(Bridge.expression(token), capacity)
+      .toAggregateExpression())
+
   /** Single-pass text statistics over a token array. Output layout
     * (array<long>, see [[TextStats]]): [0]=Σ numChars, [1]=tokens matching
     * ANY stopword list, [2..6]=per-language hits in `langs` order.

@@ -185,4 +185,86 @@ object TextOps {
     */
   def fingerprintStringShingles(text: Column, n: Int = 3): Column =
     array_min(transform(shingles(tokens(text), n), s => xxhash64(s)))
+
+  /** Exact top-k tokens WITHOUT a corpus-wide distinct-token aggregation —
+    * the scale path for q23's `groupBy(token).count()`. A plain full
+    * groupBy must hold every distinct token in the aggregation hash maps
+    * (a 100 TB crawl has billions — guaranteed spill) and ship one row
+    * per (partition, distinct token) through the shuffle. This runs:
+    *
+    *   1. one pass building a [[graft.functions.MisraGries]] summary
+    *      (≤ `capacity` counters per partition, merged like any native
+    *      aggregate — the shuffle carries one ~capacity-entry summary
+    *      per partition) plus the total token count N;
+    *   2. one pass recounting ONLY the ≤ capacity candidate tokens
+    *      exactly (broadcast semijoin; per-partition aggregation state
+    *      is bounded by `capacity` no matter the corpus);
+    *   3. an exactness CERTIFICATE from the MG bound: any token absent
+    *      from the summary has true count ≤ (N − Σ est)/(capacity+1),
+    *      so if the k-th exact candidate count clears that threshold
+    *      (strictly — ties at the boundary could reorder under the
+    *      (n desc, token asc) tiebreak), no non-candidate can displace
+    *      the top-k and the result is globally exact.
+    *
+    * On Zipf-shaped corpora the certificate holds for any sane
+    * capacity ≫ k (the k-th token's share dwarfs N/capacity); when it
+    * does NOT (adversarially flat distributions), the operator falls
+    * back to the exact full groupBy rather than return an uncertified
+    * answer — exactness is unconditional, only the fast path is
+    * distribution-dependent.
+    *
+    * Driver-side state: one ≤ capacity-entry summary + k result rows —
+    * both bounded by parameters, never by data size. Returns (token, n)
+    * ordered by (n desc, token asc), exactly k rows (fewer only when the
+    * corpus has fewer distinct tokens).
+    */
+  def heavyHitters(docs: org.apache.spark.sql.DataFrame, textCol: String,
+      k: Int, capacity: Int = 4096): org.apache.spark.sql.DataFrame =
+    heavyHittersWithCert(docs, textCol, k, capacity)._1
+
+  /** [[heavyHitters]] exposing whether the certified sketch path (true)
+    * or the full-groupBy fallback (false) produced the result.
+    */
+  private[graft] def heavyHittersWithCert(
+      docs: org.apache.spark.sql.DataFrame, textCol: String,
+      k: Int, capacity: Int): (org.apache.spark.sql.DataFrame, Boolean) = {
+    require(k >= 1, s"k must be >= 1: $k")
+    require(capacity > k, s"capacity ($capacity) must exceed k ($k)")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val toks = docs.select(explode(tokens(col(textCol))).as("token"))
+    val sketch = toks.agg(
+      graft.functions.NativeExpressions.misra_gries($"token", capacity).as("mg"),
+      count(lit(1)).as("n")).head()
+    val summary = sketch.getSeq[org.apache.spark.sql.Row](0)
+    val n = sketch.getLong(1)
+    val estSum = summary.iterator.map(_.getLong(1)).sum
+    // MG bound: true(absent token) ≤ (N − Σ est)/(capacity+1); counts are
+    // integers so flooring the threshold preserves the bound.
+    val tau = (n - estSum) / (capacity + 1L)
+    val candidates = summary.map(_.getString(0))
+    val exactTop = toks
+      .join(broadcast(candidates.toDF("token")), Seq("token"))
+      .groupBy($"token").agg(count(lit(1)).as("n"))
+      .orderBy($"n".desc, $"token")
+      .limit(k)
+      .collect()
+    val certified =
+      (exactTop.length == k && exactTop.last.getLong(1) > tau) ||
+        (n == estSum) // zero deficit: the summary IS the exact count map
+    if (certified) {
+      // k driver-side rows — avoid re-running the recount when the
+      // caller materializes the result
+      (spark.createDataFrame(
+        spark.sparkContext.parallelize(exactTop.toIndexedSeq, 1),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("token",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("n",
+            org.apache.spark.sql.types.LongType, nullable = false)))), true)
+    } else {
+      (toks.groupBy($"token").agg(count(lit(1)).as("n"))
+        .orderBy($"n".desc, $"token").limit(k), false)
+    }
+  }
 }

@@ -436,6 +436,32 @@ object ExtendedQueries {
       ORDER BY g.event_type"""
     })
 
+  /** Column profiling (scale.Profiling) in EXACT mode so DuckDB can
+    * mirror every number: per-column row/non-null/distinct counts and
+    * stringified min/max over five lineitem columns spanning long,
+    * double, string, and timestamp types. The default approx mode (the
+    * single-pass, Expand-free scale path) is covered numerically in
+    * ProfilingSpec; here the exact mode proves the unpivoted stats
+    * themselves — including cross-engine min/max string rendering —
+    * are right.
+    */
+  private val q70 = GQuery(
+    (s, d) => graft.scale.Profiling.profile(
+      T.lineitem(s, d),
+      Seq("l_orderkey", "l_quantity", "l_extendedprice", "l_returnflag",
+        "l_shipdate"),
+      exact = true),
+    Some {
+      def one(c: String) =
+        s"""SELECT '$c' AS col_name, COUNT(*) AS n_rows,
+          COUNT($c) AS n_nonnull, COUNT(DISTINCT $c) AS n_distinct,
+          CAST(MIN($c) AS VARCHAR) AS min_value,
+          CAST(MAX($c) AS VARCHAR) AS max_value FROM lineitem"""
+      Seq("l_orderkey", "l_quantity", "l_extendedprice", "l_returnflag",
+        "l_shipdate").map(one).mkString(" UNION ALL ") +
+        " ORDER BY col_name"
+    })
+
   def all: Map[String, GQuery] = Map(
     "q29_asof_join" -> q29,
     "q30_rollup" -> q30,
@@ -451,5 +477,6 @@ object ExtendedQueries {
     "q55_sink_roundtrip" -> q55,
     "q56_range_join" -> q56,
     "q57_kmv_distinct" -> q57,
+    "q70_column_profile" -> q70,
   )
 }

@@ -129,6 +129,24 @@ object ScaleQueries {
         FROM documents)
       GROUP BY token ORDER BY n DESC, token LIMIT 20"""))
 
+  /** Exact top-25 tokens via the Misra-Gries certified sketch path
+    * (TextOps.heavyHitters) — q23's answer computed WITHOUT the
+    * corpus-wide distinct-token aggregation. The aggregation state and
+    * shuffle are bounded by `capacity` per partition (vs one hash-map
+    * entry per distinct token — billions at crawl scale), and the MG
+    * undercount bound certifies the recounted top-k as globally exact
+    * before it is returned; the DuckDB oracle is the plain full
+    * GROUP BY, so a hash-match certifies the sketch+recount pipeline
+    * end to end.
+    */
+  private val q69 = GQuery(
+    (s, d) => TextOps.heavyHitters(T.documents(s, d), "text",
+      k = 25, capacity = 2048),
+    Some("""SELECT token, COUNT(*) AS n FROM (
+        SELECT unnest(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)) AS token
+        FROM documents)
+      GROUP BY token ORDER BY n DESC, token LIMIT 25"""))
+
   /** Near-duplicate pairs by n-gram Jaccard >= 0.8.
     *
     * Spark side: MinHash (64 perms) + LSH banding (16 bands × 4 rows)
@@ -511,5 +529,6 @@ object ScaleQueries {
     "q42_bpe_token_count" -> q42,
     "q45_stratified_sample" -> q45,
     "q46_cluster_split" -> q46,
+    "q69_heavy_hitters" -> q69,
   )
 }
