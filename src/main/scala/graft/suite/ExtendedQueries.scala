@@ -439,11 +439,12 @@ object ExtendedQueries {
   /** Column profiling (scale.Profiling) in EXACT mode so DuckDB can
     * mirror every number: per-column row/non-null/distinct counts and
     * stringified min/max over five lineitem columns spanning long,
-    * double, string, and timestamp types. The default approx mode (the
-    * single-pass, Expand-free scale path) is covered numerically in
-    * ProfilingSpec; here the exact mode proves the unpivoted stats
-    * themselves — including cross-engine min/max string rendering —
-    * are right.
+    * double, string, and timestamp types. Exact mode is one column-
+    * pruned aggregation branch per column unioned (two-level distinct
+    * agg, no Expand); the default approx mode (ONE single-pass HLL
+    * aggregation, the scale path) is covered numerically in
+    * ProfilingSpec. This oracle proves the unpivoted stats themselves —
+    * including cross-engine min/max string rendering — are right.
     */
   private val q70 = GQuery(
     (s, d) => graft.scale.Profiling.profile(

@@ -44,7 +44,8 @@ object Explain {
       "q63_topk_custom_operator", // custom partial/final physical heaps, no sort
       "q64_sequence_packing",  // range-partitioned two-job prefix sum
       "q65_sentence_dedup_twostage", // skew path: min-per-hash pre-agg + join-back
-      "q66_source_quota_topk") // skew path: TopK combiner caps the mega-source
+      "q66_source_quota_topk", // skew path: TopK combiner caps the mega-source
+      "q70_column_profile")    // multi-distinct Expand (exact mode audit)
 
     val sb = new StringBuilder
     sb.append("# EXPLAIN — flagship physical plans\n\n")

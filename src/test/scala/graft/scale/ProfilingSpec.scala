@@ -41,13 +41,25 @@ class ProfilingSpec extends SparkSpec {
     }
   }
 
-  test("approx profile plans with no Expand node; exact mode has one") {
+  test("neither mode plans an Expand node") {
     val approxPlan = Profiling.profile(fixture, Seq("id", "s", "x"))
       .queryExecution.executedPlan.toString
     val exactPlan = Profiling.profile(fixture, Seq("id", "s", "x"), exact = true)
       .queryExecution.executedPlan.toString
     assert(!approxPlan.contains("Expand"))
-    assert(exactPlan.contains("Expand"))
+    assert(!exactPlan.contains("Expand"),
+      "exact mode must use per-column union branches, not multi-distinct Expand")
+  }
+
+  test("exact branches prune the parquet scan to their own column") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_prof").toString
+    fixture.write.mode("overwrite").parquet(dir)
+    val plan = Profiling.profile(spark.read.parquet(dir), Seq("id", "s"),
+      exact = true).queryExecution.executedPlan.toString
+    // one scan per branch, each reading a single column
+    assert(plan.contains("ReadSchema: struct<id:bigint>"))
+    assert(plan.contains("ReadSchema: struct<s:string>"))
+    assert(!plan.contains("ReadSchema: struct<id:bigint,s:string"))
   }
 
   test("all-null column profiles to null min/max and zero distinct") {
