@@ -61,6 +61,22 @@ object NativeExpressions {
     Bridge.column(KMinValues(Bridge.expression(hash), k, domain)
       .toAggregateExpression())
 
+  /** Winnowed k-gram fingerprint selection with per-occurrence
+    * verification contexts (see [[WinnowContexts]]): array of
+    * (h, left, mid, right) — the scale-path candidate generator for
+    * character-level common-run detection ([[graft.scale.Dedup
+    * .commonRunPairs]]).
+    */
+  def winnow_contexts(text: Column, k: Int, w: Int): Column =
+    Bridge.column(WinnowContexts(Bridge.expression(text), k, w))
+
+  /** Shared-run witness over two winnow context structs (see
+    * [[RunExtends]]): k-grams equal AND left-suffix + right-prefix common
+    * extension ≥ `need` code points.
+    */
+  def run_extends(a: Column, b: Column, need: Int): Column =
+    Bridge.column(RunExtends(Bridge.expression(a), Bridge.expression(b), need))
+
   /** Misra-Gries heavy-hitter summary over a string column (see
     * [[MisraGries]]): at most `capacity` (token, est) counters, mergeable
     * with map-side partials; every est is an undercount with error
@@ -313,6 +329,113 @@ object NativeExpressions {
       }
       best
     }
+  }
+
+  /** Reference JVM implementation of [[WinnowContexts]]: winnowed k-gram
+    * fingerprint selection over CODE POINTS (so offsets agree with
+    * character-semantics engines), one O(n) pass —
+    *
+    *   1. rolling polynomial k-gram hash (FNV-prime base, wrapping 2^64);
+    *   2. per sliding window of w consecutive k-gram hashes, select the
+    *      LEFTMOST minimal hash (unsigned order) via a monotonic deque —
+    *      selection is a pure function of window content, which is what
+    *      makes the winnowing guarantee hold across documents;
+    *   3. for each distinct selected position, emit
+    *      (hash, left, mid, right): mid = the k-gram itself, left/right =
+    *      up to w−1 code points of surrounding context — exactly enough
+    *      to verify "this occurrence sits inside a shared run of
+    *      k+w−1 chars" without ever joining full documents.
+    *
+    * Texts with fewer than k+w−1 code points select nothing (they cannot
+    * contain a qualifying run).
+    */
+  def winnowContexts(text: org.apache.spark.unsafe.types.UTF8String,
+      k: Int, w: Int): ArrayData = {
+    val cps = text.toString.codePoints().toArray
+    val n = cps.length
+    val nh = n - k + 1
+    if (nh < w) return new GenericArrayData(Array.empty[Any])
+    val B = 0x100000001b3L
+    var bk = 1L
+    var i = 0
+    while (i < k) { bk *= B; i += 1 }
+    val hs = new Array[Long](nh)
+    var h = 0L
+    i = 0
+    while (i < n) {
+      h = h * B + cps(i)
+      if (i >= k) h -= bk * cps(i - k)
+      if (i >= k - 1) hs(i - k + 1) = h
+      i += 1
+    }
+    // monotonic deque: pop strictly-greater tails, so the front stays the
+    // LEFTMOST minimum of the current window
+    val selected = new java.util.LinkedHashSet[Integer]
+    val dq = new java.util.ArrayDeque[Integer]
+    var j = 0
+    while (j < nh) {
+      while (!dq.isEmpty &&
+        java.lang.Long.compareUnsigned(hs(dq.peekLast), hs(j)) > 0) dq.pollLast()
+      dq.addLast(j)
+      if (dq.peekFirst <= j - w) dq.pollFirst()
+      if (j >= w - 1) selected.add(dq.peekFirst)
+      j += 1
+    }
+    val out = new Array[Any](selected.size)
+    val it = selected.iterator()
+    var idx = 0
+    while (it.hasNext) {
+      val p = it.next().intValue()
+      val ls = Math.max(0, p - (w - 1))
+      val re = Math.min(n, p + k + (w - 1))
+      out(idx) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](
+          hs(p),
+          org.apache.spark.unsafe.types.UTF8String.fromString(
+            new String(cps, ls, p - ls)),
+          org.apache.spark.unsafe.types.UTF8String.fromString(
+            new String(cps, p, k)),
+          org.apache.spark.unsafe.types.UTF8String.fromString(
+            new String(cps, p + k, re - (p + k)))))
+      idx += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Reference JVM implementation of [[RunExtends]]: do two winnow
+    * selections (l, m, r) witness a shared run of ≥ |m| + need code
+    * points? True iff the k-grams match exactly and the common SUFFIX of
+    * the left contexts plus the common PREFIX of the right contexts
+    * reaches `need` code points. One short char scan, zero allocations —
+    * this predicate runs once per matched occurrence pair, which is the
+    * hot row count of [[graft.scale.Dedup.commonRunPairs]].
+    *
+    * Code points are counted the way the contexts were cut (a surrogate
+    * pair is one code point): matching char positions are counted, then
+    * low-surrogate continuation chars are discounted.
+    */
+  def runExtends(a: org.apache.spark.sql.catalyst.InternalRow,
+      b: org.apache.spark.sql.catalyst.InternalRow, need: Int): Boolean = {
+    if (!a.getUTF8String(1).equals(b.getUTF8String(1))) return false
+    if (need <= 0) return true
+    val la = a.getUTF8String(0).toString
+    val lb = b.getUTF8String(0).toString
+    val ra = a.getUTF8String(2).toString
+    val rb = b.getUTF8String(2).toString
+    var ext = 0
+    var i = la.length - 1
+    var j = lb.length - 1
+    while (i >= 0 && j >= 0 && la.charAt(i) == lb.charAt(j)) {
+      if (!Character.isLowSurrogate(la.charAt(i))) ext += 1
+      i -= 1; j -= 1
+    }
+    i = 0
+    val n = Math.min(ra.length, rb.length)
+    while (i < n && ra.charAt(i) == rb.charAt(i)) {
+      if (!Character.isHighSurrogate(ra.charAt(i))) ext += 1
+      i += 1
+    }
+    ext >= need
   }
 
   /** Reference JVM implementation of [[RollingHashMin]] — used by eval,
@@ -774,6 +897,55 @@ case class PortableDistinctShingles(child: Expression, n: Int)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c =>
       s"""${ev.value} = graft.functions.NativeExpressions.portableDistinctShingles($c, $n);""")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Shared-run witness check over two winnow-selection context structs
+  * (see [[NativeExpressions.runExtends]]).
+  */
+case class RunExtends(left: Expression, right: Expression, need: Int)
+    extends BinaryExpression {
+
+  override def dataType: DataType = BooleanType
+  override def nullable: Boolean = left.nullable || right.nullable
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    NativeExpressions.runExtends(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.InternalRow],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.InternalRow], need)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"""${ev.value} = graft.functions.NativeExpressions.runExtends($a, $b, $need);""")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Winnowed k-gram fingerprints with verification contexts (see
+  * [[NativeExpressions.winnowContexts]]).
+  */
+case class WinnowContexts(child: Expression, k: Int, w: Int)
+    extends UnaryExpression {
+
+  require(k >= 2, s"k-gram size must be >= 2: $k")
+  require(w >= 1, s"winnow window must be >= 1: $w")
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("h", LongType), StructField("l", StringType),
+    StructField("m", StringType), StructField("r", StringType))))
+  override def nullable: Boolean = child.nullable
+
+  override def nullSafeEval(input: Any): Any =
+    NativeExpressions.winnowContexts(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], k, w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""${ev.value} = graft.functions.NativeExpressions.winnowContexts($c, $k, $w);""")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

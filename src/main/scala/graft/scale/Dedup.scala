@@ -168,35 +168,57 @@ object Dedup {
     * single-cell self-join. Shared by every bucketed pair generator
     * (MinHash bands, SimHash blocks).
     */
-  private def bucketPairs(keyed: DataFrame, maxBucket: Int): DataFrame = {
+  private def bucketPairs(keyed: DataFrame, maxBucket: Int): DataFrame =
+    bucketPairRows(keyed.withColumn("pv", lit(0)), maxBucket)
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+
+  /** Occurrence-level core of [[bucketPairs]]: emits one row per matched
+    * within-bucket row pair — (id_a, id_b, pv_l, pv_r) with id_a < id_b,
+    * where `pv` is a caller-supplied payload column carried through the
+    * triangle split (used by verification-fused pair generators like
+    * [[commonRunPairs]], which need per-occurrence context, not just the
+    * deduplicated id pair set). pv_l/pv_r are the two rows' payloads in
+    * JOIN orientation, not id order — re-normalizing them per id would
+    * wrap every payload in a CASE WHEN that downstream predicates
+    * re-expand at every field reference; callers' pair predicates must
+    * be symmetric (commonRunPairs' run-extension check is).
+    */
+  private def bucketPairRows(keyed: DataFrame, maxBucket: Int): DataFrame = {
     val sizes = keyed.groupBy(col("bk")).agg(count(lit(1)).as("bucket_n"))
     val salted = keyed.join(sizes, "bk")
       .withColumn("m", floor((col("bucket_n") + (maxBucket - 1)) / maxBucket))
       .withColumn("blk", pmod(xxhash64(col("id")), col("m")))
-      .select(col("bk"), col("id"), col("m"), col("blk"))
+      .select(col("bk"), col("id"), col("pv"), col("m"), col("blk"))
     // member of block b is the LEFT of cells (b, j≥b) and the RIGHT of
-    // cells (i≤b, b); cell (i,i) self-joins one block.
+    // cells (i≤b, b); cell (i,i) self-joins one block. The (i, j) cell is
+    // PACKED into one long (i << 31 | j — block counts are < 2^31 by
+    // construction, a bucket would need 2^31·maxBucket rows to overflow):
+    // flat long join keys keep the sort radix-sortable where a struct key
+    // forces interpreted row comparators.
     val leftT = salted.withColumn("cell",
         explode(transform(sequence(col("blk"), col("m") - 1),
-          j => struct(col("blk").as("i"), j.as("j")))))
-      .select(col("bk"), col("cell"), col("id"))
+          j => shiftleft(col("blk"), 31).bitwiseOR(j))))
+      .select(col("bk"), col("cell"), col("id"), col("pv"))
     val rightT = salted.withColumn("cell",
         explode(transform(sequence(lit(0L), col("blk")),
-          i => struct(i.as("i"), col("blk").as("j")))))
-      .select(col("bk"), col("cell"), col("id"))
+          i => shiftleft(i, 31).bitwiseOR(col("blk")))))
+      .select(col("bk"), col("cell"), col("id"), col("pv"))
     // a diagonal cell (i,i) self-joins one block, so each unordered pair
     // would appear in both orientations — id < id emits it once (halving
     // the raw volume of the m=1 common case, where EVERY pair is
     // diagonal). Off-diagonal cells pair two disjoint blocks: exactly one
     // orientation exists, which least/greatest then orders.
+    val diag = shiftright(col("l.cell"), 31) ===
+      col("l.cell").bitwiseAND(lit((1L << 31) - 1))
     leftT.as("l")
       .join(rightT.as("r"),
         col("l.bk") === col("r.bk") && col("l.cell") === col("r.cell") &&
-          when(col("l.cell.i") === col("l.cell.j"), col("l.id") < col("r.id"))
+          when(diag, col("l.id") < col("r.id"))
             .otherwise(col("l.id") =!= col("r.id")))
       .select(least(col("l.id"), col("r.id")).as("id_a"),
-        greatest(col("l.id"), col("r.id")).as("id_b"))
-      .distinct()
+        greatest(col("l.id"), col("r.id")).as("id_b"),
+        col("l.pv").as("pv_l"), col("r.pv").as("pv_r"))
   }
 
   /** Connected components over a pair list by min-label propagation WITH
@@ -566,6 +588,74 @@ object Dedup {
       .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("long"))
       .filter(col("hamming") <= maxHamming)
       .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
+  /** Character-level common-run pairs: every pair of documents sharing an
+    * EXACT substring run of length ≥ k+w−1 characters — the character-
+    * level complement of the token-level MinHash/SimHash family, catching
+    * copied boilerplate, license blocks, and template spans that token
+    * Jaccard dilutes away (the defect class Lee et al., "Deduplicating
+    * Training Data Makes Language Models Better", 2021 targets with
+    * substring dedup).
+    *
+    * Scale path is winnowing (Schleimer, Wilkerson & Aiken, "Winnowing:
+    * Local Algorithms for Document Fingerprinting", SIGMOD 2003 — the
+    * MOSS sampler): hash every k-gram (one narrow pass, O(chars)/doc),
+    * then per sliding window of w consecutive k-gram hashes keep the
+    * minimum. Any shared run of length t = k+w−1 contains one FULL
+    * hash window inside the identical region of both documents, and the
+    * window minimum is a function of window content alone — so both
+    * documents select the same fingerprint and meet in its bucket:
+    * candidate recall is 1 by construction, not probabilistically. The
+    * selected fingerprints are ~2/(w+1) of positions (the winnowing
+    * density bound), so the candidate join shuffles a sampled (id,
+    * fingerprint) stream, never full texts.
+    *
+    * Verification is FUSED into the candidate join: each selection
+    * carries its k-gram and up to w−1 code points of context on either
+    * side (≤ 2(w−1)+k chars — never the document), and a matched
+    * occurrence pair is a real t-run iff the k-grams match as characters
+    * and common-suffix(left) + common-prefix(right) ≥ w−1. That
+    * character check removes hash collisions and sub-t coincidences, so
+    * the output is exactly "pairs sharing a t-gram" — the set the DuckDB
+    * oracle (q71) computes the O(corpus²) way — while the join shuffles
+    * only fingerprint-sized rows (an earlier formulation joined each
+    * candidate against full t-gram arrays: 200× the verify traffic). Hot
+    * fingerprints (a template phrase across thousands of docs) hit the
+    * same mega-bucket hazard as MinHash bands and reuse the same
+    * deterministic triangle split ([[bucketPairRows]]).
+    *
+    * Returns (id_a, id_b) with id_a < id_b, ordered by the caller.
+    */
+  def commonRunPairs(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 16, w: Int = 8, maxBucket: Int = 1024): DataFrame = {
+    require(k >= 2, s"k-gram size must be >= 2: $k")
+    require(w >= 1, s"winnow window must be >= 1: $w")
+    // one narrow kernel pass: winnowed (hash, left, mid, right) selections.
+    // Persisted because the triangle self-join consumes it from FOUR
+    // lineage branches (left/right sides plus the bucket-size aggregate's
+    // broadcast, which defeats exchange reuse) — unpersisted, the kernel
+    // re-runs per branch. Same lifecycle note as minhashDupPairs: the
+    // caller (or a session-level clearCache between corpora) releases it.
+    val fp = docs.select(col(idCol).as("id"),
+        explode(graft.functions.NativeExpressions
+          .winnow_contexts(col(textCol), k, w)).as("f"))
+      .select(col("id"), col("f.h").as("bk"),
+        struct(col("f.l"), col("f.m"), col("f.r")).as("pv"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // fused candidate + verify: for each matched occurrence pair of a
+    // shared fingerprint, the pair shares a t-run IFF the k-grams match
+    // as characters and the left/right contexts extend the match to
+    // ≥ k+w−1 total — suffix(left) + prefix(right) ≥ w−1. The winnowing
+    // guarantee makes "∃ occurrence pair passing this check" EXACTLY
+    // "∃ shared t-run" (a shared run always selects one of its own
+    // windows' minima identically in both documents), so no t-gram
+    // arrays or full texts are ever joined.
+    bucketPairRows(fp, maxBucket)
+      .filter(graft.functions.NativeExpressions
+        .run_extends(col("pv_l"), col("pv_r"), w - 1))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
   }
 
   /** SimHash 64-bit fingerprint over a token array: per-bit vote of token

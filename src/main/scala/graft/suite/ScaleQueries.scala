@@ -147,6 +147,27 @@ object ScaleQueries {
         FROM documents)
       GROUP BY token ORDER BY n DESC, token LIMIT 25"""))
 
+  /** Character-level common-run pairs (Dedup.commonRunPairs): every pair
+    * of documents sharing an exact 23-char substring run (k=16-gram
+    * hashes, winnow window w=8, t=k+w-1=23), found via winnowed
+    * fingerprint buckets + exact t-gram verify. The DuckDB oracle IS the
+    * O(corpus²) ground truth — every t-gram of every document self-
+    * joined — so a hash-match certifies the winnowing guarantee (any
+    * shared t-run selects an identical fingerprint in both docs:
+    * candidate recall 1 by construction) end to end.
+    */
+  private val q71 = GQuery(
+    (s, d) => Dedup.commonRunPairs(T.documents(s, d), "doc_id", "text",
+      k = 16, w = 8)
+      .orderBy(col("id_a"), col("id_b")),
+    Some("""WITH subs AS (
+        SELECT doc_id, unnest(list_distinct(list_transform(
+          range(1, len(text)-23+2), i -> substring(text, i, 23)))) AS s
+        FROM documents)
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM subs a JOIN subs b ON a.s = b.s AND a.doc_id < b.doc_id
+      ORDER BY id_a, id_b"""))
+
   /** Near-duplicate pairs by n-gram Jaccard >= 0.8.
     *
     * Spark side: MinHash (64 perms) + LSH banding (16 bands × 4 rows)
@@ -530,5 +551,6 @@ object ScaleQueries {
     "q45_stratified_sample" -> q45,
     "q46_cluster_split" -> q46,
     "q69_heavy_hitters" -> q69,
+    "q71_common_run_pairs" -> q71,
   )
 }
