@@ -45,7 +45,8 @@ object Explain {
       "q64_sequence_packing",  // range-partitioned two-job prefix sum
       "q65_sentence_dedup_twostage", // skew path: min-per-hash pre-agg + join-back
       "q66_source_quota_topk", // skew path: TopK combiner caps the mega-source
-      "q70_column_profile")    // multi-distinct Expand (exact mode audit)
+      "q70_column_profile",    // per-column union branches, no Expand
+      "q71_common_run_pairs")  // winnow kernel + fused native verify join
 
     val sb = new StringBuilder
     sb.append("# EXPLAIN — flagship physical plans\n\n")
