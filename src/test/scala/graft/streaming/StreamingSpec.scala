@@ -67,6 +67,46 @@ class StreamingSpec extends SparkSpec {
       || !streamed(0).getString(6).contains("bob@x.co"))
   }
 
+  test("Misra-Gries summary aggregates incrementally over a stream") {
+    import spark.implicits._
+    import graft.scale.TextOps
+    // the MG buffer serializes into the streaming state store like any
+    // built-in aggregate, so corpus-monitoring top-token sketches run
+    // unchanged as a complete-mode streaming aggregation
+    val dir = Files.createTempDirectory("graft_mg").toString
+    val d1 = Seq((1L, "alpha alpha alpha beta beta gamma"),
+      (2L, "alpha beta delta delta"))
+      .toDF("doc_id", "text")
+    val d2 = Seq((3L, "alpha gamma gamma epsilon")).toDF("doc_id", "text")
+    d1.write.parquet(s"$dir/b1")
+    d2.write.parquet(s"$dir/b2")
+
+    val stream = spark.readStream.schema(d1.schema)
+      .option("recursiveFileLookup", "true").parquet(dir)
+      .select(explode(TextOps.tokens(col("text"))).as("token"))
+      .agg(graft.functions.NativeExpressions
+        .misra_gries(col("token"), 16).as("mg"),
+        count(lit(1)).as("n"))
+    val q = stream.writeStream.format("memory").queryName("mg_stream")
+      .outputMode("complete")
+      .start()
+    q.processAllAvailable(); q.stop()
+    assert(q.exception.isEmpty, s"stream failed: ${q.exception}")
+
+    val row = spark.table("mg_stream").head()
+    val summary = row.getSeq[org.apache.spark.sql.Row](0)
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = row.getLong(1)
+    // capacity 16 > distinct tokens: zero deficit, the summary IS the
+    // exact count map of the full (multi-file) stream
+    val truth = d1.union(d2)
+      .select(explode(TextOps.tokens($"text")).as("token"))
+      .groupBy($"token").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(n == truth.values.sum)
+    assert(summary == truth)
+  }
+
   test("watermarked windowed aggregation over a bounded stream") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_ev").toString
