@@ -127,6 +127,47 @@ class PropertySpec extends SparkSpec {
       }
   }
 
+  test("winnowing guarantee: two texts sharing a (k+w-1)-run share a selection, " +
+    "and every selection's contexts are true substrings") {
+    val k = 5; val w = 3; val t = k + w - 1
+    def selections(s: String): Seq[(Long, String, String, String)] = {
+      val arr = graft.functions.NativeExpressions.winnowContexts(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s), k, w)
+      (0 until arr.numElements()).map { i =>
+        val row = arr.getStruct(i, 4)
+        (row.getLong(0), row.getUTF8String(1).toString,
+          row.getUTF8String(2).toString, row.getUTF8String(3).toString)
+      }
+    }
+    val alpha = Gen.listOfN(14, Gen.oneOf('a', 'b', 'c')).map(_.mkString)
+    val runGen = Gen.listOfN(t + 2, Gen.oneOf('x', 'y', 'z')).map(_.mkString)
+    samples(Gen.zip(alpha, alpha, runGen), 25).foreach { case (p1, p2, run) =>
+      val d1 = p1 + run + p2.reverse
+      val d2 = p2 + run + p1.reverse
+      val s1 = selections(d1)
+      val s2 = selections(d2)
+      // every selection is internally consistent: l+m+r is a substring
+      // and m has exactly k code points
+      s1.foreach { case (_, l, m, r) =>
+        assert(m.length == k)
+        assert(d1.contains(l + m + r))
+      }
+      // the shared >= t-run forces at least one common (hash, k-gram)
+      // selection whose contexts extend to >= t on both sides
+      val witness = for {
+        a @ (h1, l1, m1, r1) <- s1
+        b @ (h2, l2, m2, r2) <- s2
+        if h1 == h2 && m1 == m2
+        suff = (1 to math.min(l1.length, l2.length))
+          .takeWhile(j => l1.takeRight(j) == l2.takeRight(j)).lastOption.getOrElse(0)
+        pref = (1 to math.min(r1.length, r2.length))
+          .takeWhile(j => r1.take(j) == r2.take(j)).lastOption.getOrElse(0)
+        if suff + pref >= w - 1
+      } yield (a, b)
+      assert(witness.nonEmpty, s"no witness for shared run: d1=$d1 d2=$d2")
+    }
+  }
+
   test("jaccard: bounded, symmetric, 1 on self") {
     import spark.implicits._
     val arrGen = Gen.listOfN(12, Gen.choose(0L, 20L))
