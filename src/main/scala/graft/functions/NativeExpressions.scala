@@ -77,6 +77,16 @@ object NativeExpressions {
   def run_extends(a: Column, b: Column, need: Int): Column =
     Bridge.column(RunExtends(Bridge.expression(a), Bridge.expression(b), need))
 
+  /** Single-pass Gopher quality-filter counts over raw text (see
+    * [[GopherStats]]). Output layout (array<long>): [0]=nWords,
+    * [1]=Σ token code points, [2]=alpha words, [3]=stop-word hits,
+    * [4]=symbols ('#' + "..."), [5]=lines, [6]=bullet lines,
+    * [7]=ellipsis lines.
+    */
+  def gopher_stats(text: Column, stopWords: Seq[String],
+      lineSep: String): Column =
+    Bridge.column(GopherStats(Bridge.expression(text), stopWords, lineSep))
+
   /** Misra-Gries heavy-hitter summary over a string column (see
     * [[MisraGries]]): at most `capacity` (token, est) counters, mergeable
     * with map-side partials; every est is an undercount with error
@@ -400,6 +410,103 @@ object NativeExpressions {
       idx += 1
     }
     new GenericArrayData(out)
+  }
+
+  /** Reference JVM implementation of [[GopherStats]]: every integer count
+    * the Gopher document-quality pre-filters need, in one narrow pass over
+    * the raw text — no token/line array materialization, no per-token
+    * regex, no repeated HOF traversals (the expression-combinator
+    * formulation ran ~10 interpreted passes per document; quality
+    * filtering is the one stage that touches EVERY document of a crawl).
+    *
+    * Count semantics replicate the combinator formulation exactly:
+    * tokens are maximal runs of non-`\s` chars (Java regex `\s` =
+    * space/tab/LF/VT/FF/CR); token lengths count code points; alpha =
+    * contains ASCII [A-Za-z]; a stop word is counted once if ANY token
+    * lowercases (per code point) to it; symbols = '#' chars + greedy
+    * non-overlapping "..." occurrences; lines split on `lineSep`, are
+    * trimmed of spaces only, count when non-empty; bullet lines start
+    * with '-' or '*'; ellipsis lines end in "...".
+    *
+    * Output (array<long>): [nWords, sumTokenLen, nAlphaWords, stopHits,
+    * nSymbols, nLines, nBulletLines, nEllipsisLines].
+    */
+  def gopherStats(text: org.apache.spark.unsafe.types.UTF8String,
+      stopWords: Array[String], lineSep: Char): ArrayData = {
+    val s = text.toString
+    val n = s.length
+    var nw = 0L; var sumLen = 0L; var nAlpha = 0L
+    var nHash = 0L; var nEllOcc = 0L
+    var nl = 0L; var nBul = 0L; var nEllLine = 0L
+    val found = new Array[Boolean](stopWords.length)
+    @inline def isWs(c: Char): Boolean =
+      c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+    // pass 1: tokens
+    var i = 0
+    while (i < n) {
+      if (isWs(s.charAt(i))) i += 1
+      else {
+        val start = i
+        var cpLen = 0L
+        var hasAlpha = false
+        while (i < n && !isWs(s.charAt(i))) {
+          val c = s.charAt(i)
+          if (!Character.isLowSurrogate(c)) cpLen += 1
+          if ((c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z')) hasAlpha = true
+          i += 1
+        }
+        nw += 1; sumLen += cpLen
+        if (hasAlpha) nAlpha += 1
+        var w = 0
+        while (w < stopWords.length) {
+          if (!found(w) && cpLen == stopWords(w).length) {
+            // compare lowercased code points to the (ASCII) stop word
+            var p = start; var q = 0; var ok = true
+            while (ok && p < i) {
+              val cp = s.codePointAt(p)
+              if (Character.toLowerCase(cp) != stopWords(w).charAt(q)) ok = false
+              p += Character.charCount(cp); q += 1
+            }
+            if (ok && q == stopWords(w).length) found(w) = true
+          }
+          w += 1
+        }
+      }
+    }
+    // pass 2: symbols ('#' anywhere; greedy left-to-right "..." like replace())
+    i = 0
+    while (i < n) {
+      val c = s.charAt(i)
+      if (c == '#') { nHash += 1; i += 1 }
+      else if (c == '.' && i + 2 < n && s.charAt(i + 1) == '.' &&
+        s.charAt(i + 2) == '.') { nEllOcc += 1; i += 3 }
+      else i += 1
+    }
+    // pass 3: lines (split on lineSep, trim spaces, drop empties)
+    var lineStart = 0
+    var pos = 0
+    while (pos <= n) {
+      if (pos == n || s.charAt(pos) == lineSep) {
+        var ts = lineStart
+        var te = pos
+        while (ts < te && s.charAt(ts) == ' ') ts += 1
+        while (te > ts && s.charAt(te - 1) == ' ') te -= 1
+        if (te > ts) {
+          nl += 1
+          val first = s.charAt(ts)
+          if (first == '-' || first == '*') nBul += 1
+          if (te - ts >= 3 && s.charAt(te - 1) == '.' &&
+            s.charAt(te - 2) == '.' && s.charAt(te - 3) == '.') nEllLine += 1
+        }
+        lineStart = pos + 1
+      }
+      pos += 1
+    }
+    var stopHits = 0L
+    var w = 0
+    while (w < found.length) { if (found(w)) stopHits += 1; w += 1 }
+    new GenericArrayData(Array[Long](nw, sumLen, nAlpha, stopHits,
+      nHash + nEllOcc, nl, nBul, nEllLine))
   }
 
   /** Reference JVM implementation of [[RunExtends]]: do two winnow
@@ -923,6 +1030,35 @@ case class RunExtends(left: Expression, right: Expression, need: Int)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
+}
+
+/** Single-pass Gopher quality-filter counts (see
+  * [[NativeExpressions.gopherStats]]).
+  */
+case class GopherStats(child: Expression, stopWords: Seq[String],
+    lineSep: String) extends UnaryExpression {
+
+  require(lineSep.length == 1,
+    s"lineSep must be a single character: '$lineSep'")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  @transient private lazy val stopArr: Array[String] = stopWords.toArray
+
+  override def nullSafeEval(input: Any): Any =
+    NativeExpressions.gopherStats(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+      stopArr, lineSep.charAt(0))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("stopWords", stopArr, "java.lang.String[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""${ev.value} = graft.functions.NativeExpressions.gopherStats($c, $ref, (char) ${lineSep.charAt(0).toInt});""")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }
 
 /** Winnowed k-gram fingerprints with verification contexts (see

@@ -260,12 +260,13 @@ object Curation {
     *   - ≥ minAlphaFrac of words containing an alphabetic character;
     *   - at least minStopHits of the 8 required English stop words.
     *
-    * Pure narrow map (token/line HOFs), zero shuffle at any size; every
-    * fraction is an exact IEEE quotient of two integer counts and the
-    * stopword probe is 8 literal membership tests, so the DuckDB oracle
-    * (q68) replays everything verbatim. Degenerate docs (no words / no
-    * lines) fail the corresponding bound rather than yielding fake
-    * passes: Gopher drops empty pages.
+    * Pure narrow map — one pass of the native single-pass
+    * [[graft.functions.GopherStats]] kernel per document, zero shuffle
+    * at any size; every fraction is an exact IEEE quotient of two
+    * integer counts and the stopword probe is 8 literal membership
+    * tests, so the DuckDB oracle (q68) replays everything verbatim.
+    * Degenerate docs (no words / no lines) fail the corresponding bound
+    * rather than yielding fake passes: Gopher drops empty pages.
     *
     * Returns (doc_id, n_words, mean_word_len, symbol_ratio,
     * bullet_frac, ellipsis_frac, alpha_frac, stop_hits, keep).
@@ -276,27 +277,25 @@ object Curation {
       maxSymbolRatio: Double = 0.1, maxBulletFrac: Double = 0.9,
       maxEllipsisFrac: Double = 0.3, minAlphaFrac: Double = 0.8,
       minStopHits: Int = 2): DataFrame = {
-    val t = col("__t")
-    val toks = col("__toks")
-    val lines = col("__lines")
-    val st = docs.select(col(idCol).as("doc_id"), col(textCol).as("__t"),
-      TextOps.tokens(col(textCol)).as("__toks"),
-      filter(transform(split(col(textCol), lineSep), l => trim(l)),
-        l => length(l) > 0).as("__lines"))
-    val nW = size(toks).cast("long")
-    val nL = size(lines).cast("long")
-    val sumLen = aggregate(toks, lit(0L), (acc, x) => acc + length(x))
-    // '#' occurrences + '...' occurrences (each ellipsis is 3 chars)
-    val nSym = (length(t) - length(translate(t, "#", ""))).cast("long") +
-      ((length(t) - length(replace(t, lit("...")))) / 3).cast("long")
-    val nBullet = size(filter(lines,
-      l => substring(l, 1, 1).isin("-", "*"))).cast("long")
-    val nEll = size(filter(lines,
-      l => substring(l, -3, 3) === "...")).cast("long")
-    val nAlpha = size(filter(toks, x => x.rlike("[A-Za-z]"))).cast("long")
-    val stopHits = GopherStopWords.map(w =>
-      when(exists(toks, x => lower(x) === w), 1L).otherwise(0L))
-      .reduce(_ + _)
+    // every count from ONE pass of the native GopherStats kernel — the
+    // expression-combinator formulation ran ~10 interpreted HOF passes
+    // (split/filter/aggregate/exists×8/rlike-per-token) per document,
+    // and quality filtering touches every document of a crawl. Count
+    // semantics are identical (see the kernel scaladoc); the DuckDB
+    // oracle (q68) and CurationSpec's hand-computed fixtures hold the
+    // kernel to the same numbers the HOFs produced.
+    val g = col("__g")
+    val st = docs.select(col(idCol).as("doc_id"),
+      graft.functions.NativeExpressions
+        .gopher_stats(col(textCol), GopherStopWords, lineSep).as("__g"))
+    val nW = element_at(g, 1)
+    val sumLen = element_at(g, 2)
+    val nAlpha = element_at(g, 3)
+    val stopHits = element_at(g, 4)
+    val nSym = element_at(g, 5)
+    val nL = element_at(g, 6)
+    val nBullet = element_at(g, 7)
+    val nEll = element_at(g, 8)
     val meanLen = when(nW > 0, sumLen.cast("double") / nW.cast("double"))
     val symR = when(nW > 0, nSym.cast("double") / nW.cast("double"))
     val bulF = when(nL > 0, nBullet.cast("double") / nL.cast("double"))
