@@ -87,6 +87,28 @@ object NativeExpressions {
       lineSep: String): Column =
     Bridge.column(GopherStats(Bridge.expression(text), stopWords, lineSep))
 
+  /** Resolve a line-separator pattern (as accepted by `split`) to the
+    * single character it matches: either one literal char ("\n") or a
+    * backslash-escaped regex metachar ("\\." → '.'). Escaped LETTERS are
+    * rejected — in regex those are character classes ("\\s"), not
+    * literals, and silently taking the letter would change semantics.
+    */
+  def sepChar(lineSep: String): Char = {
+    require(lineSep.length == 1 ||
+      (lineSep.length == 2 && lineSep.charAt(0) == '\\' &&
+        !Character.isLetterOrDigit(lineSep.charAt(1))),
+      s"lineSep must match a single literal character: '$lineSep'")
+    lineSep.charAt(lineSep.length - 1)
+  }
+
+  /** Single-pass repetition counts over raw text (see
+    * [[RepetitionStats]]). Output layout (array<long>): [0]=nLines,
+    * [1]=dup lines, [2]=chars in duplicated lines, [3]=all line chars,
+    * [4]=bigrams, [5]=top bigram count.
+    */
+  def repetition_stats(text: Column, lineSep: String): Column =
+    Bridge.column(RepetitionStats(Bridge.expression(text), lineSep))
+
   /** Misra-Gries heavy-hitter summary over a string column (see
     * [[MisraGries]]): at most `capacity` (token, est) counters, mergeable
     * with map-side partials; every est is an undercount with error
@@ -507,6 +529,84 @@ object NativeExpressions {
     while (w < found.length) { if (found(w)) stopHits += 1; w += 1 }
     new GenericArrayData(Array[Long](nw, sumLen, nAlpha, stopHits,
       nHash + nEllOcc, nl, nBul, nEllLine))
+  }
+
+  /** Reference JVM implementation of [[RepetitionStats]]: the Gopher/C4
+    * repetition counts in one narrow pass with hash maps — no line/bigram
+    * array materialization, no per-document sort. The sort-adjacency
+    * formulation this replaces is order-independent in its OUTPUTS
+    * (duplicate-line chars = all occurrences of any line value seen ≥2×;
+    * top bigram run over sorted bigrams = max bigram frequency), so a
+    * count map computes identical numbers in O(L).
+    *
+    * Semantics: lines split on `lineSep`, kept when non-empty (no trim);
+    * lengths count code points; tokens are maximal non-`\s` runs; a
+    * bigram is two consecutive tokens joined with one space.
+    *
+    * Output (array<long>): [nLines, dupLines, dupChars, allChars,
+    * nBigrams, topBigramCount].
+    */
+  def repetitionStats(text: org.apache.spark.unsafe.types.UTF8String,
+      lineSep: Char): ArrayData = {
+    val s = text.toString
+    val n = s.length
+    // lines
+    var nLines = 0L
+    var allChars = 0L
+    val lineMap = new java.util.HashMap[String, Array[Long]]
+    var lineStart = 0
+    var pos = 0
+    while (pos <= n) {
+      if (pos == n || s.charAt(pos) == lineSep) {
+        if (pos > lineStart) {
+          val line = s.substring(lineStart, pos)
+          val cp = line.codePointCount(0, line.length).toLong
+          nLines += 1
+          allChars += cp
+          val e = lineMap.get(line)
+          if (e == null) lineMap.put(line, Array(1L, cp)) else e(0) += 1L
+        }
+        lineStart = pos + 1
+      }
+      pos += 1
+    }
+    var dupLines = nLines - lineMap.size
+    var dupChars = 0L
+    val lit = lineMap.values().iterator()
+    while (lit.hasNext) {
+      val e = lit.next()
+      if (e(0) >= 2L) dupChars += e(0) * e(1)
+    }
+    // tokens → bigram counts
+    @inline def isWs(c: Char): Boolean =
+      c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+    val bigramMap = new java.util.HashMap[String, Array[Long]]
+    var prev: String = null
+    var nBigrams = 0L
+    var i = 0
+    while (i < n) {
+      if (isWs(s.charAt(i))) i += 1
+      else {
+        val start = i
+        while (i < n && !isWs(s.charAt(i))) i += 1
+        val tok = s.substring(start, i)
+        if (prev != null) {
+          val key = prev + " " + tok
+          nBigrams += 1
+          val e = bigramMap.get(key)
+          if (e == null) bigramMap.put(key, Array(1L)) else e(0) += 1L
+        }
+        prev = tok
+      }
+    }
+    var topBigram = 0L
+    val bit = bigramMap.values().iterator()
+    while (bit.hasNext) {
+      val c = bit.next()(0)
+      if (c > topBigram) topBigram = c
+    }
+    new GenericArrayData(Array[Long](nLines, dupLines, dupChars, allChars,
+      nBigrams, topBigram))
   }
 
   /** Reference JVM implementation of [[RunExtends]]: do two winnow
@@ -1032,14 +1132,36 @@ case class RunExtends(left: Expression, right: Expression, need: Int)
     copy(left = newLeft, right = newRight)
 }
 
+/** Single-pass repetition counts (see
+  * [[NativeExpressions.repetitionStats]]).
+  */
+case class RepetitionStats(child: Expression, lineSep: String)
+    extends UnaryExpression {
+
+  private val sep: Char = NativeExpressions.sepChar(lineSep)
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  override def nullSafeEval(input: Any): Any =
+    NativeExpressions.repetitionStats(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], sep)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""${ev.value} = graft.functions.NativeExpressions.repetitionStats($c, (char) ${sep.toInt});""")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Single-pass Gopher quality-filter counts (see
   * [[NativeExpressions.gopherStats]]).
   */
 case class GopherStats(child: Expression, stopWords: Seq[String],
     lineSep: String) extends UnaryExpression {
 
-  require(lineSep.length == 1,
-    s"lineSep must be a single character: '$lineSep'")
+  private val sep: Char = NativeExpressions.sepChar(lineSep)
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = child.nullable
@@ -1049,12 +1171,12 @@ case class GopherStats(child: Expression, stopWords: Seq[String],
   override def nullSafeEval(input: Any): Any =
     NativeExpressions.gopherStats(
       input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
-      stopArr, lineSep.charAt(0))
+      stopArr, sep)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("stopWords", stopArr, "java.lang.String[]")
     nullSafeCodeGen(ctx, ev, c =>
-      s"""${ev.value} = graft.functions.NativeExpressions.gopherStats($c, $ref, (char) ${lineSep.charAt(0).toInt});""")
+      s"""${ev.value} = graft.functions.NativeExpressions.gopherStats($c, $ref, (char) ${sep.toInt});""")
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =

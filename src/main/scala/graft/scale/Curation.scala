@@ -82,16 +82,14 @@ object Curation {
     * boilerplate, scraped navigation, and degenerate generations.
     *
     * Entirely a narrow per-row map — zero shuffle, whatever the corpus
-    * size; the only non-O(tokens) step is the two in-row sorts
-    * (O(L log L) per doc). The naive formulation (for each line, count
-    * equal lines) is O(L²) per doc and dies on a 100k-line document;
-    * sorting makes equal values ADJACENT, so one linear pass gets every
-    * duplicate count:
-    *   - a position is part of a duplicated value iff it equals either
-    *     sorted neighbor,
-    *   - occurrences-beyond-first = L − distinct,
-    *   - the longest equal-run over sorted bigrams = the max bigram
-    *     frequency.
+    * size — via one pass of the native [[graft.functions
+    * .RepetitionStats]] kernel (O(L) line/bigram hash-count maps). The
+    * naive formulation (for each line, count equal lines) is O(L²) per
+    * doc and dies on a 100k-line document; every output is a pure
+    * function of the value-count multiset (duplicated-line chars =
+    * Σ count·len over values with count ≥ 2, occurrences-beyond-first =
+    * L − distinct, top bigram = max count), which the DuckDB oracle
+    * (q59) still recomputes the naive way.
     *
     * Returns per doc: n_lines, dup_lines (occurrences beyond first),
     * dup_line_chars / line_chars (chars inside any duplicated line vs
@@ -101,63 +99,25 @@ object Curation {
     */
   def repetitionSignals(docs: DataFrame, idCol: String, textCol: String,
       lineSep: String = "\n"): DataFrame = {
-    // Stage 1+2: materialize the sorted-line and sorted-bigram arrays as
-    // their own projections. The aggregate lambdas below index into them
-    // with element_at per element; on a MATERIALIZED array that's O(1),
-    // while on an expression tree every access re-evaluates the whole
-    // split/sort pipeline (interpreted HOFs don't CSE) — O(L²) per doc,
-    // the exact blowup this operator exists to avoid. CollapseProject
-    // won't inline them back: both are non-cheap and multiply-referenced.
-    val st1 = docs.select(
-      col(idCol).as("doc_id"),
-      sort_array(filter(split(col(textCol), lineSep), l => length(l) > 0))
-        .as("__s"),
-      TextOps.tokens(col(textCol)).as("__t"))
-    // guard: Spark's sequence(1, n) turns DESCENDING for n < 1 (and
-    // element_at(t, 0) throws), so short docs get a typed empty list
-    val t = col("__t")
-    val st2 = st1.select(
-      col("doc_id"), col("__s"),
-      when(size(t) >= 2,
-        sort_array(transform(sequence(lit(1), size(t) - 1),
-          i => concat(element_at(t, i), lit(" "), element_at(t, i + 1)))))
-        .otherwise(lit(Array.empty[String])).as("__g"))
-
-    val s = col("__s")
-    val nL = size(s)
-    // chars at positions whose value equals a sorted neighbor
-    val dupChars = aggregate(
-      sequence(lit(1), nL),
-      lit(0L),
-      (acc, i) => acc + when(
-        (i > 1 && element_at(s, i) === element_at(s, i - 1)) ||
-          (i < nL && element_at(s, i) === element_at(s, i + 1)),
-        length(element_at(s, i)).cast("long")).otherwise(0L))
-    val allChars = aggregate(s, lit(0L), (acc, x) => acc + length(x).cast("long"))
-
-    val grams = col("__g")
-    val nG = size(grams)
-    // longest run of equal adjacent values == max bigram frequency
-    val topRun = aggregate(
-      sequence(lit(2), nG),
-      struct(lit(1L).as("cur"), lit(1L).as("best")),
-      (acc, i) => {
-        val cur = when(element_at(grams, i) === element_at(grams, i - 1),
-          acc.getField("cur") + 1L).otherwise(lit(1L))
-        struct(cur.as("cur"),
-          greatest(acc.getField("best"), cur).as("best"))
-      },
-      acc => acc.getField("best"))
-
-    st2.select(
+    val g = col("__r")
+    val st = docs.select(col(idCol).as("doc_id"),
+      graft.functions.NativeExpressions
+        .repetition_stats(col(textCol), lineSep).as("__r"))
+    val nL = element_at(g, 1)
+    val dupLines = element_at(g, 2)
+    val dupChars = element_at(g, 3)
+    val allChars = element_at(g, 4)
+    val nG = element_at(g, 5)
+    val topRun = element_at(g, 6)
+    st.select(
       col("doc_id"),
-      nL.cast("long").as("n_lines"),
-      (nL - size(array_distinct(s))).cast("long").as("dup_lines"),
-      when(nL >= 1, (nL - size(array_distinct(s))).cast("double") /
-        nL.cast("double")).as("dup_line_frac"),
+      nL.as("n_lines"),
+      dupLines.as("dup_lines"),
+      when(nL >= 1, dupLines.cast("double") / nL.cast("double"))
+        .as("dup_line_frac"),
       when(nL >= 1, dupChars.cast("double") /
         when(allChars > 0, allChars).cast("double")).as("dup_char_frac"),
-      nG.cast("long").as("n_bigrams"),
+      nG.as("n_bigrams"),
       when(nG >= 2, topRun).when(nG === 1, lit(1L)).as("top_bigram_n"),
       when(nG >= 2, topRun.cast("double") / nG.cast("double"))
         .when(nG === 1, lit(1.0)).as("top_bigram_frac"))
