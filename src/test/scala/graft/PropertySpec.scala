@@ -127,6 +127,49 @@ class PropertySpec extends SparkSpec {
       }
   }
 
+  test("Misra-Gries bound holds under arbitrary partition splits and merge trees") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val m = 8
+    val mg = graft.functions.MisraGries(
+      org.apache.spark.sql.catalyst.expressions.BoundReference(0,
+        org.apache.spark.sql.types.StringType, nullable = true), m)
+    val tokGen = Gen.listOfN(400, Gen.frequency(
+      (8, Gen.oneOf("a", "b", "c")),              // heavy hitters
+      (3, Gen.choose(0, 50).map(i => s"t$i"))))   // long tail
+    samples(Gen.zip(tokGen, Gen.choose(2, 6)), 12).foreach { case (toks, parts) =>
+      // split the stream into `parts` partitions, build per-partition
+      // buffers through update(), then merge left-to-right through a
+      // serialize/deserialize round-trip (the shuffle path)
+      val buffers = toks.grouped(math.max(1, toks.size / parts)).map { chunk =>
+        chunk.foldLeft(mg.createAggregationBuffer()) { (buf, t) =>
+          mg.update(buf, org.apache.spark.sql.catalyst.InternalRow(
+            UTF8String.fromString(t)))
+        }
+      }.toSeq
+      val merged = buffers.reduce { (a, b) =>
+        mg.merge(a, mg.deserialize(mg.serialize(b)))
+      }
+      assert(merged.size <= m)
+      val truth = toks.groupBy(identity).map { case (t, g) => t -> g.size.toLong }
+      val est = {
+        val it = merged.entrySet().iterator()
+        val b = Map.newBuilder[String, Long]
+        while (it.hasNext) { val e = it.next(); b += e.getKey.toString -> e.getValue.longValue() }
+        b.result()
+      }
+      val deficit = toks.size.toLong - est.values.sum
+      val bound = deficit / (m + 1L)
+      est.foreach { case (t, e) =>
+        assert(e <= truth(t), s"overestimate for $t")
+        assert(truth(t) - e <= bound, s"$t under by ${truth(t) - e} > $bound")
+      }
+      truth.foreach { case (t, c) =>
+        if (!est.contains(t))
+          assert(c <= bound, s"absent $t true count $c exceeds bound $bound")
+      }
+    }
+  }
+
   test("winnowing guarantee: two texts sharing a (k+w-1)-run share a selection, " +
     "and every selection's contexts are true substrings") {
     val k = 5; val w = 3; val t = k + w - 1
