@@ -101,6 +101,39 @@ object NativeExpressions {
     lineSep.charAt(lineSep.length - 1)
   }
 
+  /** Chained regex scrub with counts (see [[RegexScrub]]). */
+  def regex_scrub(text: Column, patterns: Seq[(String, String)]): Column =
+    Bridge.column(RegexScrub(Bridge.expression(text), patterns))
+
+  /** Reference JVM implementation of [[RegexScrub]]: one Matcher pass
+    * per pattern, counting matches while building the replacement.
+    */
+  def regexScrub(text: org.apache.spark.unsafe.types.UTF8String,
+      patterns: Array[java.util.regex.Pattern],
+      replacements: Array[String]): org.apache.spark.sql.catalyst.InternalRow = {
+    var cur = text.toString
+    val counts = new Array[Long](patterns.length)
+    var p = 0
+    while (p < patterns.length) {
+      val m = patterns(p).matcher(cur)
+      if (m.find()) {
+        val sb = new java.lang.StringBuilder
+        var c = 0L
+        do {
+          c += 1
+          m.appendReplacement(sb, replacements(p))
+        } while (m.find())
+        m.appendTail(sb)
+        counts(p) = c
+        cur = sb.toString
+      }
+      p += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(Array[Any](
+      new GenericArrayData(counts),
+      org.apache.spark.unsafe.types.UTF8String.fromString(cur)))
+  }
+
   /** Single-pass repetition counts over raw text (see
     * [[RepetitionStats]]). Output layout (array<long>): [0]=nLines,
     * [1]=dup lines, [2]=chars in duplicated lines, [3]=all line chars,
@@ -1130,6 +1163,52 @@ case class RunExtends(left: Expression, right: Expression, need: Int)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
+}
+
+/** Chained regex scrub with per-pattern match counts (see
+  * [[NativeExpressions.regexScrub]]): patterns are applied IN ORDER,
+  * each counting and replacing on the output of the previous one — the
+  * chained-precedence contract of PII redaction (a phone-like fragment
+  * inside an email is claimed once, by the first pattern) — in one
+  * java.util.regex pass per pattern instead of separate count and
+  * replace expression passes. Same engine (java.util.regex), same
+  * patterns, same non-overlapping find semantics as
+  * `regexp_count`/`regexp_replace`, so results are bit-identical.
+  *
+  * Output: struct(counts array<long> — one per pattern, redacted
+  * string).
+  */
+case class RegexScrub(child: Expression,
+    patterns: Seq[(String, String)]) extends UnaryExpression {
+
+  require(patterns.nonEmpty, "no patterns")
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("counts", ArrayType(LongType, containsNull = false)),
+    StructField("redacted", StringType)))
+  override def nullable: Boolean = child.nullable
+
+  @transient private lazy val compiled: Array[java.util.regex.Pattern] =
+    patterns.map(p => java.util.regex.Pattern.compile(p._1)).toArray
+  @transient private lazy val replacements: Array[String] =
+    patterns.map(_._2).toArray
+
+  override def nullSafeEval(input: Any): Any =
+    NativeExpressions.regexScrub(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+      compiled, replacements)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val pats = ctx.addReferenceObj("patterns", compiled,
+      "java.util.regex.Pattern[]")
+    val reps = ctx.addReferenceObj("replacements", replacements,
+      "java.lang.String[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""${ev.value} = graft.functions.NativeExpressions.regexScrub($c, $pats, $reps);""")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }
 
 /** Single-pass repetition counts (see

@@ -137,15 +137,20 @@ object Curation {
     * pattern that claims it, on both engines.
     */
   def redactPii(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val t = col(textCol)
-    val r1 = regexp_replace(t, PiiEmail, "<EMAIL>")
-    val r2 = regexp_replace(r1, PiiPhone, "<PHONE>")
-    val r3 = regexp_replace(r2, PiiIp, "<IP>")
+    // one native Matcher pass per pattern (count + replace together, in
+    // chain order) instead of separate regexp_count/regexp_replace
+    // expression passes — same java.util.regex engine and patterns, so
+    // the counts and redacted text are bit-identical
+    val p = col("__p")
     docs.select(col(idCol).as("doc_id"),
-      regexp_count(t, lit(PiiEmail)).cast("long").as("n_emails"),
-      regexp_count(r1, lit(PiiPhone)).cast("long").as("n_phones"),
-      regexp_count(r2, lit(PiiIp)).cast("long").as("n_ips"),
-      r3.as("redacted"))
+      graft.functions.NativeExpressions.regex_scrub(col(textCol), Seq(
+        PiiEmail -> "<EMAIL>", PiiPhone -> "<PHONE>", PiiIp -> "<IP>"))
+        .as("__p"))
+      .select(col("doc_id"),
+        element_at(p.getField("counts"), 1).as("n_emails"),
+        element_at(p.getField("counts"), 2).as("n_phones"),
+        element_at(p.getField("counts"), 3).as("n_ips"),
+        p.getField("redacted").as("redacted"))
   }
 
   /** The shared Java/RE2 pattern dialect — see [[redactPii]]. */
