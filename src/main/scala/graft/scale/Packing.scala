@@ -75,6 +75,45 @@ object Packing {
     * Zero-token docs occupy nothing: first_seq = last_seq = the sequence
     * their empty position falls in.
     */
+  /** The pack MANIFEST — what a training-data writer actually consumes:
+    * one row per (training sequence, document slice), telling the packer
+    * exactly which token range of which document fills which part of
+    * which fixed-length sequence. Derived from [[concatChunk]]'s
+    * coordinates by exploding each document over the sequences it spans
+    * — a pure narrow map on top of the prefix sum (documents still never
+    * move; output volume is n_docs + total_tokens/seqLen rows of five
+    * longs).
+    *
+    * Row semantics for a doc with global start s and n tokens, sequence
+    * q ∈ [first_seq, last_seq]:
+    *   - slice_start: first doc-local token index landing in q;
+    *   - slice_len:   tokens of this doc inside q (0 only for empty
+    *     docs, which occupy no cells but keep a manifest row at their
+    *     position);
+    *   - offset_in_seq: the cell of q where the slice begins.
+    *
+    * Σ slice_len over a sequence = seqLen (except the corpus tail), and
+    * Σ slice_len over a document = its n_tokens — both asserted in
+    * PackingSpec.
+    */
+  def packManifest(docs: DataFrame, idCol: String, textCol: String,
+      seqLen: Long): DataFrame = {
+    val c = concatChunk(docs, idCol, textCol, seqLen)
+    c.select(col("doc_id"), col("n_tokens"), col("start_token"),
+        explode(expr(s"sequence(first_seq, last_seq)")).as("seq_id"))
+      .select(
+        col("seq_id"),
+        col("doc_id"),
+        greatest(col("seq_id") * seqLen - col("start_token"), lit(0L))
+          .as("slice_start"),
+        (least((col("seq_id") + 1) * seqLen,
+          col("start_token") + col("n_tokens")) -
+          greatest(col("seq_id") * seqLen, col("start_token")))
+          .as("slice_len"),
+        greatest(col("start_token") - col("seq_id") * seqLen, lit(0L))
+          .as("offset_in_seq"))
+  }
+
   def concatChunk(docs: DataFrame, idCol: String, textCol: String,
       seqLen: Long): DataFrame = {
     require(seqLen > 0, s"seqLen must be positive: $seqLen")

@@ -410,6 +410,44 @@ object CurationQueries {
           ELSE prefix // 512 END AS BIGINT) AS last_seq
       FROM p ORDER BY doc_id"""))
 
+  /** The pack manifest (Packing.packManifest): q64's coordinates
+    * exploded into one row per (sequence, document slice) — the table a
+    * training-data writer actually consumes. The oracle replays the
+    * single-partition window prefix sum plus a lateral unnest over each
+    * document's sequence span with identical slice arithmetic.
+    */
+  private val q72 = GQuery(
+    (s, d) => graft.scale.Packing.packManifest(
+      T.documents(s, d), "doc_id", "text", seqLen = 512L)
+      .orderBy("seq_id", "doc_id"),
+    Some("""WITH t AS (
+        SELECT doc_id,
+          CAST(len(list_filter(string_split_regex(text, '\s+'),
+            x -> len(x) > 0)) AS BIGINT) AS n_tokens
+        FROM documents),
+      p AS (
+        SELECT doc_id, n_tokens,
+          CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+            AS start_token
+        FROM t),
+      c AS (
+        SELECT doc_id, n_tokens, start_token,
+          start_token // 512 AS first_seq,
+          CASE WHEN n_tokens > 0 THEN (start_token + n_tokens - 1) // 512
+            ELSE start_token // 512 END AS last_seq
+        FROM p),
+      u AS (
+        SELECT doc_id, n_tokens, start_token,
+          unnest(range(first_seq, last_seq + 1)) AS seq_id
+        FROM c)
+      SELECT seq_id, doc_id,
+        CAST(GREATEST(seq_id * 512 - start_token, 0) AS BIGINT) AS slice_start,
+        CAST(LEAST((seq_id + 1) * 512, start_token + n_tokens)
+          - GREATEST(seq_id * 512, start_token) AS BIGINT) AS slice_len,
+        CAST(GREATEST(start_token - seq_id * 512, 0) AS BIGINT) AS offset_in_seq
+      FROM u ORDER BY seq_id, doc_id"""))
+
   def all: Map[String, GQuery] = Map(
     "q58_decontamination" -> q58,
     "q59_repetition_signals" -> q59,
@@ -421,5 +459,6 @@ object CurationQueries {
     "q66_source_quota_topk" -> q66,
     "q67_c4_line_filter" -> q67,
     "q68_gopher_quality" -> q68,
+    "q72_pack_manifest" -> q72,
   )
 }

@@ -88,4 +88,30 @@ class PackingSpec extends SparkSpec {
     assert(out(3) == ((4L, 7L, 9L, 1L, 1L)))
     assert(out(4) == ((5L, 1L, 16L, 2L, 2L)))
   }
+
+  test("packManifest: slice conservation per doc and per sequence") {
+    val docs = Seq(
+      (1L, "a b c d"),          // [0,4) in seq 0
+      (2L, ""),                 // empty at 4
+      (3L, "e f g h i"),        // [4,9): 4 tokens in seq 0, 1 in seq 1
+      (4L, "j k l m n o p"),    // [9,16) in seq 1
+      (5L, "q")                 // [16,17) in seq 2 (tail)
+    ).toDF("doc_id", "text")
+    val m = Packing.packManifest(docs, "doc_id", "text", seqLen = 8L)
+      .orderBy("seq_id", "doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(m.toSeq == Seq(
+      (0L, 1L, 0L, 4L, 0L),   // doc 1 fills cells 0..3 of seq 0
+      (0L, 2L, 0L, 0L, 4L),   // empty doc: zero-length marker at cell 4
+      (0L, 3L, 0L, 4L, 4L),   // doc 3 head fills cells 4..7
+      (1L, 3L, 4L, 1L, 0L),   // doc 3 tail token opens seq 1
+      (1L, 4L, 0L, 7L, 1L),   // doc 4 fills the rest of seq 1
+      (2L, 5L, 0L, 1L, 0L)))  // tail sequence
+    // conservation: per doc, slices sum to n_tokens; per full sequence,
+    // slices sum to seqLen
+    val perDoc = m.groupBy(_._2).view.mapValues(_.map(_._4).sum).toMap
+    assert(perDoc == Map(1L -> 4L, 2L -> 0L, 3L -> 5L, 4L -> 7L, 5L -> 1L))
+    val perSeq = m.groupBy(_._1).view.mapValues(_.map(_._4).sum).toMap
+    assert(perSeq(0L) == 8L && perSeq(1L) == 8L && perSeq(2L) == 1L)
+  }
 }
