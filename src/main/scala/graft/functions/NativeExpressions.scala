@@ -101,6 +101,76 @@ object NativeExpressions {
     lineSep.charAt(lineSep.length - 1)
   }
 
+  /** Single-pass C4 line rules (see [[C4LineStats]]): counts array<long>
+    * [0]=nLines, [1]=nKept, [2]=dropped (no terminal punctuation),
+    * [3]=dropped (short), [4]=dropped (javascript), [5]=text has '{',
+    * [6]=text has "lorem ipsum"; plus the kept lines re-joined.
+    */
+  def c4_line_stats(text: Column, lineSep: String, joinSep: String,
+      minWords: Int): Column =
+    Bridge.column(C4LineStats(Bridge.expression(text), lineSep, joinSep,
+      minWords))
+
+  /** Reference JVM implementation of [[C4LineStats]]: the C4 line rules
+    * (terminal punctuation → min words → javascript notice, chained
+    * drop precedence) plus the page-level brace / lorem-ipsum probes,
+    * one pass over the raw text. Count semantics replicate the
+    * expression-combinator formulation: lines split on `lineSep` and
+    * trimmed of spaces, words are maximal non-`\s` runs, the javascript
+    * probe lowercases the line exactly as `lower()` does.
+    */
+  def c4LineStats(text: org.apache.spark.unsafe.types.UTF8String,
+      lineSep: Char, joinSep: String, minWords: Int): org.apache.spark.sql.catalyst.InternalRow = {
+    val s = text.toString
+    val n = s.length
+    @inline def isWs(c: Char): Boolean =
+      c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+    val sb = new java.lang.StringBuilder
+    var nLines = 0L; var nKept = 0L
+    var dPunct = 0L; var dShort = 0L; var dJs = 0L
+    var lineStart = 0
+    var pos = 0
+    while (pos <= n) {
+      if (pos == n || s.charAt(pos) == lineSep) {
+        var ts = lineStart
+        var te = pos
+        while (ts < te && s.charAt(ts) == ' ') ts += 1
+        while (te > ts && s.charAt(te - 1) == ' ') te -= 1
+        if (te > ts) {
+          nLines += 1
+          val last = s.charAt(te - 1)
+          val endsOk = last == '.' || last == '!' || last == '?' ||
+            last == '"' || last == '\''
+          if (!endsOk) dPunct += 1
+          else {
+            var w = 0
+            var i = ts
+            while (i < te) {
+              if (isWs(s.charAt(i))) i += 1
+              else { w += 1; while (i < te && !isWs(s.charAt(i))) i += 1 }
+            }
+            if (w < minWords) dShort += 1
+            else if (s.substring(ts, te).toLowerCase.contains("javascript"))
+              dJs += 1
+            else {
+              if (nKept > 0) sb.append(joinSep)
+              sb.append(s, ts, te)
+              nKept += 1
+            }
+          }
+        }
+        lineStart = pos + 1
+      }
+      pos += 1
+    }
+    val hasBrace = if (s.indexOf('{') >= 0) 1L else 0L
+    val hasLorem = if (s.toLowerCase.contains("lorem ipsum")) 1L else 0L
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(Array[Any](
+      new GenericArrayData(Array[Long](nLines, nKept, dPunct, dShort, dJs,
+        hasBrace, hasLorem)),
+      org.apache.spark.unsafe.types.UTF8String.fromString(sb.toString)))
+  }
+
   /** Chained regex scrub with counts (see [[RegexScrub]]). */
   def regex_scrub(text: Column, patterns: Seq[(String, String)]): Column =
     Bridge.column(RegexScrub(Bridge.expression(text), patterns))
@@ -1163,6 +1233,34 @@ case class RunExtends(left: Expression, right: Expression, need: Int)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
+}
+
+/** Single-pass C4 line-filter counts and cleaned text (see
+  * [[NativeExpressions.c4LineStats]]).
+  */
+case class C4LineStats(child: Expression, lineSep: String, joinSep: String,
+    minWords: Int) extends UnaryExpression {
+
+  private val sep: Char = NativeExpressions.sepChar(lineSep)
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("counts", ArrayType(LongType, containsNull = false)),
+    StructField("cleaned", StringType)))
+  override def nullable: Boolean = child.nullable
+
+  override def nullSafeEval(input: Any): Any =
+    NativeExpressions.c4LineStats(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+      sep, joinSep, minWords)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val js = ctx.addReferenceObj("joinSep", joinSep, "java.lang.String")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""${ev.value} = graft.functions.NativeExpressions.c4LineStats($c, (char) ${sep.toInt}, $js, $minWords);""")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }
 
 /** Chained regex scrub with per-pattern match counts (see

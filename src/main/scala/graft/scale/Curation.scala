@@ -188,28 +188,25 @@ object Curation {
   def c4LineFilter(docs: DataFrame, idCol: String, textCol: String,
       lineSep: String = "\n", joinSep: String = "\n", minWords: Int = 3,
       minKept: Int = 3): DataFrame = {
-    def endsOk(l: Column) =
-      substring(l, -1, 1).isin(".", "!", "?", "\"", "'")
-    def words(l: Column) =
-      size(filter(split(l, "\\s+"), t => length(t) > 0))
-    def hasJs(l: Column) = lower(l).contains("javascript")
-    val st = docs.select(col(idCol).as("doc_id"), col(textCol).as("__t"),
-      filter(transform(split(col(textCol), lineSep), l => trim(l)),
-        l => length(l) > 0).as("__l"))
-    val L = col("__l")
-    val kept = filter(L, l => endsOk(l) && words(l) >= minWords && !hasJs(l))
+    // one native C4LineStats pass per document: the line rules, chained
+    // drop counts, kept-line rejoin, and page probes all come from a
+    // single scan (the combinator formulation re-traversed the line
+    // array once per drop reason)
+    val p = col("__c")
+    val cnt = p.getField("counts")
+    val st = docs.select(col(idCol).as("doc_id"),
+      graft.functions.NativeExpressions
+        .c4_line_stats(col(textCol), lineSep, joinSep, minWords).as("__c"))
     st.select(
       col("doc_id"),
-      size(L).cast("long").as("n_lines"),
-      size(kept).cast("long").as("n_kept"),
-      size(filter(L, l => !endsOk(l))).cast("long").as("dropped_punct"),
-      size(filter(L, l => endsOk(l) && words(l) < minWords))
-        .cast("long").as("dropped_short"),
-      size(filter(L, l => endsOk(l) && words(l) >= minWords && hasJs(l)))
-        .cast("long").as("dropped_js"),
-      array_join(kept, joinSep).as("cleaned"),
-      (!col("__t").contains("{") && !lower(col("__t")).contains("lorem ipsum")
-        && size(kept) >= minKept).cast("long").as("page_keep"))
+      element_at(cnt, 1).as("n_lines"),
+      element_at(cnt, 2).as("n_kept"),
+      element_at(cnt, 3).as("dropped_punct"),
+      element_at(cnt, 4).as("dropped_short"),
+      element_at(cnt, 5).as("dropped_js"),
+      p.getField("cleaned").as("cleaned"),
+      (element_at(cnt, 6) === 0L && element_at(cnt, 7) === 0L &&
+        element_at(cnt, 2) >= minKept).cast("long").as("page_keep"))
   }
 
   /** Gopher's document-level quality flags (Rae et al. 2021, §A1.1 —
