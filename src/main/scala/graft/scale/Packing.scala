@@ -114,6 +114,67 @@ object Packing {
           .as("offset_in_seq"))
   }
 
+  /** Pad-efficient length-bucketed batching: assign documents to
+    * fixed-size training batches of similar token length, so per-batch
+    * padding (batch max − doc tokens) stays bounded by the bucket width
+    * instead of the corpus-wide length spread. The naive alternative — a
+    * GLOBAL sort by length — funnels the corpus through one total order;
+    * this buckets first (narrow map: bucket = n_tokens ÷ bucketWidth),
+    * then ranks only WITHIN each bucket, so the sort state per partition
+    * is one length class, not the corpus.
+    *
+    * batch_id packs (bucket, salt, group) into one long
+    * (bucket·2⁴⁰ | salt·2³² | group) — deterministic, join-free, and
+    * mirrorable in plain SQL arithmetic. The group field gets 32 bits
+    * (~4B batches ≈ 34B docs per (bucket, salt) at batchSize 8), so a
+    * mega-bucket cannot bleed group bits into the salt field and merge
+    * batches across salt groups; buckets keep 24 bits, capping n_tokens
+    * at 2²⁴·bucketWidth — beyond any real document. Batches never cross
+    * a bucket (asserted in PackingSpec), so padding ≤ bucketWidth−1 per
+    * row by construction.
+    *
+    * A corpus where most documents share one length class concentrates
+    * its rank window on one partition — the sourceQuota hazard —
+    * so `saltBuckets > 1` deterministically splits each bucket into
+    * salt sub-groups (portable hash of the id) that batch
+    * independently: same size/coherence guarantees, window state ÷
+    * saltBuckets. The default (1) keeps assignment canonical for the
+    * oracle (q73); the salted path is property-tested.
+    *
+    * Returns (doc_id, n_tokens, bucket, batch_id, batch_max, padding)
+    * — the last batch of each (bucket, salt) may be smaller than
+    * batchSize.
+    */
+  def lengthBatches(docs: DataFrame, idCol: String, textCol: String,
+      batchSize: Int, bucketWidth: Int,
+      saltBuckets: Int = 1): DataFrame = {
+    require(batchSize > 0 && bucketWidth > 0 && saltBuckets > 0,
+      s"positive parameters required: $batchSize/$bucketWidth/$saltBuckets")
+    require(saltBuckets <= 256, s"saltBuckets fits 8 bits: $saltBuckets")
+    import org.apache.spark.sql.expressions.Window
+    val t = docs.select(col(idCol).as("doc_id"),
+      size(TextOps.tokens(col(textCol))).cast("long").as("n_tokens"))
+    val withBucket = t
+      .withColumn("bucket", expr(s"n_tokens div $bucketWidth"))
+      .withColumn("__salt",
+        if (saltBuckets == 1) lit(0L)
+        else pmod(Sampling.portableBucket(col("doc_id")), lit(saltBuckets))
+          .cast("long"))
+    val w = Window.partitionBy(col("bucket"), col("__salt"))
+      .orderBy(col("n_tokens"), col("doc_id"))
+    val assigned = withBucket
+      .withColumn("__rn", row_number().over(w).cast("long") - 1L)
+      .withColumn("batch_id",
+        shiftleft(col("bucket"), 40)
+          .bitwiseOR(shiftleft(col("__salt"), 32))
+          .bitwiseOR(expr(s"__rn div $batchSize")))
+    val wb = Window.partitionBy(col("batch_id"))
+    assigned.select(col("doc_id"), col("n_tokens"), col("bucket"),
+      col("batch_id"),
+      max(col("n_tokens")).over(wb).as("batch_max"),
+      (max(col("n_tokens")).over(wb) - col("n_tokens")).as("padding"))
+  }
+
   def concatChunk(docs: DataFrame, idCol: String, textCol: String,
       seqLen: Long): DataFrame = {
     require(seqLen > 0, s"seqLen must be positive: $seqLen")

@@ -448,6 +448,35 @@ object CurationQueries {
         CAST(GREATEST(start_token - seq_id * 512, 0) AS BIGINT) AS offset_in_seq
       FROM u ORDER BY seq_id, doc_id"""))
 
+  /** Length-bucketed batching (Packing.lengthBatches, canonical unsalted
+    * path): bucket by token-length class, rank within bucket, pack
+    * consecutive ranks into fixed-size batches, report per-doc padding.
+    * The oracle replays bucket arithmetic, the in-bucket row_number, the
+    * packed batch_id, and the per-batch max verbatim.
+    */
+  private val q73 = GQuery(
+    (s, d) => graft.scale.Packing.lengthBatches(
+      T.documents(s, d), "doc_id", "text", batchSize = 8, bucketWidth = 16)
+      .orderBy("doc_id"),
+    Some("""WITH t AS (
+        SELECT doc_id,
+          CAST(len(list_filter(string_split_regex(text, '\s+'),
+            x -> len(x) > 0)) AS BIGINT) AS n_tokens
+        FROM documents),
+      b AS (
+        SELECT doc_id, n_tokens, n_tokens // 16 AS bucket,
+          ROW_NUMBER() OVER (PARTITION BY n_tokens // 16
+            ORDER BY n_tokens, doc_id) - 1 AS rn
+        FROM t),
+      g AS (
+        SELECT doc_id, n_tokens, bucket,
+          CAST(bucket * 1099511627776 + rn // 8 AS BIGINT) AS batch_id
+        FROM b)
+      SELECT doc_id, n_tokens, bucket, batch_id,
+        MAX(n_tokens) OVER (PARTITION BY batch_id) AS batch_max,
+        MAX(n_tokens) OVER (PARTITION BY batch_id) - n_tokens AS padding
+      FROM g ORDER BY doc_id"""))
+
   def all: Map[String, GQuery] = Map(
     "q58_decontamination" -> q58,
     "q59_repetition_signals" -> q59,
@@ -460,5 +489,6 @@ object CurationQueries {
     "q67_c4_line_filter" -> q67,
     "q68_gopher_quality" -> q68,
     "q72_pack_manifest" -> q72,
+    "q73_length_batching" -> q73,
   )
 }

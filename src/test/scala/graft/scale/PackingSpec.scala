@@ -114,4 +114,36 @@ class PackingSpec extends SparkSpec {
     val perSeq = m.groupBy(_._1).view.mapValues(_.map(_._4).sum).toMap
     assert(perSeq(0L) == 8L && perSeq(1L) == 8L && perSeq(2L) == 1L)
   }
+
+  test("lengthBatches: batch size, bucket coherence, padding — both salt paths") {
+    val docs = (1L to 60L).map { i =>
+      (i, Seq.fill((i % 13 + 1).toInt)("tok").mkString(" "))
+    }.toDF("doc_id", "text").repartition(5)
+    for (salts <- Seq(1, 4)) {
+      val rows = Packing.lengthBatches(docs, "doc_id", "text",
+        batchSize = 4, bucketWidth = 5, saltBuckets = salts)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5)))
+      assert(rows.length == 60)
+      val byBatch = rows.groupBy(_._4)
+      byBatch.foreach { case (_, b) =>
+        assert(b.length <= 4, "batch exceeds batchSize")
+        assert(b.map(_._3).distinct.length == 1, "batch crosses a bucket")
+        val mx = b.map(_._2).max
+        b.foreach { r =>
+          assert(r._5 == mx && r._6 == mx - r._2, "padding arithmetic")
+          assert(r._6 < 5, "padding exceeds bucketWidth-1")
+        }
+      }
+      // every doc appears exactly once
+      assert(rows.map(_._1).sorted.toSeq == (1L to 60L))
+    }
+    // canonical path is deterministic across partitionings
+    val a = Packing.lengthBatches(docs, "doc_id", "text", 4, 5)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val b = Packing.lengthBatches(docs.repartition(13), "doc_id", "text", 4, 5)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(a == b)
+  }
 }
