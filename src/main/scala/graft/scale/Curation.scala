@@ -404,6 +404,84 @@ object Curation {
         "doc_id")
   }
 
+  /** DSIR-style hashed n-gram importance weights (Xie et al. 2023,
+    * "Data Selection for Language Models via Importance Resampling"):
+    * score every document by how much its hashed n-gram profile looks
+    * like a TARGET subset (e.g. "high-quality English") relative to the
+    * raw corpus — the selection signal importance resampling feeds on.
+    *
+    * Per bucket b of `buckets` (shingle hash mod m), with Laplace-
+    * smoothed occurrence distributions p̂_t(b) = (t_b+1)/(T+m) over the
+    * target subset and p̂_r(b) = (r_b+1)/(R+m) over the whole corpus,
+    * a document with per-bucket counts c_b and n = Σ c_b scores
+    *
+    *   importance = (Σ_b c_b · p̂_t(b)/p̂_r(b)) / n
+    *
+    * — the mean likelihood ratio over the doc's n-gram occurrences.
+    * DSIR's own weight is the LOG-domain sum Σ c_b·(ln p̂_t − ln p̂_r);
+    * the linear-domain mean is kept here because every factor is an
+    * exact-IEEE quotient of integer counts (correctly-rounded divides
+    * and multiplies — bit-identical on any engine), whereas `ln` is
+    * libm-dependent to 1 ulp and would break the cross-engine
+    * hash-match oracle (q74). Same signal: both are monotone pulls
+    * toward buckets the target over-represents.
+    *
+    * Determinism: the per-doc sum is a LEFT FOLD over terms in bucket
+    * order (Spark `aggregate` over an `array_sort`ed collect_list =
+    * DuckDB `list_reduce` over `list(... ORDER BY b)`), so the IEEE
+    * addition sequence — not just the term multiset — is pinned, and
+    * the double hash-matches bit-for-bit.
+    *
+    * Scale shape: one narrow explode (id, target-flag, 8-byte bucket),
+    * a map-side-combined groupBy(doc, bucket), bucket stats collapse to
+    * m rows (broadcast back — the m-row frame, never the corpus, sits
+    * on the build side), and a final groupBy(doc) whose collect_list is
+    * bounded by min(n-grams/doc, m) entries. Text never shuffles. The
+    * explode feeds both the per-doc and the per-bucket branches;
+    * recomputing the narrow scan+kernel twice beats persisting at
+    * 100 TB (same call as [[contamination]]).
+    *
+    * Every doc yields ≥ 1 shingle ([[Dedup.portableShingles]] folds
+    * short docs whole), so no doc goes missing. Returns
+    * (doc_id, n_terms, importance).
+    */
+  def dsirWeights(docs: DataFrame, idCol: String, textCol: String,
+      targetPred: Column, buckets: Int = 1024,
+      shingleSize: Int = 2): DataFrame = {
+    require(buckets > 0, s"buckets must be positive: $buckets")
+    val terms = docs.select(
+      col(idCol).as("doc_id"),
+      targetPred.as("__tgt"),
+      explode(Dedup.portableShingles(
+        Dedup.portableTokenHashes(TextOps.tokens(col(textCol))),
+        shingleSize)).as("__g"))
+      .select(col("doc_id"), col("__tgt"),
+        pmod(col("__g"), lit(buckets.toLong)).as("b"))
+    val perDoc = terms.groupBy(col("doc_id"), col("b"))
+      .agg(count(lit(1)).as("c"))
+    val bucketStats = terms.groupBy(col("b"))
+      .agg(count(lit(1)).as("r"),
+        sum(when(col("__tgt"), 1L).otherwise(0L)).as("t"))
+    val totals = bucketStats.agg(sum(col("r")).as("rtot"),
+      sum(col("t")).as("ttot"))
+    val stats = bucketStats.crossJoin(broadcast(totals)).select(
+      col("b"),
+      ((col("t") + 1L).cast("double") /
+        (col("ttot") + buckets.toLong).cast("double")).as("__pt"),
+      ((col("r") + 1L).cast("double") /
+        (col("rtot") + buckets.toLong).cast("double")).as("__pr"))
+    perDoc.join(broadcast(stats), "b")
+      .select(col("doc_id"), col("b"),
+        col("c"),
+        (col("c").cast("double") * (col("__pt") / col("__pr"))).as("__term"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_terms"),
+        aggregate(array_sort(collect_list(struct(col("b"), col("__term")))),
+          lit(0.0), (acc, x) => acc + x.getField("__term")).as("__s"))
+      .select(col("doc_id"), col("n_terms"),
+        (col("__s") / col("n_terms").cast("double")).as("importance"))
+  }
+
   /** Above this estimated-input size (Catalyst plan statistics), the
     * skew-safe formulations of [[dedupSentences]] and [[sourceQuota]]
     * take over. 1 GiB: far below anything a hot key could break, far

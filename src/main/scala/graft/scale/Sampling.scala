@@ -90,4 +90,56 @@ object Sampling {
       }.otherwise(lit((defaultRate * P31).toLong))
     df.filter(portableBucket(key) < thr)
   }
+
+  /** Temperature-based source-mix resampling (the mT5/XLM-R move,
+    * Xue et al. 2021 §3.1 / Conneau et al. 2020 §3.1): rebalance a
+    * skewed stratum mix so the sampled corpus follows p_l ∝ n_l^α —
+    * α = 1 keeps the natural mix, α → 0 flattens toward uniform, the
+    * usual 0.2-0.7 range boosts tail languages without letting them
+    * dominate. Realized as pure SUBSAMPLING (no upsampling): stratum l
+    * keeps rate_l = (n_min/n_l)^(1−α), so the smallest stratum keeps
+    * everything and expected kept counts are n_min^(1−α)·n_l^α ∝ n_l^α.
+    *
+    * Membership is the same deterministic portable-hash rule as
+    * [[sampleStratified]] — reproducible across runs, engines, and
+    * partitionings, and nested across α (a doc kept at α=0.3 is kept at
+    * every larger α, since rate is monotone in α). Scale shape: one
+    * map-side-combined count per stratum (the only shuffle, output =
+    * #strata rows), rates computed in-plan on that tiny frame, then a
+    * broadcast join back and a codegen'd narrow filter — the corpus
+    * itself never reshuffles.
+    *
+    * Exactness: n_min/n_l is an exact-IEEE quotient of two longs; at
+    * α = 0.5 the rate is `sqrt` of it — correctly rounded by IEEE 754,
+    * bit-identical on any engine, which is why q75's oracle pins that α.
+    * Other exponents route through `pow` (libm, 1-ulp engine drift — fine
+    * in production, not oracle-hashable); 0/0.5/1 get exact forms.
+    *
+    * Rows with a NULL stratum are dropped (no count, no rate — same as
+    * an unknown stratum in [[sampleStratified]] with defaultRate 0).
+    * Returns the input plus (stratum_n, rate, keep) — `keep` kept as a
+    * flag, not a filter, so callers can audit the decision (q75 hashes
+    * the full decision table).
+    */
+  def temperatureMix(df: DataFrame, key: Column, strata: Column,
+      alpha: Double): DataFrame = {
+    require(alpha >= 0.0 && alpha <= 1.0, s"alpha in [0, 1]: $alpha")
+    val e = 1.0 - alpha
+    val counts = df.groupBy(strata.as("__stratum"))
+      .agg(count(lit(1)).as("stratum_n"))
+    val nmin = counts.agg(min(col("stratum_n")).as("__nmin"))
+    val ratio = col("__nmin").cast("double") / col("stratum_n").cast("double")
+    val rate =
+      if (e == 0.0) lit(1.0)
+      else if (e == 0.5) sqrt(ratio)
+      else if (e == 1.0) ratio
+      else pow(ratio, lit(e))
+    val rates = counts.crossJoin(broadcast(nmin))
+      .select(col("__stratum"), col("stratum_n"), rate.as("rate"))
+    df.join(broadcast(rates), strata === col("__stratum"))
+      .withColumn("keep",
+        (portableBucket(key).cast("double") <
+          col("rate") * lit(P31.toDouble)).cast("long"))
+      .drop("__stratum")
+  }
 }

@@ -477,6 +477,82 @@ object CurationQueries {
         MAX(n_tokens) OVER (PARTITION BY batch_id) - n_tokens AS padding
       FROM g ORDER BY doc_id"""))
 
+  /** DuckDB: Dedup.portableShingles(th, 2) non-distinct — the DSIR term
+    * stream (occurrence counts, so no list_distinct; short docs fold
+    * whole, so every doc yields ≥ 1 term).
+    */
+  private def bigramListSql(th: String): String = {
+    def x(e: String) = s"($e % $P)"
+    val w = s"((((17 * 31 + ${x(s"$th[i]")}) % $P) * 31 + ${x(s"$th[i+1]")}) % $P)"
+    s"""CASE WHEN len($th) >= 2
+         THEN list_transform(range(1, len($th)), i -> $w)
+         ELSE [list_reduce(list_prepend(17::BIGINT, list_transform($th, v -> v % $P)),
+           (a, v) -> (a * 31 + v) % $P)] END"""
+  }
+
+  /** DSIR hashed-n-gram importance weights (Curation.dsirWeights) with
+    * target = English docs, 1024 buckets, bigram shingles. The oracle
+    * replays the portable shingle family, the bucket counts, the
+    * Laplace quotients, and — critically — the SAME bucket-ordered left
+    * fold for the per-doc sum (`list_reduce` over `list(ORDER BY b)` =
+    * Spark `aggregate` over `array_sort(collect_list)`), so the double
+    * `importance` column hash-matches bit-for-bit.
+    */
+  private val q74 = GQuery(
+    (s, d) => Curation.dsirWeights(T.documents(s, d), "doc_id", "text",
+      targetPred = col("lang") === "en", buckets = 1024, shingleSize = 2)
+      .orderBy("doc_id"),
+    Some(s"""${ScaleQueries.thCtes(withCodes = false)},
+      sh AS (
+        SELECT th.doc_id, d.lang, ${bigramListSql("th")} AS s
+        FROM th JOIN documents d ON th.doc_id = d.doc_id),
+      tm AS (SELECT doc_id, lang, unnest(s) % 1024 AS b FROM sh),
+      pd AS (SELECT doc_id, b, COUNT(*)::BIGINT AS c FROM tm GROUP BY 1, 2),
+      st AS (
+        SELECT b, COUNT(*)::BIGINT AS r,
+          SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::BIGINT AS t
+        FROM tm GROUP BY b),
+      tot AS (SELECT SUM(r)::BIGINT AS rtot, SUM(t)::BIGINT AS ttot FROM st),
+      terms AS (
+        SELECT pd.doc_id, pd.b, pd.c,
+          pd.c::DOUBLE * (((st.t + 1)::DOUBLE / (tot.ttot + 1024)::DOUBLE)
+            / ((st.r + 1)::DOUBLE / (tot.rtot + 1024)::DOUBLE)) AS term
+        FROM pd JOIN st USING (b) CROSS JOIN tot),
+      agg AS (
+        SELECT doc_id, SUM(c)::BIGINT AS n_terms,
+          list_reduce(list_prepend(0.0::DOUBLE, list(term ORDER BY b)),
+            (a, x) -> a + x) AS s
+        FROM terms GROUP BY doc_id)
+      SELECT doc_id, n_terms, s / n_terms::DOUBLE AS importance
+      FROM agg ORDER BY doc_id"""))
+
+  /** Temperature-based mix resampling (Sampling.temperatureMix) at
+    * α = 0.5 over the language strata: rate_l = sqrt(n_min/n_l) —
+    * sqrt of an exact long quotient is correctly rounded by IEEE 754 on
+    * both engines, so the rate AND the per-doc keep decision (portable
+    * bucket < rate·(2³¹−1)) replay exactly; the oracle hashes the full
+    * decision table, not just the rates.
+    */
+  private val q75 = GQuery(
+    (s, d) => graft.scale.Sampling.temperatureMix(
+      T.documents(s, d), col("doc_id"), col("lang"), alpha = 0.5)
+      .select(col("doc_id"), col("lang"), col("stratum_n"), col("rate"),
+        col("keep"))
+      .orderBy("doc_id"),
+    Some(s"""WITH c AS (
+        SELECT lang, COUNT(*)::BIGINT AS stratum_n FROM documents GROUP BY lang),
+      m AS (SELECT MIN(stratum_n) AS nmin FROM c),
+      r AS (
+        SELECT lang, stratum_n,
+          sqrt(nmin::DOUBLE / stratum_n::DOUBLE) AS rate
+        FROM c CROSS JOIN m)
+      SELECT d.doc_id, d.lang, r.stratum_n, r.rate,
+        (CASE WHEN (${ScaleQueries.bucketSql("d.doc_id")})
+            < r.rate * 2147483647.0
+          THEN 1 ELSE 0 END)::BIGINT AS keep
+      FROM documents d JOIN r USING (lang)
+      ORDER BY d.doc_id"""))
+
   def all: Map[String, GQuery] = Map(
     "q58_decontamination" -> q58,
     "q59_repetition_signals" -> q59,
@@ -490,5 +566,7 @@ object CurationQueries {
     "q68_gopher_quality" -> q68,
     "q72_pack_manifest" -> q72,
     "q73_length_batching" -> q73,
+    "q74_dsir_weights" -> q74,
+    "q75_temperature_mix" -> q75,
   )
 }

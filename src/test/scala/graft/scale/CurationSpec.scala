@@ -200,4 +200,40 @@ class CurationSpec extends SparkSpec {
     assert(kept.select("rank").as[Long].collect().sorted.toSeq ==
       Seq(1L, 1L, 2L, 2L, 3L, 3L))
   }
+
+  test("dsir weights: identity on all-target, target affinity, exact determinism") {
+    // when target == corpus, every bucket ratio is exactly 1.0 (identical
+    // smoothed quotients divide to 1), so importance == 1.0 bit-exactly
+    val docs = Seq(
+      (1L, "en", "alpha beta gamma delta"),
+      (2L, "en", "alpha beta gamma"),
+      (3L, "zh", "epsilon zeta"),
+      (4L, "zh", "solo")
+    ).toDF("doc_id", "lang", "text")
+    val idW = Curation.dsirWeights(docs, "doc_id", "text", lit(true))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(idW.size == 4)
+    // bigram shingles: n tokens -> n-1 terms; short docs fold to 1
+    assert(idW(1L)._1 == 3 && idW(2L)._1 == 2 && idW(3L)._1 == 1 && idW(4L)._1 == 1)
+    assert(idW.values.forall(_._2 == 1.0))
+
+    // a non-target doc sharing the target's n-grams outscores one with
+    // disjoint vocabulary
+    val corpus = (
+      (1L to 3L).map(i => (i, "en", "the cat sat on the mat")) ++ Seq(
+        (4L, "zh", "the cat sat on the mat"),
+        (5L, "zh", "voila un chien dans le jardin"))
+    ).toDF("doc_id", "lang", "text")
+    val w = Curation.dsirWeights(corpus, "doc_id", "text", col("lang") === "en")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(w(4L) > w(5L), s"target-affine doc must outscore: $w")
+    assert(w(4L) == w(1L), "identical text scores identically")
+
+    // the bucket-sorted fold makes the double partitioning-invariant
+    val a = Curation.dsirWeights(corpus, "doc_id", "text", col("lang") === "en")
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val b = Curation.dsirWeights(corpus.repartition(7), "doc_id", "text",
+      col("lang") === "en").orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(a == b)
+  }
 }

@@ -315,6 +315,47 @@ class ScaleSpec extends SparkSpec {
       .filter($"lang" === "zh").count() == 0)
   }
 
+  test("temperature mix: exact rates, flattening, nesting, invariance") {
+    import spark.implicits._
+    // skewed mix: en 1600, zh 400, fr 100 (nmin = 100)
+    val df = (1L to 2100L).map { i =>
+      (i, if (i <= 1600) "en" else if (i <= 2000) "zh" else "fr")
+    }.toDF("id", "lang")
+    val m = Sampling.temperatureMix(df, $"id", $"lang", alpha = 0.5)
+    // rates are sqrt of exact quotients: sqrt(1/16)=0.25, sqrt(1/4)=0.5
+    val rates = m.select("lang", "rate").distinct().collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(rates == Map("en" -> 0.25, "zh" -> 0.5, "fr" -> 1.0))
+    // smallest stratum keeps everything; kept counts track n^alpha
+    val kept = m.filter($"keep" === 1L).groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kept("fr") == 100L)
+    assert(kept("en") > 320 && kept("en") < 480)   // ~0.25 of 1600
+    assert(kept("zh") > 140 && kept("zh") < 260)   // ~0.5 of 400
+    // alpha = 1 keeps the natural mix untouched
+    assert(Sampling.temperatureMix(df, $"id", $"lang", 1.0)
+      .filter($"keep" === 0L).count() == 0)
+    // alpha = 0 flattens: every stratum's expected kept count is nmin
+    val flat = Sampling.temperatureMix(df, $"id", $"lang", 0.0)
+      .filter($"keep" === 1L).groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(flat("fr") == 100L)
+    assert(flat("en") > 60 && flat("en") < 140)
+    assert(flat("zh") > 60 && flat("zh") < 140)
+    // kept sets nest across alpha (rate monotone in alpha)
+    def keptIds(a: Double) =
+      Sampling.temperatureMix(df, $"id", $"lang", a)
+        .filter($"keep" === 1L).select("id").collect()
+        .map(_.getLong(0)).toSet
+    val k3 = keptIds(0.3)
+    assert(k3.nonEmpty && k3.subsetOf(keptIds(0.7)))
+    // partitioning-invariant decision table
+    val a = m.orderBy("id").collect().map(_.toSeq).toSeq
+    val b = Sampling.temperatureMix(df.repartition(7), $"id", $"lang", 0.5)
+      .orderBy("id").collect().map(_.toSeq).toSeq
+    assert(a == b)
+  }
+
   test("cluster-coherent split never separates near-duplicates") {
     import spark.implicits._
     // 10 families of 3 near-identical docs: a per-document split would
