@@ -405,6 +405,44 @@ object NativeExpressions {
     }
   }
 
+  /** The portable shingle hashes IN ORDER, non-distinct — the occurrence
+    * stream DSIR-style n-gram counting consumes (occurrence counts, so
+    * no dedup; order irrelevant downstream but kept positional anyway).
+    * Compiled for the same reason as [[portable_distinct_shingles]]: the
+    * HOF reference (`Dedup.portableShingles`) re-evaluates its
+    * token-hash input per `element_at` when handed an expression tree.
+    * Element-equal to the HOF form (parity spec).
+    */
+  def portable_shingles(th: Column, n: Int): Column =
+    Bridge.column(PortableShingles(Bridge.expression(th), n))
+
+  /** Shared JVM implementation for [[PortableShingles]]: one pass, the
+    * same window fold as [[portableDistinctShingles]] minus the
+    * sort+dedup. O(k·n) per doc, zero boxing.
+    */
+  def portableShinglesImpl(arr: ArrayData, n: Int): ArrayData = {
+    val P = 2147483647L
+    def red(x: Long): Long = { val r = x % P; if (r < 0) r + P else r }
+    val len = arr.numElements()
+    if (len >= n) {
+      val out = new Array[Long](len - n + 1)
+      var i = 0
+      while (i + n <= len) {
+        var h = 17L
+        var j = 0
+        while (j < n) { h = (h * 31L + red(arr.getLong(i + j))) % P; j += 1 }
+        out(i) = h
+        i += 1
+      }
+      new GenericArrayData(out)
+    } else {
+      var h = 17L
+      var i = 0
+      while (i < len) { h = (h * 31L + red(arr.getLong(i))) % P; i += 1 }
+      new GenericArrayData(Array(h))
+    }
+  }
+
   /** Shared JVM implementation for [[PortableShingleMin]]. Inputs reduce
     * with a POSITIVE mod (Java `%` preserves sign), matching the `pmod` of
     * the HOF reference — the operators are generic over the token hash, so
@@ -1207,6 +1245,26 @@ case class PortableDistinctShingles(child: Expression, n: Int)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c =>
       s"""${ev.value} = graft.functions.NativeExpressions.portableDistinctShingles($c, $n);""")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Portable shingle hashes in order, non-distinct (see
+  * [[NativeExpressions.portableShinglesImpl]]).
+  */
+case class PortableShingles(child: Expression, n: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  override def nullSafeEval(input: Any): Any =
+    NativeExpressions.portableShinglesImpl(input.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""${ev.value} = graft.functions.NativeExpressions.portableShinglesImpl($c, $n);""")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

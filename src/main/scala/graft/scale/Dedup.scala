@@ -487,6 +487,62 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
   }
 
+  /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication"): duplicate detection in
+    * EMBEDDING space — partition the corpus by a small centroid set,
+    * compare vectors only WITHIN their cluster, and keep one
+    * representative per semantic-duplicate group. The cluster
+    * restriction is the published approximation (cross-cluster pairs
+    * are never examined) — it is what turns the O(n²) comparison into
+    * k independent O((n/k)²) problems.
+    *
+    * Assignment is max-cosine to the centroid list, FIRST index winning
+    * ties — the same exact-cosine arithmetic ([[Similarity.cosineNative]],
+    * left-fold accumulation, zero-norm → 0.0) as the pair verification,
+    * so the whole decision chain (assignment, pair threshold, component
+    * labels, representatives) replays in portable SQL and q76
+    * hash-matches all of it. Centroids come from the caller:
+    * [[Ivf.trainCentroids]] for production (spherical Lloyd — better
+    * balanced cells), or any deterministic seed set where an external
+    * system must reproduce the assignment.
+    *
+    * Scale shape: assignment is a narrow map (k fused-kernel cosines per
+    * row — the scores array is referenced twice, so ~2k·dim multiplies;
+    * k is the COARSE quantizer count, far below corpus size). Pair
+    * generation reuses [[bucketPairRows]]'s deterministic triangle
+    * split with the vector as the carried payload — a mega-cluster
+    * spreads its O(n²) pairing over ⌈n/maxBucket⌉² bounded tasks, and
+    * vectors ride the pair rows, so no join-back touches the corpus
+    * twice. Components run on the adaptive [[connectedComponents]]
+    * (driver union-find under the edge cut, pointer-doubling above).
+    *
+    * Returns (id, cluster, component, keep): `cluster` is the 1-based
+    * centroid index, `component` the min-id semantic-duplicate group,
+    * `keep` = 1 exactly on the group representative (the min id).
+    */
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
+      centroids: Seq[Seq[Double]], threshold: Double,
+      maxBucket: Int = 1024): DataFrame = {
+    require(centroids.nonEmpty, "need at least one centroid")
+    val v0 = df.select(col(idCol).as("id"),
+      Similarity.toDouble(col(vecCol)).as("v"))
+    val scores = array(centroids.map(c =>
+      Similarity.cosineNative(col("v"), typedLit(c))): _*)
+    val assigned = v0.withColumn("__scores", scores)
+      .withColumn("cluster",
+        array_position(col("__scores"), array_max(col("__scores"))))
+      .select(col("id"), col("v"), col("cluster"))
+    val pairs = bucketPairRows(
+      assigned.select(col("id"), col("cluster").as("bk"), col("v").as("pv")),
+      maxBucket)
+      .filter(Similarity.cosineNative(col("pv_l"), col("pv_r")) >= threshold)
+      .select(col("id_a"), col("id_b"))
+    connectedComponents(assigned.select(col("id")), pairs)
+      .join(assigned.select(col("id"), col("cluster")), "id")
+      .select(col("id"), col("cluster"), col("component"),
+        (col("id") === col("component")).cast("long").as("keep"))
+  }
+
   /** The default token-hash parameter for the hash-generic operators:
     * xxhash64 per token (fast, 64 well-mixed bits, engine-specific).
     */

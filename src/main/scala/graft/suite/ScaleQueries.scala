@@ -536,6 +536,73 @@ object ScaleQueries {
       FROM scored WHERE cosine >= 0.4 ORDER BY id_a, id_b"""
     })
 
+  /** SemDeDup (Dedup.semanticDedup) with k = 8 deterministic seed
+    * centroids (the 8 smallest vec_ids — collected at build time,
+    * k×dim doubles, so the oracle can replay assignment) and cosine
+    * threshold 0.4. The oracle recomputes max-cosine assignment
+    * (first-index tie rule = ROW_NUMBER ORDER BY cos DESC, ci),
+    * within-cluster pairs, recursive-CTE components, and the min-id
+    * representative — a full hash-match certifies the entire decision
+    * chain, including that cross-cluster pairs are (by design) never
+    * examined. Production passes Ivf.trainCentroids output instead.
+    */
+  private val q76 = GQuery(
+    (s, d) => {
+      val seeds = T.embeddings(s, d)
+        .select(col("vec_id"), Similarity.toDouble(col("embedding")).as("v"))
+        .orderBy("vec_id").limit(8).collect()
+        .map(_.getSeq[Double](1).toSeq).toSeq
+      Dedup.semanticDedup(T.embeddings(s, d), "vec_id", "embedding",
+        seeds, threshold = 0.4)
+        .orderBy(col("id"))
+    },
+    Some {
+      def cosSql(a: String, b: String): String = {
+        val dot = foldSum((1 to EmbeddingDim).map(i =>
+          s"$a.embedding[$i]::DOUBLE * $b.embedding[$i]::DOUBLE"))
+        val na = foldSum((1 to EmbeddingDim).map(i =>
+          s"$a.embedding[$i]::DOUBLE * $a.embedding[$i]::DOUBLE"))
+        val nb = foldSum((1 to EmbeddingDim).map(i =>
+          s"$b.embedding[$i]::DOUBLE * $b.embedding[$i]::DOUBLE"))
+        s"""CASE WHEN SQRT($na) > 0 AND SQRT($nb) > 0
+          THEN ($dot) / (SQRT($na) * SQRT($nb)) ELSE 0.0 END"""
+      }
+      s"""WITH RECURSIVE s AS (
+        SELECT vec_id, embedding,
+          ROW_NUMBER() OVER (ORDER BY vec_id) AS ci
+        FROM embeddings ORDER BY vec_id LIMIT 8),
+      sc AS (
+        SELECT e.vec_id, s.ci, ${cosSql("e", "s")} AS cos
+        FROM embeddings e CROSS JOIN s),
+      asg AS (
+        SELECT vec_id, ci AS cluster FROM (
+          SELECT vec_id, ci,
+            ROW_NUMBER() OVER (PARTITION BY vec_id
+              ORDER BY cos DESC, ci) AS rn
+          FROM sc) WHERE rn = 1),
+      ec AS (
+        SELECT e.vec_id, e.embedding, g.cluster
+        FROM embeddings e JOIN asg g USING (vec_id)),
+      pairs AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM ec a JOIN ec b
+          ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+        WHERE (${cosSql("a", "b")}) >= 0.4),
+      edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION ALL
+        SELECT id_b AS src, id_a AS dst FROM pairs),
+      reach(id, comp) AS (
+        SELECT vec_id, vec_id FROM embeddings
+        UNION
+        SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.id),
+      comp AS (SELECT id, MIN(comp) AS component FROM reach GROUP BY id)
+      SELECT c.id, CAST(g.cluster AS BIGINT) AS cluster, c.component,
+        (CASE WHEN c.id = c.component THEN 1 ELSE 0 END)::BIGINT AS keep
+      FROM comp c JOIN asg g ON g.vec_id = c.id
+      ORDER BY c.id"""
+    })
+
   def all: Map[String, GQuery] = Map(
     "q21_text_quality" -> q21,
     "q22_lang_id" -> q22,
@@ -552,5 +619,6 @@ object ScaleQueries {
     "q46_cluster_split" -> q46,
     "q69_heavy_hitters" -> q69,
     "q71_common_run_pairs" -> q71,
+    "q76_semantic_dedup" -> q76,
   )
 }

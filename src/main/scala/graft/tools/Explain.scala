@@ -46,7 +46,9 @@ object Explain {
       "q65_sentence_dedup_twostage", // skew path: min-per-hash pre-agg + join-back
       "q66_source_quota_topk", // skew path: TopK combiner caps the mega-source
       "q70_column_profile",    // per-column union branches, no Expand
-      "q71_common_run_pairs")  // winnow kernel + fused native verify join
+      "q71_common_run_pairs",  // winnow kernel + fused native verify join
+      "q74_dsir_weights",      // native shingle kernel + broadcast m-row stats
+      "q76_semantic_dedup")    // centroid-bucketed pairs + payload triangle split
 
     val sb = new StringBuilder
     sb.append("# EXPLAIN — flagship physical plans\n\n")

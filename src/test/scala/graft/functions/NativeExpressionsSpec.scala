@@ -196,6 +196,24 @@ class NativeExpressionsSpec extends SparkSpec {
     assert(shorts.filter(col("hof") =!= col("native")).count() == 0)
   }
 
+  test("portable shingles kernel == positional HOF reference, incl. short docs") {
+    import spark.implicits._
+    val docs = T.documents(spark, sf)
+      .withColumn("th",
+        NativeExpressions.portable_token_hashes(TextOps.tokens(col("text"))))
+    val both = docs
+      .withColumn("hof", Dedup.portableShingles(col("th"), 2))
+      .withColumn("native", NativeExpressions.portable_shingles(col("th"), 2))
+    assert(both.filter(col("hof") =!= col("native")).count() == 0)
+    assert(both.count() == 500)
+    val shorts = Seq((1L, "one two"), (2L, "one"), (3L, "")).toDF("id", "text")
+      .withColumn("th",
+        NativeExpressions.portable_token_hashes(TextOps.tokens(col("text"))))
+      .withColumn("hof", Dedup.portableShingles(col("th"), 3))
+      .withColumn("native", NativeExpressions.portable_shingles(col("th"), 3))
+    assert(shorts.filter(col("hof") =!= col("native")).count() == 0)
+  }
+
   test("portable shingle-min kernel == HOF reference on the documents table") {
     val docs = T.documents(spark, sf)
       .withColumn("th",

@@ -356,6 +356,40 @@ class ScaleSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("semantic dedup: cluster assignment, within-cluster groups, representatives") {
+    import spark.implicits._
+    // two clean semantic clusters around orthogonal axes; ids 1,2 and
+    // 4,5 are exact duplicates, 3 and 6 are same-cluster but distinct
+    val vecs = Seq(
+      (1L, Seq(1.0, 0.0, 0.0, 0.0)),
+      (2L, Seq(1.0, 0.0, 0.0, 0.0)),
+      (3L, Seq(0.8, 0.0, 0.6, 0.0)),     // cluster A, below 0.95 to 1/2
+      (4L, Seq(0.0, 1.0, 0.0, 0.0)),
+      (5L, Seq(0.0, 1.0, 0.0, 0.0)),
+      (6L, Seq(0.0, 0.8, 0.0, 0.6))      // cluster B, below 0.95 to 4/5
+    ).toDF("vec_id", "embedding")
+    val cents = Seq(Seq(1.0, 0.0, 0.0, 0.0), Seq(0.0, 1.0, 0.0, 0.0))
+    val out = Dedup.semanticDedup(vecs, "vec_id", "embedding", cents,
+      threshold = 0.95)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(out.keySet == Set(1L, 2L, 3L, 4L, 5L, 6L))
+    assert(Seq(1L, 2L, 3L).forall(out(_)._1 == 1L))
+    assert(Seq(4L, 5L, 6L).forall(out(_)._1 == 2L))
+    // duplicate groups collapse to the min id; keep only on representatives
+    assert(out(1L)._2 == 1L && out(2L)._2 == 1L && out(3L)._2 == 3L)
+    assert(out(4L)._2 == 4L && out(5L)._2 == 4L && out(6L)._2 == 6L)
+    assert(out.map { case (id, (_, comp, keep)) => keep == (if (id == comp) 1L else 0L) }
+      .forall(identity))
+    // deterministic across partitionings
+    val again = Dedup.semanticDedup(vecs.repartition(5), "vec_id", "embedding",
+      cents, threshold = 0.95).orderBy("id").collect().map(_.toSeq).toSeq
+    val first = Dedup.semanticDedup(vecs, "vec_id", "embedding",
+      cents, threshold = 0.95).orderBy("id").collect().map(_.toSeq).toSeq
+    assert(again == first)
+  }
+
   test("cluster-coherent split never separates near-duplicates") {
     import spark.implicits._
     // 10 families of 3 near-identical docs: a per-document split would
