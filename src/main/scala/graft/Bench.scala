@@ -65,13 +65,25 @@ object Bench {
     if (times.isEmpty) -1.0 else times.min
   }
 
-  /** 3 decimals: ms precision keeps the one-line JSON ~2 KB, safely
+  /** 3 decimals: ms precision keeps the one-line JSON compact, safely
     * inside the harness's stdout tail window (r5's full-precision line
     * overflowed it and the head was truncated → unparseable).
     */
   private def fmt(t: Double): String =
     if (t < 0) "-1.0"
     else BigDecimal(t).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+
+  /** "q64_sequence_packing" → "q64". The harness's stdout tail window is
+    * ~2 KB; r6's line used full query names (75 × ~30 chars ≈ 2.6 KB) and
+    * the head — including `"metric":"total","value":…` — was truncated
+    * away, leaving `parsed: null`. Short keys bound the final line at
+    * ~1.2 KB for 75 queries; the full-name breakdown is printed on its own
+    * (truncatable) line just before it for human readers.
+    */
+  private def shortKey(name: String): String = {
+    val cut = name.indexOf('_')
+    if (cut > 0) name.substring(0, cut) else name
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -97,11 +109,18 @@ object Bench {
       name -> time(spark, sfDir, fn)
     }
     val failed = results.collect { case (n, t) if t < 0 => n }.sorted
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
-      .mkString("{", ",", "}")
-    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val failedJson = failed.map("\"" + shortKey(_) + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"runs":$Runs,"failed":$failedJson,"sf":"$sfDir"}""")
+    // Full-name breakdown for humans first — the tail window may truncate
+    // its head, which loses nothing the compact line below doesn't carry.
+    val fullQs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
+    println(s"""{"detail":"full-names","queries":$fullQs}""")
+    // The machine-parseable line LAST, short keys, `value` at the END so a
+    // head-truncation can never eat the total before the queries map.
+    val qs = results.map { case (k, v) => "\"" + shortKey(k) + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","unit":"sec","runs":$Runs,"sf":"$sfDir","failed":$failedJson,"queries":$qs,"value":${fmt(total)}}""")
     spark.stop()
   }
 }

@@ -19,7 +19,10 @@ object Paths {
     sys.env.get(envVar)
       .orElse(candidates.find(p => new java.io.File(p).exists())
         .map(p => new java.io.File(p).getAbsolutePath))
+      // toURI decodes URL escaping — getPath would return '%20' for a
+      // checkout under a directory with spaces and the file lookup fails
       .orElse(classpath.flatMap(r => Option(getClass.getResource(r)))
-        .filter(_.getProtocol == "file").map(_.getPath))
+        .filter(_.getProtocol == "file")
+        .map(u => java.nio.file.Paths.get(u.toURI).toString))
       .getOrElse(canonical)
 }

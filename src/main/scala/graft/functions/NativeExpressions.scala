@@ -813,10 +813,11 @@ object NativeExpressions {
 }
 
 /** minhash over pre-hashed shingles (values in [0, prime)): for each perm i,
-  * min_x((a_i·x + b_i) mod prime). Null input → null; empty array → prime
-  * (= "no shingle" sentinel, matching array_min of empty… which is null in
-  * the HOF version — empty shingle arrays don't occur because
-  * hashedShingles emits a 1-element array for short docs).
+  * min_x((a_i·x + b_i) mod prime). Null input → null; an empty array leaves
+  * every permutation's minimum at its Long.MaxValue initializer (an
+  * out-of-band "no shingle" sentinel — every real hash is < prime <
+  * Long.MaxValue). The case is unreachable in practice: hashedShingles
+  * emits a 1-element array even for docs shorter than the shingle size.
   */
 case class MinHashSignature(child: Expression, numPerm: Int, prime: Long)
     extends UnaryExpression {

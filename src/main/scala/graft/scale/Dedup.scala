@@ -137,25 +137,43 @@ object Dedup {
       .withColumn("sig",
         graft.functions.NativeExpressions.minhash_signature(col("xs"), numPerm, Prime))
       .drop("xs")
-      // read 3× (banding + both sides of the verify join); MEMORY_AND_DISK
-      // so signature partitions spill instead of evicting (plain cache() is
-      // memory-only and would silently recompute the whole shingle+sign map
-      // per consumer once the corpus outgrows executor storage).
-      // Lifecycle note: the storage lives until the session ends or the
-      // caller unpersists — a long-lived session running many dedup passes
-      // should `spark.catalog.clearCache()` between corpora (the returned
-      // plan keeps referencing this frame, so it cannot self-unpersist).
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val banded = withShingles
+      // read 3× (banding + both sides of the verify join): ONE shared id
+      // shuffle replaces the r6 persist (which outlived the returned plan
+      // — the "library callers leak storage" defect). The shingle+sign
+      // kernel runs once per action; the id clustering also pre-satisfies
+      // both verify joins' distribution on the signature side. See
+      // [[sharedShuffle]].
+    val frozen = sharedShuffle(withShingles, col("id"))
+    val banded = frozen
       .select(col("id"), explode(bandKeys(col("sig"), bands, rowsPerBand)).as("bk"))
     val candidates = bucketPairs(banded, maxBucket)
-    val sh = withShingles.select(col("id"), col("sh"))
+    val sh = frozen.select(col("id"), col("sh"))
     candidates
       .join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
       .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
       .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** Materialize `df` through ONE hash exchange on `key` and freeze the
+    * result as an RDD scan — the [[Packing.prefixSum]] shared-shuffle
+    * pattern generalized: every downstream consumer stage reads the SAME
+    * shuffle files (the map stage, i.e. the expensive upstream kernel,
+    * runs once per action; later occurrences are skipped stages), with
+    * nothing registered in the block manager (DedupLifecycleSpec). A
+    * plain `repartition` is NOT enough: Catalyst prunes columns
+    * independently per consumer branch, the canonicalized exchange
+    * subtrees diverge, and ReusedExchange/the AQE stage cache never
+    * fire — measured on the pre-freeze plans (0 reused exchanges), the
+    * kernel re-ran per branch. The price of the freeze is one Row
+    * conversion per consumer read and a codegen/pruning boundary, both
+    * linear in the (compact) shuffled rows — the same bytes a persist
+    * would have stored, without the persist's unbounded lifetime.
+    */
+  private def sharedShuffle(df: DataFrame, key: Column): DataFrame = {
+    val shuffled = df.repartition(key)
+    df.sparkSession.createDataFrame(shuffled.rdd, shuffled.schema)
   }
 
   /** All distinct within-bucket unordered id pairs of a (id, bk)-shaped
@@ -185,8 +203,17 @@ object Dedup {
     * be symmetric (commonRunPairs' run-extension check is).
     */
   private def bucketPairRows(keyed: DataFrame, maxBucket: Int): DataFrame = {
-    val sizes = keyed.groupBy(col("bk")).agg(count(lit(1)).as("bucket_n"))
-    val salted = keyed.join(sizes, "bk")
+    // ONE shared bk shuffle feeds both internal consumers (the
+    // bucket-size aggregate and the triangle split's probe side), so the
+    // caller's upstream kernel — band/block/winnow computation on the raw
+    // text — executes exactly once per action with NO persist anywhere in
+    // the pair family. The bk clustering also pre-satisfies the
+    // aggregate's and the join's required distribution, so the exchange
+    // replaces (not adds to) the two per-branch shuffles of the naive
+    // plan.
+    val k2 = sharedShuffle(keyed, col("bk"))
+    val sizes = k2.groupBy(col("bk")).agg(count(lit(1)).as("bucket_n"))
+    val salted = k2.join(sizes, "bk")
       .withColumn("m", floor((col("bucket_n") + (maxBucket - 1)) / maxBucket))
       .withColumn("blk", pmod(xxhash64(col("id")), col("m")))
       .select(col("bk"), col("id"), col("pv"), col("m"), col("blk"))
@@ -448,11 +475,14 @@ object Dedup {
     // one native-kernel array column for all table signatures (janino-safe,
     // compiled once — see Similarity.sigsNative). Read by the home-bucket
     // explode, the probe explode AND (v only) both verify-join sides —
-    // persist instead of re-scanning the embeddings and re-projecting the
-    // signatures per consumer. Same lifecycle rule as minhashDupPairs.
-    val withSigs = v0.withColumn("__sigs",
-      Similarity.sigsNative(col("v"), dim, bits, tables))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // ONE shared id shuffle that all four consumer stages read
+    // ([[sharedShuffle]]) instead of a persist that would outlive the
+    // returned plan; the signature kernel runs once per action and no
+    // storage is leaked (DedupLifecycleSpec). Same lifecycle rule as
+    // minhashDupPairs.
+    val withSigs = sharedShuffle(
+      v0.withColumn("__sigs", Similarity.sigsNative(col("v"), dim, bits, tables)),
+      col("id"))
     val v = withSigs.select(col("id"), col("v"))
     val home = withSigs.withColumn("tb", explode(array((0 until tables).map { t =>
         struct(lit(t).as("t"), element_at(col("__sigs"), t + 1).as("bucket"))
@@ -619,31 +649,35 @@ object Dedup {
     // block widths partition all 64 bits (remainder spread over the first)
     val widths = (0 until blocks).map(b => 64 / blocks + (if (b < 64 % blocks) 1 else 0))
     val offsets = widths.scanLeft(0)(_ + _)
-    // read ~4x (block keys, bucket sizing, both sides of the verify join);
-    // persist the 16-byte (id, sig) rows rather than re-scanning the
-    // document text and re-hashing per consumer. Same lifecycle rule as
-    // minhashDupPairs: storage is released by the caller/session
-    // (Bench/Verify clearCache between queries).
+    // The 8-byte signature RIDES the block rows as the bucketPairRows
+    // payload (the SemDeDup pattern), so verification is a filter on the
+    // matched pair row — no join-back, and therefore no multi-branch
+    // consumption of the (id, sig) frame that would need a persist (the
+    // r6 "library callers leak storage" defect). The doc text is
+    // tokenized and hashed exactly once per action: bucketPairRows' own
+    // shared bk exchange covers its two internal consumers.
     val sh = docs.select(col(idCol).as("id"),
       graft.functions.NativeExpressions.simhash64(
         tokenHashes(TextOps.tokens(col(textCol)))).as("sig"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val keyed = sh.withColumn("bk", explode(array((0 until blocks).map { b =>
         val mask = if (widths(b) == 64) -1L else (1L << widths(b)) - 1
         struct(lit(b).as("b"),
           call_function("shiftrightunsigned", col("sig"), lit(offsets(b)))
             .bitwiseAND(lit(mask)).as("v"))
       }: _*)))
-      .select(col("id"), col("bk"))
+      .select(col("id"), col("bk"), col("sig").as("pv"))
     // identical docs share ALL blocks — the same boilerplate mega-bucket
-    // hazard as the MinHash band join, so the same triangle split applies
-    val candidates = bucketPairs(keyed, maxBucket)
-    candidates
-      .join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sig", "sig_a"), "id_a")
-      .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sig", "sig_b"), "id_b")
-      .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("long"))
+    // hazard as the MinHash band join, so the same triangle split applies;
+    // a pair agreeing on several blocks surfaces once per agreeing block,
+    // and hamming is a pure function of the pair, so distinct() on the
+    // final triple dedups occurrences exactly as the old pair-set distinct
+    // did.
+    bucketPairRows(keyed, maxBucket)
+      .withColumn("hamming",
+        bit_count(col("pv_l").bitwiseXOR(col("pv_r"))).cast("long"))
       .filter(col("hamming") <= maxHamming)
       .select(col("id_a"), col("id_b"), col("hamming"))
+      .distinct()
   }
 
   /** Character-level common-run pairs: every pair of documents sharing an
@@ -688,17 +722,17 @@ object Dedup {
     require(k >= 2, s"k-gram size must be >= 2: $k")
     require(w >= 1, s"winnow window must be >= 1: $w")
     // one narrow kernel pass: winnowed (hash, left, mid, right) selections.
-    // Persisted because the triangle self-join consumes it from FOUR
-    // lineage branches (left/right sides plus the bucket-size aggregate's
-    // broadcast, which defeats exchange reuse) — unpersisted, the kernel
-    // re-runs per branch. Same lifecycle note as minhashDupPairs: the
-    // caller (or a session-level clearCache between corpora) releases it.
+    // NOT persisted (the r6 "library callers leak storage" defect):
+    // bucketPairRows' internal shared bk exchange is the materialization
+    // point — its bucket-size aggregate and both triangle sides read the
+    // same shuffle files (ReusedExchange / AQE stage cache), so the
+    // winnow kernel runs exactly once per action and nothing stays
+    // registered in the block manager (DedupLifecycleSpec).
     val fp = docs.select(col(idCol).as("id"),
         explode(graft.functions.NativeExpressions
           .winnow_contexts(col(textCol), k, w)).as("f"))
       .select(col("id"), col("f.h").as("bk"),
         struct(col("f.l"), col("f.m"), col("f.r")).as("pv"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // fused candidate + verify: for each matched occurrence pair of a
     // shared fingerprint, the pair shares a t-run IFF the k-grams match
     // as characters and the left/right contexts extend the match to

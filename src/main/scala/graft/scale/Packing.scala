@@ -64,17 +64,6 @@ object Packing {
     out.toDF(idCol, nCol, "prefix")
   }
 
-  /** Concat-and-chunk packing: with the corpus as one token stream in
-    * doc_id order, report where each document lands — its global start
-    * token and the first/last training sequence of length `seqLen` it
-    * touches. Downstream packers slice exactly [start_token,
-    * start_token + n_tokens) out of sequences first_seq..last_seq; a
-    * document never moves, only its coordinates are computed — zero data
-    * shuffle beyond the 16-byte prefix-sum rows.
-    *
-    * Zero-token docs occupy nothing: first_seq = last_seq = the sequence
-    * their empty position falls in.
-    */
   /** The pack MANIFEST — what a training-data writer actually consumes:
     * one row per (training sequence, document slice), telling the packer
     * exactly which token range of which document fills which part of
@@ -124,14 +113,17 @@ object Packing {
     * is one length class, not the corpus.
     *
     * batch_id packs (bucket, salt, group) into one long
-    * (bucket·2⁴⁰ | salt·2³² | group) — deterministic, join-free, and
+    * (bucket·2³⁹ | salt·2³² | group) — deterministic, join-free, and
     * mirrorable in plain SQL arithmetic. The group field gets 32 bits
     * (~4B batches ≈ 34B docs per (bucket, salt) at batchSize 8), so a
     * mega-bucket cannot bleed group bits into the salt field and merge
-    * batches across salt groups; buckets keep 24 bits, capping n_tokens
-    * at 2²⁴·bucketWidth — beyond any real document. Batches never cross
-    * a bucket (asserted in PackingSpec), so padding ≤ bucketWidth−1 per
-    * row by construction.
+    * batches across salt groups; the salt field is 7 bits (saltBuckets
+    * ≤ 128), and buckets keep the remaining 24 bits BELOW the sign bit
+    * — batch_id stays non-negative for every bucket < 2²⁴, i.e. up to
+    * n_tokens = 2²⁴·bucketWidth, beyond any real document (an r6 review
+    * caught the previous layout going negative at bucket ≥ 2²³).
+    * Batches never cross a bucket (asserted in PackingSpec), so padding
+    * ≤ bucketWidth−1 per row by construction.
     *
     * A corpus where most documents share one length class concentrates
     * its rank window on one partition — the sourceQuota hazard —
@@ -150,7 +142,7 @@ object Packing {
       saltBuckets: Int = 1): DataFrame = {
     require(batchSize > 0 && bucketWidth > 0 && saltBuckets > 0,
       s"positive parameters required: $batchSize/$bucketWidth/$saltBuckets")
-    require(saltBuckets <= 256, s"saltBuckets fits 8 bits: $saltBuckets")
+    require(saltBuckets <= 128, s"saltBuckets fits 7 bits: $saltBuckets")
     import org.apache.spark.sql.expressions.Window
     val t = docs.select(col(idCol).as("doc_id"),
       size(TextOps.tokens(col(textCol))).cast("long").as("n_tokens"))
@@ -165,7 +157,7 @@ object Packing {
     val assigned = withBucket
       .withColumn("__rn", row_number().over(w).cast("long") - 1L)
       .withColumn("batch_id",
-        shiftleft(col("bucket"), 40)
+        shiftleft(col("bucket"), 39)
           .bitwiseOR(shiftleft(col("__salt"), 32))
           .bitwiseOR(expr(s"__rn div $batchSize")))
     val wb = Window.partitionBy(col("batch_id"))
@@ -175,6 +167,17 @@ object Packing {
       (max(col("n_tokens")).over(wb) - col("n_tokens")).as("padding"))
   }
 
+  /** Concat-and-chunk packing: with the corpus as one token stream in
+    * doc_id order, report where each document lands — its global start
+    * token and the first/last training sequence of length `seqLen` it
+    * touches. Downstream packers slice exactly [start_token,
+    * start_token + n_tokens) out of sequences first_seq..last_seq; a
+    * document never moves, only its coordinates are computed — zero data
+    * shuffle beyond the 16-byte prefix-sum rows.
+    *
+    * Zero-token docs occupy nothing: first_seq = last_seq = the sequence
+    * their empty position falls in.
+    */
   def concatChunk(docs: DataFrame, idCol: String, textCol: String,
       seqLen: Long): DataFrame = {
     require(seqLen > 0, s"seqLen must be positive: $seqLen")

@@ -42,7 +42,7 @@ object Profiling {
     require(cols.nonEmpty, "no columns to profile")
     if (exact) {
       cols.map { c =>
-        df.select(col(c).as("v"))
+        df.select(df(c).as("v"))
           .agg(count(lit(1)).as("n_rows"), count(col("v")).as("n_nonnull"),
             count_distinct(col("v")).as("n_distinct"),
             min(col("v")).cast("string").as("min_value"),
@@ -51,25 +51,32 @@ object Profiling {
             col("n_distinct"), col("min_value"), col("max_value"))
       }.reduce(_ union _).orderBy(col("col_name"))
     } else {
-      val aggs: Seq[Column] = cols.flatMap { c =>
+      // Intermediate aliases are POSITIONAL (nn_0, nd_0, …), never the
+      // user's column names: a name containing a quote or backtick must
+      // not reach any parsed identifier. The original name travels only
+      // as a string literal in the output struct.
+      val aggs: Seq[Column] = cols.zipWithIndex.flatMap { case (c, i) =>
         Seq(
-          count(col(c)).as(s"nn_$c"),
-          approx_count_distinct(col(c)).as(s"nd_$c"),
-          min(col(c)).cast("string").as(s"mn_$c"),
-          max(col(c)).cast("string").as(s"mx_$c"))
+          count(df(c)).as(s"nn_$i"),
+          approx_count_distinct(df(c)).as(s"nd_$i"),
+          min(df(c)).cast("string").as(s"mn_$i"),
+          max(df(c)).cast("string").as(s"mx_$i"))
       }
       val one = df.agg(count(lit(1)).as("n_rows"), aggs: _*)
-      // unpivot the single stats row to one row per column; stack is a
-      // plan rewrite over an already-1-row input — free.
-      val stackArgs = cols.map { c =>
-        s"'$c', `nn_$c`, `nd_$c`, `mn_$c`, `mx_$c`"
-      }.mkString(", ")
-      one.select(
-        expr(s"stack(${cols.size}, $stackArgs) AS " +
-          "(col_name, n_nonnull, n_distinct, min_value, max_value)"),
-        col("n_rows"))
-        .select(col("col_name"), col("n_rows"), col("n_nonnull"),
-          col("n_distinct"), col("min_value"), col("max_value"))
+      // unpivot the single stats row to one row per column with a pure
+      // DataFrame-API explode (no string-built SQL): Generate over an
+      // already-1-row input — free.
+      val perCol = cols.zipWithIndex.map { case (c, i) =>
+        struct(lit(c).as("col_name"), col(s"nn_$i").as("n_nonnull"),
+          col(s"nd_$i").as("n_distinct"), col(s"mn_$i").as("min_value"),
+          col(s"mx_$i").as("max_value"))
+      }
+      one.select(explode(array(perCol: _*)).as("p"), col("n_rows"))
+        .select(col("p.col_name").as("col_name"), col("n_rows"),
+          col("p.n_nonnull").as("n_nonnull"),
+          col("p.n_distinct").as("n_distinct"),
+          col("p.min_value").as("min_value"),
+          col("p.max_value").as("max_value"))
         .orderBy(col("col_name"))
     }
   }

@@ -470,7 +470,7 @@ object CurationQueries {
         FROM t),
       g AS (
         SELECT doc_id, n_tokens, bucket,
-          CAST(bucket * 1099511627776 + rn // 8 AS BIGINT) AS batch_id
+          CAST(bucket * 549755813888 + rn // 8 AS BIGINT) AS batch_id
         FROM b)
       SELECT doc_id, n_tokens, bucket, batch_id,
         MAX(n_tokens) OVER (PARTITION BY batch_id) AS batch_max,
