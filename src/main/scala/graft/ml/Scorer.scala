@@ -100,15 +100,15 @@ object Scorer {
       (coalesce(col("anemia_prob"), lit(0.0)) >= 0.5) ||
         (lab("hemoglobin_latest").isNotNull && lab("hemoglobin_latest") < 12))
 
+  /** Raw lab columns M8 needs alongside the imputed/aligned model inputs. */
+  private val questionLabs = Seq("hba1c_latest", "ldl_latest",
+    "creatinine_latest", "egfr_latest", "hemoglobin_latest")
+
   /** Full pipeline: wide 19-col feature frame (+patient_id) → clustered,
     * aligned, scored for every model present in `modelPaths` (the reference
     * ships cvd/ckd/anemia; predm is absent — test.py:477 — so the surface
     * accepts any subset; q_* flags treat a missing model's prob as 0).
     */
-  /** Raw lab columns M8 needs alongside the imputed/aligned model inputs. */
-  private val questionLabs = Seq("hba1c_latest", "ldl_latest",
-    "creatinine_latest", "egfr_latest", "hemoglobin_latest")
-
   def inferAll(spark: SparkSession, features: DataFrame,
       modelPaths: Map[String, String],
       p: PipelineParams = PipelineParams.default): DataFrame = {

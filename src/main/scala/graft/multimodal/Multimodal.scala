@@ -43,12 +43,6 @@ object Multimodal {
   private lazy val imageIoNoDiskCache: Unit =
     javax.imageio.ImageIO.setUseCache(false)
 
-  /** REAL image decode via the JDK's `javax.imageio` (PNG/JPEG/BMP/GIF —
-    * content-sniffed, no external dependency): bytes → row-major grayscale
-    * grid in [0,1] (ITU-R BT.601 luma: 0.299·R + 0.587·G + 0.114·B) plus
-    * the native (width, height). Returns None for bytes no JDK reader
-    * recognizes.
-    */
   /** Images above this pixel count fall back to the stub instead of
     * allocating: a decompression-bomb header (tiny file, huge declared
     * dimensions) must not OOM an executor. 2^24 px ≈ 4096×4096 ≈ 67 MB of
@@ -56,6 +50,12 @@ object Multimodal {
     */
   val MaxDecodePixels: Long = 1L << 24
 
+  /** REAL image decode via the JDK's `javax.imageio` (PNG/JPEG/BMP/GIF —
+    * content-sniffed, no external dependency): bytes → row-major grayscale
+    * grid in [0,1] (ITU-R BT.601 luma: 0.299·R + 0.587·G + 0.114·B) plus
+    * the native (width, height). Returns None for bytes no JDK reader
+    * recognizes.
+    */
   def decodeImage(content: Array[Byte]): Option[(Array[Float], Int, Int)] = {
     imageIoNoDiskCache
     if (content == null || content.isEmpty) None

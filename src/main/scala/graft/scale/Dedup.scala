@@ -248,6 +248,19 @@ object Dedup {
         col("l.pv").as("pv_l"), col("r.pv").as("pv_r"))
   }
 
+  /** Edge sets at or below this size take [[localComponents]] (driver
+    * union-find + broadcast of the label map) instead of the distributed
+    * label-propagation loop. Post-LSH dup-pair sets are SMALL relative to
+    * the corpus — a few percent of docs even on crawl data — so at one
+    * million edges (~32 MB collected) this covers corpora into the tens
+    * of millions of documents while skipping ~10 rounds × 3 shuffles of
+    * fixed distributed-loop cost. Above it, the O(log diameter)
+    * pointer-doubling loop runs as before. The same adaptive cut GraphX's
+    * ConnectedComponents ecosystem uses: the edge list, not the corpus,
+    * decides the algorithm.
+    */
+  val LocalEdgeLimit: Long = 1L << 20
+
   /** Connected components over a pair list by min-label propagation WITH
     * pointer doubling: every node starts labeled with its own id; each
     * round a node takes the minimum label over itself and its neighbors
@@ -269,23 +282,25 @@ object Dedup {
     * split handles that, and the per-key fan-in is bounded by component
     * size, not corpus size.
     *
+    * `checkpointDir` picks the distributed loop's lineage-truncation
+    * mechanism. None (default) uses `localCheckpoint` — blocks live in
+    * executor storage, zero external I/O, but an executor loss makes the
+    * checkpointed partitions unrecoverable and fails the job (fine on
+    * local[n]; the documented hazard on real clusters — see SCALING.md).
+    * Some(dir) uses RELIABLE checkpoints into `dir` (HDFS/object store):
+    * executor loss recomputes from the files instead of killing the loop.
+    * The price is per-round: Spark materializes a reliable checkpoint by
+    * recomputing the round's RDD for the write (~2× the round's join
+    * work) plus one round-trip of file I/O. Checkpoint files are cleaned
+    * by the ContextCleaner only when
+    * `spark.cleaner.referenceTracking.cleanCheckpoints=true`; otherwise
+    * clear `dir` after the run.
+    *
     * Returns (id, component) for every id in `ids`.
     */
-  /** Edge sets at or below this size take [[localComponents]] (driver
-    * union-find + broadcast of the label map) instead of the distributed
-    * label-propagation loop. Post-LSH dup-pair sets are SMALL relative to
-    * the corpus — a few percent of docs even on crawl data — so at one
-    * million edges (~32 MB collected) this covers corpora into the tens
-    * of millions of documents while skipping ~10 rounds × 3 shuffles of
-    * fixed distributed-loop cost. Above it, the O(log diameter)
-    * pointer-doubling loop runs as before. The same adaptive cut GraphX's
-    * ConnectedComponents ecosystem uses: the edge list, not the corpus,
-    * decides the algorithm.
-    */
-  val LocalEdgeLimit: Long = 1L << 20
-
   def connectedComponents(ids: DataFrame, pairs: DataFrame,
-      maxIter: Int = 20, localEdgeLimit: Long = LocalEdgeLimit): DataFrame = {
+      maxIter: Int = 20, localEdgeLimit: Long = LocalEdgeLimit,
+      checkpointDir: Option[String] = None): DataFrame = {
     // ONE probing traversal decides the algorithm AND feeds the local
     // path: limit(N+1).collect() returns the COMPLETE edge list whenever
     // it comes back with ≤ N rows (the limit dropped nothing), so the
@@ -298,7 +313,7 @@ object Dedup {
       val probe = p.select(col("id_a"), col("id_b"))
         .limit((localEdgeLimit + 1).toInt).collect()
       if (probe.length <= localEdgeLimit) localComponents(ids, probe)
-      else ccRounds(ids, p, maxIter)._1
+      else ccRounds(ids, p, maxIter, checkpointDir)._1
     } finally p.unpersist(blocking = false)
   }
 
@@ -349,19 +364,35 @@ object Dedup {
       .select(col("id"), coalesce(col("__comp"), col("id")).as("component"))
   }
 
-  /** [[connectedComponents]] plus the number of rounds actually used —
-    * exposed so specs can pin the O(log diameter) bound.
+  /** [[ccRounds]] opened up for specs (pinning the O(log diameter) round
+    * bound) and the dev profiler (tools.ProfileQ41).
     */
-  /** [[ccRounds]] opened up for the dev profiler (tools.ProfileQ41). */
   private[graft] def ccProbe(ids: DataFrame, pairs: DataFrame,
       maxIter: Int = 20): (DataFrame, Int) = ccRounds(ids, pairs, maxIter)
 
+  /** The distributed label-propagation loop of [[connectedComponents]],
+    * plus the number of rounds actually used. `checkpointDir` switches
+    * per-round lineage truncation from `localCheckpoint` (executor-storage
+    * blocks; fast, not executor-loss-safe) to reliable checkpoints in the
+    * given fault-tolerant directory — semantics identical (asserted in
+    * ScaleSpec), only the failure-recovery story differs.
+    */
   private[scale] def ccRounds(ids: DataFrame, pairs: DataFrame,
-      maxIter: Int): (DataFrame, Int) = {
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .localCheckpoint()
-    var labels = ids.select(col("id"), col("id").as("component")).localCheckpoint()
+      maxIter: Int, checkpointDir: Option[String] = None): (DataFrame, Int) = {
+    checkpointDir.foreach(ids.sparkSession.sparkContext.setCheckpointDir)
+    // Reliable mode materializes eagerly: a lazy reliable checkpoint would
+    // recompute the round's joins once for the counting job and AGAIN for
+    // the post-job checkpoint write. Eager pays the same double compute
+    // but keeps the loop's action count at one observable job per round.
+    def truncate(df: DataFrame, lazyOk: Boolean): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint(eager = true)
+      else df.localCheckpoint(eager = !lazyOk)
+    val edges = truncate(
+      pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+        .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst"))),
+      lazyOk = false)
+    var labels = truncate(
+      ids.select(col("id"), col("id").as("component")), lazyOk = false)
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
@@ -383,11 +414,11 @@ object Dedup {
         else propagated.join(
           labels.select(col("id").as("__c1"), col("component").as("__cc")),
           Seq("__c1"), "left")
-      val updated = doubled
+      val updated = truncate(doubled
         .withColumn("component", least(col("__c1"), coalesce(col("__cc"), col("__c1"))))
         .withColumn("__changed", col("component") < col("__prev"))
-        .select(col("id"), col("component"), col("__changed"))
-        .localCheckpoint(eager = false) // materialized by the aggregate below
+        .select(col("id"), col("component"), col("__changed")),
+        lazyOk = true) // local mode: materialized by the aggregate below
       // ONE action: materializes the checkpoint AND counts changes
       val nChanged = updated.agg(count(when(col("__changed"), lit(1))).as("n"))
         .head().getLong(0)

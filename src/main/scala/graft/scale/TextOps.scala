@@ -217,10 +217,51 @@ object TextOps {
     * both bounded by parameters, never by data size. Returns (token, n)
     * ordered by (n desc, token asc), exactly k rows (fewer only when the
     * corpus has fewer distinct tokens).
+    *
+    * EAGER CONTRACT: unlike every other operator in this library, calling
+    * this method RUNS two Spark jobs immediately (the sketch pass and the
+    * candidate recount) — the exactness certificate is a driver-side
+    * decision between two different plans, so it cannot be deferred. The
+    * returned DataFrame is a small pre-materialized local relation (≤ k
+    * rows); composing on top of it never re-runs the passes. Pipelines
+    * that need a lazily-composable node should use
+    * [[heavyHittersDeferred]] and accept its weaker guarantee.
     */
   def heavyHitters(docs: org.apache.spark.sql.DataFrame, textCol: String,
       k: Int, capacity: Int = 4096): org.apache.spark.sql.DataFrame =
     heavyHittersWithCert(docs, textCol, k, capacity)._1
+
+  /** Fully DEFERRED top-k tokens: the same sketch→recount shape as
+    * [[heavyHitters]], but expressed as one lazy plan — the Misra-Gries
+    * summary becomes a broadcast candidate list feeding the exact
+    * recount semijoin, so nothing executes until the caller's action and
+    * the node composes like any other DataFrame.
+    *
+    * The price of deferral is the certificate: the exactness check (and
+    * the full-groupBy fallback it arms) is a driver-side choice between
+    * two plans, impossible inside one lazy plan. On Zipf-shaped text —
+    * any corpus where [[heavyHitters]]'s fast path certifies — the
+    * result is identical (asserted in HeavyHittersSpec); on adversarially
+    * flat distributions tokens outside the capacity-bounded summary may
+    * be missed. Exactness-critical callers use the eager API.
+    */
+  def heavyHittersDeferred(docs: org.apache.spark.sql.DataFrame,
+      textCol: String, k: Int,
+      capacity: Int = 4096): org.apache.spark.sql.DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    require(capacity > k, s"capacity ($capacity) must exceed k ($k)")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val toks = docs.select(explode(tokens(col(textCol))).as("token"))
+    val candidates = toks
+      .agg(graft.functions.NativeExpressions.misra_gries($"token", capacity).as("mg"))
+      .select(explode($"mg").as("e"))
+      .select($"e.token".as("token"))
+    toks.join(broadcast(candidates), Seq("token"))
+      .groupBy($"token").agg(count(lit(1)).as("n"))
+      .orderBy($"n".desc, $"token")
+      .limit(k)
+  }
 
   /** [[heavyHitters]] exposing whether the certified sketch path (true)
     * or the full-groupBy fallback (false) produced the result.

@@ -138,6 +138,13 @@ object ScaleQueries {
     * before it is returned; the DuckDB oracle is the plain full
     * GROUP BY, so a hash-match certifies the sketch+recount pipeline
     * end to end.
+    *
+    * NOTE this query's builder is EAGER (the only one in the suite):
+    * `heavyHitters` runs its two passes at construction time because the
+    * exactness certificate is a driver-side choice between plans — so
+    * Bench's timed window correctly charges the passes to the builder
+    * call, and the returned frame is a tiny local relation. The lazy
+    * composable sibling is `TextOps.heavyHittersDeferred`.
     */
   private val q69 = GQuery(
     (s, d) => TextOps.heavyHitters(T.documents(s, d), "text",
@@ -308,12 +315,6 @@ object ScaleQueries {
       FROM th ORDER BY doc_id"""
     })
 
-  /** Near-dup clusters: MinHash-LSH pairs (q24's certified candidate set at
-    * threshold 0.8) → connected components by min-label propagation. The
-    * DuckDB oracle recomputes the exact O(n²) pairs and resolves components
-    * with a recursive CTE — a hash-match certifies both the pair recall AND
-    * the distributed label-propagation fixpoint.
-    */
   /** Exact near-dup components as a recursive CTE — shared by the q41 and
     * q46 oracles (the ground truth both compare against).
     */
@@ -342,6 +343,12 @@ object ScaleQueries {
         UNION
         SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.id)"""
 
+  /** Near-dup clusters: MinHash-LSH pairs (q24's certified candidate set at
+    * threshold 0.8) → connected components by min-label propagation. The
+    * DuckDB oracle recomputes the exact O(n²) pairs and resolves components
+    * with a recursive CTE — a hash-match certifies both the pair recall AND
+    * the distributed label-propagation fixpoint.
+    */
   private val q41 = GQuery(
     (s, d) => Dedup.nearDupClusters(T.documents(s, d), "doc_id", "text",
       shingleSize = 3, numPerm = 64, bands = 16, threshold = 0.8)

@@ -52,6 +52,29 @@ class HeavyHittersSpec extends SparkSpec {
       Seq(("a", 3L), ("b", 2L)))
   }
 
+  test("deferred variant builds lazily and matches the eager result on Zipf text") {
+    // building the plan must run NO jobs (the eager API's distinguishing
+    // defect) — count job starts around the construction
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    val docs = zipfDocs
+    docs.count() // materialize fixture lineage outside the listener window
+    spark.sparkContext.addSparkListener(listener)
+    val deferred = try {
+      val d = TextOps.heavyHittersDeferred(docs, "text", k = 10, capacity = 64)
+      Thread.sleep(300) // listener dispatch is async
+      assert(jobs.get() == 0, s"plan construction ran ${jobs.get()} jobs")
+      d
+    } finally spark.sparkContext.removeSparkListener(listener)
+    assert(deferred.collect().map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      TextOps.heavyHitters(docs, "text", k = 10, capacity = 64).collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSeq)
+  }
+
   test("MG estimates are undercounts within the deficit bound") {
     val m = 32
     val toks = zipfDocs.select(explode(TextOps.tokens($"text")).as("token"))

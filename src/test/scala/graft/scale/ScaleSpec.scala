@@ -75,6 +75,27 @@ class ScaleSpec extends SparkSpec {
       5L -> 5L, 6L -> 5L, 7L -> 7L))
   }
 
+  test("reliable-checkpoint CC mode labels identically to localCheckpoint mode") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("cc-ckpt").toString
+    val ids = (0L until 200L).toDF("id")
+    // two chains + isolates: exercises propagation AND pointer doubling
+    val pairs = ((0L until 99L).map(i => (i, i + 1)) ++
+      (120L until 149L).map(i => (i, i + 1))).toDF("id_a", "id_b")
+    // localEdgeLimit = 1 forces the distributed loop on this tiny fixture
+    val local = Dedup.connectedComponents(ids, pairs, localEdgeLimit = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val reliable = Dedup.connectedComponents(ids, pairs, localEdgeLimit = 1,
+      checkpointDir = Some(dir))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(reliable == local)
+    assert(reliable(50L) == 0L && reliable(130L) == 120L && reliable(199L) == 199L)
+    // the reliable mode actually wrote checkpoint files into the dir
+    val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      .filter(java.nio.file.Files.isRegularFile(_)).count()
+    assert(wrote > 0, "reliable mode must materialize checkpoint files")
+  }
+
   test("pointer doubling: 1000-node path converges in <= 12 rounds, one action per round") {
     import spark.implicits._
     // A path graph is the worst case for plain propagation (diameter = n-1,
