@@ -140,9 +140,9 @@ object Dedup {
       // read 3× (banding + both sides of the verify join): ONE shared id
       // shuffle replaces the r6 persist (which outlived the returned plan
       // — the "library callers leak storage" defect). The shingle+sign
-      // kernel runs once per action; the id clustering also pre-satisfies
-      // both verify joins' distribution on the signature side. See
-      // [[sharedShuffle]].
+      // kernel runs once per action; consumers re-shuffle the compact
+      // (id, sh, sig) rows as their joins require (the freeze erases
+      // partitioning metadata). See [[sharedShuffle]].
     val frozen = sharedShuffle(withShingles, col("id"))
     val banded = frozen
       .select(col("id"), explode(bandKeys(col("sig"), bands, rowsPerBand)).as("bk"))
@@ -207,10 +207,11 @@ object Dedup {
     // bucket-size aggregate and the triangle split's probe side), so the
     // caller's upstream kernel — band/block/winnow computation on the raw
     // text — executes exactly once per action with NO persist anywhere in
-    // the pair family. The bk clustering also pre-satisfies the
-    // aggregate's and the join's required distribution, so the exchange
-    // replaces (not adds to) the two per-branch shuffles of the naive
-    // plan.
+    // the pair family. The freeze erases partitioning metadata (an RDD
+    // scan reports unknown partitioning), so the aggregate and join still
+    // plan their own exchanges — but those move post-kernel compact rows,
+    // not recomputed text passes; net bench effect was strongly positive
+    // (q71 halved).
     val k2 = sharedShuffle(keyed, col("bk"))
     val sizes = k2.groupBy(col("bk")).agg(count(lit(1)).as("bucket_n"))
     val salted = k2.join(sizes, "bk")

@@ -61,8 +61,31 @@ object Explain {
         org.apache.spark.sql.execution.FormattedMode)
       sb.append(s"## $name\n\n```\n$formatted\n```\n\n")
     }
+
+    // Scale audit: the heavy dedup family at sf0.1 with auto-broadcast
+    // SUPPRESSED and the plans EXECUTED (final AQE stages). At sf0.001
+    // every join broadcasts, so the section above never exhibits the
+    // exchange structure a 1000-executor run lives on; these plans do —
+    // they are the shapes the 100 TB claims in SCALING.md point at.
+    // PlanSpec asserts the load-bearing properties (no cartesian, no raw
+    // text in any exchange or frozen shared shuffle) on every CI run.
+    val auditSf = args.lift(2).getOrElse("/root/testdata/sf0.1")
+    val heavy = Seq(
+      "q24_minhash_dedup_pairs", "q39_embedding_dup_pairs",
+      "q41_near_dup_clusters", "q71_common_run_pairs", "q76_semantic_dedup")
+    sb.append(s"# Scale audit — `$auditSf`, autoBroadcastJoinThreshold=-1, executed final plans\n\n")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    heavy.foreach { name =>
+      val df = SparkEntry.queries(name)(spark, auditSf)
+      df.write.mode("overwrite").format("noop").save()
+      val formatted = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      sb.append(s"## $name (no-broadcast, executed)\n\n```\n$formatted\n```\n\n")
+    }
+    spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
     Files.writeString(Paths.get(out), sb.toString)
-    println(s"[explain] wrote $out (${flagships.size} plans)")
+    println(s"[explain] wrote $out (${flagships.size} + ${heavy.size} audit plans)")
     spark.stop()
   }
 }

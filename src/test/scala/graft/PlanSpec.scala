@@ -97,6 +97,45 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("heavy family at sf0.1 with broadcast suppressed: no cartesian, no text in any exchange") {
+    // At sf0.001 EVERY join broadcasts, so the audited plans never show
+    // the exchange structure the 100 TB claims rest on (the r6 review's
+    // point). Suppressing auto-broadcast (AQE off so the static shuffle
+    // plan is inspectable) exposes that structure: assert the properties
+    // that decide survival at scale — no cartesian/nested-loop pair
+    // generation anywhere, and no full document text column riding any
+    // exchange (ids, signatures, winnow contexts and vectors may; `text`
+    // itself must stay in the scan stage). The frozen shared shuffles
+    // ([[graft.scale.Dedup]]) surface as RDD scans whose output IS the
+    // hidden exchange's payload — audited through the same attribute
+    // check.
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.RDDScanExec
+    val sf01 = "/root/testdata/sf0.1"
+    withSQLConf(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.enabled" -> "false") {
+      for (name <- Seq("q24_minhash_dedup_pairs", "q39_embedding_dup_pairs",
+          "q41_near_dup_clusters", "q71_common_run_pairs", "q76_semantic_dedup")) {
+        val df = SparkEntry.queries(name)(spark, sf01)
+        val exec = df.queryExecution.executedPlan
+        val p = exec.toString
+        assert(!p.contains("CartesianProduct"), s"$name plans a cartesian:\n$p")
+        assert(!p.contains("BroadcastNestedLoopJoin"), s"$name:\n$p")
+        val shuffledAttrs = exec.collect {
+          case e: ShuffleExchangeExec => e.child.output.map(_.name)
+        }.flatten
+        assert(!shuffledAttrs.contains("text"),
+          s"$name shuffles the raw text column: $shuffledAttrs")
+        val frozenAttrs = exec.collect {
+          case r: RDDScanExec => r.output.map(_.name)
+        }.flatten
+        assert(!frozenAttrs.contains("text"),
+          s"$name freezes the raw text column into its shared shuffle: $frozenAttrs")
+      }
+    }
+  }
+
   test("hash-split sampling is a shuffle-free narrow filter") {
     import spark.implicits._
     val df = (1L to 100L).toDF("id")
