@@ -1,0 +1,90 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Dev tool: synthesize an sf×N corpus from an existing sf directory so
+  * the heavy operator family can be probed one decade up (the driver
+  * ships sf0.001/0.01/0.1; the scaling table in SCALING.md wants an
+  * empirical sf0.1 → sf1 point). Replication is NOT naive duplication —
+  * identical replicas would be exact near-duplicates of each other and
+  * the dedup workload would explode quadratically in N instead of
+  * modeling a 10× larger corpus of the same character:
+  *
+  *  - documents: replica k ≥ 1 applies a per-replica SUBSTITUTION CIPHER
+  *    (alphabet rotated by 7k via `translate`) — every length, token
+  *    boundary and equality relation WITHIN a replica is preserved
+  *    bit-for-bit (so per-replica pair/dup structure is exactly the
+  *    source's; an earlier token-suffixing scheme lengthened tokens and
+  *    pushed sub-threshold common runs over q71's 23-char cut, inflating
+  *    within-replica pairs 28×), while cross-replica substrings decorrelate;
+  *    doc_id offsets by k·idSpace;
+  *  - embeddings: replica k ≥ 1 applies a deterministic per-(k, dim)
+  *    sign flip — an orthogonal transform, so within-replica cosines
+  *    (and therefore each replica's pair/cluster structure) are EXACTLY
+  *    sf0.1's, while cross-replica cosines behave like fresh draws
+  *    (≈ N(0, 1/√dim)). NOTE at q39's deliberately loose 0.4 threshold
+  *    and dim 64 that still yields a quadratic cross-replica pair tail
+  *    (P(cos>0.4) ≈ 7e-4 over an O(n²) pair universe) — which is exactly
+  *    what a REAL 10× corpus drawn from one distribution does at a fixed
+  *    loose threshold; output cardinality, not candidate generation, is
+  *    the quadratic term. Documented in SCALING.md's probe table.
+  *
+  * Replica 0 is the source data unchanged. Usage:
+  *   runMain graft.tools.MakeScale <srcSfDir> <outDir> [factor=10]
+  */
+object MakeScale {
+  def main(args: Array[String]): Unit = {
+    val src = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val out = args.lift(1).getOrElse("/tmp/graft_sf1")
+    val factor = args.lift(2).map(_.toInt).getOrElse(10)
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val docs = spark.read.parquet(s"$src/documents.parquet")
+    val docIdSpace = docs.agg(max(col("doc_id"))).head().getLong(0) + 1
+    val reps = spark.range(factor).select(col("id").as("rep"))
+    val alphabet =
+      "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789"
+    def rot(k: Int): String = {
+      val s = (k * 7) % alphabet.length
+      alphabet.substring(s) + alphabet.substring(0, s)
+    }
+    val ciphered = (1 until factor)
+      .foldLeft(when(col("rep") === 0, col("text"))) { (acc, k) =>
+        acc.when(col("rep") === k, translate(col("text"), alphabet, rot(k)))
+      }.otherwise(col("text"))
+    docs.crossJoin(reps)
+      .select(
+        (col("doc_id") + col("rep") * docIdSpace).as("doc_id"),
+        ciphered.as("text"),
+        col("lang"), col("source"))
+      .withColumn("n_chars", length(col("text")))
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+
+    val emb = spark.read.parquet(s"$src/embeddings.parquet")
+    val vecIdSpace = emb.agg(max(col("vec_id"))).head().getLong(0) + 1
+    emb.crossJoin(reps)
+      .select(
+        (col("vec_id") + col("rep") * vecIdSpace).as("vec_id"),
+        when(col("rep") === 0, col("embedding"))
+          .otherwise(zip_with(col("embedding"),
+            sequence(lit(0), size(col("embedding")) - 1),
+            (x, i) => when(pmod(hash(col("rep"), i), lit(2)) === 0, x).otherwise(-x)))
+          .as("embedding"),
+        col("label"))
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+
+    val nd = spark.read.parquet(s"$out/documents.parquet").count()
+    val ne = spark.read.parquet(s"$out/embeddings.parquet").count()
+    println(s"[makescale] $out: documents=$nd embeddings=$ne (×$factor from $src)")
+    spark.stop()
+  }
+}
