@@ -243,10 +243,22 @@ object FhirIngest {
           col("effectiveDateTime").as("effective_datetime")),
       "observation_id")
 
-  /** Full L1 pipeline: path → (patient, encounter, condition, observation). */
+  /** Full L1 pipeline: path → (patient, encounter, condition, observation).
+    *
+    * The flattened entry frame feeds four separately-actioned outputs; a
+    * cache here (pre-r7) leaked block-manager storage into the caller's
+    * session forever. Instead ONE resourceType-keyed shuffle is frozen as
+    * an RDD scan (the shared-shuffle pattern of `scale.Dedup`): the first
+    * action pays the JSON parse + shuffle write, the other three skip the
+    * map stage and re-read the shuffle files, and nothing stays
+    * registered (shuffle files are GC'd with the lineage). The key also
+    * aligns each extractor's resourceType filter with whole partitions.
+    */
   def curate(spark: SparkSession, path: String):
       (DataFrame, DataFrame, DataFrame, DataFrame) = {
-    val flat = entries(readBundles(spark, path)).cache()
+    val shuffled = entries(readBundles(spark, path))
+      .repartition(col("resourceType"))
+    val flat = spark.createDataFrame(shuffled.rdd, shuffled.schema)
     (patients(flat), encounters(flat), conditions(flat), observations(flat))
   }
 

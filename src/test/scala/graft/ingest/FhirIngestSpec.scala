@@ -10,6 +10,14 @@ class FhirIngestSpec extends SparkSpec {
 
   private lazy val (pat, enc, cond, obs) = FhirIngest.curate(spark, fixture)
 
+  test("curate leaves no persisted RDDs behind (shared shuffle, not cache)") {
+    val before = spark.sparkContext.getPersistentRDDs.keySet.toSet
+    val (p, e, c, o) = FhirIngest.curate(spark, fixture)
+    assert(p.count() + e.count() + c.count() + o.count() > 0)
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet.toSet -- before
+    assert(leaked.isEmpty, s"curate leaked persisted RDD ids: $leaked")
+  }
+
   test("patient extraction: nested address, geo, race/ethnicity, line join") {
     val rows = pat.orderBy("patient_id").collect()
     assert(rows.length == 2)
