@@ -30,6 +30,18 @@ import org.apache.spark.sql.functions._
   *    loose threshold; output cardinality, not candidate generation, is
   *    the quadratic term. Documented in SCALING.md's probe table.
   *
+  * The TPC-H-ish relational tables replicate with consistent key-space
+  * offsets: fact tables (customer/supplier/part/orders/lineitem/events)
+  * offset every PK and FK by k·idSpace(table) — FK joins land entirely
+  * within a replica, exactly like a 10× corpus of new entities — and
+  * key-derived name columns (`Customer#%09d`, `Supplier#%09d`) are
+  * REGENERATED from the offset key so the regexp-FK-extract queries stay
+  * consistent. Dimensions (region/nation) copy unchanged: a bigger fact
+  * corpus does not grow the country list, and keeping them fixed
+  * preserves the broadcast-dim plan shape being probed. events.ts stays
+  * in its source range (10× the rows = 10× the event density, which is
+  * what a busier system produces).
+  *
   * Replica 0 is the source data unchanged. Usage:
   *   runMain graft.tools.MakeScale <srcSfDir> <outDir> [factor=10]
   */
@@ -82,9 +94,71 @@ object MakeScale {
       .repartition(32)
       .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
 
-    val nd = spark.read.parquet(s"$out/documents.parquet").count()
-    val ne = spark.read.parquet(s"$out/embeddings.parquet").count()
-    println(s"[makescale] $out: documents=$nd embeddings=$ne (×$factor from $src)")
+    // --- relational tables: offset-keyed replication ---------------------
+    def idSpace(table: String, key: String): Long = {
+      val m = spark.read.parquet(s"$src/$table.parquet")
+        .agg(max(col(key))).head()
+      m.getLong(0) + 1
+    }
+    def offset(c: String, space: Long) = (col(c) + col("rep") * space).as(c)
+
+    for (t <- Seq("region", "nation"))
+      spark.read.parquet(s"$src/$t.parquet")
+        .write.mode("overwrite").parquet(s"$out/$t.parquet")
+
+    val cSpace = idSpace("customer", "c_custkey")
+    spark.read.parquet(s"$src/customer.parquet").crossJoin(reps)
+      .select(offset("c_custkey", cSpace),
+        format_string("Customer#%09d", col("c_custkey") + col("rep") * cSpace)
+          .as("c_name"),
+        col("c_nationkey"), col("c_acctbal"), col("c_mktsegment"))
+      .repartition(32).write.mode("overwrite").parquet(s"$out/customer.parquet")
+
+    val sSpace = idSpace("supplier", "s_suppkey")
+    spark.read.parquet(s"$src/supplier.parquet").crossJoin(reps)
+      .select(offset("s_suppkey", sSpace),
+        format_string("Supplier#%09d", col("s_suppkey") + col("rep") * sSpace)
+          .as("s_name"),
+        col("s_nationkey"), col("s_acctbal"))
+      .repartition(32).write.mode("overwrite").parquet(s"$out/supplier.parquet")
+
+    val pSpace = idSpace("part", "p_partkey")
+    spark.read.parquet(s"$src/part.parquet").crossJoin(reps)
+      .select(offset("p_partkey", pSpace), col("p_name"), col("p_brand"),
+        col("p_type"), col("p_size"), col("p_retailprice"))
+      .repartition(32).write.mode("overwrite").parquet(s"$out/part.parquet")
+
+    val oSpace = idSpace("orders", "o_orderkey")
+    spark.read.parquet(s"$src/orders.parquet").crossJoin(reps)
+      .select(offset("o_orderkey", oSpace), offset("o_custkey", cSpace),
+        col("o_orderstatus"), col("o_totalprice"), col("o_orderdate"),
+        col("o_orderpriority"))
+      .repartition(32).write.mode("overwrite").parquet(s"$out/orders.parquet")
+
+    spark.read.parquet(s"$src/lineitem.parquet").crossJoin(reps)
+      .select(offset("l_orderkey", oSpace), offset("l_partkey", pSpace),
+        offset("l_suppkey", sSpace), col("l_linenumber"), col("l_quantity"),
+        col("l_extendedprice"), col("l_discount"), col("l_tax"),
+        col("l_returnflag"), col("l_linestatus"), col("l_shipdate"))
+      .repartition(32).write.mode("overwrite").parquet(s"$out/lineitem.parquet")
+
+    // events.ts is TIMESTAMP(NANOS): read as raw int64 nanos (the same
+    // legacy conf Tables.events uses) and write it back as int64 — the
+    // reader's `timestamp_micros(ts div 1000)` conversion is unchanged.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val eSpace = idSpace("events", "event_id")
+    val uSpace = spark.read.parquet(s"$src/events.parquet")
+      .agg(max(col("user_id"))).head().getLong(0) + 1
+    spark.read.parquet(s"$src/events.parquet").crossJoin(reps)
+      .select(offset("event_id", eSpace), col("ts"),
+        offset("user_id", uSpace), col("event_type"), col("value"),
+        col("props"))
+      .repartition(32).write.mode("overwrite").parquet(s"$out/events.parquet")
+
+    val counts = Seq("region", "nation", "customer", "supplier", "part",
+      "orders", "lineitem", "events", "documents", "embeddings")
+      .map(t => s"$t=${spark.read.parquet(s"$out/$t.parquet").count()}")
+    println(s"[makescale] $out: ${counts.mkString(" ")} (×$factor from $src)")
     spark.stop()
   }
 }
