@@ -51,6 +51,11 @@ object NativeExpressions {
   def simhash64(tokenHashes: Column): Column =
     Bridge.column(SimHash64(Bridge.expression(tokenHashes)))
 
+  def bloom_might_contain_long(hash: Column,
+      bloom: org.apache.spark.broadcast.Broadcast[
+        org.apache.spark.util.sketch.BloomFilter]): Column =
+    Bridge.column(BloomMightContainLong(Bridge.expression(hash), bloom))
+
   /** KMV distinct sketch over a pre-hashed long column (see
     * [[KMinValues]]); `domain` must match the hash range — 2^31−1 for
     * [[graft.scale.Sampling.portableBucket]] (the oracle-verifiable
@@ -1475,6 +1480,42 @@ case class PortableRollingMin(child: Expression, window: Int)
   * plus a 64-long allocation per token, outside whole-stage codegen).
   * Ties (vote == 0, even token counts) leave the bit clear — same as the HOF.
   */
+/** Bloom-filter membership over a pre-hashed LONG column, with the filter
+  * delivered via a BROADCAST handle — torrent distribution to executors
+  * instead of shipping the (possibly hundreds-of-MB) bitmap inside every
+  * task binary. The deserialized filter rides the broadcast; codegen calls
+  * `mightContainLong` directly (no boxing, no UDF). Used as the narrow
+  * PREFILTER of [[graft.scale.Curation.contaminationBloom]] — false
+  * positives are expected (killed downstream by an exact join), false
+  * negatives are impossible, so placing this filter below the exchange
+  * only shrinks the shuffle, never the answer.
+  */
+case class BloomMightContainLong(child: Expression,
+    bloom: org.apache.spark.broadcast.Broadcast[
+      org.apache.spark.util.sketch.BloomFilter])
+    extends UnaryExpression {
+
+  override def dataType: DataType = BooleanType
+  override def nullable: Boolean = child.nullable
+
+  override def nullSafeEval(input: Any): Any =
+    bloom.value.mightContainLong(input.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bloomBc", bloom,
+      classOf[org.apache.spark.broadcast.Broadcast[_]].getName)
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""
+        ${ev.value} = ((org.apache.spark.util.sketch.BloomFilter)
+          $ref.value()).mightContainLong($c);
+      """
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 case class SimHash64(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = LongType

@@ -77,6 +77,68 @@ object Curation {
           .as("contamination"))
   }
 
+  /** [[contamination]] with a broadcast BLOOM prefilter — the 100 TB
+    * decontamination shape. The exact-join formulation shuffles EVERY
+    * eval-side shingle to meet the train set; at corpus scale that is the
+    * dominant shuffle even though each key is 8 bytes. Here the train
+    * side's distinct shingles are summarized into a Bloom filter built by
+    * a bitmap-merging aggregation (partitions ship OR-able bitmaps, never
+    * keys), broadcast to every executor, and applied as a narrow
+    * codegen'd prefilter ([[graft.functions.NativeExpressions
+    * .bloom_might_contain_long]]) UNDER the eval side's exchange — so the
+    * only shingles that shuffle are true overlaps plus an `fpp` fraction
+    * of false positives, and per-doc totals come from the kernel's array
+    * size (no explode, no shuffle at all for clean documents).
+    *
+    * EXACTNESS IS UNCONDITIONAL: Bloom false positives are killed by the
+    * same exact train-set join as [[contamination]] (false negatives are
+    * impossible), so the result is row-identical — q77's oracle is q58's
+    * SQL verbatim, and CurationSpec pins equality at fpp = 0.5 where
+    * half of all clean shingles pass the prefilter.
+    *
+    * EAGER CONTRACT (like `TextOps.heavyHitters`): building the filter
+    * runs two jobs at call time — the distinct-count sizing pass and the
+    * Bloom aggregation. The returned frame composes lazily on top.
+    *
+    * Scale accounting: the bitmap is ~1.2 GB per 10⁹ distinct train
+    * shingles at fpp 0.01 — broadcastable for benchmark-suite-sized
+    * train sides (the decontamination direction that matters: score a
+    * huge corpus against a small eval/benchmark set by passing a SMALL
+    * `trainFrac` side); for train sides too big to broadcast, use
+    * [[contamination]]'s symmetric join.
+    */
+  def contaminationBloom(docs: DataFrame, idCol: String, textCol: String,
+      trainFrac: Double, shingleSize: Int = 3, fpp: Double = 0.01): DataFrame = {
+    require(trainFrac > 0 && trainFrac < 1, s"trainFrac in (0,1): $trainFrac")
+    require(fpp > 0 && fpp < 1, s"fpp in (0,1): $fpp")
+    val spark = docs.sparkSession
+    val thr = (trainFrac * P31).toLong
+    val shingles = graft.functions.NativeExpressions.portable_distinct_shingles(
+      Dedup.portableTokenHashes(TextOps.tokens(col(textCol))), shingleSize)
+    val keyed = docs.select(col(idCol).as("doc_id"),
+      Sampling.portableBucket(col(idCol)).as("__b"), shingles.as("s"))
+    val train = keyed.filter(col("__b") < thr)
+      .select(explode(col("s")).as("g")).distinct()
+    val nTrain = math.max(1L, train.count())
+    val bloom = train.stat.bloomFilter("g", nTrain, fpp)
+    val bc = spark.sparkContext.broadcast(bloom)
+    val eval = keyed.filter(col("__b") >= thr)
+    // per-doc totals straight off the kernel's array — narrow, no explode
+    val totals = eval.select(col("doc_id"),
+      size(col("s")).cast("long").as("n_shingles"))
+    val hits = eval.select(col("doc_id"), explode(col("s")).as("g"))
+      .filter(graft.functions.NativeExpressions
+        .bloom_might_contain_long(col("g"), bc))
+      .join(train.withColumn("__hit", lit(1L)), Seq("g"), "left")
+      .filter(col("__hit") === 1L) // exact verify: Bloom FPs die here
+      .groupBy("doc_id").agg(count(lit(1)).as("shared"))
+    totals.join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_shingles"),
+        coalesce(col("shared"), lit(0L)).as("shared"),
+        (coalesce(col("shared"), lit(0L)).cast("double") /
+          col("n_shingles").cast("double")).as("contamination"))
+  }
+
   /** Intra-document repetition signals (Gopher rules 4-8 flavor): the
     * duplicate-line and most-repeated-bigram measures that catch
     * boilerplate, scraped navigation, and degenerate generations.

@@ -38,10 +38,8 @@ object CurationQueries {
   private val trainFrac = 0.7
   private val thr = (trainFrac * 2147483647L).toLong
 
-  private val q58 = GQuery(
-    (s, d) => Curation.contamination(T.documents(s, d), "doc_id", "text",
-      trainFrac, shingleSize = 3).orderBy("doc_id"),
-    Some(s"""${ScaleQueries.thCtes(withCodes = false)},
+  private val contaminationOracleSql =
+    s"""${ScaleQueries.thCtes(withCodes = false)},
       sh AS (
         SELECT doc_id, ${ScaleQueries.bucketSql("doc_id")} AS b,
           list_distinct(${shingleListSql("th")}) AS s
@@ -58,7 +56,23 @@ object CurationQueries {
         COALESCE(h.shared, 0) AS shared,
         COALESCE(h.shared, 0)::DOUBLE / e.n_shingles::DOUBLE AS contamination
       FROM ev e LEFT JOIN hits h ON e.doc_id = h.doc_id
-      ORDER BY e.doc_id"""))
+      ORDER BY e.doc_id"""
+
+  private val q58 = GQuery(
+    (s, d) => Curation.contamination(T.documents(s, d), "doc_id", "text",
+      trainFrac, shingleSize = 3).orderBy("doc_id"),
+    Some(contaminationOracleSql))
+
+  /** Bloom-prefiltered decontamination (Curation.contaminationBloom):
+    * row-identical to q58 by construction — the broadcast Bloom only
+    * prunes the eval-side shuffle, false positives die in the exact
+    * train-set join — so the oracle IS q58's SQL, and a hash-match
+    * certifies the whole prefilter+verify chain end to end.
+    */
+  private val q77 = GQuery(
+    (s, d) => Curation.contaminationBloom(T.documents(s, d), "doc_id", "text",
+      trainFrac, shingleSize = 3).orderBy("doc_id"),
+    Some(contaminationOracleSql))
 
   /** Repetition signals with sentence-level "lines" (the corpus has no
     * newlines, so the line separator is the sentence boundary `\.` —
@@ -568,5 +582,6 @@ object CurationQueries {
     "q73_length_batching" -> q73,
     "q74_dsir_weights" -> q74,
     "q75_temperature_mix" -> q75,
+    "q77_decontaminate_bloom" -> q77,
   )
 }

@@ -65,6 +65,19 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("BloomMightContainLong runs with codegen fallback disabled") {
+    withSQLConf("spark.sql.codegen.fallback" -> "false") {
+      import spark.implicits._
+      val df = (1L to 1000L).toDF("g")
+      val bloom = df.filter(col("g") <= 500).stat.bloomFilter("g", 500, 0.01)
+      val bc = spark.sparkContext.broadcast(bloom)
+      val kept = df.filter(graft.functions.NativeExpressions
+        .bloom_might_contain_long(col("g"), bc)).count()
+      // no false negatives; few false positives at 1% on 500 probes
+      assert(kept >= 500 && kept <= 520, s"kept=$kept")
+    }
+  }
+
   test("SimHash64 and TextStats run with codegen fallback disabled") {
     withSQLConf("spark.sql.codegen.fallback" -> "false") {
       import spark.implicits._

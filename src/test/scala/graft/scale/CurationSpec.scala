@@ -49,6 +49,24 @@ class CurationSpec extends SparkSpec {
     assert(n2 == 5 && shared2 == 1 && c2 == 1.0 / 5.0)
   }
 
+  test("bloom-prefiltered contamination is row-identical to the exact join, even at fpp 0.5") {
+    // 120 docs of overlapping token windows: plenty of partial overlap on
+    // both sides of the split. fpp = 0.5 floods the prefilter with false
+    // positives — the exact train-set join must kill every one of them
+    // (exactness is unconditional; the Bloom only prunes the shuffle).
+    val docs = (1L to 120L).map { i =>
+      (i, (i to i + 12).map(j => s"w${j % 40}").mkString(" "))
+    }.toDF("doc_id", "text")
+    val exact = Curation.contamination(docs, "doc_id", "text", 0.5)
+      .orderBy("doc_id").collect().toSeq
+    for (fpp <- Seq(0.5, 0.01)) {
+      val bloomed = Curation.contaminationBloom(docs, "doc_id", "text", 0.5,
+          fpp = fpp)
+        .orderBy("doc_id").collect().toSeq
+      assert(bloomed == exact, s"fpp=$fpp diverged")
+    }
+  }
+
   test("repetition signals: exact counts on crafted docs, nulls on degenerate ones") {
     val docs = Seq(
       (1L, "x\nx\ny"),       // dup line, tokens x x y
