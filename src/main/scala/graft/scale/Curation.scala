@@ -97,8 +97,12 @@ object Curation {
     * half of all clean shingles pass the prefilter.
     *
     * EAGER CONTRACT (like `TextOps.heavyHitters`): building the filter
-    * runs two jobs at call time — the distinct-count sizing pass and the
-    * Bloom aggregation. The returned frame composes lazily on top.
+    * runs jobs at call time — the Bloom aggregation, plus an exact
+    * distinct-count sizing pass when `expectedItems` is None. A caller
+    * hint skips the sizing job; sizing is NOT a correctness knob —
+    * undersizing only raises the effective false-positive rate (more
+    * residual shuffle, same answer), oversizing only pads the broadcast
+    * bitmap (~1.2 bytes/item at fpp 0.01).
     *
     * Scale accounting: the bitmap is ~1.2 GB per 10⁹ distinct train
     * shingles at fpp 0.01 — broadcastable for benchmark-suite-sized
@@ -108,7 +112,8 @@ object Curation {
     * [[contamination]]'s symmetric join.
     */
   def contaminationBloom(docs: DataFrame, idCol: String, textCol: String,
-      trainFrac: Double, shingleSize: Int = 3, fpp: Double = 0.01): DataFrame = {
+      trainFrac: Double, shingleSize: Int = 3, fpp: Double = 0.01,
+      expectedItems: Option[Long] = None): DataFrame = {
     require(trainFrac > 0 && trainFrac < 1, s"trainFrac in (0,1): $trainFrac")
     require(fpp > 0 && fpp < 1, s"fpp in (0,1): $fpp")
     val spark = docs.sparkSession
@@ -119,24 +124,27 @@ object Curation {
       Sampling.portableBucket(col(idCol)).as("__b"), shingles.as("s"))
     val train = keyed.filter(col("__b") < thr)
       .select(explode(col("s")).as("g")).distinct()
-    val nTrain = math.max(1L, train.count())
+    val nTrain = math.max(1L, expectedItems.getOrElse(train.count()))
     val bloom = train.stat.bloomFilter("g", nTrain, fpp)
     val bc = spark.sparkContext.broadcast(bloom)
-    val eval = keyed.filter(col("__b") >= thr)
-    // per-doc totals straight off the kernel's array — narrow, no explode
-    val totals = eval.select(col("doc_id"),
-      size(col("s")).cast("long").as("n_shingles"))
-    val hits = eval.select(col("doc_id"), explode(col("s")).as("g"))
-      .filter(graft.functions.NativeExpressions
-        .bloom_might_contain_long(col("g"), bc))
-      .join(train.withColumn("__hit", lit(1L)), Seq("g"), "left")
-      .filter(col("__hit") === 1L) // exact verify: Bloom FPs die here
-      .groupBy("doc_id").agg(count(lit(1)).as("shared"))
-    totals.join(hits, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_shingles"),
-        coalesce(col("shared"), lit(0L)).as("shared"),
-        (coalesce(col("shared"), lit(0L)).cast("double") /
-          col("n_shingles").cast("double")).as("contamination"))
+    // ONE eval-side kernel pass: the Bloom check runs INSIDE the array
+    // (HOF filter over the kernel's distinct-shingle array), and
+    // explode_outer keeps a single null-g row for fully-clean docs — so
+    // per-doc totals and the surviving candidates come out of the same
+    // narrow projection, with no second kernel branch and no totals
+    // join-back. Join input = true overlaps + fpp·clean shingles + one
+    // row per doc; null g matches nothing and the left join keeps it.
+    val pre = keyed.filter(col("__b") >= thr).select(
+      col("doc_id"), size(col("s")).cast("long").as("n_shingles"),
+      explode_outer(filter(col("s"), g =>
+        graft.functions.NativeExpressions.bloom_might_contain_long(g, bc)))
+        .as("g"))
+    pre.join(train.withColumn("__hit", lit(1L)), Seq("g"), "left")
+      .groupBy("doc_id", "n_shingles")
+      .agg(sum(coalesce(col("__hit"), lit(0L))).as("shared")) // FPs die here
+      .select(col("doc_id"), col("n_shingles"), col("shared"),
+        (col("shared").cast("double") / col("n_shingles").cast("double"))
+          .as("contamination"))
   }
 
   /** Intra-document repetition signals (Gopher rules 4-8 flavor): the

@@ -302,6 +302,11 @@ object Dedup {
   def connectedComponents(ids: DataFrame, pairs: DataFrame,
       maxIter: Int = 20, localEdgeLimit: Long = LocalEdgeLimit,
       checkpointDir: Option[String] = None): DataFrame = {
+    // the probe materializes up to localEdgeLimit+1 rows on the driver —
+    // a limit beyond Int range would overflow `.toInt` into a negative
+    // limit (and a >2^31-row driver collect is absurd anyway)
+    require(localEdgeLimit >= 0 && localEdgeLimit < Int.MaxValue,
+      s"localEdgeLimit must fit an Int collect: $localEdgeLimit")
     // ONE probing traversal decides the algorithm AND feeds the local
     // path: limit(N+1).collect() returns the COMPLETE edge list whenever
     // it comes back with ≤ N rows (the limit dropped nothing), so the

@@ -38,7 +38,7 @@ object CurationQueries {
   private val trainFrac = 0.7
   private val thr = (trainFrac * 2147483647L).toLong
 
-  private val contaminationOracleSql =
+  private def contaminationOracleSql(thr: Long) =
     s"""${ScaleQueries.thCtes(withCodes = false)},
       sh AS (
         SELECT doc_id, ${ScaleQueries.bucketSql("doc_id")} AS b,
@@ -61,18 +61,29 @@ object CurationQueries {
   private val q58 = GQuery(
     (s, d) => Curation.contamination(T.documents(s, d), "doc_id", "text",
       trainFrac, shingleSize = 3).orderBy("doc_id"),
-    Some(contaminationOracleSql))
+    Some(contaminationOracleSql(thr)))
 
-  /** Bloom-prefiltered decontamination (Curation.contaminationBloom):
-    * row-identical to q58 by construction — the broadcast Bloom only
-    * prunes the eval-side shuffle, false positives die in the exact
-    * train-set join — so the oracle IS q58's SQL, and a hash-match
+  /** Bloom-prefiltered decontamination (Curation.contaminationBloom) in
+    * its production orientation: the "train" side is the SMALL split
+    * (trainFrac 0.1 — the benchmark/eval suite a huge corpus is scored
+    * against), which is the side the broadcast Bloom summarizes. Result
+    * is row-identical to the exact join by construction — false
+    * positives die in the exact train-set join — so the oracle is the
+    * same SQL as q58 at the flipped threshold, and a hash-match
     * certifies the whole prefilter+verify chain end to end.
     */
+  private val bloomTrainFrac = 0.1
+  private val bloomThr = (bloomTrainFrac * 2147483647L).toLong
   private val q77 = GQuery(
     (s, d) => Curation.contaminationBloom(T.documents(s, d), "doc_id", "text",
-      trainFrac, shingleSize = 3).orderBy("doc_id"),
-    Some(contaminationOracleSql))
+      bloomTrainFrac, shingleSize = 3,
+      // sizing hint from the parquet footers (docs × ~128 distinct
+      // shingles upper bound) skips the exact-count job; over/undersizing
+      // shifts only the bitmap size / effective fpp, never the answer
+      expectedItems = Some(
+        T.parquetRowCount(s, s"$d/documents.parquet") * 128))
+      .orderBy("doc_id"),
+    Some(contaminationOracleSql(bloomThr)))
 
   /** Repetition signals with sentence-level "lines" (the corpus has no
     * newlines, so the line separator is the sentence boundary `\.` —

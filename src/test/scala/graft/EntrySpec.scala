@@ -19,4 +19,13 @@ class EntrySpec extends SparkSpec {
   test("oracle SQL map has no blank statements") {
     SparkEntry.oracleSql.values.foreach(s => assert(s.trim.nonEmpty))
   }
+
+  test("bench short keys (qNN prefix) are unique across all registered queries") {
+    // Bench's machine-parseable line keys each time by the query's qNN
+    // prefix to stay inside the harness's ~2KB stdout tail window; two
+    // queries sharing a prefix would silently collapse into one entry
+    val keys = SparkEntry.queries.keySet.toSeq.map(_.takeWhile(_ != '_'))
+    assert(keys.distinct.size == keys.size,
+      s"duplicate short keys: ${keys.diff(keys.distinct).distinct}")
+  }
 }
