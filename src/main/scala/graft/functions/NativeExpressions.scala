@@ -56,6 +56,10 @@ object NativeExpressions {
         org.apache.spark.util.sketch.BloomFilter]): Column =
     Bridge.column(BloomMightContainLong(Bridge.expression(hash), bloom))
 
+  def bucket_weight_sum(hashes: Column,
+      weights: org.apache.spark.broadcast.Broadcast[Array[Double]]): Column =
+    Bridge.column(BucketWeightSum(Bridge.expression(hashes), weights))
+
   /** KMV distinct sketch over a pre-hashed long column (see
     * [[KMinValues]]); `domain` must match the hash range — 2^31−1 for
     * [[graft.scale.Sampling.portableBucket]] (the oracle-verifiable
@@ -1480,6 +1484,65 @@ case class PortableRollingMin(child: Expression, window: Int)
   * plus a 64-long allocation per token, outside whole-stage codegen).
   * Ties (vote == 0, even token counts) leave the bit clear — same as the HOF.
   */
+/** Hashed-bag linear scoring — the fastText-style architecture every
+  * large-corpus quality/language filter uses (CCNet, RedPajama, Dolma):
+  * each pre-hashed token indexes a weight bucket (`(h mod B + B) mod B`,
+  * B = weight-vector length) and the score is the LEFT-TO-RIGHT fold of
+  * the bucket weights over the token array — the pinned IEEE addition
+  * order that lets another engine (DuckDB `list_reduce`) reproduce the
+  * double bit-for-bit, the same trick as DSIR's fold. Weights ride a
+  * broadcast (a real model has 2^20+ buckets — too big for a plan
+  * literal, torrent-distributed once per executor); one codegen'd loop
+  * per row, no boxing, no UDF. Null input → null; empty array → 0.0.
+  */
+case class BucketWeightSum(child: Expression,
+    weights: org.apache.spark.broadcast.Broadcast[Array[Double]])
+    extends UnaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = child.nullable
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val w = weights.value
+    val b = w.length
+    var acc = 0.0
+    var i = 0
+    val n = arr.numElements()
+    while (i < n) {
+      val idx = ((arr.getLong(i) % b) + b) % b
+      acc += w(idx.toInt)
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("weightsBc", weights,
+      classOf[org.apache.spark.broadcast.Broadcast[_]].getName)
+    nullSafeCodeGen(ctx, ev, c => {
+      val w = ctx.freshName("w")
+      val b = ctx.freshName("b")
+      val acc = ctx.freshName("acc")
+      val i = ctx.freshName("i")
+      val idx = ctx.freshName("idx")
+      s"""
+        double[] $w = (double[]) $ref.value();
+        long $b = $w.length;
+        double $acc = 0.0;
+        for (int $i = 0; $i < $c.numElements(); $i++) {
+          long $idx = (($c.getLong($i) % $b) + $b) % $b;
+          $acc += $w[(int) $idx];
+        }
+        ${ev.value} = $acc;
+      """
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Bloom-filter membership over a pre-hashed LONG column, with the filter
   * delivered via a BROADCAST handle — torrent distribution to executors
   * instead of shipping the (possibly hundreds-of-MB) bitmap inside every

@@ -231,6 +231,52 @@ object TextOps {
       k: Int, capacity: Int = 4096): org.apache.spark.sql.DataFrame =
     heavyHittersWithCert(docs, textCol, k, capacity)._1
 
+  /** fastText-style hashed linear classifier scoring — the architecture
+    * behind the quality/language filters of CCNet, RedPajama and Dolma: a
+    * document is a bag of hashed tokens, each token indexes one weight
+    * bucket, and the decision value is
+    * `margin = bias + (Σ w[h mod B]) / n_tokens` (mean pooling), with the
+    * keep/drop decision `margin > 0`. The operator takes a TRAINED weight
+    * vector (any fastText/liblinear export collapses to this form under
+    * the hashing trick); training itself is out of scope, exactly as the
+    * XGB scorer consumes the reference's trained trees.
+    *
+    * Scale shape: a pure narrow map — tokenize → portable-hash →
+    * one-pass native bucket-weight fold ([[graft.functions
+    * .NativeExpressions.bucket_weight_sum]]) with the weights broadcast
+    * once per executor (a real model has 2^20+ buckets; embedding them
+    * as a plan literal would bloat and re-ship every task binary). Zero
+    * shuffle at any corpus size.
+    *
+    * Determinism: the fold runs left-to-right over the token array (the
+    * DSIR trick), so the double `margin` is reproducible bit-for-bit on
+    * any engine — q78's DuckDB oracle replays hash → bucket → weight →
+    * fold → quotient and hash-matches margins AND labels. The sigmoid is
+    * deliberately NOT applied (libm `exp` differs across engines in the
+    * last ulp; callers ranking or thresholding need only the margin).
+    *
+    * Returns (id, n_tokens, margin, keep); empty docs score
+    * `margin = bias` over n_tokens = 0 → NULL margin, keep = false.
+    */
+  def linearQualityScore(docs: org.apache.spark.sql.DataFrame,
+      idCol: String, textCol: String, weights: Array[Double],
+      bias: Double): org.apache.spark.sql.DataFrame = {
+    require(weights.nonEmpty, "weight vector must be non-empty")
+    val spark = docs.sparkSession
+    val bc = spark.sparkContext.broadcast(weights)
+    val th = graft.scale.Dedup.portableTokenHashes(tokens(col(textCol)))
+    docs.select(col(idCol).as("id"), th.as("__th"))
+      .select(col("id"),
+        size(col("__th")).cast("long").as("n_tokens"),
+        graft.functions.NativeExpressions.bucket_weight_sum(col("__th"), bc)
+          .as("__sum"))
+      .select(col("id"), col("n_tokens"),
+        when(col("n_tokens") > 0,
+          lit(bias) + col("__sum") / col("n_tokens").cast("double"))
+          .as("margin"))
+      .withColumn("keep", coalesce(col("margin") > 0, lit(false)))
+  }
+
   /** Fully DEFERRED top-k tokens: the same sketch→recount shape as
     * [[heavyHitters]], but expressed as one lazy plan — the Misra-Gries
     * summary becomes a broadcast candidate list feeding the exact

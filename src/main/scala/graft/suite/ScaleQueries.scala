@@ -610,6 +610,40 @@ object ScaleQueries {
       ORDER BY c.id"""
     })
 
+  /** fastText-style hashed linear quality scoring
+    * (TextOps.linearQualityScore): the weight vector is synthesized by a
+    * deterministic integer formula (`w[b] = ((b·2654435761) mod 1009) /
+    * 1009 − 1/2`, B = 4096) so BOTH engines construct identical doubles
+    * from exact integer arithmetic — no weight table ships to the
+    * oracle. The margin's token fold is left-to-right (the DSIR trick),
+    * so the double margin AND the keep bit hash-match. A trained model
+    * plugs in as a plain Array[Double] — the weight formula is the test
+    * harness, not the contract.
+    */
+  private val QBuckets = 4096
+  private val qWeights: Array[Double] = Array.tabulate(QBuckets)(b =>
+    ((b.toLong * 2654435761L) % 1009L).toDouble / 1009.0 - 0.5)
+  private val q78 = GQuery(
+    (s, d) => graft.scale.TextOps.linearQualityScore(
+      T.documents(s, d), "doc_id", "text", qWeights, bias = 0.05)
+      .orderBy("id"),
+    Some(s"""${thCtes(withCodes = false)},
+      ws AS (
+        SELECT doc_id, CAST(len(th) AS BIGINT) AS n_tokens,
+          list_transform(th, h ->
+            ((h % $QBuckets) * 2654435761 % 1009)::DOUBLE / 1009.0 - 0.5) AS w
+        FROM th),
+      m AS (
+        SELECT doc_id AS id, n_tokens,
+          CASE WHEN n_tokens > 0 THEN
+            0.05 + list_reduce(list_prepend(0.0::DOUBLE, w),
+              (a, v) -> a + v) / n_tokens::DOUBLE
+          END AS margin
+        FROM ws)
+      SELECT id, n_tokens, margin,
+        COALESCE(margin > 0, FALSE) AS keep
+      FROM m ORDER BY id"""))
+
   def all: Map[String, GQuery] = Map(
     "q21_text_quality" -> q21,
     "q22_lang_id" -> q22,
@@ -627,5 +661,6 @@ object ScaleQueries {
     "q69_heavy_hitters" -> q69,
     "q71_common_run_pairs" -> q71,
     "q76_semantic_dedup" -> q76,
+    "q78_quality_classifier" -> q78,
   )
 }

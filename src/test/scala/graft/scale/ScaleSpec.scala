@@ -75,6 +75,31 @@ class ScaleSpec extends SparkSpec {
       5L -> 5L, 6L -> 5L, 7L -> 7L))
   }
 
+  test("linear quality scoring: hand-computed margins, HOF parity, empty-doc nulls") {
+    import spark.implicits._
+    // tiny weight vector: bucket b -> b (so margins are readable by hand)
+    val w = Array.tabulate(8)(_.toDouble)
+    val docs = Seq((1L, "a a a"), (2L, "b"), (3L, "")).toDF("doc_id", "text")
+    val got = TextOps.linearQualityScore(docs, "doc_id", "text", w, bias = -1.0)
+      .orderBy("id").collect()
+    // margin(doc) = -1 + mean(w[h mod 8]) over its tokens; doc 1 repeats
+    // one token, so margin = -1 + w[b_a] exactly
+    val thA = docs.filter($"doc_id" === 1L)
+      .select(explode(Dedup.portableTokenHashes(TextOps.tokens($"text"))))
+      .first().getLong(0)
+    assert(got(0).getDouble(2) == -1.0 + w((thA % 8).toInt))
+    assert(got(0).getBoolean(3) == (got(0).getDouble(2) > 0))
+    assert(got(2).isNullAt(2) && !got(2).getBoolean(3)) // empty doc
+    // native kernel == interpreted HOF reference, bit for bit
+    val th = Dedup.portableTokenHashes(TextOps.tokens($"text"))
+    val bc = spark.sparkContext.broadcast(w)
+    val both = docs.filter(length($"text") > 0).select(
+      graft.functions.NativeExpressions.bucket_weight_sum(th, bc).as("native"),
+      aggregate(transform(th, h => element_at(typedLit(w.toSeq), (pmod(h, lit(8)) + 1).cast("int"))),
+        lit(0.0), (a, v) => a + v).as("hof")).collect()
+    both.foreach(r => assert(r.getDouble(0) == r.getDouble(1)))
+  }
+
   test("reliable-checkpoint CC mode labels identically to localCheckpoint mode") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("cc-ckpt").toString
