@@ -157,6 +157,26 @@ object Multimodal {
     real.getOrElse((decodePixelsStub(bytes, stubW, stubH), stubW, stubH))
   }
 
+  /** The stub's offset GENERATORS are content-independent: pixel i of any
+    * stub decode reads `content[(stubOffsetGens(n)(i) % content.length)]`,
+    * where the generator sequence depends only on the LCG constants and i.
+    * Exposed so an external engine can replay the stub with pure integer
+    * arithmetic (the q79/q80 DuckDB oracles embed these as literals) —
+    * values fit in 31 bits (top 33 bits shifted away). MUST stay in sync
+    * with [[decodePixelsStub]]'s loop (StubOffsetSpec pins the equality).
+    */
+  def stubOffsetGens(n: Int): Array[Long] = {
+    val out = new Array[Long](n)
+    var acc = 1125899906842597L
+    var i = 0
+    while (i < n) {
+      acc = acc * 6364136223846793005L + 1442695040888963407L
+      out(i) = acc >>> 33
+      i += 1
+    }
+    out
+  }
+
   /** STUB — deterministic fake decode: "pixel" (i) = content byte at a
     * hash-derived offset. Used for kinds the JDK cannot decode (audio,
     * video) so their plumbing stays testable; images take the REAL

@@ -223,4 +223,34 @@ class MultimodalSpec extends SparkSpec {
       == Seq(0L, 2500L, 5000L, 7500L))
     assert(got(1L).isEmpty && got(3L).isEmpty) // non-video -> null
   }
+
+  test("stubOffsetGens replays decodePixelsStub exactly (the q79/q80 oracle contract)") {
+    val gens = Multimodal.stubOffsetGens(64)
+    assert(gens.forall(g => g >= 0 && g < (1L << 31))) // 31-bit literals
+    for (len <- Seq(1, 3, 16, 255)) {
+      val content = Array.tabulate[Byte](len)(j => ((j * 13 + 5) % 256).toByte)
+      val px = Multimodal.decodePixelsStub(content, 8, 8)
+      val replay = gens.map(g =>
+        (content((g % len).toInt) & 0xff) / 255.0f)
+      assert(px.toSeq == replay.toSeq)
+    }
+  }
+
+  test("derived media fixture: byte j of content is (doc_id*31 + j*7) mod 256") {
+    val sfDir = sys.env.getOrElse("GRAFT_SMOKE_SF_DIR", "/root/testdata/sf0.001")
+    assume(new java.io.File(sfDir).isDirectory, s"testdata absent: $sfDir")
+    val media = graft.suite.MultimodalQueries.media(spark, sfDir)
+    assert(media.schema("content").dataType
+      == org.apache.spark.sql.types.BinaryType)
+    media.select("media_id", "content", "kind").limit(50).collect().foreach { r =>
+      val d = r.getLong(0)
+      val bytes = r.getAs[Array[Byte]](1)
+      assert(bytes.length == 16 + (d % 240).toInt)
+      bytes.zipWithIndex.foreach { case (b, j) =>
+        assert((b & 0xff) == ((d * 31 + j * 7) % 256).toInt, s"doc $d byte $j")
+      }
+      assert(r.getString(2)
+        == Seq("image", "audio", "video")((d % 3).toInt))
+    }
+  }
 }
