@@ -266,19 +266,45 @@ object NativeExpressions {
 
   /** The `nprobe` nearest centroids of a double vector by L2 distance,
     * ordered nearest-first (ties → lower index). Centroids are a flattened
-    * row-major (k × dim) broadcast array.
+    * row-major (k × dim) broadcast array. `normalize = true` fuses the
+    * unit-normalization of the INPUT vector into the kernel (same fold
+    * order and IEEE ops as `transform(v, x / sqrt(Σx²))` — one codegen'd
+    * pass instead of re-evaluating an interpreted norm aggregate at every
+    * use of the expression; centroids are expected pre-normalized).
     */
   def nearest_centroids(v: Column, centroids: Array[Double], k: Int, dim: Int,
-      nprobe: Int): Column =
-    Bridge.column(NearestCentroids(Bridge.expression(v), centroids, k, dim, nprobe))
+      nprobe: Int, normalize: Boolean = false): Column =
+    Bridge.column(NearestCentroids(Bridge.expression(v), centroids, k, dim,
+      nprobe, normalize))
 
   /** Shared JVM implementation for [[NearestCentroids]] (eval + generated
     * code + tests): full-scan L2 to all k centroids, then selection of the
     * nprobe smallest (k is small — the coarse quantizer, not the corpus).
     */
   def nearestCentroidsImpl(v: ArrayData, cents: Array[Double], k: Int,
-      dim: Int, nprobe: Int): ArrayData = {
+      dim: Int, nprobe: Int, normalize: Boolean): ArrayData = {
     val n = math.min(dim, v.numElements())
+    // Fused unit-normalization: norm fold over ALL elements in index
+    // order (identical to Similarity.norm's aggregate), then the exact
+    // `x / nrm` division per coordinate materialized ONCE — the same
+    // IEEE ops as `transform(v, x / sqrt(Σx²))`, so results are
+    // bit-identical to the unfused formulation (a precomputed reciprocal
+    // would round differently), and the k×dim distance loop reads the
+    // dim-length normalized copy. Zero-norm vectors pass through
+    // un-normalized, matching unit()'s guard.
+    var u: Array[Double] = null
+    if (normalize) {
+      var ss = 0.0
+      var j = 0
+      val m = v.numElements()
+      while (j < m) { val x = v.getDouble(j); ss += x * x; j += 1 }
+      val nrm = math.sqrt(ss)
+      if (nrm > 0) {
+        u = new Array[Double](n)
+        j = 0
+        while (j < n) { u(j) = v.getDouble(j) / nrm; j += 1 }
+      }
+    }
     val d2 = new Array[Double](k)
     var c = 0
     while (c < k) {
@@ -286,7 +312,7 @@ object NativeExpressions {
       val base = c * dim
       var j = 0
       while (j < n) {
-        val d = v.getDouble(j) - cents(base + j)
+        val d = (if (u != null) u(j) else v.getDouble(j)) - cents(base + j)
         s += d * d
         j += 1
       }
@@ -1074,20 +1100,21 @@ case class HyperplaneSigs(child: Expression, dim: Int, bits: Int, tables: Int)
   * code, no unrolled expression tree.
   */
 case class NearestCentroids(child: Expression, centroids: Array[Double],
-    k: Int, dim: Int, nprobe: Int) extends UnaryExpression {
+    k: Int, dim: Int, nprobe: Int, normalize: Boolean = false)
+    extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
   override def nullable: Boolean = child.nullable
 
   override def nullSafeEval(input: Any): Any =
     NativeExpressions.nearestCentroidsImpl(
-      input.asInstanceOf[ArrayData], centroids, k, dim, nprobe)
+      input.asInstanceOf[ArrayData], centroids, k, dim, nprobe, normalize)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val centsRef = ctx.addReferenceObj("centroids", centroids, "double[]")
     nullSafeCodeGen(ctx, ev, c =>
       s"""${ev.value} = graft.functions.NativeExpressions.nearestCentroidsImpl(
-            $c, $centsRef, $k, $dim, $nprobe);""")
+            $c, $centsRef, $k, $dim, $nprobe, $normalize);""")
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =

@@ -102,14 +102,20 @@ object Ivf {
   def ivfTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
       vecCol: String, dim: Int, k: Int, centroids: Array[Double],
       nCells: Int, nprobe: Int): DataFrame = {
+    // unit-normalization FUSED into the kernel (normalize = true, bit-
+    // identical to the unit() formulation): the cell expression lands in
+    // join keys / filters where Catalyst duplicates it, and an interpreted
+    // norm aggregate re-evaluated per duplicate dominated the corpus map
     val c = corpus.select(col(idCol).as("neighbor_id"),
       Similarity.toDouble(col(vecCol)).as("cv"))
       .withColumn("cell", element_at(
-        NativeExpressions.nearest_centroids(unit(col("cv")), centroids, nCells, dim, 1), 1))
+        NativeExpressions.nearest_centroids(col("cv"), centroids, nCells, dim,
+          1, normalize = true), 1))
     val q = queries.select(col(idCol).as("query_id"),
       Similarity.toDouble(col(vecCol)).as("qv"))
       .withColumn("cell", explode(
-        NativeExpressions.nearest_centroids(unit(col("qv")), centroids, nCells, dim, nprobe)))
+        NativeExpressions.nearest_centroids(col("qv"), centroids, nCells, dim,
+          nprobe, normalize = true)))
     val scored = q.join(c, Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("sim", Similarity.cosineNative(col("qv"), col("cv")))

@@ -3,7 +3,7 @@ package graft.suite
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import graft.core.{GQuery, Tables => T}
-import graft.scale.{Dedup, Sampling, Similarity, TextOps}
+import graft.scale.{Dedup, Ivf, Sampling, Similarity, TextOps}
 
 /** Training-data-pipeline operators (dedup, similarity search, text
   * analysis) as verifiable queries. Where the operator is SQL-expressible we
@@ -644,6 +644,95 @@ object ScaleQueries {
         COALESCE(margin > 0, FALSE) AS keep
       FROM m ORDER BY id"""))
 
+  /** IVF (inverted-file) approximate top-k — the trained-quantizer scale
+    * path next to the brute-force baseline (q27) and hyperplane LSH
+    * (spec-verified). To make the WHOLE search chain oracle-replayable the
+    * quantizer is not trained here: the 8 cells are seeded from the 8
+    * smallest vec_ids, unit-normalized with the same pinned left-fold norm
+    * both engines compute (production passes `Ivf.trainCentroids` output —
+    * same array shape, exercised in ScaleSpec with measured recall). The
+    * oracle replays cell assignment (min squared-L2 on unit vectors, tie →
+    * lowest cell), the 2-cell probe set per query, and the exact-cosine
+    * top-5 ranking — a full hash-match certifies that candidates outside
+    * the probed cells are never examined, which is the entire point of IVF
+    * at corpus scale: each query scans ≈ nprobe/k of the corpus.
+    */
+  private val q82 = GQuery(
+    (s, d) => {
+      import s.implicits._
+      val emb = T.embeddings(s, d)
+      // seed centroids: 8 smallest vec_ids, unit-normalized driver-side
+      // with the index-ordered fold the oracle replays (k×dim doubles)
+      val seeds: Array[Double] = emb
+        .select($"vec_id", Similarity.toDouble($"embedding").as("v"))
+        .orderBy("vec_id").limit(8).collect()
+        .flatMap { r =>
+          val v = r.getSeq[Double](1)
+          var ss = 0.0
+          v.foreach(x => ss += x * x)
+          val n = math.sqrt(ss)
+          if (n > 0) v.map(_ / n) else v
+        }
+      Ivf.ivfTopK(emb.filter($"vec_id" % 25 === 0), emb, "vec_id",
+        "embedding", dim = EmbeddingDim, k = 5, centroids = seeds,
+        nCells = 8, nprobe = 2)
+        .select($"query_id", $"rank".cast("long").as("rank"),
+          $"neighbor_id", round($"sim", 6).as("sim"))
+        .orderBy($"query_id", $"rank")
+    },
+    Some {
+      val ne = foldSum((1 to EmbeddingDim).map(i =>
+        s"embedding[$i]::DOUBLE * embedding[$i]::DOUBLE"))
+      val d2 = foldSum((1 to EmbeddingDim).map(i =>
+        s"(e.u[$i] - s.u[$i]) * (e.u[$i] - s.u[$i])"))
+      val dot = foldSum((1 to EmbeddingDim).map(i =>
+        s"qe.embedding[$i]::DOUBLE * ne.embedding[$i]::DOUBLE"))
+      val nq = foldSum((1 to EmbeddingDim).map(i =>
+        s"qe.embedding[$i]::DOUBLE * qe.embedding[$i]::DOUBLE"))
+      val nc = foldSum((1 to EmbeddingDim).map(i =>
+        s"ne.embedding[$i]::DOUBLE * ne.embedding[$i]::DOUBLE"))
+      s"""WITH un AS (
+        SELECT vec_id,
+          CASE WHEN SQRT($ne) > 0
+            THEN list_transform(embedding, x -> x::DOUBLE / SQRT($ne))
+            ELSE list_transform(embedding, x -> x::DOUBLE) END AS u
+        FROM embeddings),
+      s AS (
+        SELECT ROW_NUMBER() OVER (ORDER BY vec_id) AS ci, u
+        FROM un ORDER BY vec_id LIMIT 8),
+      ca AS (
+        SELECT e.vec_id, s.ci, $d2 AS dist2
+        FROM un e CROSS JOIN s),
+      cell AS (
+        SELECT vec_id, ci AS cell FROM (
+          SELECT vec_id, ci, ROW_NUMBER() OVER (PARTITION BY vec_id
+            ORDER BY dist2 ASC, ci ASC) AS rn
+          FROM ca) WHERE rn = 1),
+      qp AS (
+        SELECT vec_id AS query_id, ci AS cell FROM (
+          SELECT vec_id, ci, ROW_NUMBER() OVER (PARTITION BY vec_id
+            ORDER BY dist2 ASC, ci ASC) AS rn
+          FROM ca WHERE vec_id % 25 = 0) WHERE rn <= 2),
+      cand AS (
+        SELECT q.query_id, c.vec_id AS neighbor_id
+        FROM qp q JOIN cell c ON q.cell = c.cell
+        WHERE q.query_id <> c.vec_id),
+      sc AS (
+        SELECT cd.query_id, cd.neighbor_id,
+          CASE WHEN SQRT($nq) > 0 AND SQRT($nc) > 0
+            THEN ($dot) / (SQRT($nq) * SQRT($nc)) ELSE 0.0 END AS sim
+        FROM cand cd
+        JOIN embeddings qe ON qe.vec_id = cd.query_id
+        JOIN embeddings ne ON ne.vec_id = cd.neighbor_id),
+      ranked AS (
+        SELECT query_id, neighbor_id, sim,
+          ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY sim DESC, neighbor_id ASC) AS rank
+        FROM sc)
+      SELECT query_id, rank, neighbor_id, ROUND(sim, 6) AS sim
+      FROM ranked WHERE rank <= 5 ORDER BY query_id, rank"""
+    })
+
   def all: Map[String, GQuery] = Map(
     "q21_text_quality" -> q21,
     "q22_lang_id" -> q22,
@@ -662,5 +751,6 @@ object ScaleQueries {
     "q71_common_run_pairs" -> q71,
     "q76_semantic_dedup" -> q76,
     "q78_quality_classifier" -> q78,
+    "q82_ivf_topk" -> q82,
   )
 }

@@ -48,7 +48,11 @@ object Explain {
       "q70_column_profile",    // per-column union branches, no Expand
       "q71_common_run_pairs",  // winnow kernel + fused native verify join
       "q74_dsir_weights",      // native shingle kernel + broadcast m-row stats
-      "q76_semantic_dedup")    // centroid-bucketed pairs + payload triangle split
+      "q76_semantic_dedup",    // centroid-bucketed pairs + payload triangle split
+      "q77_decontaminate_bloom", // Bloom prefilter UNDER the eval exchange
+      "q78_quality_classifier", // broadcast-weight native fold, zero shuffle
+      "q79_media_features",    // binary decode as partition-batched narrow map
+      "q82_ivf_topk")          // probed-cell equi-join, per-query window
 
     val sb = new StringBuilder
     sb.append("# EXPLAIN — flagship physical plans\n\n")

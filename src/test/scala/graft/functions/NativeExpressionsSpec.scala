@@ -123,9 +123,33 @@ class NativeExpressionsSpec extends SparkSpec {
     import org.apache.spark.sql.catalyst.util.GenericArrayData
     val cents = Array(0.0, 0.0, 1.0, 1.0) // 2 centroids, dim 2
     val nanVec = new GenericArrayData(Array(Double.NaN, 0.5))
-    val got = NativeExpressions.nearestCentroidsImpl(nanVec, cents, 2, 2, 2)
+    val got = NativeExpressions.nearestCentroidsImpl(nanVec, cents, 2, 2, 2,
+        normalize = false)
       .toIntArray().toSeq
     assert(got == Seq(0, 1)) // all-inf distances -> lowest index first
+    // the normalizing path degrades the same way (NaN poisons the norm)
+    val gotN = NativeExpressions.nearestCentroidsImpl(nanVec, cents, 2, 2, 2,
+        normalize = true)
+      .toIntArray().toSeq
+    assert(gotN == Seq(0, 1))
+  }
+
+  test("fused normalize matches the unfused unit-then-assign formulation bit-for-bit") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val cents = Array(0.6, 0.8, -0.8, 0.6) // 2 unit centroids, dim 2
+    for (raw <- Seq(Array(3.0, 4.0), Array(-1.5, 2.5), Array(0.0, 0.0))) {
+      var ss = 0.0
+      raw.foreach(x => ss += x * x)
+      val nrm = math.sqrt(ss)
+      val u = if (nrm > 0) raw.map(_ / nrm) else raw
+      val unfused = NativeExpressions.nearestCentroidsImpl(
+        new GenericArrayData(u), cents, 2, 2, 2, normalize = false)
+        .toIntArray().toSeq
+      val fused = NativeExpressions.nearestCentroidsImpl(
+        new GenericArrayData(raw), cents, 2, 2, 2, normalize = true)
+        .toIntArray().toSeq
+      assert(fused == unfused, s"raw=${raw.toSeq}")
+    }
   }
 
   test("text stats treat null tokens as non-matches (no NPE)") {
