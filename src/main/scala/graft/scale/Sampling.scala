@@ -142,4 +142,39 @@ object Sampling {
           col("rate") * lit(P31.toDouble)).cast("long"))
       .drop("__stratum")
   }
+
+  /** Deterministic global corpus shuffle into training shards — the
+    * WebDataset/Megatron shard-writer shape: a training run wants the
+    * corpus in pseudo-random order split across N shard files, with the
+    * order decorrelated from every input attribute (source, crawl time,
+    * length) so sequential shard readers see an unbiased stream.
+    *
+    * shard_id = portable bucket of the key mod nShards; pos = rank of
+    * (bucket, key) WITHIN the shard. Both derive from the key alone —
+    * reproducible across runs, engines, partitionings, and appends of
+    * unrelated rows never permute an existing shard's relative order
+    * (stable hash, not a global row_number).
+    *
+    * Scale shape: one hash exchange on shard_id plus a PER-SHARD sort —
+    * deliberately never a global ORDER BY (a total order funnels 100 TB
+    * through a single range-partition boundary computation; here each
+    * shard sorts corpus/nShards rows independently and in parallel).
+    * Size nShards so a shard fits an executor's sort budget (thousands of
+    * shards are normal — they are output files, not partitions of
+    * compute). The window carries no frame state (row_number only).
+    *
+    * Returns the input plus (shard_id, pos); write with
+    * `.repartition(col("shard_id")).sortWithinPartitions("pos")` +
+    * partitionBy to land one ordered file per shard.
+    */
+  def shuffleShards(df: DataFrame, key: Column, nShards: Int): DataFrame = {
+    require(nShards > 0, s"nShards must be positive: $nShards")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("__shard")).orderBy(col("__b"), key)
+    df.withColumn("__b", portableBucket(key))
+      .withColumn("__shard", pmod(col("__b"), lit(nShards.toLong)))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .withColumn("shard_id", col("__shard").cast("int"))
+      .drop("__b", "__shard")
+  }
 }

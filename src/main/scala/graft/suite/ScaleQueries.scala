@@ -733,6 +733,29 @@ object ScaleQueries {
       FROM ranked WHERE rank <= 5 ORDER BY query_id, rank"""
     })
 
+  /** Deterministic corpus shuffle into 8 training shards
+    * (Sampling.shuffleShards): the oracle recomputes the portable bucket,
+    * the mod-8 shard, and the per-shard (bucket, key) rank — a hash-match
+    * certifies the exact output ORDER of every shard, the property a
+    * training run actually consumes, not just the shard sizes.
+    */
+  private val q83 = GQuery(
+    (s, d) => {
+      import s.implicits._
+      Sampling.shuffleShards(
+        T.documents(s, d).select($"doc_id", $"source"), $"doc_id", 8)
+        .select($"doc_id", $"source", $"shard_id".cast("long").as("shard_id"),
+          $"pos")
+        .orderBy($"shard_id", $"pos")
+    },
+    Some(s"""WITH b AS (
+        SELECT doc_id, source, ${bucketSql("doc_id")} AS bk
+        FROM documents)
+      SELECT doc_id, source, CAST(bk % 8 AS BIGINT) AS shard_id,
+        CAST(ROW_NUMBER() OVER (PARTITION BY bk % 8
+          ORDER BY bk, doc_id) AS BIGINT) AS pos
+      FROM b ORDER BY shard_id, pos"""))
+
   def all: Map[String, GQuery] = Map(
     "q21_text_quality" -> q21,
     "q22_lang_id" -> q22,
@@ -752,5 +775,6 @@ object ScaleQueries {
     "q76_semantic_dedup" -> q76,
     "q78_quality_classifier" -> q78,
     "q82_ivf_topk" -> q82,
+    "q83_shard_shuffle" -> q83,
   )
 }

@@ -100,6 +100,34 @@ class ScaleSpec extends SparkSpec {
     both.foreach(r => assert(r.getDouble(0) == r.getDouble(1)))
   }
 
+  test("shard shuffle: deterministic, partitioning-invariant, order stable under appends") {
+    import spark.implicits._
+    val docs = (0L until 200L).map(i => (i, s"src${i % 3}")).toDF("doc_id", "source")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Sampling.shuffleShards(df, $"doc_id", 4)
+        .select($"doc_id", $"shard_id", $"pos").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val a = run(docs).sortBy(_._1)
+    val b = run(docs.repartition(7)).sortBy(_._1)
+    assert(a.toSeq == b.toSeq) // partitioning-invariant
+    // every shard's positions are exactly 1..n (a real output order)
+    a.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (1L to rows.length).toSeq)
+    }
+    // shards are roughly balanced (hash spread, not skew-prone)
+    val sizes = a.groupBy(_._2).map(_._2.length)
+    assert(sizes.max - sizes.min < 60, s"shard sizes: $sizes")
+    // appending unrelated rows never permutes an existing shard's
+    // RELATIVE order (stable hash order, not a global row_number)
+    val extra = (1000L until 1100L).map(i => (i, "new")).toDF("doc_id", "source")
+    val c = run(docs.union(extra))
+    def relOrder(rows: Seq[(Long, Int, Long)]) =
+      rows.filter(_._1 < 200L).groupBy(_._2).map { case (s, rs) =>
+        s -> rs.sortBy(_._3).map(_._1).toSeq
+      }
+    assert(relOrder(a.toSeq) == relOrder(c.toSeq))
+  }
+
   test("reliable-checkpoint CC mode labels identically to localCheckpoint mode") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("cc-ckpt").toString
