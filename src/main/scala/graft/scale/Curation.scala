@@ -449,29 +449,35 @@ object Curation {
     *     assumption hash aggregation makes).
     *
     * Both paths keep the identical set (asserted on a mega-source
-    * fixture in CurationSkewSpec). Returns (doc_id, source, rank).
+    * fixture in CurationSkewSpec). Returns the INPUT columns + `rank`
+    * (payload-preserving, so quota composes mid-pipeline — q84 — without
+    * a caller-side join-back that recomputes the upstream lineage).
+    * The window path ranks full rows directly (its `planBytes` gate
+    * already bounds the input); the skew path still sends ONLY narrow
+    * keys through the bounded heaps and re-attaches payload by id.
     */
   def sourceQuota(docs: DataFrame, idCol: String, srcCol: String,
       quota: Int, combinerBytes: Long = SkewCutBytes): DataFrame = {
     require(quota > 0, s"quota must be positive: $quota")
     import org.apache.spark.sql.expressions.Window
-    val keys = docs.select(col(idCol).as("doc_id"), col(srcCol).as("source"),
-      Sampling.portableBucket(col(idCol)).as("__b"))
-    val rankW = Window.partitionBy(col("source"))
-      .orderBy(col("__b"), col("doc_id"))
-    val kept =
-      if (planBytes(docs) <= combinerBytes)
-        keys.withColumn("rank", row_number().over(rankW))
-          .filter(col("rank") <= quota)
-      else
-        // partial heaps cap every source at quota rows/partition before
-        // the shuffle; the window then ranks ≤ quota rows per source
-        graft.plans.TopKPerGroup(keys, Seq("source"),
-          Seq(col("__b").asc, col("doc_id").asc), quota)
-          .withColumn("rank", row_number().over(rankW))
-    docs.select(col(idCol).as("doc_id"), col(srcCol).as("source"))
-      .join(kept.select(col("doc_id"), col("rank").cast("long").as("rank")),
-        "doc_id")
+    if (planBytes(docs) <= combinerBytes) {
+      val rankW = Window.partitionBy(col(srcCol))
+        .orderBy(Sampling.portableBucket(col(idCol)), col(idCol))
+      docs.withColumn("rank", row_number().over(rankW).cast("long"))
+        .filter(col("rank") <= quota)
+    } else {
+      // partial heaps cap every source at quota rows/partition before
+      // the shuffle; the window then ranks ≤ quota rows per source
+      val keys = docs.select(col(idCol).as("__qid"), col(srcCol).as("__qsrc"),
+        Sampling.portableBucket(col(idCol)).as("__b"))
+      val rankW = Window.partitionBy(col("__qsrc"))
+        .orderBy(col("__b"), col("__qid"))
+      val kept = graft.plans.TopKPerGroup(keys, Seq("__qsrc"),
+        Seq(col("__b").asc, col("__qid").asc), quota)
+        .withColumn("rank", row_number().over(rankW).cast("long"))
+        .select(col("__qid"), col("rank"))
+      docs.join(kept, docs(idCol) === col("__qid")).drop("__qid")
+    }
   }
 
   /** DSIR-style hashed n-gram importance weights (Xie et al. 2023,

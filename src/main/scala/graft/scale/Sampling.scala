@@ -127,14 +127,20 @@ object Sampling {
     val e = 1.0 - alpha
     val counts = df.groupBy(strata.as("__stratum"))
       .agg(count(lit(1)).as("stratum_n"))
-    val nmin = counts.agg(min(col("stratum_n")).as("__nmin"))
+    // global min over the #strata-row counts frame via an unpartitioned
+    // window — ONE lineage, so the corpus is scanned once for the rates
+    // (a second `counts.agg(min)` + crossJoin re-derived counts from the
+    // source and doubled the stats scans). The single-partition window
+    // holds #strata rows, not corpus rows.
     val ratio = col("__nmin").cast("double") / col("stratum_n").cast("double")
     val rate =
       if (e == 0.0) lit(1.0)
       else if (e == 0.5) sqrt(ratio)
       else if (e == 1.0) ratio
       else pow(ratio, lit(e))
-    val rates = counts.crossJoin(broadcast(nmin))
+    val rates = counts
+      .withColumn("__nmin", min(col("stratum_n")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy()))
       .select(col("__stratum"), col("stratum_n"), rate.as("rate"))
     df.join(broadcast(rates), strata === col("__stratum"))
       .withColumn("keep",

@@ -149,7 +149,7 @@ object CurationQueries {
 
   private val q60 = GQuery(
     (s, d) => Curation.sourceQuota(T.documents(s, d), "doc_id", "source",
-      quota = 10).orderBy("doc_id"),
+      quota = 10).select("doc_id", "source", "rank").orderBy("doc_id"),
     Some(q60Sql))
 
   /** The same quota cap FORCED onto the skew path (combinerBytes = 0 →
@@ -160,7 +160,8 @@ object CurationQueries {
     */
   private val q66 = GQuery(
     (s, d) => Curation.sourceQuota(T.documents(s, d), "doc_id", "source",
-      quota = 10, combinerBytes = 0L).orderBy("doc_id"),
+      quota = 10, combinerBytes = 0L).select("doc_id", "source", "rank")
+      .orderBy("doc_id"),
     Some(q60Sql))
 
   /** The corpus carries no natural PII, so the query derives one

@@ -3,7 +3,7 @@ package graft.suite
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import graft.core.{GQuery, Tables => T}
-import graft.scale.{Dedup, Ivf, Sampling, Similarity, TextOps}
+import graft.scale.{Curation, Dedup, Ivf, Sampling, Similarity, TextOps}
 
 /** Training-data-pipeline operators (dedup, similarity search, text
   * analysis) as verifiable queries. Where the operator is SQL-expressible we
@@ -756,6 +756,86 @@ object ScaleQueries {
           ORDER BY bk, doc_id) AS BIGINT) AS pos
       FROM b ORDER BY shard_id, pos"""))
 
+  /** END-TO-END curation pipeline — four proven operators COMPOSED, each
+    * stage's statistics computed on the previous stage's survivors (the
+    * property that distinguishes a pipeline from four independent
+    * queries: the temperature rates here are rates over the
+    * quality-filtered corpus, not the raw one):
+    *
+    *   quality gate (q21's metric, ≥ 0.5)
+    *   → temperature mix α = 0.5 over language strata (q75), keep only
+    *   → per-source quota 15 (q60)
+    *   → shard shuffle into 4 training shards (q83)
+    *
+    * Output is the final kept set with full lineage (quality, rate, quota
+    * rank, shard, position). The oracle replays the entire chain; a
+    * hash-match certifies every inter-stage handoff. Scale shape: stages
+    * 1-2 are narrow maps + one #strata aggregate; stages 3-4 are one
+    * exchange each on high-cardinality keys — the composition adds no
+    * shuffle beyond its parts.
+    */
+  private val q84 = GQuery(
+    (s, d) => {
+      import s.implicits._
+      val scored = T.documents(s, d)
+        .withColumn("toks", TextOps.tokens($"text"))
+        .withColumn("st", TextOps.stats($"toks"))
+        .withColumn("pr", TextOps.punctRatio($"text"))
+        .select($"doc_id", $"lang", $"source",
+          round(TextOps.qualityScoreFromStats($"pr", $"st", size($"toks")), 6)
+            .as("quality"))
+      val s1 = scored.filter($"quality" >= 0.5)
+      val s2 = Sampling.temperatureMix(s1, $"doc_id", $"lang", alpha = 0.5)
+        .filter($"keep" === 1)
+        .select($"doc_id", $"lang", $"source", $"quality", $"rate")
+      // quota is payload-preserving: lineage columns ride through, no
+      // join-back recomputing the upstream
+      val s3 = Curation.sourceQuota(s2, "doc_id", "source", quota = 15)
+      val s4 = Sampling.shuffleShards(s3, $"doc_id", 4)
+      s4.select($"doc_id", $"source", $"lang", $"quality", $"rate", $"rank",
+          $"shard_id".cast("long").as("shard_id"), $"pos")
+        .orderBy($"shard_id", $"pos")
+    },
+    Some {
+      val allStops = TextOps.Stopwords.values.flatten.toSeq.distinct.sorted
+        .map(w => s"'$w'").mkString(", ")
+      val pr = """COALESCE(CASE WHEN len(text) > 0 THEN
+        len(regexp_replace(text, '[^.,;:!?]', '', 'g'))::DOUBLE / len(text)::DOUBLE END, 0.0)"""
+      val quality = s"""ROUND(
+        LEAST(len(toks)::DOUBLE / 50.0, 1.0) * 0.4
+        + (CASE WHEN $pr <= 0.1 THEN 1.0
+           ELSE GREATEST(0.0, 1.0 - ($pr - 0.1) * 5.0) END) * 0.3
+        + LEAST(COALESCE(CASE WHEN len(toks) > 0 THEN
+            len(list_filter(toks, x -> x IN ($allStops)))::DOUBLE / len(toks)::DOUBLE END,
+            0.0) * 4.0, 1.0) * 0.3, 6)"""
+      s"""WITH t AS (SELECT doc_id, lang, source, text,
+          list_filter(string_split_regex(text, '\\s+'), x -> len(x) > 0) AS toks
+        FROM documents),
+      s1 AS (
+        SELECT doc_id, lang, source, $quality AS quality FROM t
+        WHERE $quality >= 0.5),
+      c AS (SELECT lang, COUNT(*)::BIGINT AS stratum_n FROM s1 GROUP BY lang),
+      m AS (SELECT MIN(stratum_n) AS nmin FROM c),
+      r AS (SELECT lang, stratum_n,
+          sqrt(nmin::DOUBLE / stratum_n::DOUBLE) AS rate
+        FROM c CROSS JOIN m),
+      s2 AS (
+        SELECT d.doc_id, d.lang, d.source, d.quality, r.rate,
+          ${bucketSql("d.doc_id")} AS b
+        FROM s1 d JOIN r USING (lang)
+        WHERE (${bucketSql("d.doc_id")}) < r.rate * 2147483647.0),
+      s3 AS (
+        SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY source
+          ORDER BY b, doc_id) AS BIGINT) AS rank
+        FROM s2),
+      s3k AS (SELECT * FROM s3 WHERE rank <= 15)
+      SELECT doc_id, source, lang, quality, rate, rank,
+        CAST(b % 4 AS BIGINT) AS shard_id,
+        CAST(ROW_NUMBER() OVER (PARTITION BY b % 4 ORDER BY b, doc_id)
+          AS BIGINT) AS pos
+      FROM s3k ORDER BY shard_id, pos"""
+    })
+
   def all: Map[String, GQuery] = Map(
     "q21_text_quality" -> q21,
     "q22_lang_id" -> q22,
@@ -776,5 +856,6 @@ object ScaleQueries {
     "q78_quality_classifier" -> q78,
     "q82_ivf_topk" -> q82,
     "q83_shard_shuffle" -> q83,
+    "q84_curation_pipeline" -> q84,
   )
 }

@@ -52,7 +52,9 @@ object Explain {
       "q77_decontaminate_bloom", // Bloom prefilter UNDER the eval exchange
       "q78_quality_classifier", // broadcast-weight native fold, zero shuffle
       "q79_media_features",    // binary decode as partition-batched narrow map
-      "q82_ivf_topk")          // probed-cell equi-join, per-query window
+      "q82_ivf_topk",          // probed-cell equi-join, per-query window
+      "q83_shard_shuffle",     // one hash exchange + per-shard sorts
+      "q84_curation_pipeline") // 4-operator composition, shuffles = sum of parts
 
     val sb = new StringBuilder
     sb.append("# EXPLAIN — flagship physical plans\n\n")
