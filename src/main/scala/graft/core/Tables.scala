@@ -19,14 +19,24 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = t(s, d, "part")
   def nation(s: SparkSession, d: String): DataFrame     = t(s, d, "nation")
   def region(s: SparkSession, d: String): DataFrame     = t(s, d, "region")
-  /** events.ts is parquet TIMESTAMP(NANOS) which Spark 4 refuses to read
-    * natively; read the raw int64 nanos (legacy conf) and truncate to
-    * microseconds (matching DuckDB's own nanos→micros truncation).
+  /** events.ts has shipped in two physical encodings across testdata
+    * generations: parquet TIMESTAMP(NANOS) (which Spark 4 refuses to read
+    * natively — read as raw int64 via the legacy conf and truncate to
+    * micros, matching DuckDB's nanos→micros truncation) and native
+    * TIMESTAMP(MICROS)/NTZ. Normalize both to a session-TZ (UTC)
+    * TimestampType column so every downstream `unix_micros(ts)` agrees
+    * with DuckDB's `epoch_us(ts)` on the same file.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t(s, d, "events").withColumn("ts",
-      org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    val raw = t(s, d, "events")
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types.{LongType, TimestampType}
+    raw.schema("ts").dataType match {
+      case LongType      => raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampType => raw
+      case _             => raw.withColumn("ts", col("ts").cast(TimestampType))
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame  = t(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")
