@@ -562,6 +562,44 @@ object Curation {
         (col("__s") / col("n_terms").cast("double")).as("importance"))
   }
 
+  /** Fixed-size overlapping character chunks per document — the RAG /
+    * context-window prep step: chunk i covers characters
+    * [1 + i·(chunkChars − overlap), …] (1-based), the last chunk is
+    * whatever remains, and an empty document yields one empty chunk (so
+    * every input doc is represented downstream — silently dropping empty
+    * docs would break doc-level joins on the chunk table).
+    *
+    * Pure narrow generator: sequence → posexplode → substring, all
+    * codegen'd builtins — zero shuffle at any corpus size; output order
+    * within a doc is pinned by chunk_id. Emits the chunk's md5 rather
+    * than only offsets so the oracle certifies the actual substring
+    * bytes, not just the arithmetic.
+    *
+    * Returns (doc_id…, chunk_id, start, chunk_len, chunk_md5); the chunk
+    * text itself stays out of the default projection — at 100 TB the
+    * caller selects it explicitly (`withText = true`) only in the
+    * branches that embed/tokenize, keeping every other consumer narrow.
+    */
+  def chunkDocuments(docs: DataFrame, idCol: String, textCol: String,
+      chunkChars: Int = 200, overlap: Int = 50,
+      withText: Boolean = false): DataFrame = {
+    require(chunkChars > 0 && overlap >= 0 && overlap < chunkChars,
+      s"need 0 <= overlap < chunkChars: $chunkChars/$overlap")
+    val step = chunkChars - overlap
+    val starts = sequence(lit(1), greatest(length(col(textCol)), lit(1)), lit(step))
+    val exploded = docs
+      .select(col(idCol), col(textCol), posexplode(starts).as(Seq("__pos", "__start")))
+    val chunk = substring(col(textCol), col("__start"), chunkChars)
+    val base = exploded.select(
+      col(idCol),
+      (col("__pos") + 1).cast("long").as("chunk_id"),
+      col("__start").cast("long").as("start"),
+      length(chunk).cast("long").as("chunk_len"),
+      md5(chunk.cast("binary")).as("chunk_md5"),
+      chunk.as("chunk_text"))
+    if (withText) base else base.drop("chunk_text")
+  }
+
   /** Above this estimated-input size (Catalyst plan statistics), the
     * skew-safe formulations of [[dedupSentences]] and [[sourceQuota]]
     * take over. 1 GiB: far below anything a hot key could break, far

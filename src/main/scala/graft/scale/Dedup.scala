@@ -156,6 +156,68 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** EXACT n-gram Jaccard similarity self-join via prefix filtering
+    * (AllPairs-style) — the deterministic sibling of [[minhashDupPairs]]:
+    * same output contract ((id_a, id_b, jaccard) with id_a < id_b,
+    * jaccard >= threshold), but recall 1 by theorem instead of by LSH
+    * probability, and no signature computation at all.
+    *
+    * Prefix filter: order each document's distinct shingle-hash set
+    * ascending (any global total order works; we use the hash's numeric
+    * order — zero extra passes, no document-frequency job) and index only
+    * the first |S| − ⌈t·|S|⌉ + 1 elements. For J(A,B) ≥ t the
+    * intersection has ≥ ⌈t·max(|A|,|B|)⌉ elements, so the smallest common
+    * element provably sits inside BOTH prefixes — a self-equi-join on
+    * prefix elements finds every qualifying pair. ⌈t·|S|⌉ is computed in
+    * pure integer arithmetic (t as a rational over 10⁶): a float `ceil`
+    * that rounds 14.0 up to 15 would silently shorten a prefix and lose
+    * recall.
+    *
+    * Plan shape at scale: shingle map (narrow) → prefix explode (≤ |S|
+    * keys/doc, ~(1−t)·|S| on average) → bucketed self-join with the same
+    * triangle split every other pair generator uses (a stopword shingle
+    * landing in many prefixes is the exact hot-bucket hazard
+    * [[bucketPairs]] exists for) → verify join back on id → exact Jaccard
+    * filter. Every shuffle carries ids + fixed-width longs; document text
+    * never moves. Classic refinements (document-frequency prefix
+    * ordering, PPJoin positional filters) shrink the candidate set
+    * further at the price of one global DF aggregation — worthwhile when
+    * prefixes hit heavy boilerplate, unnecessary for correctness.
+    */
+  def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int = 3, threshold: Double = 0.8,
+      maxBucket: Int = 1024): DataFrame = {
+    require(threshold > 0 && threshold <= 1, s"threshold in (0,1]: $threshold")
+    // t as a rational num/10^6: prefix length must err on the long side,
+    // never the short side, regardless of how t·|S| rounds in binary FP
+    val tNum = math.round(threshold * 1e6)
+    val tDen = 1000000L
+    val base = docs
+      .select(col(idCol).as("id"), TextOps.tokens(col(textCol)).as("toks"))
+      .withColumn("th", xxhashTokens(col("toks")))
+      .withColumn("sh",
+        sort_array(array_distinct(hashedShingles(col("th"), shingleSize))))
+      .select(col("id"), col("sh"))
+    // read twice (prefix index + verify join): one shared id shuffle, no
+    // persist — the [[sharedShuffle]] lifecycle used family-wide
+    val frozen = sharedShuffle(base, col("id"))
+    // ceil(t·n) = (n·tNum + tDen − 1) div tDen — integral division, exact
+    // in Long (n ≤ 2^31 shingles, tNum ≤ 10^6 → products ≤ 2^51)
+    val n = size(col("sh")).cast("long")
+    val ceilTn = call_function("div", n * tNum + (tDen - 1), lit(tDen))
+    val prefixLen = (n - ceilTn + 1).cast("int")
+    val pref = frozen
+      .select(col("id"), explode(slice(col("sh"), lit(1), greatest(prefixLen, lit(0)))).as("bk"))
+    val candidates = bucketPairs(pref, maxBucket)
+    val sh = frozen.select(col("id"), col("sh"))
+    candidates
+      .join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+      .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
   /** Materialize `df` through ONE hash exchange on `key` and freeze the
     * result as an RDD scan — the [[Packing.prefixSum]] shared-shuffle
     * pattern generalized: every downstream consumer stage reads the SAME

@@ -579,6 +579,27 @@ object CurationQueries {
       FROM documents d JOIN r USING (lang)
       ORDER BY d.doc_id"""))
 
+  /** Overlapping 200-char chunks with 50-char overlap
+    * (Curation.chunkDocuments) — the RAG / context-window prep step. The
+    * md5 column makes the oracle certify the actual substring content of
+    * every chunk, not just the offset arithmetic; the row set certifies
+    * the last-chunk and empty-document conventions.
+    */
+  private val q86 = GQuery(
+    (s, d) => Curation.chunkDocuments(T.documents(s, d), "doc_id", "text",
+      chunkChars = 200, overlap = 50)
+      .orderBy(col("doc_id"), col("chunk_id")),
+    Some("""WITH st AS (
+        SELECT doc_id, text,
+          unnest(range(1, greatest(len(text), 1) + 1, 150)) AS start
+        FROM documents)
+      SELECT doc_id,
+        CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY start) AS BIGINT) AS chunk_id,
+        CAST(start AS BIGINT) AS start,
+        CAST(len(substr(text, start, 200)) AS BIGINT) AS chunk_len,
+        md5(substr(text, start, 200)) AS chunk_md5
+      FROM st ORDER BY doc_id, chunk_id"""))
+
   def all: Map[String, GQuery] = Map(
     "q58_decontamination" -> q58,
     "q59_repetition_signals" -> q59,
@@ -595,5 +616,6 @@ object CurationQueries {
     "q74_dsir_weights" -> q74,
     "q75_temperature_mix" -> q75,
     "q77_decontaminate_bloom" -> q77,
+    "q86_doc_chunks" -> q86,
   )
 }

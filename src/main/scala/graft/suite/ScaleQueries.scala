@@ -209,6 +209,40 @@ object ScaleQueries {
       WHERE (CASE WHEN tot - inter > 0 THEN inter / (tot - inter) ELSE 1.0 END) >= 0.8
       ORDER BY id_a, id_b"""))
 
+  /** EXACT bigram-Jaccard pairs at 0.7 via the prefix-filter join
+    * (Dedup.ngramJaccardPairs) — no MinHash, no probabilistic recall
+    * argument: every qualifying pair is found because the smallest common
+    * shingle hash provably lies in both documents' prefixes. The DuckDB
+    * oracle is the O(n²) exact ground truth over string bigrams, so a
+    * hash-match certifies the prefix-filter theorem's recall-1 claim AND
+    * the integer prefix-length arithmetic end to end. Deliberately
+    * different parameters from q24 (2-gram/0.7 vs 3-gram/0.8): the two
+    * queries certify different code paths on different pair sets.
+    */
+  private val q85 = GQuery(
+    (s, d) => Dedup.ngramJaccardPairs(T.documents(s, d), "doc_id", "text",
+      shingleSize = 2, threshold = 0.7)
+      .orderBy(col("id_a"), col("id_b")),
+    Some("""WITH toks AS (
+        SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS t
+        FROM documents),
+      sh AS (
+        SELECT doc_id,
+          CASE WHEN len(t) >= 2
+            THEN list_distinct(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1]))
+            ELSE [array_to_string(t, ' ')] END AS s
+        FROM toks),
+      pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+          len(list_intersect(a.s, b.s))::DOUBLE AS inter,
+          (len(a.s) + len(b.s))::DOUBLE AS tot
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+      SELECT id_a, id_b,
+        ROUND(CASE WHEN tot - inter > 0 THEN inter / (tot - inter) ELSE 1.0 END, 6) AS jaccard
+      FROM pairs
+      WHERE (CASE WHEN tot - inter > 0 THEN inter / (tot - inter) ELSE 1.0 END) >= 0.7
+      ORDER BY id_a, id_b"""))
+
   // ---- engine-portable hash family: DuckDB SQL twins of
   // NativeExpressions.portableHash62 / Dedup.portableShingles /
   // NativeExpressions.portableRollingMin. These strings ARE the portable
@@ -857,5 +891,6 @@ object ScaleQueries {
     "q82_ivf_topk" -> q82,
     "q83_shard_shuffle" -> q83,
     "q84_curation_pipeline" -> q84,
+    "q85_ngram_jaccard_pairs" -> q85,
   )
 }

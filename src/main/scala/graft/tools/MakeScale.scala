@@ -142,9 +142,10 @@ object MakeScale {
         col("l_returnflag"), col("l_linestatus"), col("l_shipdate"))
       .repartition(32).write.mode("overwrite").parquet(s"$out/lineitem.parquet")
 
-    // events.ts is TIMESTAMP(NANOS): read as raw int64 nanos (the same
-    // legacy conf Tables.events uses) and write it back as int64 — the
-    // reader's `timestamp_micros(ts div 1000)` conversion is unchanged.
+    // events.ts passes through in its on-disk form: TIMESTAMP(NANOS)
+    // sources read as raw int64 under the legacy conf and write back as
+    // int64; native-timestamp sources read/write as timestamps. Either
+    // round-trips through Tables.events' type-adaptive normalization.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val eSpace = idSpace("events", "event_id")
     val uSpace = spark.read.parquet(s"$src/events.parquet")

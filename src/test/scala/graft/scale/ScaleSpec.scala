@@ -51,6 +51,52 @@ class ScaleSpec extends SparkSpec {
     assert(pairs.select("id_a", "id_b").except(unsplit.select("id_a", "id_b")).count() == 0)
   }
 
+  test("prefix-filter jaccard join == brute-force exact pairs") {
+    import spark.implicits._
+    // overlapping token windows: doc i shares most bigrams with doc i±1,
+    // fewer with i±2 … a graded spectrum of true Jaccards around any
+    // threshold, so the filter boundary itself is exercised
+    val docs = (0 until 40).map { i =>
+      (i.toLong, (i * 3 until i * 3 + 30).map(j => s"tok$j").mkString(" "))
+    }.toDF("doc_id", "text")
+    for (t <- Seq(0.5, 0.7, 0.8)) {
+      val got = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        shingleSize = 2, threshold = t)
+        .select("id_a", "id_b", "jaccard")
+      // ground truth: exact jaccard over ALL pairs via cross join
+      val sh = docs.select($"doc_id",
+        sort_array(array_distinct(Dedup.hashedShingles(
+          Dedup.xxhashTokens(TextOps.tokens($"text")), 2))).as("sh"))
+      val want = sh.as("a").crossJoin(sh.as("b"))
+        .filter($"a.doc_id" < $"b.doc_id")
+        .withColumn("jaccard", Dedup.jaccard($"a.sh", $"b.sh"))
+        .filter($"jaccard" >= t)
+        .select($"a.doc_id".as("id_a"), $"b.doc_id".as("id_b"),
+          round($"jaccard", 6).as("jaccard"))
+      assert(got.except(want).count() == 0 && want.except(got).count() == 0,
+        s"mismatch at threshold $t")
+      assert(got.count() == want.count())
+    }
+  }
+
+  test("prefix-filter jaccard: hot-shingle bucket split equals unsplit plan") {
+    import spark.implicits._
+    // 200 identical docs: every prefix shingle is shared by all of them —
+    // the exact hot-bucket case the triangle split exists for
+    val text = (1 to 25).map(i => s"tok$i").mkString(" ")
+    val docs = ((1 to 200).map(i => (i.toLong, text)) :+
+      (900L, (50 to 90).map(i => s"zzz$i").mkString(" "))).toDF("doc_id", "text")
+    val split = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+      shingleSize = 2, threshold = 0.9, maxBucket = 16)
+    assert(split.count() == 200L * 199 / 2)
+    assert(split.filter(col("id_a") === 900L || col("id_b") === 900L).count() == 0)
+    assert(split.filter(col("jaccard") =!= 1.0).count() == 0)
+    val unsplit = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+      shingleSize = 2, threshold = 0.9, maxBucket = 1 << 20)
+    assert(split.select("id_a", "id_b").except(unsplit.select("id_a", "id_b")).count() == 0)
+    assert(unsplit.count() == 200L * 199 / 2)
+  }
+
   test("simhash: identical docs equal, near-dups close, unrelated far") {
     import spark.implicits._
     val a = (1 to 50).map(i => s"w$i").mkString(" ")
