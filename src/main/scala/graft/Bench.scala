@@ -85,7 +85,28 @@ object Bench {
     if (cut > 0) name.substring(0, cut) else name
   }
 
+  /** Remove graft_* scratch dirs left in java.io.tmpdir by earlier runs
+    * (bucketed tables, sink round-trips, checkpoints). Runs once, before
+    * any timed window: the r6->r7 bench saw q54/q55 drift up to 9-15x and
+    * the prime suspect was stale tmp state accumulating across rounds —
+    * starting from a clean slate makes each round's write-path timings
+    * comparable.
+    */
+  private def cleanScratch(): Unit = {
+    val tmp = new java.io.File(sys.props("java.io.tmpdir"))
+    Option(tmp.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.getName.startsWith("graft_"))
+      .foreach(deleteRecursively)
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory)
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
+    f.delete(): Unit
+  }
+
   def main(args: Array[String]): Unit = {
+    cleanScratch()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val shared = sys.env.get("SPARK_GRAFT_SHARED").contains("1")

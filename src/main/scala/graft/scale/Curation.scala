@@ -589,7 +589,7 @@ object Curation {
     val starts = sequence(lit(1), greatest(length(col(textCol)), lit(1)), lit(step))
     val exploded = docs
       .select(col(idCol), col(textCol), posexplode(starts).as(Seq("__pos", "__start")))
-    val chunk = substring(col(textCol), col("__start"), chunkChars)
+    val chunk = substring(col(textCol), col("__start"), lit(chunkChars))
     val base = exploded.select(
       col(idCol),
       (col("__pos") + 1).cast("long").as("chunk_id"),

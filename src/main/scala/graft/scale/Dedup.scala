@@ -190,7 +190,9 @@ object Dedup {
     require(threshold > 0 && threshold <= 1, s"threshold in (0,1]: $threshold")
     // t as a rational num/10^6: prefix length must err on the long side,
     // never the short side, regardless of how t·|S| rounds in binary FP
-    val tNum = math.round(threshold * 1e6)
+    // floor, not round: under-approximating t lengthens the prefix, which
+    // is always recall-safe; the exact final Jaccard filter keeps precision
+    val tNum = math.floor(threshold * 1e6).toLong
     val tDen = 1000000L
     val base = docs
       .select(col(idCol).as("id"), TextOps.tokens(col(textCol)).as("toks"))

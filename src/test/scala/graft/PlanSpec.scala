@@ -149,6 +149,16 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("document chunking is a shuffle-free narrow generator") {
+    // chunkDocuments is sequence -> posexplode -> substring, all narrow:
+    // the plan must contain no Exchange at any corpus size (the 100 TB
+    // claim in its scaladoc), and the generator must be codegen-friendly.
+    val docs = graft.core.Tables.documents(spark, sf)
+    val p = plan(graft.scale.Curation.chunkDocuments(docs, "doc_id", "text"))
+    assert(!p.contains("Exchange"), p)
+    assert(p.contains("Generate posexplode"), p)
+  }
+
   test("hash-split sampling is a shuffle-free narrow filter") {
     import spark.implicits._
     val df = (1L to 100L).toDF("id")
