@@ -48,6 +48,10 @@ object NativeExpressions {
     Bridge.column(CosineSimilarity(
       Bridge.expression(a), Bridge.expression(b)))
 
+  def sorted_long_overlap(a: Column, b: Column): Column =
+    Bridge.column(SortedLongOverlap(
+      Bridge.expression(a), Bridge.expression(b)))
+
   def simhash64(tokenHashes: Column): Column =
     Bridge.column(SimHash64(Bridge.expression(tokenHashes)))
 
@@ -1151,6 +1155,60 @@ case class RollingHashMin(child: Expression, window: Int)
   * order as the aggregate/zip_with formulation. Either input null → null;
   * zero-norm → 0.0 (matching Similarity.cosine's guard).
   */
+/** |A ∩ B| of two SORTED-ascending array<long> columns by a single
+  * allocation-free merge pass — the verify kernel for exact-Jaccard pair
+  * joins ([[graft.scale.Dedup.ngramJaccardPairs]]), where the generic
+  * array_intersect/array_union pair builds a hash set per invocation and
+  * dominated the candidate-verify profile. Duplicate elements are counted
+  * once per matching run (inputs here are array_distinct'ed, so runs have
+  * length 1); |A ∪ B| then follows driver-side as |A| + |B| − overlap with
+  * no second kernel. Both inputs MUST be sorted ascending — the caller's
+  * sort_array is part of the shingle kernel already.
+  */
+case class SortedLongOverlap(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val na = a.numElements(); val nb = b.numElements()
+    var i = 0; var j = 0; var o = 0L
+    while (i < na && j < nb) {
+      val x = a.getLong(i); val y = b.getLong(j)
+      if (x == y) { o += 1; i += 1; j += 1; while (i < na && a.getLong(i) == x) i += 1; while (j < nb && b.getLong(j) == y) j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    o
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val na = ctx.freshName("na"); val nb = ctx.freshName("nb")
+      val x = ctx.freshName("x"); val y = ctx.freshName("y")
+      val o = ctx.freshName("o")
+      s"""
+        int $na = $a.numElements(), $nb = $b.numElements();
+        int $i = 0, $j = 0; long $o = 0L;
+        while ($i < $na && $j < $nb) {
+          long $x = $a.getLong($i); long $y = $b.getLong($j);
+          if ($x == $y) {
+            $o++; $i++; $j++;
+            while ($i < $na && $a.getLong($i) == $x) $i++;
+            while ($j < $nb && $b.getLong($j) == $y) $j++;
+          } else if ($x < $y) { $i++; } else { $j++; }
+        }
+        ${ev.value} = $o;
+      """
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): Expression = copy(left = newLeft, right = newRight)
+}
+
 case class CosineSimilarity(left: Expression, right: Expression)
     extends BinaryExpression {
 

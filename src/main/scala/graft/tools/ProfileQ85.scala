@@ -18,11 +18,13 @@ import graft.scale.{Dedup, TextOps}
   * bucket size (the skew the triangle split must absorb). DF ordering is
   * worth its global aggregation only if it cuts this sum materially.
   *
-  * Usage: runMain graft.tools.ProfileQ85 [sfDir]
+  * Usage: runMain graft.tools.ProfileQ85 [sfDir] [shingleSize] [threshold]
   */
 object ProfileQ85 {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val shingleN = args.lift(1).map(_.toInt).getOrElse(3)
+    val thr = args.lift(2).map(_.toDouble).getOrElse(0.8)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -47,15 +49,15 @@ object ProfileQ85 {
 
     for ((label, docs) <- Seq("raw" -> raw, "boilerplate" -> heavy)) {
       println(s"=== corpus: $label ===")
-      // shingle sets, identical to ngramJaccardPairs (t=0.8, n=3)
+      // shingle sets, identical to ngramJaccardPairs (shingleN, thr)
       val sh = docs
         .select(col("doc_id").as("id"), TextOps.tokens(col("text")).as("toks"))
         .withColumn("th", Dedup.xxhashTokens(col("toks")))
         .withColumn("sh", sort_array(array_distinct(
-          Dedup.hashedShingles(col("th"), 3))))
+          Dedup.hashedShingles(col("th"), shingleN))))
         .select(col("id"), col("sh"))
         .localCheckpoint()
-      val tNum = 800000L; val tDen = 1000000L
+      val tNum = math.floor(thr * 1e6).toLong; val tDen = 1000000L
       val n = size(col("sh")).cast("long")
       val ceilTn = call_function("div", n * tNum + (tDen - 1), lit(tDen))
       val prefixLen = (n - ceilTn + 1).cast("int")
@@ -69,7 +71,8 @@ object ProfileQ85 {
           s"pair_work=${agg.get(2)}")
       }
 
-      // shipped path: hash-ordered prefix (sh already sorted ascending)
+      // pre-r9 baseline: plain hash-ordered prefix (the shipped path now
+      // reorders hot shingles last; its cost shows in the full-run timing)
       report("hash-order", sh.select(col("id"),
         explode(slice(col("sh"), lit(1), greatest(prefixLen, lit(0)))).as("bk")))
 
@@ -85,7 +88,7 @@ object ProfileQ85 {
       report("df-order ", dfOrdered)
 
       time(s"full ngramJaccardPairs ($label)") {
-        val p = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.8, 1024)
+        val p = Dedup.ngramJaccardPairs(docs, "doc_id", "text", shingleN, thr, 1024)
         println(s"    pairs = ${p.count()}")
       }
       spark.catalog.clearCache()

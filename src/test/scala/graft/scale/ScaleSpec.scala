@@ -79,6 +79,32 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("prefix-filter jaccard: boilerplate-heavy corpus matches brute force") {
+    import spark.implicits._
+    // every doc shares an identical header+footer whose shingles have
+    // df = 30 ≥ maxBucket = 8 → they are "hot" and must be reordered out
+    // of the prefixes; the unique middle distinguishes docs. Exercises
+    // the (hot-flag, hash) ordering path end-to-end against brute force.
+    val boiler = (1 to 15).map(i => s"common$i").mkString(" ")
+    val docs = (0 until 30).map { i =>
+      (i.toLong, s"$boiler ${(i * 2 until i * 2 + 12).map(j => s"tok$j").mkString(" ")} $boiler")
+    }.toDF("doc_id", "text")
+    val got = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+      shingleSize = 2, threshold = 0.5, maxBucket = 8)
+      .select("id_a", "id_b", "jaccard")
+    val sh = docs.select($"doc_id",
+      sort_array(array_distinct(Dedup.hashedShingles(
+        Dedup.xxhashTokens(TextOps.tokens($"text")), 2))).as("sh"))
+    val want = sh.as("a").crossJoin(sh.as("b"))
+      .filter($"a.doc_id" < $"b.doc_id")
+      .withColumn("jaccard", Dedup.jaccard($"a.sh", $"b.sh"))
+      .filter($"jaccard" >= 0.5)
+      .select($"a.doc_id".as("id_a"), $"b.doc_id".as("id_b"),
+        round($"jaccard", 6).as("jaccard"))
+    assert(got.except(want).count() == 0 && want.except(got).count() == 0)
+    assert(got.count() == want.count() && want.count() > 0)
+  }
+
   test("prefix-filter jaccard: hot-shingle bucket split equals unsplit plan") {
     import spark.implicits._
     // 200 identical docs: every prefix shingle is shared by all of them —
