@@ -276,23 +276,33 @@ object Dedup {
     val lIsA = col("pv_l.pid") === col("id_a")
     val withPos = rows.select(col("id_a"), col("id_b"),
       when(lIsA, col("pv_l.nsh")).otherwise(col("pv_r.nsh")).as("na"),
-      when(lIsA, col("pv_l.pos")).otherwise(col("pv_r.pos")).as("pa"),
       when(lIsA, col("pv_r.nsh")).otherwise(col("pv_l.nsh")).as("nb"),
-      when(lIsA, col("pv_r.pos")).otherwise(col("pv_l.pos")).as("pb"))
-    // min(struct(pa, pb)) = e*: positions are monotone in the one global
-    // order, so the smallest common element minimizes both simultaneously.
-    // The aggregation replaces bucketPairs' distinct — same shuffle key,
-    // four extra longs per row.
+      shiftleft(when(lIsA, col("pv_l.pos")).otherwise(col("pv_r.pos")), 31)
+        .bitwiseOR(when(lIsA, col("pv_r.pos")).otherwise(col("pv_l.pos")))
+        .as("pp"))
+    // e* = lexicographic-min (pa, pb): positions are monotone in the one
+    // global order, so the smallest common element minimizes both
+    // simultaneously. (pa, pb) is packed into ONE long — pa << 31 | pb,
+    // positions < 2³¹ so numeric order == lexicographic order — because
+    // min(long) runs as a HashAggregate with map-side partial combine,
+    // where min(struct(...)) forces a SortAggregate: two extra full
+    // sorts of the pair rows (seen in the EXPLAIN audit). na/nb are
+    // per-doc constants within a group; min() carries them through the
+    // same hash aggregate. The aggregation replaces bucketPairs'
+    // distinct — same shuffle key, three extra longs per row.
     val oMin = call_function("div",
-      (col("f.na") + col("f.nb")) * tNum + lit(tNum + tDen - 1),
+      (col("na") + col("nb")) * tNum + lit(tNum + tDen - 1),
       lit(tNum + tDen))
+    val eStarPa = shiftright(col("pp"), 31)
+    val eStarPb = col("pp").bitwiseAND(lit((1L << 31) - 1))
     val candidates = withPos
       .filter(greatest(col("na"), col("nb")) * tNum <=
         least(col("na"), col("nb")) * tDen)
       .groupBy(col("id_a"), col("id_b"))
-      .agg(min(struct(col("pa"), col("pb"), col("na"), col("nb"))).as("f"))
-      .filter(least(col("f.na") - col("f.pa"), col("f.nb") - col("f.pb")) >= oMin)
-      .select(col("id_a"), col("id_b"), col("f.na").as("na"), col("f.nb").as("nb"))
+      .agg(min(col("pp")).as("pp"), min(col("na")).as("na"),
+        min(col("nb")).as("nb"))
+      .filter(least(col("na") - eStarPa, col("nb") - eStarPb) >= oMin)
+      .select(col("id_a"), col("id_b"), col("na"), col("nb"))
     // exact verify: the arrays are sorted ascending (shingle kernel), so
     // overlap is ONE allocation-free merge pass ([[SortedLongOverlap]])
     // and union follows as na + nb − o — no array_intersect/array_union

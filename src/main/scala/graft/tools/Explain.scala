@@ -54,7 +54,9 @@ object Explain {
       "q79_media_features",    // binary decode as partition-batched narrow map
       "q82_ivf_topk",          // probed-cell equi-join, per-query window
       "q83_shard_shuffle",     // one hash exchange + per-shard sorts
-      "q84_curation_pipeline") // 4-operator composition, shuffles = sum of parts
+      "q84_curation_pipeline", // 4-operator composition, shuffles = sum of parts
+      "q85_ngram_jaccard_pairs", // hot-ordered prefix join + PPJoin filters + merge verify
+      "q86_doc_chunks")        // narrow chunk generator, zero exchange
 
     val sb = new StringBuilder
     sb.append("# EXPLAIN — flagship physical plans\n\n")

@@ -288,6 +288,41 @@ class NativeExpressionsSpec extends SparkSpec {
     assert(fp == Map(1L -> 1776235046L, 2L -> 1341827637L), s"got $fp")
   }
 
+  test("sorted-overlap kernel == array_intersect size; edges and dups") {
+    import spark.implicits._
+    // random sorted-distinct arrays: kernel must equal the generic set op
+    val rnd = new scala.util.Random(7)
+    val rows = (1 to 200).map { _ =>
+      val a = Seq.fill(rnd.nextInt(30))(rnd.nextInt(40).toLong).distinct.sorted
+      val b = Seq.fill(rnd.nextInt(30))(rnd.nextInt(40).toLong).distinct.sorted
+      (a, b)
+    }
+    val df = rows.toDF("a", "b")
+      .withColumn("o", NativeExpressions.sorted_long_overlap(col("a"), col("b")))
+      .withColumn("want", size(array_intersect(col("a"), col("b"))).cast("long"))
+    assert(df.filter(col("o") =!= col("want")).count() == 0)
+    def one(a: Seq[Long], b: Seq[Long]): Long =
+      Seq((a, b)).toDF("a", "b")
+        .select(NativeExpressions.sorted_long_overlap(col("a"), col("b")))
+        .head.getLong(0)
+    // duplicate runs count once; empty/disjoint edges
+    assert(one(Seq(1L, 1L, 2L, 5L, 5L, 5L), Seq(1L, 5L, 5L, 9L)) == 2L)
+    assert(one(Seq.empty, Seq(1L, 2L)) == 0L)
+    assert(one(Seq(1L, 2L), Seq.empty) == 0L)
+    assert(one(Seq(1L, 3L), Seq(2L, 4L)) == 0L)
+    assert(one(Seq(Long.MinValue, 0L, Long.MaxValue),
+      Seq(Long.MinValue, Long.MaxValue)) == 2L)
+    // interpreted path agrees with the DataFrame (codegen) path
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val at = org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.LongType)
+    val interp = SortedLongOverlap(
+      Literal.create(new GenericArrayData(Array(1L, 3L, 7L)), at),
+      Literal.create(new GenericArrayData(Array(3L, 7L, 9L)), at)).eval(null)
+    assert(interp == 2L)
+  }
+
   test("codegen and interpreted paths agree") {
     // force interpreted eval by constructing rows and calling eval directly
     import org.apache.spark.sql.catalyst.expressions.Literal
