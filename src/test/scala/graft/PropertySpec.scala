@@ -211,6 +211,40 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("prefix-filter jaccard == brute force on random corpora") {
+    import spark.implicits._
+    // small random vocabularies make adversarially dense bigram overlap;
+    // maxBucket = 16 forces the hot-shingle ordering AND triangle splits
+    // on most corpora — the full PPJoin path (length + positional
+    // filters, packed-position hash aggregate, merge verify) against the
+    // O(n²) ground truth at two thresholds.
+    val corpusGen = for {
+      vocab <- Gen.choose(8, 60)
+      nDocs <- Gen.choose(20, 45)
+      docs <- Gen.listOfN(nDocs, Gen.choose(5, 40).flatMap(len =>
+        Gen.listOfN(len, Gen.choose(0, vocab - 1).map(w => s"w$w"))))
+    } yield docs.map(_.mkString(" "))
+    for ((texts, ci) <- samples(corpusGen, 3).zipWithIndex; t <- Seq(0.55, 0.75)) {
+      val docs = texts.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+        .toDF("doc_id", "text")
+      val got = graft.scale.Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        shingleSize = 2, threshold = t, maxBucket = 16)
+        .select("id_a", "id_b", "jaccard")
+      val sh = docs.select($"doc_id",
+        sort_array(array_distinct(graft.scale.Dedup.hashedShingles(
+          graft.scale.Dedup.xxhashTokens(
+            graft.scale.TextOps.tokens($"text")), 2))).as("sh"))
+      val want = sh.as("a").crossJoin(sh.as("b"))
+        .filter($"a.doc_id" < $"b.doc_id")
+        .withColumn("jaccard", graft.scale.Dedup.jaccard($"a.sh", $"b.sh"))
+        .filter($"jaccard" >= t)
+        .select($"a.doc_id".as("id_a"), $"b.doc_id".as("id_b"),
+          round($"jaccard", 6).as("jaccard"))
+      assert(got.except(want).count() == 0 && want.except(got).count() == 0,
+        s"corpus $ci threshold $t")
+    }
+  }
+
   test("jaccard: bounded, symmetric, 1 on self") {
     import spark.implicits._
     val arrGen = Gen.listOfN(12, Gen.choose(0L, 20L))
