@@ -137,7 +137,13 @@ object Dedup {
     val withShingles = docs
       .select(col(idCol).as("id"), TextOps.tokens(col(textCol)).as("toks"))
       .withColumn("th", xxhashTokens(col("toks")))  // hash each token once
-      .withColumn("sh", hashedShingles(col("th"), shingleSize))    // array<long> shingles
+      // sorted-distinct shingle SET: the signature is a min over elements
+      // (duplicate- and order-insensitive, so dedup+sort cannot change
+      // it), duplicates never reach the 64-perm kernel, and sorted
+      // arrays let the verify run the allocation-free merge kernel
+      // instead of array_intersect/array_union hash sets
+      .withColumn("sh",
+        sort_array(array_distinct(hashedShingles(col("th"), shingleSize))))
       .select(col("id"), col("sh"))
       .withColumn("xs", transform(col("sh"), x => pmod(x, lit(Prime))))
       // native codegen expression: one array pass for all perms (the HOF
@@ -159,7 +165,14 @@ object Dedup {
     candidates
       .join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
       .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
-      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+      // exact set-Jaccard via one sorted-merge pass (arrays are
+      // sorted-distinct above): |A∪B| = |A| + |B| − o
+      .withColumn("o", graft.functions.NativeExpressions
+        .sorted_long_overlap(col("sh_a"), col("sh_b")))
+      .withColumn("u", size(col("sh_a")).cast("long") +
+        size(col("sh_b")).cast("long") - col("o"))
+      .withColumn("jaccard",
+        when(col("u") > 0, col("o").cast("double") / col("u")).otherwise(lit(1.0)))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
