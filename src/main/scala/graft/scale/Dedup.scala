@@ -134,29 +134,13 @@ object Dedup {
       shingleSize: Int = 3, numPerm: Int = 64, bands: Int = 16,
       threshold: Double = 0.6, maxBucket: Int = 1024): DataFrame = {
     val rowsPerBand = numPerm / bands
-    val withShingles = docs
-      .select(col(idCol).as("id"), TextOps.tokens(col(textCol)).as("toks"))
-      .withColumn("th", xxhashTokens(col("toks")))  // hash each token once
-      // sorted-distinct shingle SET: the signature is a min over elements
-      // (duplicate- and order-insensitive, so dedup+sort cannot change
-      // it), duplicates never reach the 64-perm kernel, and sorted
-      // arrays let the verify run the allocation-free merge kernel
-      // instead of array_intersect/array_union hash sets
-      .withColumn("sh",
-        sort_array(array_distinct(hashedShingles(col("th"), shingleSize))))
-      .select(col("id"), col("sh"))
-      .withColumn("xs", transform(col("sh"), x => pmod(x, lit(Prime))))
-      // native codegen expression: one array pass for all perms (the HOF
-      // formulation in minhashSignature is its bit-identical reference)
-      .withColumn("sig",
-        graft.functions.NativeExpressions.minhash_signature(col("xs"), numPerm, Prime))
-      .drop("xs")
-      // read 3× (banding + both sides of the verify join): ONE shared id
-      // shuffle replaces the r6 persist (which outlived the returned plan
-      // — the "library callers leak storage" defect). The shingle+sign
-      // kernel runs once per action; consumers re-shuffle the compact
-      // (id, sh, sig) rows as their joins require (the freeze erases
-      // partitioning metadata). See [[sharedShuffle]].
+    val withShingles = shingleSigFrame(docs, idCol, textCol, shingleSize, numPerm)
+    // read 3× (banding + both sides of the verify join): ONE shared id
+    // shuffle replaces the r6 persist (which outlived the returned plan
+    // — the "library callers leak storage" defect). The shingle+sign
+    // kernel runs once per action; consumers re-shuffle the compact
+    // (id, sh, sig) rows as their joins require (the freeze erases
+    // partitioning metadata). See [[sharedShuffle]].
     val frozen = sharedShuffle(withShingles, col("id"))
     val banded = frozen
       .select(col("id"), explode(bandKeys(col("sig"), bands, rowsPerBand)).as("bk"))
@@ -175,6 +159,106 @@ object Dedup {
         when(col("u") > 0, col("o").cast("double") / col("u")).otherwise(lit(1.0)))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** Shared MinHash kernel frame: (id, sh, sig) where `sh` is the
+    * sorted-distinct hashed-shingle SET and `sig` the numPerm-wide native
+    * signature. Sorted-distinct is free of semantic consequence for the
+    * signature (a min over elements — duplicate- and order-insensitive),
+    * keeps duplicates out of the 64-perm kernel, and lets every verify
+    * stage run the allocation-free [[graft.functions.SortedLongOverlap]]
+    * merge instead of per-pair hash sets.
+    */
+  private def shingleSigFrame(docs: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int, numPerm: Int): DataFrame = docs
+    .select(col(idCol).as("id"), TextOps.tokens(col(textCol)).as("toks"))
+    .withColumn("th", xxhashTokens(col("toks")))  // hash each token once
+    .withColumn("sh",
+      sort_array(array_distinct(hashedShingles(col("th"), shingleSize))))
+    .select(col("id"), col("sh"))
+    .withColumn("xs", transform(col("sh"), x => pmod(x, lit(Prime))))
+    // native codegen expression: one array pass for all perms (the HOF
+    // formulation in minhashSignature is its bit-identical reference)
+    .withColumn("sig",
+      graft.functions.NativeExpressions.minhash_signature(col("xs"), numPerm, Prime))
+    .drop("xs")
+
+  /** Cross-corpus near-duplicate pairs: every (id_l, id_r) with
+    * J(shingles_l, shingles_r) ≥ threshold where the sides come from TWO
+    * frames — the incremental-ingestion shape (score a new crawl batch
+    * against the existing training corpus) where a self-join over
+    * union(corpus, batch) would re-pair the corpus against itself,
+    * O(corpus²) wasted work when the corpus dwarfs every batch.
+    *
+    * Same LSH machinery as [[minhashDupPairs]] (shared kernel, band
+    * explode, bucket join, exact merge-pass verify), but candidate
+    * generation joins LEFT bands to RIGHT bands — no within-side pairs
+    * are ever formed. Skewed buckets split by RECTANGLE decomposition
+    * ([[bucketPairsAcross]]): a boilerplate bucket hot on both sides
+    * becomes m_l·m_r bounded tasks instead of one n_l·n_r straggler.
+    * Returns (id_l, id_r, jaccard); id spaces need not be disjoint —
+    * a doc appearing on both sides pairs with itself at jaccard 1.
+    */
+  def minhashDupPairsAcross(left: DataFrame, right: DataFrame,
+      idCol: String, textCol: String,
+      shingleSize: Int = 3, numPerm: Int = 64, bands: Int = 16,
+      threshold: Double = 0.6, maxBucket: Int = 1024): DataFrame = {
+    val rowsPerBand = numPerm / bands
+    val fl = sharedShuffle(
+      shingleSigFrame(left, idCol, textCol, shingleSize, numPerm), col("id"))
+    val fr = sharedShuffle(
+      shingleSigFrame(right, idCol, textCol, shingleSize, numPerm), col("id"))
+    val bl = fl.select(col("id"),
+      explode(bandKeys(col("sig"), bands, rowsPerBand)).as("bk"))
+    val br = fr.select(col("id"),
+      explode(bandKeys(col("sig"), bands, rowsPerBand)).as("bk"))
+    val candidates = bucketPairsAcross(bl, br, maxBucket)
+    candidates
+      .join(fl.select(col("id").as("id_l"), col("sh").as("sh_l")), "id_l")
+      .join(fr.select(col("id").as("id_r"), col("sh").as("sh_r")), "id_r")
+      .withColumn("o", graft.functions.NativeExpressions
+        .sorted_long_overlap(col("sh_l"), col("sh_r")))
+      .withColumn("u", size(col("sh_l")).cast("long") +
+        size(col("sh_r")).cast("long") - col("o"))
+      .withColumn("jaccard",
+        when(col("u") > 0, col("o").cast("double") / col("u")).otherwise(lit(1.0)))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_l"), col("id_r"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** Distinct cross-side (id_l, id_r) pairs sharing a bucket key `bk`,
+    * the two-frame sibling of [[bucketPairs]]: within a bucket every
+    * left row pairs with every right row (full rectangle — there is no
+    * i < j symmetry to halve, unlike the self-join's triangle). Buckets
+    * whose side exceeds `maxBucket` rows split into m_l/m_r blocks by a
+    * secondary id hash and join per (i, j) cell — m_l·m_r tasks of
+    * ≤ maxBucket² pairs; every cross pair meets in exactly ONE cell
+    * (cell (blk_l(a), blk_r(b)) — both block ids are functions of the
+    * row alone). Buckets present on only one side pair with nothing and
+    * die in the inner sizes join before any replication.
+    */
+  private def bucketPairsAcross(l: DataFrame, r: DataFrame,
+      maxBucket: Int): DataFrame = {
+    val l2 = sharedShuffle(l, col("bk"))
+    val r2 = sharedShuffle(r, col("bk"))
+    val sizes = l2.groupBy(col("bk")).agg(count(lit(1)).as("n_l"))
+      .join(r2.groupBy(col("bk")).agg(count(lit(1)).as("n_r")), "bk")
+      .withColumn("m_l", floor((col("n_l") + (maxBucket - 1)) / maxBucket))
+      .withColumn("m_r", floor((col("n_r") + (maxBucket - 1)) / maxBucket))
+      .select(col("bk"), col("m_l"), col("m_r"))
+    val lt = l2.join(sizes, "bk")
+      .withColumn("blk", pmod(xxhash64(col("id")), col("m_l")))
+      .withColumn("cell", explode(transform(sequence(lit(0L), col("m_r") - 1),
+        j => shiftleft(col("blk"), 31).bitwiseOR(j))))
+      .select(col("bk"), col("cell"), col("id").as("id_l"))
+    val rt = r2.join(sizes, "bk")
+      .withColumn("blk", pmod(xxhash64(col("id")), col("m_r")))
+      .withColumn("cell", explode(transform(sequence(lit(0L), col("m_l") - 1),
+        i => shiftleft(i, 31).bitwiseOR(col("blk")))))
+      .select(col("bk"), col("cell"), col("id").as("id_r"))
+    lt.join(rt, Seq("bk", "cell"))
+      .select(col("id_l"), col("id_r"))
+      .distinct()
   }
 
   /** EXACT n-gram Jaccard similarity self-join via prefix filtering

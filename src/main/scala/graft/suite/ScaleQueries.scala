@@ -209,6 +209,44 @@ object ScaleQueries {
       WHERE (CASE WHEN tot - inter > 0 THEN inter / (tot - inter) ELSE 1.0 END) >= 0.8
       ORDER BY id_a, id_b"""))
 
+  /** Cross-corpus near-dup pairs (Dedup.minhashDupPairsAcross): the
+    * incremental-ingestion shape — score the odd-id half of `documents`
+    * (the "incoming batch") against the even-id half (the "existing
+    * corpus") without ever pairing either side with itself. Same LSH
+    * parameters as q24; the DuckDB oracle is the exact O(n_l·n_r) cross
+    * ground truth, so a hash-match certifies LSH recall at this
+    * threshold AND the rectangle-decomposition bucket split end to end.
+    */
+  private val q87 = GQuery(
+    (s, d) => {
+      val docs = T.documents(s, d)
+      Dedup.minhashDupPairsAcross(
+        docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 === 1),
+        "doc_id", "text", shingleSize = 3, numPerm = 64, bands = 16,
+        threshold = 0.8)
+        .orderBy(col("id_l"), col("id_r"))
+    },
+    Some("""WITH toks AS (
+        SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS t
+        FROM documents),
+      sh AS (
+        SELECT doc_id,
+          CASE WHEN len(t) >= 3
+            THEN list_distinct(list_transform(range(1, len(t)-1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+            ELSE [array_to_string(t, ' ')] END AS s
+        FROM toks),
+      pairs AS (
+        SELECT a.doc_id AS id_l, b.doc_id AS id_r,
+          len(list_intersect(a.s, b.s))::DOUBLE AS inter,
+          (len(a.s) + len(b.s))::DOUBLE AS tot
+        FROM sh a JOIN sh b ON a.doc_id % 2 = 0 AND b.doc_id % 2 = 1)
+      SELECT id_l, id_r,
+        ROUND(CASE WHEN tot - inter > 0 THEN inter / (tot - inter) ELSE 1.0 END, 6) AS jaccard
+      FROM pairs
+      WHERE (CASE WHEN tot - inter > 0 THEN inter / (tot - inter) ELSE 1.0 END) >= 0.8
+      ORDER BY id_l, id_r"""))
+
   /** EXACT bigram-Jaccard pairs at 0.7 via the prefix-filter join
     * (Dedup.ngramJaccardPairs) — no MinHash, no probabilistic recall
     * argument: every qualifying pair is found because the smallest common
@@ -892,5 +930,6 @@ object ScaleQueries {
     "q83_shard_shuffle" -> q83,
     "q84_curation_pipeline" -> q84,
     "q85_ngram_jaccard_pairs" -> q85,
+    "q87_cross_corpus_dedup" -> q87,
   )
 }

@@ -51,6 +51,56 @@ class ScaleSpec extends SparkSpec {
     assert(pairs.select("id_a", "id_b").except(unsplit.select("id_a", "id_b")).count() == 0)
   }
 
+  test("cross-corpus minhash pairs == brute-force cross join; no within-side pairs") {
+    import spark.implicits._
+    // corpus: 25 base docs; batch: near-copies of corpus docs 0-9 (one
+    // token appended -> j ~ 0.93) + 10 unrelated docs. Every qualifying
+    // pair crosses sides; a self-join over the union would also pair the
+    // 10 batch copies with EACH OTHER via their shared corpus source --
+    // the across join must not.
+    val corpus = (0 until 25).map { i =>
+      (i.toLong, (i * 5 until i * 5 + 30).map(j => s"tok$j").mkString(" "))
+    }.toDF("doc_id", "text")
+    val batch = ((0 until 10).map { i =>
+      (100L + i, (i * 5 until i * 5 + 30).map(j => s"tok$j").mkString(" ") + " extra")
+    } ++ (0 until 10).map { i =>
+      (200L + i, (1000 + i * 40 until 1000 + i * 40 + 30).map(j => s"zz$j").mkString(" "))
+    }).toDF("doc_id", "text")
+    val got = Dedup.minhashDupPairsAcross(corpus, batch, "doc_id", "text",
+      shingleSize = 2, threshold = 0.8, maxBucket = 4)
+      .select("id_l", "id_r", "jaccard")
+    val shOf = (df: org.apache.spark.sql.DataFrame) => df.select($"doc_id",
+      sort_array(array_distinct(Dedup.hashedShingles(
+        Dedup.xxhashTokens(TextOps.tokens($"text")), 2))).as("sh"))
+    val want = shOf(corpus).as("a").crossJoin(shOf(batch).as("b"))
+      .withColumn("jaccard", Dedup.jaccard($"a.sh", $"b.sh"))
+      .filter($"jaccard" >= 0.8)
+      .select($"a.doc_id".as("id_l"), $"b.doc_id".as("id_r"),
+        round($"jaccard", 6).as("jaccard"))
+    assert(got.except(want).count() == 0 && want.except(got).count() == 0)
+    assert(got.count() == 10) // exactly the 10 near-copies
+    // rectangle split (maxBucket=4 forces m_l, m_r > 1 on hot buckets)
+    // produces the same pairs as the unsplit plan
+    val unsplit = Dedup.minhashDupPairsAcross(corpus, batch, "doc_id", "text",
+      shingleSize = 2, threshold = 0.8, maxBucket = 1 << 20)
+      .select("id_l", "id_r", "jaccard")
+    assert(got.except(unsplit).count() == 0 && unsplit.except(got).count() == 0)
+  }
+
+  test("cross-corpus minhash: identical hot bucket on both sides, exactly-once pairs") {
+    import spark.implicits._
+    // 60 identical docs on each side: ONE band bucket holds all 120 rows;
+    // maxBucket=8 splits it into 8x8 rectangle cells. All 60*60 cross
+    // pairs (including same-id) must appear exactly once at jaccard 1.
+    val text = (1 to 20).map(i => s"tok$i").mkString(" ")
+    val l = (1 to 60).map(i => (i.toLong, text)).toDF("doc_id", "text")
+    val r = (1 to 60).map(i => (i.toLong, text)).toDF("doc_id", "text")
+    val pairs = Dedup.minhashDupPairsAcross(l, r, "doc_id", "text",
+      threshold = 0.9, maxBucket = 8)
+    assert(pairs.count() == 60L * 60)
+    assert(pairs.filter(col("jaccard") =!= 1.0).count() == 0)
+  }
+
   test("prefix-filter jaccard join == brute-force exact pairs") {
     import spark.implicits._
     // overlapping token windows: doc i shares most bigrams with doc i±1,
