@@ -94,8 +94,13 @@ object Bench {
     */
   private def cleanScratch(): Unit = {
     val tmp = new java.io.File(sys.props("java.io.tmpdir"))
+    // never delete the corpus under test: the sf1 scaling probe reads a
+    // MakeScale output that also lives in tmpdir under a graft_* name
+    val sfDir = new java.io.File(sys.env.getOrElse(
+      "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")).getCanonicalPath
     Option(tmp.listFiles()).getOrElse(Array.empty)
       .filter(f => f.getName.startsWith("graft_"))
+      .filterNot(f => sfDir.startsWith(f.getCanonicalPath))
       .foreach(deleteRecursively)
   }
 

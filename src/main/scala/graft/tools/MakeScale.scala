@@ -48,7 +48,10 @@ import org.apache.spark.sql.functions._
 object MakeScale {
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
-    val out = args.lift(1).getOrElse("/tmp/graft_sf1")
+    // NOT under the graft_* namespace: Bench.cleanScratch deletes
+    // /tmp/graft_* at startup, and a probe corpus there would be wiped by
+    // any bench run pointed at a DIFFERENT sf dir
+    val out = args.lift(1).getOrElse("/tmp/scale_sf1")
     val factor = args.lift(2).map(_.toInt).getOrElse(10)
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
