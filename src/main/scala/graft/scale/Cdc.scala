@@ -1,0 +1,75 @@
+package graft.scale
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Change-data-capture maintenance operators for a continuously-refreshed
+  * corpus: upsert-merge (apply a change batch to a snapshot) and SCD2
+  * interval building (turn a change log into validity ranges).
+  *
+  * A 100 TB training corpus is not rebuilt from scratch per release — it is
+  * a base snapshot plus daily change batches (new crawls, takedown deletes,
+  * re-scored documents). Both operators here are one-shuffle formulations:
+  *
+  *   - [[upsert]] shuffles base ∪ changes once on the merge key. On a real
+  *     cluster the base snapshot is bucketed by that key
+  *     ([[Bucketing.writeBucketed]]), so only the (small) change batch
+  *     moves, and AQE handles the skewed-key case. No broadcast of the base
+  *     side, no driver state — scales to any snapshot size.
+  *   - [[scd2]] is a pure per-key window (lead over version): one shuffle,
+  *     no join, no state. Keys are independent — linear scale-out.
+  */
+object Cdc {
+
+  /** Merge a change batch into a base snapshot (the MERGE INTO / upsert of
+    * a lakehouse pipeline, expressed engine-agnostically).
+    *
+    * Semantics: per key, the row with the highest `versionCol` wins; the
+    * change batch beats the base on version ties (a re-delivered batch with
+    * the same version must win deterministically). A winning change row
+    * whose `opCol` equals `deleteOp` removes the key from the output
+    * (tombstone). Base rows carry no op column.
+    *
+    * Change rows must have the base schema + `opCol`; extra/missing columns
+    * are a caller bug surfaced by unionByName (no silent null-filling).
+    *
+    * Output: the merged snapshot with the base schema (op column dropped).
+    */
+  def upsert(base: DataFrame, changes: DataFrame, keyCols: Seq[String],
+      versionCol: String, opCol: String = "op",
+      deleteOp: String = "D"): DataFrame = {
+    require(keyCols.nonEmpty, "upsert needs at least one key column")
+    val tagged = base.withColumn(opCol, lit(null).cast("string"))
+      .withColumn("__src", lit(0))
+      .unionByName(changes.withColumn("__src", lit(1)))
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(versionCol).desc, col("__src").desc)
+    tagged
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1 &&
+        (col(opCol).isNull || col(opCol) =!= deleteOp))
+      .drop("__rn", "__src", opCol)
+  }
+
+  /** Build SCD-type-2 validity intervals from a change log: one row per
+    * (key, version) with `valid_from` = its version timestamp, `valid_to` =
+    * the next version's timestamp (null while current), and `is_current`.
+    * Exact duplicate (key, version) deliveries collapse to one row
+    * (max-version dedup inside the same window pass would hide real
+    * out-of-order bugs, so duplicates beyond the exact pair are kept and
+    * surface as zero-length intervals for the caller to audit).
+    *
+    * One shuffle on the key; everything else is a per-key sorted pass.
+    */
+  def scd2(log: DataFrame, keyCols: Seq[String],
+      versionCol: String): DataFrame = {
+    require(keyCols.nonEmpty, "scd2 needs at least one key column")
+    val keyed = log.dropDuplicates(keyCols :+ versionCol)
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(versionCol))
+    keyed
+      .withColumn("valid_from", col(versionCol))
+      .withColumn("valid_to", lead(col(versionCol), 1).over(w))
+      .withColumn("is_current", col("valid_to").isNull)
+  }
+}

@@ -1047,6 +1047,48 @@ object Dedup {
       .distinct()
   }
 
+  /** Exact duplicate-span detection (the substring-dedup signal of Lee et
+    * al., "Deduplicating Training Data Makes Language Models Better"):
+    * slide a `gramChars`-character window with `stride` over every
+    * document, hash each gram, and report per document how many of its
+    * grams also occur elsewhere in the corpus (including repeats within
+    * the same document — self-repetition is a removal signal too).
+    *
+    * Scale shape: the only shuffle is the groupBy on the gram hash — an
+    * (md5, count) aggregate with map-side partial combine, so the shuffled
+    * payload is hashes, never text. The gram→doc join runs on the same
+    * hash key; the per-doc rollup reuses the doc_id shuffle. A full
+    * suffix-array build (the paper's exact formulation) doesn't
+    * distribute; stride-sampled fixed grams are the standard scalable
+    * surrogate — stride ≤ gramChars/2 guarantees any duplicated span of
+    * ≥ 1.5·gramChars characters contains at least one shared gram.
+    *
+    * Short documents (length < gramChars) contribute one whole-document
+    * gram, so exact-dup shorts still count. Returns
+    * (doc_id, n_grams, n_dup_grams, dup_ratio).
+    */
+  def duplicateSpans(docs: DataFrame, idCol: String, textCol: String,
+      gramChars: Int = 40, stride: Int = 10): DataFrame = {
+    require(gramChars > 0 && stride > 0,
+      s"need positive gramChars/stride: $gramChars/$stride")
+    val starts = sequence(lit(1),
+      greatest(length(col(textCol)) - gramChars + 1, lit(1)), lit(stride))
+    val grams = docs
+      .select(col(idCol).as("doc_id"), explode(starts).as("__start"),
+        col(textCol))
+      .select(col("doc_id"),
+        md5(substring(col(textCol), col("__start"), lit(gramChars))
+          .cast("binary")).as("__h"))
+    val counts = grams.groupBy(col("__h")).agg(count(lit(1)).as("__n"))
+    grams.join(counts, "__h")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("__n") > 1L, 1L).otherwise(0L)).as("n_dup_grams"))
+      .select(col("doc_id"), col("n_grams"), col("n_dup_grams"),
+        round(col("n_dup_grams").cast("double") /
+          col("n_grams").cast("double"), 6).as("dup_ratio"))
+  }
+
   /** SimHash 64-bit fingerprint over a token array: per-bit vote of token
     * hashes, sign → bit. Near-dups have small Hamming distance.
     * Reference formulation — prefer [[simhashNative]] on hot paths.

@@ -1,0 +1,89 @@
+package graft.scale
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sparse (lexical) retrieval over the corpus: BM25 scoring of a fixed
+  * query set with per-query top-k — the retrieval half of RAG data prep and
+  * the standard recall baseline next to the dense ANN path
+  * ([[Similarity]] / [[Ivf]]).
+  *
+  * Scale shape (the corpus is the 100 TB side; the query set is small):
+  *   - the corpus is touched by exactly two NARROW passes — one scalar
+  *     aggregate for (N, total token count) and one scan that filters each
+  *     doc's token array down to query terms BEFORE exploding. Docs with no
+  *     query term contribute zero rows to every shuffle; nothing
+  *     proportional to corpus text ever shuffles.
+  *   - document frequency is computed per query term only (count of
+  *     matching docs), not as a corpus-wide term dictionary.
+  *   - the query-term list and the df table are broadcast; the only keyed
+  *     shuffles are over (doc, term) matches, bounded by matches — the
+  *     inverted-index-probe shape, not an index build.
+  */
+object Retrieval {
+
+  /** BM25 top-k per query. `queries` maps query_id → distinct lowercase
+    * terms. Uses the Lucene/ATIRE idf `ln(1 + (N - df + 0.5)/(df + 0.5))`
+    * (always ≥ 0) with standard k1/b. Tokenization is lowercased
+    * whitespace ([[TextOps.tokens]]); score is the fold-order-pinned sum
+    * of per-term contributions rounded to 6 decimals, ranked
+    * (score desc, doc_id asc) so the cut is total-order deterministic.
+    *
+    * Returns (query_id, rank, doc_id, score), rank ≤ k, only docs matching
+    * ≥ 1 query term.
+    */
+  def bm25TopK(spark: SparkSession, docs: DataFrame, idCol: String,
+      textCol: String, queries: Seq[(Long, Seq[String])], k: Int = 10,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queries.nonEmpty && queries.forall(_._2.nonEmpty),
+      "need at least one query with at least one term")
+    require(queries.forall { case (_, ts) => ts.distinct == ts },
+      "query terms must be distinct within a query")
+    val allTerms = queries.flatMap(_._2).distinct
+    val termsLit = array(allTerms.map(lit): _*)
+
+    val toks = TextOps.tokens(lower(col(textCol)))
+    // pass 1: corpus stats — exact long sums, divided once (portable)
+    val stats = docs.agg(
+      count(lit(1)).as("n_docs"),
+      sum(size(toks).cast("long")).as("total_len"))
+    // pass 2: narrow filter-to-query-terms, dl carried through the explode
+    // (no corpus-side join to recover doc length later)
+    val matches = docs
+      .select(col(idCol).as("doc_id"), size(toks).cast("long").as("dl"),
+        explode(filter(toks, t => array_contains(termsLit, t))).as("term"))
+    val tf = matches.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+
+    import spark.implicits._
+    val queryTerms = queries
+      .flatMap { case (qid, ts) => ts.map(t => (qid, t)) }
+      .toDF("query_id", "term")
+
+    val avgdl = col("total_len").cast("double") / col("n_docs").cast("double")
+    val idf = log(lit(1.0) +
+      (col("n_docs").cast("double") - col("df").cast("double") + 0.5) /
+        (col("df").cast("double") + 0.5))
+    val w = idf * (col("tf").cast("double") * (k1 + 1.0)) /
+      (col("tf").cast("double") +
+        lit(k1) * (lit(1.0) - b + lit(b) * (col("dl").cast("double") / avgdl)))
+
+    val scored = tf
+      .join(broadcast(queryTerms), "term")
+      .join(broadcast(df), "term")
+      .crossJoin(broadcast(stats))
+      .select(col("query_id"), col("doc_id"), col("term"), w.as("__w"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(round(aggregate(
+        array_sort(collect_list(struct(col("term"), col("__w")))),
+        lit(0.0), (acc, x) => acc + x.getField("__w")), 6).as("score"))
+    val rankW = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("doc_id"))
+    scored
+      .withColumn("rank", row_number().over(rankW).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("doc_id"), col("score"))
+  }
+}

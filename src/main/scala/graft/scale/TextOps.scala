@@ -354,4 +354,91 @@ object TextOps {
         .orderBy($"n".desc, $"token").limit(k), false)
     }
   }
+
+  /** Word-level bigram list of a token array: `["a b", "b c", …]`; empty
+    * for docs with < 2 tokens (Spark's `sequence(2, n)` runs BACKWARDS for
+    * n < 2, hence the explicit guard).
+    */
+  def bigrams(toks: Column): Column =
+    when(size(toks) >= 2,
+      transform(sequence(lit(2), size(toks)),
+        i => concat_ws(" ", element_at(toks, i - 1), element_at(toks, i))))
+      .otherwise(array().cast("array<string>"))
+
+  /** Add-one-smoothed bigram language-model scoring — the CCNet-style
+    * "perplexity under an in-domain LM" quality signal, self-trained on
+    * the corpus it scores: avg_nll(d) = (1/|bigrams(d)|) ·
+    * Σ −ln((c(w₁w₂)+1)/(c(w₁)+V)), where c(·) are corpus bigram /
+    * bigram-head counts and V the corpus distinct-token count. Low
+    * avg_nll = the doc looks like the corpus; high = outlier (noise,
+    * wrong language, boilerplate-free gibberish).
+    *
+    * Scale shape: two aggregates over the exploded bigram stream (counts
+    * shuffle only (string, long) pairs with map-side combine) and a
+    * scalar vocab count; scoring joins the doc's bigrams to the two count
+    * tables on their natural keys — at corpus scale those count tables
+    * are themselves huge, so they stay distributed (sort-merge on the
+    * bigram key); nothing collects. The per-doc sum is fold-order-pinned
+    * (sorted by bigram string) and rounded, so partial-aggregation order
+    * can't leak into the hash compare.
+    *
+    * Returns (doc_id, n_bigrams, avg_nll) — avg_nll null for docs with
+    * < 2 tokens.
+    */
+  def bigramNll(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    val toked = docs.select(col(idCol).as("doc_id"),
+      tokens(col(textCol)).as("__toks"))
+    val bi = toked.select(col("doc_id"),
+      explode(bigrams(col("__toks"))).as("bigram"))
+      .withColumn("w1", split(col("bigram"), " ", 2).getItem(0))
+    val cb = bi.groupBy(col("bigram")).agg(count(lit(1)).as("cb"))
+    val cu = bi.groupBy(col("w1")).agg(count(lit(1)).as("cu"))
+    val vocab = toked.select(explode(col("__toks")).as("t"))
+      .agg(count_distinct(col("t")).as("v"))
+    val term = -log((col("cb") + 1L).cast("double") /
+      (col("cu") + col("v")).cast("double"))
+    val perDoc = bi
+      .join(cb, "bigram").join(cu, "w1").crossJoin(broadcast(vocab))
+      .select(col("doc_id"), col("bigram"), term.as("__t"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(aggregate(
+          array_sort(collect_list(struct(col("bigram"), col("__t")))),
+          lit(0.0), (acc, x) => acc + x.getField("__t")) /
+          count(lit(1)).cast("double"), 6).as("avg_nll"))
+    toked.select(col("doc_id")).join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"), col("avg_nll"))
+  }
+
+  /** One induction step of byte-pair-encoding vocabulary training: count
+    * adjacent character pairs inside every word, weighted by corpus word
+    * frequency, and return the top `topN` merge candidates — the
+    * distributed inner loop of BPE/WordPiece tokenizer training.
+    *
+    * Scale shape: the corpus collapses to the DISTINCT-word count table
+    * first (one (word, long) shuffle with map-side combine — the Zipf
+    * head makes this tiny relative to the token stream); pair generation
+    * then runs over distinct words only, so a word repeated a billion
+    * times is paired once and weighted, not re-scanned. Top-N is
+    * TakeOrdered (per-partition heaps, no global sort).
+    *
+    * Returns (pair, n) — the deterministic (n desc, pair asc) head.
+    */
+  def bpePairCounts(docs: org.apache.spark.sql.DataFrame, textCol: String,
+      topN: Int = 50): org.apache.spark.sql.DataFrame = {
+    val wc = docs.select(explode(tokens(col(textCol))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("wn"))
+    // Column-position substring must go through Column.substr — the
+    // (Column, Column, Int) overload of functions.substring doesn't exist
+    // (the r8 build-breaker).
+    val pairs = when(length(col("w")) >= 2,
+      transform(sequence(lit(2), length(col("w"))),
+        i => col("w").substr(i - 1, lit(2))))
+      .otherwise(array().cast("array<string>"))
+    wc.select(explode(pairs).as("pair"), col("wn"))
+      .groupBy(col("pair")).agg(sum(col("wn")).as("n"))
+      .orderBy(col("n").desc, col("pair")).limit(topN)
+  }
 }

@@ -1,0 +1,107 @@
+package graft.suite
+
+import org.apache.spark.sql.functions._
+import graft.core.{GQuery, Tables => T}
+import graft.scale.Cdc
+
+/** Change-data-capture maintenance queries (Cdc.upsert / Cdc.scd2) — the
+  * corpus-refresh shape: a base snapshot plus a derived change batch
+  * (updates, inserts, delete tombstones) merged deterministically, and a
+  * change log turned into SCD2 validity intervals.
+  *
+  * The change batch is DERIVED from the snapshot by pure modular arithmetic
+  * so the oracle can rebuild the identical batch in SQL — no fixture files,
+  * and the overlap classes (update∧delete on keys ≡ 0 mod 91, delete at a
+  * higher version winning) are exercised by construction.
+  */
+object CdcQueries {
+
+  /** Upsert-merge on orders: version-1 base; batch = status updates
+    * (keys ≡ 0 mod 7, v2), re-keyed inserts (keys ≡ 0 mod 17, v2), delete
+    * tombstones (keys ≡ 0 mod 13, v3 — so a key that is both updated and
+    * deleted ends up deleted). Timestamps emitted as epoch micros per the
+    * suite determinism rules; o_totalprice passes through untouched (exact
+    * double equality).
+    */
+  private val q90 = GQuery(
+    (s, d) => {
+      val o = T.orders(s, d)
+      val base = o.withColumn("version", lit(1L))
+      val u = o.where(col("o_orderkey") % 7 === 0)
+        .withColumn("o_orderstatus", lit("X"))
+        .withColumn("o_orderpriority", lit("0-REVISED"))
+        .withColumn("version", lit(2L)).withColumn("op", lit("U"))
+      val ins = o.where(col("o_orderkey") % 17 === 0)
+        .withColumn("o_orderkey", col("o_orderkey") + 100000000L)
+        .withColumn("version", lit(2L)).withColumn("op", lit("I"))
+      val del = o.where(col("o_orderkey") % 13 === 0)
+        .withColumn("version", lit(3L)).withColumn("op", lit("D"))
+      Cdc.upsert(base, u.unionByName(ins).unionByName(del),
+        Seq("o_orderkey"), "version")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_totalprice"),
+          // o_orderdate ships as TIMESTAMP_NTZ; with the session TZ pinned
+          // to UTC this cast is the identity DuckDB's epoch_us applies
+          unix_micros(col("o_orderdate").cast("timestamp")).as("o_date_us"),
+          col("o_orderpriority"), col("version"))
+        .orderBy(col("o_orderkey"))
+    },
+    Some("""WITH base AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+          o_orderdate, o_orderpriority, 1::BIGINT AS version,
+          NULL AS op, 0 AS src
+        FROM orders),
+      u AS (
+        SELECT o_orderkey, o_custkey, 'X' AS o_orderstatus, o_totalprice,
+          o_orderdate, '0-REVISED' AS o_orderpriority, 2::BIGINT, 'U', 1
+        FROM orders WHERE o_orderkey % 7 = 0),
+      ins AS (
+        SELECT o_orderkey + 100000000, o_custkey, o_orderstatus,
+          o_totalprice, o_orderdate, o_orderpriority, 2::BIGINT, 'I', 1
+        FROM orders WHERE o_orderkey % 17 = 0),
+      del AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+          o_orderdate, o_orderpriority, 3::BIGINT, 'D', 1
+        FROM orders WHERE o_orderkey % 13 = 0),
+      allr AS (
+        SELECT * FROM base UNION ALL SELECT * FROM u
+        UNION ALL SELECT * FROM ins UNION ALL SELECT * FROM del),
+      rn AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderkey
+          ORDER BY version DESC, src DESC) AS rn
+        FROM allr)
+      SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        epoch_us(o_orderdate) AS o_date_us, o_orderpriority, version
+      FROM rn WHERE rn = 1 AND (op IS NULL OR op <> 'D')
+      ORDER BY o_orderkey"""))
+
+  /** SCD2 intervals from the events stream: per (user, ts) state (min
+    * event_type pins determinism when one user has several events at one
+    * timestamp), then validity ranges via lead — valid_to null / is_current
+    * on each user's last state.
+    */
+  private val q93 = GQuery(
+    (s, d) => {
+      val log0 = T.events(s, d).groupBy(col("user_id"), col("ts"))
+        .agg(min(col("event_type")).as("state"))
+      Cdc.scd2(log0, Seq("user_id"), "ts")
+        .select(col("user_id"), unix_micros(col("valid_from")).as("from_us"),
+          unix_micros(col("valid_to")).as("to_us"), col("state"),
+          col("is_current").cast("long").as("is_current"))
+        .orderBy(col("user_id"), col("from_us"))
+    },
+    Some("""WITH s AS (
+        SELECT user_id, ts, MIN(event_type) AS state
+        FROM events GROUP BY user_id, ts)
+      SELECT user_id, epoch_us(ts) AS from_us,
+        epoch_us(LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts)) AS to_us,
+        state,
+        CAST(LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+          AS BIGINT) AS is_current
+      FROM s ORDER BY user_id, from_us"""))
+
+  def all: Map[String, GQuery] = Map(
+    "q90_cdc_upsert" -> q90,
+    "q93_scd2_intervals" -> q93,
+  )
+}

@@ -908,6 +908,141 @@ object ScaleQueries {
       FROM s3k ORDER BY shard_id, pos"""
     })
 
+  /** Fixed BM25 query set — terms drawn from the synthetic corpus vocab so
+    * every query matches; distinct within a query (bm25TopK requires it).
+    * Declared BEFORE q88: object vals initialize in source order, and the
+    * oracle string is built eagerly at q88's init.
+    */
+  private[suite] val Bm25Queries: Seq[(Long, Seq[String])] = Seq(
+    1L -> Seq("spark", "window", "merge"),
+    2L -> Seq("customer", "order"),
+    3L -> Seq("hash", "join", "table"),
+    4L -> Seq("slow", "query"))
+
+  /** BM25 top-10 per query over a fixed 4-query set (Retrieval.bm25TopK):
+    * lexical retrieval with corpus-trained df/avgdl. The oracle mirrors
+    * the exact scoring arithmetic (same expression shape so IEEE ops run
+    * in the same order) including the fold-order-pinned per-doc sum and
+    * the rounded-score ranking cut.
+    */
+  private val q88 = GQuery(
+    (s, d) => graft.scale.Retrieval.bm25TopK(s, T.documents(s, d),
+      "doc_id", "text", Bm25Queries, k = 10)
+      .orderBy(col("query_id"), col("rank")),
+    Some {
+      val inList = Bm25Queries.flatMap(_._2).distinct.sorted
+        .map(t => s"'$t'").mkString(", ")
+      val values = Bm25Queries
+        .flatMap { case (qid, ts) => ts.map(t => s"($qid, '$t')") }
+        .mkString(", ")
+      s"""WITH toks AS (
+        SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0) AS t
+        FROM documents),
+      stats AS (
+        SELECT COUNT(*)::BIGINT AS n_docs, SUM(len(t))::BIGINT AS total_len
+        FROM toks),
+      tf AS (
+        SELECT doc_id, term, COUNT(*)::BIGINT AS tf, ANY_VALUE(dl) AS dl
+        FROM (SELECT doc_id, len(t)::BIGINT AS dl, unnest(t) AS term FROM toks)
+        WHERE term IN ($inList)
+        GROUP BY doc_id, term),
+      df AS (SELECT term, COUNT(*)::BIGINT AS df FROM tf GROUP BY term),
+      q(query_id, term) AS (VALUES $values),
+      w AS (
+        SELECT q.query_id, tf.doc_id, tf.term,
+          ln(1.0 + (stats.n_docs::DOUBLE - df.df::DOUBLE + 0.5) / (df.df::DOUBLE + 0.5))
+            * (tf.tf::DOUBLE * (1.2 + 1.0))
+            / (tf.tf::DOUBLE + 1.2 * (1.0 - 0.75 + 0.75 * (tf.dl::DOUBLE / (stats.total_len::DOUBLE / stats.n_docs::DOUBLE)))) AS w
+        FROM tf JOIN q USING (term) JOIN df USING (term) CROSS JOIN stats),
+      sc AS (
+        SELECT query_id, doc_id,
+          ROUND(list_reduce(list_prepend(0.0::DOUBLE, list(w ORDER BY term)),
+            (a, x) -> a + x), 6) AS score
+        FROM w GROUP BY query_id, doc_id),
+      r AS (
+        SELECT CAST(query_id AS BIGINT) AS query_id,
+          CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY score DESC, doc_id) AS BIGINT) AS rank,
+          doc_id, score
+        FROM sc)
+      SELECT query_id, rank, doc_id, score FROM r
+      WHERE rank <= 10 ORDER BY query_id, rank"""
+    })
+
+  /** Self-trained add-one bigram-LM scoring (TextOps.bigramNll) — the
+    * CCNet-style perplexity quality signal. The oracle recomputes the
+    * corpus counts, vocab size, and the pinned-fold per-doc sum exactly;
+    * docs with < 2 tokens appear with n_bigrams = 0, avg_nll null (the
+    * left join is part of the contract — scoring must not drop docs).
+    */
+  private val q89 = GQuery(
+    (s, d) => TextOps.bigramNll(T.documents(s, d), "doc_id", "text")
+      .orderBy(col("doc_id")),
+    Some("""WITH toks AS (
+        SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS t
+        FROM documents),
+      b2 AS (
+        SELECT doc_id, bigram, string_split(bigram, ' ')[1] AS w1
+        FROM (SELECT doc_id,
+            unnest(list_transform(range(2, len(t) + 1), i -> t[i-1] || ' ' || t[i])) AS bigram
+          FROM toks)),
+      cb AS (SELECT bigram, COUNT(*)::BIGINT AS cb FROM b2 GROUP BY bigram),
+      cu AS (SELECT w1, COUNT(*)::BIGINT AS cu FROM b2 GROUP BY w1),
+      v AS (SELECT COUNT(DISTINCT tok)::BIGINT AS v
+        FROM (SELECT unnest(t) AS tok FROM toks)),
+      terms AS (
+        SELECT b2.doc_id, b2.bigram,
+          -ln((cb.cb + 1)::DOUBLE / (cu.cu + v.v)::DOUBLE) AS t
+        FROM b2 JOIN cb USING (bigram) JOIN cu USING (w1) CROSS JOIN v),
+      agg AS (
+        SELECT doc_id, COUNT(*)::BIGINT AS n_bigrams,
+          ROUND(list_reduce(list_prepend(0.0::DOUBLE, list(t ORDER BY bigram)),
+            (a, x) -> a + x) / COUNT(*)::DOUBLE, 6) AS avg_nll
+        FROM terms GROUP BY doc_id)
+      SELECT tk.doc_id, COALESCE(agg.n_bigrams, 0)::BIGINT AS n_bigrams,
+        agg.avg_nll
+      FROM toks tk LEFT JOIN agg USING (doc_id) ORDER BY tk.doc_id"""))
+
+  /** Exact duplicate-span detection (Dedup.duplicateSpans): 40-char grams
+    * at stride 10, per-doc duplicated-gram counts. The md5 gram hashing
+    * makes the oracle certify the actual substring bytes at every sampled
+    * offset, and the within-doc-repeat convention (a gram occurring twice
+    * in ONE doc counts as duplicated) is part of the hashed row set.
+    */
+  private val q91 = GQuery(
+    (s, d) => Dedup.duplicateSpans(T.documents(s, d), "doc_id", "text",
+      gramChars = 40, stride = 10)
+      .orderBy(col("doc_id")),
+    Some("""WITH st AS (
+        SELECT doc_id, text,
+          unnest(range(1, greatest(len(text) - 40 + 1, 1) + 1, 10)) AS start
+        FROM documents),
+      g AS (SELECT doc_id, md5(substr(text, start, 40)) AS h FROM st),
+      c AS (SELECT h, COUNT(*)::BIGINT AS n FROM g GROUP BY h)
+      SELECT doc_id, COUNT(*)::BIGINT AS n_grams,
+        SUM(CASE WHEN c.n > 1 THEN 1 ELSE 0 END)::BIGINT AS n_dup_grams,
+        ROUND(SUM(CASE WHEN c.n > 1 THEN 1 ELSE 0 END)::DOUBLE
+          / COUNT(*)::DOUBLE, 6) AS dup_ratio
+      FROM g JOIN c USING (h) GROUP BY doc_id ORDER BY doc_id"""))
+
+  /** One BPE-training induction step (TextOps.bpePairCounts): top-50
+    * adjacent character pairs weighted by word frequency. All-integer —
+    * the (n desc, pair asc) total order makes the LIMIT cut exact.
+    */
+  private val q92 = GQuery(
+    (s, d) => TextOps.bpePairCounts(T.documents(s, d), "text", topN = 50),
+    Some("""WITH toks AS (
+        SELECT list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS t
+        FROM documents),
+      wc AS (SELECT w, COUNT(*)::BIGINT AS wn
+        FROM (SELECT unnest(t) AS w FROM toks) GROUP BY w),
+      p AS (
+        SELECT unnest(list_transform(range(2, len(w) + 1),
+          i -> substr(w, i - 1, 2))) AS pair, wn
+        FROM wc)
+      SELECT pair, SUM(wn)::BIGINT AS n FROM p
+      GROUP BY pair ORDER BY n DESC, pair LIMIT 50"""))
+
   def all: Map[String, GQuery] = Map(
     "q21_text_quality" -> q21,
     "q22_lang_id" -> q22,
@@ -931,5 +1066,9 @@ object ScaleQueries {
     "q84_curation_pipeline" -> q84,
     "q85_ngram_jaccard_pairs" -> q85,
     "q87_cross_corpus_dedup" -> q87,
+    "q88_bm25_topk" -> q88,
+    "q89_bigram_lm_nll" -> q89,
+    "q91_duplicate_spans" -> q91,
+    "q92_bpe_pair_counts" -> q92,
   )
 }

@@ -1,0 +1,157 @@
+package graft.scale
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Unit semantics for the round-9 additions: CDC upsert/SCD2, duplicate-span
+  * detection, bigram-LM scoring, BPE pair induction, BM25 retrieval.
+  */
+class CdcRetrievalSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---- Cdc.upsert -------------------------------------------------------
+
+  private def baseDf = Seq(
+    (1L, "a", 1L), (2L, "b", 1L), (3L, "c", 1L), (4L, "d", 1L))
+    .toDF("k", "v", "version")
+
+  test("upsert: update wins, delete removes, insert appears, rest pass") {
+    val changes = Seq(
+      (1L, "a2", 2L, "U"),  // update key 1
+      (3L, "c", 2L, "D"),   // delete key 3
+      (9L, "i", 2L, "I"))   // brand-new key 9
+      .toDF("k", "v", "version", "op")
+    val out = Cdc.upsert(baseDf, changes, Seq("k"), "version")
+      .orderBy("k").as[(Long, String, Long)].collect.toSeq
+    assert(out === Seq((1L, "a2", 2L), (2L, "b", 1L), (4L, "d", 1L),
+      (9L, "i", 2L)))
+  }
+
+  test("upsert: batch beats base on version tie; higher version beats both") {
+    val changes = Seq(
+      (1L, "tie", 1L, "U"),   // same version as base -> batch wins
+      (2L, "v2", 2L, "U"),
+      (2L, "v3", 3L, "U"))    // two updates for one key -> highest wins
+      .toDF("k", "v", "version", "op")
+    val out = Cdc.upsert(baseDf, changes, Seq("k"), "version")
+      .orderBy("k").as[(Long, String, Long)].collect.toSeq
+    assert(out.take(2) === Seq((1L, "tie", 1L), (2L, "v3", 3L)))
+  }
+
+  test("upsert: delete at higher version beats a concurrent update") {
+    val changes = Seq(
+      (1L, "u", 2L, "U"),
+      (1L, "u", 3L, "D"))
+      .toDF("k", "v", "version", "op")
+    val out = Cdc.upsert(baseDf, changes, Seq("k"), "version")
+    assert(!out.select("k").as[Long].collect.contains(1L))
+  }
+
+  // ---- Cdc.scd2 ---------------------------------------------------------
+
+  test("scd2: validity chain with is_current on the last state") {
+    val log = Seq((1L, 10L, "s1"), (1L, 20L, "s2"), (1L, 30L, "s3"),
+      (2L, 15L, "x"),
+      (1L, 20L, "s2")) // exact duplicate delivery collapses
+      .toDF("k", "ts", "state")
+    val out = Cdc.scd2(log, Seq("k"), "ts")
+      .select($"k", $"valid_from", $"valid_to", $"state", $"is_current")
+      .orderBy("k", "valid_from")
+      .as[(Long, Long, Option[Long], String, Boolean)].collect.toSeq
+    assert(out === Seq(
+      (1L, 10L, Some(20L), "s1", false),
+      (1L, 20L, Some(30L), "s2", false),
+      (1L, 30L, None, "s3", true),
+      (2L, 15L, None, "x", true)))
+  }
+
+  // ---- Dedup.duplicateSpans --------------------------------------------
+
+  test("duplicateSpans: shared spans and self-repetition are flagged") {
+    val shared = "0123456789" * 6 // 60 chars, shared verbatim
+    val docs = Seq(
+      (1L, shared + "unique tail one zzzzzzzzzzzzzzzzzzzzzzzzzzzzz"),
+      (2L, shared + "completely different ending yyyyyyyyyyyyyyyyy"),
+      (3L, "no overlap with anything else at all in this doc"),
+      (4L, "tiny")) // shorter than gramChars -> one whole-doc gram
+      .toDF("doc_id", "text")
+    val out = Dedup.duplicateSpans(docs, "doc_id", "text",
+      gramChars = 40, stride = 10)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Double)].collect.toSeq
+    val byId = out.map(r => r._1 -> r).toMap
+    // docs 1/2 share the 60-char prefix: grams at starts 1 and 11 lie
+    // fully inside it (start+40-1 <= 60) and repeat every 10 chars
+    assert(byId(1L)._3 >= 2, s"doc1 should have dup grams: $out")
+    assert(byId(2L)._3 >= 2)
+    assert(byId(3L)._3 === 0)
+    assert(byId(4L) === ((4L, 1L, 0L, 0.0))) // one whole-doc gram, unique
+  }
+
+  test("duplicateSpans: identical short docs count as duplicated") {
+    val docs = Seq((1L, "same"), (2L, "same")).toDF("doc_id", "text")
+    val out = Dedup.duplicateSpans(docs, "doc_id", "text", 40, 10)
+      .orderBy("doc_id").as[(Long, Long, Long, Double)].collect.toSeq
+    assert(out === Seq((1L, 1L, 1L, 1.0), (2L, 1L, 1L, 1.0)))
+  }
+
+  // ---- TextOps.bigramNll ------------------------------------------------
+
+  test("bigramNll: add-one arithmetic on a hand-checked corpus") {
+    val docs = Seq((1L, "a b a b"), (2L, "a b c"), (3L, "x"))
+      .toDF("doc_id", "text")
+    val out = TextOps.bigramNll(docs, "doc_id", "text")
+      .orderBy("doc_id")
+      .as[(Long, Long, Option[Double])].collect.toSeq
+    // corpus bigrams: doc1 = [a b, b a, a b], doc2 = [a b, b c]
+    // cb: (a b)->3, (b a)->1, (b c)->1 ; cu(w1): a->3, b->2 ; V=4 (a,b,c,x)
+    val tAB = -math.log(4.0 / 7.0) // (3+1)/(3+4)
+    val tBA = -math.log(2.0 / 6.0) // (1+1)/(2+4)
+    val tBC = -math.log(2.0 / 6.0)
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(0)._2 === 3L)
+    assert(out(0)._3.get === r6((tAB + tAB + tBA) / 3.0))
+    assert(out(1)._2 === 2L)
+    assert(out(1)._3.get === r6((tAB + tBC) / 2.0))
+    assert(out(2) === ((3L, 0L, None))) // <2 tokens: kept, null score
+  }
+
+  // ---- TextOps.bpePairCounts -------------------------------------------
+
+  test("bpePairCounts: frequency-weighted adjacent pairs, ordered cut") {
+    val docs = Seq((1L, "abc abc ab"), (2L, "abc x")).toDF("doc_id", "text")
+    // wc: abc->3, ab->1, x->1 ; pairs: abc -> [ab, bc] (x3), ab -> [ab]
+    // single-char x contributes nothing
+    val out = TextOps.bpePairCounts(docs, "text", topN = 10)
+      .as[(String, Long)].collect.toSeq
+    assert(out === Seq(("ab", 4L), ("bc", 3L)))
+  }
+
+  // ---- Retrieval.bm25TopK ----------------------------------------------
+
+  test("bm25TopK: more matching terms rank higher; k cut; doc_id tiebreak") {
+    val docs = Seq(
+      (1L, "spark merge window spark"), // all three terms, tf(spark)=2
+      (2L, "spark merge filler filler"),
+      (3L, "spark filler filler filler"),
+      (4L, "nothing relevant here at"),
+      (5L, "spark filler filler filler")) // identical to doc 3 -> tie
+      .toDF("doc_id", "text")
+    val out = Retrieval.bm25TopK(spark, docs, "doc_id", "text",
+      Seq(7L -> Seq("spark", "merge", "window")), k = 3)
+      .orderBy("rank").as[(Long, Long, Long, Double)].collect.toSeq
+    assert(out.map(_._3) === Seq(1L, 2L, 3L)) // doc 3 beats equal-scored 5
+    assert(out.map(_._2) === Seq(1L, 2L, 3L))
+    assert(out(0)._4 > out(1)._4 && out(1)._4 > out(2)._4)
+    // doc 4 matches nothing -> absent even though k allows it
+    assert(!out.map(_._3).contains(4L))
+  }
+
+  test("bm25TopK: rejects duplicate terms within a query") {
+    val docs = Seq((1L, "a b")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException] {
+      Retrieval.bm25TopK(spark, docs, "doc_id", "text",
+        Seq(1L -> Seq("a", "a")))
+    }
+  }
+}
