@@ -433,7 +433,7 @@ object Dedup {
     * linear in the (compact) shuffled rows — the same bytes a persist
     * would have stored, without the persist's unbounded lifetime.
     */
-  private def sharedShuffle(df: DataFrame, key: Column): DataFrame = {
+  private[scale] def sharedShuffle(df: DataFrame, key: Column): DataFrame = {
     val shuffled = df.repartition(key)
     df.sparkSession.createDataFrame(shuffled.rdd, shuffled.schema)
   }
@@ -1073,12 +1073,15 @@ object Dedup {
       s"need positive gramChars/stride: $gramChars/$stride")
     val starts = sequence(lit(1),
       greatest(length(col(textCol)) - gramChars + 1, lit(1)), lit(stride))
-    val grams = docs
+    // the gram stream feeds BOTH the occurrence count and the join-back
+    // probe: freeze it through one __h shuffle so the text scan +
+    // substring/md5 kernel runs once, not once per consumer branch
+    val grams = sharedShuffle(docs
       .select(col(idCol).as("doc_id"), explode(starts).as("__start"),
         col(textCol))
       .select(col("doc_id"),
         md5(substring(col(textCol), col("__start"), lit(gramChars))
-          .cast("binary")).as("__h"))
+          .cast("binary")).as("__h")), col("__h"))
     val counts = grams.groupBy(col("__h")).agg(count(lit(1)).as("__n"))
     grams.join(counts, "__h")
       .groupBy(col("doc_id"))

@@ -53,8 +53,13 @@ object Retrieval {
     val matches = docs
       .select(col(idCol).as("doc_id"), size(toks).cast("long").as("dl"),
         explode(filter(toks, t => array_contains(termsLit, t))).as("term"))
-    val tf = matches.groupBy(col("doc_id"), col("term"))
-      .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"))
+    // tf feeds both the df aggregate and the scoring probe: freeze it
+    // through one shuffle (Dedup.sharedShuffle) so the corpus text scan +
+    // token filter runs once, not once per consumer branch
+    val tf = Dedup.sharedShuffle(
+      matches.groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl")),
+      col("term"))
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
 
     import spark.implicits._

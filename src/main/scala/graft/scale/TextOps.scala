@@ -389,9 +389,15 @@ object TextOps {
       textCol: String): org.apache.spark.sql.DataFrame = {
     val toked = docs.select(col(idCol).as("doc_id"),
       tokens(col(textCol)).as("__toks"))
-    val bi = toked.select(col("doc_id"),
-      explode(bigrams(col("__toks"))).as("bigram"))
-      .withColumn("w1", split(col("bigram"), " ", 2).getItem(0))
+    // the bigram stream feeds THREE consumers (bigram counts, head counts,
+    // and the per-doc scoring probe): freeze it through one shuffle so the
+    // text scan + tokenize/bigram kernel runs once, not once per branch
+    // (Dedup.sharedShuffle — a plain repartition diverges under per-branch
+    // column pruning and never reuses)
+    val bi = Dedup.sharedShuffle(
+      toked.select(col("doc_id"), explode(bigrams(col("__toks"))).as("bigram"))
+        .withColumn("w1", split(col("bigram"), " ", 2).getItem(0)),
+      col("bigram"))
     val cb = bi.groupBy(col("bigram")).agg(count(lit(1)).as("cb"))
     val cu = bi.groupBy(col("w1")).agg(count(lit(1)).as("cu"))
     val vocab = toked.select(explode(col("__toks")).as("t"))

@@ -56,7 +56,13 @@ object Explain {
       "q83_shard_shuffle",     // one hash exchange + per-shard sorts
       "q84_curation_pipeline", // 4-operator composition, shuffles = sum of parts
       "q85_ngram_jaccard_pairs", // hot-ordered prefix join + PPJoin filters + merge verify
-      "q86_doc_chunks")        // narrow chunk generator, zero exchange
+      "q86_doc_chunks",        // narrow chunk generator, zero exchange
+      "q88_bm25_topk",         // query-term-filtered narrow scans + broadcast df/stats
+      "q89_bigram_lm_nll",     // corpus-count joins on natural keys + pinned fold
+      "q90_cdc_upsert",        // one keyed shuffle: union -> window -> filter
+      "q91_duplicate_spans",   // gram-hash agg + same-key join-back
+      "q92_bpe_pair_counts",   // distinct-word collapse + TakeOrdered top-N
+      "q93_scd2_intervals")    // one keyed shuffle: per-key lead window
 
     val sb = new StringBuilder
     sb.append("# EXPLAIN — flagship physical plans\n\n")
