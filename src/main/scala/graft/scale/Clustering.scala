@@ -1,0 +1,82 @@
+package graft.scale
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distributed KMeans TRAINING (Lloyd's algorithm) over an embedding
+  * column — the missing half of the reference's clustering story: the
+  * reference only ASSIGNS points to a pre-trained sklearn KMeans
+  * (`test.py:341`, `kmeans_k4.joblib`; mirrored by `ml.Scorer`), while
+  * cluster-driven corpus curation (SemDeDup-style pruning, cluster-balanced
+  * splits) needs the model trained on the corpus itself.
+  *
+  * Scale shape (corpus is the 100 TB side):
+  *   - per iteration: ONE narrow scan of the corpus (assignment is a
+  *     broadcast-k×dim map, no join, no shuffle) plus ONE partial-agg
+  *     shuffle of at most `parts × k × dim` (cluster, dim)-sum rows — the
+  *     classic Spark Lloyd shape. Nothing proportional to the corpus ever
+  *     reaches the driver; only the k×dim centroid matrix does.
+  *   - the corpus projection is persisted once and reused across
+  *     iterations (caller unpersists via the returned frame's lineage
+  *     being consumed; Verify/Bench clear the cache between queries).
+  *
+  * Determinism (oracle-replayable on any engine):
+  *   - init = the vectors of the k smallest ids (no RNG);
+  *   - assignment = argmin of squared L2, computed as a fixed
+  *     index-order fold (`zip_with` + `aggregate`), first index wins ties;
+  *   - after each iteration the recomputed means are ROUNDED to `roundDp`
+  *     decimals, so the 1-ulp partial-aggregation-order wobble of a
+  *     distributed mean cannot leak into the next iteration's argmin.
+  */
+object Clustering {
+
+  /** Squared-L2 argmin over `cents` as a single codegen'd expression:
+    * array of per-centroid fold distances, then first-min index (0-based).
+    */
+  private def assignExpr(vec: Column, cents: Array[Array[Double]]): Column = {
+    val dists = array(cents.toIndexedSeq.map { c =>
+      aggregate(
+        zip_with(vec, array(c.toIndexedSeq.map(lit): _*), (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, z) => acc + z)
+    }: _*)
+    (array_position(dists, array_min(dists)) - 1).cast("int")
+  }
+
+  /** Train k centroids for `iters` Lloyd iterations; returns the final
+    * per-point assignment (idCol, cluster) using the centroids of the LAST
+    * completed mean-update (i.e. `iters` assignment passes, `iters - 1`
+    * mean updates — the final assignment is what downstream curation
+    * consumes). An empty cluster keeps its previous centroid.
+    */
+  def lloydAssignments(corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int, roundDp: Int = 6): DataFrame = {
+    require(k > 0 && iters > 0, "k and iters must be positive")
+    val e = corpus
+      .select(col(idCol).as("__id"),
+        transform(col(vecCol), x => x.cast("double")).as("__v"))
+      .persist()
+    // deterministic seed: the k lowest-id vectors (k×dim doubles — the
+    // only data that ever lands on the driver)
+    var cents: Array[Array[Double]] = e.orderBy(col("__id")).limit(k)
+      .collect().map(_.getSeq[Double](1).toArray)
+    require(cents.length == k, s"corpus has fewer than k=$k rows")
+    val dim = cents.head.length
+    for (_ <- 1 until iters) {
+      val sums = e
+        .select(assignExpr(col("__v"), cents).as("cluster"),
+          posexplode(col("__v")).as(Seq("pos", "x")))
+        .groupBy(col("cluster"), col("pos"))
+        .agg(avg(col("x")).as("m"))
+        .collect()
+      val next = cents.map(_.clone())
+      sums.foreach { r =>
+        next(r.getInt(0))(r.getInt(1)) =
+          BigDecimal(r.getDouble(2))
+            .setScale(roundDp, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }
+      cents = next
+      require(cents.forall(_.length == dim))
+    }
+    e.select(col("__id").as(idCol), assignExpr(col("__v"), cents).as("cluster"))
+  }
+}

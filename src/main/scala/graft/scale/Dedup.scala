@@ -446,9 +446,9 @@ object Dedup {
     * O(n²) pair generation spreads over m(m+1)/2 tasks of ≤ maxBucket²
     * pairs each. Buckets ≤ maxBucket (m = 1) degenerate to the plain
     * single-cell self-join. Shared by every bucketed pair generator
-    * (MinHash bands, SimHash blocks).
+    * (MinHash bands, SimHash blocks, Fuzzy's deletion neighborhoods).
     */
-  private def bucketPairs(keyed: DataFrame, maxBucket: Int): DataFrame =
+  private[scale] def bucketPairs(keyed: DataFrame, maxBucket: Int): DataFrame =
     bucketPairRows(keyed.withColumn("pv", lit(0)), maxBucket)
       .select(col("id_a"), col("id_b"))
       .distinct()

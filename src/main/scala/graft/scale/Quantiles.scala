@@ -1,0 +1,145 @@
+package graft.scale
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** EXACT order statistics without order-statistic state: SQL-standard
+  * PERCENTILE_DISC (the dataset element at rank ⌈p·n⌉, min rank 1) via
+  * iterative histogram refinement.
+  *
+  * Why not `percentile()` (q31's path)? Spark's exact percentile is a
+  * buffering aggregate — it materializes every value of the group in the
+  * aggregation state. Fine per small group; a 100 TB GLOBAL quantile (or
+  * one giant group) OOMs the state. This operator keeps state bounded at
+  * `buckets` counters per partition regardless of data size:
+  *
+  *   1. one scan: (n, min, max);
+  *   2. per refinement level, ONE scan serves ALL requested ps: each value
+  *      emits a (p_idx, bucket) hit for every p whose candidate set still
+  *      contains it — partial aggregation collapses hits to ≤ parts ×
+  *      |ps| × buckets counter rows before the shuffle (the histogram IS
+  *      the combiner state; values never shuffle);
+  *   3. walking a level's cumulative histogram narrows each p to one
+  *      bucket and a within-bucket rank; once a p's candidate count ≤
+  *      `maxCollect`, the exact element is selected from the (tiny)
+  *      filtered slice. Candidates shrink ×buckets per level — two levels
+  *      resolve 10^13 rows at the default 4096.
+  *
+  * Correctness details:
+  *   - membership in a candidate set is defined by the CHAIN of bucket
+  *     expressions chosen so far (`floor((v-lo)/w) = bk` at each level,
+  *     re-evaluated identically in later scans) — never by numeric range
+  *     comparison against recomputed boundaries, so a value sitting within
+  *     1 ulp of a bucket edge can't be counted by one pass and filtered
+  *     out by the next;
+  *   - the answer is an exact ELEMENT at an exact integer rank — no
+  *     arithmetic reaches the output, so engine fp conventions are
+  *     irrelevant (boundaries only steer the search);
+  *   - a bucket whose values are all identical (lo == hi after refinement)
+  *     short-circuits to that value.
+  */
+object Quantiles {
+
+  /** One refinement step already chosen: bucket `bk` of the histogram over
+    * [`lo`, `lo` + buckets·`w`). Membership = floor((v − lo)/w) clamped
+    * to the last bucket equals bk.
+    */
+  private final case class Step(lo: Double, w: Double, bk: Int, buckets: Int)
+
+  private def stepExpr(s: Step): Column =
+    least(lit(s.buckets - 1),
+      floor((col("v") - lit(s.lo)) / lit(s.w)).cast("int")) === lit(s.bk)
+
+  private def memberExpr(chain: List[Step]): Column =
+    chain.foldLeft(lit(true))((acc, s) => acc && stepExpr(s))
+
+  private final case class Cand(p: Double, lo: Double, hi: Double,
+      rank: Long, cnt: Long, chain: List[Step], done: Option[Double])
+
+  def exactQuantiles(df: DataFrame, valueCol: String, ps: Seq[Double],
+      buckets: Int = 4096, maxCollect: Int = 100000,
+      maxLevels: Int = 8): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p >= 0.0 && p <= 1.0))
+    val spark = df.sparkSession
+    val vals = df.select(col(valueCol).cast("double").as("v"))
+      .where(col("v").isNotNull)
+    val statsRow = vals.agg(count(lit(1)), min(col("v")), max(col("v"))).head()
+    val n = statsRow.getLong(0)
+    require(n > 0, "exactQuantiles over an empty input")
+    val (gMin, gMax) = (statsRow.getDouble(1), statsRow.getDouble(2))
+
+    var cands: Seq[Cand] = ps.map { p =>
+      val k = math.max(1L, math.ceil(p * n).toLong)
+      Cand(p, gMin, gMax, k, n, Nil, if (gMin == gMax) Some(gMin) else None)
+    }
+
+    var level = 0
+    while (cands.exists(c => c.done.isEmpty && c.cnt > maxCollect) &&
+        level < maxLevels) {
+      val open = cands.zipWithIndex
+        .filter { case (c, _) => c.done.isEmpty && c.cnt > maxCollect }
+      val hitExprs = open.zipWithIndex.map { case ((c, _), pi) =>
+        val w = (c.hi - c.lo) / buckets
+        val b = least(lit(buckets - 1),
+          floor((col("v") - lit(c.lo)) / lit(w)).cast("int"))
+        when(memberExpr(c.chain), struct(lit(pi).as("pi"), b.as("bk")))
+          .otherwise(lit(null))
+      }
+      val hists = vals
+        .select(explode(filter(array(hitExprs: _*), h => h.isNotNull)).as("h"))
+        .groupBy(col("h.pi"), col("h.bk"))
+        .agg(count(lit(1)).as("c"))
+        .collect()
+        .groupBy(_.getInt(0))
+        .map { case (pi, rows) =>
+          pi -> rows.map(r => r.getInt(1) -> r.getLong(2)).sortBy(_._1)
+        }
+      val refined = open.zipWithIndex.map { case ((c, idx), pi) =>
+        val w = (c.hi - c.lo) / buckets
+        val h = hists.getOrElse(pi, Array.empty[(Int, Long)])
+        var cum = 0L
+        var out: Cand = null
+        var bi = 0
+        while (bi < h.length && out == null) {
+          val (bk, cnt) = h(bi)
+          if (cum + cnt >= c.rank) {
+            val lo2 = c.lo + bk * w
+            val hi2 = if (bk == buckets - 1) c.hi else c.lo + (bk + 1) * w
+            val chain2 = Step(c.lo, w, bk, buckets) :: c.chain
+            out =
+              if (lo2 == hi2)
+                // bucket degenerated to one representable value: every
+                // member is that value, so ANY rank selects it — rank 1
+                // routes through the cheap exact-selection path (limit(1))
+                // rather than trusting the rounded boundary to be the
+                // element
+                c.copy(lo = lo2, hi = hi2, rank = 1L, cnt = 1L, chain = chain2)
+              else c.copy(lo = lo2, hi = hi2, rank = c.rank - cum, cnt = cnt,
+                chain = chain2)
+          }
+          cum += cnt
+          bi += 1
+        }
+        require(out != null, s"rank ${c.rank} beyond histogram for p=${c.p}")
+        idx -> out
+      }.toMap
+      cands = cands.zipWithIndex.map { case (c, i) => refined.getOrElse(i, c) }
+      level += 1
+    }
+
+    val results = cands.map { c =>
+      c.done match {
+        case Some(v) => (c.p, v)
+        case None =>
+          // candidate slice ≤ maxCollect values: exact k-th smallest via a
+          // distributed ascending TakeOrdered of the first `rank` values
+          val kth = vals.where(memberExpr(c.chain))
+            .orderBy(col("v")).limit(c.rank.toInt)
+            .agg(max(col("v"))).head().getDouble(0)
+          (c.p, kth)
+      }
+    }
+    import spark.implicits._
+    results.toDF("p", "value")
+  }
+}

@@ -91,4 +91,49 @@ object Retrieval {
       .where(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("doc_id"), col("score"))
   }
+
+  /** Per-document top-k TF-IDF terms over the WHOLE corpus vocabulary —
+    * the keyword-extraction / sparse-featurization complement to
+    * [[bm25TopK]] (which probes a fixed query set): here every term is a
+    * candidate, so the term dictionary is corpus-derived and must stay
+    * DISTRIBUTED (a 100 TB web corpus's vocab — typos, numbers, code —
+    * does not fit a broadcast).
+    *
+    * Scale shape: tokenize → explode → (doc, term) partial-agg tf
+    * [shuffle 1, combiner-collapsed to distinct pairs]; tf is frozen
+    * through ONE term-keyed exchange ([[Dedup.sharedShuffle]]) that feeds
+    * BOTH the df aggregate and the tf⋈df join (no broadcast of the vocab,
+    * no second scan); the rank cut is a per-doc window [shuffle 3].
+    * Everything downstream of shuffle 1 is bounded by distinct
+    * (doc, term) pairs, not corpus tokens.
+    *
+    * Determinism: idf = ln(N/df) of exact longs, score rounded to 6
+    * decimals after one multiply (single fp op — engine-portable), rank
+    * ordered (score desc, term asc) so the k cut is total-order exact.
+    */
+  def tfidfTopK(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 5): DataFrame = {
+    val toks = TextOps.tokens(lower(col(textCol)))
+    val stats = docs.agg(count(lit(1)).as("n_docs"))
+    val tf = Dedup.sharedShuffle(
+      docs.select(col(idCol).as("doc_id"), explode(toks).as("term"))
+        .groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).as("tf")),
+      col("term"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val scored = tf
+      .join(df, "term")
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"), col("term"), col("tf"), col("df"),
+        round(col("tf").cast("double") *
+          log(col("n_docs").cast("double") / col("df").cast("double")), 6)
+          .as("score"))
+    val rankW = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("term"))
+    scored
+      .withColumn("rank", row_number().over(rankW).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"),
+        col("score"), col("rank"))
+  }
 }

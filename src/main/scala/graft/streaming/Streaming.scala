@@ -38,13 +38,19 @@ object Streaming {
   }
 
   /** Watermarked tumbling-window aggregation over an event stream —
-    * the streaming twin of the batch monthly rollup (q15).
+    * the streaming twin of the batch monthly rollup (q15). The SAME plan
+    * runs in batch (`withWatermark` is a no-op on a bounded frame), which
+    * is what q94 oracle-verifies: stream and batch share one definition,
+    * so the streaming path's arithmetic is the certified arithmetic.
+    * `value` sums through DECIMAL (exact, associative) so per-trigger /
+    * per-partition accumulation order can't wobble the double.
     */
   def windowedCounts(events: DataFrame, tsCol: String, keyCol: String,
       window_ : String = "1 hour", watermark: String = "2 hours"): DataFrame =
     events.withWatermark(tsCol, watermark)
       .groupBy(window(col(tsCol), window_), col(keyCol))
-      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
 
   /** Streaming exact dedup — the streaming twin of `Dedup.exactDedup`:
     * drops rows whose dedup key was already seen within the watermark

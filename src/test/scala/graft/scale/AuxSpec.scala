@@ -1,0 +1,274 @@
+package graft.scale
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Unit semantics for the round-9 breadth operators: KMeans training
+  * (Clustering.lloydAssignments), whole-vocab TF-IDF (Retrieval.tfidfTopK),
+  * and the ORC round-trip layout.
+  */
+class AuxSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---- Clustering.lloydAssignments -------------------------------------
+
+  private def vecs(rows: (Long, Seq[Float])*) =
+    rows.toDF("id", "v")
+
+  test("lloyd: iteration moves points to the converged blobs") {
+    // seeds are ids 0,1 = (0,0),(0.1,0) — same blob. After one mean
+    // update c1 jumps to the far-blob mean, so iteration 2 reassigns
+    // point 1 back to c0: the loop genuinely trains, it doesn't just
+    // assign to the seeds.
+    val pts = vecs(
+      0L -> Seq(0f, 0f), 1L -> Seq(0.1f, 0f),
+      2L -> Seq(10f, 0f), 3L -> Seq(10.1f, 0f), 4L -> Seq(20f, 0f))
+    val twoIter = Clustering.lloydAssignments(pts, "id", "v", k = 2, iters = 2)
+      .orderBy("id").as[(Long, Int)].collect.toSeq
+    assert(twoIter === Seq(0L -> 0, 1L -> 0, 2L -> 1, 3L -> 1, 4L -> 1))
+    // one iteration = pure seed assignment (no mean update yet)
+    val oneIter = Clustering.lloydAssignments(pts, "id", "v", k = 2, iters = 1)
+      .orderBy("id").as[(Long, Int)].collect.toSeq
+    assert(oneIter === Seq(0L -> 0, 1L -> 1, 2L -> 1, 3L -> 1, 4L -> 1))
+  }
+
+  test("lloyd: argmin ties go to the lowest cluster index") {
+    // point 2 is exactly equidistant from both seeds
+    val pts = vecs(0L -> Seq(0f, 0f), 1L -> Seq(2f, 0f), 2L -> Seq(1f, 0f))
+    val out = Clustering.lloydAssignments(pts, "id", "v", k = 2, iters = 1)
+      .orderBy("id").as[(Long, Int)].collect.toSeq
+    assert(out === Seq(0L -> 0, 1L -> 1, 2L -> 0))
+  }
+
+  test("lloyd matches a driver-side reference implementation") {
+    val rnd = new scala.util.Random(7)
+    val dim = 5
+    val data: Seq[(Long, Seq[Float])] =
+      (0L until 60L).map(i => i -> Seq.fill(dim)(rnd.nextFloat()))
+    val k = 3; val iters = 3; val dp = 6
+    // reference: same seeding, same rounding contract, plain Scala
+    var cents: Array[Array[Double]] =
+      data.sortBy(_._1).take(k).map(_._2.map(_.toDouble).toArray).toArray
+    def assign(v: Array[Double]): Int = {
+      val d = cents.map(c => c.zip(v).map { case (a, b) => (b - a) * (b - a) }.sum)
+      d.indexOf(d.min)
+    }
+    for (_ <- 1 until iters) {
+      val byC = data.map { case (_, v) => (assign(v.map(_.toDouble).toArray), v) }
+        .groupBy(_._1)
+      cents = cents.zipWithIndex.map { case (old, j) =>
+        byC.get(j) match {
+          case Some(members) =>
+            val m = members.map(_._2.map(_.toDouble).toArray)
+            val s = m.reduce((a, b) => a.zip(b).map { case (x, y) => x + y })
+            s.map(x => BigDecimal(x / m.size)
+              .setScale(dp, BigDecimal.RoundingMode.HALF_UP).toDouble)
+          case None => old
+        }
+      }
+    }
+    val want = data.map { case (id, v) => id -> assign(v.map(_.toDouble).toArray) }
+    val got = Clustering.lloydAssignments(data.toDF("id", "v"), "id", "v",
+      k, iters, dp).orderBy("id").as[(Long, Int)].collect.toSeq
+    assert(got === want)
+  }
+
+  // ---- Retrieval.tfidfTopK ---------------------------------------------
+
+  test("tfidf: scores, df sharing, and the (score desc, term) cut") {
+    val docs = Seq(
+      (1L, "a a b"),
+      (2L, "A c")).toDF("doc_id", "text")   // lowercased: 'a' hits both
+    val out = Retrieval.tfidfTopK(docs, "doc_id", "text", k = 2)
+      .orderBy("doc_id", "rank")
+      .as[(Long, String, Long, Long, Double, Long)].collect.toSeq
+    val ln2 = BigDecimal(math.log(2.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out === Seq(
+      // doc 1: b scores ln2 (tf=1, df=1); a scores 0 (df=2) — b ranks first
+      (1L, "b", 1L, 1L, ln2, 1L),
+      (1L, "a", 2L, 2L, 0.0, 2L),
+      (2L, "c", 1L, 1L, ln2, 1L),
+      (2L, "a", 1L, 2L, 0.0, 2L)))
+  }
+
+  test("tfidf: equal scores tie-break by term ascending") {
+    val docs = Seq((1L, "z y x"), (2L, "w")).toDF("doc_id", "text")
+    val out = Retrieval.tfidfTopK(docs, "doc_id", "text", k = 2)
+      .where($"doc_id" === 1L).orderBy("rank")
+      .as[(Long, String, Long, Long, Double, Long)].collect.toSeq
+    assert(out.map(_._2) === Seq("x", "y"))   // x,y,z all score ln2; cut at k=2
+  }
+
+  // ---- Pca: covariance + Jacobi + projection ----------------------------
+
+  test("covarianceMatrix matches a driver-side computation") {
+    val rnd = new scala.util.Random(11)
+    val data = (0L until 40L).map(i => i -> Seq.fill(4)(rnd.nextFloat()))
+    val got = Pca.covarianceMatrix(data.toDF("id", "v"), "v")
+      .orderBy("i", "j").as[(Int, Int, Double)].collect.toSeq
+    val m = data.map(_._2.map(_.toDouble).toArray).toArray
+    val n = m.length
+    def cov(i: Int, j: Int): Double = {
+      val sxx = m.map(r => r(i) * r(j)).sum
+      val sxi = m.map(_(i)).sum; val sxj = m.map(_(j)).sum
+      BigDecimal((sxx - sxi * sxj / n) / (n - 1))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val want = for (i <- 0 until 4; j <- i until 4) yield (i, j, cov(i, j))
+    assert(got.size === want.size)
+    got.zip(want).foreach { case ((gi, gj, gc), (wi, wj, wc)) =>
+      assert((gi, gj) === (wi, wj))
+      assert(math.abs(gc - wc) < 2e-6, s"cov($gi,$gj): $gc vs $wc")
+    }
+  }
+
+  test("jacobiEigen: known 2x2, orthonormality, and A·v = λ·v") {
+    // [[2,1],[1,2]] -> eigenvalues 3, 1
+    val (vals2, vecs2) = Pca.jacobiEigen(Array(Array(2.0, 1.0), Array(1.0, 2.0)))
+    assert(math.abs(vals2(0) - 3.0) < 1e-10 && math.abs(vals2(1) - 1.0) < 1e-10)
+    val s = 1.0 / math.sqrt(2.0)
+    assert(vecs2(0).zip(Array(s, s)).forall { case (a, b) => math.abs(a - b) < 1e-10 })
+    // property on a random symmetric 6x6
+    val rnd = new scala.util.Random(3)
+    val d = 6
+    val a = Array.ofDim[Double](d, d)
+    for (i <- 0 until d; j <- i until d) {
+      val x = rnd.nextDouble() - 0.5; a(i)(j) = x; a(j)(i) = x
+    }
+    val (vals, vecs) = Pca.jacobiEigen(a)
+    assert(vals.sliding(2).forall(p => p(0) >= p(1) - 1e-12), "sorted desc")
+    for (k <- 0 until d) {
+      val av = a.map(row => row.zip(vecs(k)).map { case (x, y) => x * y }.sum)
+      av.zip(vecs(k)).foreach { case (x, v) =>
+        assert(math.abs(x - vals(k) * v) < 1e-8, s"A·v ≠ λ·v at $k") }
+      for (l <- 0 until d) {
+        val dotp = vecs(k).zip(vecs(l)).map { case (x, y) => x * y }.sum
+        assert(math.abs(dotp - (if (k == l) 1.0 else 0.0)) < 1e-8)
+      }
+    }
+  }
+
+  test("pca train + project: driver parity and variance ordering") {
+    val rnd = new scala.util.Random(5)
+    // anisotropic data: dim 0 has 10x the spread, so pc1 ~ axis 0
+    val data = (0L until 80L).map(i =>
+      i -> Seq((rnd.nextFloat() - 0.5f) * 10f, rnd.nextFloat() - 0.5f,
+        rnd.nextFloat() - 0.5f))
+    val df = data.toDF("id", "v")
+    val comps = Pca.train(df, "v", q = 2)
+    assert(comps.length === 2 && comps.head.length === 3)
+    assert(math.abs(comps(0)(0)) > 0.99, "pc1 should align with axis 0")
+    val proj = Pca.project(df, "v", comps)
+      .orderBy("id").select("pc1", "pc2").as[(Double, Double)].collect
+    val want = data.map { case (_, v) =>
+      def dot(c: Array[Double]) = BigDecimal(
+        v.map(_.toDouble).zip(c).foldLeft(0.0) { case (acc, (x, w)) => acc + x * w })
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (dot(comps(0)), dot(comps(1)))
+    }
+    proj.zip(want).foreach { case ((g1, g2), (w1, w2)) =>
+      assert(g1 === w1 && g2 === w2)
+    }
+    def variance(xs: Seq[Double]) = {
+      val mean = xs.sum / xs.size
+      xs.map(x => (x - mean) * (x - mean)).sum / (xs.size - 1)
+    }
+    assert(variance(proj.map(_._1).toSeq) >= variance(proj.map(_._2).toSeq))
+  }
+
+  // ---- Quantiles.exactQuantiles -----------------------------------------
+
+  private def disc(sorted: Seq[Double], p: Double): Double =
+    sorted(math.max(1, math.ceil(p * sorted.size).toInt) - 1)
+
+  test("exactQuantiles matches rank ⌈p·n⌉ selection, duplicates included") {
+    val rnd = new scala.util.Random(13)
+    // heavy duplication: values from a small discrete set
+    val xs = Seq.fill(500)(math.floor(rnd.nextDouble() * 20) / 4.0)
+    val sorted = xs.sorted
+    val ps = Seq(0.0, 0.01, 0.33, 0.5, 0.9, 1.0)
+    val got = Quantiles.exactQuantiles(xs.map(Tuple1(_)).toDF("x"), "x", ps)
+      .orderBy("p").as[(Double, Double)].collect.toSeq
+    assert(got === ps.sorted.map(p => p -> disc(sorted, p)))
+  }
+
+  test("exactQuantiles: refinement path (tiny buckets + tiny maxCollect)") {
+    val rnd = new scala.util.Random(29)
+    val xs = Seq.fill(2000)(rnd.nextDouble() * 1e6 - 5e5)
+    val sorted = xs.sorted
+    val ps = Seq(0.25, 0.5, 0.75, 0.999)
+    // buckets=8, maxCollect=10 forces several refinement levels
+    val got = Quantiles.exactQuantiles(xs.map(Tuple1(_)).toDF("x"), "x", ps,
+      buckets = 8, maxCollect = 10)
+      .orderBy("p").as[(Double, Double)].collect.toSeq
+    assert(got === ps.map(p => p -> disc(sorted, p)))
+  }
+
+  test("exactQuantiles: all-identical and single-row inputs") {
+    val same = Quantiles.exactQuantiles(
+      Seq.fill(50)(Tuple1(7.25)).toDF("x"), "x", Seq(0.1, 0.9))
+      .orderBy("p").as[(Double, Double)].collect.toSeq
+    assert(same === Seq(0.1 -> 7.25, 0.9 -> 7.25))
+    val one = Quantiles.exactQuantiles(
+      Seq(Tuple1(3.5)).toDF("x"), "x", Seq(0.5))
+      .as[(Double, Double)].collect.toSeq
+    assert(one === Seq(0.5 -> 3.5))
+  }
+
+  // ---- Fuzzy.editDistanceOnePairs ---------------------------------------
+
+  test("fuzzy pairs: substitution, insert/delete in; transposition out") {
+    val words = Seq("spark", "spork", "spar", "sparks", "stark",
+      "aspark", "sprak", "zebra").toDF("w")
+    val got = Fuzzy.editDistanceOnePairs(words)
+      .orderBy("w1", "w2").as[(String, String, Long)].collect.toSeq
+    // sprak (transposition of spark = dist 2) and zebra pair with nothing
+    assert(got === Seq(
+      ("aspark", "spark", 1L),   // prefix insertion
+      ("spar", "spark", 1L),     // deletion
+      ("spark", "sparks", 1L),   // suffix insertion
+      ("spark", "spork", 1L),    // substitution
+      ("spark", "stark", 1L)))   // substitution
+  }
+
+  test("fuzzy pairs match the brute-force levenshtein join") {
+    val rnd = new scala.util.Random(17)
+    val alphabet = "abc"
+    val words = (0 until 300).map(_ =>
+      (0 until (3 + rnd.nextInt(4))).map(_ => alphabet(rnd.nextInt(3))).mkString)
+      .distinct
+    val got = Fuzzy.editDistanceOnePairs(words.toDF("w"), maxBucket = 7)
+      .as[(String, String, Long)].collect.toSet
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+        if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val want = (for {
+      a <- words; b <- words if a < b && lev(a, b) <= 1
+    } yield (a, b, lev(a, b).toLong)).toSet
+    assert(got === want)
+  }
+
+  // ---- ORC round trip ---------------------------------------------------
+
+  test("orc partitioned sink round-trips rows and prunes partitions") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_orcspec").toString
+    val src = Seq((1L, "A", 1.5), (2L, "B", 2.5), (3L, "A", 3.5))
+      .toDF("k", "p", "x")
+    src.write.mode("overwrite").partitionBy("p").orc(dir)
+    val back = spark.read.orc(dir)
+    assert(back.select("k", "p", "x").as[(Long, String, Double)]
+      .collect.toSet === Set((1L, "A", 1.5), (2L, "B", 2.5), (3L, "A", 3.5)))
+    // a filter on the partition column must prune at plan time: the
+    // equality lands in PartitionFilters (metadata-only), not a data Filter
+    val plan = back.where($"p" === "A")
+      .queryExecution.executedPlan.toString
+    val pf = plan.linesIterator.find(_.contains("PartitionFilters"))
+    assert(pf.exists(_.contains("= A)")), plan.take(800))
+  }
+}

@@ -131,6 +131,32 @@ class StreamingSpec extends SparkSpec {
       ("2024-01-01 10:00:00", "view", 1L)))
   }
 
+  test("windowed aggregation: stream converges to the batch twin (q94)") {
+    import spark.implicits._
+    // SAME function builds both plans; the stream (complete mode, all
+    // data arrived) must equal the batch run row-for-row, including the
+    // decimal-exact value sums
+    val dir = Files.createTempDirectory("graft_evtw").toString
+    val base = java.sql.Timestamp.valueOf("2024-03-05 08:00:00")
+    def ts(minutes: Int) = new java.sql.Timestamp(base.getTime + minutes * 60000L)
+    val rows = (0 until 40).map(i =>
+      (ts(i * 7), if (i % 3 == 0) "view" else "click", i * 1.25))
+    rows.toDF("ts", "event_type", "value").write.parquet(s"$dir/data")
+    val batchDf = spark.read.parquet(s"$dir/data")
+    val stream = spark.readStream.schema(batchDf.schema).parquet(s"$dir/data")
+    val q = Streaming.windowedCounts(stream, "ts", "event_type")
+      .writeStream.format("memory").queryName("wintwin")
+      .outputMode("complete").start()
+    q.processAllAvailable(); q.stop()
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("window.start").cast("string"), col("event_type"),
+        col("n"), col("total_value"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    assert(canon(spark.table("wintwin")) ===
+      canon(Streaming.windowedCounts(batchDf, "ts", "event_type")))
+  }
+
   test("streaming dedup drops within-watermark duplicate keys") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_dd").toString
