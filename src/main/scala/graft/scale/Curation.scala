@@ -600,6 +600,63 @@ object Curation {
     if (withText) base else base.drop("chunk_text")
   }
 
+  /** Per-source token-distribution drift vs the whole corpus, as add-one
+    * smoothed KL divergence over HASHED token buckets — the monitoring
+    * signal that flags when one ingestion source's language suddenly
+    * diverges from the corpus (encoding breakage, spam floods, template
+    * takeover). Bucketing (the DSIR move, q74) is what makes the
+    * distribution comparable at 100 TB: the per-source state is m
+    * counters, not a vocabulary.
+    *
+    * KL(p_s ‖ q) = Σ_b p_s(b)·ln(p_s(b)/q(b)) over ALL m buckets, with
+    * p_s(b) = (c_sb + 1)/(n_s + m) and q(b) = (r_b + 1)/(n + m) — the
+    * smoothing keeps every term finite, and summing over absent buckets
+    * too (c_sb = 0) is what makes it a true KL, not a truncation.
+    *
+    * Scale shape: one narrow tokenize+hash scan → map-side-combined
+    * (source, bucket) counts [the only corpus-sized shuffle, output ≤
+    * sources×m rows]; corpus totals derive from that tiny frame; the
+    * sources×m evaluation grid is generated (`sequence`/`explode`), never
+    * scanned. Determinism: per-source sum is a bucket-ordered LEFT FOLD
+    * (the q74 pattern) of single-shape terms, rounded to 6 (`ln` is
+    * libm — the q88/q89 precedent).
+    */
+  def sourceTokenKl(docs: DataFrame, srcCol: String, textCol: String,
+      buckets: Int = 256): DataFrame = {
+    require(buckets > 0, s"buckets must be positive: $buckets")
+    val m = buckets.toLong
+    val terms = docs.select(
+      col(srcCol).as("source"),
+      explode(Dedup.portableTokenHashes(TextOps.tokens(col(textCol))))
+        .as("__h"))
+      .select(col("source"), pmod(col("__h"), lit(m)).as("b"))
+    val perSrc = terms.groupBy(col("source"), col("b"))
+      .agg(count(lit(1)).as("c"))
+    val corpus = perSrc.groupBy(col("b")).agg(sum(col("c")).as("r"))
+    val nSrc = perSrc.groupBy(col("source")).agg(sum(col("c")).as("n_s"))
+    val nTot = corpus.agg(sum(col("r")).as("n"))
+    val grid = nSrc
+      .select(col("source"), col("n_s"),
+        explode(sequence(lit(0L), lit(m - 1))).as("b"))
+    val termCol =
+      (((col("c") + 1L).cast("double") / (col("n_s") + m).cast("double")) *
+        log(((col("c") + 1L).cast("double") / (col("n_s") + m).cast("double")) /
+          ((col("r") + 1L).cast("double") / (col("n") + m).cast("double"))))
+    grid
+      .join(perSrc, Seq("source", "b"), "left")
+      .join(broadcast(corpus), Seq("b"), "left")
+      .crossJoin(broadcast(nTot))
+      .select(col("source"), col("n_s"), col("b"),
+        coalesce(col("c"), lit(0L)).as("c"),
+        coalesce(col("r"), lit(0L)).as("r"), col("n"))
+      .select(col("source"), col("n_s"), col("b"), termCol.as("__term"))
+      .groupBy(col("source"))
+      .agg(first(col("n_s")).as("n_tokens"),
+        round(aggregate(
+          array_sort(collect_list(struct(col("b"), col("__term")))),
+          lit(0.0), (acc, x) => acc + x.getField("__term")), 6).as("kl"))
+  }
+
   /** Above this estimated-input size (Catalyst plan statistics), the
     * skew-safe formulations of [[dedupSentences]] and [[sourceQuota]]
     * take over. 1 GiB: far below anything a hot key could break, far

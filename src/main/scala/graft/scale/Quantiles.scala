@@ -127,16 +127,36 @@ object Quantiles {
       level += 1
     }
 
+    // exact selection for every still-open p in ONE job over ONE scan:
+    // each value emits a (p, v, target-rank) hit per open candidate slice
+    // containing it (same fused-hit shape as the histogram levels), a
+    // per-p window ranks each ≤ maxCollect slice ascending, and row rank
+    // == target rank is the element. Separate per-p jobs would pay one
+    // full scan plus one scheduling round trip per quantile.
+    val open = cands.filter(_.done.isEmpty)
+    val selected: Map[Double, Double] =
+      if (open.isEmpty) Map.empty
+      else {
+        val hit = open.map { c =>
+          when(memberExpr(c.chain),
+            struct(lit(c.p).as("p"), col("v").as("v"),
+              lit(c.rank).as("target"))).otherwise(lit(null))
+        }
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("p")).orderBy(col("v"))
+        vals.select(explode(filter(array(hit: _*), h => h.isNotNull)).as("h"))
+          .select(col("h.p").as("p"), col("h.v").as("v"),
+            col("h.target").as("target"))
+          .withColumn("rk", row_number().over(w))
+          .where(col("rk") === col("target"))
+          .select(col("p"), col("v"))
+          .collect()
+          .map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+      }
     val results = cands.map { c =>
       c.done match {
         case Some(v) => (c.p, v)
-        case None =>
-          // candidate slice ≤ maxCollect values: exact k-th smallest via a
-          // distributed ascending TakeOrdered of the first `rank` values
-          val kth = vals.where(memberExpr(c.chain))
-            .orderBy(col("v")).limit(c.rank.toInt)
-            .agg(max(col("v"))).head().getDouble(0)
-          (c.p, kth)
+        case None => (c.p, selected(c.p))
       }
     }
     import spark.implicits._

@@ -183,4 +183,41 @@ object Sampling {
       .withColumn("shard_id", col("__shard").cast("int"))
       .drop("__b", "__shard")
   }
+
+  /** Deterministic weighted sampling WITHOUT replacement, top-k of n
+    * (Efraimidis–Spirakis A-ES): each row draws u ∈ (0, 1) from its key's
+    * portable bucket and scores ln(u)/w — the log-domain, strictly
+    * monotone form of the classic u^(1/w) key (better double spread than
+    * values clustered at 1) — and the k largest scores win. Inclusion
+    * probability rises with weight w > 0; the whole draw is a pure
+    * function of the key, so the sample is reproducible across runs,
+    * engines, and partitionings, and stable under appends of
+    * non-winning rows.
+    *
+    * Scale shape: one codegen'd narrow map (bucket → u → score), then
+    * `orderBy(...).limit(k)` — Spark plans TakeOrderedAndProject:
+    * per-partition k-heaps, only parts·k rows converge, NO global sort.
+    * The rank window runs on the ≤ k survivors.
+    *
+    * Determinism contract: score is rounded to 6 decimals (`ln` is libm,
+    * 1-ulp engine drift) and the cut is total-ordered by
+    * (score desc, key asc) — the q88 precedent.
+    */
+  def weightedSampleTopK(df: DataFrame, key: Column, weight: Column,
+      k: Int): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    import org.apache.spark.sql.expressions.Window
+    // bucket ∈ [0, P31) → u = (bucket+1)/2^31 ∈ (0, 1]; ln(1) = 0 is the
+    // best possible score at any weight, so u = 1 needs no exclusion
+    val u = (portableBucket(key) + 1L).cast("double") / lit((P31 + 1).toDouble)
+    // + 0.0 collapses IEEE −0.0 (a near-1 u rounding to zero) to +0.0 —
+    // engines disagree on the sign of a zero out of round()
+    val score = round(log(u) / weight.cast("double"), 6) + lit(0.0)
+    val w = Window.orderBy(col("__score").desc, key)
+    df.withColumn("__score", score)
+      .orderBy(col("__score").desc, key)
+      .limit(k)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .withColumnRenamed("__score", "score")
+  }
 }

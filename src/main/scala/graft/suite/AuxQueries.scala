@@ -290,6 +290,88 @@ object AuxQueries {
       WHERE levenshtein(a.w, b.w) <= 1
       ORDER BY w1, w2"""))
 
+  /** Deterministic weighted sampling without replacement, top-100 by
+    * length weight (Sampling.weightedSampleTopK — Efraimidis–Spirakis
+    * A-ES in log domain over the portable hash). TakeOrdered plan, no
+    * global sort; the oracle replays bucket → u → score → rounded cut.
+    */
+  private val q104 = GQuery(
+    (s, d) => graft.scale.Sampling.weightedSampleTopK(
+      T.documents(s, d).select(col("doc_id"), col("n_chars")),
+      col("doc_id"), col("n_chars"), k = 100)
+      .orderBy(col("rank")),
+    Some(s"""WITH s AS (
+        SELECT doc_id, n_chars,
+          ROUND(ln(((${ScaleQueries.bucketSql("doc_id")}) + 1)::DOUBLE
+              / 2147483648.0) / n_chars::DOUBLE, 6) + 0.0 AS score
+        FROM documents)
+      SELECT doc_id, n_chars, score,
+        CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+      FROM s ORDER BY score DESC, doc_id LIMIT 100"""))
+
+  /** First-touch event funnel view → click → purchase
+    * (Funnel.firstTouchFunnel): per user, the first time of each stage,
+    * stage i+1 strictly after stage i; `stage` = stages reached. The
+    * oracle replays the stage-chained MIN joins.
+    */
+  private val q105 = GQuery(
+    (s, d) => graft.scale.Funnel.firstTouchFunnel(T.events(s, d),
+      "user_id", "event_type", "ts", Seq("view", "click", "purchase"))
+      .orderBy(col("user_id")),
+    Some("""WITH u AS (SELECT DISTINCT user_id FROM events),
+      s1 AS (SELECT user_id, MIN(epoch_us(ts)) AS t1_us FROM events
+        WHERE event_type = 'view' GROUP BY user_id),
+      s2 AS (SELECT e.user_id, MIN(epoch_us(e.ts)) AS t2_us
+        FROM events e JOIN s1 ON e.user_id = s1.user_id
+        WHERE e.event_type = 'click' AND epoch_us(e.ts) > s1.t1_us
+        GROUP BY e.user_id),
+      s3 AS (SELECT e.user_id, MIN(epoch_us(e.ts)) AS t3_us
+        FROM events e JOIN s2 ON e.user_id = s2.user_id
+        WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > s2.t2_us
+        GROUP BY e.user_id)
+      SELECT u.user_id, s1.t1_us, s2.t2_us, s3.t3_us,
+        (CASE WHEN s1.t1_us IS NULL THEN 0 ELSE 1 END
+         + CASE WHEN s2.t2_us IS NULL THEN 0 ELSE 1 END
+         + CASE WHEN s3.t3_us IS NULL THEN 0 ELSE 1 END)::BIGINT AS stage
+      FROM u LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
+        LEFT JOIN s3 USING (user_id)
+      ORDER BY user_id"""))
+
+  /** Per-source token-distribution KL drift vs the corpus
+    * (Curation.sourceTokenKl): add-one smoothed KL over 256 hashed token
+    * buckets, bucket-ordered pinned fold, summed over ALL buckets
+    * including absent ones. The oracle replays hash, counts, smoothing,
+    * and fold bit-for-bit up to the final round.
+    */
+  private val q106 = GQuery(
+    (s, d) => graft.scale.Curation.sourceTokenKl(T.documents(s, d),
+      "source", "text", buckets = 256)
+      .orderBy(col("source")),
+    Some(s"""${ScaleQueries.thCtes(withCodes = false)},
+      tm AS (
+        SELECT d.source, unnest(th.th) % 256 AS b
+        FROM th JOIN documents d ON th.doc_id = d.doc_id),
+      ps AS (SELECT source, b, COUNT(*)::BIGINT AS c FROM tm GROUP BY 1, 2),
+      cb AS (SELECT b, SUM(c)::BIGINT AS r FROM ps GROUP BY b),
+      ns AS (SELECT source, SUM(c)::BIGINT AS n_s FROM ps GROUP BY source),
+      nt AS (SELECT SUM(r)::BIGINT AS n FROM cb),
+      grid AS (
+        SELECT ns.source, ns.n_s, gb.b
+        FROM ns CROSS JOIN (SELECT unnest(range(0, 256)) AS b) gb),
+      terms AS (
+        SELECT g.source, g.n_s, g.b,
+          ((COALESCE(ps.c, 0) + 1)::DOUBLE / (g.n_s + 256)::DOUBLE)
+            * ln(((COALESCE(ps.c, 0) + 1)::DOUBLE / (g.n_s + 256)::DOUBLE)
+              / ((COALESCE(cb.r, 0) + 1)::DOUBLE / (nt.n + 256)::DOUBLE)) AS t
+        FROM grid g
+          LEFT JOIN ps ON ps.source = g.source AND ps.b = g.b
+          LEFT JOIN cb ON cb.b = g.b
+          CROSS JOIN nt)
+      SELECT source, ANY_VALUE(n_s) AS n_tokens,
+        ROUND(list_reduce(list_prepend(0.0::DOUBLE, list(t ORDER BY b)),
+          (a, x) -> a + x), 6) AS kl
+      FROM terms GROUP BY source ORDER BY source"""))
+
   def all: Map[String, GQuery] = Map(
     "q94_stream_window_twin" -> q94,
     "q95_tfidf_topk" -> q95,
@@ -301,5 +383,8 @@ object AuxQueries {
     "q101_covariance_matrix" -> q101,
     "q102_exact_quantile_histogram" -> q102,
     "q103_fuzzy_word_pairs" -> q103,
+    "q104_weighted_sample" -> q104,
+    "q105_event_funnel" -> q105,
+    "q106_source_kl_drift" -> q106,
   )
 }

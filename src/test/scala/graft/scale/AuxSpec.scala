@@ -254,6 +254,117 @@ class AuxSpec extends SparkSpec {
     assert(got === want)
   }
 
+  // ---- Sampling.weightedSampleTopK --------------------------------------
+
+  private def portableBucketRef(k: Long): Long = {
+    val p = 2147483647L
+    (1103515245L * (((k % p) + p) % p) + 12345L) % p
+  }
+
+  test("weighted sample: matches the driver-replayed A-ES draw") {
+    val rows = (1L to 200L).map(i => (i, 10L + (i % 7) * 50L))
+    val got = Sampling.weightedSampleTopK(rows.toDF("id", "w"),
+      col("id"), col("w"), k = 20)
+      .orderBy("rank").as[(Long, Long, Double, Long)].collect.toSeq
+    val want = rows.map { case (id, w) =>
+      val u = (portableBucketRef(id) + 1).toDouble / 2147483648.0
+      val s = BigDecimal(math.log(u) / w)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0
+      (id, w, s)
+    }.sortBy { case (id, _, s) => (-s, id) }.take(20)
+      .zipWithIndex.map { case ((id, w, s), i) => (id, w, s, i + 1L) }
+    assert(got === want)
+  }
+
+  test("weighted sample: stable under appending non-winning rows") {
+    val base = (1L to 100L).map(i => (i, 100L))
+    val first = Sampling.weightedSampleTopK(base.toDF("id", "w"),
+      col("id"), col("w"), k = 10).as[(Long, Long, Double, Long)].collect.toSet
+    // appended rows get weight 1 (lowest inclusion odds); the original
+    // winners' scores are unchanged, so unless an appended row WINS a
+    // slot outright the sample is identical — here none do
+    val losers = (1000L to 1050L).map(i => (i, 1L))
+    val second = Sampling.weightedSampleTopK((base ++ losers).toDF("id", "w"),
+      col("id"), col("w"), k = 10).as[(Long, Long, Double, Long)].collect.toSet
+    assert(first === second)
+  }
+
+  // ---- Funnel.firstTouchFunnel ------------------------------------------
+
+  test("funnel: strict ordering, skipped stages, same-instant no-advance") {
+    def ts(m: Int) = new java.sql.Timestamp(
+      java.sql.Timestamp.valueOf("2024-01-01 10:00:00").getTime + m * 60000L)
+    val ev = Seq(
+      // u1: full funnel in order
+      (1L, "view", ts(0)), (1L, "click", ts(5)), (1L, "purchase", ts(9)),
+      // u2: click precedes first view -> click doesn't count, no purchase
+      (2L, "click", ts(0)), (2L, "view", ts(3)), (2L, "click", ts(7)),
+      // u3: same-instant click does NOT advance (strict >)
+      (3L, "view", ts(1)), (3L, "click", ts(1)),
+      // u4: purchase without the earlier stages
+      (4L, "purchase", ts(2)),
+      // u5: duplicate views collapse to the earliest; click after both
+      (5L, "view", ts(8)), (5L, "view", ts(2)), (5L, "click", ts(8)))
+      .toDF("user_id", "event_type", "ts")
+    val got = Funnel.firstTouchFunnel(ev, "user_id", "event_type", "ts",
+      Seq("view", "click", "purchase"))
+      .orderBy("user_id")
+      .select("user_id", "t1_us", "t2_us", "t3_us", "stage")
+      .collect().map(r => (r.getLong(0), Option(r.get(1)), Option(r.get(2)),
+        Option(r.get(3)), r.getLong(4))).toSeq
+    def us(m: Int) = ts(m).getTime * 1000L
+    assert(got === Seq(
+      (1L, Some(us(0)), Some(us(5)), Some(us(9)), 3L),
+      (2L, Some(us(3)), Some(us(7)), None, 2L),
+      (3L, Some(us(1)), None, None, 1L),
+      (4L, None, None, None, 0L),
+      (5L, Some(us(2)), Some(us(8)), None, 2L)))
+  }
+
+  // ---- Curation.sourceTokenKl -------------------------------------------
+
+  test("source KL drift: driver-replayed arithmetic and drift ordering") {
+    // clean and twin have identical content AND size (smoothing makes KL
+    // depend on n_s, so equality needs equal token counts too)
+    val docs = Seq(
+      (1L, "alpha beta gamma delta", "clean"),
+      (2L, "alpha beta gamma delta", "clean"),
+      (3L, "alpha beta gamma delta", "twin"),
+      (4L, "alpha beta gamma delta", "twin"),
+      (5L, "zzz zzz zzz zzz zzz zzz zzz zzz", "spam"))
+      .toDF("doc_id", "text", "source")
+    val m = 16
+    val out = Curation.sourceTokenKl(docs, "source", "text", buckets = m)
+      .orderBy("source").as[(String, Long, Double)].collect.toSeq
+    // replay from the SAME bucket counts (hash via the operator's own
+    // term pipeline), checking grid/smoothing/fold logic independently
+    val counts = docs.select(col("source"),
+      explode(Dedup.portableTokenHashes(TextOps.tokens(col("text")))).as("h"))
+      .select(col("source"), pmod(col("h"), lit(m.toLong)).as("b"))
+      .groupBy("source", "b").count()
+      .as[(String, Long, Long)].collect()
+    val bySrc = counts.groupBy(_._1)
+    val rB = counts.groupBy(_._2).map { case (b, rs) => b -> rs.map(_._3).sum }
+    val n = counts.map(_._3).sum
+    val want = bySrc.toSeq.sortBy(_._1).map { case (src, rows) =>
+      val cB = rows.map(r => r._2 -> r._3).toMap
+      val nS = rows.map(_._3).sum
+      val kl = (0L until m).foldLeft(0.0) { (acc, b) =>
+        val p = (cB.getOrElse(b, 0L) + 1).toDouble / (nS + m)
+        val q = (rB.getOrElse(b, 0L) + 1).toDouble / (n + m)
+        acc + p * math.log(p / q)
+      }
+      (src, nS,
+        BigDecimal(kl).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    assert(out === want)
+    val klOf = out.map(o => o._1 -> o._3).toMap
+    // identical-content sources score identically; the divergent source
+    // drifts the most
+    assert(klOf("clean") === klOf("twin"))
+    assert(klOf("spam") > klOf("clean"))
+  }
+
   // ---- ORC round trip ---------------------------------------------------
 
   test("orc partitioned sink round-trips rows and prunes partitions") {
