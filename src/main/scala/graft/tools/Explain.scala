@@ -62,7 +62,15 @@ object Explain {
       "q90_cdc_upsert",        // one keyed shuffle: union -> window -> filter
       "q91_duplicate_spans",   // gram-hash agg + same-key join-back
       "q92_bpe_pair_counts",   // distinct-word collapse + TakeOrdered top-N
-      "q93_scd2_intervals")    // one keyed shuffle: per-key lead window
+      "q93_scd2_intervals",    // one keyed shuffle: per-key lead window
+      "q94_stream_window_twin",// batch twin of the watermarked window agg
+      "q95_tfidf_topk",        // shared term shuffle feeds df agg + tf⋈df join
+      "q97_kmeans_train",      // broadcast-centroid argmin, narrow final assignment
+      "q101_covariance_matrix",// outer-product explode collapsed by partial agg
+      "q103_fuzzy_word_pairs", // deletion-variant bucket join + levenshtein verify
+      "q104_weighted_sample",  // narrow score map + TakeOrderedAndProject
+      "q105_event_funnel",     // per-stage filtered MIN aggs, user-keyed joins
+      "q106_source_kl_drift")  // bucket counts + generated grid + pinned fold
 
     val sb = new StringBuilder
     sb.append("# EXPLAIN — flagship physical plans\n\n")
