@@ -94,6 +94,20 @@ object Streaming {
   final case class SessionOut(user_id: Long, start_ms: Long, end_ms: Long,
       n_events: Long, total_value: Double)
 
+  /** Stream-static enrichment: join each micro-batch against a static
+    * dimension. The dim side is explicitly broadcast — on a cluster the
+    * static side is re-planned per micro-batch, and letting a large dim
+    * fall into a sort-merge join would shuffle EVERY micro-batch; a
+    * broadcast pins the stream side in place (the only sane shape for a
+    * dim ≪ stream). For a dim too big to broadcast, pre-bucket both
+    * sides on the key instead (the q54 layout) — not this helper.
+    * Works identically on a batch frame (q03's star joins are the
+    * oracle-verified batch form).
+    */
+  def enrichWithStatic(stream: DataFrame, dim: DataFrame,
+      key: Seq[String]): DataFrame =
+    stream.join(org.apache.spark.sql.functions.broadcast(dim), key)
+
   /** Stateful sessionization with flatMapGroupsWithState: a session closes
     * when `gapMinutes` of event time pass with no event — either observed
     * in-batch (next event arrives past the gap) or via event-time timeout

@@ -157,6 +157,24 @@ class StreamingSpec extends SparkSpec {
       canon(Streaming.windowedCounts(batchDf, "ts", "event_type")))
   }
 
+  test("stream-static broadcast join enriches a file stream (q03's dim shape)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_enr").toString
+    Seq((1L, 10.0), (2L, 20.0), (1L, 5.0), (3L, 7.5))
+      .toDF("dim_id", "value").write.parquet(s"$dir/data")
+    val dim = Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma"))
+      .toDF("dim_id", "name")
+    val schema = spark.read.parquet(s"$dir/data").schema
+    val stream = spark.readStream.schema(schema).parquet(s"$dir/data")
+    val q = Streaming.enrichWithStatic(stream, dim, Seq("dim_id"))
+      .groupBy($"name").agg(sum($"value".cast("decimal(18,2)")).cast("double").as("total"))
+      .writeStream.format("memory").queryName("enriched")
+      .outputMode("complete").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("enriched").as[(String, Double)].collect().toSet
+    assert(got === Set(("alpha", 15.0), ("beta", 20.0), ("gamma", 7.5)))
+  }
+
   test("streaming dedup drops within-watermark duplicate keys") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_dd").toString
