@@ -657,6 +657,39 @@ object Curation {
           lit(0.0), (acc, x) => acc + x.getField("__term")), 6).as("kl"))
   }
 
+  /** Minimal covering prefix — "which sources make up 90% of the
+    * corpus?": groups ranked by total weight descending, cumulative
+    * share computed, and `kept` marks the SMALLEST prefix whose
+    * cumulative share reaches `target` (the crossing group is included:
+    * kept ⇔ the share BEFORE this group is still < target). The
+    * data-mixing twin of nucleus/top-p truncation, and the audit table
+    * behind "drop the long tail of scrapes".
+    *
+    * Scale shape: one map-side-combined aggregate to #groups rows; the
+    * rank/cumsum window runs UNPARTITIONED but only over that tiny
+    * post-aggregate frame (#groups ≪ corpus — the same single-partition
+    * trade as temperatureMix's global min). Share is a quotient of exact
+    * longs rounded to 6; ordering (weight desc, group asc) is total.
+    */
+  def coverageCutoff(rows: DataFrame, keyCol: String, weightExpr: Column,
+      target: Double): DataFrame = {
+    require(target > 0.0 && target <= 1.0, s"target in (0, 1]: $target")
+    import org.apache.spark.sql.expressions.Window
+    val agg = rows.groupBy(col(keyCol).as("key"))
+      .agg(sum(weightExpr.cast("long")).as("w"))
+    val ord = Window.orderBy(col("w").desc, col("key"))
+    val tot = agg.agg(sum(col("w")).as("total"))
+    agg.crossJoin(broadcast(tot))
+      .withColumn("rank", row_number().over(ord).cast("long"))
+      .withColumn("cum",
+        sum(col("w")).over(ord.rowsBetween(Window.unboundedPreceding, 0)))
+      .select(col("key"), col("w"), col("rank"),
+        round(col("cum").cast("double") / col("total").cast("double"), 6)
+          .as("cum_share"),
+        ((col("cum") - col("w")).cast("double") <
+          col("total").cast("double") * target).cast("long").as("kept"))
+  }
+
   /** Above this estimated-input size (Catalyst plan statistics), the
     * skew-safe formulations of [[dedupSentences]] and [[sourceQuota]]
     * take over. 1 GiB: far below anything a hot key could break, far

@@ -162,4 +162,115 @@ object Quantiles {
     import spark.implicits._
     results.toDF("p", "value")
   }
+
+  /** Per-GROUP exact PERCENTILE_DISC with the same bounded-state
+    * histogram refinement: every level is still ONE scan for ALL
+    * (group, p) candidates — each value emits a hit per open candidate
+    * whose group matches and whose bucket chain contains it — so the
+    * scan count does not grow with the number of groups. Executor state
+    * stays ≤ parts × #open × buckets counters; driver state is one
+    * (range, rank) per (group, p) — the documented bound (thousands of
+    * groups are fine; for millions, fall back to `percentile()` per
+    * small group, which is exactly the regime where its buffering is
+    * safe). Group rendered as string in the output.
+    */
+  def exactQuantilesByGroup(df: DataFrame, valueCol: String,
+      groupCol: String, ps: Seq[Double], buckets: Int = 4096,
+      maxCollect: Int = 100000, maxLevels: Int = 8): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p >= 0.0 && p <= 1.0))
+    val spark = df.sparkSession
+    val vals = df
+      .select(col(groupCol).cast("string").as("g"),
+        col(valueCol).cast("double").as("v"))
+      .where(col("v").isNotNull && col("g").isNotNull)
+    final case class GCand(g: String, p: Double, lo: Double, hi: Double,
+        rank: Long, cnt: Long, chain: List[Step], done: Option[Double])
+    val stats = vals.groupBy(col("g"))
+      .agg(count(lit(1)).as("n"), min(col("v")).as("mn"), max(col("v")).as("mx"))
+      .collect()
+    var cands: Seq[GCand] = stats.toSeq.flatMap { r =>
+      val (g, n, mn, mx) =
+        (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3))
+      ps.map { p =>
+        val k = math.max(1L, math.ceil(p * n).toLong)
+        GCand(g, p, mn, mx, k, n, Nil, if (mn == mx) Some(mn) else None)
+      }
+    }
+    var level = 0
+    while (cands.exists(c => c.done.isEmpty && c.cnt > maxCollect) &&
+        level < maxLevels) {
+      val open = cands.zipWithIndex
+        .filter { case (c, _) => c.done.isEmpty && c.cnt > maxCollect }
+      val hitExprs = open.zipWithIndex.map { case ((c, _), pi) =>
+        val w = (c.hi - c.lo) / buckets
+        val b = least(lit(buckets - 1),
+          floor((col("v") - lit(c.lo)) / lit(w)).cast("int"))
+        when(col("g") === lit(c.g) && memberExpr(c.chain),
+          struct(lit(pi).as("pi"), b.as("bk"))).otherwise(lit(null))
+      }
+      val hists = vals
+        .select(explode(filter(array(hitExprs: _*), h => h.isNotNull)).as("h"))
+        .groupBy(col("h.pi"), col("h.bk"))
+        .agg(count(lit(1)).as("c"))
+        .collect()
+        .groupBy(_.getInt(0))
+        .map { case (pi, rows) =>
+          pi -> rows.map(r => r.getInt(1) -> r.getLong(2)).sortBy(_._1)
+        }
+      val refined = open.zipWithIndex.map { case ((c, idx), pi) =>
+        val w = (c.hi - c.lo) / buckets
+        val h = hists.getOrElse(pi, Array.empty[(Int, Long)])
+        var cum = 0L
+        var out: GCand = null
+        var bi = 0
+        while (bi < h.length && out == null) {
+          val (bk, cnt) = h(bi)
+          if (cum + cnt >= c.rank) {
+            val lo2 = c.lo + bk * w
+            val hi2 = if (bk == buckets - 1) c.hi else c.lo + (bk + 1) * w
+            val chain2 = Step(c.lo, w, bk, buckets) :: c.chain
+            out =
+              if (lo2 == hi2)
+                c.copy(lo = lo2, hi = hi2, rank = 1L, cnt = 1L, chain = chain2)
+              else c.copy(lo = lo2, hi = hi2, rank = c.rank - cum, cnt = cnt,
+                chain = chain2)
+          }
+          cum += cnt
+          bi += 1
+        }
+        require(out != null, s"rank ${c.rank} beyond histogram for (${c.g}, ${c.p})")
+        idx -> out
+      }.toMap
+      cands = cands.zipWithIndex.map { case (c, i) => refined.getOrElse(i, c) }
+      level += 1
+    }
+    val open = cands.filter(_.done.isEmpty)
+    val selected: Map[(String, Double), Double] =
+      if (open.isEmpty) Map.empty
+      else {
+        val hit = open.map { c =>
+          when(col("g") === lit(c.g) && memberExpr(c.chain),
+            struct(lit(c.g).as("cg"), lit(c.p).as("p"), col("v").as("v"),
+              lit(c.rank).as("target"))).otherwise(lit(null))
+        }
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("cg"), col("p")).orderBy(col("v"))
+        vals.select(explode(filter(array(hit: _*), h => h.isNotNull)).as("h"))
+          .select(col("h.cg").as("cg"), col("h.p").as("p"),
+            col("h.v").as("v"), col("h.target").as("target"))
+          .withColumn("rk", row_number().over(w))
+          .where(col("rk") === col("target"))
+          .select(col("cg"), col("p"), col("v"))
+          .collect()
+          .map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+      }
+    val results = cands.map { c =>
+      c.done match {
+        case Some(v) => (c.g, c.p, v)
+        case None => (c.g, c.p, selected((c.g, c.p)))
+      }
+    }
+    import spark.implicits._
+    results.toDF("group", "p", "value")
+  }
 }

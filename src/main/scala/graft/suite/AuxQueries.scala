@@ -372,6 +372,50 @@ object AuxQueries {
           (a, x) -> a + x), 6) AS kl
       FROM terms GROUP BY source ORDER BY source"""))
 
+  /** Minimal covering prefix of sources by token mass
+    * (Curation.coverageCutoff at target 0.75) — the "which sources make
+    * 75% of the corpus" audit table behind long-tail dropping. The
+    * oracle replays rank, running share, and the strict before-this-group
+    * crossing rule.
+    */
+  private val q107 = GQuery(
+    (s, d) => graft.scale.Curation.coverageCutoff(T.documents(s, d),
+      "source", graft.scale.TextOps.tokenCount(col("text")), target = 0.75)
+      .orderBy(col("rank")),
+    Some("""WITH w AS (
+        SELECT source AS key,
+          SUM(len(list_filter(string_split_regex(text, '\s+'),
+            x -> len(x) > 0)))::BIGINT AS w
+        FROM documents GROUP BY source),
+      t AS (SELECT SUM(w)::BIGINT AS total FROM w),
+      r AS (
+        SELECT key, w,
+          CAST(ROW_NUMBER() OVER (ORDER BY w DESC, key) AS BIGINT) AS rank,
+          SUM(w) OVER (ORDER BY w DESC, key ROWS UNBOUNDED PRECEDING) AS cum,
+          total
+        FROM w CROSS JOIN t)
+      SELECT key, w, rank, ROUND(cum::DOUBLE / total::DOUBLE, 6) AS cum_share,
+        CAST((cum - w)::DOUBLE < total::DOUBLE * 0.75 AS BIGINT) AS kept
+      FROM r ORDER BY rank"""))
+
+  /** Per-group exact PERCENTILE_DISC (Quantiles.exactQuantilesByGroup):
+    * the bounded-state histogram refinement with one scan per level for
+    * ALL (group, p) candidates — `quantile_disc` per event type is the
+    * oracle (same ⌈p·n⌉ rank rule, exact element equality).
+    */
+  private val q108 = GQuery(
+    (s, d) => graft.scale.Quantiles.exactQuantilesByGroup(T.events(s, d),
+      "value", "event_type", Seq(0.5, 0.9, 0.99))
+      .orderBy(col("group"), col("p")),
+    Some("""SELECT "group", p, value FROM (
+        SELECT event_type AS "group", 0.50::DOUBLE AS p,
+          quantile_disc(value, 0.50) AS value FROM events GROUP BY event_type
+        UNION ALL SELECT event_type, 0.90::DOUBLE,
+          quantile_disc(value, 0.90) FROM events GROUP BY event_type
+        UNION ALL SELECT event_type, 0.99::DOUBLE,
+          quantile_disc(value, 0.99) FROM events GROUP BY event_type)
+      ORDER BY "group", p"""))
+
   def all: Map[String, GQuery] = Map(
     "q94_stream_window_twin" -> q94,
     "q95_tfidf_topk" -> q95,
@@ -386,5 +430,7 @@ object AuxQueries {
     "q104_weighted_sample" -> q104,
     "q105_event_funnel" -> q105,
     "q106_source_kl_drift" -> q106,
+    "q107_coverage_cutoff" -> q107,
+    "q108_group_quantiles" -> q108,
   )
 }

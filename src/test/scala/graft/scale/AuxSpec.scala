@@ -365,6 +365,61 @@ class AuxSpec extends SparkSpec {
     assert(klOf("spam") > klOf("clean"))
   }
 
+  // ---- Curation.coverageCutoff ------------------------------------------
+
+  test("coverage cutoff: crossing group kept, strict-after dropped") {
+    // weights 50/30/15/5: cum shares .5, .8, .95, 1.0 — target .75 keeps
+    // a(0<.75), b(.5<.75), c(.8 ≥ .75 → dropped)
+    val rows = Seq(("a", 50), ("b", 30), ("c", 15), ("d", 5))
+      .flatMap { case (k, n) => Seq.fill(n)((k, 1L)) }
+    val out = Curation.coverageCutoff(rows.toDF("k", "unit"), "k",
+      col("unit"), target = 0.75)
+      .orderBy("rank").as[(String, Long, Long, Double, Long)].collect.toSeq
+    assert(out === Seq(
+      ("a", 50L, 1L, 0.5, 1L),
+      ("b", 30L, 2L, 0.8, 1L),
+      ("c", 15L, 3L, 0.95, 0L),
+      ("d", 5L, 4L, 1.0, 0L)))
+    // target 1.0 keeps everything (cum-before last row < total)
+    val all = Curation.coverageCutoff(rows.toDF("k", "unit"), "k",
+      col("unit"), target = 1.0)
+      .agg(sum("kept")).head().getLong(0)
+    assert(all === 4L)
+  }
+
+  test("coverage cutoff: weight ties rank by key ascending") {
+    val rows = Seq(("x", 10L), ("y", 10L), ("z", 10L)).toDF("k", "w0")
+    val out = Curation.coverageCutoff(rows, "k", col("w0"), target = 0.5)
+      .orderBy("rank").as[(String, Long, Long, Double, Long)].collect.toSeq
+    assert(out.map(_._1) === Seq("x", "y", "z"))
+    assert(out.map(_._5) === Seq(1L, 1L, 0L))  // x: 0<.5, y: 1/3<.5, z: 2/3≥.5
+  }
+
+  // ---- Quantiles.exactQuantilesByGroup ----------------------------------
+
+  test("group quantiles match per-group rank selection incl. refinement") {
+    val rnd = new scala.util.Random(31)
+    val rows = Seq("a", "b", "c").flatMap { g =>
+      Seq.fill(400)((g, rnd.nextDouble() * (if (g == "b") 1e5 else 10)))
+    }
+    val ps = Seq(0.1, 0.5, 0.95)
+    val got = Quantiles.exactQuantilesByGroup(rows.toDF("g", "x"), "x", "g",
+      ps, buckets = 8, maxCollect = 20)
+      .orderBy("group", "p").as[(String, Double, Double)].collect.toSeq
+    val want = rows.groupBy(_._1).toSeq.sortBy(_._1).flatMap { case (g, rs) =>
+      val sorted = rs.map(_._2).sorted
+      ps.map(p => (g, p, disc(sorted, p)))
+    }
+    assert(got === want)
+  }
+
+  test("group quantiles: group sizes differ, singleton group included") {
+    val rows = Seq.tabulate(100)(i => ("big", i.toDouble)) :+ (("one", 42.0))
+    val got = Quantiles.exactQuantilesByGroup(rows.toDF("g", "x"), "x", "g",
+      Seq(0.5)).orderBy("group").as[(String, Double, Double)].collect.toSeq
+    assert(got === Seq(("big", 0.5, 49.0), ("one", 0.5, 42.0)))
+  }
+
   // ---- ORC round trip ---------------------------------------------------
 
   test("orc partitioned sink round-trips rows and prunes partitions") {
