@@ -72,4 +72,29 @@ object Cdc {
       .withColumn("valid_to", lead(col(versionCol), 1).over(w))
       .withColumn("is_current", col("valid_to").isNull)
   }
+
+  /** Incremental maintenance of an ADDITIVE aggregate (materialized-view
+    * delta merge): `base` is the existing per-key aggregate state
+    * (`cntCol` row count + `measureCols` sums), `delta` is a batch in the
+    * SAME shape where inserts carry positive counts/measures and deletes
+    * carry NEGATED ones (retraction records — the standard IVM encoding).
+    * The merge is one keyed shuffle over base ∪ delta, never a rescan of
+    * the fact history; a key whose merged count reaches 0 vanishes
+    * (fully-retracted group). Additivity is the caller's contract: SUM
+    * and COUNT qualify, MIN/MAX do not (a retraction can't un-take a
+    * max — those need the full CDC upsert + recompute path).
+    *
+    * Exactness: measures should already be exact types (longs or
+    * DECIMAL) — that is what makes the merge order-insensitive and the
+    * maintained view bit-equal to a recompute, which q110 certifies.
+    */
+  def mergeAdditiveAggs(base: DataFrame, delta: DataFrame,
+      keyCols: Seq[String], cntCol: String,
+      measureCols: Seq[String]): DataFrame = {
+    val merged = base.unionByName(delta)
+      .groupBy(keyCols.map(col): _*)
+      .agg(sum(col(cntCol)).as(cntCol),
+        measureCols.map(m => sum(col(m)).as(m)): _*)
+    merged.where(col(cntCol) > 0)
+  }
 }

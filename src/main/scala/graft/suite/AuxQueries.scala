@@ -416,6 +416,84 @@ object AuxQueries {
           quantile_disc(value, 0.99) FROM events GROUP BY event_type)
       ORDER BY "group", p"""))
 
+  /** Native `session_window` gap-merge (Spark's first-class session
+    * operator, usable batch AND streaming): 30-minute-gap user sessions
+    * with end = last event + gap. The merge boundary is CLOSED — an event
+    * exactly `gap` after the previous one still merges (AuxSpec pins
+    * this), i.e. the same `diff > gap ⇒ new session` rule as q13's lag
+    * islands; what q109 adds over q13 is the first-class operator and the
+    * (start, end = last + gap) window payload. The oracle is the islands
+    * formulation with the matching strict-> boundary.
+    */
+  private val q109 = GQuery(
+    (s, d) => T.events(s, d)
+      .groupBy(session_window(col("ts"), "30 minutes").as("sw"),
+        col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double")
+          .as("session_value"))
+      .select(col("user_id"), unix_micros(col("sw.start")).as("start_us"),
+        unix_micros(col("sw.end")).as("end_us"), col("n_events"),
+        col("session_value"))
+      .orderBy(col("user_id"), col("start_us")),
+    Some("""WITH flagged AS (
+        SELECT user_id, ts, value,
+          CASE WHEN LAG(epoch_us(ts)) OVER w IS NULL
+            OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800000000
+          THEN 1 ELSE 0 END AS new_session
+        FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+      sessions AS (
+        SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        FROM flagged)
+      SELECT user_id, MIN(epoch_us(ts)) AS start_us,
+        MAX(epoch_us(ts)) + 1800000000 AS end_us,
+        COUNT(*) AS n_events,
+        CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
+      FROM sessions GROUP BY user_id, sid ORDER BY user_id, start_us"""))
+
+  /** Incremental aggregate maintenance (Cdc.mergeAdditiveAggs): a
+    * per-customer order-count/total view maintained by merging a delta
+    * batch (inserts positive, deletes as retraction records) against the
+    * BASE AGGREGATE — no fact-history rescan. The oracle recomputes the
+    * view from the modified fact multiset: hash-match certifies
+    * maintained ≡ recomputed, including fully-retracted keys vanishing.
+    */
+  private val q110 = GQuery(
+    (s, d) => {
+      val fact = T.orders(s, d).select(col("o_custkey"),
+        col("o_totalprice").cast("decimal(18,2)").as("price"))
+      val base = fact.groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n"), sum(col("price")).as("total"))
+        .select(col("o_custkey"), col("n"),
+          col("total").cast("decimal(30,2)").as("total"))
+      val delta = fact.where(col("o_custkey") % 17 === 0)
+          .withColumn("sign", lit(1L))
+        .unionByName(fact.where(col("o_custkey") % 13 === 0)
+          .withColumn("sign", lit(-1L)))
+        .groupBy(col("o_custkey"))
+        .agg(sum(col("sign")).as("n"),
+          sum(col("price") * col("sign")).as("total"))
+        .select(col("o_custkey"), col("n"),
+          col("total").cast("decimal(30,2)").as("total"))
+      graft.scale.Cdc.mergeAdditiveAggs(base, delta,
+          Seq("o_custkey"), "n", Seq("total"))
+        .select(col("o_custkey"), col("n"),
+          col("total").cast("double").as("total"))
+        .orderBy(col("o_custkey"))
+    },
+    Some("""WITH fact AS (
+        SELECT o_custkey, CAST(o_totalprice AS DECIMAL(18,2)) AS price
+        FROM orders),
+      modified AS (
+        SELECT o_custkey, price, 1 AS sign FROM fact
+        UNION ALL SELECT o_custkey, price, 1 FROM fact WHERE o_custkey % 17 = 0
+        UNION ALL SELECT o_custkey, price, -1 FROM fact WHERE o_custkey % 13 = 0)
+      SELECT o_custkey, CAST(SUM(sign) AS BIGINT) AS n,
+        CAST(SUM(price * sign) AS DOUBLE) AS total
+      FROM modified GROUP BY o_custkey
+      HAVING SUM(sign) > 0 ORDER BY o_custkey"""))
+
   def all: Map[String, GQuery] = Map(
     "q94_stream_window_twin" -> q94,
     "q95_tfidf_topk" -> q95,
@@ -432,5 +510,7 @@ object AuxQueries {
     "q106_source_kl_drift" -> q106,
     "q107_coverage_cutoff" -> q107,
     "q108_group_quantiles" -> q108,
+    "q109_session_window" -> q109,
+    "q110_incremental_agg" -> q110,
   )
 }

@@ -420,6 +420,40 @@ class AuxSpec extends SparkSpec {
     assert(got === Seq(("big", 0.5, 49.0), ("one", 0.5, 42.0)))
   }
 
+  // ---- Cdc.mergeAdditiveAggs --------------------------------------------
+
+  test("additive agg merge: insert, retract, vanish-at-zero, untouched") {
+    val base = Seq((1L, 2L, 10L), (2L, 1L, 5L), (3L, 3L, 30L))
+      .toDF("k", "n", "total")
+    val delta = Seq(
+      (1L, 1L, 7L),     // insert into existing key
+      (2L, -1L, -5L),   // full retraction -> key vanishes
+      (3L, -1L, -10L),  // partial retraction
+      (9L, 2L, 4L))     // brand-new key
+      .toDF("k", "n", "total")
+    val out = Cdc.mergeAdditiveAggs(base, delta, Seq("k"), "n", Seq("total"))
+      .orderBy("k").as[(Long, Long, Long)].collect.toSeq
+    assert(out === Seq((1L, 3L, 17L), (3L, 2L, 20L), (9L, 2L, 4L)))
+  }
+
+  // ---- session_window boundary semantics (q109) -------------------------
+
+  test("session_window boundary: merges at exactly the gap, splits past it") {
+    def ts(m: Int) = new java.sql.Timestamp(
+      java.sql.Timestamp.valueOf("2024-01-01 10:00:00").getTime + m * 60000L)
+    def sessionsOf(rows: Seq[(Long, java.sql.Timestamp, Double)]): Seq[Long] =
+      rows.toDF("user_id", "ts", "value")
+        .groupBy(session_window(col("ts"), "30 minutes").as("sw"),
+          col("user_id"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("sw.start"))
+        .collect().map(_.getLong(2)).toSeq
+    // diff == gap merges (closed boundary — q13's strict-> rule)
+    assert(sessionsOf(Seq((1L, ts(0), 1.0), (1L, ts(30), 2.0))) === Seq(2L))
+    // one past the gap splits
+    assert(sessionsOf(Seq((1L, ts(0), 1.0), (1L, ts(31), 2.0))) === Seq(1L, 1L))
+  }
+
   // ---- ORC round trip ---------------------------------------------------
 
   test("orc partitioned sink round-trips rows and prunes partitions") {
