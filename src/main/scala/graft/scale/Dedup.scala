@@ -766,10 +766,22 @@ object Dedup {
     * ground truth at threshold 0.4 on the test corpus).
     *
     * Returns (id_a, id_b, cosine) with id_a < id_b, cosine >= threshold.
+    *
+    * `nRows` (when the caller knows it — q39 reads parquet footers):
+    * verification joins the candidate-pair stream back to the vectors by
+    * id, and AQE cannot pick broadcast there on its own — the shared
+    * shuffle erases plan statistics, and even with stats the corpus sits
+    * above the 10 MB default threshold long before it stops fitting in an
+    * executor. Left as sort-merge, BOTH verify joins sort the multi-10M-
+    * row candidate stream; that cliff measured 57 s vs ~20 s at the sf1
+    * probe (the r8→r9 exponent drift from 1.19 to 1.37 was exactly the
+    * vector table crossing 10 MB). With nRows given and n·dim·8 ≤ 256 MB
+    * the vector side is broadcast explicitly — trivially held by any real
+    * executor; beyond that the sort-merge shape is the correct one.
     */
   def embeddingDupPairs(df: DataFrame, idCol: String, vecCol: String,
       dim: Int, threshold: Double, bits: Int = 4, tables: Int = 16,
-      multiProbe: Boolean = true): DataFrame = {
+      multiProbe: Boolean = true, nRows: Option[Long] = None): DataFrame = {
     val v0 = df.select(col(idCol).as("id"), Similarity.toDouble(col(vecCol)).as("v"))
     // one native-kernel array column for all table signatures (janino-safe,
     // compiled once — see Similarity.sigsNative). Read by the home-bucket
@@ -808,9 +820,12 @@ object Dedup {
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
       .distinct()
     val vv = v.select(col("id"), col("v"))
+    // see the nRows scaladoc: explicit broadcast under 256 MB of vectors
+    val bc: DataFrame => DataFrame =
+      if (nRows.exists(n => n * dim * 8L <= (256L << 20))) broadcast else identity
     candidates
-      .join(vv.withColumnRenamed("id", "id_a").withColumnRenamed("v", "v_a"), "id_a")
-      .join(vv.withColumnRenamed("id", "id_b").withColumnRenamed("v", "v_b"), "id_b")
+      .join(bc(vv.withColumnRenamed("id", "id_a").withColumnRenamed("v", "v_a")), "id_a")
+      .join(bc(vv.withColumnRenamed("id", "id_b").withColumnRenamed("v", "v_b")), "id_b")
       .withColumn("cosine", Similarity.cosineNative(col("v_a"), col("v_b")))
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))

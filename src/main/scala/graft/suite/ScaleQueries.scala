@@ -596,7 +596,7 @@ object ScaleQueries {
         math.log(n / 32.0) / math.log(2.0)).toInt)
       Dedup.embeddingDupPairs(T.embeddings(s, d), "vec_id", "embedding",
         dim = EmbeddingDim, threshold = 0.4, bits = bits, tables = 16,
-        multiProbe = true)
+        multiProbe = true, nRows = Some(n))
         .orderBy(col("id_a"), col("id_b"))
     },
     Some {
