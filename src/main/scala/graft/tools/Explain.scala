@@ -70,7 +70,10 @@ object Explain {
       "q103_fuzzy_word_pairs", // deletion-variant bucket join + levenshtein verify
       "q104_weighted_sample",  // narrow score map + TakeOrderedAndProject
       "q105_event_funnel",     // per-stage filtered MIN aggs, user-keyed joins
-      "q106_source_kl_drift")  // bucket counts + generated grid + pinned fold
+      "q106_source_kl_drift",  // bucket counts + generated grid + pinned fold
+      "q107_coverage_cutoff",  // combined agg -> tiny-frame rank/cumsum window
+      "q109_session_window",   // native gap-merge session operator
+      "q110_incremental_agg")  // base-agg ∪ delta one-shuffle merge
 
     val sb = new StringBuilder
     sb.append("# EXPLAIN — flagship physical plans\n\n")
