@@ -494,6 +494,32 @@ object AuxQueries {
       FROM modified GROUP BY o_custkey
       HAVING SUM(sign) > 0 ORDER BY o_custkey"""))
 
+  /** Hopping (sliding) windows — `window(ts, "1 hour", "30 minutes")`:
+    * every event lands in exactly TWO overlapping hour windows whose
+    * starts are the two 30-minute-aligned instants covering it. Same
+    * batch≡stream duality as q94 (the expression is watermark-ready);
+    * the oracle materializes the double emission explicitly
+    * (time_bucket − offset·30min for offset ∈ {0, 1}).
+    */
+  private val q111 = GQuery(
+    (s, d) => T.events(s, d)
+      .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double")
+          .as("total_value"))
+      .select(unix_micros(col("w.start")).as("window_start_us"),
+        col("event_type"), col("n"), col("total_value"))
+      .orderBy(col("window_start_us"), col("event_type")),
+    Some("""WITH hopped AS (
+        SELECT epoch_us(time_bucket(INTERVAL '30 minutes', ts))
+            - o * 1800000000 AS window_start_us,
+          event_type, value
+        FROM events CROSS JOIN (SELECT unnest(range(0, 2)) AS o))
+      SELECT window_start_us, event_type, COUNT(*)::BIGINT AS n,
+        CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      FROM hopped GROUP BY 1, 2 ORDER BY 1, 2"""))
+
   def all: Map[String, GQuery] = Map(
     "q94_stream_window_twin" -> q94,
     "q95_tfidf_topk" -> q95,
@@ -512,5 +538,6 @@ object AuxQueries {
     "q108_group_quantiles" -> q108,
     "q109_session_window" -> q109,
     "q110_incremental_agg" -> q110,
+    "q111_hopping_window" -> q111,
   )
 }

@@ -454,6 +454,25 @@ class AuxSpec extends SparkSpec {
     assert(sessionsOf(Seq((1L, ts(0), 1.0), (1L, ts(31), 2.0))) === Seq(1L, 1L))
   }
 
+  // ---- hopping windows (q111) -------------------------------------------
+
+  test("hopping 1h/30m window: every event lands in exactly two windows") {
+    def ts(m: Int) = new java.sql.Timestamp(
+      java.sql.Timestamp.valueOf("2024-01-01 10:17:00").getTime + m * 60000L)
+    val ev = Seq((ts(0), "a", 1.0), (ts(40), "a", 2.0)).toDF("ts", "et", "value")
+    val out = ev.groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"),
+        col("et"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").cast("string"), col("n"))
+      .orderBy(col("w.start")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    // 10:17 -> windows starting 09:30, 10:00; 10:57 -> 10:00, 10:30
+    assert(out === Seq(
+      ("2024-01-01 09:30:00", 1L),
+      ("2024-01-01 10:00:00", 2L),
+      ("2024-01-01 10:30:00", 1L)))
+  }
+
   // ---- ORC round trip ---------------------------------------------------
 
   test("orc partitioned sink round-trips rows and prunes partitions") {
