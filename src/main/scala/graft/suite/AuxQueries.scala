@@ -520,6 +520,40 @@ object AuxQueries {
         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
       FROM hopped GROUP BY 1, 2 ORDER BY 1, 2"""))
 
+  /** Small-file compaction round trip (Layout.compact): lineitem written
+    * deliberately as 64 small files, compacted to byte-sized,
+    * range-clustered-by-orderkey output, read back THROUGH the compacted
+    * files, filtered and aggregated. The oracle runs the same filtered
+    * aggregate on the raw table — a hash-match certifies the rewrite is
+    * content-lossless end to end (LayoutSpec separately asserts the file
+    * count shrinks and the sorted layout keeps pruning).
+    */
+  private val q112 = GQuery(
+    (s, d) => {
+      val dir = s"${sys.props("java.io.tmpdir")}/graft_cmp_${java.lang.Integer.toHexString(d.hashCode)}"
+      T.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_returnflag"))
+        .repartition(64)
+        .write.mode("overwrite").parquet(s"$dir/small")
+      graft.scale.Layout.compact(s, s"$dir/small", s"$dir/compacted",
+        targetFileBytes = 8L << 20, sortCol = Some("l_orderkey"))
+      s.read.parquet(s"$dir/compacted")
+        .where(col("l_orderkey") % 10 === 0)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
+            .as("total_qty"),
+          min(col("l_orderkey")).as("min_key"),
+          max(col("l_orderkey")).as("max_key"))
+        .orderBy(col("l_returnflag"))
+    },
+    Some("""SELECT l_returnflag, COUNT(*)::BIGINT AS n,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty,
+        MIN(l_orderkey) AS min_key, MAX(l_orderkey) AS max_key
+      FROM lineitem WHERE l_orderkey % 10 = 0
+      GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
   def all: Map[String, GQuery] = Map(
     "q94_stream_window_twin" -> q94,
     "q95_tfidf_topk" -> q95,
@@ -539,5 +573,6 @@ object AuxQueries {
     "q109_session_window" -> q109,
     "q110_incremental_agg" -> q110,
     "q111_hopping_window" -> q111,
+    "q112_compaction_roundtrip" -> q112,
   )
 }
