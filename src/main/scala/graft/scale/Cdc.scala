@@ -73,6 +73,51 @@ object Cdc {
       .withColumn("is_current", col("valid_to").isNull)
   }
 
+  /** Diff two snapshots of a keyed table into a change set: one row per key
+    * that was inserted (`I`: in new only), deleted (`D`: in old only), or
+    * updated (`U`: in both, any `compareCols` value differs). The inverse
+    * of [[upsert]] — upserting the diff onto the old snapshot reproduces
+    * the new one — and the standard way to BACKFILL a change feed between
+    * two full exports when no CDC log exists (audits, vendor drops,
+    * migration cutovers).
+    *
+    * Output: `keyCols` + `change_type` + `compareCols` (new-side values for
+    * I/U, old-side values for D — the state a consumer must converge to).
+    * Unchanged keys are dropped, so the result is delta-sized.
+    *
+    * One full-outer sort-merge join on the key — both snapshots shuffle
+    * once. On a lakehouse deployment both exports are bucketed on the key
+    * ([[Bucketing]]), making the join exchange-free; comparison is a
+    * per-row struct equality (null-safe `<=>` per column), so the reduce
+    * side streams. Callers should project `compareCols` down to the
+    * audited columns — diffing a 100-column table on 3 business columns
+    * must not shuffle the other 97.
+    */
+  def snapshotDiff(oldSnap: DataFrame, newSnap: DataFrame,
+      keyCols: Seq[String], compareCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty, "snapshotDiff needs at least one key column")
+    require(compareCols.nonEmpty, "snapshotDiff needs compare columns")
+    val o = oldSnap.select((keyCols ++ compareCols).map(col): _*)
+      .withColumn("__o", lit(1))
+    val n = newSnap.select((keyCols ++ compareCols).map(col): _*)
+      .withColumn("__n", lit(1))
+    val joined = o.as("o").join(n.as("n"), keyCols, "full_outer")
+    val changed = compareCols
+      .map(c => !(col(s"o.$c") <=> col(s"n.$c")))
+      .reduce(_ || _)
+    joined
+      .withColumn("change_type",
+        when(col("__o").isNull, lit("I"))
+          .when(col("__n").isNull, lit("D"))
+          .when(changed, lit("U")))
+      .where(col("change_type").isNotNull)
+      .select(keyCols.map(col) ++
+        Seq(col("change_type")) ++
+        compareCols.map(c =>
+          when(col("change_type") === "D", col(s"o.$c"))
+            .otherwise(col(s"n.$c")).as(c)): _*)
+  }
+
   /** Incremental maintenance of an ADDITIVE aggregate (materialized-view
     * delta merge): `base` is the existing per-key aggregate state
     * (`cntCol` row count + `measureCols` sums), `delta` is a batch in the

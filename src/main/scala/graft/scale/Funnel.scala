@@ -56,4 +56,33 @@ object Funnel {
       .reduce(_ + _)
     withTimes.withColumn("stage", stageCount.cast("long"))
   }
+
+  /** Cohort retention matrix: users grouped by the day of their FIRST
+    * event (the cohort), counted on each subsequent day they were active.
+    * One row per (cohort_day, age_days) with the distinct active-user
+    * count — the classic retention triangle, and the usage-decay signal
+    * a data-mix scheduler reads per source/feature cohort.
+    *
+    * Shape: the (user, day) activity set collapses FIRST (distinct over
+    * narrow rows — at 100 TB this is the big shuffle and it is map-side
+    * combinable); cohorts are a per-user MIN over that already-collapsed
+    * set (no second pass over raw events); the final count groups
+    * (cohort, age) pairs bounded by users × active days. The cohort
+    * join is user-keyed and co-partitioned with the activity set after
+    * AQE. Never `count(DISTINCT user)` over raw events — the distinct
+    * pre-collapse IS the partial aggregation.
+    */
+  def cohortRetention(events: DataFrame, userCol: String,
+      tsCol: String): DataFrame = {
+    val activity = events
+      .select(col(userCol).as("user_id"),
+        date_trunc("day", col(tsCol)).as("day"))
+      .distinct()
+    val cohorts = activity.groupBy(col("user_id"))
+      .agg(min(col("day")).as("cohort_day"))
+    activity.join(cohorts, Seq("user_id"))
+      .groupBy(col("cohort_day"),
+        datediff(col("day"), col("cohort_day")).cast("long").as("age_days"))
+      .agg(count(lit(1)).as("n_users"))
+  }
 }

@@ -108,6 +108,40 @@ object Streaming {
       key: Seq[String]): DataFrame =
     stream.join(org.apache.spark.sql.functions.broadcast(dim), key)
 
+  /** Event-time interval join: pair each left event with the right-side
+    * events of the same key whose timestamp falls in
+    * `[l.ts − lookbackMinutes, l.ts]` — the attribution shape (purchase ←
+    * preceding clicks, alert ← preceding sensor readings).
+    *
+    * The SAME function builds the batch and the stream-stream plan. For
+    * streaming inputs both sides must carry `withWatermark` (the caller
+    * sets them — watermark choice is a latency/completeness policy, not
+    * join logic); the time-bound predicate is exactly what Spark's
+    * stream-stream join requires to EVICT state: right-side rows age out
+    * once the left watermark passes their ts + lookback, so state is
+    * bounded by rate × lookback per key, corpus-size-independent. Without
+    * the bound Spark rejects the streaming join outright — the batch twin
+    * keeps the bound in the join condition so both plans are one
+    * expression (q119 oracle-certifies it; StreamingSpec asserts the
+    * stream form converges to it).
+    *
+    * Batch shape: an equi-join on the key with a range residual — one
+    * keyed shuffle per side, the range filter applied in the join's
+    * post-condition. Heavily-skewed keys ride AQE skew-join; a keyless
+    * variant would be a pure range join and should go through
+    * [[graft.plans.RangeJoinRewrite]] instead.
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame, keyCol: String,
+      leftTs: String, rightTs: String, lookbackMinutes: Int): DataFrame = {
+    val l = left.alias("l")
+    val r = right.alias("r")
+    l.join(r,
+      col(s"l.$keyCol") === col(s"r.$keyCol") &&
+        col(s"r.$rightTs") <= col(s"l.$leftTs") &&
+        col(s"r.$rightTs") >=
+          col(s"l.$leftTs") - expr(s"INTERVAL $lookbackMinutes MINUTES"))
+  }
+
   /** Stateful sessionization with flatMapGroupsWithState: a session closes
     * when `gapMinutes` of event time pass with no event — either observed
     * in-batch (next event arrives past the gap) or via event-time timeout

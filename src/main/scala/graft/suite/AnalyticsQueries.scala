@@ -1,0 +1,436 @@
+package graft.suite
+
+import org.apache.spark.sql.functions._
+import graft.core.{GQuery, Tables => T}
+
+/** Round-9 analytics/maintenance breadth: CUBE grouping sets (q113), the
+  * ranking-window function family (q114), time-series resample + forward
+  * fill (q115), snapshot diff (q116), winsorization (q117), int8 embedding
+  * quantization (q118), the event-time interval join's batch twin (q119),
+  * bounded-window EWMA (q120), deterministic PageRank (q121), cohort
+  * retention (q122), Markov transitions (q123), quantile discretization
+  * (q124), and the TopKPerGroup-backed per-group sample (q125).
+  */
+object AnalyticsQueries {
+
+  /** CUBE over (returnflag, linestatus) with `grouping_id` — the
+    * grouping-sets family (ROLLUP's generalization; q30 covers ROLLUP).
+    * One Expand + one hash aggregate: at 100 TB a d-column cube multiplies
+    * the aggregate input ×2^d, so keep cubes to the 2-3 dashboard
+    * dimensions and pre-filter columns — the same Expand-cost reasoning
+    * that makes exact multi-column profiling (q70) opt-in. Rolled-up
+    * NULLs are sentinel-coalesced so the driver's column sort never
+    * compares null cells.
+    */
+  private val q113 = GQuery(
+    (s, d) => T.lineitem(s, d)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(grouping_id().as("gid"),
+        count(lit(1)).as("n"),
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
+          .as("sum_qty"))
+      .select(coalesce(col("l_returnflag"), lit("(all)")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("(all)")).as("linestatus"),
+        col("gid"), col("n"), col("sum_qty"))
+      .orderBy(col("gid"), col("returnflag"), col("linestatus")),
+    Some("""SELECT COALESCE(l_returnflag, '(all)') AS returnflag,
+        COALESCE(l_linestatus, '(all)') AS linestatus,
+        CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+        COUNT(*)::BIGINT AS n,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+      ORDER BY gid, returnflag, linestatus"""))
+
+  /** The ranking-window family beyond W1-W3: lag delta, percent_rank,
+    * ntile, cume_dist over one per-user event-time window. All four share
+    * a single window spec, so the plan is ONE keyed exchange + one sort —
+    * adding functions to the same spec is free; a second spec would be a
+    * second sort. percent_rank/cume_dist are exact integer-quotient
+    * doubles; the unique (ts, event_id) tiebreak makes every output
+    * deterministic.
+    */
+  private val q114 = GQuery(
+    (s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      T.events(s, d)
+        .select(col("event_id"), col("user_id"),
+          lag(col("value"), 1).over(w).isNotNull.as("has_prev"),
+          coalesce(col("value") - lag(col("value"), 1).over(w), lit(0d))
+            .as("delta"),
+          percent_rank().over(w).as("pr"),
+          ntile(4).over(w).cast("long").as("nt"),
+          cume_dist().over(w).as("cd"))
+        .orderBy(col("event_id"))
+    },
+    Some("""SELECT event_id, user_id,
+        (lag(value) OVER w IS NOT NULL) AS has_prev,
+        COALESCE(value - lag(value) OVER w, 0.0) AS delta,
+        percent_rank() OVER w AS pr,
+        CAST(ntile(4) OVER w AS BIGINT) AS nt,
+        cume_dist() OVER w AS cd
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      ORDER BY event_id"""))
+
+  /** Daily resample + forward fill of the purchase value stream per user
+    * (TimeSeries.resampleFfill): constructional gap fill — each observed
+    * bucket emits itself plus its trailing gap run via lead+sequence, no
+    * grid join. The oracle replays the bucket mean (DECIMAL sum, double
+    * divide, 6dp round) and the generate_series expansion exactly.
+    */
+  private val q115 = GQuery(
+    (s, d) => graft.scale.TimeSeries
+      .resampleFfill(
+        T.events(s, d).where(col("event_type") === "purchase"),
+        "ts", "user_id", "value", unit = "day")
+      .select(col("user_id"), unix_micros(col("bucket")).as("bucket_us"),
+        col("value_ffill"), col("is_gap"))
+      .orderBy(col("user_id"), col("bucket_us")),
+    Some("""WITH agged AS (
+        SELECT user_id, date_trunc('day', ts) AS bucket,
+          round(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+            / COUNT(*), 6) AS bucket_mean
+        FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+      led AS (
+        SELECT *, lead(bucket) OVER (PARTITION BY user_id ORDER BY bucket)
+          AS nxt
+        FROM agged),
+      grid AS (
+        SELECT user_id, bucket_mean, bucket,
+          unnest(generate_series(bucket,
+            coalesce(nxt - INTERVAL 1 DAY, bucket), INTERVAL 1 DAY)) AS b
+        FROM led)
+      SELECT user_id, epoch_us(b) AS bucket_us,
+        bucket_mean AS value_ffill, (b <> bucket) AS is_gap
+      FROM grid ORDER BY user_id, bucket_us"""))
+
+  /** Snapshot diff (Cdc.snapshotDiff): change feed between two full
+    * exports, no CDC log required. The two versions are derived from
+    * orders by deterministic key arithmetic (drop keys ≡0 mod 10 from v1,
+    * ≡1 mod 10 from v2, bump price on keys ≡0 mod 7) so both engines
+    * construct identical inputs; the oracle replays the full-outer
+    * classification.
+    */
+  private val q116 = GQuery(
+    (s, d) => {
+      val o = T.orders(s, d)
+      val v1 = o.where(col("o_orderkey") % 10 =!= 0)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      val v2 = o.where(col("o_orderkey") % 10 =!= 1)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          when(col("o_orderkey") % 7 === 0, col("o_totalprice") + 1.5d)
+            .otherwise(col("o_totalprice")).as("o_totalprice"))
+      graft.scale.Cdc.snapshotDiff(v1, v2, Seq("o_orderkey"),
+          Seq("o_orderstatus", "o_totalprice"))
+        .orderBy(col("o_orderkey"))
+    },
+    Some("""WITH v1 AS (
+        SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        WHERE o_orderkey % 10 <> 0),
+      v2 AS (
+        SELECT o_orderkey, o_orderstatus,
+          CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1.5
+               ELSE o_totalprice END AS o_totalprice
+        FROM orders WHERE o_orderkey % 10 <> 1),
+      j AS (
+        SELECT COALESCE(v1.o_orderkey, v2.o_orderkey) AS o_orderkey,
+          CASE WHEN v1.o_orderkey IS NULL THEN 'I'
+               WHEN v2.o_orderkey IS NULL THEN 'D'
+               WHEN v1.o_orderstatus IS DISTINCT FROM v2.o_orderstatus
+                 OR v1.o_totalprice IS DISTINCT FROM v2.o_totalprice
+               THEN 'U' END AS change_type,
+          CASE WHEN v2.o_orderkey IS NULL THEN v1.o_orderstatus
+               ELSE v2.o_orderstatus END AS o_orderstatus,
+          CASE WHEN v2.o_orderkey IS NULL THEN v1.o_totalprice
+               ELSE v2.o_totalprice END AS o_totalprice
+        FROM v1 FULL OUTER JOIN v2 ON v1.o_orderkey = v2.o_orderkey)
+      SELECT * FROM j WHERE change_type IS NOT NULL
+      ORDER BY o_orderkey"""))
+
+  /** Winsorization stats per event type (Features.winsorizeStats):
+    * exact [p05, p95] bounds, clip counts, and the DECIMAL-summed clipped
+    * total. Percentile parity with DuckDB's quantile_cont is the q31
+    * contract; bounds are 4dp-rounded on both sides.
+    */
+  private val q117 = GQuery(
+    (s, d) => graft.scale.Features
+      .winsorizeStats(
+        T.events(s, d).select(col("event_type"), col("value")),
+        "event_type", "value", 0.05, 0.95)
+      .orderBy(col("event_type")),
+    Some("""WITH b AS (
+        SELECT event_type, ROUND(quantile_cont(value, 0.05), 4) AS lo,
+          ROUND(quantile_cont(value, 0.95), 4) AS hi
+        FROM events GROUP BY event_type)
+      SELECT e.event_type, COUNT(*)::BIGINT AS n,
+        SUM(CASE WHEN e.value < b.lo THEN 1 ELSE 0 END)::BIGINT
+          AS n_clipped_lo,
+        SUM(CASE WHEN e.value > b.hi THEN 1 ELSE 0 END)::BIGINT
+          AS n_clipped_hi,
+        MIN(b.lo) AS lo, MIN(b.hi) AS hi,
+        CAST(SUM(CAST(least(greatest(e.value, b.lo), b.hi)
+          AS DECIMAL(18,4))) AS DOUBLE) AS clipped_sum
+      FROM events e JOIN b USING (event_type)
+      GROUP BY e.event_type ORDER BY e.event_type"""))
+
+  /** Int8 embedding quantization (Features.quantizeInt8Stats): per-vector
+    * code checksums + exact max reconstruction error. Every step is an
+    * exact-rounded IEEE op (see the operator's arithmetic contract), so
+    * the oracle hash-matches raw doubles with no rounding.
+    */
+  private val q118 = GQuery(
+    (s, d) => graft.scale.Features
+      .quantizeInt8Stats(T.embeddings(s, d), "vec_id", "embedding")
+      .orderBy(col("vec_id")),
+    Some("""WITH e AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings),
+      m AS (SELECT vec_id, v,
+        list_max(list_transform(v, x -> abs(x))) AS maxabs FROM e),
+      q AS (SELECT vec_id, v, maxabs,
+          CASE WHEN maxabs = 0 THEN list_transform(v, x -> CAST(0 AS BIGINT))
+               ELSE list_transform(v,
+                 x -> CAST(floor(x / (maxabs/127.0) + 0.5) AS BIGINT))
+          END AS qv
+        FROM m)
+      SELECT vec_id, maxabs/127.0 AS scale,
+        CAST(list_sum(qv) AS BIGINT) AS q_sum,
+        CAST(list_sum(list_transform(qv, x -> abs(x))) AS BIGINT) AS q_l1,
+        CAST(list_min(qv) AS BIGINT) AS q_min,
+        CAST(list_max(qv) AS BIGINT) AS q_max,
+        CASE WHEN maxabs = 0 THEN 0.0
+             ELSE list_max(list_transform(list_zip(qv, v),
+               p -> abs(p[1] * (maxabs/127.0) - p[2]))) END AS max_err
+      FROM q ORDER BY vec_id"""))
+
+  /** Batch twin of the stream-stream event-time interval join
+    * (Streaming.intervalJoin): purchases attributed to same-user clicks
+    * in the preceding 30 minutes, aggregated per purchase. The SAME
+    * function builds the streaming plan (watermarks added by the caller);
+    * StreamingSpec asserts stream ≡ batch, so the streaming join is
+    * transitively oracle-certified — the q94 pattern applied to joins.
+    */
+  private val q119 = GQuery(
+    (s, d) => {
+      val ev = T.events(s, d)
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"),
+          col("ts").as("click_ts"))
+      graft.streaming.Streaming
+        .intervalJoin(purchases, clicks, "user_id", "ts", "click_ts", 30)
+        .groupBy(col("l.event_id").as("purchase_id"),
+          unix_micros(col("l.ts")).as("purchase_ts_us"))
+        .agg(count(lit(1)).as("n_prior_clicks"),
+          max(unix_micros(col("r.click_ts"))).as("last_click_us"))
+        .orderBy(col("purchase_id"))
+    },
+    Some("""SELECT p.event_id AS purchase_id, epoch_us(p.ts) AS purchase_ts_us,
+        COUNT(*)::BIGINT AS n_prior_clicks,
+        MAX(epoch_us(c.ts)) AS last_click_us
+      FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        ON p.user_id = c.user_id AND c.ts <= p.ts
+          AND c.ts >= p.ts - INTERVAL 30 MINUTES
+      GROUP BY 1, 2 ORDER BY 1"""))
+
+  /** Bounded-window EWMA per user over the purchase stream
+    * (TimeSeries.ewmaBounded, α = 0.5, window 8): the distributable form
+    * of the recursive EWMA (sequential state → a window-frame fold). The
+    * oracle replays the pinned left folds over the identical frame list.
+    */
+  private val q120 = GQuery(
+    (s, d) => graft.scale.TimeSeries
+      .ewmaBounded(
+        T.events(s, d).where(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("ts"), col("value")),
+        "user_id", Seq("ts", "event_id"), "value",
+        alpha = 0.5, window = 8)
+      .select(col("event_id"), col("user_id"), col("ewma"))
+      .orderBy(col("event_id")),
+    Some("""WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+      arrs AS (
+        SELECT event_id, user_id,
+          list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS arr
+        FROM p)
+      SELECT event_id, user_id,
+        round(
+          list_reduce(list_transform(arr, (x, i) ->
+            x * pow(0.5::DOUBLE, CAST(len(arr) - i AS DOUBLE))),
+            (a, b) -> a + b) /
+          list_reduce(list_transform(arr, (x, i) ->
+            pow(0.5::DOUBLE, CAST(len(arr) - i AS DOUBLE))),
+            (a, b) -> a + b), 6) AS ewma
+      FROM arrs ORDER BY event_id"""))
+
+  /** Deterministic PageRank (Graph.pageRank, 2 iterations, damping 85%)
+    * over a link graph derived from lineitem by key arithmetic — both
+    * engines construct identical edges. Ranks are fixed-point 10^-12
+    * integer units (see the operator's determinism contract: float
+    * formulations die on round-tie alignment between engines); the
+    * oracle unrolls both iterations in the same integer arithmetic, so a
+    * hash-match certifies the whole chain (the q97 training-loop pattern
+    * applied to graphs).
+    */
+  private val q121 = GQuery(
+    (s, d) => {
+      val edges = T.lineitem(s, d)
+        .select((col("l_orderkey") % 200).as("src"),
+          (col("l_partkey") % 200).as("dst"))
+        .distinct()
+      graft.scale.Graph.pageRank(edges, "src", "dst", iters = 2)
+        .orderBy(col("id"))
+    },
+    Some("""WITH e AS (
+        SELECT DISTINCT l_orderkey % 200 AS src, l_partkey % 200 AS dst
+        FROM lineitem),
+      nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+      nn AS (SELECT COUNT(*)::BIGINT AS n FROM nodes),
+      deg AS (SELECT src, COUNT(*)::BIGINT AS d FROM e GROUP BY src),
+      r0 AS (SELECT id, 1000000000000 // nn.n AS r
+             FROM nodes CROSS JOIN nn),
+      c1 AS (SELECT e.dst AS id, r0.r // deg.d AS c
+             FROM e JOIN r0 ON e.src = r0.id JOIN deg ON e.src = deg.src),
+      s1 AS (SELECT id, CAST(SUM(c) AS BIGINT) AS s FROM c1 GROUP BY id),
+      r1 AS (SELECT nodes.id, (150000000000 // nn.n) +
+               ((85 * COALESCE(s1.s, 0)) // 100) AS r
+             FROM nodes CROSS JOIN nn LEFT JOIN s1 ON nodes.id = s1.id),
+      c2 AS (SELECT e.dst AS id, r1.r // deg.d AS c
+             FROM e JOIN r1 ON e.src = r1.id JOIN deg ON e.src = deg.src),
+      s2 AS (SELECT id, CAST(SUM(c) AS BIGINT) AS s FROM c2 GROUP BY id),
+      r2 AS (SELECT nodes.id, (150000000000 // nn.n) +
+               ((85 * COALESCE(s2.s, 0)) // 100) AS r
+             FROM nodes CROSS JOIN nn LEFT JOIN s2 ON nodes.id = s2.id)
+      SELECT id, CAST(r AS DOUBLE) / 1000000000000.0::DOUBLE AS rank
+      FROM r2 ORDER BY id"""))
+
+  /** Cohort retention triangle (Funnel.cohortRetention): users bucketed
+    * by first-seen day, distinct-active counts per (cohort, age). The
+    * (user, day) distinct collapse happens BEFORE any join — the only
+    * corpus-sized shuffle.
+    */
+  private val q122 = GQuery(
+    (s, d) => graft.scale.Funnel
+      .cohortRetention(T.events(s, d), "user_id", "ts")
+      .select(unix_micros(col("cohort_day")).as("cohort_us"),
+        col("age_days"), col("n_users"))
+      .orderBy(col("cohort_us"), col("age_days")),
+    Some("""WITH activity AS (
+        SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events),
+      cohorts AS (
+        SELECT user_id, MIN(day) AS cohort_day FROM activity
+        GROUP BY user_id)
+      SELECT epoch_us(cohort_day) AS cohort_us,
+        CAST(date_diff('day', cohort_day, day) AS BIGINT) AS age_days,
+        COUNT(*)::BIGINT AS n_users
+      FROM activity JOIN cohorts USING (user_id)
+      GROUP BY 1, 2 ORDER BY 1, 2"""))
+
+  /** First-order Markov transition matrix over per-user event sequences:
+    * lag window → (prev, next) counts → row-normalized probabilities.
+    * The behavioral-sequence statistic next to q105's funnel; one keyed
+    * window plus two bounded aggregates (state = |event types|²).
+    */
+  private val q123 = GQuery(
+    (s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val seq0 = T.events(s, d)
+        .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+        .withColumn("prev", lag(col("event_type"), 1).over(w))
+        .where(col("prev").isNotNull)
+      val counts = seq0.groupBy(col("prev").as("prev_type"),
+          col("event_type").as("next_type"))
+        .agg(count(lit(1)).as("n"))
+      val totals = counts.groupBy(col("prev_type"))
+        .agg(sum(col("n")).as("total"))
+      counts.join(broadcast(totals), Seq("prev_type"))
+        .select(col("prev_type"), col("next_type"), col("n"),
+          round(col("n").cast("double") / col("total"), 6).as("p"))
+        .orderBy(col("prev_type"), col("next_type"))
+    },
+    Some("""WITH seq AS (
+        SELECT user_id, event_type,
+          lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+            AS prev
+        FROM events),
+      c AS (SELECT prev AS prev_type, event_type AS next_type,
+              COUNT(*)::BIGINT AS n
+            FROM seq WHERE prev IS NOT NULL GROUP BY 1, 2),
+      t AS (SELECT prev_type, CAST(SUM(n) AS BIGINT) AS total
+            FROM c GROUP BY prev_type)
+      SELECT c.prev_type, c.next_type, c.n,
+        round(c.n::DOUBLE / t.total, 6) AS p
+      FROM c JOIN t USING (prev_type) ORDER BY prev_type, next_type"""))
+
+  /** Quantile discretization (Features.bucketizeByQuantiles, deciles per
+    * event type): exact 4dp-rounded interior cuts, bucket = #cuts below,
+    * per-(stratum, bucket) occupancy. Ties land together by construction
+    * — the feature-discretizer semantics, not ntile's rank split.
+    */
+  private val q124 = GQuery(
+    (s, d) => graft.scale.Features
+      .bucketizeByQuantiles(
+        T.events(s, d).select(col("event_type"), col("value")),
+        "event_type", "value", nBuckets = 10)
+      .orderBy(col("event_type"), col("bucket")),
+    Some("""WITH b AS (
+        SELECT event_type,
+          list_transform(quantile_cont(value,
+            [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]),
+            c -> round(c, 4)) AS cuts
+        FROM events GROUP BY event_type),
+      asg AS (
+        SELECT e.event_type, e.value,
+          CAST(len(list_filter(b.cuts, c -> e.value > c)) AS BIGINT)
+            AS bucket
+        FROM events e JOIN b USING (event_type))
+      SELECT event_type, bucket, COUNT(*)::BIGINT AS n,
+        round(MIN(value), 6) AS v_min, round(MAX(value), 6) AS v_max
+      FROM asg GROUP BY 1, 2 ORDER BY 1, 2"""))
+
+  /** Deterministic k-per-group sample: the portable-hash total order fed
+    * through the custom TopKPerGroup operator — "give me 5 reproducible
+    * eval docs per source" without a window sort over the corpus (the
+    * q63 operator applied to sampling; shuffle ≤ k×groups rows per input
+    * partition). The oracle mirrors the affine-mod hash and the window
+    * rank.
+    */
+  private val q125 = GQuery(
+    (s, d) => {
+      val pb = graft.scale.Sampling.portableBucket(col("doc_id"))
+      val h = T.documents(s, d)
+        .select(col("source"), col("doc_id"), pb.as("pb"))
+      graft.plans.TopKPerGroup(h, Seq("source"),
+          Seq(col("pb").asc, col("doc_id").asc), 5)
+        .orderBy(col("source"), col("doc_id"))
+    },
+    Some("""WITH h AS (
+        SELECT source, doc_id,
+          (1103515245 * ((doc_id % 2147483647 + 2147483647) % 2147483647)
+            + 12345) % 2147483647 AS pb
+        FROM documents),
+      rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+               ORDER BY pb, doc_id) AS rn
+             FROM h)
+      SELECT source, doc_id, CAST(pb AS BIGINT) AS pb FROM rk
+      WHERE rn <= 5 ORDER BY source, doc_id"""))
+
+  val all: Map[String, GQuery] = Map(
+    "q113_cube_grouping_sets" -> q113,
+    "q114_window_rank_family" -> q114,
+    "q115_resample_gapfill" -> q115,
+    "q116_snapshot_diff" -> q116,
+    "q117_winsorize_stats" -> q117,
+    "q118_embedding_quantize" -> q118,
+    "q119_interval_join_twin" -> q119,
+    "q120_ewma_features" -> q120,
+    "q121_pagerank" -> q121,
+    "q122_cohort_retention" -> q122,
+    "q123_markov_transitions" -> q123,
+    "q124_quantile_bucketize" -> q124,
+    "q125_group_sample_topk" -> q125)
+}

@@ -73,7 +73,19 @@ object Explain {
       "q106_source_kl_drift",  // bucket counts + generated grid + pinned fold
       "q107_coverage_cutoff",  // combined agg -> tiny-frame rank/cumsum window
       "q109_session_window",   // native gap-merge session operator
-      "q110_incremental_agg")  // base-agg ∪ delta one-shuffle merge
+      "q110_incremental_agg",  // base-agg ∪ delta one-shuffle merge
+      "q113_cube_grouping_sets", // Expand + single hash aggregate
+      "q114_window_rank_family", // 4 ranking fns, ONE exchange + sort
+      "q115_resample_gapfill", // constructional gap fill, no grid join
+      "q116_snapshot_diff",    // full-outer SMJ, delta-sized output
+      "q117_winsorize_stats",  // percentile agg -> broadcast bounds -> agg
+      "q118_embedding_quantize", // zero-shuffle narrow quantization
+      "q119_interval_join_twin", // keyed equi-join + range residual
+      "q120_ewma_features",    // frame-fold EWMA, one exchange
+      "q121_pagerank",         // iterated edge join + DECIMAL dst sums
+      "q122_cohort_retention", // distinct-collapse-first retention
+      "q124_quantile_bucketize", // broadcast cuts + fold assignment
+      "q125_group_sample_topk") // TopKPerGroup as deterministic sampler
 
     val sb = new StringBuilder
     sb.append("# EXPLAIN — flagship physical plans\n\n")

@@ -167,6 +167,42 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Exchange"), p)
   }
 
+  test("int8 quantization is a shuffle-free narrow projection") {
+    // quantizeInt8Stats must stay a pure per-row map at any corpus size
+    // (its 100 TB claim): no Exchange anywhere in the plan.
+    val emb = graft.core.Tables.embeddings(spark, sf)
+    val p = plan(graft.scale.Features.quantizeInt8Stats(emb, "vec_id", "embedding"))
+    assert(!p.contains("Exchange hashpartitioning"), p)
+  }
+
+  test("winsorize: bounds join back by broadcast, fact side never shuffles") {
+    val ev = graft.core.Tables.events(spark, sf)
+      .select(col("event_type"), col("value"))
+    val p = plan(graft.scale.Features.winsorizeStats(
+      ev, "event_type", "value", 0.05, 0.95))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("ranking-window family shares one exchange and one sort") {
+    val q = SparkEntry.queries("q114_window_rank_family")(spark, sf)
+    val p = plan(q)
+    // one hashpartitioning exchange for the shared window spec; the only
+    // rangepartitioning exchange is the presentation ORDER BY
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1, p)
+    // lag/percent_rank/ntile/cume_dist all ride one Window sort: Window
+    // nodes may split, but every one sorts on the same (user_id, ts,
+    // event_id) key and AQE plans a single sort below them
+    assert("Sort \\[user_id".r.findAllIn(p).length == 1, p)
+  }
+
+  test("resample+ffill: gap expansion is generated, not joined") {
+    val q = SparkEntry.queries("q115_resample_gapfill")(spark, sf)
+    val p = plan(q)
+    assert(!p.contains("Join"), p) // constructional fill — no grid join
+    assert(p.contains("Generate posexplode"), p)
+  }
+
   test("partition pruning: partitioned sink + partition filter prune the scan") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_part").toString

@@ -1,0 +1,258 @@
+package graft.scale
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Unit semantics for the round-9 analytics/maintenance operators:
+  * time-series resample+ffill, snapshot diff, winsorization, and int8
+  * embedding quantization.
+  */
+class AnalyticsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  // ---- TimeSeries.resampleFfill ----------------------------------------
+
+  test("resampleFfill: fills interior gaps with the previous bucket mean") {
+    val ev = Seq(
+      (1L, ts("2024-01-01 00:10:00"), 10.0),
+      (1L, ts("2024-01-01 00:50:00"), 20.0), // same hour → mean 15
+      (1L, ts("2024-01-01 03:05:00"), 7.0), // hours 1,2 are gaps
+      (2L, ts("2024-01-01 05:00:00"), 1.0) // single bucket, no gaps
+    ).toDF("user_id", "ts", "value")
+    val out = TimeSeries.resampleFfill(ev, "ts", "user_id", "value")
+      .orderBy("user_id", "bucket")
+      .select(col("user_id"), date_format(col("bucket"), "HH").cast("int"),
+        col("value_ffill"), col("is_gap"))
+      .as[(Long, Int, Double, Boolean)].collect.toSeq
+    assert(out === Seq(
+      (1L, 0, 15.0, false), (1L, 1, 15.0, true), (1L, 2, 15.0, true),
+      (1L, 3, 7.0, false), (2L, 5, 1.0, false)))
+  }
+
+  test("resampleFfill: first bucket per key is never a gap") {
+    val ev = Seq((1L, ts("2024-01-01 10:30:00"), 5.0))
+      .toDF("user_id", "ts", "value")
+    val out = TimeSeries.resampleFfill(ev, "ts", "user_id", "value")
+      .select("is_gap").as[Boolean].collect.toSeq
+    assert(out === Seq(false))
+  }
+
+  test("resampleFfill: daily unit truncates and steps by day") {
+    val ev = Seq(
+      (1L, ts("2024-01-01 23:00:00"), 4.0),
+      (1L, ts("2024-01-04 01:00:00"), 6.0)
+    ).toDF("user_id", "ts", "value")
+    val out = TimeSeries.resampleFfill(ev, "ts", "user_id", "value", "day")
+      .orderBy("bucket")
+      .select(date_format(col("bucket"), "dd").cast("int"), col("is_gap"))
+      .as[(Int, Boolean)].collect.toSeq
+    assert(out === Seq((1, false), (2, true), (3, true), (4, false)))
+  }
+
+  // ---- Cdc.snapshotDiff ------------------------------------------------
+
+  private val oldSnap = Seq(
+    (1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0)
+  ).toDF("k", "s", "x")
+
+  test("snapshotDiff classifies I/D/U and drops unchanged keys") {
+    val newSnap = Seq(
+      (1L, "a", 10.0), // unchanged → dropped
+      (2L, "b", 21.0), // updated
+      (4L, "d", 40.0) // inserted; key 3 deleted
+    ).toDF("k", "s", "x")
+    val out = Cdc.snapshotDiff(oldSnap, newSnap, Seq("k"), Seq("s", "x"))
+      .orderBy("k").as[(Long, String, String, Double)].collect.toSeq
+    assert(out === Seq(
+      (2L, "U", "b", 21.0), (3L, "D", "c", 30.0), (4L, "I", "d", 40.0)))
+  }
+
+  test("snapshotDiff: null-safe compare — null→value and value→null are U") {
+    val o = Seq((1L, Option.empty[String]), (2L, Some("v")),
+      (3L, Option.empty[String])).toDF("k", "s")
+    val n = Seq((1L, Some("v")), (2L, Option.empty[String]),
+      (3L, Option.empty[String])).toDF("k", "s")
+    val out = Cdc.snapshotDiff(o, n, Seq("k"), Seq("s"))
+      .orderBy("k").select("k", "change_type")
+      .as[(Long, String)].collect.toSeq
+    // key 3: null == null → unchanged, dropped
+    assert(out === Seq(1L -> "U", 2L -> "U"))
+  }
+
+  test("snapshotDiff inverts upsert: old + diff-as-changes = new") {
+    val newSnap = Seq((2L, "b", 21.0), (4L, "d", 40.0)).toDF("k", "s", "x")
+    val diff = Cdc.snapshotDiff(oldSnap, newSnap, Seq("k"), Seq("s", "x"))
+    // rewrite the diff as an upsert batch: D → delete op, I/U → upsert
+    val changes = diff.withColumn("op",
+      when(col("change_type") === "D", lit("D")).otherwise(lit("U")))
+      .withColumn("v", lit(2L)).drop("change_type")
+    val base = oldSnap.withColumn("v", lit(1L))
+    val merged = Cdc.upsert(base, changes, Seq("k"), "v")
+      .select("k", "s", "x").orderBy("k")
+      .as[(Long, String, Double)].collect.toSeq
+    assert(merged === Seq((2L, "b", 21.0), (4L, "d", 40.0)))
+  }
+
+  // ---- Features.winsorizeStats -----------------------------------------
+
+  test("winsorizeStats clips exactly at the rounded percentile bounds") {
+    // 11 values 0..100: p10 = 10, p90 = 90 exactly (interpolation lands
+    // on data points), so clip counts are exactly one row per side
+    val df = (0 to 10).map(i => ("g", i * 10.0)).toDF("grp", "v")
+    val out = Features.winsorizeStats(df, "grp", "v", 0.10, 0.90)
+      .as[(String, Long, Long, Long, Double, Double, Double)]
+      .collect.toSeq
+    // clipped sum: 10 + 10+20+...+90 + 90 = 550
+    assert(out === Seq(("g", 11L, 1L, 1L, 10.0, 90.0, 550.0)))
+  }
+
+  test("winsorizeStats: strata are independent") {
+    val df = ((1 to 100).map(i => ("a", i.toDouble)) ++
+      Seq(("b", 5.0), ("b", 6.0))).toDF("grp", "v")
+    val out = Features.winsorizeStats(df, "grp", "v", 0.05, 0.95)
+      .orderBy("grp")
+      .select("grp", "n", "n_clipped_lo", "n_clipped_hi")
+      .as[(String, Long, Long, Long)].collect.toSeq
+    // a: p05 = 1 + 0.05·99 = 5.95 → clips 1..5; p95 = 95.05 → clips 96..100
+    // b: interpolation between the 2 points puts both ends strictly inside
+    //    [5, 6] (p05 = 5.05, p95 = 5.95) → each endpoint clips
+    assert(out === Seq(("a", 100L, 5L, 5L), ("b", 2L, 1L, 1L)))
+  }
+
+  // ---- Features.quantizeInt8Stats --------------------------------------
+
+  private def emb(rows: (Long, Seq[Float])*) = rows.toDF("id", "vec")
+
+  test("quantizeInt8: max element maps to ±127, checksums exact") {
+    val out = Features.quantizeInt8Stats(
+      emb(0L -> Seq(1.0f, -1.0f, 0.5f, 0.0f)), "id", "vec")
+      .select("q_sum", "q_l1", "q_min", "q_max")
+      .as[(Long, Long, Long, Long)].collect.head
+    // scale = 1/127; codes = 127, -127, 64 (63.5 rounds half-up), 0
+    assert(out === ((64L, 318L, -127L, 127L)))
+  }
+
+  test("quantizeInt8: zero vector → all-zero codes, zero error") {
+    val out = Features.quantizeInt8Stats(
+      emb(0L -> Seq(0f, 0f, 0f)), "id", "vec")
+      .select("q_sum", "q_l1", "max_err")
+      .as[(Long, Long, Double)].collect.head
+    assert(out === ((0L, 0L, 0.0)))
+  }
+
+  test("quantizeInt8: reconstruction error bounded by scale/2") {
+    val vecs = emb(
+      0L -> Seq(0.123f, -0.456f, 0.789f, -0.001f),
+      1L -> Seq(3.21f, 1.0f, -2.5f, 0.77f))
+    val bad = Features.quantizeInt8Stats(vecs, "id", "vec")
+      .where(col("max_err") > col("scale") * 0.5 + 1e-12)
+    assert(bad.count() === 0)
+  }
+
+  // ---- TimeSeries.ewmaBounded ------------------------------------------
+
+  test("ewma: weights newest observations most, normalizes short frames") {
+    val ev = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 10.0),
+      (1L, ts("2024-01-01 01:00:00"), 20.0),
+      (1L, ts("2024-01-01 02:00:00"), 40.0)
+    ).toDF("k", "ts", "v")
+    val out = TimeSeries.ewmaBounded(ev, "k", Seq("ts"), "v",
+      alpha = 0.5, window = 8)
+      .orderBy("ts").select("ewma").as[Double].collect.toSeq
+    // row1: 10; row2: (0.5·10 + 20)/1.5 = 16.666667;
+    // row3: (0.25·10 + 0.5·20 + 40)/1.75 = 52.5/1.75 = 30
+    assert(out === Seq(10.0, 16.666667, 30.0))
+  }
+
+  test("ewma: window bound drops history beyond the frame") {
+    val ev = (0 until 5).map(i => (1L, ts(f"2024-01-01 0$i:00:00"), i * 1.0))
+      .toDF("k", "ts", "v")
+    // window=2: last row sees only v=3,4 → (0.5·3+4)/1.5
+    val out = TimeSeries.ewmaBounded(ev, "k", Seq("ts"), "v",
+      alpha = 0.5, window = 2)
+      .orderBy("ts").select("ewma").as[Double].collect.toSeq
+    assert(out.last === BigDecimal((0.5 * 3 + 4) / 1.5)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
+  // ---- Funnel.cohortRetention ------------------------------------------
+
+  test("cohortRetention: counts distinct users per (cohort, age)") {
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:00:00")), (1L, ts("2024-01-01 11:00:00")),
+      (1L, ts("2024-01-03 09:00:00")),
+      (2L, ts("2024-01-01 23:00:00")), (2L, ts("2024-01-03 01:00:00")),
+      (3L, ts("2024-01-02 08:00:00"))
+    ).toDF("user_id", "ts")
+    val out = Funnel.cohortRetention(ev, "user_id", "ts")
+      .select(date_format(col("cohort_day"), "dd").cast("int"),
+        col("age_days"), col("n_users"))
+      .orderBy(col("cohort_day"), col("age_days"))
+      .as[(Int, Long, Long)].collect.toSeq
+    // cohort jan-1: 2 users day0, 2 users day2 (both 1 and 2 return);
+    // cohort jan-2: 1 user day0; duplicate same-day events collapse
+    assert(out === Seq((1, 0L, 2L), (1, 2L, 2L), (2, 0L, 1L)))
+  }
+
+  // ---- Features.bucketizeByQuantiles -----------------------------------
+
+  test("bucketize: distinct uniform values spread across all buckets") {
+    val df = (1 to 100).map(i => ("g", i.toDouble)).toDF("grp", "v")
+    val out = Features.bucketizeByQuantiles(df, "grp", "v", nBuckets = 10)
+      .orderBy("bucket").select("bucket", "n")
+      .as[(Long, Long)].collect.toSeq
+    assert(out.map(_._1) === (0L to 9L))
+    assert(out.map(_._2).sum === 100L)
+    // deciles of 1..100 give ~equal occupancy
+    assert(out.map(_._2).forall(n => n >= 9 && n <= 11))
+  }
+
+  test("bucketize: ties land in one bucket (value-function semantics)") {
+    val df = (Seq.fill(50)(5.0) ++ Seq.fill(50)(9.0)).map(("g", _))
+      .toDF("grp", "v")
+    val out = Features.bucketizeByQuantiles(df, "grp", "v", nBuckets = 4)
+      .select("bucket", "n").as[(Long, Long)].collect.toSeq.sortBy(_._1)
+    // only two distinct values → exactly two occupied buckets, 50 each
+    assert(out.map(_._2) === Seq(50L, 50L))
+    assert(out.map(_._1).distinct.length === 2)
+  }
+
+  // ---- Graph.pageRank --------------------------------------------------
+
+  test("pageRank: symmetric cycle converges to uniform ranks") {
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("s", "t")
+    val out = Graph.pageRank(e, "s", "t", iters = 3)
+      .orderBy("id").as[(Long, Double)].collect.toSeq
+    // a 3-cycle is rank-regular: every node keeps exactly 1/3
+    assert(out.map(_._1) === Seq(1L, 2L, 3L))
+    out.foreach { case (_, r) => assert(math.abs(r - 1.0 / 3) < 1e-9) }
+  }
+
+  test("pageRank: sink-heavy star ranks the hub above the leaves") {
+    // leaves 2..5 all point at 1; 1 points at 2
+    val e = Seq((2L, 1L), (3L, 1L), (4L, 1L), (5L, 1L), (1L, 2L))
+      .toDF("s", "t")
+    val out = Graph.pageRank(e, "s", "t", iters = 5)
+      .as[(Long, Double)].collect.toMap
+    assert(out(1L) > out(2L) && out(2L) > out(3L))
+    assert(out(3L) === out(4L) && out(4L) === out(5L))
+  }
+
+  test("pageRank: total mass stays ~1 when no node dangles") {
+    val e = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 1L)).toDF("s", "t")
+    val mass = Graph.pageRank(e, "s", "t", iters = 4)
+      .agg(sum(col("rank"))).as[Double].collect.head
+    assert(math.abs(mass - 1.0) < 1e-6)
+  }
+
+  test("quantizeInt8: no code exceeds the int8 range") {
+    val vecs = emb((0L to 20L).map(i =>
+      i -> Seq.tabulate(8)(j => ((i * 7 + j * 3) % 11 - 5).toFloat / 3f)): _*)
+    val bad = Features.quantizeInt8Stats(vecs, "id", "vec")
+      .where(col("q_min") < -127 || col("q_max") > 127)
+    assert(bad.count() === 0)
+  }
+}

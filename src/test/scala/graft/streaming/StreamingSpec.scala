@@ -157,6 +157,41 @@ class StreamingSpec extends SparkSpec {
       canon(Streaming.windowedCounts(batchDf, "ts", "event_type")))
   }
 
+  test("interval join: stream-stream converges to the batch twin (q119)") {
+    import spark.implicits._
+    // SAME function builds both joins; streaming sides carry watermarks
+    // (the caller's contract) and the time bound evicts right-side state
+    val dir = Files.createTempDirectory("graft_ivj").toString
+    val base = java.sql.Timestamp.valueOf("2024-03-05 08:00:00")
+    def ts(minutes: Int) = new java.sql.Timestamp(base.getTime + minutes * 60000L)
+    Seq((100L, 1L, ts(35)), (101L, 1L, ts(90)), (102L, 2L, ts(40)))
+      .toDF("event_id", "user_id", "ts").write.parquet(s"$dir/p")
+    Seq((1L, 1L, ts(10)), (2L, 1L, ts(34)), (3L, 1L, ts(50)),
+      (4L, 2L, ts(39)), (5L, 3L, ts(40)))
+      .toDF("click_id", "user_id", "click_ts").write.parquet(s"$dir/c")
+    val pb = spark.read.parquet(s"$dir/p")
+    val cb = spark.read.parquet(s"$dir/c")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("l.event_id"), col("r.click_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val batch = pairs(Streaming.intervalJoin(pb, cb, "user_id", "ts",
+      "click_ts", 30))
+    // purchase 100 ← clicks 10m,34m (within 30m); 101 ← none (50m is 40m
+    // earlier); 102 ← click 4 same user; click 5 other user never joins
+    assert(batch === Set((100L, 1L), (100L, 2L), (102L, 4L)))
+    val ps = Streaming.intervalJoin(
+      spark.readStream.schema(pb.schema).parquet(s"$dir/p")
+        .withWatermark("ts", "10 minutes"),
+      spark.readStream.schema(cb.schema).parquet(s"$dir/c")
+        .withWatermark("click_ts", "10 minutes"),
+      "user_id", "ts", "click_ts", 30)
+      .writeStream.format("memory").queryName("ivjoin")
+      .outputMode("append").start()
+    ps.processAllAvailable(); ps.stop()
+    assert(spark.table("ivjoin").select("event_id", "click_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet === batch)
+  }
+
   test("stream-static broadcast join enriches a file stream (q03's dim shape)") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_enr").toString
