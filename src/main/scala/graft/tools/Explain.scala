@@ -82,7 +82,7 @@ object Explain {
       "q118_embedding_quantize", // zero-shuffle narrow quantization
       "q119_interval_join_twin", // keyed equi-join + range residual
       "q120_ewma_features",    // frame-fold EWMA, one exchange
-      "q121_pagerank",         // iterated edge join + DECIMAL dst sums
+      "q121_pagerank",         // iterated edge join + fixed-point dst sums
       "q122_cohort_retention", // distinct-collapse-first retention
       "q124_quantile_bucketize", // broadcast cuts + fold assignment
       "q125_group_sample_topk") // TopKPerGroup as deterministic sampler
