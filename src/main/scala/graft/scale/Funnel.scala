@@ -85,4 +85,42 @@ object Funnel {
         datediff(col("day"), col("cohort_day")).cast("long").as("age_days"))
       .agg(count(lit(1)).as("n_users"))
   }
+
+  /** Rolling-active stickiness: per day, DAU (distinct users that day),
+    * WAU (distinct users in the trailing `windowDays`-day window ending
+    * that day), and the DAU/WAU ratio — the engagement health metric.
+    *
+    * The naive WAU recomputes a distinct over windowDays of history for
+    * EVERY day — windowDays× the scan. The scale shape is a CONTRIBUTION
+    * EXPLODE: collapse to distinct (user, day) once, then each activity
+    * day contributes itself to the `windowDays` window-ending days it
+    * falls in (sequence + explode — ×windowDays narrow row growth), and
+    * one distinct-count per window day finishes it. Window days beyond
+    * the last observed day are clipped (they'd report partial futures);
+    * leading days keep their natural partial windows, exactly like a
+    * production dashboard's first week.
+    */
+  def rollingActiveStickiness(events: DataFrame, userCol: String,
+      tsCol: String, windowDays: Int = 7): DataFrame = {
+    require(windowDays >= 1, "windowDays must be >= 1")
+    val activity = events
+      .select(col(userCol).as("user_id"),
+        date_trunc("day", col(tsCol)).as("day"))
+      .distinct()
+    val dau = activity.groupBy(col("day"))
+      .agg(count(lit(1)).as("dau"))
+    val maxDay = activity.agg(max(col("day")).as("__max_day"))
+    val wau = activity.crossJoin(broadcast(maxDay))
+      .select(col("user_id"),
+        explode(sequence(col("day"),
+          least(col("day") + expr(s"INTERVAL ${windowDays - 1} DAYS"),
+            col("__max_day")),
+          expr("INTERVAL 1 DAY"))).as("wday"))
+      .distinct()
+      .groupBy(col("wday").as("day"))
+      .agg(count(lit(1)).as("wau"))
+    dau.join(wau, Seq("day"))
+      .withColumn("stickiness",
+        round(col("dau").cast("double") / col("wau").cast("double"), 6))
+  }
 }

@@ -136,4 +136,44 @@ object Retrieval {
       .select(col("doc_id"), col("term"), col("tf"), col("df"),
         col("score"), col("rank"))
   }
+
+  /** Class-based TF-IDF cluster labeling (the BERTopic c-TF-IDF shape):
+    * given documents already carrying a cluster id, score each term by
+    * cluster-tf × ln(1 + nClusters/clusterDf) and keep the top k per
+    * cluster — the human-readable label for a semantic-dedup or topic
+    * cluster. Composes downstream of [[Clustering.lloydAssignments]] /
+    * [[graft.scale.Curation]]'s semantic dedup: train → assign → label.
+    *
+    * Scale shape: tokens collapse straight to (cluster, term) counts
+    * (shuffle bounded by clusters × vocabulary, NOT corpus tokens —
+    * map-side combine does the collapse); clusterDf is a second bounded
+    * aggregate over that table; the rank window partitions by cluster
+    * over ≤ vocabulary rows. nClusters is a caller constant, so no
+    * broadcast frame is needed.
+    *
+    * Determinism: counts are exact longs; the score's single multiply +
+    * ln of an exact quotient rounds to 6dp (the q95 contract); rank is
+    * (score desc, term) total-ordered.
+    */
+  def clusterTopTerms(docsWithCluster: DataFrame, clusterCol: String,
+      textCol: String, nClusters: Int, k: Int = 5): DataFrame = {
+    val toks = TextOps.tokens(lower(col(textCol)))
+    val tf = docsWithCluster
+      .select(col(clusterCol).as("cluster"), explode(toks).as("term"))
+      .groupBy(col("cluster"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val cdf = tf.groupBy(col("term")).agg(count(lit(1)).as("cdf"))
+    val scored = tf.join(cdf, "term")
+      .select(col("cluster"), col("term"), col("tf"), col("cdf"),
+        round(col("tf").cast("double") *
+          log(lit(1d) + lit(nClusters.toDouble) / col("cdf").cast("double")),
+          6).as("score"))
+    val rankW = Window.partitionBy(col("cluster"))
+      .orderBy(col("score").desc, col("term"))
+    scored
+      .withColumn("rank", row_number().over(rankW).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("cluster"), col("term"), col("tf"), col("cdf"),
+        col("score"), col("rank"))
+  }
 }

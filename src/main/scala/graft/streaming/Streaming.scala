@@ -142,6 +142,51 @@ object Streaming {
           col(s"l.$leftTs") - expr(s"INTERVAL $lookbackMinutes MINUTES"))
   }
 
+  /** Continuous CDC apply: maintain an upserted table snapshot from a
+    * stream of change records — `foreachBatch` + [[graft.scale.Cdc.upsert]]
+    * per micro-batch, i.e. the MERGE INTO loop of a lakehouse pipeline
+    * with the engine's own checkpointing as the delivery ledger.
+    *
+    * Each batch: read the current snapshot (empty on first batch), merge
+    * the change batch (version + change-beats-base precedence), write the
+    * new snapshot BESIDE the old one, then swap directories — never an
+    * in-place overwrite of a path being read. Replays are safe WITHOUT
+    * exactly-once delivery: upsert is idempotent under re-delivered
+    * batches (same version wins the same way), which is the whole point
+    * of version-precedence merge. On a real deployment the swap is a
+    * table-format transaction commit (Iceberg/Delta); the directory swap
+    * is the format-free equivalent with the same crash-consistency story
+    * at the rename.
+    *
+    * Caller starts the returned writer with its own checkpoint/trigger
+    * (same contract as [[incrementalIngest]]).
+    */
+  def applyCdcStream(changes: DataFrame, statePath: String,
+      keyCols: Seq[String], versionCol: String, opCol: String = "op",
+      deleteOp: String = "D"): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    changes.writeStream.foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val hconf = spark.sessionState.newHadoopConf()
+        val state = new org.apache.hadoop.fs.Path(statePath)
+        val fs = state.getFileSystem(hconf)
+        val baseSchema = org.apache.spark.sql.types.StructType(
+          batch.schema.filterNot(_.name == opCol))
+        val current =
+          if (fs.exists(state)) spark.read.schema(baseSchema).parquet(statePath)
+          else spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], baseSchema)
+        val merged = graft.scale.Cdc
+          .upsert(current, batch, keyCols, versionCol, opCol, deleteOp)
+        val next = new org.apache.hadoop.fs.Path(s"${statePath}__b${batchId}")
+        merged.write.mode("overwrite").parquet(next.toString)
+        val old = new org.apache.hadoop.fs.Path(s"${statePath}__old${batchId}")
+        if (fs.exists(state)) { fs.rename(state, old); () }
+        fs.rename(next, state)
+        if (fs.exists(old)) { fs.delete(old, true); () }
+    }
+  }
+
   /** Stateful sessionization with flatMapGroupsWithState: a session closes
     * when `gapMinutes` of event time pass with no event — either observed
     * in-batch (next event arrives past the gap) or via event-time timeout

@@ -9,7 +9,9 @@ import graft.core.{GQuery, Tables => T}
   * quantization (q118), the event-time interval join's batch twin (q119),
   * bounded-window EWMA (q120), deterministic PageRank (q121), cohort
   * retention (q122), Markov transitions (q123), quantile discretization
-  * (q124), and the TopKPerGroup-backed per-group sample (q125).
+  * (q124), the TopKPerGroup-backed per-group sample (q125), distinct-n
+  * corpus diversity (q126), DAU/WAU stickiness (q127), the data-quality
+  * expectations gate (q128), and c-TF-IDF cluster labeling (q129).
   */
 object AnalyticsQueries {
 
@@ -419,6 +421,165 @@ object AnalyticsQueries {
       SELECT source, doc_id, CAST(pb AS BIGINT) AS pb FROM rk
       WHERE rn <= 5 ORDER BY source, doc_id"""))
 
+  /** Distinct-n diversity per source (TextOps.distinctNgramDiversity):
+    * distinct/total unigram and bigram ratios — the template-farm /
+    * generated-spam detector a mix scheduler reads per source. Exact
+    * distincts here (bounded vocab); the operator documents the HLL swap
+    * for crawl-scale groups.
+    */
+  private val q126 = GQuery(
+    (s, d) => graft.scale.TextOps
+      .distinctNgramDiversity(T.documents(s, d), "source", "text")
+      .orderBy(col("source")),
+    Some("""WITH toked AS (
+        SELECT source AS grp, list_filter(string_split_regex(lower(text),
+          '\s+'), x -> len(x) > 0) AS t
+        FROM documents),
+      uni AS (
+        SELECT grp, COUNT(*)::BIGINT AS uni_total,
+          COUNT(DISTINCT g)::BIGINT AS uni_distinct,
+          round(COUNT(DISTINCT g)::DOUBLE / COUNT(*), 6) AS uni_ratio
+        FROM (SELECT grp, unnest(t) AS g FROM toked) GROUP BY grp),
+      bi AS (
+        SELECT grp, COUNT(*)::BIGINT AS bi_total,
+          COUNT(DISTINCT g)::BIGINT AS bi_distinct,
+          round(COUNT(DISTINCT g)::DOUBLE / COUNT(*), 6) AS bi_ratio
+        FROM (SELECT grp, unnest(CASE WHEN len(t) >= 2
+            THEN list_transform(range(2, len(t)+1), i -> t[i-1] || ' ' || t[i])
+            ELSE [] END) AS g FROM toked) GROUP BY grp)
+      SELECT uni.grp AS source, uni_total, uni_distinct, uni_ratio,
+        bi_total, bi_distinct, bi_ratio
+      FROM uni LEFT JOIN bi ON uni.grp = bi.grp ORDER BY source"""))
+
+  /** DAU/WAU stickiness (Funnel.rollingActiveStickiness): rolling
+    * 7-day distinct actives via the contribution explode — one distinct
+    * collapse + ×7 narrow row growth instead of 7 windowed re-distincts.
+    */
+  private val q127 = GQuery(
+    (s, d) => graft.scale.Funnel
+      .rollingActiveStickiness(T.events(s, d), "user_id", "ts", 7)
+      .select(unix_micros(col("day")).as("day_us"),
+        col("dau"), col("wau"), col("stickiness"))
+      .orderBy(col("day_us")),
+    Some("""WITH activity AS (
+        SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events),
+      md AS (SELECT MAX(day) AS m FROM activity),
+      dau AS (SELECT day, COUNT(*)::BIGINT AS dau FROM activity
+              GROUP BY day),
+      contrib AS (
+        SELECT DISTINCT user_id,
+          unnest(generate_series(day,
+            least(day + INTERVAL 6 DAYS, md.m), INTERVAL 1 DAY)) AS wday
+        FROM activity CROSS JOIN md),
+      wau AS (SELECT wday AS day, COUNT(*)::BIGINT AS wau FROM contrib
+              GROUP BY wday)
+      SELECT epoch_us(day) AS day_us, dau, wau,
+        round(dau::DOUBLE / wau, 6) AS stickiness
+      FROM dau JOIN wau USING (day) ORDER BY day_us"""))
+
+  /** Declarative data-quality gate (Quality.expect): four row-level
+    * expectations + key uniqueness in long-format report rows. All
+    * row checks evaluate in ONE scan; the price-cap check is
+    * deliberately violated so the report certifies violation COUNTING,
+    * not just all-green.
+    */
+  private val q128 = GQuery(
+    (s, d) => graft.scale.Quality
+      .expect(T.orders(s, d),
+        Seq(
+          "positive_price" -> (col("o_totalprice") > 0),
+          "valid_status" -> col("o_orderstatus").isin("O", "F", "P"),
+          "orderdate_present" -> col("o_orderdate").isNotNull,
+          "price_under_300k" -> (col("o_totalprice") <= 300000d)),
+        uniqueKeys = Seq("o_orderkey"))
+      .orderBy(col("check")),
+    Some("""WITH agg AS (
+        SELECT COUNT(*)::BIGINT AS n,
+          SUM(CASE WHEN o_totalprice > 0 THEN 0 ELSE 1 END)::BIGINT AS v1,
+          SUM(CASE WHEN o_orderstatus IN ('O','F','P') THEN 0 ELSE 1
+            END)::BIGINT AS v2,
+          SUM(CASE WHEN o_orderdate IS NOT NULL THEN 0 ELSE 1
+            END)::BIGINT AS v3,
+          SUM(CASE WHEN o_totalprice <= 300000 THEN 0 ELSE 1
+            END)::BIGINT AS v4
+        FROM orders),
+      uq AS (SELECT COUNT(*)::BIGINT AS n,
+          (COUNT(*) - COUNT(DISTINCT o_orderkey))::BIGINT AS v
+        FROM orders)
+      SELECT * FROM (
+        SELECT 'positive_price' AS check, n AS n_rows, v1 AS n_violations,
+          v1 = 0 AS pass FROM agg
+        UNION ALL SELECT 'valid_status', n, v2, v2 = 0 FROM agg
+        UNION ALL SELECT 'orderdate_present', n, v3, v3 = 0 FROM agg
+        UNION ALL SELECT 'price_under_300k', n, v4, v4 = 0 FROM agg
+        UNION ALL SELECT 'unique:o_orderkey', n, v, v = 0 FROM uq)
+      ORDER BY "check" """))
+
+  /** Cluster labeling end-to-end (q97 ∘ q129): train KMeans on the
+    * embeddings (Clustering.lloydAssignments, the q97-certified loop),
+    * attach clusters to documents by id, label each cluster with its
+    * top-5 c-TF-IDF terms (Retrieval.clusterTopTerms). The oracle
+    * replays BOTH stages — training arithmetic and labeling — so the
+    * hash-match certifies the composed pipeline, the operator-
+    * composability claim made concrete.
+    */
+  private val q129 = GQuery(
+    (s, d) => {
+      val clusters = graft.scale.Clustering
+        .lloydAssignments(T.embeddings(s, d), "vec_id", "embedding",
+          k = 4, iters = 2)
+      val docs = T.documents(s, d)
+        .join(clusters, col("doc_id") === col("vec_id"))
+      graft.scale.Retrieval
+        .clusterTopTerms(docs, "cluster", "text", nClusters = 4, k = 5)
+        .orderBy(col("cluster"), col("rank"))
+    },
+    Some("""WITH e AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings),
+      c0 AS (
+        SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS j, v AS c
+        FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 4)),
+      a1 AS (
+        SELECT vec_id, v, j AS cluster FROM (
+          SELECT e.vec_id, e.v, c0.j,
+            ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+              list_sum(list_transform(list_zip(e.v, c0.c),
+                p -> (p[1]-p[2])**2)), c0.j) AS rn
+          FROM e CROSS JOIN c0)
+        WHERE rn = 1),
+      c1 AS (
+        SELECT cluster AS j, list(m ORDER BY pos) AS c FROM (
+          SELECT cluster, pos, round(AVG(x), 6) AS m FROM (
+            SELECT cluster, generate_subscripts(v, 1) AS pos, unnest(v) AS x
+            FROM a1)
+          GROUP BY cluster, pos)
+        GROUP BY cluster),
+      a2 AS (
+        SELECT vec_id, j AS cluster FROM (
+          SELECT e.vec_id, c1.j,
+            ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+              list_sum(list_transform(list_zip(e.v, c1.c),
+                p -> (p[1]-p[2])**2)), c1.j) AS rn
+          FROM e CROSS JOIN c1)
+        WHERE rn = 1),
+      toked AS (
+        SELECT a2.cluster, unnest(list_filter(string_split_regex(
+          lower(d.text), '\s+'), x -> len(x) > 0)) AS term
+        FROM documents d JOIN a2 ON d.doc_id = a2.vec_id),
+      tf AS (SELECT cluster, term, COUNT(*)::BIGINT AS tf
+             FROM toked GROUP BY 1, 2),
+      cdf AS (SELECT term, COUNT(*)::BIGINT AS cdf FROM tf GROUP BY term),
+      sc AS (
+        SELECT tf.cluster, tf.term, tf.tf, cdf.cdf,
+          round(tf.tf * ln(1.0::DOUBLE + 4.0::DOUBLE / cdf.cdf), 6)
+            AS score
+        FROM tf JOIN cdf USING (term)),
+      rk AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY cluster
+               ORDER BY score DESC, term) AS BIGINT) AS rank FROM sc)
+      SELECT cluster, term, tf, cdf, score, rank FROM rk
+      WHERE rank <= 5 ORDER BY cluster, rank"""))
+
   val all: Map[String, GQuery] = Map(
     "q113_cube_grouping_sets" -> q113,
     "q114_window_rank_family" -> q114,
@@ -432,5 +593,9 @@ object AnalyticsQueries {
     "q122_cohort_retention" -> q122,
     "q123_markov_transitions" -> q123,
     "q124_quantile_bucketize" -> q124,
-    "q125_group_sample_topk" -> q125)
+    "q125_group_sample_topk" -> q125,
+    "q126_ngram_diversity" -> q126,
+    "q127_dau_wau_stickiness" -> q127,
+    "q128_quality_expectations" -> q128,
+    "q129_cluster_labels" -> q129)
 }

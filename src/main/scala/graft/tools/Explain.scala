@@ -85,7 +85,9 @@ object Explain {
       "q121_pagerank",         // iterated edge join + fixed-point dst sums
       "q122_cohort_retention", // distinct-collapse-first retention
       "q124_quantile_bucketize", // broadcast cuts + fold assignment
-      "q125_group_sample_topk") // TopKPerGroup as deterministic sampler
+      "q125_group_sample_topk", // TopKPerGroup as deterministic sampler
+      "q127_dau_wau_stickiness", // contribution-explode rolling distinct
+      "q128_quality_expectations") // N checks, one aggregation pass
 
     val sb = new StringBuilder
     sb.append("# EXPLAIN — flagship physical plans\n\n")

@@ -248,6 +248,87 @@ class AnalyticsSpec extends SparkSpec {
     assert(math.abs(mass - 1.0) < 1e-6)
   }
 
+  // ---- Quality.expect --------------------------------------------------
+
+  test("quality expectations: counts violations per check in one pass") {
+    val df = Seq(
+      (1L, 10.0, "A"), (2L, -5.0, "B"), (3L, 0.0, "A"), (3L, 7.0, "C")
+    ).toDF("id", "price", "status")
+    val out = Quality.expect(df,
+      Seq("positive_price" -> (col("price") > 0),
+        "known_status" -> col("status").isin("A", "B")),
+      uniqueKeys = Seq("id"))
+      .orderBy("check")
+      .as[(String, Long, Long, Boolean)].collect.toSeq
+    assert(out === Seq(
+      ("known_status", 4L, 1L, false), // C
+      ("positive_price", 4L, 2L, false), // -5 and 0
+      ("unique:id", 4L, 1L, false))) // id 3 twice
+  }
+
+  test("quality expectations: null predicate result counts as violation") {
+    val df = Seq((1L, Some(5.0)), (2L, None)).toDF("id", "v")
+    val out = Quality.expect(df, Seq("v_over_1" -> (col("v") > 1.0)))
+      .as[(String, Long, Long, Boolean)].collect.head
+    assert(out === (("v_over_1", 2L, 1L, false)))
+  }
+
+  // ---- TextOps.distinctNgramDiversity ----------------------------------
+
+  test("ngram diversity: repeated template scores low, varied text high") {
+    val docs = Seq(
+      ("spam", "buy now buy now buy now buy now"),
+      ("spam", "buy now buy now"),
+      ("fresh", "alpha beta gamma delta"),
+      ("fresh", "epsilon zeta eta theta")
+    ).toDF("source", "text")
+    val out = TextOps.distinctNgramDiversity(docs, "source", "text")
+      .orderBy("source")
+      .select("source", "uni_total", "uni_distinct", "bi_distinct")
+      .as[(String, Long, Long, Long)].collect.toSeq
+    // fresh: 8 tokens all distinct, 6 bigrams all distinct
+    // spam: 12 tokens 2 distinct; bigrams {buy now, now buy} = 2
+    assert(out === Seq(("fresh", 8L, 8L, 6L), ("spam", 12L, 2L, 2L)))
+  }
+
+  // ---- Funnel.rollingActiveStickiness ----------------------------------
+
+  test("stickiness: WAU windows accumulate trailing distinct users") {
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:00:00")), (2L, ts("2024-01-01 11:00:00")),
+      (1L, ts("2024-01-02 10:00:00")),
+      (3L, ts("2024-01-05 10:00:00"))
+    ).toDF("user_id", "ts")
+    val out = Funnel.rollingActiveStickiness(ev, "user_id", "ts", 7)
+      .orderBy("day")
+      .select(date_format(col("day"), "dd").cast("int"),
+        col("dau"), col("wau"))
+      .as[(Int, Long, Long)].collect.toSeq
+    // day1: dau 2, wau 2; day2: dau 1 (u1), wau 2 (u1,u2 in window);
+    // day5: dau 1 (u3), wau 3 (u1,u2,u3 all within 7 days)
+    assert(out === Seq((1, 2L, 2L), (2, 1L, 2L), (5, 1L, 3L)))
+  }
+
+  // ---- Retrieval.clusterTopTerms ---------------------------------------
+
+  test("clusterTopTerms: cluster-exclusive terms outscore shared ones") {
+    val docs = Seq(
+      (0, "payment payment invoice shared"),
+      (0, "payment invoice shared"),
+      (1, "protein enzyme shared"),
+      (1, "protein enzyme shared shared")
+    ).toDF("cluster", "text")
+    val out = Retrieval.clusterTopTerms(docs, "cluster", "text",
+      nClusters = 2, k = 2)
+      .orderBy("cluster", "rank")
+      .select("cluster", "term").as[(Int, String)].collect.toSeq
+    // 'shared' appears in both clusters (cdf 2 → idf ln(2)); exclusive
+    // terms get idf ln(3) and higher tf within their cluster
+    // cluster 1: protein/enzyme tie on score → term asc puts enzyme first
+    assert(out === Seq((0, "payment"), (0, "invoice"),
+      (1, "enzyme"), (1, "protein")))
+  }
+
   test("quantizeInt8: no code exceeds the int8 range") {
     val vecs = emb((0L to 20L).map(i =>
       i -> Seq.tabulate(8)(j => ((i * 7 + j * 3) % 11 - 5).toFloat / 3f)): _*)

@@ -2,6 +2,7 @@ package graft.streaming
 
 import graft.SparkSpec
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
 import java.nio.file.Files
 
 class StreamingSpec extends SparkSpec {
@@ -190,6 +191,29 @@ class StreamingSpec extends SparkSpec {
     ps.processAllAvailable(); ps.stop()
     assert(spark.table("ivjoin").select("event_id", "click_id")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet === batch)
+  }
+
+  test("foreachBatch CDC apply maintains an upserted snapshot across batches") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_cdcs").toString
+    val state = s"$dir/state"
+    // batch 1: two inserts; batch 2: update k1, delete k2, insert k3 —
+    // maxFilesPerTrigger=1 forces them through separate micro-batches
+    Seq((1L, "a", 1L, "U"), (2L, "b", 1L, "U"))
+      .toDF("k", "v", "ver", "op").write.parquet(s"$dir/in/b1")
+    Seq((1L, "a2", 2L, "U"), (2L, "b", 2L, "D"), (3L, "c", 2L, "U"))
+      .toDF("k", "v", "ver", "op").write.parquet(s"$dir/in/b2")
+    val schema = spark.read.parquet(s"$dir/in/b1").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/in/*")
+    val q = Streaming.applyCdcStream(stream, state, Seq("k"), "ver")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.read.parquet(state)
+      .select("k", "v", "ver").as[(Long, String, Long)].collect().toSet
+    // the final snapshot equals the one-shot batch upsert of all changes
+    assert(got === Set((1L, "a2", 2L), (3L, "c", 2L)))
   }
 
   test("stream-static broadcast join enriches a file stream (q03's dim shape)") {
