@@ -245,6 +245,94 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("snapshotDiff inverts upsert on random snapshot pairs") {
+    import spark.implicits._
+    val snapGen = Gen.listOfN(30, for {
+      k <- Gen.choose(0L, 15L) // small key space → collisions → real I/D/U mix
+      s <- Gen.oneOf("a", "b", "c")
+      x <- Gen.choose(0.0, 10.0)
+    } yield (k, s, x))
+    samples(Gen.zip(snapGen, snapGen), 6).foreach { case (o, n) =>
+      // dedup keys (snapshots are keyed tables)
+      val oldRows = o.groupBy(_._1).map(_._2.head).toSeq
+      val newRows = n.groupBy(_._1).map(_._2.head).toSeq
+      val oldDf = oldRows.toDF("k", "s", "x")
+      val newDf = newRows.toDF("k", "s", "x")
+      val diff = graft.scale.Cdc.snapshotDiff(oldDf, newDf,
+        Seq("k"), Seq("s", "x"))
+      // apply diff as an upsert batch onto the old snapshot
+      val changes = diff.withColumn("op",
+        when(col("change_type") === "D", "D").otherwise("U"))
+        .withColumn("ver", lit(2L)).drop("change_type")
+      val merged = graft.scale.Cdc.upsert(
+        oldDf.withColumn("ver", lit(1L)), changes, Seq("k"), "ver")
+        .select("k", "s", "x").as[(Long, String, Double)].collect().toSet
+      assert(merged === newRows.toSet)
+      // and the diff is minimal: no unchanged key appears
+      val unchanged = oldRows.toSet.intersect(newRows.toSet).map(_._1)
+      val diffKeys = diff.select("k").as[Long].collect().toSet
+      assert(diffKeys.intersect(unchanged).isEmpty)
+    }
+  }
+
+  test("pageRank == driver-side fixed-point reference on random graphs") {
+    import spark.implicits._
+    val edgeGen = Gen.listOfN(25, Gen.zip(Gen.choose(0L, 9L), Gen.choose(0L, 9L)))
+    samples(edgeGen, 5).foreach { raw =>
+      val edges = raw.distinct
+      val df = edges.toDF("s", "t")
+      val got = graft.scale.Graph.pageRank(df, "s", "t", iters = 3)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      // reference: same fixed-point units, same floor divisions
+      val S = graft.scale.Graph.Scale
+      val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct.sorted
+      val deg = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+      var r = nodes.map(_ -> S / nodes.size).toMap
+      (1 to 3).foreach { _ =>
+        val sums = edges.groupBy(_._2).view.mapValues(es =>
+          es.map(e => r(e._1) / deg(e._1)).sum).toMap
+        r = nodes.map(id => id ->
+          ((S / 100L) * 15L / nodes.size + 85L * sums.getOrElse(id, 0L) / 100L)
+        ).toMap
+      }
+      val want = r.map { case (id, u) => id -> u.toDouble / S.toDouble }
+      assert(got === want)
+    }
+  }
+
+  test("ewma equals the direct weighted mean of each trailing frame") {
+    import spark.implicits._
+    val rowsGen = Gen.listOfN(25, for {
+      k <- Gen.oneOf(1L, 2L)
+      t <- Gen.choose(0L, 1000000L)
+      v <- Gen.choose(-50.0, 50.0)
+    } yield (k, t, v))
+    samples(rowsGen, 5).foreach { raw =>
+      // unique (k, t) so the window order is total
+      val rows = raw.groupBy(r => (r._1, r._2)).map(_._2.head).toSeq
+      val df = rows.map { case (k, t, v) =>
+        (k, new java.sql.Timestamp(t), v) }.toDF("k", "ts", "v")
+      val got = graft.scale.TimeSeries
+        .ewmaBounded(df, "k", Seq("ts"), "v", alpha = 0.5, window = 4)
+        .select(col("k"), unix_millis(col("ts")), col("ewma"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+        .toMap
+      rows.groupBy(_._1).foreach { case (k, g) =>
+        val ordered = g.sortBy(_._2)
+        ordered.zipWithIndex.foreach { case ((_, t, _), i) =>
+          val frame = ordered.slice(math.max(0, i - 3), i + 1).map(_._3)
+          val wts = frame.indices.map(j =>
+            math.pow(0.5, (frame.size - 1 - j).toDouble))
+          val want = BigDecimal(
+            frame.zip(wts).map { case (v, w) => v * w }.foldLeft(0.0)(_ + _) /
+              wts.foldLeft(0.0)(_ + _))
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+          assert(got((k, t)) === want, s"k=$k t=$t frame=$frame")
+        }
+      }
+    }
+  }
+
   test("jaccard: bounded, symmetric, 1 on self") {
     import spark.implicits._
     val arrGen = Gen.listOfN(12, Gen.choose(0L, 20L))
