@@ -131,15 +131,23 @@ object Streaming {
     * variant would be a pure range join and should go through
     * [[graft.plans.RangeJoinRewrite]] instead.
     */
+  /** `joinType` supports the streaming-legal variants: "inner" (default)
+    * and "left_outer" — a left row with no in-window partner emits with
+    * null right columns once the watermark proves no partner can arrive
+    * (batch: immediately). Unmatched-left attribution ("purchases with NO
+    * preceding click") is the left-outer form, not an anti-join bolt-on.
+    */
   def intervalJoin(left: DataFrame, right: DataFrame, keyCol: String,
-      leftTs: String, rightTs: String, lookbackMinutes: Int): DataFrame = {
+      leftTs: String, rightTs: String, lookbackMinutes: Int,
+      joinType: String = "inner"): DataFrame = {
     val l = left.alias("l")
     val r = right.alias("r")
     l.join(r,
       col(s"l.$keyCol") === col(s"r.$keyCol") &&
         col(s"r.$rightTs") <= col(s"l.$leftTs") &&
         col(s"r.$rightTs") >=
-          col(s"l.$leftTs") - expr(s"INTERVAL $lookbackMinutes MINUTES"))
+          col(s"l.$leftTs") - expr(s"INTERVAL $lookbackMinutes MINUTES"),
+      joinType)
   }
 
   /** Continuous CDC apply: maintain an upserted table snapshot from a

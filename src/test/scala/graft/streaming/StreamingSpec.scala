@@ -193,6 +193,23 @@ class StreamingSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet === batch)
   }
 
+  test("left-outer interval join emits unmatched lefts with null rights") {
+    import spark.implicits._
+    val base = java.sql.Timestamp.valueOf("2024-03-05 08:00:00")
+    def ts(minutes: Int) = new java.sql.Timestamp(base.getTime + minutes * 60000L)
+    val p = Seq((100L, 1L, ts(35)), (101L, 1L, ts(90)), (102L, 2L, ts(40)))
+      .toDF("event_id", "user_id", "ts")
+    val c = Seq((1L, 1L, ts(10)), (4L, 2L, ts(39)))
+      .toDF("click_id", "user_id", "click_ts")
+    val out = Streaming.intervalJoin(p, c, "user_id", "ts", "click_ts",
+      30, "left_outer")
+      .select(col("l.event_id"), col("r.click_id"))
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+    // 101 has no click within its window → emitted with null right
+    assert(out === Set((100L, 1L), (101L, -1L), (102L, 4L)))
+  }
+
   test("foreachBatch CDC apply maintains an upserted snapshot across batches") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_cdcs").toString
