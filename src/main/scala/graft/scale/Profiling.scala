@@ -80,4 +80,51 @@ object Profiling {
         .orderBy(col("col_name"))
     }
   }
+
+  /** Embedding-space drift per group: cosine distance between each
+    * group's mean embedding and the corpus mean embedding — the
+    * semantic-drift monitor next to the token-distribution KL (q106).
+    * A source whose topical center moves (new crawl behavior, spam
+    * injection, encoder change) shows up here before token statistics
+    * shift.
+    *
+    * Determinism: per-dimension means are 6dp-rounded (the q97 KMeans
+    * convention — the 1-ulp partial-aggregation wobble of a distributed
+    * mean cannot survive the rounding), and the cosine is computed by
+    * pos-sorted pinned folds over the (group mean, corpus mean) pairs,
+    * so the quotient is reproducible cross-engine.
+    *
+    * Shape: the corpus-sized work is the exploded (group, pos) / (pos)
+    * mean aggregates (map-side combined; state = groups × dim cells).
+    * Everything after operates on groups × dim rows. The two aggregates
+    * scan the corpus twice; a single-pass variant would carry exact
+    * per-(group, pos) DECIMAL sums and derive the corpus mean from the
+    * group sums — worth it only when the scan dominates, and it trades
+    * away the simple rounded-mean determinism contract used here.
+    */
+  def embeddingDrift(emb: DataFrame, groupCol: String,
+      vecCol: String): DataFrame = {
+    val ex = emb.select(col(groupCol).as("grp"),
+      posexplode(transform(col(vecCol), x => x.cast("double")))
+        .as(Seq("pos", "x")))
+    val gm = ex.groupBy(col("grp"), col("pos"))
+      .agg(round(avg(col("x")), 6).as("m"))
+    val cm = ex.groupBy(col("pos"))
+      .agg(round(avg(col("x")), 6).as("mc"))
+    val n = emb.groupBy(col(groupCol).as("grp"))
+      .agg(count(lit(1)).as("n_vecs"))
+    val paired = gm.join(cm, "pos")
+      .groupBy(col("grp"))
+      .agg(sort_array(collect_list(struct(col("pos"), col("m"), col("mc"))))
+        .as("a"))
+    def fold(f: Column => Column): Column =
+      aggregate(col("a"), lit(0d), (s, e) => s + f(e))
+    paired.join(n, "grp")
+      .select(col("grp").as(groupCol), col("n_vecs"),
+        round(lit(1d) -
+          fold(e => e.getField("m") * e.getField("mc")) /
+            (sqrt(fold(e => e.getField("m") * e.getField("m"))) *
+              sqrt(fold(e => e.getField("mc") * e.getField("mc")))), 6)
+          .as("drift"))
+  }
 }

@@ -580,6 +580,37 @@ object AnalyticsQueries {
       SELECT cluster, term, tf, cdf, score, rank FROM rk
       WHERE rank <= 5 ORDER BY cluster, rank"""))
 
+  /** Embedding-space drift per label group (Profiling.embeddingDrift):
+    * cosine distance of each group's mean embedding from the corpus
+    * mean — q106's semantic-space sibling. The oracle replays the
+    * 6dp-rounded per-dimension means and the pos-ordered cosine folds.
+    */
+  private val q130 = GQuery(
+    (s, d) => graft.scale.Profiling
+      .embeddingDrift(T.embeddings(s, d), "label", "embedding")
+      .orderBy(col("label")),
+    Some("""WITH e AS (
+        SELECT label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings),
+      ex AS (SELECT label, generate_subscripts(v, 1) AS pos, unnest(v) AS x
+             FROM e),
+      gm AS (SELECT label, pos, round(AVG(x), 6) AS m FROM ex GROUP BY 1, 2),
+      cm AS (SELECT pos, round(AVG(x), 6) AS m FROM ex GROUP BY 1),
+      j AS (
+        SELECT gm.label,
+          list(gm.m ORDER BY gm.pos) AS a,
+          list(cm.m ORDER BY gm.pos) AS b
+        FROM gm JOIN cm USING (pos) GROUP BY gm.label),
+      n AS (SELECT label, COUNT(*)::BIGINT AS n_vecs FROM e GROUP BY label)
+      SELECT j.label, n.n_vecs,
+        round(1.0::DOUBLE -
+          list_reduce(list_transform(list_zip(a, b), p -> p[1] * p[2]),
+            (s, x) -> s + x) /
+          (sqrt(list_reduce(list_transform(a, x -> x * x), (s, x) -> s + x)) *
+           sqrt(list_reduce(list_transform(b, x -> x * x), (s, x) -> s + x))),
+          6) AS drift
+      FROM j JOIN n USING (label) ORDER BY label"""))
+
   val all: Map[String, GQuery] = Map(
     "q113_cube_grouping_sets" -> q113,
     "q114_window_rank_family" -> q114,
@@ -597,5 +628,6 @@ object AnalyticsQueries {
     "q126_ngram_diversity" -> q126,
     "q127_dau_wau_stickiness" -> q127,
     "q128_quality_expectations" -> q128,
-    "q129_cluster_labels" -> q129)
+    "q129_cluster_labels" -> q129,
+    "q130_embedding_drift" -> q130)
 }

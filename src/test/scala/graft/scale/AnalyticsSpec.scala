@@ -329,6 +329,27 @@ class AnalyticsSpec extends SparkSpec {
       (1, "enzyme"), (1, "protein")))
   }
 
+  // ---- Profiling.embeddingDrift ----------------------------------------
+
+  test("embeddingDrift: single group has zero drift from itself") {
+    val e = Seq((0, Seq(1f, 2f)), (0, Seq(3f, 4f))).toDF("label", "vec")
+    val out = Profiling.embeddingDrift(e, "label", "vec")
+      .select("drift").as[Double].collect.toSeq
+    assert(out === Seq(0.0))
+  }
+
+  test("embeddingDrift: orthogonal groups drift 1 − 1/√2 from the center") {
+    // group 0 along x, group 1 along y → corpus mean at 45°; each group's
+    // cosine to the center is 1/√2
+    val e = Seq((0, Seq(1f, 0f)), (0, Seq(1f, 0f)),
+      (1, Seq(0f, 1f)), (1, Seq(0f, 1f))).toDF("label", "vec")
+    val out = Profiling.embeddingDrift(e, "label", "vec")
+      .orderBy("label").select("drift").as[Double].collect.toSeq
+    val want = BigDecimal(1.0 - 1.0 / math.sqrt(2.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out === Seq(want, want))
+  }
+
   test("quantizeInt8: no code exceeds the int8 range") {
     val vecs = emb((0L to 20L).map(i =>
       i -> Seq.tabulate(8)(j => ((i * 7 + j * 3) % 11 - 5).toFloat / 3f)): _*)
