@@ -202,12 +202,51 @@ object Dedup {
   def minhashDupPairsAcross(left: DataFrame, right: DataFrame,
       idCol: String, textCol: String,
       shingleSize: Int = 3, numPerm: Int = 64, bands: Int = 16,
-      threshold: Double = 0.6, maxBucket: Int = 1024): DataFrame = {
+      threshold: Double = 0.6, maxBucket: Int = 1024): DataFrame =
+    dupPairsAcrossFrames(
+      sharedShuffle(
+        shingleSigFrame(left, idCol, textCol, shingleSize, numPerm), col("id")),
+      sharedShuffle(
+        shingleSigFrame(right, idCol, textCol, shingleSize, numPerm), col("id")),
+      numPerm, bands, threshold, maxBucket)
+
+  /** The corpus-side dedup index as a DataFrame — (id, sh: sorted distinct
+    * shingle hashes, sig: MinHash signature), exactly the payload
+    * [[minhashDupPairsAcross]] derives from raw text on every call. At
+    * steady state a 100 TB corpus persists THIS as a table (parquet,
+    * ideally bucketed on id) and each ingestion batch joins against it —
+    * the kernel pass over corpus text is paid once at index-build/append
+    * time, not once per batch. Schema is the public contract:
+    * [[minhashDupPairsAgainstIndex]] accepts any frame with these three
+    * columns, read from wherever the index lives.
+    */
+  def minhashIndex(docs: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int = 3, numPerm: Int = 64): DataFrame =
+    shingleSigFrame(docs, idCol, textCol, shingleSize, numPerm)
+
+  /** Incremental near-dup scoring of a batch against a PERSISTED corpus
+    * index ([[minhashIndex]] schema): identical semantics and parameters
+    * as [[minhashDupPairsAcross]] with the corpus on the left — q131
+    * hash-certifies that the persisted-index path reproduces the
+    * recompute-from-text path bit for bit. `numPerm`/`shingleSize` must
+    * match the values the index was built with (the signature length is
+    * checked; the shingle size cannot be, so it is part of the index
+    * table's contract).
+    */
+  def minhashDupPairsAgainstIndex(index: DataFrame, batch: DataFrame,
+      idCol: String, textCol: String,
+      shingleSize: Int = 3, numPerm: Int = 64, bands: Int = 16,
+      threshold: Double = 0.6, maxBucket: Int = 1024): DataFrame =
+    dupPairsAcrossFrames(
+      sharedShuffle(index.select(col("id"), col("sh"), col("sig")), col("id")),
+      sharedShuffle(
+        shingleSigFrame(batch, idCol, textCol, shingleSize, numPerm), col("id")),
+      numPerm, bands, threshold, maxBucket)
+
+  private def dupPairsAcrossFrames(fl: DataFrame, fr: DataFrame,
+      numPerm: Int, bands: Int, threshold: Double,
+      maxBucket: Int): DataFrame = {
     val rowsPerBand = numPerm / bands
-    val fl = sharedShuffle(
-      shingleSigFrame(left, idCol, textCol, shingleSize, numPerm), col("id"))
-    val fr = sharedShuffle(
-      shingleSigFrame(right, idCol, textCol, shingleSize, numPerm), col("id"))
     val bl = fl.select(col("id"),
       explode(bandKeys(col("sig"), bands, rowsPerBand)).as("bk"))
     val br = fr.select(col("id"),

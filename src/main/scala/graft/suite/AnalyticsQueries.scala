@@ -611,6 +611,52 @@ object AnalyticsQueries {
           6) AS drift
       FROM j JOIN n USING (label) ORDER BY label"""))
 
+  /** Persisted dedup-index round trip (Dedup.minhashIndex →
+    * minhashDupPairsAgainstIndex): the even-doc corpus index is WRITTEN
+    * to parquet, read back, and the odd-doc batch scored against it —
+    * q87's exact cross ground truth certifies that the persisted-index
+    * path reproduces the recompute-from-text path bit for bit. This is
+    * the steady-state ingestion shape: the corpus text kernel runs at
+    * index-build time, not once per arriving batch.
+    */
+  private val q131 = GQuery(
+    (s, d) => {
+      val docs = T.documents(s, d)
+      val dir = s"${sys.props("java.io.tmpdir")}/graft_mhidx_${java.lang.Integer.toHexString(d.hashCode)}"
+      graft.scale.Dedup
+        .minhashIndex(docs.filter(col("doc_id") % 2 === 0), "doc_id", "text")
+        .write.mode("overwrite").parquet(dir)
+      graft.scale.Dedup.minhashDupPairsAgainstIndex(
+        s.read.parquet(dir),
+        docs.filter(col("doc_id") % 2 === 1),
+        "doc_id", "text", shingleSize = 3, numPerm = 64, bands = 16,
+        threshold = 0.8)
+        .orderBy(col("id_l"), col("id_r"))
+    },
+    Some("""WITH toks AS (
+        SELECT doc_id, list_filter(string_split_regex(text, '\s+'),
+          x -> len(x) > 0) AS t
+        FROM documents),
+      sh AS (
+        SELECT doc_id,
+          CASE WHEN len(t) >= 3
+            THEN list_distinct(list_transform(range(1, len(t)-1),
+              i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+            ELSE [array_to_string(t, ' ')] END AS s
+        FROM toks),
+      pairs AS (
+        SELECT a.doc_id AS id_l, b.doc_id AS id_r,
+          len(list_intersect(a.s, b.s))::DOUBLE AS inter,
+          (len(a.s) + len(b.s))::DOUBLE AS tot
+        FROM sh a JOIN sh b ON a.doc_id % 2 = 0 AND b.doc_id % 2 = 1)
+      SELECT id_l, id_r,
+        ROUND(CASE WHEN tot - inter > 0 THEN inter / (tot - inter)
+          ELSE 1.0 END, 6) AS jaccard
+      FROM pairs
+      WHERE (CASE WHEN tot - inter > 0 THEN inter / (tot - inter)
+        ELSE 1.0 END) >= 0.8
+      ORDER BY id_l, id_r"""))
+
   val all: Map[String, GQuery] = Map(
     "q113_cube_grouping_sets" -> q113,
     "q114_window_rank_family" -> q114,
@@ -629,5 +675,6 @@ object AnalyticsQueries {
     "q127_dau_wau_stickiness" -> q127,
     "q128_quality_expectations" -> q128,
     "q129_cluster_labels" -> q129,
-    "q130_embedding_drift" -> q130)
+    "q130_embedding_drift" -> q130,
+    "q131_minhash_index_roundtrip" -> q131)
 }

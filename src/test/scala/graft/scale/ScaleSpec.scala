@@ -101,6 +101,27 @@ class ScaleSpec extends SparkSpec {
     assert(pairs.filter(col("jaccard") =!= 1.0).count() == 0)
   }
 
+  test("persisted minhash index reproduces the recompute-from-text pairs") {
+    import spark.implicits._
+    val corpus = (0 until 20).map { i =>
+      (i.toLong, (i * 5 until i * 5 + 30).map(j => s"tok$j").mkString(" "))
+    }.toDF("doc_id", "text")
+    val batch = (0 until 8).map { i =>
+      (100L + i, (i * 5 until i * 5 + 30).map(j => s"tok$j").mkString(" ") + " x")
+    }.toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_mhix").toString
+    Dedup.minhashIndex(corpus, "doc_id", "text", shingleSize = 2)
+      .write.mode("overwrite").parquet(dir)
+    val viaIndex = Dedup.minhashDupPairsAgainstIndex(
+      spark.read.parquet(dir), batch, "doc_id", "text",
+      shingleSize = 2, threshold = 0.8)
+    val recomputed = Dedup.minhashDupPairsAcross(corpus, batch,
+      "doc_id", "text", shingleSize = 2, threshold = 0.8)
+    assert(viaIndex.except(recomputed).count() == 0 &&
+      recomputed.except(viaIndex).count() == 0)
+    assert(viaIndex.count() == 8) // each near-copy pairs with its source
+  }
+
   test("prefix-filter jaccard join == brute-force exact pairs") {
     import spark.implicits._
     // overlapping token windows: doc i shares most bigrams with doc i±1,
