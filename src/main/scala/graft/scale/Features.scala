@@ -93,6 +93,38 @@ object Features {
         round(max(col(valueCol)), 6).as("v_max"))
   }
 
+  /** Robust outlier statistics per stratum: median, MAD (median absolute
+    * deviation), and the count of rows beyond `k` robust sigmas
+    * (σ ≈ 1.4826·MAD under normality) — the outlier detector that a few
+    * corrupt readings CANNOT drag, unlike mean/stddev z-scores where the
+    * outliers inflate their own yardstick.
+    *
+    * Two percentile passes (the median of deviations needs the median
+    * first), each the [[winsorizeStats]] shape: bounded-strata exact
+    * percentile → broadcast join back → map-side-combined aggregate. The
+    * same [[Quantiles]] bounded-state swap applies for huge strata.
+    * Medians/MADs round to 4dp (q31 convention); the cutoff compare uses
+    * one multiply chain of explicit double literals, identical on both
+    * engines.
+    */
+  def madOutlierStats(df: DataFrame, strataCol: String, valueCol: String,
+      k: Double = 3.0): DataFrame = {
+    val meds = df.groupBy(col(strataCol))
+      .agg(round(expr(s"percentile($valueCol, 0.5)"), 4).as("med"))
+    val withMed = df.select(col(strataCol), col(valueCol))
+      .join(broadcast(meds), Seq(strataCol))
+      .withColumn("__dev", abs(col(valueCol) - col("med")))
+    val mads = withMed.groupBy(col(strataCol))
+      .agg(round(expr("percentile(__dev, 0.5)"), 4).as("mad"))
+    withMed.join(broadcast(mads), Seq(strataCol))
+      .groupBy(col(strataCol))
+      .agg(count(lit(1)).as("n"),
+        first(col("med")).as("med"),
+        first(col("mad")).as("mad"),
+        sum(when(col("__dev") > lit(k) * lit(1.4826) * col("mad"), 1L)
+          .otherwise(0L)).as("n_outliers"))
+  }
+
   /** Symmetric int8 quantization of a float embedding column, emitted as
     * per-vector integrity checksums (sum, L1, min, max of the quantized
     * codes) plus the exact max reconstruction error — the numbers a

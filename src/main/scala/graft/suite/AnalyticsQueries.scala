@@ -657,6 +657,33 @@ object AnalyticsQueries {
         ELSE 1.0 END) >= 0.8
       ORDER BY id_l, id_r"""))
 
+  /** Robust outlier stats per event type (Features.madOutlierStats):
+    * median/MAD and the 3-robust-sigma outlier count — the detector the
+    * outliers themselves can't inflate, completing the winsorize (q117)
+    * robust-stats family.
+    */
+  private val q132 = GQuery(
+    (s, d) => graft.scale.Features
+      .madOutlierStats(
+        T.events(s, d).select(col("event_type"), col("value")),
+        "event_type", "value", k = 3.0)
+      .orderBy(col("event_type")),
+    Some("""WITH meds AS (
+        SELECT event_type, ROUND(quantile_cont(value, 0.5), 4) AS med
+        FROM events GROUP BY event_type),
+      d AS (
+        SELECT e.event_type, abs(e.value - m.med) AS dev, m.med
+        FROM events e JOIN meds m USING (event_type)),
+      mads AS (
+        SELECT event_type, ROUND(quantile_cont(dev, 0.5), 4) AS mad
+        FROM d GROUP BY event_type)
+      SELECT d.event_type, COUNT(*)::BIGINT AS n, MIN(d.med) AS med,
+        MIN(mads.mad) AS mad,
+        SUM(CASE WHEN d.dev > 3.0::DOUBLE * 1.4826::DOUBLE * mads.mad
+          THEN 1 ELSE 0 END)::BIGINT AS n_outliers
+      FROM d JOIN mads USING (event_type)
+      GROUP BY d.event_type ORDER BY d.event_type"""))
+
   val all: Map[String, GQuery] = Map(
     "q113_cube_grouping_sets" -> q113,
     "q114_window_rank_family" -> q114,
@@ -676,5 +703,6 @@ object AnalyticsQueries {
     "q128_quality_expectations" -> q128,
     "q129_cluster_labels" -> q129,
     "q130_embedding_drift" -> q130,
-    "q131_minhash_index_roundtrip" -> q131)
+    "q131_minhash_index_roundtrip" -> q131,
+    "q132_mad_outliers" -> q132)
 }

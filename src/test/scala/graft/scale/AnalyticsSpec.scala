@@ -350,6 +350,30 @@ class AnalyticsSpec extends SparkSpec {
     assert(out === Seq(want, want))
   }
 
+  // ---- Features.madOutlierStats ----------------------------------------
+
+  test("madOutliers: a gross outlier is flagged and cannot inflate MAD") {
+    // 99 values near 10 plus one at 1000: median 10, MAD small, the
+    // outlier flagged. A mean/stddev z-score would swallow it (stddev
+    // ≈ 99 → z ≈ 10 but threshold also inflated ~99×3).
+    val df = ((1 to 99).map(i => ("g", 10.0 + (i % 5) * 0.1)) :+
+      (("g", 1000.0))).toDF("grp", "v")
+    val out = Features.madOutlierStats(df, "grp", "v")
+      .as[(String, Long, Double, Double, Long)].collect.head
+    assert(out._2 === 100L)
+    assert(out._3 === 10.2) // median of the bulk
+    assert(out._4 <= 0.3) // MAD stays bulk-sized
+    assert(out._5 === 1L) // exactly the gross outlier
+  }
+
+  test("madOutliers: clean uniform data flags nothing at k=3") {
+    val df = (1 to 50).map(i => ("g", i.toDouble)).toDF("grp", "v")
+    val out = Features.madOutlierStats(df, "grp", "v")
+      .select("n_outliers").as[Long].collect.head
+    // uniform: max dev = 24.5, MAD = 12.5, cutoff 3·1.4826·12.5 ≈ 55.6
+    assert(out === 0L)
+  }
+
   test("quantizeInt8: no code exceeds the int8 range") {
     val vecs = emb((0L to 20L).map(i =>
       i -> Seq.tabulate(8)(j => ((i * 7 + j * 3) % 11 - 5).toFloat / 3f)): _*)
