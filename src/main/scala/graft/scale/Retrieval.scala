@@ -137,6 +137,45 @@ object Retrieval {
         col("score"), col("rank"))
   }
 
+  /** Reciprocal rank fusion of two rankings (RRF, Cormack et al.): fused
+    * score = Σ_r 1/(rrfK + rank_r), summed over the rankings that list
+    * the item — the standard way a RAG stack merges lexical (BM25, q88)
+    * and vector (cosine/ANN, q27/q82) retrieval without score
+    * calibration, since only RANKS enter the sum.
+    *
+    * Inputs are (group, id, rank) frames — "group" is the query id in
+    * retrieval use. The join is per-(group, id) full-outer so an item
+    * listed by either ranking participates; missing ranks contribute 0.
+    *
+    * Scale: both inputs are already top-k-per-group frames (bounded by
+    * k × groups — produce them with [[graft.plans.TopKPerGroup]] or the
+    * operators' own rank cuts), so everything here is bounded work; the
+    * only exchange is the (group, id) join key. Determinism: the two
+    * quotients are exact-rounded IEEE ops summed in fixed left-to-right
+    * order, rounded to 6dp; the fused cut is (score desc, id) total-
+    * ordered.
+    */
+  def rrfFuse(a: DataFrame, b: DataFrame, groupCol: String, idCol: String,
+      rankCol: String, k: Int = 10, rrfK: Int = 60): DataFrame = {
+    val fa = a.select(col(groupCol).as("grp"), col(idCol).as("id"),
+      col(rankCol).as("__ra"))
+    val fb = b.select(col(groupCol).as("grp"), col(idCol).as("id"),
+      col(rankCol).as("__rb"))
+    val fused = fa.join(fb, Seq("grp", "id"), "full_outer")
+      .select(col("grp"), col("id"),
+        round(
+          coalesce(lit(1d) / (lit(rrfK.toDouble) + col("__ra").cast("double")),
+            lit(0d)) +
+            coalesce(lit(1d) / (lit(rrfK.toDouble) + col("__rb").cast("double")),
+              lit(0d)), 6).as("rrf_score"))
+    val w = Window.partitionBy(col("grp"))
+      .orderBy(col("rrf_score").desc, col("id"))
+    fused.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("grp").as(groupCol), col("id").as(idCol),
+        col("rrf_score"), col("rank"))
+  }
+
   /** Class-based TF-IDF cluster labeling (the BERTopic c-TF-IDF shape):
     * given documents already carrying a cluster id, score each term by
     * cluster-tf × ln(1 + nClusters/clusterDf) and keep the top k per

@@ -684,6 +684,54 @@ object AnalyticsQueries {
       FROM d JOIN mads USING (event_type)
       GROUP BY d.event_type ORDER BY d.event_type"""))
 
+  /** Reciprocal rank fusion (Retrieval.rrfFuse): two per-source top-10
+    * document rankings — a content ranking (n_chars) and an independent
+    * portable-hash ranking — fused by 1/(60+rank) sums, top-5 kept. The
+    * ranking inputs are deliberately simple certified rankings; the
+    * OPERATOR is ranker-agnostic (that is RRF's point), and the oracle
+    * certifies the fusion arithmetic, the missing-rank zero
+    * contribution, and the total-order cut.
+    */
+  private val q133 = GQuery(
+    (s, d) => {
+      val docs = T.documents(s, d)
+      val wA = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source"))
+        .orderBy(col("n_chars").desc, col("doc_id"))
+      val wB = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source"))
+        .orderBy(graft.scale.Sampling.portableBucket(col("doc_id")),
+          col("doc_id"))
+      val ra = docs.select(col("source"), col("doc_id"),
+        row_number().over(wA).cast("long").as("r")).where(col("r") <= 10)
+      val rb = docs.select(col("source"), col("doc_id"),
+        row_number().over(wB).cast("long").as("r")).where(col("r") <= 10)
+      graft.scale.Retrieval
+        .rrfFuse(ra, rb, "source", "doc_id", "r", k = 5)
+        .orderBy(col("source"), col("rank"))
+    },
+    Some("""WITH ra AS (
+        SELECT source, doc_id, CAST(ROW_NUMBER() OVER (PARTITION BY source
+          ORDER BY n_chars DESC, doc_id) AS BIGINT) AS r
+        FROM documents QUALIFY r <= 10),
+      rb AS (
+        SELECT source, doc_id, CAST(ROW_NUMBER() OVER (PARTITION BY source
+          ORDER BY (1103515245 * ((doc_id % 2147483647 + 2147483647)
+            % 2147483647) + 12345) % 2147483647, doc_id) AS BIGINT) AS r
+        FROM documents QUALIFY r <= 10),
+      f AS (
+        SELECT COALESCE(ra.source, rb.source) AS source,
+          COALESCE(ra.doc_id, rb.doc_id) AS doc_id,
+          round(COALESCE(1.0::DOUBLE / (60.0::DOUBLE + ra.r), 0.0::DOUBLE) +
+                COALESCE(1.0::DOUBLE / (60.0::DOUBLE + rb.r), 0.0::DOUBLE),
+            6) AS rrf_score
+        FROM ra FULL OUTER JOIN rb
+          ON ra.source = rb.source AND ra.doc_id = rb.doc_id),
+      rk AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY source
+               ORDER BY rrf_score DESC, doc_id) AS BIGINT) AS rank FROM f)
+      SELECT source, doc_id, rrf_score, rank FROM rk WHERE rank <= 5
+      ORDER BY source, rank"""))
+
   val all: Map[String, GQuery] = Map(
     "q113_cube_grouping_sets" -> q113,
     "q114_window_rank_family" -> q114,
@@ -704,5 +752,6 @@ object AnalyticsQueries {
     "q129_cluster_labels" -> q129,
     "q130_embedding_drift" -> q130,
     "q131_minhash_index_roundtrip" -> q131,
-    "q132_mad_outliers" -> q132)
+    "q132_mad_outliers" -> q132,
+    "q133_rrf_fusion" -> q133)
 }

@@ -374,6 +374,31 @@ class AnalyticsSpec extends SparkSpec {
     assert(out === 0L)
   }
 
+  // ---- Retrieval.rrfFuse -----------------------------------------------
+
+  test("rrfFuse: consensus items outrank single-ranking leaders") {
+    // item 30 is mid-ranked by BOTH rankings; items 10/20 lead one
+    // ranking each but miss the other — RRF puts the consensus first
+    val a = Seq(("q", 10L, 1L), ("q", 30L, 2L), ("q", 40L, 3L))
+      .toDF("g", "id", "r")
+    val b = Seq(("q", 20L, 1L), ("q", 30L, 2L), ("q", 50L, 3L))
+      .toDF("g", "id", "r")
+    val out = Retrieval.rrfFuse(a, b, "g", "id", "r", k = 5)
+      .orderBy("rank").select("id").as[Long].collect.toSeq
+    // 30: 2/62 ≈ 0.0323 beats 10/20: 1/61 ≈ 0.0164
+    assert(out.head === 30L)
+    assert(out.toSet === Set(10L, 20L, 30L, 40L, 50L))
+  }
+
+  test("rrfFuse: score ties cut deterministically by id") {
+    val a = Seq(("q", 2L, 1L), ("q", 1L, 2L)).toDF("g", "id", "r")
+    val b = Seq(("q", 1L, 1L), ("q", 2L, 2L)).toDF("g", "id", "r")
+    val out = Retrieval.rrfFuse(a, b, "g", "id", "r", k = 2)
+      .orderBy("rank").select("id", "rank").as[(Long, Long)].collect.toSeq
+    // both items score 1/61 + 1/62 → tie → id asc wins rank 1
+    assert(out === Seq((1L, 1L), (2L, 2L)))
+  }
+
   test("quantizeInt8: no code exceeds the int8 range") {
     val vecs = emb((0L to 20L).map(i =>
       i -> Seq.tabulate(8)(j => ((i * 7 + j * 3) % 11 - 5).toFloat / 3f)): _*)
