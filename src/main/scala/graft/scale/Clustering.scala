@@ -86,8 +86,12 @@ object Clustering {
       means.foreach { r =>
         val c = r.getInt(0)
         (0 until dim).foreach { i =>
-          next(c)(i) = BigDecimal(r.getDouble(i + 1))
-            .setScale(roundDp, BigDecimal.RoundingMode.HALF_UP).toDouble
+          // a ragged vector shorter than the seed dim makes this avg null;
+          // keep the prior centroid value (the posexplode formulation's
+          // behavior) instead of NPE-ing the driver loop
+          if (!r.isNullAt(i + 1))
+            next(c)(i) = BigDecimal(r.getDouble(i + 1))
+              .setScale(roundDp, BigDecimal.RoundingMode.HALF_UP).toDouble
         }
       }
       cents = next

@@ -236,12 +236,22 @@ object Dedup {
   def minhashDupPairsAgainstIndex(index: DataFrame, batch: DataFrame,
       idCol: String, textCol: String,
       shingleSize: Int = 3, numPerm: Int = 64, bands: Int = 16,
-      threshold: Double = 0.6, maxBucket: Int = 1024): DataFrame =
+      threshold: Double = 0.6, maxBucket: Int = 1024): DataFrame = {
+    // the length check the docstring promises: an index built with a
+    // different numPerm would otherwise yield degenerate band keys
+    // (element_at past the sig end is null) and silently wrong candidates
+    val checkedSig = when(size(col("sig")) === numPerm, col("sig"))
+      .otherwise(raise_error(concat(
+        lit(s"minhash index signature length != numPerm=$numPerm " +
+          "(index built with different parameters?): got "),
+        size(col("sig")).cast("string"))))
+      .as("sig")
     dupPairsAcrossFrames(
-      sharedShuffle(index.select(col("id"), col("sh"), col("sig")), col("id")),
+      sharedShuffle(index.select(col("id"), col("sh"), checkedSig), col("id")),
       sharedShuffle(
         shingleSigFrame(batch, idCol, textCol, shingleSize, numPerm), col("id")),
       numPerm, bands, threshold, maxBucket)
+  }
 
   private def dupPairsAcrossFrames(fl: DataFrame, fr: DataFrame,
       numPerm: Int, bands: Int, threshold: Double,

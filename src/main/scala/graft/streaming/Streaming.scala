@@ -161,10 +161,19 @@ object Streaming {
     * in-place overwrite of a path being read. Replays are safe WITHOUT
     * exactly-once delivery: upsert is idempotent under re-delivered
     * batches (same version wins the same way), which is the whole point
-    * of version-precedence merge. On a real deployment the swap is a
-    * table-format transaction commit (Iceberg/Delta); the directory swap
-    * is the format-free equivalent with the same crash-consistency story
-    * at the rename.
+    * of version-precedence merge.
+    *
+    * Crash consistency: the swap is two renames (state→old, next→state),
+    * and a crash between them leaves NO statePath — so every batch first
+    * recovers: if statePath is missing but a `__old<id>` orphan exists,
+    * the newest orphan is renamed back before reading (merging onto an
+    * empty base would silently drop every prior key). Every rename's
+    * return value is checked and a `false` throws, failing the batch so
+    * the checkpoint never marks done over a stale snapshot; leftover
+    * orphan dirs from a completed-but-uncleaned attempt are deleted
+    * before they can make the state→old rename fail. On a real
+    * deployment the swap is a table-format transaction commit
+    * (Iceberg/Delta); this is the format-free equivalent.
     *
     * Caller starts the returned writer with its own checkpoint/trigger
     * (same contract as [[incrementalIngest]]).
@@ -178,6 +187,28 @@ object Streaming {
         val hconf = spark.sessionState.newHadoopConf()
         val state = new org.apache.hadoop.fs.Path(statePath)
         val fs = state.getFileSystem(hconf)
+        def mustRename(src: org.apache.hadoop.fs.Path,
+            dst: org.apache.hadoop.fs.Path): Unit =
+          if (!fs.rename(src, dst))
+            throw new java.io.IOException(
+              s"applyCdcStream: rename $src -> $dst failed; failing the " +
+              "batch so the checkpoint does not commit over a stale snapshot")
+        // Recovery: a crash between rename(state->old) and rename(next->
+        // state) leaves no statePath but an __old<id> orphan holding the
+        // last good snapshot. Restore the newest orphan before reading.
+        if (!fs.exists(state)) {
+          val orphans = fs.globStatus(
+            new org.apache.hadoop.fs.Path(s"${statePath}__old*"))
+          if (orphans != null && orphans.nonEmpty) {
+            val newest = orphans.maxBy { st =>
+              st.getPath.getName.reverse.takeWhile(_.isDigit).reverse match {
+                case "" => -1L
+                case ds => ds.toLong
+              }
+            }
+            mustRename(newest.getPath, state)
+          }
+        }
         val baseSchema = org.apache.spark.sql.types.StructType(
           batch.schema.filterNot(_.name == opCol))
         val current =
@@ -189,8 +220,12 @@ object Streaming {
         val next = new org.apache.hadoop.fs.Path(s"${statePath}__b${batchId}")
         merged.write.mode("overwrite").parquet(next.toString)
         val old = new org.apache.hadoop.fs.Path(s"${statePath}__old${batchId}")
-        if (fs.exists(state)) { fs.rename(state, old); () }
-        fs.rename(next, state)
+        // a replay of a completed-but-uncleaned attempt leaves old behind;
+        // it is obsolete (state exists and is >= it) and would make the
+        // rename below return false
+        if (fs.exists(old)) { fs.delete(old, true); () }
+        if (fs.exists(state)) mustRename(state, old)
+        mustRename(next, state)
         if (fs.exists(old)) { fs.delete(old, true); () }
     }
   }

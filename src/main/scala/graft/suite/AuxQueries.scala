@@ -69,7 +69,7 @@ object AuxQueries {
     */
   private val q96 = GQuery(
     (s, d) => {
-      val dir = s"${sys.props("java.io.tmpdir")}/graft_orc_${java.lang.Integer.toHexString(d.hashCode)}"
+      val dir = Scratch.fresh("graft_orc_")
       T.orders(s, d)
         .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
           col("o_orderpriority"))
@@ -194,7 +194,7 @@ object AuxQueries {
     */
   private val q100 = GQuery(
     (s, d) => {
-      val dir = s"${sys.props("java.io.tmpdir")}/graft_jsonl_${java.lang.Integer.toHexString(d.hashCode)}"
+      val dir = Scratch.fresh("graft_jsonl_")
       val docs = T.documents(s, d)
       docs.write.mode("overwrite").json(dir)
       s.read.schema(docs.schema).json(dir)
@@ -530,7 +530,7 @@ object AuxQueries {
     */
   private val q112 = GQuery(
     (s, d) => {
-      val dir = s"${sys.props("java.io.tmpdir")}/graft_cmp_${java.lang.Integer.toHexString(d.hashCode)}"
+      val dir = Scratch.fresh("graft_cmp_")
       T.lineitem(s, d)
         .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
           col("l_returnflag"))

@@ -314,7 +314,7 @@ object ExtendedQueries {
   private val q54 = GQuery(
     (s, d) => {
       import s.implicits._
-      val dir = s"${sys.props("java.io.tmpdir")}/graft_bkt_${java.lang.Integer.toHexString(d.hashCode)}"
+      val dir = Scratch.fresh("graft_bkt_")
       graft.scale.Bucketing.writeBucketed(
         T.customer(s, d).select($"c_custkey", $"c_mktsegment"),
         "graft_bkt_customer", s"$dir/customer", "c_custkey", 8)
@@ -344,7 +344,7 @@ object ExtendedQueries {
   private val q55 = GQuery(
     (s, d) => {
       import s.implicits._
-      val dir = s"${sys.props("java.io.tmpdir")}/graft_sink_${java.lang.Integer.toHexString(d.hashCode)}"
+      val dir = Scratch.fresh("graft_sink_")
       T.lineitem(s, d)
         .select($"l_orderkey", $"l_returnflag", $"l_quantity", $"l_extendedprice")
         .write.mode("overwrite").partitionBy("l_returnflag").parquet(dir)
