@@ -55,6 +55,11 @@ object NativeExpressions {
   def simhash64(tokenHashes: Column): Column =
     Bridge.column(SimHash64(Bridge.expression(tokenHashes)))
 
+  /** Encode a word column with a learned BPE merge list (rank order). */
+  def bpe_encode(word: Column, merges: Seq[(String, String)]): Column =
+    Bridge.column(BpeEncodeWord(Bridge.expression(word),
+      merges.map(_._1), merges.map(_._2)))
+
   def bloom_might_contain_long(hash: Column,
       bloom: org.apache.spark.broadcast.Broadcast[
         org.apache.spark.util.sketch.BloomFilter]): Column =
@@ -1711,6 +1716,120 @@ case class SimHash64(child: Expression) extends UnaryExpression {
         ${ev.value} = $out;
       """
     })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Byte-pair-encoding APPLY: encode one whitespace-word against a learned
+  * merge list — the tokenizer inner loop an actual training-data pipeline
+  * runs most often (induction of the merges themselves is
+  * TextOps.bpePairCounts / q92; this is the other half of tokenizer
+  * training, applying them).
+  *
+  * Algorithm (GPT-2 reference semantics): start from the word's
+  * codepoints; repeatedly find the adjacent symbol pair with the LOWEST
+  * merge rank and fuse ALL its occurrences left-to-right (non-overlapping,
+  * scan resumes after each fusion); stop when no adjacent pair is ranked.
+  * Each round removes at least one symbol, so the loop is bounded by word
+  * length. Merged symbols are strictly longer than either component, so a
+  * fused symbol can never equal the first component of the pair just
+  * applied — which is why the oracle's left-fold replay (merge when
+  * last(acc)=a and incoming=b) reproduces this scan exactly.
+  *
+  * Scale shape: the merge-rank table is part of the expression (one
+  * deserialized HashMap per task, probed O(word_len) per round — never a
+  * join), and the expression is meant to run AFTER the distinct-word
+  * collapse (TextOps.bpeEncodeWords): a word repeated a billion times
+  * across 100 TB is encoded once, Zipf making the distinct-word table
+  * orders of magnitude smaller than the token stream. Codegen calls the
+  * compiled encoder directly (same single-virtual-call shape as the other
+  * reference-object kernels), keeping the operator inside the
+  * whole-stage-codegen span.
+  */
+case class BpeEncodeWord(child: Expression,
+    mergeA: Seq[String], mergeB: Seq[String]) extends UnaryExpression {
+  require(mergeA.length == mergeB.length, "merge component lists must align")
+  require(mergeA.forall(_.nonEmpty) && mergeB.forall(_.nonEmpty),
+    "merge symbols must be non-empty")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  private final val Sep = '\u0001'
+
+  /** "ab" → 1-based rank (lower merges first). First occurrence
+    * wins on duplicate pairs, matching list_position in the oracle.
+    */
+  @transient private lazy val ranks: java.util.HashMap[String, Integer] = {
+    val m = new java.util.HashMap[String, Integer]()
+    var i = 0
+    while (i < mergeA.length) {
+      m.putIfAbsent(mergeA(i) + Sep + mergeB(i), Integer.valueOf(i + 1))
+      i += 1
+    }
+    m
+  }
+
+  /** Public for codegen: encode one word to its BPE symbols. */
+  def encodeUtf8(word: org.apache.spark.unsafe.types.UTF8String): ArrayData = {
+    val s = word.toString
+    // seed: one symbol per codepoint (parity with the oracle's w[i]
+    // character indexing)
+    var syms = new Array[String](s.codePointCount(0, s.length))
+    var ci = 0
+    var k = 0
+    while (ci < s.length) {
+      val cp = s.codePointAt(ci)
+      syms(k) = new String(Character.toChars(cp))
+      k += 1
+      ci += Character.charCount(cp)
+    }
+    var done = syms.length < 2
+    while (!done) {
+      // lowest-ranked adjacent pair present in this word
+      var best = Int.MaxValue
+      var i = 0
+      while (i < syms.length - 1) {
+        val r = ranks.get(syms(i) + Sep + syms(i + 1))
+        if (r != null && r.intValue() < best) best = r.intValue()
+        i += 1
+      }
+      if (best == Int.MaxValue) done = true
+      else {
+        val a = mergeA(best - 1)
+        val b = mergeB(best - 1)
+        val out = new Array[String](syms.length)
+        var o = 0
+        i = 0
+        while (i < syms.length) {
+          if (i < syms.length - 1 && syms(i) == a && syms(i + 1) == b) {
+            out(o) = a + b; o += 1; i += 2
+          } else {
+            out(o) = syms(i); o += 1; i += 1
+          }
+        }
+        syms = java.util.Arrays.copyOf(out, o)
+        done = syms.length < 2
+      }
+    }
+    val arr = new Array[Any](syms.length)
+    var j = 0
+    while (j < syms.length) {
+      arr(j) = org.apache.spark.unsafe.types.UTF8String.fromString(syms(j))
+      j += 1
+    }
+    new GenericArrayData(arr)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    encodeUtf8(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bpeEncoder", this,
+      classOf[BpeEncodeWord].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.encodeUtf8($c);")
+  }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

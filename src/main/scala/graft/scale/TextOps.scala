@@ -479,4 +479,30 @@ object TextOps {
       .groupBy(col("pair")).agg(sum(col("wn")).as("n"))
       .orderBy(col("n").desc, col("pair")).limit(topN)
   }
+
+  /** BPE tokenizer APPLY over a corpus: encode every DISTINCT word with a
+    * learned merge list and return the encoded vocabulary —
+    * (w, encoded: space-joined symbols, n_tokens, wn: corpus frequency).
+    * The second half of tokenizer training (q92 induces the merges; this
+    * applies them), and the operator an actual pipeline runs most often
+    * (true token costing, vocab coverage audits).
+    *
+    * Scale shape: same distinct-word collapse as [[bpePairCounts]] — ONE
+    * (word, count) shuffle with map-side combine over the token stream;
+    * the iterative merge loop ([[graft.functions.BpeEncodeWord]], a
+    * codegen'd kernel carrying the broadcast rank table) then runs once
+    * per VOCABULARY entry, not once per corpus token. Per-doc token costs,
+    * when needed, are a broadcast join of this table back to the token
+    * stream — never a re-encode.
+    */
+  def bpeEncodeWords(docs: org.apache.spark.sql.DataFrame, textCol: String,
+      merges: Seq[(String, String)]): org.apache.spark.sql.DataFrame = {
+    val wc = docs.select(explode(tokens(col(textCol))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("wn"))
+    wc.select(col("w"),
+        graft.functions.NativeExpressions.bpe_encode(col("w"), merges)
+          .as("toks"), col("wn"))
+      .select(col("w"), array_join(col("toks"), " ").as("encoded"),
+        size(col("toks")).cast("long").as("n_tokens"), col("wn"))
+  }
 }

@@ -1,0 +1,95 @@
+package graft.suite
+
+import org.apache.spark.sql.functions._
+import graft.core.{GQuery, Tables => T}
+
+/** Round-10 pipeline-lifecycle operators: BPE tokenizer APPLY (q134) —
+  * the second half of tokenizer training, encoding the corpus vocabulary
+  * with a learned merge list.
+  */
+object PipelineQueries {
+
+  /** A deliberately chain-heavy merge list over the corpus vocabulary:
+    * multi-level merges (e.g. w→win→wind→windo→window across five
+    * rounds) exercise the full iterate-until-no-ranked-pair loop, not
+    * just single-level char fusions. Rank = list position.
+    */
+  private val Merges: Seq[(String, String)] = Seq(
+    ("a", "n"), ("o", "r"), ("e", "r"), ("s", "c"), ("sc", "an"),
+    ("i", "n"), ("d", "er"), ("or", "der"), ("s", "t"), ("r", "e"),
+    ("a", "s"), ("h", "as"), ("l", "o"), ("w", "in"), ("win", "d"),
+    ("wind", "o"), ("windo", "w"))
+
+  private def sqlList(xs: Seq[String]): String =
+    xs.map(x => s"'$x'").mkString("[", ",", "]")
+
+  /** The per-level best-rank expression (expects `syms` and the merge
+    * key list `mk` in scope): lowest 1-based rank among the word's
+    * adjacent symbol pairs, NULL when none is ranked (terminal state).
+    */
+  private val BestRank = """list_aggregate(
+      list_filter(
+        list_transform(range(1, len(syms)),
+          i -> list_position(mk, syms[i] || chr(1) || syms[i+1])),
+        r -> coalesce(r, 0) > 0), 'min')"""
+
+  /** BPE apply-with-merges (TextOps.bpeEncodeWords +
+    * functions.BpeEncodeWord): every distinct corpus word encoded against
+    * the learned merge list — (w, encoded, n_tokens, wn). The oracle
+    * replays the EXACT GPT-2 loop in a recursive CTE: per level, the
+    * lowest-ranked adjacent pair is found (list_position over pair keys)
+    * and all its occurrences fused left-to-right by a list_reduce fold
+    * over singleton-list symbols; a word is terminal when no pair is
+    * ranked. The fold's merge-when-(last=a, incoming=b) rule reproduces
+    * the scan-with-skip semantics because a fused symbol is strictly
+    * longer than either component, so it can never equal the first
+    * component of the pair just applied. Recursion is bounded: every
+    * level removes at least one symbol, so depth ≤ max word length.
+    *
+    * Scale shape certified: the corpus collapses to the distinct-word
+    * count table first (one shuffle with map-side combine); the merge
+    * loop runs per VOCABULARY entry inside a codegen'd kernel carrying
+    * the rank table — a word repeated a billion times across 100 TB is
+    * encoded once.
+    */
+  private val q134 = GQuery(
+    (s, d) => graft.scale.TextOps
+      .bpeEncodeWords(T.documents(s, d), "text", Merges)
+      .orderBy(col("w")),
+    Some(s"""WITH RECURSIVE
+      m AS (SELECT ${sqlList(Merges.map(_._1))} AS ma,
+        ${sqlList(Merges.map(_._2))} AS mb,
+        list_transform(
+          list_zip(${sqlList(Merges.map(_._1))}, ${sqlList(Merges.map(_._2))}),
+          p -> p[1] || chr(1) || p[2]) AS mk),
+      words AS (
+        SELECT w, COUNT(*)::BIGINT AS wn FROM (
+          SELECT unnest(list_filter(string_split_regex(text, '\\s+'),
+            x -> len(x) > 0)) AS w
+          FROM documents) GROUP BY w),
+      seed AS (
+        SELECT w, list_transform(range(1, length(w)+1), i -> w[i]) AS syms
+        FROM words),
+      enc AS (
+        SELECT w, syms FROM seed
+        UNION ALL
+        SELECT w,
+          list_reduce(
+            list_transform(syms, s -> [s]),
+            (acc, x) -> CASE WHEN acc[-1] = ma[best] AND x[1] = mb[best]
+              THEN acc[1:len(acc)-1] || [ma[best] || mb[best]]
+              ELSE acc || x END) AS syms
+        FROM (SELECT w, syms, $BestRank AS best FROM enc CROSS JOIN m)
+          CROSS JOIN m
+        WHERE best IS NOT NULL),
+      term AS (
+        SELECT w, syms
+        FROM (SELECT w, syms, $BestRank AS best FROM enc CROSS JOIN m)
+        WHERE best IS NULL)
+      SELECT t.w AS w, array_to_string(t.syms, ' ') AS encoded,
+        len(t.syms)::BIGINT AS n_tokens, words.wn
+      FROM term t JOIN words USING (w) ORDER BY w"""))
+
+  val all: Map[String, GQuery] = Map(
+    "q134_bpe_apply" -> q134)
+}

@@ -339,4 +339,68 @@ class NativeExpressionsSpec extends SparkSpec {
       .collect().head.getSeq[Long](0)
     assert(interp.toSeq == viaDf)
   }
+
+  /** Independent reference BPE-apply (GPT-2 semantics), written as a
+    * naive candidate-list formulation — deliberately not the kernel's
+    * single-scan argmin — so agreement is evidence, not tautology.
+    */
+  private def refBpe(word: String, merges: Seq[(String, String)]): Seq[String] = {
+    val rank = merges.zipWithIndex.groupBy(_._1)
+      .map { case (p, xs) => p -> xs.map(_._2).min }
+    var syms: Vector[String] = word.map(_.toString).toVector
+    var continue = true
+    while (continue && syms.length >= 2) {
+      val present = syms.zip(syms.tail).filter(rank.contains)
+      if (present.isEmpty) continue = false
+      else {
+        val (a, b) = present.minBy(rank)
+        val out = Vector.newBuilder[String]
+        var i = 0
+        while (i < syms.length) {
+          if (i < syms.length - 1 && syms(i) == a && syms(i + 1) == b) {
+            out += (a + b); i += 2
+          } else { out += syms(i); i += 1 }
+        }
+        syms = out.result()
+      }
+    }
+    syms
+  }
+
+  test("bpe_encode == reference encoder over random words and merge lists") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(4242L)
+    val alphabet = "abcd"
+    def randSym(maxLen: Int): String =
+      (1 to (1 + rnd.nextInt(maxLen))).map(_ =>
+        alphabet(rnd.nextInt(alphabet.length))).mkString
+    (1 to 25).foreach { _ =>
+      val merges = (1 to (1 + rnd.nextInt(12)))
+        .map(_ => (randSym(3), randSym(3)))
+      val words = (1 to 40).map(_ =>
+        (1 to (1 + rnd.nextInt(12))).map(_ =>
+          alphabet(rnd.nextInt(alphabet.length))).mkString).distinct
+      val got = words.toDF("w")
+        .select(col("w"), NativeExpressions.bpe_encode(col("w"), merges).as("t"))
+        .collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+      words.foreach { w =>
+        assert(got(w) == refBpe(w, merges),
+          s"word=$w merges=$merges got=${got(w)} want=${refBpe(w, merges)}")
+      }
+    }
+  }
+
+  test("bpe_encode edge cases: single char, unmergeable, full collapse") {
+    import spark.implicits._
+    val merges = Seq(("a", "b"), ("ab", "ab"), ("c", "d"))
+    val got = Seq("a", "xyz", "abab", "ababab", "cdcd").toDF("w")
+      .select(col("w"), NativeExpressions.bpe_encode(col("w"), merges).as("t"))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    assert(got("a") == Seq("a"))
+    assert(got("xyz") == Seq("x", "y", "z"))
+    assert(got("abab") == Seq("abab"))
+    // 3×(a,b) then ONE (ab,ab) left-to-right, trailing ab unpaired
+    assert(got("ababab") == Seq("abab", "ab"))
+    assert(got("cdcd") == Seq("cd", "cd"))
+  }
 }
