@@ -19,9 +19,9 @@ import org.apache.spark.sql.functions._
   *   - the dst aggregation is a map-side-combined BIGINT sum;
   *   - the rank update joins back to the node list (left join, absent =
   *     no in-edges, teleport only). Nothing touches the driver: node
-  *     count rides a broadcast 1-row frame. Beyond ~10 iterations,
-  *     localCheckpoint between rounds to cut lineage growth (the
-  *     connected-components lesson).
+  *     count rides a broadcast 1-row frame. Lineage is truncated in-loop
+  *     every `checkpointEvery` iterations (localCheckpoint, or reliable
+  *     via `checkpointDir` — the connected-components convention).
   *
   * Determinism contract: ranks are FIXED-POINT integers in units of
   * 10^-12 and every update is integer arithmetic (floor division, exact
@@ -35,12 +35,11 @@ import org.apache.spark.sql.functions._
   * graph, far below any ranking use; the emitted double is the exact
   * unit count divided by 10^12 (counts < 2^53 convert exactly).
   *
-  * Semantics: ranks flow along out-edges only; the mass of dangling nodes
-  * (no out-edges) is NOT redistributed — their targets simply receive
-  * less, and the vector is not re-normalized. That is the cheap, common
-  * large-scale variant (redistribution costs a global aggregate per
-  * iteration); callers wanting the stochastic-matrix version add the
-  * dangling-mass term themselves.
+  * Two variants: [[pageRank]] lets dangling-node mass leak (the cheap,
+  * common large-scale form — no global aggregate per iteration);
+  * [[pageRankDangling]] redistributes it uniformly each iteration (the
+  * stochastic-matrix form — mass-conserving, one extra 1-row broadcast
+  * aggregate per iteration).
   */
 object Graph {
 
@@ -54,11 +53,47 @@ object Graph {
     * intended). `dampingPct` is the damping factor in percent (85 = the
     * canonical 0.85) — integer so the fixed-point update stays exact.
     * Returns (id, rank) with rank = exact units / 10^12 as a double.
+    *
+    * Lineage control for deep iteration counts: every `checkpointEvery`
+    * iterations the rank frame's lineage is truncated — `localCheckpoint`
+    * (executor-storage blocks; fast, not executor-loss-safe) by default,
+    * or a reliable checkpoint when `checkpointDir` names a fault-tolerant
+    * directory (the [[Dedup.connectedComponents]] convention; semantics
+    * identical, only the recovery story differs). Without truncation each
+    * iteration's plan embeds every prior one — at iteration 30 the
+    * optimizer re-analyzes a 30-deep join tree and a lost executor
+    * recomputes the whole history. `checkpointEvery = 0` disables.
     */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
-      iters: Int, dampingPct: Int = 85): DataFrame = {
+      iters: Int, dampingPct: Int = 85, checkpointEvery: Int = 8,
+      checkpointDir: Option[String] = None): DataFrame =
+    iterate(edges, srcCol, dstCol, iters, dampingPct, checkpointEvery,
+      checkpointDir, redistributeDangling = false)
+
+  /** The stochastic-matrix PageRank variant: each iteration redistributes
+    * the aggregate rank mass of DANGLING nodes (no out-edges) uniformly
+    * over all nodes, so total mass is conserved (up to ≤ 10^-12-per-node
+    * floor losses) instead of leaking through sinks. Costs exactly one
+    * extra global aggregate per iteration — a (1-row) broadcast of the
+    * dangling-mass sum — on top of [[pageRank]]'s per-iteration work;
+    * same fixed-point integer determinism contract.
+    *
+    * Update rule per node (all integer, floor division):
+    * r' = teleport div n + (damping · (inSum + danglingMass div n)) div 100
+    */
+  def pageRankDangling(edges: DataFrame, srcCol: String, dstCol: String,
+      iters: Int, dampingPct: Int = 85, checkpointEvery: Int = 8,
+      checkpointDir: Option[String] = None): DataFrame =
+    iterate(edges, srcCol, dstCol, iters, dampingPct, checkpointEvery,
+      checkpointDir, redistributeDangling = true)
+
+  private def iterate(edges: DataFrame, srcCol: String, dstCol: String,
+      iters: Int, dampingPct: Int, checkpointEvery: Int,
+      checkpointDir: Option[String], redistributeDangling: Boolean): DataFrame = {
     require(iters >= 1, "pageRank needs at least one iteration")
     require(dampingPct >= 0 && dampingPct <= 100, "dampingPct in [0,100]")
+    require(checkpointEvery >= 0, "checkpointEvery must be >= 0 (0 = off)")
+    checkpointDir.foreach(edges.sparkSession.sparkContext.setCheckpointDir)
     val teleportUnits = (Scale / 100L) * (100L - dampingPct)
     // every frame gets globally-disjoint column names: e/deg/nodes share
     // lineage (deg and nodes derive from e), and Spark's ambiguous-self-
@@ -73,7 +108,7 @@ object Graph {
       .withColumnRenamed("src", "__dsrc")
     val init = nodes.crossJoin(nRow)
       .select(col("id"), expr(s"${Scale}L div __n").as("__r"))
-    val last = (1 to iters).foldLeft(init) { (ranks, _) =>
+    val last = (1 to iters).foldLeft(init) { (ranks, it) =>
       val contribs = e
         .join(ranks.withColumnRenamed("id", "__rid"),
           col("src") === col("__rid"))
@@ -81,11 +116,29 @@ object Graph {
         .select(col("dst").as("__cid"), expr("__r div __deg").as("__c"))
       val sums = contribs.groupBy(col("__cid"))
         .agg(sum(col("__c")).as("__s"))
-      nodes.crossJoin(nRow)
+      val base = nodes.crossJoin(nRow)
         .join(sums, col("id") === col("__cid"), "left")
-        .select(col("id"),
-          (expr(s"${teleportUnits}L div __n") +
-            expr(s"($dampingPct * coalesce(__s, 0L)) div 100")).as("__r"))
+      val next =
+        if (!redistributeDangling)
+          base.select(col("id"),
+            (expr(s"${teleportUnits}L div __n") +
+              expr(s"($dampingPct * coalesce(__s, 0L)) div 100")).as("__r"))
+        else {
+          // the one extra global aggregate: rank mass sitting on nodes
+          // with no out-edges, as a broadcast 1-row frame (no collect)
+          val danglRow = broadcast(ranks
+            .join(deg, col("id") === col("__dsrc"), "left_anti")
+            .agg(coalesce(sum(col("__r")), lit(0L)).as("__dm")))
+          base.crossJoin(danglRow)
+            .select(col("id"),
+              (expr(s"${teleportUnits}L div __n") +
+                expr(s"($dampingPct * (coalesce(__s, 0L) + __dm div __n)) " +
+                  "div 100")).as("__r"))
+        }
+      if (checkpointEvery > 0 && it % checkpointEvery == 0 && it < iters) {
+        if (checkpointDir.isDefined) next.checkpoint(eager = true)
+        else next.localCheckpoint(eager = true)
+      } else next
     }
     last.select(col("id"),
       (col("__r").cast("double") / lit(Scale).cast("double")).as("rank"))

@@ -90,6 +90,59 @@ object PipelineQueries {
         len(t.syms)::BIGINT AS n_tokens, words.wn
       FROM term t JOIN words USING (w) ORDER BY w"""))
 
+  /** Mass-conserving PageRank (Graph.pageRankDangling, 2 iterations,
+    * damping 85%) on a fixture BUILT to dangle: src keys land in [0,150)
+    * and dst keys in [100,297), so every node above 149 has in-edges but
+    * no out-edges — roughly half the graph is dangling, the regime where
+    * the leaky variant (q121) and the stochastic-matrix variant diverge
+    * most. The oracle unrolls both iterations in the same fixed-point
+    * 10^-12 integer arithmetic, including the per-iteration dangling-mass
+    * aggregate (anti-join sum, floor-divided share), so a hash-match
+    * certifies the redistribution term exactly — not just "ranks look
+    * normalized". Mass conservation at depth (iters ≥ 10) is pinned
+    * separately in AnalyticsSpec.
+    */
+  private val q135 = GQuery(
+    (s, d) => {
+      val edges = T.lineitem(s, d)
+        .select((col("l_orderkey") % 150).as("src"),
+          (col("l_partkey") % 197 + 100).as("dst"))
+        .distinct()
+      graft.scale.Graph.pageRankDangling(edges, "src", "dst", iters = 2)
+        .orderBy(col("id"))
+    },
+    Some("""WITH e AS (
+        SELECT DISTINCT l_orderkey % 150 AS src, l_partkey % 197 + 100 AS dst
+        FROM lineitem),
+      nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+      nn AS (SELECT COUNT(*)::BIGINT AS n FROM nodes),
+      deg AS (SELECT src, COUNT(*)::BIGINT AS d FROM e GROUP BY src),
+      r0 AS (SELECT id, 1000000000000 // nn.n AS r
+             FROM nodes CROSS JOIN nn),
+      d1 AS (SELECT COALESCE(CAST(SUM(r0.r) AS BIGINT), 0) AS dm
+             FROM r0 LEFT JOIN deg ON r0.id = deg.src
+             WHERE deg.src IS NULL),
+      c1 AS (SELECT e.dst AS id, r0.r // deg.d AS c
+             FROM e JOIN r0 ON e.src = r0.id JOIN deg ON e.src = deg.src),
+      s1 AS (SELECT id, CAST(SUM(c) AS BIGINT) AS s FROM c1 GROUP BY id),
+      r1 AS (SELECT nodes.id, (150000000000 // nn.n) +
+               ((85 * (COALESCE(s1.s, 0) + d1.dm // nn.n)) // 100) AS r
+             FROM nodes CROSS JOIN nn CROSS JOIN d1
+             LEFT JOIN s1 ON nodes.id = s1.id),
+      d2 AS (SELECT COALESCE(CAST(SUM(r1.r) AS BIGINT), 0) AS dm
+             FROM r1 LEFT JOIN deg ON r1.id = deg.src
+             WHERE deg.src IS NULL),
+      c2 AS (SELECT e.dst AS id, r1.r // deg.d AS c
+             FROM e JOIN r1 ON e.src = r1.id JOIN deg ON e.src = deg.src),
+      s2 AS (SELECT id, CAST(SUM(c) AS BIGINT) AS s FROM c2 GROUP BY id),
+      r2 AS (SELECT nodes.id, (150000000000 // nn.n) +
+               ((85 * (COALESCE(s2.s, 0) + d2.dm // nn.n)) // 100) AS r
+             FROM nodes CROSS JOIN nn CROSS JOIN d2
+             LEFT JOIN s2 ON nodes.id = s2.id)
+      SELECT id, CAST(r AS DOUBLE) / 1000000000000.0::DOUBLE AS rank
+      FROM r2 ORDER BY id"""))
+
   val all: Map[String, GQuery] = Map(
-    "q134_bpe_apply" -> q134)
+    "q134_bpe_apply" -> q134,
+    "q135_pagerank_dangling" -> q135)
 }

@@ -248,6 +248,38 @@ class AnalyticsSpec extends SparkSpec {
     assert(math.abs(mass - 1.0) < 1e-6)
   }
 
+  test("pageRankDangling: mass conserved at depth where the leaky variant drains") {
+    // chain into a sink: 1→2→3→4, node 4 dangles; half the stationary
+    // mass would leak through it without redistribution
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("s", "t")
+    val conserved = Graph.pageRankDangling(e, "s", "t", iters = 12)
+      .agg(sum(col("rank"))).as[Double].collect.head
+    val leaky = Graph.pageRank(e, "s", "t", iters = 12)
+      .agg(sum(col("rank"))).as[Double].collect.head
+    // floor losses only: ≤ a few units (10^-12) per node per iteration
+    assert(math.abs(conserved - 1.0) < 1e-9, s"conserved mass = $conserved")
+    assert(leaky < 0.75, s"leaky variant should drain through the sink: $leaky")
+  }
+
+  test("pageRankDangling: no dangling nodes => identical to pageRank") {
+    val e = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 1L)).toDF("s", "t")
+    val a = Graph.pageRank(e, "s", "t", iters = 6)
+      .orderBy("id").as[(Long, Double)].collect.toSeq
+    val b = Graph.pageRankDangling(e, "s", "t", iters = 6)
+      .orderBy("id").as[(Long, Double)].collect.toSeq
+    assert(a === b)
+  }
+
+  test("pageRank: in-loop checkpoint cadence does not change results") {
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (2L, 4L))
+      .toDF("s", "t")
+    val plain = Graph.pageRankDangling(e, "s", "t", iters = 7,
+      checkpointEvery = 0).orderBy("id").as[(Long, Double)].collect.toSeq
+    val truncated = Graph.pageRankDangling(e, "s", "t", iters = 7,
+      checkpointEvery = 2).orderBy("id").as[(Long, Double)].collect.toSeq
+    assert(plain === truncated)
+  }
+
   // ---- Quality.expect --------------------------------------------------
 
   test("quality expectations: counts violations per check in one pass") {
