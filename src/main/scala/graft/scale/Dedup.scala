@@ -224,6 +224,31 @@ object Dedup {
       shingleSize: Int = 3, numPerm: Int = 64): DataFrame =
     shingleSigFrame(docs, idCol, textCol, shingleSize, numPerm)
 
+  /** Incremental index maintenance: fold a new batch's signatures into a
+    * persisted [[minhashIndex]] WITHOUT rebuilding — the text kernel runs
+    * over the batch only, never the corpus. On id collision the batch row
+    * wins (a re-ingested doc replaces its stale signature), so
+    * merge(index(corpusOld), batch) ≡ index(corpusOld ∖ batchIds ∪ batch)
+    * — and for disjoint ids, bit-for-bit ≡ index(corpus ∪ batch), which
+    * q136 certifies through a parquet round trip and
+    * DedupLifecycleSpec pins frame-exactly.
+    *
+    * Scale shape: the collision anti-join shuffles 8-byte ids only (or
+    * broadcasts when the batch is small — the steady-state case); sh/sig
+    * payloads ride untouched. At 100 TB the persisted index is bucketed
+    * by id, so the anti-join and the append are both bucket-local, and
+    * the rewrite touches only buckets containing batch ids.
+    */
+  def minhashIndexMerge(index: DataFrame, batch: DataFrame,
+      idCol: String, textCol: String,
+      shingleSize: Int = 3, numPerm: Int = 64): DataFrame = {
+    val newSigs = shingleSigFrame(batch, idCol, textCol, shingleSize, numPerm)
+    index.select(col("id"), col("sh"), col("sig"))
+      .join(newSigs.select(col("id").as("__bid")),
+        col("id") === col("__bid"), "left_anti")
+      .union(newSigs)
+  }
+
   /** Incremental near-dup scoring of a batch against a PERSISTED corpus
     * index ([[minhashIndex]] schema): identical semantics and parameters
     * as [[minhashDupPairsAcross]] with the corpus on the left — q131

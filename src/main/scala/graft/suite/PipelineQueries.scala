@@ -3,9 +3,10 @@ package graft.suite
 import org.apache.spark.sql.functions._
 import graft.core.{GQuery, Tables => T}
 
-/** Round-10 pipeline-lifecycle operators: BPE tokenizer APPLY (q134) —
-  * the second half of tokenizer training, encoding the corpus vocabulary
-  * with a learned merge list.
+/** Round-10 pipeline-lifecycle operators: BPE tokenizer APPLY (q134),
+  * mass-conserving PageRank with dangling redistribution (q135), and
+  * incremental minhash-index MERGE (q136) — the maintenance half of the
+  * steady-state training-data pipeline.
   */
 object PipelineQueries {
 
@@ -142,7 +143,63 @@ object PipelineQueries {
       SELECT id, CAST(r AS DOUBLE) / 1000000000000.0::DOUBLE AS rank
       FROM r2 ORDER BY id"""))
 
+  /** Incremental index lifecycle (Dedup.minhashIndexMerge): the even-doc
+    * index is persisted, the odd-doc batch's signatures are FOLDED IN
+    * (text kernel over the batch only — the corpus is never re-read),
+    * the merged index is persisted again, and the batch is scored
+    * against it. Because the merged index now holds BOTH halves, the
+    * candidate set is all×odd — the oracle is the exact all×odd cross
+    * ground truth including each odd doc's self-pair at jaccard 1.0, so
+    * a hash-match certifies the merge produced exactly
+    * index(corpus ∪ batch): nothing lost, nothing duplicated, signatures
+    * byte-equal to a from-scratch build (frame-level equality is pinned
+    * separately in DedupLifecycleSpec). Steady-state ingestion never
+    * rebuilds. Same LSH recall footing as q131/q24/q87.
+    */
+  private val q136 = GQuery(
+    (s, d) => {
+      val docs = T.documents(s, d)
+      val dir = Scratch.fresh("graft_mhmerge_")
+      graft.scale.Dedup
+        .minhashIndex(docs.filter(col("doc_id") % 2 === 0), "doc_id", "text")
+        .write.mode("overwrite").parquet(s"$dir/base")
+      graft.scale.Dedup.minhashIndexMerge(
+          s.read.parquet(s"$dir/base"),
+          docs.filter(col("doc_id") % 2 === 1), "doc_id", "text")
+        .write.mode("overwrite").parquet(s"$dir/merged")
+      graft.scale.Dedup.minhashDupPairsAgainstIndex(
+          s.read.parquet(s"$dir/merged"),
+          docs.filter(col("doc_id") % 2 === 1),
+          "doc_id", "text", shingleSize = 3, numPerm = 64, bands = 16,
+          threshold = 0.8)
+        .orderBy(col("id_l"), col("id_r"))
+    },
+    Some("""WITH toks AS (
+        SELECT doc_id, list_filter(string_split_regex(text, '\s+'),
+          x -> len(x) > 0) AS t
+        FROM documents),
+      sh AS (
+        SELECT doc_id,
+          CASE WHEN len(t) >= 3
+            THEN list_distinct(list_transform(range(1, len(t)-1),
+              i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+            ELSE [array_to_string(t, ' ')] END AS s
+        FROM toks),
+      pairs AS (
+        SELECT a.doc_id AS id_l, b.doc_id AS id_r,
+          len(list_intersect(a.s, b.s))::DOUBLE AS inter,
+          (len(a.s) + len(b.s))::DOUBLE AS tot
+        FROM sh a JOIN sh b ON b.doc_id % 2 = 1)
+      SELECT id_l, id_r,
+        ROUND(CASE WHEN tot - inter > 0 THEN inter / (tot - inter)
+          ELSE 1.0 END, 6) AS jaccard
+      FROM pairs
+      WHERE (CASE WHEN tot - inter > 0 THEN inter / (tot - inter)
+        ELSE 1.0 END) >= 0.8
+      ORDER BY id_l, id_r"""))
+
   val all: Map[String, GQuery] = Map(
     "q134_bpe_apply" -> q134,
-    "q135_pagerank_dangling" -> q135)
+    "q135_pagerank_dangling" -> q135,
+    "q136_minhash_index_merge" -> q136)
 }

@@ -92,4 +92,33 @@ class DedupLifecycleSpec extends SparkSpec {
     }
     assert(leaked.isEmpty, s"leaked persisted RDD ids: $leaked")
   }
+
+  private def indexRows(df: DataFrame): Seq[(Long, Seq[Long], Seq[Long])] =
+    df.orderBy("id").collect().toSeq.map(r =>
+      (r.getLong(0), r.getSeq[Long](1), r.getSeq[Long](2)))
+
+  test("minhashIndexMerge(index(old), batch) == index(old union batch), bit for bit") {
+    val old = docs.filter(col("doc_id") % 2 === 0)
+    val batch = docs.filter(col("doc_id") % 2 === 1)
+    val merged = Dedup.minhashIndexMerge(
+      Dedup.minhashIndex(old, "doc_id", "text"), batch, "doc_id", "text")
+    val rebuilt = Dedup.minhashIndex(docs, "doc_id", "text")
+    assert(indexRows(merged) === indexRows(rebuilt))
+  }
+
+  test("minhashIndexMerge: batch wins on id collision (re-ingest replaces)") {
+    import spark.implicits._
+    val old = Seq((1L, "alpha beta gamma delta"), (2L, "one two three four"))
+      .toDF("doc_id", "text")
+    // doc 2 re-ingested with NEW text, doc 3 brand new
+    val batch = Seq((2L, "five six seven eight"), (3L, "nine ten eleven twelve"))
+      .toDF("doc_id", "text")
+    val merged = Dedup.minhashIndexMerge(
+      Dedup.minhashIndex(old, "doc_id", "text"), batch, "doc_id", "text")
+    val expected = Dedup.minhashIndex(
+      Seq((1L, "alpha beta gamma delta"), (2L, "five six seven eight"),
+        (3L, "nine ten eleven twelve")).toDF("doc_id", "text"),
+      "doc_id", "text")
+    assert(indexRows(merged) === indexRows(expected))
+  }
 }
