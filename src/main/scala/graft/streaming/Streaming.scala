@@ -89,6 +89,157 @@ object Streaming {
       .filter(col("__rn") === 1).drop("__rn")
   }
 
+  final case class ResampleInput(key: Long, ts: java.sql.Timestamp, value: Double)
+  final case class BucketAgg(sumCents: Long, n: Long)
+  final case class ResampleState(pending: Map[Long, BucketAgg],
+      lastBucketMs: Long, lastMean: Double, hasLast: Boolean)
+  final case class ResampleOut(key: Long, bucket: java.sql.Timestamp,
+      value_ffill: Double, is_gap: Boolean)
+
+  /** Streaming twin of [[graft.scale.TimeSeries.resampleFfill]] (q115's
+    * batch form): per-key bucket means with gap buckets forward-filled.
+    * The batch plan (lead + posexplode over a completed series) cannot
+    * stream, so this is the q13-sessionize pattern: a stateful
+    * flatMapGroupsWithState twin whose EMITTED ROWS REPLAY THE BATCH
+    * ARITHMETIC BIT FOR BIT — per-value cents quantization (the decimal
+    * (18,2) cast), exact integer sums, the same double division and 6dp
+    * HALF_UP round — pinned by a StreamingSpec convergence test against
+    * the oracle-green batch function.
+    *
+    * Mechanics: state per key = partial cent-sums of OPEN buckets plus
+    * the last FINALIZED bucket's mean. A bucket [b, b+step) finalizes
+    * once the event-time watermark passes b+step (no event can join it
+    * anymore); finalization emits any gap buckets since the previous
+    * finalized bucket (previous mean, is_gap=true) then the real bucket.
+    * An event-time timeout armed at the earliest open bucket's end drives
+    * finalization for keys receiving no further input. State is bounded:
+    * open buckets live only within the watermark horizon, closed buckets
+    * collapse to one (bucketMs, mean) pair.
+    *
+    * Buckets are UTC epoch-floor truncations (hour/minute/day), matching
+    * date_trunc in the UTC session the engine pins.
+    */
+  def resampleFfillStream(events: Dataset[ResampleInput],
+      unit: String = "hour", watermark: String = "2 hours"):
+      Dataset[ResampleOut] = {
+    import events.sparkSession.implicits._
+    val stepMs: Long = unit.toLowerCase match {
+      case "minute" => 60L * 1000L
+      case "hour" => 3600L * 1000L
+      case "day" => 24L * 3600L * 1000L
+      case u => throw new IllegalArgumentException(s"unsupported unit: $u")
+    }
+    def cents(v: Double): Long =
+      java.math.BigDecimal.valueOf(v)
+        .setScale(2, java.math.RoundingMode.HALF_UP).movePointRight(2)
+        .longValueExact()
+    def mean6(b: BucketAgg): Double = {
+      val sumD = b.sumCents.toDouble / 100.0
+      java.math.BigDecimal.valueOf(sumD / b.n.toDouble)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    }
+    events.withWatermark("ts", watermark)
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[ResampleState, ResampleOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (key, rows, state: GroupState[ResampleState]) =>
+          val st0 = state.getOption
+            .getOrElse(ResampleState(Map.empty, 0L, 0.0, hasLast = false))
+          // fold new rows into open-bucket partials (none on timeout)
+          var pending = st0.pending
+          rows.foreach { e =>
+            val b = e.ts.getTime - Math.floorMod(e.ts.getTime, stepMs)
+            val agg = pending.getOrElse(b, BucketAgg(0L, 0L))
+            pending = pending.updated(b,
+              BucketAgg(agg.sumCents + cents(e.value), agg.n + 1))
+          }
+          val wm = state.getCurrentWatermarkMs()
+          val ready = pending.keys.toSeq.sorted.takeWhile(_ + stepMs <= wm)
+          val out = scala.collection.mutable.ArrayBuffer.empty[ResampleOut]
+          var (lastB, lastM, hasLast) =
+            (st0.lastBucketMs, st0.lastMean, st0.hasLast)
+          ready.foreach { b =>
+            if (hasLast) {
+              var g = lastB + stepMs
+              while (g < b) {
+                out += ResampleOut(key, new java.sql.Timestamp(g), lastM,
+                  is_gap = true)
+                g += stepMs
+              }
+            }
+            val m = mean6(pending(b))
+            out += ResampleOut(key, new java.sql.Timestamp(b), m,
+              is_gap = false)
+            lastB = b; lastM = m; hasLast = true
+            pending = pending - b
+          }
+          state.update(ResampleState(pending, lastB, lastM, hasLast))
+          // re-arm for the earliest still-open bucket; its end is > wm by
+          // construction (otherwise it would have finalized above)
+          if (pending.nonEmpty)
+            state.setTimeoutTimestamp(pending.keys.min + stepMs)
+          out.iterator
+      }
+  }
+
+  final case class EwmaInput(event_id: Long, key: Long,
+      ts: java.sql.Timestamp, value: Double)
+  final case class EwmaState(recent: Seq[Double])
+  final case class EwmaOut(event_id: Long, key: Long, ewma: Double)
+
+  /** Streaming twin of [[graft.scale.TimeSeries.ewmaBounded]] (q120's
+    * batch form): per-row EWMA over the last `window` observations. The
+    * batch plan's per-key sliding frame needs the completed series; the
+    * stream carries exactly the frame's content as state — the last
+    * `window − 1` values per key, O(window) per key forever — and emits
+    * one row per input row in Append mode (no watermark needed: state
+    * never grows with history).
+    *
+    * The fold REPLAYS THE BATCH ARITHMETIC exactly: oldest-first left
+    * fold of x·α^(n−1−i) accumulation, denominator from the weights
+    * actually present, 6dp HALF_UP round — so on in-order input the
+    * emitted rows equal the oracle-green batch function's bit for bit
+    * (StreamingSpec pins it).
+    *
+    * Equivalence precondition (the [[dedupBatchTwin]] convention): rows
+    * arrive in per-key (ts, event_id) order across micro-batches;
+    * in-batch arrival order is normalized by sorting. A row arriving
+    * out of order is folded at arrival position — late data reordering
+    * is the batch form's job on replay, not the stream's.
+    */
+  def ewmaBoundedStream(events: Dataset[EwmaInput], alpha: Double = 0.5,
+      window: Int = 8): Dataset[EwmaOut] = {
+    import events.sparkSession.implicits._
+    require(window >= 1, "ewma window must be >= 1")
+    events.groupByKey(_.key)
+      .flatMapGroupsWithState[EwmaState, EwmaOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (key, rows, state: GroupState[EwmaState]) =>
+          var recent = state.getOption.map(_.recent.toVector)
+            .getOrElse(Vector.empty[Double])
+          val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          val out = sorted.map { e =>
+            val arr = (recent :+ e.value).takeRight(window)
+            val n = arr.length
+            var num = 0.0
+            var den = 0.0
+            var i = 0
+            while (i < n) {
+              val w = math.pow(alpha, (n - 1 - i).toDouble)
+              num = num + arr(i) * w
+              den = den + w
+              i += 1
+            }
+            recent = arr.takeRight(window - 1)
+            EwmaOut(e.event_id, key,
+              java.math.BigDecimal.valueOf(num / den)
+                .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue())
+          }
+          state.update(EwmaState(recent))
+          out.iterator
+      }
+  }
+
   final case class SessionInput(user_id: Long, ts: java.sql.Timestamp, value: Double)
   final case class SessionState(start_ms: Long, last_ms: Long, n: Long, total: Double)
   final case class SessionOut(user_id: Long, start_ms: Long, end_ms: Long,

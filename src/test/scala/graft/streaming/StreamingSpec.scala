@@ -346,6 +346,81 @@ class StreamingSpec extends SparkSpec {
     assert(batch == Set(1L, 2L))
   }
 
+  test("resample+ffill stream converges to the batch twin (q115)") {
+    import spark.implicits._
+    val base = java.sql.Timestamp.valueOf("2024-01-01 10:00:00").getTime
+    def ts(minutes: Int) = new java.sql.Timestamp(base + minutes * 60000L)
+    // key 1: two events in the 10h bucket, a gap at 11h, a real 12h
+    // bucket; key 2: single bucket. values exercise the cents + 6dp path
+    val real = Seq(
+      Streaming.ResampleInput(1L, ts(5), 1.0),
+      Streaming.ResampleInput(1L, ts(20), 2.345),
+      Streaming.ResampleInput(1L, ts(150), 3.0),
+      Streaming.ResampleInput(2L, ts(40), 4.125))
+    // sentinel key: the first pushes the POST-batch-1 watermark past
+    // every real bucket end; the second exists to run a batch 2 in which
+    // the armed event-time timeouts fire and finalize the real buckets
+    val s1 = Streaming.ResampleInput(999L, ts(600), 0.0)
+    val s2 = Streaming.ResampleInput(999L, ts(630), 0.0)
+    val dir = Files.createTempDirectory("graft_rsmp").toString
+    (real :+ s1).toDS().coalesce(1).write.parquet(s"$dir/b1")
+    Seq(s2).toDS().coalesce(1).write.parquet(s"$dir/b2")
+    val stream = spark.readStream.schema(real.toDS().schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("recursiveFileLookup", "true").parquet(dir)
+      .as[Streaming.ResampleInput]
+    val q = Streaming.resampleFfillStream(stream).writeStream
+      .format("memory").queryName("rsmp").outputMode("append")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(q.exception.isEmpty, s"stream failed: ${q.exception}")
+    val got = spark.table("rsmp").as[Streaming.ResampleOut].collect()
+      .filter(_.key != 999L)
+      .map(r => (r.key, r.bucket.getTime, r.value_ffill, r.is_gap)).toSet
+    val want = graft.scale.TimeSeries
+      .resampleFfill(real.toDF("key", "ts", "value"), "ts", "key", "value")
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime, r.getDouble(2),
+        r.getBoolean(3))).toSet
+    assert(want.exists(_._4), "fixture must contain a gap bucket")
+    assert(got === want)
+  }
+
+  test("bounded EWMA stream converges to the batch twin (q120)") {
+    import spark.implicits._
+    val base = java.sql.Timestamp.valueOf("2024-02-01 09:00:00").getTime
+    def ts(minutes: Int) = new java.sql.Timestamp(base + minutes * 60000L)
+    // 10 in-order events per key across TWO files: the second file's
+    // rows must fold onto state carried from the first (window = 4 keeps
+    // three prior values alive across the batch boundary)
+    val all = (0 until 10).flatMap { i =>
+      Seq(Streaming.EwmaInput(i * 2L, 1L, ts(i * 5), 1.0 + i * 0.37),
+        Streaming.EwmaInput(i * 2L + 1L, 2L, ts(i * 5), 9.0 - i * 0.81))
+    }
+    val (first, second) = all.partition(e => e.event_id < 10L)
+    val dir = Files.createTempDirectory("graft_ewma").toString
+    first.toDS().coalesce(1).write.parquet(s"$dir/b1")
+    second.toDS().coalesce(1).write.parquet(s"$dir/b2")
+    val stream = spark.readStream.schema(first.toDS().schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("recursiveFileLookup", "true").parquet(dir)
+      .as[Streaming.EwmaInput]
+    val q = Streaming.ewmaBoundedStream(stream, alpha = 0.5, window = 4)
+      .writeStream.format("memory").queryName("ewmastream")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(q.exception.isEmpty, s"stream failed: ${q.exception}")
+    val got = spark.table("ewmastream").as[Streaming.EwmaOut].collect()
+      .map(r => r.event_id -> r.ewma).toMap
+    val want = graft.scale.TimeSeries
+      .ewmaBounded(all.toDF("event_id", "key", "ts", "value"),
+        "key", Seq("ts", "event_id"), "value", alpha = 0.5, window = 4)
+      .select(col("event_id"), col("ewma"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got.size == 20)
+    assert(got === want)
+  }
+
   test("stateful sessionizer splits on gap and aggregates in order") {
     import spark.implicits._
     val base = java.sql.Timestamp.valueOf("2024-01-01 10:00:00").getTime
