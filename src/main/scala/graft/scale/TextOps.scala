@@ -480,6 +480,75 @@ object TextOps {
       .orderBy(col("n").desc, col("pair")).limit(topN)
   }
 
+  /** Full iterative BPE vocabulary TRAINING: learn `numMerges` merges from
+    * the corpus — repeat (count adjacent symbol pairs weighted by word
+    * frequency → take the global argmax → fuse its occurrences in every
+    * word) until the budget or the corpus is exhausted. Returns the merge
+    * list (rank, a, b, cnt), the model artifact [[bpeEncodeWords]]
+    * applies. [[bpePairCounts]] (q92) is one step of this loop.
+    *
+    * Semantics: SEQUENTIAL single-pair application — round k fuses ONLY
+    * merge k into state carrying merges 1..k−1 (the Sennrich trainer),
+    * which is what the q137 oracle unrolls. The argmax tiebreak is total
+    * (cnt desc, a asc, b asc), so training is deterministic.
+    *
+    * Scale shape: everything after the one corpus-sized (word, count)
+    * shuffle is VOCABULARY-sized. Each round is one pair-count aggregate
+    * over the distinct-word table (map-side combined, pairs bounded by
+    * vocab × word_len) plus a 1-row argmax collect — the merge list is
+    * driver-sized by definition (it IS the model being trained, the
+    * Lloyd-centroid precedent). State re-derivation is a narrow fold per
+    * word; lineage is truncated every `checkpointEvery` rounds.
+    */
+  def bpeTrain(docs: org.apache.spark.sql.DataFrame, textCol: String,
+      numMerges: Int, checkpointEvery: Int = 4): org.apache.spark.sql.DataFrame = {
+    require(numMerges >= 1, "numMerges must be >= 1")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val wc = docs.select(explode(tokens(col(textCol))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("wn"))
+    // seed: one symbol per character; freeze the corpus collapse so no
+    // training round re-reads the token stream
+    var state = wc.select(col("w"), col("wn"),
+        filter(split(col("w"), ""), s => length(s) > 0).as("syms"))
+      .localCheckpoint(eager = true)
+    val learned =
+      scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+    var r = 0
+    var exhausted = false
+    while (r < numMerges && !exhausted) {
+      val pairsCol = when(size(col("syms")) >= 2,
+        transform(sequence(lit(1), size(col("syms")) - 1),
+          i => struct(element_at(col("syms"), i).as("a"),
+            element_at(col("syms"), i + 1).as("b"))))
+        .otherwise(array().cast("array<struct<a:string,b:string>>"))
+      val best = state.select(col("wn"), explode(pairsCol).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("wn")).as("cnt"))
+        .orderBy(col("cnt").desc, col("a"), col("b"))
+        .limit(1).collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val a = best.head.getString(0)
+        val b = best.head.getString(1)
+        learned += ((r + 1L, a, b, best.head.getLong(2)))
+        // left-fold single-pair fusion — mirrors the oracle's list_reduce
+        // exactly (merged symbol is longer than `a`, so no re-trigger)
+        val merged = aggregate(col("syms"),
+          array().cast("array<string>"),
+          (acc, x) => when(size(acc) > 0 &&
+              element_at(acc, -1) === lit(a) && x === lit(b),
+            concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+            .otherwise(concat(acc, array(x))))
+        state = state.select(col("w"), col("wn"), merged.as("syms"))
+        r += 1
+        if (checkpointEvery > 0 && r % checkpointEvery == 0)
+          state = state.localCheckpoint(eager = true)
+      }
+    }
+    learned.toSeq.toDF("rank", "a", "b", "cnt")
+  }
+
   /** BPE tokenizer APPLY over a corpus: encode every DISTINCT word with a
     * learned merge list and return the encoded vocabulary —
     * (w, encoded: space-joined symbols, n_tokens, wn: corpus frequency).

@@ -198,8 +198,61 @@ object PipelineQueries {
         ELSE 1.0 END) >= 0.8
       ORDER BY id_l, id_r"""))
 
+  /** One unrolled training round for the q137 oracle: pair counts over
+    * the round's symbol state, the 1-row argmax, and the single-pair
+    * left-fold fusion (same fold as q134's, with the pair coming from
+    * the argmax row instead of a literal).
+    */
+  private def trainRound(k: Int): String = {
+    val prev = s"s${k - 1}"
+    s"""p$k AS (
+      SELECT s.a AS a, s.b AS b, CAST(SUM(wn) AS BIGINT) AS cnt FROM (
+        SELECT wn, unnest(list_transform(range(1, len(syms)),
+          i -> {'a': syms[i], 'b': syms[i+1]})) AS s
+        FROM $prev) GROUP BY s.a, s.b),
+      b$k AS (SELECT a, b, cnt FROM p$k ORDER BY cnt DESC, a, b LIMIT 1),
+      s$k AS (SELECT w, wn,
+        list_reduce(list_transform(syms, s -> [s]),
+          (acc, x) -> CASE WHEN acc[-1] = b$k.a AND x[1] = b$k.b
+            THEN acc[1:len(acc)-1] || [b$k.a || b$k.b]
+            ELSE acc || x END) AS syms
+      FROM $prev CROSS JOIN b$k)"""
+  }
+
+  /** Full BPE vocabulary training (TextOps.bpeTrain, 6 merges): the
+    * iterative learn loop q92 is one step of — count pairs, take the
+    * global argmax, fuse it everywhere, repeat. The oracle unrolls all
+    * six rounds (the q121/q97 training-loop pattern): per round a pair
+    * aggregate over the symbol state, a 1-row deterministic argmax
+    * (cnt desc, a asc, b asc), and the same single-pair left-fold the
+    * engine applies — so a hash-match certifies the SEQUENTIAL trainer
+    * semantics (round k fuses only merge k into state carrying merges
+    * 1..k−1), not just the final counts. On this corpus round 6 learns
+    * a multi-level merge (m + er), exercising the symbol-level — not
+    * character-level — path. q92 induces candidates, q137 trains the
+    * list, q134 applies it: the tokenizer-training story end to end.
+    */
+  private val q137 = GQuery(
+    (s, d) => graft.scale.TextOps
+      .bpeTrain(T.documents(s, d), "text", numMerges = 6)
+      .orderBy(col("rank")),
+    Some(s"""WITH words AS (
+        SELECT w, COUNT(*)::BIGINT AS wn FROM (
+          SELECT unnest(list_filter(string_split_regex(text, '\\s+'),
+            x -> len(x) > 0)) AS w FROM documents) GROUP BY w),
+      s0 AS (SELECT w, wn,
+        list_transform(range(1, length(w)+1), i -> w[i]) AS syms
+        FROM words),
+      ${(1 to 6).map(trainRound).mkString(",\n      ")}
+      SELECT * FROM (
+        ${(1 to 6).map(k =>
+          s"SELECT $k::BIGINT AS rank, a, b, cnt FROM b$k")
+          .mkString(" UNION ALL ")})
+      ORDER BY rank"""))
+
   val all: Map[String, GQuery] = Map(
     "q134_bpe_apply" -> q134,
     "q135_pagerank_dangling" -> q135,
-    "q136_minhash_index_merge" -> q136)
+    "q136_minhash_index_merge" -> q136,
+    "q137_bpe_train" -> q137)
 }

@@ -87,7 +87,15 @@ object Explain {
       "q124_quantile_bucketize", // broadcast cuts + fold assignment
       "q125_group_sample_topk", // TopKPerGroup as deterministic sampler
       "q127_dau_wau_stickiness", // contribution-explode rolling distinct
-      "q128_quality_expectations") // N checks, one aggregation pass
+      "q128_quality_expectations", // N checks, one aggregation pass
+      "q129_cluster_labels",   // c-TF-IDF: shared term shuffle, k×top-n output
+      "q130_embedding_drift",  // dim-wide per-group means, no posexplode
+      "q131_minhash_index_roundtrip", // persisted index scan ⋈ batch kernel
+      "q132_mad_outliers",     // two grouped percentile passes + counting agg
+      "q133_rrf_fusion",       // k×groups-bounded rank full-outer + re-rank
+      "q134_bpe_apply",        // distinct-word collapse + codegen merge loop
+      "q135_pagerank_dangling", // q121 + per-iter broadcast dangling aggregate
+      "q136_minhash_index_merge") // anti-join append, batch-only text kernel
 
     val sb = new StringBuilder
     sb.append("# EXPLAIN — flagship physical plans\n\n")

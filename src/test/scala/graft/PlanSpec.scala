@@ -229,6 +229,58 @@ class PlanSpec extends SparkSpec {
     assert(dist.getAs[Long]("n_distinct_g") == 37L)
   }
 
+  test("against-index scoring reads signatures from the file, never recomputes") {
+    // The index schema (id, sh, sig) carries no text, so a kernel
+    // recompute is structurally impossible — but "columns read from
+    // parquet" deserves a BEHAVIORAL witness: tamper the persisted
+    // index so even-doc 2's shingles/signature are replaced by batch
+    // doc 1's, and the scorer must report (2, 1) at jaccard 1.0 even
+    // though their texts are unrelated. If any part of the index side
+    // were re-derived rather than read, the planted pair could not
+    // surface with jaccard 1.
+    import spark.implicits._
+    import graft.scale.Dedup
+    val even = Seq((2L, "alpha beta gamma delta epsilon zeta eta theta"))
+      .toDF("doc_id", "text")
+    val odd = Seq((1L, "one two three four five six seven eight"))
+      .toDF("doc_id", "text")
+    val batchSigs = Dedup.minhashIndex(odd, "doc_id", "text")
+      .collect().head
+    val tampered = Dedup.minhashIndex(even, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), batchSigs.getSeq[Long](1),
+        batchSigs.getSeq[Long](2)))
+      .toSeq.toDF("id", "sh", "sig")
+    val dir = java.nio.file.Files.createTempDirectory("graft_planidx").toString
+    tampered.write.mode("overwrite").parquet(dir)
+    val pairs = Dedup.minhashDupPairsAgainstIndex(
+        spark.read.parquet(dir), odd, "doc_id", "text", threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.toSeq == Seq((2L, 1L, 1.0)),
+      s"tampered index did not drive the result: ${pairs.toSeq}")
+  }
+
+  test("rrf fusion joins k-bounded ranked inputs (q133 contract)") {
+    // The full-outer join must consume the rank-filtered (<= 10 per
+    // group) frames, never the raw document table: both join children
+    // carry the r <= 10 filter below them in the optimized plan, so the
+    // join's input is k x groups rows no matter the corpus size.
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join}
+    val df = SparkEntry.queries("q133_rrf_fusion")(spark, sf)
+    val joins = df.queryExecution.optimizedPlan.collect {
+      case j: Join => j }
+    val outer = joins.filter(_.joinType.sql.contains("OUTER"))
+    assert(outer.nonEmpty, s"no outer join in q133 plan:\n${df.queryExecution.optimizedPlan}")
+    outer.foreach { j =>
+      j.children.foreach { side =>
+        val bounded = side.collect {
+          case f: Filter if f.condition.toString.contains("<= 10") => f
+        }
+        assert(bounded.nonEmpty,
+          s"join side not rank-bounded:\n$side")
+      }
+    }
+  }
+
   private def withSQLConf[A](pairs: (String, String)*)(f: => A): A = {
     val conf = spark.conf
     val olds = pairs.map { case (k, _) => k -> conf.getOption(k) }

@@ -127,6 +127,33 @@ class CdcRetrievalSpec extends SparkSpec {
     assert(out === Seq(("ab", 4L), ("bc", 3L)))
   }
 
+  // ---- TextOps.bpeTrain ------------------------------------------------
+
+  test("bpeTrain: learns merges in frequency order with sequential fusion") {
+    // corpus: "aab" x3, "ab" x2, "cc" x1
+    // round 1 pairs: (a,a)->3, (a,b)->5, (c,c)->1  => learn (a,b)
+    // round 2 state: a,ab | ab | c,c: (a,ab)->3, (c,c)->1 => learn (a,ab)
+    // round 3 state: aab | ab | c,c: only (c,c)->1 => learn (c,c)
+    // round 4: no pairs left anywhere -> early exhaustion
+    val docs = Seq((1L, "aab aab aab ab ab cc")).toDF("doc_id", "text")
+    val out = TextOps.bpeTrain(docs, "text", numMerges = 10)
+      .as[(Long, String, String, Long)].collect.toSeq
+    assert(out === Seq((1L, "a", "b", 5L), (2L, "a", "ab", 3L),
+      (3L, "c", "c", 1L)))
+  }
+
+  test("bpeTrain output drives bpeEncodeWords (train -> apply round trip)") {
+    val docs = Seq((1L, "aab aab aab ab ab cc")).toDF("doc_id", "text")
+    val merges = TextOps.bpeTrain(docs, "text", numMerges = 10)
+      .as[(Long, String, String, Long)].collect.toSeq
+      .map(m => (m._2, m._3))
+    val enc = TextOps.bpeEncodeWords(docs, "text", merges)
+      .as[(String, String, Long, Long)].collect.toSeq.sortBy(_._1)
+    // every word collapses to one token under its own training merges
+    assert(enc === Seq(("aab", "aab", 1L, 3L), ("ab", "ab", 1L, 2L),
+      ("cc", "cc", 1L, 1L)))
+  }
+
   // ---- Retrieval.bm25TopK ----------------------------------------------
 
   test("bm25TopK: more matching terms rank higher; k cut; doc_id tiebreak") {
