@@ -659,6 +659,63 @@ object Dedup {
     } finally p.unpersist(blocking = false)
   }
 
+  /** Incremental connected components: fold a batch of NEW pairs into an
+    * existing (id, component) labeling without re-clustering the corpus —
+    * the steady-state sibling of [[minhashIndexMerge]] (new near-dup
+    * pairs arrive per ingestion batch; the corpus labeling must absorb
+    * them, not rebuild).
+    *
+    * Mechanics: new pairs project into COMPONENT space (each endpoint →
+    * its current label, unseen ids label themselves), and the connected
+    * components of that component graph — at most 2·|newPairs| nodes, no
+    * matter how big the corpus — decide which old components fuse. The
+    * corpus-sized labels table is touched by exactly ONE final join
+    * against the relabel map (broadcastable: bounded by the batch, not
+    * the corpus). Label semantics are preserved: component = min id, so
+    * merge(cc(old), newPairs) ≡ cc(old ∪ new) bit for bit —
+    * ScaleSpec pins the equivalence, q138 oracle-certifies it end to end.
+    *
+    * `labels` rows must cover every id of the old graph (the
+    * [[connectedComponents]] output contract); ids appearing only in
+    * `newPairs` join as fresh singletons.
+    */
+  def mergeComponents(labels: DataFrame, newPairs: DataFrame,
+      maxIter: Int = 20, localEdgeLimit: Long = LocalEdgeLimit,
+      checkpointDir: Option[String] = None): DataFrame = {
+    val lab = labels.select(col("id"), col("component"))
+    val ends = newPairs.select(col("id_a").as("id"))
+      .union(newPairs.select(col("id_b").as("id"))).distinct()
+    val endComp = ends
+      .join(lab.select(col("id").as("__lid"), col("component").as("__lc")),
+        col("id") === col("__lid"), "left")
+      .select(col("id").as("__eid"), coalesce(col("__lc"), col("id")).as("__ec"))
+    val compEdges = newPairs
+      .join(endComp.select(col("__eid").as("__ea"), col("__ec").as("__ca")),
+        col("id_a") === col("__ea"))
+      .join(endComp.select(col("__eid").as("__eb"), col("__ec").as("__cb")),
+        col("id_b") === col("__eb"))
+      .where(col("__ca") =!= col("__cb"))
+      .select(least(col("__ca"), col("__cb")).as("id_a"),
+        greatest(col("__ca"), col("__cb")).as("id_b"))
+      .distinct()
+    val compIds = compEdges.select(col("id_a").as("id"))
+      .union(compEdges.select(col("id_b").as("id"))).distinct()
+    // batch-sized CC over the component graph (driver union-find fast
+    // path for ≤ localEdgeLimit edges, distributed loop beyond)
+    val relabel = connectedComponents(compIds, compEdges, maxIter,
+      localEdgeLimit, checkpointDir)
+      .select(col("id").as("__old"), col("component").as("__new"))
+      .where(col("__old") =!= col("__new"))
+    val allLabels = lab.union(
+      endComp.select(col("__eid"), col("__ec"))
+        .join(lab.select(col("id").as("__kid")),
+          col("__eid") === col("__kid"), "left_anti")
+        .select(col("__eid").as("id"), col("__ec").as("component")))
+    allLabels
+      .join(broadcast(relabel), col("component") === col("__old"), "left")
+      .select(col("id"), coalesce(col("__new"), col("component")).as("component"))
+  }
+
   /** Components for a BOUNDED, already-collected edge list (≤
     * localEdgeLimit rows of two ids, ~32 MB at the cut): union-find on
     * the driver with union-by-min + path compression, broadcast-join the

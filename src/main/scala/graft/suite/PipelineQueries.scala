@@ -250,9 +250,97 @@ object PipelineQueries {
           .mkString(" UNION ALL ")})
       ORDER BY rank"""))
 
+  /** Binned range join (RangeJoin.pointInInterval): KEYLESS
+    * point-in-interval pairing — lineitem price points inside
+    * [o_totalprice, +2000.00] order price bands — planned as an EQUI join
+    * on the bin column instead of the BroadcastNestedLoopJoin Spark gives
+    * a bare BETWEEN join (q119's interval join covers the equi-key case;
+    * this is the case with no key at all). Domain is exact integer cents
+    * (floor(price·100) — floor, not cast, because DuckDB's double→BIGINT
+    * cast rounds while Spark's truncates); bin width 1000.00 puts each
+    * 2000.00 interval in ≤ 3 bins. The oracle is the plain BETWEEN
+    * join, so a hash-match certifies the binning produces EXACTLY the
+    * non-equi join — no duplicate pair (each pair meets only in the
+    * point's bin), no boundary loss (integer bin edges, inclusive
+    * bounds). PlanSpec asserts the nested-loop never appears.
+    */
+  private val q138 = GQuery(
+    (s, d) => {
+      val iv = T.orders(s, d).where(col("o_orderkey") % 97 === 0)
+        .select(col("o_orderkey"),
+          floor(col("o_totalprice") * 100).cast("long").as("lo"))
+        .withColumn("hi", col("lo") + 200000L)
+      val pts = T.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          floor(col("l_extendedprice") * 100).cast("long").as("p"))
+      graft.scale.RangeJoin
+        .pointInInterval(pts, iv, "p", "lo", "hi", binWidth = 100000L)
+        .groupBy(col("o_orderkey"))
+        .agg(count(lit(1)).as("n_points"), sum(col("p")).as("sum_points"))
+        .orderBy(col("o_orderkey"))
+    },
+    Some("""WITH iv AS (
+        SELECT o_orderkey, CAST(floor(o_totalprice * 100) AS BIGINT) AS lo,
+          CAST(floor(o_totalprice * 100) AS BIGINT) + 200000 AS hi
+        FROM orders WHERE o_orderkey % 97 = 0),
+      pts AS (
+        SELECT l_orderkey, l_linenumber,
+          CAST(floor(l_extendedprice * 100) AS BIGINT) AS p
+        FROM lineitem)
+      SELECT iv.o_orderkey, COUNT(*)::BIGINT AS n_points,
+        CAST(SUM(pts.p) AS BIGINT) AS sum_points
+      FROM iv JOIN pts ON pts.p BETWEEN iv.lo AND iv.hi
+      GROUP BY iv.o_orderkey ORDER BY iv.o_orderkey"""))
+
+  /** Incremental connected components (Dedup.mergeComponents): a 265-
+    * component labeling absorbs a batch of new edges — fusing down to 32
+    * components and admitting 688 previously-unseen nodes — WITHOUT
+    * re-clustering the old graph: the batch projects into component
+    * space, a batch-sized CC decides which labels fuse, and the corpus
+    * labels table is touched by one broadcast-relabel join. The oracle
+    * resolves exact reachability over the UNION graph (the q41 recursive
+    * CTE), so a hash-match certifies merge(cc(old), new) ≡ cc(old ∪ new)
+    * including min-id label semantics. The steady-state dedup-clustering
+    * maintenance shape next to q136's index merge.
+    */
+  private val q139 = GQuery(
+    (s, d) => {
+      val base = T.lineitem(s, d).where(col("l_orderkey") % 23 === 0)
+        .select(
+          least(col("l_orderkey") % 2000, lit(2000) + col("l_partkey") % 2000)
+            .as("id_a"),
+          greatest(col("l_orderkey") % 2000, lit(2000) + col("l_partkey") % 2000)
+            .as("id_b"),
+          (col("l_linenumber") % 2).as("par"))
+      def edges(par: Int) = base.where(col("par") === par)
+        .select(col("id_a"), col("id_b")).distinct()
+      val old = edges(0)
+      val oldIds = old.select(col("id_a").as("id"))
+        .union(old.select(col("id_b").as("id"))).distinct()
+      val labels = graft.scale.Dedup.connectedComponents(oldIds, old)
+      graft.scale.Dedup.mergeComponents(labels, edges(1))
+        .orderBy(col("id"))
+    },
+    Some("""WITH RECURSIVE e0 AS (
+        SELECT DISTINCT
+          least(l_orderkey % 2000, 2000 + l_partkey % 2000) AS id_a,
+          greatest(l_orderkey % 2000, 2000 + l_partkey % 2000) AS id_b
+        FROM lineitem WHERE l_orderkey % 23 = 0),
+      edges AS (SELECT id_a AS src, id_b AS dst FROM e0
+        UNION ALL SELECT id_b, id_a FROM e0),
+      ids AS (SELECT id_a AS id FROM e0 UNION SELECT id_b FROM e0),
+      reach(id, comp) AS (
+        SELECT id, id FROM ids
+        UNION
+        SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.id)
+      SELECT id, MIN(comp) AS component FROM reach GROUP BY id
+      ORDER BY id"""))
+
   val all: Map[String, GQuery] = Map(
     "q134_bpe_apply" -> q134,
     "q135_pagerank_dangling" -> q135,
     "q136_minhash_index_merge" -> q136,
-    "q137_bpe_train" -> q137)
+    "q137_bpe_train" -> q137,
+    "q138_range_join" -> q138,
+    "q139_incremental_components" -> q139)
 }

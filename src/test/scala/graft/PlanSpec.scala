@@ -259,6 +259,21 @@ class PlanSpec extends SparkSpec {
       s"tampered index did not drive the result: ${pairs.toSeq}")
   }
 
+  test("binned range join plans an equi join, never a nested loop (q138)") {
+    // The whole point of the operator: Spark gives a bare BETWEEN join a
+    // BroadcastNestedLoopJoin; the binned formulation must plan a hash-
+    // partitionable equi join at ANY size, so suppress auto-broadcast
+    // and assert no nested-loop/cartesian survives.
+    withSQLConf("spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.enabled" -> "false") {
+      val df = SparkEntry.queries("q138_range_join")(spark, sf)
+      val p = plan(df)
+      assert(!p.contains("BroadcastNestedLoopJoin"), p)
+      assert(!p.contains("CartesianProduct"), p)
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"), p)
+    }
+  }
+
   test("rrf fusion joins k-bounded ranked inputs (q133 contract)") {
     // The full-outer join must consume the rank-filtered (<= 10 per
     // group) frames, never the raw document table: both join children

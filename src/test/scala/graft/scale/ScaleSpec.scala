@@ -218,6 +218,49 @@ class ScaleSpec extends SparkSpec {
       5L -> 5L, 6L -> 5L, 7L -> 7L))
   }
 
+  test("mergeComponents == full rebuild on random graphs (new nodes included)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(1717L)
+    (1 to 4).foreach { _ =>
+      val oldPairs = (1 to 60).map(_ =>
+        (rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+        .filter(p => p._1 != p._2)
+      // new batch reaches into a fresh id range too (nodes 40..79)
+      val newPairs = (1 to 30).map(_ =>
+        (rnd.nextInt(80).toLong, rnd.nextInt(80).toLong))
+        .filter(p => p._1 != p._2)
+      val oldDf = oldPairs.toDF("id_a", "id_b")
+      val newDf = newPairs.toDF("id_a", "id_b")
+      def endpoints(df: org.apache.spark.sql.DataFrame) =
+        df.select($"id_a".as("id")).union(df.select($"id_b".as("id"))).distinct()
+      val labels = Dedup.connectedComponents(endpoints(oldDf), oldDf)
+      val merged = Dedup.mergeComponents(labels, newDf)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val rebuilt = Dedup.connectedComponents(
+        endpoints(oldDf).union(endpoints(newDf)).distinct(),
+        oldDf.union(newDf))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(merged == rebuilt)
+    }
+  }
+
+  test("mergeComponents: no-op batch and pure-new-singleton batch") {
+    import spark.implicits._
+    val old = Seq((1L, 2L), (3L, 4L)).toDF("id_a", "id_b")
+    val ids = Seq(1L, 2L, 3L, 4L).toDF("id")
+    val labels = Dedup.connectedComponents(ids, old)
+    // batch entirely within one existing component: labels unchanged
+    val noop = Dedup.mergeComponents(labels, Seq((2L, 1L)).toDF("id_a", "id_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(noop == Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 3L))
+    // batch among brand-new ids only, plus one bridge into the old graph
+    val grown = Dedup.mergeComponents(labels,
+      Seq((10L, 11L), (11L, 3L)).toDF("id_a", "id_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(grown == Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 3L,
+      10L -> 3L, 11L -> 3L))
+  }
+
   test("linear quality scoring: hand-computed margins, HOF parity, empty-doc nulls") {
     import spark.implicits._
     // tiny weight vector: bucket b -> b (so margins are readable by hand)
