@@ -95,7 +95,10 @@ object Explain {
       "q133_rrf_fusion",       // k×groups-bounded rank full-outer + re-rank
       "q134_bpe_apply",        // distinct-word collapse + codegen merge loop
       "q135_pagerank_dangling", // q121 + per-iter broadcast dangling aggregate
-      "q136_minhash_index_merge") // anti-join append, batch-only text kernel
+      "q136_minhash_index_merge", // anti-join append, batch-only text kernel
+      "q137_bpe_train",        // vocab-sized round aggregates, corpus touched once
+      "q138_range_join",       // binned equi-join replaces the nested loop
+      "q139_incremental_components") // batch-sized CC + broadcast relabel
 
     val sb = new StringBuilder
     sb.append("# EXPLAIN — flagship physical plans\n\n")
