@@ -33,7 +33,7 @@ object Clustering {
   /** Squared-L2 argmin over `cents` as a single codegen'd expression:
     * array of per-centroid fold distances, then first-min index (0-based).
     */
-  private def assignExpr(vec: Column, cents: Array[Array[Double]]): Column = {
+  private[scale] def assignExpr(vec: Column, cents: Array[Array[Double]]): Column = {
     val dists = array(cents.toIndexedSeq.map { c =>
       aggregate(
         zip_with(vec, array(c.toIndexedSeq.map(lit): _*), (x, y) => (x - y) * (x - y)),
@@ -55,6 +55,19 @@ object Clustering {
       .select(col(idCol).as("__id"),
         transform(col(vecCol), x => x.cast("double")).as("__v"))
       .persist()
+    val cents = lloydCentroids(e, k, iters, roundDp)
+    e.select(col("__id").as(idCol), assignExpr(col("__v"), cents).as("cluster"))
+  }
+
+  /** The Lloyd training loop itself, on a pre-projected (__id, __v
+    * array<double>) frame: deterministic lowest-id seed, `iters − 1`
+    * assignment + rounded-mean updates, returns the final k×dim centroid
+    * matrix (the only data that lands on the driver). Shared by
+    * [[lloydAssignments]] and the per-subspace codebook training in
+    * [[Pq]].
+    */
+  private[scale] def lloydCentroids(e: DataFrame, k: Int, iters: Int,
+      roundDp: Int): Array[Array[Double]] = {
     // deterministic seed: the k lowest-id vectors (k×dim doubles — the
     // only data that ever lands on the driver)
     var cents: Array[Array[Double]] = e.orderBy(col("__id")).limit(k)
@@ -97,6 +110,6 @@ object Clustering {
       cents = next
       require(cents.forall(_.length == dim))
     }
-    e.select(col("__id").as(idCol), assignExpr(col("__v"), cents).as("cluster"))
+    cents
   }
 }

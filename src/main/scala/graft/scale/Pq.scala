@@ -1,0 +1,123 @@
+package graft.scale
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Product quantization — the compressed-vector path that makes
+  * billion-scale ANN feasible: split each embedding into `m` contiguous
+  * subspaces, train a tiny KMeans codebook per subspace, store each vector
+  * as `m` small codes, and answer queries by asymmetric distance
+  * computation (ADC) — per-subspace lookup tables computed ONCE per query
+  * against the codebooks, scored against codes with no float vector ever
+  * re-read.
+  *
+  * Where it sits in the engine's ANN ladder: brute-force cosine (q27) →
+  * hyperplane-LSH (q39/q82-adjacent) → IVF coarse quantization (q82) →
+  * IVF+PQ, which at 100 TB is the only shape whose scan state fits
+  * memory: a 64-dim float vector is 256 bytes, its m=4 PQ codes are 4 —
+  * a 64× compression of the candidate scan, with the codebooks (m·k·subDim
+  * doubles) broadcast-sized by construction.
+  *
+  * Determinism (oracle-replayable, the q97 contract): per-subspace
+  * training IS [[Clustering.lloydCentroids]] on the sliced vectors —
+  * lowest-id seeding, first-min-wins argmin, means rounded to `roundDp`
+  * between iterations; encoding is the same argmin; ADC table entries are
+  * index-order squared-L2 folds of the (rounded) centroids against the
+  * query, and the final distance is the left-to-right sum of the m
+  * lookups, rounded to 6dp.
+  *
+  * Scale shape: training touches the corpus `m × iters` times through
+  * narrow sliced scans + k×subDim partial aggregates (nothing corpus-sized
+  * reaches the driver); encoding is ONE narrow scan emitting m codes per
+  * row; ADC scoring is a narrow map over the codes table plus a
+  * TakeOrdered top-k — zero shuffles, zero joins on the query path.
+  */
+object Pq {
+
+  /** Project to (__id, __v array<double>), the lloyd input contract. */
+  private def proj(corpus: DataFrame, idCol: String, vecCol: String): DataFrame =
+    corpus.select(col(idCol).as("__id"),
+      transform(col(vecCol), x => x.cast("double")).as("__v"))
+
+  private def slices(m: Int, dim: Int): Seq[(Int, Int)] = {
+    require(dim % m == 0, s"dim $dim must divide into m=$m subspaces")
+    val sub = dim / m
+    (0 until m).map(s => (s * sub + 1, sub)) // 1-based slice start, length
+  }
+
+  /** Train the m per-subspace codebooks: [m][k][subDim] (driver-sized by
+    * construction — it is the model artifact). `dim` is the full vector
+    * dimensionality (must be divisible by m).
+    */
+  def trainCodebooks(corpus: DataFrame, idCol: String, vecCol: String,
+      dim: Int, m: Int, k: Int, iters: Int,
+      roundDp: Int = 6): Array[Array[Array[Double]]] = {
+    require(k > 0 && iters > 0, "k and iters must be positive")
+    val e = proj(corpus, idCol, vecCol).persist()
+    try {
+      slices(m, dim).map { case (start, len) =>
+        Clustering.lloydCentroids(
+          e.select(col("__id"), slice(col("__v"), start, len).as("__v")),
+          k, iters, roundDp)
+      }.toArray
+    } finally { e.unpersist(blocking = false); () }
+  }
+
+  /** Encode every vector as its m per-subspace nearest-centroid codes
+    * (0-based, first-min-wins): (idCol, codes array<int>). One narrow
+    * scan, no shuffle.
+    */
+  def encode(corpus: DataFrame, idCol: String, vecCol: String,
+      codebooks: Array[Array[Array[Double]]]): DataFrame = {
+    val m = codebooks.length
+    val dim = m * codebooks.head.head.length
+    val e = proj(corpus, idCol, vecCol)
+    val codeCols = slices(m, dim).zip(codebooks.toIndexedSeq).map {
+      case ((start, len), cb) =>
+        Clustering.assignExpr(slice(col("__v"), start, len), cb)
+    }
+    e.select(col("__id").as(idCol), array(codeCols: _*).as("codes"))
+  }
+
+  /** ADC top-k for one query vector over an encoded table: the
+    * per-subspace distance table (m × k doubles) is computed on the
+    * driver once and rides into a narrow lookup-sum expression;
+    * TakeOrdered keeps k rows. Returns (idCol, adc_dist, rank) ranked by
+    * (distance asc, id asc).
+    */
+  def adcTopK(codes: DataFrame, idCol: String,
+      codebooks: Array[Array[Array[Double]]], query: Array[Double],
+      topK: Int): DataFrame = {
+    val m = codebooks.length
+    val sub = codebooks.head.head.length
+    require(query.length == m * sub,
+      s"query dim ${query.length} != codebook dim ${m * sub}")
+    // T[s][j] = squared L2 of the query's s-th slice to centroid j —
+    // index-order sum, matching the training fold
+    val table: Seq[Seq[Double]] = (0 until m).map { s =>
+      codebooks(s).toIndexedSeq.map { c =>
+        var acc = 0.0
+        var d = 0
+        while (d < sub) {
+          val diff = query(s * sub + d) - c(d)
+          acc += diff * diff
+          d += 1
+        }
+        acc
+      }
+    }
+    // left-to-right sum over subspaces of T[s][code_s], rounded 6dp
+    val score = (0 until m).map { s =>
+      element_at(typedLit(table(s)),
+        element_at(col("codes"), s + 1) + 1)
+    }.reduceLeft(_ + _)
+    // TakeOrderedAndProject does the global cut (per-partition heaps, no
+    // single-partition sort of the corpus); the rank window then runs
+    // over the k-row result only
+    val cut = codes.select(col(idCol), round(score, 6).as("adc_dist"))
+      .orderBy(col("adc_dist"), col(idCol)).limit(topK)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("adc_dist"), col(idCol))
+    cut.withColumn("rank", row_number().over(w).cast("long"))
+  }
+}

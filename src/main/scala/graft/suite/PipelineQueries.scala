@@ -336,11 +336,86 @@ object PipelineQueries {
       SELECT id, MIN(comp) AS component FROM reach GROUP BY id
       ORDER BY id"""))
 
+  /** One PQ subspace's oracle CTEs (q97's unrolled-KMeans pattern on the
+    * sliced vectors): seed → assign → rounded means → final codes → the
+    * query's distance-table row per centroid.
+    */
+  private def pqSubspace(s: Int, lo: Int, hi: Int): String = {
+    def argmin(src: String, cents: String, out: String) =
+      s"""$out AS (SELECT vec_id, j FROM (
+        SELECT $src.vec_id, $cents.j,
+          ROW_NUMBER() OVER (PARTITION BY $src.vec_id ORDER BY
+            list_sum(list_transform(list_zip($src.sv, $cents.c),
+              p -> (p[1]-p[2])**2)), $cents.j) AS rn
+        FROM $src CROSS JOIN $cents) WHERE rn = 1)"""
+    s"""e$s AS (SELECT vec_id, v[$lo:$hi] AS sv FROM e),
+      c0_$s AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS j,
+        sv AS c FROM (SELECT vec_id, sv FROM e$s ORDER BY vec_id LIMIT 4)),
+      ${argmin(s"e$s", s"c0_$s", s"a1_$s")},
+      c1_$s AS (SELECT cluster AS j, list(m ORDER BY pos) AS c FROM (
+        SELECT a.j AS cluster, pos, round(AVG(x), 6) AS m FROM (
+          SELECT vec_id, generate_subscripts(sv, 1) AS pos, unnest(sv) AS x
+          FROM e$s) ex JOIN a1_$s a USING (vec_id)
+        GROUP BY a.j, pos) GROUP BY cluster),
+      ${argmin(s"e$s", s"c1_$s", s"code_$s")},
+      t_$s AS (SELECT c1_$s.j,
+        list_sum(list_transform(list_zip(qv.v[$lo:$hi], c1_$s.c),
+          p -> (p[1]-p[2])**2)) AS dist
+        FROM c1_$s CROSS JOIN qv)"""
+  }
+
+  /** Product quantization end to end (Pq.trainCodebooks → encode →
+    * adcTopK): four 16-dim subspace codebooks trained with the exact q97
+    * Lloyd arithmetic on the sliced vectors, every vector encoded as 4
+    * codes (64 floats → 4 bytes, the compression that makes 100 TB ANN
+    * scans memory-resident), and vec 0's query answered by asymmetric
+    * distance — per-subspace lookup tables + a left-to-right 4-term sum,
+    * top-10 by (distance, id). The oracle unrolls ALL of it — four
+    * independent unrolled KMeans runs, the final-codebook encodings, the
+    * query's distance tables, the same sum order and 6dp round — so a
+    * hash-match certifies training, encoding, and the ADC query path in
+    * one composed pipeline. Extends the ANN ladder q27 (brute) → q39
+    * (LSH) → q82 (IVF) with its terminal rung.
+    */
+  private val q140 = GQuery(
+    (s, d) => {
+      val emb = T.embeddings(s, d)
+      val cb = graft.scale.Pq.trainCodebooks(emb, "vec_id", "embedding",
+        dim = 64, m = 4, k = 4, iters = 2)
+      val codes = graft.scale.Pq.encode(emb, "vec_id", "embedding", cb)
+      val query = emb.where(col("vec_id") === 0)
+        .select(transform(col("embedding"), x => x.cast("double")).as("v"))
+        .collect().head.getSeq[Double](0).toArray
+      graft.scale.Pq.adcTopK(codes, "vec_id", cb, query, topK = 10)
+        .orderBy(col("rank"))
+    },
+    Some(s"""WITH e AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings),
+      qv AS (SELECT v FROM e WHERE vec_id = 0),
+      ${Seq((1, 1, 16), (2, 17, 32), (3, 33, 48), (4, 49, 64))
+        .map { case (s0, lo, hi) => pqSubspace(s0, lo, hi) }
+        .mkString(",\n      ")},
+      sc AS (SELECT code_1.vec_id,
+          round(t_1.dist + t_2.dist + t_3.dist + t_4.dist, 6) AS adc_dist
+        FROM code_1
+        JOIN code_2 USING (vec_id) JOIN code_3 USING (vec_id)
+        JOIN code_4 USING (vec_id)
+        JOIN t_1 ON t_1.j = code_1.j
+        JOIN t_2 ON t_2.j = code_2.j
+        JOIN t_3 ON t_3.j = code_3.j
+        JOIN t_4 ON t_4.j = code_4.j),
+      r AS (SELECT vec_id, adc_dist, CAST(ROW_NUMBER() OVER (
+          ORDER BY adc_dist, vec_id) AS BIGINT) AS rank FROM sc)
+      SELECT vec_id, adc_dist, rank FROM r WHERE rank <= 10
+      ORDER BY rank"""))
+
   val all: Map[String, GQuery] = Map(
     "q134_bpe_apply" -> q134,
     "q135_pagerank_dangling" -> q135,
     "q136_minhash_index_merge" -> q136,
     "q137_bpe_train" -> q137,
     "q138_range_join" -> q138,
-    "q139_incremental_components" -> q139)
+    "q139_incremental_components" -> q139,
+    "q140_product_quantization" -> q140)
 }

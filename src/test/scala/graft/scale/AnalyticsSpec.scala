@@ -325,6 +325,71 @@ class AnalyticsSpec extends SparkSpec {
     assert(ex.getMessage != null)
   }
 
+  // ---- Pq --------------------------------------------------------------
+
+  test("pq: k-vector corpus quantizes losslessly (codes = identity, self-dist 0)") {
+    // with exactly k vectors and iters = 1, each subspace codebook IS the
+    // vectors' slices, so every vector's reconstruction is exact: ADC of
+    // any vector-as-query puts that vector at rank 1 with distance 0
+    val vecs = Seq(
+      (0L, Array(0f, 0f, 10f, 10f, 0f, 0f, 5f, 5f)),
+      (1L, Array(9f, 9f, 0f, 0f, 1f, 1f, 0f, 0f)),
+      (2L, Array(0f, 5f, 0f, 5f, 9f, 0f, 9f, 0f)))
+      .toDF("id", "vec")
+    val cb = graft.scale.Pq.trainCodebooks(vecs, "id", "vec",
+      dim = 8, m = 2, k = 3, iters = 1)
+    val codes = graft.scale.Pq.encode(vecs, "id", "vec", cb)
+    (0 until 3).foreach { i =>
+      val q = vecs.where(col("id") === i)
+        .select(transform(col("vec"), x => x.cast("double")))
+        .collect().head.getSeq[Double](0).toArray
+      val top = graft.scale.Pq.adcTopK(codes, "id", cb, q, topK = 1)
+        .collect().head
+      assert(top.getLong(0) == i.toLong && top.getDouble(1) == 0.0,
+        s"query $i -> (${top.getLong(0)}, ${top.getDouble(1)})")
+    }
+  }
+
+  test("pq: well-separated clusters retrieve their own members first") {
+    // 3 clusters of 4 vectors in 8-dim, far apart; after 2 Lloyd iters
+    // per subspace, every query's top-4 must be exactly its own cluster
+    val base = Seq(
+      Array.fill(8)(0.0), Array.fill(8)(50.0),
+      Array.tabulate(8)(d => if (d % 2 == 0) 100.0 else -100.0))
+    val vecs = base.zipWithIndex.flatMap { case (c, ci) =>
+      (0 until 4).map { j =>
+        ((ci * 4 + j).toLong,
+          c.zipWithIndex.map { case (x, d) => (x + (j + d) % 3 * 0.5).toFloat })
+      }
+    }.toDF("id", "vec")
+    val cb = graft.scale.Pq.trainCodebooks(vecs, "id", "vec",
+      dim = 8, m = 2, k = 3, iters = 2)
+    val codes = graft.scale.Pq.encode(vecs, "id", "vec", cb)
+    base.indices.foreach { ci =>
+      val q = base(ci).clone()
+      val got = graft.scale.Pq.adcTopK(codes, "id", cb, q, topK = 4)
+        .collect().map(_.getLong(0)).toSet
+      assert(got === (ci * 4 until ci * 4 + 4).map(_.toLong).toSet,
+        s"cluster $ci retrieved $got")
+    }
+  }
+
+  test("pq: contract guards - indivisible dim and query-dim mismatch") {
+    val vecs = Seq((0L, Array.fill(8)(1f)), (1L, Array.fill(8)(2f)))
+      .toDF("id", "vec")
+    intercept[IllegalArgumentException] {
+      graft.scale.Pq.trainCodebooks(vecs, "id", "vec",
+        dim = 8, m = 3, k = 2, iters = 1)
+    }
+    val cb = graft.scale.Pq.trainCodebooks(vecs, "id", "vec",
+      dim = 8, m = 2, k = 2, iters = 1)
+    intercept[IllegalArgumentException] {
+      graft.scale.Pq.adcTopK(
+        graft.scale.Pq.encode(vecs, "id", "vec", cb),
+        "id", cb, Array.fill(6)(0.0), topK = 1)
+    }
+  }
+
   // ---- Quality.expect --------------------------------------------------
 
   test("quality expectations: counts violations per check in one pass") {
