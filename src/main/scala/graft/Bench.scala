@@ -177,7 +177,10 @@ object Bench {
   }
 
   def main(args: Array[String]): Unit = {
-    cleanScratch()
+    // only the top-level run cleans: a child JVM deleting /tmp/graft_*
+    // would race the parent (and anything else — e.g. a test JVM whose
+    // Files.createTempDirectory("graft_…") dirs share the prefix)
+    if (!sys.env.get("SPARK_GRAFT_CHILD").contains("1")) cleanScratch()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val shared = sys.env.get("SPARK_GRAFT_SHARED").contains("1")

@@ -549,6 +549,37 @@ object TextOps {
     learned.toSeq.toDF("rank", "a", "b", "cnt")
   }
 
+  /** Per-document true BPE token costs under a learned merge list — the
+    * operator a training-data pipeline runs most often (context-window
+    * packing inputs, per-source token accounting, billing). Encodes the
+    * DISTINCT vocabulary once ([[bpeEncodeWords]]) and joins the per-word
+    * costs back to the token stream by broadcast — a word repeated a
+    * billion times is never re-encoded, and the corpus-sized side never
+    * shuffles. Docs with no tokens keep a 0 cost (left join + coalesce).
+    * Returns (idCol, n_words, bpe_tokens).
+    *
+    * The broadcast assumes a vocabulary ≪ corpus (true under Zipf even at
+    * 100 TB — vocab grows ~log corpus); for an adversarially unbounded
+    * vocab, swap the broadcast for a plain shuffle join on `w` — same
+    * semantics, one extra exchange.
+    */
+  def bpeTokenCosts(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String,
+      merges: Seq[(String, String)]): org.apache.spark.sql.DataFrame = {
+    val vocab = bpeEncodeWords(docs, textCol, merges)
+      .select(col("w"), col("n_tokens"))
+    val perDoc = docs
+      .select(col(idCol).as("__did"), explode(tokens(col(textCol))).as("w"))
+      .join(broadcast(vocab), Seq("w"))
+      .groupBy(col("__did"))
+      .agg(count(lit(1)).as("n_words"), sum(col("n_tokens")).as("bpe_tokens"))
+    docs.select(col(idCol))
+      .join(perDoc, col(idCol) === col("__did"), "left")
+      .select(col(idCol),
+        coalesce(col("n_words"), lit(0L)).as("n_words"),
+        coalesce(col("bpe_tokens"), lit(0L)).as("bpe_tokens"))
+  }
+
   /** BPE tokenizer APPLY over a corpus: encode every DISTINCT word with a
     * learned merge list and return the encoded vocabulary —
     * (w, encoded: space-joined symbols, n_tokens, wn: corpus frequency).

@@ -331,8 +331,50 @@ object Streaming {
     */
   def applyCdcStream(changes: DataFrame, statePath: String,
       keyCols: Seq[String], versionCol: String, opCol: String = "op",
-      deleteOp: String = "D"): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
-    changes.writeStream.foreachBatch {
+      deleteOp: String = "D"): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    foldSnapshotStream(changes, statePath,
+      batch => org.apache.spark.sql.types.StructType(
+        batch.schema.filterNot(_.name == opCol))) {
+      (current, batch, _) =>
+        graft.scale.Cdc.upsert(current, batch, keyCols, versionCol, opCol,
+          deleteOp)
+    }
+
+  /** Continuous near-dup-index maintenance: keep a persisted
+    * [[graft.scale.Dedup.minhashIndex]] snapshot current from a stream of
+    * document batches — `foreachBatch` + [[graft.scale.Dedup.minhashIndexMerge]]
+    * per micro-batch, the streaming form of q136's batch merge. Each
+    * batch's text runs through the signature kernel exactly once; the
+    * corpus index is never rebuilt. Replays are safe: the merge is
+    * idempotent (batch-wins dedup-by-id gives the same index when a batch
+    * is re-delivered). Same crash-consistent snapshot swap as
+    * [[applyCdcStream]].
+    */
+  def maintainMinhashIndex(docs: DataFrame, statePath: String,
+      idCol: String, textCol: String, shingleSize: Int = 3,
+      numPerm: Int = 64): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    foldSnapshotStream(docs, statePath,
+      batch => graft.scale.Dedup
+        .minhashIndex(batch.limit(0), idCol, textCol, shingleSize, numPerm)
+        .schema) {
+      (current, batch, _) =>
+        graft.scale.Dedup.minhashIndexMerge(current, batch, idCol, textCol,
+          shingleSize, numPerm)
+    }
+
+  /** The shared snapshot-fold engine behind [[applyCdcStream]] and
+    * [[maintainMinhashIndex]]: per micro-batch, recover + read the
+    * current snapshot (schema from `stateSchema(batch)`, empty on first
+    * batch), apply `merge(current, batch, batchId)`, write the result
+    * BESIDE the snapshot and swap with checked renames (see the crash-
+    * consistency contract on [[applyCdcStream]]).
+    */
+  private[streaming] def foldSnapshotStream(source: DataFrame,
+      statePath: String,
+      stateSchema: DataFrame => org.apache.spark.sql.types.StructType)(
+      merge: (DataFrame, DataFrame, Long) => DataFrame):
+      org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    source.writeStream.foreachBatch {
       (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
         val hconf = spark.sessionState.newHadoopConf()
@@ -342,7 +384,7 @@ object Streaming {
             dst: org.apache.hadoop.fs.Path): Unit =
           if (!fs.rename(src, dst))
             throw new java.io.IOException(
-              s"applyCdcStream: rename $src -> $dst failed; failing the " +
+              s"snapshot fold: rename $src -> $dst failed; failing the " +
               "batch so the checkpoint does not commit over a stale snapshot")
         // Recovery: a crash between rename(state->old) and rename(next->
         // state) leaves no statePath but an __old<id> orphan holding the
@@ -360,14 +402,12 @@ object Streaming {
             mustRename(newest.getPath, state)
           }
         }
-        val baseSchema = org.apache.spark.sql.types.StructType(
-          batch.schema.filterNot(_.name == opCol))
+        val baseSchema = stateSchema(batch)
         val current =
           if (fs.exists(state)) spark.read.schema(baseSchema).parquet(statePath)
           else spark.createDataFrame(
             spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], baseSchema)
-        val merged = graft.scale.Cdc
-          .upsert(current, batch, keyCols, versionCol, opCol, deleteOp)
+        val merged = merge(current, batch, batchId)
         val next = new org.apache.hadoop.fs.Path(s"${statePath}__b${batchId}")
         merged.write.mode("overwrite").parquet(next.toString)
         val old = new org.apache.hadoop.fs.Path(s"${statePath}__old${batchId}")

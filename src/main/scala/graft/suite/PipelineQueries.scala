@@ -410,6 +410,59 @@ object PipelineQueries {
       SELECT vec_id, adc_dist, rank FROM r WHERE rank <= 10
       ORDER BY rank"""))
 
+  /** Per-doc BPE token costing (TextOps.bpeTokenCosts): the q134 merge
+    * list applied to every document's token stream through the
+    * encoded-vocab broadcast join — the daily operator of a pipeline
+    * (packing inputs, token accounting). The oracle replays the q134
+    * recursive-CTE encoding and joins the per-word costs back to the raw
+    * token stream, so a hash-match certifies the join-back plus the
+    * never-re-encode contract end to end (counts would drift if any word
+    * were encoded differently at doc scope than at vocab scope).
+    */
+  private val q141 = GQuery(
+    (s, d) => graft.scale.TextOps
+      .bpeTokenCosts(T.documents(s, d), "doc_id", "text", Merges)
+      .orderBy(col("doc_id")),
+    Some(s"""WITH RECURSIVE
+      m AS (SELECT ${sqlList(Merges.map(_._1))} AS ma,
+        ${sqlList(Merges.map(_._2))} AS mb,
+        list_transform(
+          list_zip(${sqlList(Merges.map(_._1))}, ${sqlList(Merges.map(_._2))}),
+          p -> p[1] || chr(1) || p[2]) AS mk),
+      toks AS (
+        SELECT doc_id, unnest(list_filter(string_split_regex(text, '\\s+'),
+          x -> len(x) > 0)) AS w
+        FROM documents),
+      words AS (SELECT DISTINCT w FROM toks),
+      seed AS (
+        SELECT w, list_transform(range(1, length(w)+1), i -> w[i]) AS syms
+        FROM words),
+      enc AS (
+        SELECT w, syms FROM seed
+        UNION ALL
+        SELECT w,
+          list_reduce(
+            list_transform(syms, s -> [s]),
+            (acc, x) -> CASE WHEN acc[-1] = ma[best] AND x[1] = mb[best]
+              THEN acc[1:len(acc)-1] || [ma[best] || mb[best]]
+              ELSE acc || x END) AS syms
+        FROM (SELECT w, syms, $BestRank AS best FROM enc CROSS JOIN m)
+          CROSS JOIN m
+        WHERE best IS NOT NULL),
+      vocab AS (
+        SELECT w, len(syms)::BIGINT AS n_tokens
+        FROM (SELECT w, syms, $BestRank AS best FROM enc CROSS JOIN m)
+        WHERE best IS NULL),
+      per_doc AS (
+        SELECT toks.doc_id, COUNT(*)::BIGINT AS n_words,
+          CAST(SUM(vocab.n_tokens) AS BIGINT) AS bpe_tokens
+        FROM toks JOIN vocab USING (w) GROUP BY toks.doc_id)
+      SELECT d.doc_id,
+        COALESCE(per_doc.n_words, 0) AS n_words,
+        COALESCE(per_doc.bpe_tokens, 0) AS bpe_tokens
+      FROM documents d LEFT JOIN per_doc USING (doc_id)
+      ORDER BY d.doc_id"""))
+
   val all: Map[String, GQuery] = Map(
     "q134_bpe_apply" -> q134,
     "q135_pagerank_dangling" -> q135,
@@ -417,5 +470,6 @@ object PipelineQueries {
     "q137_bpe_train" -> q137,
     "q138_range_join" -> q138,
     "q139_incremental_components" -> q139,
-    "q140_product_quantization" -> q140)
+    "q140_product_quantization" -> q140,
+    "q141_bpe_token_costs" -> q141)
 }

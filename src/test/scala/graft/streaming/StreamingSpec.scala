@@ -346,6 +346,40 @@ class StreamingSpec extends SparkSpec {
     assert(batch == Set(1L, 2L))
   }
 
+  test("streaming minhash-index maintenance converges to a from-scratch build") {
+    import spark.implicits._
+    val d1 = Seq((1L, "alpha beta gamma delta epsilon"),
+      (2L, "one two three four five"))
+      .toDF("doc_id", "text")
+    // doc 2 re-ingested with new text in batch 2, doc 3 brand new
+    val d2 = Seq((2L, "six seven eight nine ten"),
+      (3L, "red green blue cyan magenta"))
+      .toDF("doc_id", "text")
+    val in = Files.createTempDirectory("graft_mhin").toString
+    val state = Files.createTempDirectory("graft_mhst").toString + "/index"
+    val ckpt = Files.createTempDirectory("graft_mhck").toString
+    d1.coalesce(1).write.parquet(s"$in/b1")
+    d2.coalesce(1).write.parquet(s"$in/b2")
+    val stream = spark.readStream.schema(d1.schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("recursiveFileLookup", "true").parquet(in)
+    val q = Streaming.maintainMinhashIndex(stream, state, "doc_id", "text")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(q.exception.isEmpty, s"stream failed: ${q.exception}")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("id").collect().toSeq
+        .map(r => (r.getLong(0), r.getSeq[Long](1), r.getSeq[Long](2)))
+    // batch-2 delivery beats batch-1 for doc 2 (re-ingest), so the final
+    // snapshot equals a from-scratch index over the LATEST text per doc
+    val latest = Seq((1L, "alpha beta gamma delta epsilon"),
+      (2L, "six seven eight nine ten"), (3L, "red green blue cyan magenta"))
+      .toDF("doc_id", "text")
+    assert(rows(spark.read.parquet(state)) ===
+      rows(graft.scale.Dedup.minhashIndex(latest, "doc_id", "text")))
+  }
+
   test("resample+ffill stream converges to the batch twin (q115)") {
     import spark.implicits._
     val base = java.sql.Timestamp.valueOf("2024-01-01 10:00:00").getTime
