@@ -98,7 +98,9 @@ object Explain {
       "q136_minhash_index_merge", // anti-join append, batch-only text kernel
       "q137_bpe_train",        // vocab-sized round aggregates, corpus touched once
       "q138_range_join",       // binned equi-join replaces the nested loop
-      "q139_incremental_components") // batch-sized CC + broadcast relabel
+      "q139_incremental_components", // batch-sized CC + broadcast relabel
+      "q140_product_quantization", // codebook argmin encode + ADC narrow scan
+      "q141_bpe_token_costs")  // broadcast vocab join-back, no re-encode
 
     val sb = new StringBuilder
     sb.append("# EXPLAIN — flagship physical plans\n\n")
