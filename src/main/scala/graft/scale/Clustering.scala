@@ -59,6 +59,22 @@ object Clustering {
     e.select(col("__id").as(idCol), assignExpr(col("__v"), cents).as("cluster"))
   }
 
+  /** Train and RETURN the k×dim centroid matrix (the model artifact) —
+    * same deterministic loop as [[lloydAssignments]], for callers that
+    * need the centroids themselves (coarse quantizers, [[Pq]] composition,
+    * model export).
+    */
+  def lloydTrain(corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int, roundDp: Int = 6): Array[Array[Double]] = {
+    require(k > 0 && iters > 0, "k and iters must be positive")
+    val e = corpus
+      .select(col(idCol).as("__id"),
+        transform(col(vecCol), x => x.cast("double")).as("__v"))
+      .persist()
+    try lloydCentroids(e, k, iters, roundDp)
+    finally { e.unpersist(blocking = false); () }
+  }
+
   /** The Lloyd training loop itself, on a pre-projected (__id, __v
     * array<double>) frame: deterministic lowest-id seed, `iters − 1`
     * assignment + rounded-mean updates, returns the final k×dim centroid

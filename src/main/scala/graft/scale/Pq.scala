@@ -85,15 +85,17 @@ object Pq {
     * TakeOrdered keeps k rows. Returns (idCol, adc_dist, rank) ranked by
     * (distance asc, id asc).
     */
-  def adcTopK(codes: DataFrame, idCol: String,
-      codebooks: Array[Array[Array[Double]]], query: Array[Double],
-      topK: Int): DataFrame = {
+  /** The ADC scoring expression over a `codes` column: per-subspace
+    * distance-table lookups (tables computed HERE, on the driver, once
+    * per query — index-order squared-L2 folds against the codebooks)
+    * summed left-to-right and rounded to 6dp.
+    */
+  private def adcScore(codebooks: Array[Array[Array[Double]]],
+      query: Array[Double]): org.apache.spark.sql.Column = {
     val m = codebooks.length
     val sub = codebooks.head.head.length
     require(query.length == m * sub,
       s"query dim ${query.length} != codebook dim ${m * sub}")
-    // T[s][j] = squared L2 of the query's s-th slice to centroid j —
-    // index-order sum, matching the training fold
     val table: Seq[Seq[Double]] = (0 until m).map { s =>
       codebooks(s).toIndexedSeq.map { c =>
         var acc = 0.0
@@ -106,18 +108,81 @@ object Pq {
         acc
       }
     }
-    // left-to-right sum over subspaces of T[s][code_s], rounded 6dp
-    val score = (0 until m).map { s =>
+    round((0 until m).map { s =>
       element_at(typedLit(table(s)),
         element_at(col("codes"), s + 1) + 1)
-    }.reduceLeft(_ + _)
-    // TakeOrderedAndProject does the global cut (per-partition heaps, no
-    // single-partition sort of the corpus); the rank window then runs
-    // over the k-row result only
-    val cut = codes.select(col(idCol), round(score, 6).as("adc_dist"))
+    }.reduceLeft(_ + _), 6)
+  }
+
+  /** Global top-k by (adc_dist asc, id asc) with a rank column:
+    * TakeOrderedAndProject does the cut (per-partition heaps, no
+    * single-partition sort of the corpus); the rank window then runs
+    * over the k-row result only.
+    */
+  private def rankCut(scored: DataFrame, idCol: String, topK: Int,
+      extraCols: Seq[String]): DataFrame = {
+    val keep = Seq(col(idCol)) ++ extraCols.map(col) :+ col("adc_dist")
+    val cut = scored.select(keep: _*)
       .orderBy(col("adc_dist"), col(idCol)).limit(topK)
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(col("adc_dist"), col(idCol))
     cut.withColumn("rank", row_number().over(w).cast("long"))
+  }
+
+  def adcTopK(codes: DataFrame, idCol: String,
+      codebooks: Array[Array[Array[Double]]], query: Array[Double],
+      topK: Int): DataFrame =
+    rankCut(codes.withColumn("adc_dist", adcScore(codebooks, query)),
+      idCol, topK, Nil)
+
+  /** Index-order squared L2 between two driver-side vectors — the same
+    * fold the column expressions and the oracle use.
+    */
+  private def sqL2(a: Array[Double], b: Array[Double]): Double = {
+    var acc = 0.0
+    var d = 0
+    while (d < a.length) { val x = a(d) - b(d); acc += x * x; d += 1 }
+    acc
+  }
+
+  /** Build the searchable IVF+PQ index: (idCol, cell, codes) — one narrow
+    * scan assigning each vector its coarse cell (first-min argmin over
+    * `coarse`) and its m PQ codes. At 100 TB this table is written
+    * partitioned by `cell`, so a probe reads only nprobe/k of the files.
+    */
+  def buildIvfPqIndex(corpus: DataFrame, idCol: String, vecCol: String,
+      coarse: Array[Array[Double]],
+      codebooks: Array[Array[Array[Double]]]): DataFrame = {
+    val m = codebooks.length
+    val dim = m * codebooks.head.head.length
+    val e = proj(corpus, idCol, vecCol)
+    val codeCols = slices(m, dim).zip(codebooks.toIndexedSeq).map {
+      case ((start, len), cb) =>
+        Clustering.assignExpr(slice(col("__v"), start, len), cb)
+    }
+    e.select(col("__id").as(idCol),
+      Clustering.assignExpr(col("__v"), coarse).as("cell"),
+      array(codeCols: _*).as("codes"))
+  }
+
+  /** IVF+PQ query: probe the `nprobe` cells nearest the query (driver
+    * arithmetic, (distance, index) tiebreak), then ADC-rank ONLY the
+    * index rows in those cells — the composed shape that makes
+    * billion-scale ANN a partition-pruned scan of compressed codes:
+    * candidate set ≈ nprobe/k of the corpus, candidate bytes ≈ m per
+    * vector, zero joins and zero shuffles beyond the TakeOrdered cut.
+    * Returns (idCol, cell, adc_dist, rank).
+    */
+  def ivfPqTopK(index: DataFrame, idCol: String,
+      coarse: Array[Array[Double]], codebooks: Array[Array[Array[Double]]],
+      query: Array[Double], nprobe: Int, topK: Int): DataFrame = {
+    require(nprobe >= 1 && nprobe <= coarse.length,
+      s"nprobe $nprobe out of range for ${coarse.length} cells")
+    val probed = coarse.toIndexedSeq.map(c => sqL2(query, c)).zipWithIndex
+      .sortBy { case (dist, j) => (dist, j) }.take(nprobe).map(_._2)
+    rankCut(
+      index.where(col("cell").isin(probed: _*))
+        .withColumn("adc_dist", adcScore(codebooks, query)),
+      idCol, topK, Seq("cell"))
   }
 }

@@ -340,29 +340,42 @@ object PipelineQueries {
     * sliced vectors): seed → assign → rounded means → final codes → the
     * query's distance-table row per centroid.
     */
-  private def pqSubspace(s: Int, lo: Int, hi: Int): String = {
-    def argmin(src: String, cents: String, out: String) =
-      s"""$out AS (SELECT vec_id, j FROM (
-        SELECT $src.vec_id, $cents.j,
-          ROW_NUMBER() OVER (PARTITION BY $src.vec_id ORDER BY
-            list_sum(list_transform(list_zip($src.sv, $cents.c),
-              p -> (p[1]-p[2])**2)), $cents.j) AS rn
-        FROM $src CROSS JOIN $cents) WHERE rn = 1)"""
-    s"""e$s AS (SELECT vec_id, v[$lo:$hi] AS sv FROM e),
-      c0_$s AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS j,
-        sv AS c FROM (SELECT vec_id, sv FROM e$s ORDER BY vec_id LIMIT 4)),
-      ${argmin(s"e$s", s"c0_$s", s"a1_$s")},
-      c1_$s AS (SELECT cluster AS j, list(m ORDER BY pos) AS c FROM (
+  /** Nearest-centroid CTE (first-min-wins, (distance, index) tiebreak):
+    * `out`(vec_id, j) assigning each `src` row's `vecCol` to `cents`.
+    */
+  private def argminCte(src: String, vecCol: String, cents: String,
+      out: String): String =
+    s"""$out AS (SELECT vec_id, j FROM (
+      SELECT $src.vec_id, $cents.j,
+        ROW_NUMBER() OVER (PARTITION BY $src.vec_id ORDER BY
+          list_sum(list_transform(list_zip($src.$vecCol, $cents.c),
+            p -> (p[1]-p[2])**2)), $cents.j) AS rn
+      FROM $src CROSS JOIN $cents) WHERE rn = 1)"""
+
+  /** One unrolled KMeans (k, 2 iters) on `src`.`vecCol`, emitting
+    * `c0_$tag` seed, `a1_$tag` assignment, `c1_$tag` final rounded-mean
+    * centroids — the q97 oracle pattern parameterized.
+    */
+  private def kmeansCtes(tag: String, src: String, vecCol: String,
+      k: Int): String =
+    s"""c0_$tag AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS j,
+        $vecCol AS c FROM (SELECT vec_id, $vecCol FROM $src ORDER BY vec_id LIMIT $k)),
+      ${argminCte(src, vecCol, s"c0_$tag", s"a1_$tag")},
+      c1_$tag AS (SELECT cluster AS j, list(m ORDER BY pos) AS c FROM (
         SELECT a.j AS cluster, pos, round(AVG(x), 6) AS m FROM (
-          SELECT vec_id, generate_subscripts(sv, 1) AS pos, unnest(sv) AS x
-          FROM e$s) ex JOIN a1_$s a USING (vec_id)
-        GROUP BY a.j, pos) GROUP BY cluster),
-      ${argmin(s"e$s", s"c1_$s", s"code_$s")},
+          SELECT vec_id, generate_subscripts($vecCol, 1) AS pos,
+            unnest($vecCol) AS x
+          FROM $src) ex JOIN a1_$tag a USING (vec_id)
+        GROUP BY a.j, pos) GROUP BY cluster)"""
+
+  private def pqSubspace(s: Int, lo: Int, hi: Int): String =
+    s"""e$s AS (SELECT vec_id, v[$lo:$hi] AS sv FROM e),
+      ${kmeansCtes(s.toString, s"e$s", "sv", 4)},
+      ${argminCte(s"e$s", "sv", s"c1_$s", s"code_$s")},
       t_$s AS (SELECT c1_$s.j,
         list_sum(list_transform(list_zip(qv.v[$lo:$hi], c1_$s.c),
           p -> (p[1]-p[2])**2)) AS dist
         FROM c1_$s CROSS JOIN qv)"""
-  }
 
   /** Product quantization end to end (Pq.trainCodebooks → encode →
     * adcTopK): four 16-dim subspace codebooks trained with the exact q97
@@ -463,6 +476,63 @@ object PipelineQueries {
       FROM documents d LEFT JOIN per_doc USING (doc_id)
       ORDER BY d.doc_id"""))
 
+  /** IVF+PQ composed (Clustering.lloydTrain coarse quantizer +
+    * Pq.buildIvfPqIndex + Pq.ivfPqTopK): the full billion-scale ANN
+    * shape — 8 learned cells, the query probes its 2 nearest, and only
+    * the probed cells' PQ codes are ADC-ranked. The oracle unrolls the
+    * coarse KMeans (q97 pattern, k=8), the per-vector cell assignment,
+    * the query's probe selection ((distance, index) tiebreak), the four
+    * subspace codebooks, and the cell-restricted ADC ranking — one
+    * hash-match certifying that probe pruning + compressed scoring
+    * compose exactly. At 100 TB the index is partitioned by cell, so
+    * this query reads nprobe/k of the files and m bytes per candidate.
+    */
+  private val q142 = GQuery(
+    (s, d) => {
+      val emb = T.embeddings(s, d)
+      val coarse = graft.scale.Clustering
+        .lloydTrain(emb, "vec_id", "embedding", k = 8, iters = 2)
+      val cb = graft.scale.Pq.trainCodebooks(emb, "vec_id", "embedding",
+        dim = 64, m = 4, k = 4, iters = 2)
+      val idx = graft.scale.Pq
+        .buildIvfPqIndex(emb, "vec_id", "embedding", coarse, cb)
+      val query = emb.where(col("vec_id") === 0)
+        .select(transform(col("embedding"), x => x.cast("double")).as("v"))
+        .collect().head.getSeq[Double](0).toArray
+      graft.scale.Pq.ivfPqTopK(idx, "vec_id", coarse, cb, query,
+        nprobe = 2, topK = 10)
+        .orderBy(col("rank"))
+    },
+    Some(s"""WITH e AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings),
+      qv AS (SELECT v FROM e WHERE vec_id = 0),
+      ${kmeansCtes("c", "e", "v", 8)},
+      ${argminCte("e", "v", "c1_c", "cellv")},
+      probe AS (SELECT j FROM (
+        SELECT c1_c.j, ROW_NUMBER() OVER (ORDER BY
+          list_sum(list_transform(list_zip(qv.v, c1_c.c),
+            p -> (p[1]-p[2])**2)), c1_c.j) AS rn
+        FROM c1_c CROSS JOIN qv) WHERE rn <= 2),
+      ${Seq((1, 1, 16), (2, 17, 32), (3, 33, 48), (4, 49, 64))
+        .map { case (s0, lo, hi) => pqSubspace(s0, lo, hi) }
+        .mkString(",\n      ")},
+      cand AS (SELECT cellv.vec_id, cellv.j AS cell
+        FROM cellv JOIN probe ON cellv.j = probe.j),
+      sc AS (SELECT cand.vec_id, cand.cell,
+          round(t_1.dist + t_2.dist + t_3.dist + t_4.dist, 6) AS adc_dist
+        FROM cand
+        JOIN code_1 USING (vec_id) JOIN code_2 USING (vec_id)
+        JOIN code_3 USING (vec_id) JOIN code_4 USING (vec_id)
+        JOIN t_1 ON t_1.j = code_1.j
+        JOIN t_2 ON t_2.j = code_2.j
+        JOIN t_3 ON t_3.j = code_3.j
+        JOIN t_4 ON t_4.j = code_4.j),
+      r AS (SELECT vec_id, cell, adc_dist, CAST(ROW_NUMBER() OVER (
+          ORDER BY adc_dist, vec_id) AS BIGINT) AS rank FROM sc)
+      SELECT vec_id, cell, adc_dist, rank FROM r WHERE rank <= 10
+      ORDER BY rank"""))
+
   val all: Map[String, GQuery] = Map(
     "q134_bpe_apply" -> q134,
     "q135_pagerank_dangling" -> q135,
@@ -471,5 +541,6 @@ object PipelineQueries {
     "q138_range_join" -> q138,
     "q139_incremental_components" -> q139,
     "q140_product_quantization" -> q140,
-    "q141_bpe_token_costs" -> q141)
+    "q141_bpe_token_costs" -> q141,
+    "q142_ivf_pq_search" -> q142)
 }

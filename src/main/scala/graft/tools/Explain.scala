@@ -100,7 +100,8 @@ object Explain {
       "q138_range_join",       // binned equi-join replaces the nested loop
       "q139_incremental_components", // batch-sized CC + broadcast relabel
       "q140_product_quantization", // codebook argmin encode + ADC narrow scan
-      "q141_bpe_token_costs")  // broadcast vocab join-back, no re-encode
+      "q141_bpe_token_costs",  // broadcast vocab join-back, no re-encode
+      "q142_ivf_pq_search")    // probed-cell filter + ADC lookup scan
 
     val sb = new StringBuilder
     sb.append("# EXPLAIN — flagship physical plans\n\n")

@@ -374,6 +374,43 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("pq: ivfPqTopK with nprobe=k scans everything == plain adcTopK") {
+    val rnd = new scala.util.Random(99L)
+    val vecs = (0L until 40L).map(i =>
+      (i, Array.fill(8)((rnd.nextInt(200) - 100).toFloat))).toDF("id", "vec")
+    val coarse = graft.scale.Clustering.lloydTrain(vecs, "id", "vec",
+      k = 4, iters = 2)
+    val cb = graft.scale.Pq.trainCodebooks(vecs, "id", "vec",
+      dim = 8, m = 2, k = 3, iters = 2)
+    val idx = graft.scale.Pq.buildIvfPqIndex(vecs, "id", "vec", coarse, cb)
+    val q = Array.fill(8)(7.0)
+    val full = graft.scale.Pq.ivfPqTopK(idx, "id", coarse, cb, q,
+      nprobe = 4, topK = 5)
+      .select("id", "adc_dist", "rank")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSeq
+    val plain = graft.scale.Pq.adcTopK(idx.select(col("id"), col("codes")),
+      "id", cb, q, topK = 5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSeq
+    assert(full === plain)
+  }
+
+  test("pq: ivfPqTopK never returns a vector from an unprobed cell") {
+    val rnd = new scala.util.Random(7L)
+    val vecs = (0L until 40L).map(i =>
+      (i, Array.fill(8)((rnd.nextInt(200) - 100).toFloat))).toDF("id", "vec")
+    val coarse = graft.scale.Clustering.lloydTrain(vecs, "id", "vec",
+      k = 4, iters = 2)
+    val cb = graft.scale.Pq.trainCodebooks(vecs, "id", "vec",
+      dim = 8, m = 2, k = 3, iters = 2)
+    val idx = graft.scale.Pq.buildIvfPqIndex(vecs, "id", "vec", coarse, cb)
+    val q = Array.fill(8)(0.0)
+    val got = graft.scale.Pq.ivfPqTopK(idx, "id", coarse, cb, q,
+      nprobe = 1, topK = 40).collect()
+    assert(got.nonEmpty)
+    assert(got.map(_.getInt(1)).toSet.size == 1,
+      "nprobe=1 results must all come from one cell")
+  }
+
   test("pq: contract guards - indivisible dim and query-dim mismatch") {
     val vecs = Seq((0L, Array.fill(8)(1f)), (1L, Array.fill(8)(2f)))
       .toDF("id", "vec")
