@@ -165,6 +165,45 @@ object Pq {
       array(codeCols: _*).as("codes"))
   }
 
+  /** Fold a batch of vectors into a persisted IVF+PQ index
+    * ([[buildIvfPqIndex]] schema) WITHOUT rebuilding: the batch alone is
+    * assigned cells and encoded against the FROZEN coarse quantizer and
+    * codebooks (exactly how production ANN serves — models train on a
+    * corpus snapshot and new vectors are folded in until the next
+    * scheduled retrain), and re-ingested ids take the batch's row
+    * (batch-wins dedup via an 8-byte-id anti-join, the q136 contract).
+    * With frozen models, merge(build(A), B) ≡ build((A ∖ ids(B)) ∪ B)
+    * bit for bit — AnalyticsSpec pins the equivalence, q143
+    * oracle-certifies it through the composed search.
+    *
+    * Scale shape: the corpus-sized index is touched by ONE anti-join
+    * keyed on the id (bucket-local under the q54 layout); kernels run
+    * over the batch only. The index's codes length and cell range are
+    * validated against the supplied models (an index built with
+    * different m or k would otherwise silently mis-score).
+    */
+  def mergeIvfPqIndex(index: DataFrame, batch: DataFrame,
+      idCol: String, vecCol: String,
+      coarse: Array[Array[Double]],
+      codebooks: Array[Array[Array[Double]]]): DataFrame = {
+    val m = codebooks.length
+    val k = coarse.length
+    val checkedCodes = when(
+      size(col("codes")) === m &&
+        col("cell").between(0, k - 1), col("codes"))
+      .otherwise(raise_error(concat(
+        lit(s"IVF+PQ index row incompatible with models (m=$m, k=$k): " +
+          "codes length "),
+        size(col("codes")).cast("string"), lit(", cell "),
+        col("cell").cast("string"))))
+      .as("codes")
+    val newRows = buildIvfPqIndex(batch, idCol, vecCol, coarse, codebooks)
+    index.select(col(idCol), col("cell"), checkedCodes)
+      .join(newRows.select(col(idCol).as("__bid")),
+        col(idCol) === col("__bid"), "left_anti")
+      .union(newRows)
+  }
+
   /** IVF+PQ query: probe the `nprobe` cells nearest the query (driver
     * arithmetic, (distance, index) tiebreak), then ADC-rank ONLY the
     * index rows in those cells — the composed shape that makes

@@ -368,14 +368,25 @@ object PipelineQueries {
           FROM $src) ex JOIN a1_$tag a USING (vec_id)
         GROUP BY a.j, pos) GROUP BY cluster)"""
 
-  private def pqSubspace(s: Int, lo: Int, hi: Int): String =
-    s"""e$s AS (SELECT vec_id, v[$lo:$hi] AS sv FROM e),
+  /** One PQ subspace's CTE chain: codebook trained on `trainSrc`, codes
+    * computed over `encodeSrc` (identical by default — q140/q142; the
+    * frozen-model merge oracle q143 trains on the corpus snapshot and
+    * encodes the merged set).
+    */
+  private def pqSubspace(s: Int, lo: Int, hi: Int, trainSrc: String = "e",
+      encodeSrc: String = "e"): String = {
+    val encPrefix =
+      if (encodeSrc == trainSrc) ""
+      else s"enc$s AS (SELECT vec_id, v[$lo:$hi] AS sv FROM $encodeSrc),\n      "
+    val encTbl = if (encodeSrc == trainSrc) s"e$s" else s"enc$s"
+    s"""e$s AS (SELECT vec_id, v[$lo:$hi] AS sv FROM $trainSrc),
       ${kmeansCtes(s.toString, s"e$s", "sv", 4)},
-      ${argminCte(s"e$s", "sv", s"c1_$s", s"code_$s")},
+      $encPrefix${argminCte(encTbl, "sv", s"c1_$s", s"code_$s")},
       t_$s AS (SELECT c1_$s.j,
         list_sum(list_transform(list_zip(qv.v[$lo:$hi], c1_$s.c),
           p -> (p[1]-p[2])**2)) AS dist
         FROM c1_$s CROSS JOIN qv)"""
+  }
 
   /** Product quantization end to end (Pq.trainCodebooks → encode →
     * adcTopK): four 16-dim subspace codebooks trained with the exact q97
@@ -533,6 +544,84 @@ object PipelineQueries {
       SELECT vec_id, cell, adc_dist, rank FROM r WHERE rank <= 10
       ORDER BY rank"""))
 
+  /** Incremental IVF+PQ index maintenance (Pq.mergeIvfPqIndex): the
+    * steady-state half of q142 — coarse quantizer and codebooks train on
+    * the CORPUS SNAPSHOT only (vec_id % 3 ≠ 0) and stay frozen; an
+    * arriving batch (the % 3 = 0 vectors, plus % 21 = 1 re-ingested with
+    * REVERSED embeddings — changed content under existing ids) is
+    * assigned cells and encoded alone, then folded in batch-wins by id.
+    * The composed search then runs over the merged index. The oracle
+    * unrolls coarse + subspace training restricted to the snapshot,
+    * rebuilds the merged set relationally ((corpus ∖ batch-ids) ∪ batch),
+    * and replays assignment, probe selection, and cell-restricted ADC
+    * over it — a hash-match certifies merge(build(A), B) ≡
+    * build((A ∖ ids(B)) ∪ B) under frozen models, re-ingest precedence
+    * included (the reversed vectors land in different cells/codes, so
+    * any stale-row leak flips the hash). Completes the index lifecycle
+    * story: q131/q136 (minhash), q139 (components), q143 (ANN).
+    */
+  private val q143 = GQuery(
+    (s, d) => {
+      val emb = T.embeddings(s, d)
+      val corpus = emb.where(col("vec_id") % 3 =!= 0)
+      val batch = emb.where(col("vec_id") % 3 === 0)
+        .unionByName(emb.where(col("vec_id") % 21 === 1)
+          .withColumn("embedding", reverse(col("embedding"))))
+      val coarse = graft.scale.Clustering
+        .lloydTrain(corpus, "vec_id", "embedding", k = 8, iters = 2)
+      val cb = graft.scale.Pq.trainCodebooks(corpus, "vec_id", "embedding",
+        dim = 64, m = 4, k = 4, iters = 2)
+      val idx = graft.scale.Pq
+        .buildIvfPqIndex(corpus, "vec_id", "embedding", coarse, cb)
+      val merged = graft.scale.Pq
+        .mergeIvfPqIndex(idx, batch, "vec_id", "embedding", coarse, cb)
+      val query = emb.where(col("vec_id") === 0)
+        .select(transform(col("embedding"), x => x.cast("double")).as("v"))
+        .collect().head.getSeq[Double](0).toArray
+      graft.scale.Pq.ivfPqTopK(merged, "vec_id", coarse, cb, query,
+        nprobe = 2, topK = 10)
+        .orderBy(col("rank"))
+    },
+    Some(s"""WITH e AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings),
+      e_train AS (SELECT vec_id, v FROM e WHERE vec_id % 3 <> 0),
+      batch AS (
+        SELECT vec_id, v FROM e WHERE vec_id % 3 = 0
+        UNION ALL
+        SELECT vec_id, list_reverse(v) AS v FROM e WHERE vec_id % 21 = 1),
+      m_all AS (
+        SELECT vec_id, v FROM e_train
+        WHERE vec_id NOT IN (SELECT vec_id FROM batch)
+        UNION ALL SELECT vec_id, v FROM batch),
+      qv AS (SELECT v FROM e WHERE vec_id = 0),
+      ${kmeansCtes("c", "e_train", "v", 8)},
+      ${argminCte("m_all", "v", "c1_c", "cellv")},
+      probe AS (SELECT j FROM (
+        SELECT c1_c.j, ROW_NUMBER() OVER (ORDER BY
+          list_sum(list_transform(list_zip(qv.v, c1_c.c),
+            p -> (p[1]-p[2])**2)), c1_c.j) AS rn
+        FROM c1_c CROSS JOIN qv) WHERE rn <= 2),
+      ${Seq((1, 1, 16), (2, 17, 32), (3, 33, 48), (4, 49, 64))
+        .map { case (s0, lo, hi) =>
+          pqSubspace(s0, lo, hi, trainSrc = "e_train", encodeSrc = "m_all") }
+        .mkString(",\n      ")},
+      cand AS (SELECT cellv.vec_id, cellv.j AS cell
+        FROM cellv JOIN probe ON cellv.j = probe.j),
+      sc AS (SELECT cand.vec_id, cand.cell,
+          round(t_1.dist + t_2.dist + t_3.dist + t_4.dist, 6) AS adc_dist
+        FROM cand
+        JOIN code_1 USING (vec_id) JOIN code_2 USING (vec_id)
+        JOIN code_3 USING (vec_id) JOIN code_4 USING (vec_id)
+        JOIN t_1 ON t_1.j = code_1.j
+        JOIN t_2 ON t_2.j = code_2.j
+        JOIN t_3 ON t_3.j = code_3.j
+        JOIN t_4 ON t_4.j = code_4.j),
+      r AS (SELECT vec_id, cell, adc_dist, CAST(ROW_NUMBER() OVER (
+          ORDER BY adc_dist, vec_id) AS BIGINT) AS rank FROM sc)
+      SELECT vec_id, cell, adc_dist, rank FROM r WHERE rank <= 10
+      ORDER BY rank"""))
+
   val all: Map[String, GQuery] = Map(
     "q134_bpe_apply" -> q134,
     "q135_pagerank_dangling" -> q135,
@@ -542,5 +631,6 @@ object PipelineQueries {
     "q139_incremental_components" -> q139,
     "q140_product_quantization" -> q140,
     "q141_bpe_token_costs" -> q141,
-    "q142_ivf_pq_search" -> q142)
+    "q142_ivf_pq_search" -> q142,
+    "q143_ivf_pq_index_merge" -> q143)
 }

@@ -411,6 +411,61 @@ class AnalyticsSpec extends SparkSpec {
       "nprobe=1 results must all come from one cell")
   }
 
+  test("pq: mergeIvfPqIndex == rebuild over (corpus \\ batch-ids) ∪ batch") {
+    val rnd = new scala.util.Random(41L)
+    def mk(ids: Seq[Long]) = ids.map(i =>
+      (i, Array.fill(8)((rnd.nextInt(200) - 100).toFloat)))
+    val corpusRows = mk(0L until 30L)
+    // batch: 5 new ids plus 3 re-ingested ids with CHANGED vectors
+    val batchRows = mk(30L until 35L) ++
+      Seq(3L, 11L, 27L).map(i => (i, Array.fill(8)(77f + i)))
+    val corpus = corpusRows.toDF("id", "vec")
+    val batch = batchRows.toDF("id", "vec")
+    val coarse = graft.scale.Clustering.lloydTrain(corpus, "id", "vec",
+      k = 4, iters = 2)
+    val cb = graft.scale.Pq.trainCodebooks(corpus, "id", "vec",
+      dim = 8, m = 2, k = 3, iters = 2)
+    val idx = graft.scale.Pq.buildIvfPqIndex(corpus, "id", "vec", coarse, cb)
+    val merged = graft.scale.Pq
+      .mergeIvfPqIndex(idx, batch, "id", "vec", coarse, cb)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getSeq[Int](2)))
+      .toSet
+    val batchIds = batchRows.map(_._1).toSet
+    val rebuilt = graft.scale.Pq.buildIvfPqIndex(
+      (corpusRows.filterNot(r => batchIds(r._1)) ++ batchRows)
+        .toDF("id", "vec"),
+      "id", "vec", coarse, cb)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getSeq[Int](2)))
+      .toSet
+    assert(merged === rebuilt)
+    assert(merged.size == 35)
+    // re-ingest precedence: id 3's row reflects the NEW vector, not the old
+    val old3 = graft.scale.Pq
+      .buildIvfPqIndex(corpus.where(col("id") === 3), "id", "vec", coarse, cb)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getSeq[Int](2))).head
+    assert(!merged.contains(old3) || {
+      // only acceptable if old and new vectors happen to encode identically
+      val new3 = merged.find(_._1 == 3L).get; new3 == old3
+    })
+  }
+
+  test("pq: mergeIvfPqIndex rejects an index built with different models") {
+    val vecs = Seq((0L, Array.fill(8)(1f)), (1L, Array.fill(8)(60f)))
+      .toDF("id", "vec")
+    val coarse = graft.scale.Clustering.lloydTrain(vecs, "id", "vec",
+      k = 2, iters = 1)
+    val cb = graft.scale.Pq.trainCodebooks(vecs, "id", "vec",
+      dim = 8, m = 2, k = 2, iters = 1)
+    val cb4 = graft.scale.Pq.trainCodebooks(vecs, "id", "vec",
+      dim = 8, m = 4, k = 2, iters = 1)
+    val idx4 = graft.scale.Pq.buildIvfPqIndex(vecs, "id", "vec", coarse, cb4)
+    val ex = intercept[Exception] {
+      graft.scale.Pq.mergeIvfPqIndex(idx4, vecs.where(col("id") === 1),
+        "id", "vec", coarse, cb).collect()
+    }
+    assert(ex.getMessage.contains("incompatible"))
+  }
+
   test("pq: contract guards - indivisible dim and query-dim mismatch") {
     val vecs = Seq((0L, Array.fill(8)(1f)), (1L, Array.fill(8)(2f)))
       .toDF("id", "vec")
