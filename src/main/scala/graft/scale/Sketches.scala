@@ -1,0 +1,127 @@
+package graft.scale
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Mergeable cardinality sketches — the monitoring primitive a 100 TB
+  * pipeline runs daily: per-group HyperLogLog registers persisted as a
+  * tiny table (64 ints per group), folded batch-by-batch with an
+  * element-wise max, and queried for distinct-count estimates without
+  * ever rescanning the corpus. q126's exact distinct-n diversity is the
+  * certification-grade form; this is its steady-state sibling — the
+  * register table for a group is ~256 bytes no matter how many tokens
+  * the group has seen, and merge is associative + commutative +
+  * idempotent, so shard-level sketches union in any order (re-delivered
+  * batches are absorbed, not double-counted).
+  *
+  * Determinism (oracle-replayable): values enter as the 62-bit
+  * engine-portable hash ([[graft.functions.NativeExpressions.portableHash62]]
+  * family, h = h1·2^31 + h2 with h1,h2 < 2^31). bucket = h mod 64 (the
+  * low bits of h2, since 2^31 is divisible by 64); rank = 32 − bitlen(h1)
+  * (leading zeros of the 31-bit h1 plus one; h1 = 0 → 32). The estimate
+  * is the Flajolet HLL harmonic mean: α·m² / Σ 2^−reg with α = 0.709 for
+  * m = 64, the Σ a PINNED left fold in register order over exact dyadic
+  * 2^−r terms (driver lookup table / 1.0/(1<<r) — no libm pow), so the
+  * double is bit-identical across engines. The small-range
+  * linear-counting correction uses ln and is therefore exposed only on
+  * the Scala API ([[hllCorrectedEstimate]]), not the cross-engine
+  * surface — q144 certifies registers, zero counts, and the harmonic
+  * estimate.
+  *
+  * Scale shape: one narrow hash projection, one (group, bucket) max
+  * aggregate (map-side combinable — the 64-value bucket domain makes
+  * partial states tiny), one 64-row-per-group collapse to the register
+  * array. Nothing corpus-sized shuffles; nothing reaches the driver.
+  */
+object Sketches {
+
+  /** Register count (2^6). */
+  val HllM = 64
+  /** Max rank: 31 hash bits above the bucket field, +1; h1 = 0 folds in. */
+  val HllMaxRank = 32
+  /** Flajolet's α for m = 64. */
+  val HllAlpha = 0.709
+
+  /** 2^−r for r ∈ [0, 32], computed exactly on the driver. */
+  private val InvPow2: Seq[Double] = (0 to HllMaxRank).map(r => 1.0 / (1L << r))
+
+  /** Build the per-group HLL register table from (group, 62-bit-hash)
+    * rows: (groupCol, registers array<int>[64]). Hash rows with the same
+    * value land in the same (bucket, rank) — duplicates are free, which
+    * is the whole point.
+    */
+  def hllSketch(rows: DataFrame, groupCol: String, hashCol: String): DataFrame = {
+    val h1 = shiftright(col(hashCol), 31)
+    val bucket = (col(hashCol) % HllM).cast("int")
+    val rank = when(h1 === 0L, HllMaxRank)
+      .otherwise(lit(HllMaxRank) - length(conv(h1, 10, 2))).cast("int")
+    rows.select(col(groupCol), bucket.as("__b"), rank.as("__r"))
+      .groupBy(col(groupCol), col("__b")).agg(max(col("__r")).as("__reg"))
+      .groupBy(col(groupCol))
+      .agg(map_from_entries(collect_list(struct(col("__b"), col("__reg"))))
+        .as("__m"))
+      .select(col(groupCol),
+        transform(sequence(lit(0), lit(HllM - 1)),
+          b => coalesce(element_at(col("__m"), b), lit(0))).as("registers"))
+  }
+
+  /** Merge two sketch tables: full-outer on the group, element-wise max
+    * of the register vectors (a group present on one side only keeps its
+    * registers). merge(sketch(A), sketch(B)) ≡ sketch(A ∪ B) bit for
+    * bit — the max-aggregate is associative — which q144 certifies
+    * against an oracle that builds from the union directly.
+    */
+  def hllMerge(a: DataFrame, b: DataFrame, groupCol: String): DataFrame =
+    a.select(col(groupCol), col("registers").as("__ra"))
+      .join(b.select(col(groupCol).as("__g"), col("registers").as("__rb")),
+        col(groupCol) === col("__g"), "full_outer")
+      .select(coalesce(col(groupCol), col("__g")).as(groupCol),
+        when(col("__ra").isNull, col("__rb"))
+          .when(col("__rb").isNull, col("__ra"))
+          .otherwise(zip_with(col("__ra"), col("__rb"),
+            (x, y) => greatest(x, y))).as("registers"))
+
+  /** The harmonic-mean estimate column over a `registers` array: a
+    * pinned left fold of exact 2^−reg terms, then α·m²/Σ rounded to 6dp.
+    */
+  def hllEstimateCol(registers: Column): Column = {
+    val hsum = aggregate(registers, lit(0.0),
+      (acc, r) => acc + element_at(typedLit(InvPow2), r + 1))
+    round(lit(HllAlpha * HllM * HllM) / hsum, 6)
+  }
+
+  /** Estimates per group: (groupCol, registers, n_zero, hll_estimate).
+    * `n_zero` (untouched registers) is the linear-counting input and a
+    * saturation signal.
+    */
+  def hllEstimate(sk: DataFrame, groupCol: String): DataFrame =
+    sk.select(col(groupCol), col("registers"),
+      size(filter(col("registers"), r => r === 0)).cast("long").as("n_zero"),
+      hllEstimateCol(col("registers")).as("hll_estimate"))
+
+  /** The full HLL estimator with the small-range correction: linear
+    * counting m·ln(m/V) when the harmonic estimate ≤ 2.5m and V > 0
+    * empty registers remain. ln is transcendental — libm results may
+    * differ in the last ulp across engines — so this variant is the
+    * Scala-API surface (spec-tested for accuracy), while the
+    * cross-engine certified q144 output carries the harmonic estimate
+    * and the correction's exact integer input V.
+    */
+  def hllCorrectedEstimate(sk: DataFrame, groupCol: String): DataFrame = {
+    val est = hllEstimate(sk, groupCol)
+    val corrected = when(
+      col("hll_estimate") <= lit(2.5 * HllM) && col("n_zero") > 0,
+      round(lit(HllM.toDouble) * log(lit(HllM.toDouble) / col("n_zero")), 6))
+      .otherwise(col("hll_estimate"))
+    est.withColumn("estimate", corrected)
+  }
+
+  /** Exact register fingerprint Σ (bucket+1)·reg — the integer checksum
+    * the q144 oracle compares, sensitive to any single register drift.
+    */
+  def registerFingerprint(registers: Column): Column =
+    aggregate(
+      zip_with(registers, sequence(lit(1), lit(HllM)),
+        (r, i) => r.cast("long") * i),
+      lit(0L), (acc, x) => acc + x)
+}

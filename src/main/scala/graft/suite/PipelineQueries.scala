@@ -622,6 +622,76 @@ object PipelineQueries {
       SELECT vec_id, cell, adc_dist, rank FROM r WHERE rank <= 10
       ORDER BY rank"""))
 
+  /** Mergeable HyperLogLog vocabulary sketches (scale.Sketches): the
+    * corpus splits into two ingestion batches (doc_id parity), each
+    * batch builds per-source 64-register HLL sketches over its portable
+    * token hashes INDEPENDENTLY, the sketch tables merge by element-wise
+    * register max, and the merged registers answer distinct-vocabulary
+    * estimates. The oracle rebuilds the registers from the UNION of both
+    * batches (bucket = h mod 64, rank = 32 − bitlen(h >> 31), max per
+    * bucket) and replays the pinned harmonic fold — so a hash-match
+    * certifies merge(sketch(A), sketch(B)) ≡ sketch(A ∪ B) register for
+    * register, plus the estimate arithmetic. Exact distincts ride along
+    * (n_exact) as the accuracy reference. At 100 TB the sketch table is
+    * sources × 256 bytes and each day's batch touches only itself — the
+    * q126 exact-diversity monitor without the corpus-sized re-distinct.
+    */
+  private val q144 = GQuery(
+    (s, d) => {
+      val docs = T.documents(s, d)
+      def hashRows(part: org.apache.spark.sql.DataFrame) =
+        part.select(col("source"),
+          explode(graft.scale.Dedup.portableTokenHashes(
+            graft.scale.TextOps.tokens(col("text")))).as("h"))
+      val skA = graft.scale.Sketches
+        .hllSketch(hashRows(docs.where(col("doc_id") % 2 === 0)), "source", "h")
+      val skB = graft.scale.Sketches
+        .hllSketch(hashRows(docs.where(col("doc_id") % 2 === 1)), "source", "h")
+      val merged = graft.scale.Sketches.hllMerge(skA, skB, "source")
+      val est = graft.scale.Sketches.hllEstimate(merged, "source")
+        .select(col("source"),
+          graft.scale.Sketches.registerFingerprint(col("registers"))
+            .as("reg_fp"),
+          col("n_zero"), col("hll_estimate"))
+      val exact = hashRows(docs).groupBy(col("source"))
+        .agg(countDistinct(col("h")).as("n_exact"))
+      est.join(exact, "source")
+        .select(col("source"), col("n_exact"), col("reg_fp"),
+          col("n_zero"), col("hll_estimate"))
+        .orderBy(col("source"))
+    },
+    Some(s"""WITH toks AS (
+        SELECT source, unnest(list_filter(string_split_regex(text, '\\s+'),
+          x -> len(x) > 0)) AS w
+        FROM documents),
+      h AS (SELECT source, ${ScaleQueries.h62Sql("w")} AS h FROM toks),
+      hb AS (SELECT source, CAST(h % 64 AS INT) AS b, (h // 2147483648) AS h1
+        FROM h),
+      hr AS (SELECT source, b,
+        CASE WHEN h1 = 0 THEN 32 ELSE 32 - length(bin(h1)) END AS r FROM hb),
+      mx AS (SELECT source, b, MAX(r) AS reg FROM hr GROUP BY source, b),
+      grid AS (SELECT s.source, gs.b
+        FROM (SELECT DISTINCT source FROM toks) s
+        CROSS JOIN (SELECT unnest(range(0, 64)) AS b) gs),
+      regs AS (SELECT grid.source, grid.b, COALESCE(mx.reg, 0) AS reg
+        FROM grid LEFT JOIN mx ON grid.source = mx.source AND grid.b = mx.b),
+      vec AS (SELECT source, list(reg ORDER BY b) AS rv
+        FROM regs GROUP BY source),
+      est AS (SELECT source,
+          CAST(list_sum(list_transform(list_zip(rv, range(1, 65)),
+            p -> p[1] * p[2])) AS BIGINT) AS reg_fp,
+          CAST(len(list_filter(rv, r -> r = 0)) AS BIGINT) AS n_zero,
+          round((0.709 * 64 * 64) / list_reduce(
+            list_prepend(0.0, list_transform(rv,
+              r -> 1.0 / CAST(1::BIGINT << r AS DOUBLE))),
+            (a, x) -> a + x), 6) AS hll_estimate
+        FROM vec),
+      ex AS (SELECT source, CAST(COUNT(DISTINCT h) AS BIGINT) AS n_exact
+        FROM h GROUP BY source)
+      SELECT est.source, ex.n_exact, est.reg_fp, est.n_zero, est.hll_estimate
+      FROM est JOIN ex USING (source)
+      ORDER BY est.source"""))
+
   val all: Map[String, GQuery] = Map(
     "q134_bpe_apply" -> q134,
     "q135_pagerank_dangling" -> q135,
@@ -632,5 +702,6 @@ object PipelineQueries {
     "q140_product_quantization" -> q140,
     "q141_bpe_token_costs" -> q141,
     "q142_ivf_pq_search" -> q142,
-    "q143_ivf_pq_index_merge" -> q143)
+    "q143_ivf_pq_index_merge" -> q143,
+    "q144_hll_vocab_sketch" -> q144)
 }
