@@ -692,6 +692,92 @@ object PipelineQueries {
       FROM est JOIN ex USING (source)
       ORDER BY est.source"""))
 
+  /** SQL determinant mirroring [[graft.scale.Probe.det]] exactly:
+    * first-row Laplace expansion, signed terms left to right — the same
+    * IEEE expression tree, so the oracle's Cramer solve is bit-identical
+    * to the driver's.
+    */
+  private def detSql(m: Vector[Vector[String]]): String = m.length match {
+    case 1 => m(0)(0)
+    case n =>
+      (0 until n).map { j =>
+        val minor = m.tail.map(row => row.patch(j, Nil, 1))
+        s"(${m(0)(j)}) * (${detSql(minor)})"
+      }.zipWithIndex.map {
+        case (t, 0) => t
+        case (t, j) if j % 2 == 1 => s"- $t"
+        case (t, _) => s"+ $t"
+      }.mkString(" ")
+  }
+
+  /** Ridge linear probe on embeddings (scale.Probe): the
+    * "train a tiny supervised head, score the whole corpus" pattern of
+    * quality-filtering pipelines — here a d = 4 ridge probe (3 embedding
+    * dims + intercept, λ = 0.1) fit to document length by normal
+    * equations. The corpus-sized work is ONE map-side-combined moment
+    * aggregation (d²+d doubles of state); the solve is driver Cramer on
+    * the 6dp-rounded moments with a pinned expansion order; scoring is a
+    * broadcast-weights narrow projection. The oracle replays ALL of it —
+    * the moment sums and rounds, the ridge diagonal, the full 4×4
+    * Laplace/Cramer expression tree (generated by the same recursion as
+    * the driver's), and the left-to-right score fold — so a hash-match
+    * certifies training arithmetic, solve, and scoring end to end, the
+    * q101/q97 training-loop contract extended to supervised heads.
+    */
+  private val q145 = GQuery(
+    (s, d) => {
+      val docs = T.documents(s, d)
+      val emb = T.embeddings(s, d)
+      val joined = docs.join(emb, docs("doc_id") === emb("vec_id"))
+        .select(col("doc_id"), col("n_chars"),
+          element_at(col("embedding"), 1).cast("double").as("x0"),
+          element_at(col("embedding"), 2).cast("double").as("x1"),
+          element_at(col("embedding"), 3).cast("double").as("x2"))
+      val feats = Seq(col("x0"), col("x1"), col("x2"))
+      val w = graft.scale.Probe.ridgeTrain(joined, feats, col("n_chars"),
+        lambda = 0.1)
+      joined.select(col("doc_id"),
+        graft.scale.Probe.scoreExpr(feats, w).as("probe_score"))
+        .orderBy(col("doc_id"))
+    },
+    Some {
+      val a = Vector.tabulate(4, 4)((i, j) => s"m$i$j")
+      def repl(i: Int) = a.indices.map(r => a(r).updated(i, s"b$r")).toVector
+      s"""WITH j AS (
+        SELECT d.doc_id, CAST(d.n_chars AS DOUBLE) AS y,
+          CAST(e.embedding[1] AS DOUBLE) AS x0,
+          CAST(e.embedding[2] AS DOUBLE) AS x1,
+          CAST(e.embedding[3] AS DOUBLE) AS x2
+        FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id),
+      mom AS (SELECT
+          round(SUM(x0*x0),6)+0.0 AS a00, round(SUM(x0*x1),6)+0.0 AS a01,
+          round(SUM(x0*x2),6)+0.0 AS a02, round(SUM(x0*1.0),6)+0.0 AS a03,
+          round(SUM(x1*x1),6)+0.0 AS a11, round(SUM(x1*x2),6)+0.0 AS a12,
+          round(SUM(x1*1.0),6)+0.0 AS a13, round(SUM(x2*x2),6)+0.0 AS a22,
+          round(SUM(x2*1.0),6)+0.0 AS a23, round(SUM(1.0*1.0),6)+0.0 AS a33,
+          round(SUM(x0*y),6)+0.0 AS b0, round(SUM(x1*y),6)+0.0 AS b1,
+          round(SUM(x2*y),6)+0.0 AS b2, round(SUM(1.0*y),6)+0.0 AS b3
+        FROM j),
+      am AS (SELECT
+          a00 + 0.1 AS m00, a01 AS m01, a02 AS m02, a03 AS m03,
+          a01 AS m10, a11 + 0.1 AS m11, a12 AS m12, a13 AS m13,
+          a02 AS m20, a12 AS m21, a22 + 0.1 AS m22, a23 AS m23,
+          a03 AS m30, a13 AS m31, a23 AS m32, a33 + 0.1 AS m33,
+          b0, b1, b2, b3
+        FROM mom),
+      w AS (SELECT
+          (${detSql(repl(0))}) / (${detSql(a)}) AS w0,
+          (${detSql(repl(1))}) / (${detSql(a)}) AS w1,
+          (${detSql(repl(2))}) / (${detSql(a)}) AS w2,
+          (${detSql(repl(3))}) / (${detSql(a)}) AS w3
+        FROM am)
+      SELECT j.doc_id,
+        round(j.x0 * w.w0 + j.x1 * w.w1 + j.x2 * w.w2 + w.w3, 6)
+          AS probe_score
+      FROM j CROSS JOIN w
+      ORDER BY j.doc_id"""
+    })
+
   val all: Map[String, GQuery] = Map(
     "q134_bpe_apply" -> q134,
     "q135_pagerank_dangling" -> q135,
@@ -703,5 +789,6 @@ object PipelineQueries {
     "q141_bpe_token_costs" -> q141,
     "q142_ivf_pq_search" -> q142,
     "q143_ivf_pq_index_merge" -> q143,
-    "q144_hll_vocab_sketch" -> q144)
+    "q144_hll_vocab_sketch" -> q144,
+    "q145_ridge_probe" -> q145)
 }
