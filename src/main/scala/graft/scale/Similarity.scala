@@ -37,6 +37,40 @@ object Similarity {
     when(na > 0 && nb > 0, dot(a, b) / (na * nb)).otherwise(lit(0.0))
   }
 
+  /** Contrastive hard-negative mining — the embedding-training-data
+    * operator: for each anchor, the k most-similar corpus rows whose
+    * `labelCol` DIFFERS from the anchor's (same-class rows are positives,
+    * not negatives — the near-miss different-class neighbors are what
+    * make contrastive batches hard). Labels can be sources, cluster ids
+    * (q97), near-dup components (q41) — any per-row class column.
+    *
+    * Scale shape: anchors (a training batch — bounded) broadcast; the
+    * corpus scan is narrow (one codegen'd cosine per pair); the cut runs
+    * through the custom [[graft.plans.TopKPerGroup]] operator, so at most
+    * k×|anchors| rows per input partition reach the shuffle and there is
+    * no corpus-sized window sort anywhere — unlike the q27 baseline's
+    * per-query window, this shape survives an unbounded corpus. Ranking
+    * is on the 6dp-ROUNDED similarity (ties then broken by id), making
+    * the order an engine-portable contract rather than an ulp accident.
+    * Returns (anchor_id, rank, neg_id, sim).
+    */
+  def hardNegatives(anchors: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, labelCol: String, k: Int): DataFrame = {
+    val a = broadcast(anchors.select(col(idCol).as("anchor_id"),
+      toDouble(col(vecCol)).as("__qv"), col(labelCol).as("__alabel")))
+    val c = corpus.select(col(idCol).as("neg_id"),
+      toDouble(col(vecCol)).as("__cv"), col(labelCol).as("__clabel"))
+    val scored = a.join(c, col("__alabel") =!= col("__clabel"))
+      .select(col("anchor_id"), col("neg_id"),
+        round(cosineNative(col("__qv"), col("__cv")), 6).as("sim"))
+    val cut = graft.plans.TopKPerGroup(scored, Seq("anchor_id"),
+      Seq(col("sim").desc, col("neg_id").asc), k)
+    val w = Window.partitionBy(col("anchor_id"))
+      .orderBy(col("sim").desc, col("neg_id").asc)
+    cut.withColumn("rank", row_number().over(w).cast("long"))
+      .select(col("anchor_id"), col("rank"), col("neg_id"), col("sim"))
+  }
+
   /** Native fused kernel (graft.functions.CosineSimilarity) — bit-identical
     * to [[cosine]] (same accumulation order), one codegen'd loop instead of
     * three intermediate arrays per row.

@@ -778,6 +778,54 @@ object PipelineQueries {
       ORDER BY j.doc_id"""
     })
 
+  /** Contrastive hard-negative mining (Similarity.hardNegatives): for
+    * each of 8 anchor documents, the 5 most-cosine-similar embeddings
+    * whose SOURCE differs from the anchor's — near-miss different-class
+    * neighbors, the rows that make contrastive training batches hard.
+    * The cut runs through the custom TopKPerGroup operator (per-partition
+    * bounded heaps, ≤ k×anchors rows shuffle — no corpus window sort),
+    * and ranking is on the 6dp-rounded similarity, an engine-portable
+    * order. The oracle replays the label-mismatch join, the unrolled
+    * 64-dim cosine, the round, and the (sim desc, id) rank — certifying
+    * the custom operator's cut against a plain window formulation.
+    */
+  private val q146 = GQuery(
+    (s, d) => {
+      val emb = T.embeddings(s, d)
+      val docs = T.documents(s, d)
+      val labeled = emb.join(docs.select(col("doc_id"), col("source")),
+        emb("vec_id") === col("doc_id"))
+        .select(col("vec_id"), col("embedding"), col("source"))
+      graft.scale.Similarity.hardNegatives(
+        labeled.where(col("vec_id") < 8), labeled,
+        "vec_id", "embedding", "source", k = 5)
+        .orderBy(col("anchor_id"), col("rank"))
+    },
+    Some {
+      val dot = ScaleQueries.foldSum((1 to ScaleQueries.EmbeddingDim).map(i =>
+        s"q.embedding[$i]::DOUBLE * c.embedding[$i]::DOUBLE"))
+      val nq = ScaleQueries.foldSum((1 to ScaleQueries.EmbeddingDim).map(i =>
+        s"q.embedding[$i]::DOUBLE * q.embedding[$i]::DOUBLE"))
+      val nc = ScaleQueries.foldSum((1 to ScaleQueries.EmbeddingDim).map(i =>
+        s"c.embedding[$i]::DOUBLE * c.embedding[$i]::DOUBLE"))
+      s"""WITH j AS (
+        SELECT e.vec_id, e.embedding, d.source
+        FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id),
+      scored AS (
+        SELECT q.vec_id AS anchor_id, c.vec_id AS neg_id,
+          ROUND(CASE WHEN SQRT($nq) > 0 AND SQRT($nc) > 0
+            THEN ($dot) / (SQRT($nq) * SQRT($nc)) ELSE 0.0 END, 6) AS sim
+        FROM j q JOIN j c ON q.source <> c.source
+        WHERE q.vec_id < 8),
+      ranked AS (
+        SELECT anchor_id, neg_id, sim,
+          CAST(ROW_NUMBER() OVER (PARTITION BY anchor_id
+            ORDER BY sim DESC, neg_id ASC) AS BIGINT) AS rank
+        FROM scored)
+      SELECT anchor_id, rank, neg_id, sim
+      FROM ranked WHERE rank <= 5 ORDER BY anchor_id, rank"""
+    })
+
   val all: Map[String, GQuery] = Map(
     "q134_bpe_apply" -> q134,
     "q135_pagerank_dangling" -> q135,
@@ -790,5 +838,6 @@ object PipelineQueries {
     "q142_ivf_pq_search" -> q142,
     "q143_ivf_pq_index_merge" -> q143,
     "q144_hll_vocab_sketch" -> q144,
-    "q145_ridge_probe" -> q145)
+    "q145_ridge_probe" -> q145,
+    "q146_hard_negatives" -> q146)
 }

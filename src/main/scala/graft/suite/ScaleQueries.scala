@@ -502,12 +502,12 @@ object ScaleQueries {
       ORDER BY id_a, id_b"""
     })
 
-  private val EmbeddingDim = 64
+  private[suite] val EmbeddingDim = 64
 
   /** Unrolled left-fold sum for DuckDB mirroring Spark's sequential
     * aggregate() fold — identical operation order → bit-identical doubles.
     */
-  private def foldSum(terms: Seq[String]): String =
+  private[suite] def foldSum(terms: Seq[String]): String =
     terms.foldLeft("0.0")((acc, t) => s"($acc + $t)")
 
   /** Brute-force cosine top-5 for query vectors vec_id < 8 over the whole

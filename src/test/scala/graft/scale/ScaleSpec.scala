@@ -435,6 +435,35 @@ class ScaleSpec extends SparkSpec {
     assert(out.head.getAs[Double]("sim") > 0.99)
   }
 
+  test("hard negatives: never same-label, ranked by cosine, k-bounded") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13L)
+    val rows = (0L until 60L).map { i =>
+      (i, Array.fill(8)((rnd.nextInt(100) - 50).toFloat), s"src${i % 4}")
+    }.toDF("id", "vec", "label")
+    val got = Similarity.hardNegatives(rows.where(col("id") < 5), rows,
+      "id", "vec", "label", k = 3).collect()
+    val labelOf = (0L until 60L).map(i => i -> s"src${i % 4}").toMap
+    // per anchor: exactly k rows, ranks 1..k, no same-label negative
+    got.groupBy(_.getAs[Long]("anchor_id")).foreach { case (a, rs) =>
+      assert(rs.length == 3)
+      assert(rs.map(_.getAs[Long]("rank")).sorted.toSeq == Seq(1L, 2L, 3L))
+      rs.foreach { r =>
+        assert(labelOf(r.getAs[Long]("neg_id")) != labelOf(a),
+          s"anchor $a got same-label negative ${r.getAs[Long]("neg_id")}")
+      }
+    }
+    // agreement with a reference: the top negative is the max-cosine
+    // different-label row (rounded-sim order, ties by id)
+    val sims = Similarity.hardNegatives(rows.where(col("id") === 0), rows,
+      "id", "vec", "label", k = 60).collect()
+      .map(r => (r.getAs[Long]("rank"), r.getAs[Long]("neg_id"),
+        r.getAs[Double]("sim")))
+    assert(sims.sortBy(_._1).map(_._3).toSeq ==
+      sims.map(_._3).sortBy(-_).toSeq, "ranks must follow sim desc")
+    assert(sims.length == 45, "60 rows - 15 same-label = 45 candidates")
+  }
+
   test("LSH ANN recall@5 >= 0.9 vs brute force on the weak-neighbor corpus") {
     // sf0.01 embeddings: top-5 neighbor sims are only 0.25-0.49 (the HARD
     // case for hyperplane LSH — weak angular signal). bits=5, 8 tables,
