@@ -362,6 +362,28 @@ object Streaming {
           shingleSize, numPerm)
     }
 
+  /** Continuous cardinality-sketch maintenance: keep a persisted
+    * per-group [[graft.scale.Sketches]] HLL register table current from
+    * a stream of (group, 62-bit-hash) batches — each micro-batch builds
+    * its OWN sketch (one aggregation over the batch only) and folds in
+    * register-wise, the streaming form of q144's batch merge. The corpus
+    * is never rescanned; the snapshot is groups × 64 ints forever.
+    * Replays are safe without exactly-once transport: merge is an
+    * element-wise max, so a re-delivered batch is absorbed, not
+    * double-counted. Same crash-consistent snapshot swap as
+    * [[applyCdcStream]].
+    */
+  def maintainHllSketches(rows: DataFrame, statePath: String,
+      groupCol: String, hashCol: String):
+      org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    foldSnapshotStream(rows, statePath,
+      batch => graft.scale.Sketches
+        .hllSketch(batch.limit(0), groupCol, hashCol).schema) {
+      (current, batch, _) =>
+        graft.scale.Sketches.hllMerge(current,
+          graft.scale.Sketches.hllSketch(batch, groupCol, hashCol), groupCol)
+    }
+
   /** The shared snapshot-fold engine behind [[applyCdcStream]] and
     * [[maintainMinhashIndex]]: per micro-batch, recover + read the
     * current snapshot (schema from `stateSchema(batch)`, empty on first

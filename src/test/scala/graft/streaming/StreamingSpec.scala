@@ -380,6 +380,37 @@ class StreamingSpec extends SparkSpec {
       rows(graft.scale.Dedup.minhashIndex(latest, "doc_id", "text")))
   }
 
+  test("streaming HLL-sketch maintenance converges to a from-scratch sketch") {
+    import spark.implicits._
+    def hashed(vals: Seq[(String, Long)]) =
+      vals.toDF("g", "v").select(col("g"),
+        explode(graft.scale.Dedup.portableTokenHashes(
+          array(concat(lit("w"), (col("v") * 2654435761L).cast("string")))))
+          .as("h"))
+    val b1 = (0L until 400L).map(i => (s"s${i % 2}", i))
+    // batch 2 overlaps batch 1 (re-delivery of 100 values) + new values
+    val b2 = (300L until 700L).map(i => (s"s${i % 2}", i))
+    val in = Files.createTempDirectory("graft_hllin").toString
+    val state = Files.createTempDirectory("graft_hllst").toString + "/sk"
+    val ckpt = Files.createTempDirectory("graft_hllck").toString
+    hashed(b1).coalesce(1).write.parquet(s"$in/b1")
+    hashed(b2).coalesce(1).write.parquet(s"$in/b2")
+    val stream = spark.readStream.schema(hashed(b1).schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("recursiveFileLookup", "true").parquet(in)
+    val q = Streaming.maintainHllSketches(stream, state, "g", "h")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(q.exception.isEmpty, s"stream failed: ${q.exception}")
+    def regs(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("g").collect().toSeq
+        .map(r => (r.getString(0), r.getSeq[Int](1)))
+    assert(regs(spark.read.parquet(state)) ===
+      regs(graft.scale.Sketches.hllSketch(
+        hashed((b1 ++ b2).distinct), "g", "h")))
+  }
+
   test("resample+ffill stream converges to the batch twin (q115)") {
     import spark.implicits._
     val base = java.sql.Timestamp.valueOf("2024-01-01 10:00:00").getTime
