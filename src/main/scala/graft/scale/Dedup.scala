@@ -377,6 +377,70 @@ object Dedup {
     * run at the pair stage (inline comments below), and the verify is a
     * sorted-merge overlap kernel — see [[graft.functions.SortedLongOverlap]].
     */
+  /** Directed containment join — the asymmetric sibling of
+    * [[ngramJaccardPairs]]: pairs (a, b) with
+    * |Sh(a) ∩ Sh(b)| / |Sh(a)| ≥ t, i.e. "at least t of a's shingles
+    * appear in b". This is the quote/subset detector symmetric Jaccard
+    * cannot express: a paragraph fully contained in a long document has
+    * tiny Jaccard but containment 1.0 — the shape of template
+    * instantiations, quoted excerpts, and doc-inside-doc duplication.
+    *
+    * Candidates are recall-1 by the one-sided prefix theorem: if
+    * |A∩B| ≥ ⌈t·|A|⌉ then A∖B has at most |A| − ⌈t·|A|⌉ elements, so
+    * the (|A| − ⌈t·|A|⌉ + 1)-element prefix of A (ascending hash order)
+    * must intersect B — the probe side posts only its prefix, while the
+    * container side posts ALL its shingles (inherent to containment:
+    * the evidence can sit anywhere in B, so B cannot be prefixed).
+    * Threshold arithmetic uses the same floored-rational
+    * under-approximation as the symmetric join (prefixes only ever get
+    * longer). Verify is the exact [[graft.functions.NativeExpressions.SortedLongOverlap]]
+    * merge over the sorted shingle arrays; the filter compares the same
+    * IEEE division the oracle computes.
+    *
+    * Scale shape: per-hash join cost is df_prefix(h) × df_posting(h) —
+    * the prefix side keeps rare shingles only (ascending hash over
+    * distinct shingles), hot posting hashes are splittable by AQE's
+    * skew join (a plain equi join, unlike the symmetric path's
+    * self-pair buckets), and the verify join rides the one shared id
+    * shuffle the whole family uses. Directed output: both orientations
+    * of a mutual near-dup pair are reported.
+    */
+  def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int = 2, threshold: Double = 0.8): DataFrame = {
+    require(threshold > 0 && threshold <= 1, s"threshold in (0,1]: $threshold")
+    val tNum = math.floor(threshold * 1e6).toLong
+    val tDen = 1000000L
+    val base = docs
+      .select(col(idCol).as("id"), TextOps.tokens(col(textCol)).as("toks"))
+      .withColumn("th", xxhashTokens(col("toks")))
+      .withColumn("sh",
+        sort_array(array_distinct(hashedShingles(col("th"), shingleSize))))
+      .select(col("id"), col("sh"))
+    val frozen = sharedShuffle(base, col("id"))
+    val n = size(col("sh")).cast("long")
+    val ceilTn = call_function("div", n * tNum + (tDen - 1), lit(tDen))
+    val prefixLen = (n - ceilTn + 1).cast("int")
+    val pref = frozen.select(col("id").as("id_a"), n.as("na"),
+      explode(slice(col("sh"), lit(1), greatest(prefixLen, lit(0)))).as("g"))
+    val post = frozen.select(col("id").as("id_b"), explode(col("sh")).as("g"))
+    val cand = pref.join(post, "g")
+      .filter(col("id_a") =!= col("id_b"))
+      .select(col("id_a"), col("na"), col("id_b"))
+      .distinct()
+    val sh = frozen.select(col("id"), col("sh"))
+    cand
+      .join(sh.withColumnRenamed("id", "id_a")
+        .withColumnRenamed("sh", "sh_a"), "id_a")
+      .join(sh.withColumnRenamed("id", "id_b")
+        .withColumnRenamed("sh", "sh_b"), "id_b")
+      .withColumn("o", graft.functions.NativeExpressions
+        .sorted_long_overlap(col("sh_a"), col("sh_b")))
+      .withColumn("containment", col("o").cast("double") / col("na"))
+      .filter(col("containment") >= threshold)
+      .select(col("id_a"), col("id_b"),
+        round(col("containment"), 6).as("containment"))
+  }
+
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       shingleSize: Int = 3, threshold: Double = 0.8,
       maxBucket: Int = 1024): DataFrame = {

@@ -826,6 +826,43 @@ object PipelineQueries {
       FROM ranked WHERE rank <= 5 ORDER BY anchor_id, rank"""
     })
 
+  /** Directed containment join (Dedup.containmentPairs): pairs where
+    * ≥ 70% of a's bigram shingles appear in b — the quote/subset/
+    * template detector symmetric Jaccard can't express (a paragraph
+    * inside a long doc has tiny Jaccard, containment ≈ 1). Recall-1
+    * one-sided prefix filtering: probe docs post prefixes, containers
+    * post all shingles, exact sorted-merge verify. The oracle enumerates
+    * ALL directed pairs with exact string-shingle set containment — a
+    * hash-match certifies the prefix theorem's recall and the verify
+    * arithmetic end to end (hash sets and string sets agree because
+    * counts, not values, enter the score).
+    */
+  private val q147 = GQuery(
+    (s, d) => graft.scale.Dedup
+      .containmentPairs(T.documents(s, d), "doc_id", "text",
+        shingleSize = 2, threshold = 0.7)
+      .orderBy(col("id_a"), col("id_b")),
+    Some("""WITH toks AS (
+        SELECT doc_id, list_filter(string_split_regex(text, '\s+'),
+          x -> len(x) > 0) AS t
+        FROM documents),
+      sh AS (
+        SELECT doc_id,
+          CASE WHEN len(t) >= 2
+            THEN list_distinct(list_transform(range(1, len(t)),
+              i -> t[i] || ' ' || t[i+1]))
+            ELSE [array_to_string(t, ' ')] END AS s
+        FROM toks),
+      pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+          CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) AS inter,
+          CAST(len(a.s) AS DOUBLE) AS na
+        FROM sh a JOIN sh b ON a.doc_id <> b.doc_id)
+      SELECT id_a, id_b, ROUND(inter / na, 6) AS containment
+      FROM pairs
+      WHERE inter / na >= 0.7
+      ORDER BY id_a, id_b"""))
+
   val all: Map[String, GQuery] = Map(
     "q134_bpe_apply" -> q134,
     "q135_pagerank_dangling" -> q135,
@@ -839,5 +876,6 @@ object PipelineQueries {
     "q143_ivf_pq_index_merge" -> q143,
     "q144_hll_vocab_sketch" -> q144,
     "q145_ridge_probe" -> q145,
-    "q146_hard_negatives" -> q146)
+    "q146_hard_negatives" -> q146,
+    "q147_containment_pairs" -> q147)
 }

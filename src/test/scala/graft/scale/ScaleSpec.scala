@@ -150,6 +150,42 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("containment join == brute force; detects a quoted paragraph one-way") {
+    import spark.implicits._
+    val para = (0 until 20).map(j => s"quote$j").mkString(" ")
+    val docs = ((0 until 30).map { i =>
+      (i.toLong, (i * 3 until i * 3 + 30).map(j => s"tok$j").mkString(" "))
+    } ++ Seq(
+      // doc 100: the paragraph alone; doc 101: a long doc QUOTING it
+      (100L, para),
+      (101L, s"${(200 until 260).map(j => s"body$j").mkString(" ")} $para")))
+      .toDF("doc_id", "text")
+    for (t <- Seq(0.5, 0.7, 0.9)) {
+      val got = Dedup.containmentPairs(docs, "doc_id", "text",
+        shingleSize = 2, threshold = t)
+      val sh = docs.select($"doc_id",
+        sort_array(array_distinct(Dedup.hashedShingles(
+          Dedup.xxhashTokens(TextOps.tokens($"text")), 2))).as("sh"))
+      val want = sh.as("a").crossJoin(sh.as("b"))
+        .filter($"a.doc_id" =!= $"b.doc_id")
+        .withColumn("containment",
+          size(array_intersect($"a.sh", $"b.sh")).cast("double") /
+            size($"a.sh"))
+        .filter($"containment" >= t)
+        .select($"a.doc_id".as("id_a"), $"b.doc_id".as("id_b"),
+          round($"containment", 6).as("containment"))
+      assert(got.except(want).count() == 0 && want.except(got).count() == 0,
+        s"mismatch at threshold $t")
+    }
+    // the quote is contained in the long doc, never the reverse: the
+    // directed pair (100 → 101) qualifies at 0.9; (101 → 100) does not
+    val strict = Dedup.containmentPairs(docs, "doc_id", "text",
+      shingleSize = 2, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(strict.contains((100L, 101L)))
+    assert(!strict.contains((101L, 100L)))
+  }
+
   test("prefix-filter jaccard: boilerplate-heavy corpus matches brute force") {
     import spark.implicits._
     // every doc shares an identical header+footer whose shingles have
