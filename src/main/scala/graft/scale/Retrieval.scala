@@ -62,6 +62,18 @@ object Retrieval {
       col("term"))
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
 
+    bm25ScoreTail(spark, tf, df, stats, queries, k, k1, b)
+  }
+
+  /** The shared scoring tail of [[bm25TopK]] and [[bm25AgainstIndex]]:
+    * per-(query, doc) fold of term weights over a (doc_id, term, tf, dl)
+    * frame plus the broadcast df/stats — identical expression tree in
+    * both paths, which is what lets q148 certify the index path against
+    * q88's direct-computation oracle.
+    */
+  private def bm25ScoreTail(spark: SparkSession, tf: DataFrame,
+      df: DataFrame, stats: DataFrame, queries: Seq[(Long, Seq[String])],
+      k: Int, k1: Double, b: Double): DataFrame = {
     import spark.implicits._
     val queryTerms = queries
       .flatMap { case (qid, ts) => ts.map(t => (qid, t)) }
@@ -90,6 +102,78 @@ object Retrieval {
       .withColumn("rank", row_number().over(rankW).cast("long"))
       .where(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("doc_id"), col("score"))
+  }
+
+  /** Build the persisted BM25 index: (doclens, postings) — the lexical
+    * sibling of the minhash (q131) and IVF+PQ (q143) index tables.
+    * `doclens` is (doc_id, dl) — one 16-byte row per document, empty
+    * docs INCLUDED (they carry corpus stats: N and avgdl must count
+    * them, exactly as [[bm25TopK]]'s direct pass does). `postings` is
+    * (doc_id, term, tf, dl) over the FULL vocabulary, dl denormalized
+    * into the posting so the query path never joins back to the corpus.
+    * Both are plain DataFrames meant to be written partitioned (by
+    * term-hash range for postings at 100 TB) and maintained by
+    * [[bm25IndexMerge]] — the tokenize+count pass is paid once at build,
+    * never again per query.
+    */
+  def bm25Index(docs: DataFrame, idCol: String,
+      textCol: String): (DataFrame, DataFrame) = {
+    val toks = TextOps.tokens(lower(col(textCol)))
+    val doclens = docs.select(col(idCol).as("doc_id"),
+      size(toks).cast("long").as("dl"))
+    val postings = docs
+      .select(col(idCol).as("doc_id"), size(toks).cast("long").as("dl"),
+        explode(toks).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"))
+      .select(col("doc_id"), col("term"), col("tf"), col("dl"))
+    (doclens, postings)
+  }
+
+  /** Fold a document batch into a persisted BM25 index without
+    * rebuilding: the batch alone is tokenized and counted, re-ingested
+    * ids take the batch's rows (batch-wins via 8-byte-id anti-joins on
+    * BOTH tables — a re-ingested doc's old postings must vanish even
+    * for terms its new text no longer contains, which is why the
+    * posting anti-join is by doc, not (doc, term)). merge(build(A), B)
+    * ≡ build((A ∖ ids(B)) ∪ B) table for table — q148 certifies it
+    * through the composed query path.
+    */
+  def bm25IndexMerge(doclens: DataFrame, postings: DataFrame,
+      batch: DataFrame, idCol: String,
+      textCol: String): (DataFrame, DataFrame) = {
+    val (bl, bp) = bm25Index(batch, idCol, textCol)
+    def keep(t: DataFrame) = t
+      .join(bl.select(col("doc_id").as("__bid")),
+        col("doc_id") === col("__bid"), "left_anti")
+    (keep(doclens.select(col("doc_id"), col("dl"))).union(bl),
+      keep(postings.select(col("doc_id"), col("term"), col("tf"),
+        col("dl"))).union(bp))
+  }
+
+  /** BM25 top-k served FROM the persisted index: identical semantics
+    * and arithmetic to [[bm25TopK]] (same scoring tail), but the corpus
+    * text is never touched — the term-filtered postings probe plus a
+    * 2-value aggregate over `doclens` replace both corpus passes. At
+    * 100 TB with term-partitioned postings this reads only the query
+    * terms' posting lists.
+    */
+  def bm25AgainstIndex(spark: SparkSession, doclens: DataFrame,
+      postings: DataFrame, queries: Seq[(Long, Seq[String])], k: Int = 10,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queries.nonEmpty && queries.forall(_._2.nonEmpty),
+      "need at least one query with at least one term")
+    require(queries.forall { case (_, ts) => ts.distinct == ts },
+      "query terms must be distinct within a query")
+    val allTerms = queries.flatMap(_._2).distinct
+    val stats = doclens.agg(
+      count(lit(1)).as("n_docs"), sum(col("dl")).as("total_len"))
+    val tf = Dedup.sharedShuffle(
+      postings.where(col("term").isin(allTerms: _*))
+        .select(col("doc_id"), col("term"), col("tf"), col("dl")),
+      col("term"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    bm25ScoreTail(spark, tf, df, stats, queries, k, k1, b)
   }
 
   /** Per-document top-k TF-IDF terms over the WHOLE corpus vocabulary —

@@ -863,6 +863,83 @@ object PipelineQueries {
       WHERE inter / na >= 0.7
       ORDER BY id_a, id_b"""))
 
+  /** Persisted BM25 index lifecycle (Retrieval.bm25Index / merge /
+    * against-index): the lexical-retrieval sibling of q131/q136 (minhash)
+    * and q143 (IVF+PQ) — the index builds on the corpus snapshot
+    * (doc_id % 3 ≠ 0), a batch folds in (% 3 = 0 new docs, plus
+    * % 30 = 1 RE-INGESTED with three extra 'spark' tokens — changed tf
+    * of a live query term, so any stale-posting leak moves a score), and
+    * the q88 query set is answered FROM the merged index with the exact
+    * bm25TopK scoring tail. The oracle recomputes BM25 directly over the
+    * effective corpus ((corpus ∖ batch-ids) ∪ batch) — a hash-match
+    * certifies merge(build(A), B) ≡ build((A ∖ ids(B)) ∪ B) through the
+    * whole query path: doclens (empty docs included in N/avgdl),
+    * denormalized dl, df from postings, pinned fold, rank cut.
+    */
+  private val q148 = GQuery(
+    (s, d) => {
+      val docs = T.documents(s, d)
+      val corpus = docs.where(col("doc_id") % 3 =!= 0)
+      val batch = docs.where(col("doc_id") % 3 === 0)
+        .unionByName(docs.where(col("doc_id") % 30 === 1)
+          .withColumn("text", concat(col("text"), lit(" spark spark spark"))))
+      val (dl0, p0) = graft.scale.Retrieval.bm25Index(corpus, "doc_id", "text")
+      val (dl1, p1) = graft.scale.Retrieval
+        .bm25IndexMerge(dl0, p0, batch, "doc_id", "text")
+      graft.scale.Retrieval
+        .bm25AgainstIndex(s, dl1, p1, ScaleQueries.Bm25Queries, k = 10)
+        .orderBy(col("query_id"), col("rank"))
+    },
+    Some {
+      val inList = ScaleQueries.Bm25Queries.flatMap(_._2).distinct.sorted
+        .map(t => s"'$t'").mkString(", ")
+      val values = ScaleQueries.Bm25Queries
+        .flatMap { case (qid, ts) => ts.map(t => s"($qid, '$t')") }
+        .mkString(", ")
+      s"""WITH batch AS (
+        SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0
+        UNION ALL
+        SELECT doc_id, text || ' spark spark spark' FROM documents
+        WHERE doc_id % 30 = 1),
+      eff AS (
+        SELECT doc_id, text FROM documents
+        WHERE doc_id % 3 <> 0 AND doc_id NOT IN (SELECT doc_id FROM batch)
+        UNION ALL SELECT doc_id, text FROM batch),
+      toks AS (
+        SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'),
+          x -> len(x) > 0) AS t
+        FROM eff),
+      stats AS (
+        SELECT COUNT(*)::BIGINT AS n_docs, SUM(len(t))::BIGINT AS total_len
+        FROM toks),
+      tf AS (
+        SELECT doc_id, term, COUNT(*)::BIGINT AS tf, ANY_VALUE(dl) AS dl
+        FROM (SELECT doc_id, len(t)::BIGINT AS dl, unnest(t) AS term FROM toks)
+        WHERE term IN ($inList)
+        GROUP BY doc_id, term),
+      df AS (SELECT term, COUNT(*)::BIGINT AS df FROM tf GROUP BY term),
+      q(query_id, term) AS (VALUES $values),
+      w AS (
+        SELECT q.query_id, tf.doc_id, tf.term,
+          ln(1.0 + (stats.n_docs::DOUBLE - df.df::DOUBLE + 0.5) / (df.df::DOUBLE + 0.5))
+            * (tf.tf::DOUBLE * (1.2 + 1.0))
+            / (tf.tf::DOUBLE + 1.2 * (1.0 - 0.75 + 0.75 * (tf.dl::DOUBLE / (stats.total_len::DOUBLE / stats.n_docs::DOUBLE)))) AS w
+        FROM tf JOIN q USING (term) JOIN df USING (term) CROSS JOIN stats),
+      sc AS (
+        SELECT query_id, doc_id,
+          ROUND(list_reduce(list_prepend(0.0::DOUBLE, list(w ORDER BY term)),
+            (a, x) -> a + x), 6) AS score
+        FROM w GROUP BY query_id, doc_id),
+      r AS (
+        SELECT CAST(query_id AS BIGINT) AS query_id,
+          CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY score DESC, doc_id) AS BIGINT) AS rank,
+          doc_id, score
+        FROM sc)
+      SELECT query_id, rank, doc_id, score FROM r
+      WHERE rank <= 10 ORDER BY query_id, rank"""
+    })
+
   val all: Map[String, GQuery] = Map(
     "q134_bpe_apply" -> q134,
     "q135_pagerank_dangling" -> q135,
@@ -877,5 +954,6 @@ object PipelineQueries {
     "q144_hll_vocab_sketch" -> q144,
     "q145_ridge_probe" -> q145,
     "q146_hard_negatives" -> q146,
-    "q147_containment_pairs" -> q147)
+    "q147_containment_pairs" -> q147,
+    "q148_bm25_index_lifecycle" -> q148)
 }

@@ -174,6 +174,46 @@ class CdcRetrievalSpec extends SparkSpec {
     assert(!out.map(_._3).contains(4L))
   }
 
+  test("bm25 index: against-index == direct; merge == rebuild; re-ingest wins") {
+    val corpus = Seq(
+      (1L, "spark merge window spark"),
+      (2L, "spark merge filler filler"),
+      (3L, "window table hash join"),
+      (4L, "nothing relevant here at"),
+      (5L, "")) // empty doc: must still count in N/avgdl
+      .toDF("doc_id", "text")
+    val qs = Seq(7L -> Seq("spark", "merge", "window"))
+    // 1) serving from a built index reproduces the direct path exactly
+    val (dl, p) = Retrieval.bm25Index(corpus, "doc_id", "text")
+    val direct = Retrieval.bm25TopK(spark, corpus, "doc_id", "text", qs, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    val served = Retrieval.bm25AgainstIndex(spark, dl, p, qs, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    assert(served === direct)
+    // 2) merge == rebuild, including a re-ingest that DROPS a term:
+    //    doc 2 loses 'merge' entirely - its old posting must vanish
+    val batch = Seq(
+      (2L, "spark spark filler filler"),
+      (6L, "window window merge")).toDF("doc_id", "text")
+    val (mdl, mp) = Retrieval.bm25IndexMerge(dl, p, batch, "doc_id", "text")
+    val effective = Seq(
+      (1L, "spark merge window spark"),
+      (2L, "spark spark filler filler"),
+      (3L, "window table hash join"),
+      (4L, "nothing relevant here at"),
+      (5L, ""),
+      (6L, "window window merge")).toDF("doc_id", "text")
+    val (rdl, rp) = Retrieval.bm25Index(effective, "doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(_.toSeq).toSet
+    assert(rows(mdl) === rows(rdl))
+    assert(rows(mp) === rows(rp))
+    assert(mp.where(col("doc_id") === 2 && col("term") === "merge")
+      .count() == 0, "stale posting survived the re-ingest")
+  }
+
   test("bm25TopK: rejects duplicate terms within a query") {
     val docs = Seq((1L, "a b")).toDF("doc_id", "text")
     intercept[IllegalArgumentException] {
