@@ -176,6 +176,80 @@ object Retrieval {
     bm25ScoreTail(spark, tf, df, stats, queries, k, k1, b)
   }
 
+  /** Deterministic token pseudo-embedding: `dim` affine projections of
+    * the 62-bit portable hash, mapped to [−1, 1). This is the STUB
+    * embedding provider (the multimodal-decode pattern): engine-portable
+    * and exactly replayable in SQL, standing in for a real token-encoder
+    * matrix the way the video-codec stub stands in for a codec — the
+    * maxsim plumbing (array-of-vector columns, per-term max, pinned
+    * fold) is the real, certified part, and a learned embedding column
+    * drops in by swapping this function.
+    */
+  def tokenEmbedding(tok: org.apache.spark.sql.Column,
+      dim: Int = 4): org.apache.spark.sql.Column = {
+    val P = 2147483647L
+    val h = element_at(graft.functions.NativeExpressions
+      .portable_token_hashes(array(tok)), 1)
+    array(TokenEmbMult.take(dim).zip(TokenEmbAdd.take(dim)).map {
+      case (m, a) =>
+        lit(2.0) * (pmod(pmod(h, lit(P)) * m + a, lit(P))).cast("double") /
+          lit(2147483647.0) - lit(1.0)
+    }: _*)
+  }
+
+  /** Multipliers/offsets of [[tokenEmbedding]]'s projections — part of
+    * the portable spec (the q149 oracle embeds the same constants).
+    */
+  private[graft] val TokenEmbMult = Seq(65599L, 92821L, 31L, 131L)
+  private[graft] val TokenEmbAdd = Seq(17L, 29L, 41L, 53L)
+
+  /** ColBERT-style MaxSim late-interaction rerank of a bounded candidate
+    * set: score(query, doc) = Σ over query terms of MAX over the doc's
+    * distinct tokens of cosine(tokenEmbedding(term), tokenEmbedding(tok))
+    * — finer-grained than one-vector-per-doc cosine (a doc matching all
+    * query terms somewhere beats a doc matching one term everywhere),
+    * cheaper than a cross-encoder. `candidates` is (query_id, doc_id) —
+    * a top-k cut from the lexical (q88) or dense (q82) stage, so
+    * everything here is k×queries-bounded: only candidate docs are
+    * tokenized (semi-join prune), the per-(query, doc, term) max is one
+    * hash aggregate, and the per-term sum is the pinned
+    * (term-sorted, left) fold. Distinct doc tokens are used — max over
+    * duplicates equals max over the set. Returns
+    * (query_id, rank, doc_id, maxsim) ranked (maxsim desc, doc_id).
+    */
+  def maxSimRerank(spark: SparkSession, docs: DataFrame, idCol: String,
+      textCol: String, queries: Seq[(Long, Seq[String])],
+      candidates: DataFrame, dim: Int = 4): DataFrame = {
+    import spark.implicits._
+    val qTerms = queries
+      .flatMap { case (qid, ts) => ts.map(t => (qid, t)) }
+      .toDF("query_id", "qterm")
+      .withColumn("qe", tokenEmbedding(col("qterm"), dim))
+    val cand = candidates.select(col("query_id"), col("doc_id"))
+    val docToks = docs
+      .select(col(idCol).as("doc_id"),
+        explode(array_distinct(TextOps.tokens(lower(col(textCol)))))
+          .as("dtok"))
+      .join(cand.select(col("doc_id")).distinct(), "doc_id")
+      .withColumn("de", tokenEmbedding(col("dtok"), dim))
+    val perTerm = cand
+      .join(broadcast(qTerms), "query_id")
+      .join(docToks, "doc_id")
+      .withColumn("c", Similarity.cosineNative(col("qe"), col("de")))
+      .groupBy(col("query_id"), col("doc_id"), col("qterm"))
+      .agg(max(col("c")).as("mx"))
+    val scored = perTerm
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(round(aggregate(
+        array_sort(collect_list(struct(col("qterm"), col("mx")))),
+        lit(0.0), (acc, x) => acc + x.getField("mx")), 6).as("maxsim"))
+    val rankW = Window.partitionBy(col("query_id"))
+      .orderBy(col("maxsim").desc, col("doc_id"))
+    scored
+      .withColumn("rank", row_number().over(rankW).cast("long"))
+      .select(col("query_id"), col("rank"), col("doc_id"), col("maxsim"))
+  }
+
   /** Per-document top-k TF-IDF terms over the WHOLE corpus vocabulary —
     * the keyword-extraction / sparse-featurization complement to
     * [[bm25TopK]] (which probes a fixed query set): here every term is a

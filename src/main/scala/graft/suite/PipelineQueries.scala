@@ -940,6 +940,106 @@ object PipelineQueries {
       WHERE rank <= 10 ORDER BY query_id, rank"""
     })
 
+  /** MaxSim late-interaction rerank (Retrieval.maxSimRerank): the q88
+    * BM25 top-10 candidate sets reranked ColBERT-style — per query term,
+    * the max cosine against the doc's distinct-token pseudo-embeddings
+    * (4 affine projections of the portable hash — the certified stand-in
+    * for a learned token encoder, the multimodal-stub pattern), summed
+    * over terms in the pinned fold. The oracle replays the ENTIRE
+    * composition: the full q88 chain to reproduce the candidates, the
+    * hash→embedding projections constant for constant, the unrolled
+    * 4-dim cosine, the per-term max, the fold, and the rerank cut —
+    * certifying that a two-stage retrieve-then-rerank pipeline is
+    * reproducible end to end. Everything past the candidate cut is
+    * k×queries-bounded.
+    */
+  private val q149 = GQuery(
+    (s, d) => {
+      val docs = T.documents(s, d)
+      val cand = graft.scale.Retrieval.bm25TopK(s, docs, "doc_id", "text",
+        ScaleQueries.Bm25Queries, k = 10)
+        .select(col("query_id"), col("doc_id"))
+      graft.scale.Retrieval.maxSimRerank(s, docs, "doc_id", "text",
+        ScaleQueries.Bm25Queries, cand)
+        .orderBy(col("query_id"), col("rank"))
+    },
+    Some {
+      val inList = ScaleQueries.Bm25Queries.flatMap(_._2).distinct.sorted
+        .map(t => s"'$t'").mkString(", ")
+      val values = ScaleQueries.Bm25Queries
+        .flatMap { case (qid, ts) => ts.map(t => s"($qid, '$t')") }
+        .mkString(", ")
+      val P = "2147483647"
+      def embFromH(h: String) =
+        Seq((65599L, 17L), (92821L, 29L), (31L, 41L), (131L, 53L)).map {
+          case (m, a) =>
+            s"2.0 * ((($h % $P) * $m + $a) % $P)::DOUBLE / 2147483647.0 - 1.0"
+        }.mkString("[", ", ", "]")
+      def foldSum4(f: Int => String) =
+        s"((((${f(1)}) + (${f(2)})) + (${f(3)})) + (${f(4)}))"
+      val dot = foldSum4(i => s"qe[$i] * de[$i]")
+      val nq = foldSum4(i => s"qe[$i] * qe[$i]")
+      val nc = foldSum4(i => s"de[$i] * de[$i]")
+      s"""WITH toks AS (
+        SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'),
+          x -> len(x) > 0) AS t
+        FROM documents),
+      stats AS (
+        SELECT COUNT(*)::BIGINT AS n_docs, SUM(len(t))::BIGINT AS total_len
+        FROM toks),
+      tf AS (
+        SELECT doc_id, term, COUNT(*)::BIGINT AS tf, ANY_VALUE(dl) AS dl
+        FROM (SELECT doc_id, len(t)::BIGINT AS dl, unnest(t) AS term FROM toks)
+        WHERE term IN ($inList)
+        GROUP BY doc_id, term),
+      df AS (SELECT term, COUNT(*)::BIGINT AS df FROM tf GROUP BY term),
+      q(query_id, term) AS (VALUES $values),
+      w AS (
+        SELECT q.query_id, tf.doc_id, tf.term,
+          ln(1.0 + (stats.n_docs::DOUBLE - df.df::DOUBLE + 0.5) / (df.df::DOUBLE + 0.5))
+            * (tf.tf::DOUBLE * (1.2 + 1.0))
+            / (tf.tf::DOUBLE + 1.2 * (1.0 - 0.75 + 0.75 * (tf.dl::DOUBLE / (stats.total_len::DOUBLE / stats.n_docs::DOUBLE)))) AS w
+        FROM tf JOIN q USING (term) JOIN df USING (term) CROSS JOIN stats),
+      sc AS (
+        SELECT query_id, doc_id,
+          ROUND(list_reduce(list_prepend(0.0::DOUBLE, list(w ORDER BY term)),
+            (a, x) -> a + x), 6) AS score
+        FROM w GROUP BY query_id, doc_id),
+      cand AS (
+        SELECT CAST(query_id AS BIGINT) AS query_id, doc_id FROM (
+          SELECT query_id, doc_id, ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY score DESC, doc_id) AS rk FROM sc)
+        WHERE rk <= 10),
+      dt AS (SELECT DISTINCT doc_id, unnest(t) AS dtok FROM toks
+        WHERE doc_id IN (SELECT doc_id FROM cand)),
+      dth AS (SELECT doc_id, dtok, ${ScaleQueries.h62Sql("dtok")} AS h
+        FROM dt),
+      dte AS (SELECT doc_id, ${embFromH("h")} AS de FROM dth),
+      qth AS (SELECT CAST(query_id AS BIGINT) AS query_id, term,
+        ${ScaleQueries.h62Sql("term")} AS h FROM q),
+      qte AS (SELECT query_id, term, ${embFromH("h")} AS qe FROM qth),
+      cs AS (
+        SELECT cand.query_id, cand.doc_id, qte.term,
+          CASE WHEN SQRT($nq) > 0 AND SQRT($nc) > 0
+            THEN ($dot) / (SQRT($nq) * SQRT($nc)) ELSE 0.0 END AS c
+        FROM cand
+        JOIN qte ON qte.query_id = cand.query_id
+        JOIN dte ON dte.doc_id = cand.doc_id),
+      mx AS (SELECT query_id, doc_id, term, MAX(c) AS mx
+        FROM cs GROUP BY query_id, doc_id, term),
+      ms AS (SELECT query_id, doc_id,
+          ROUND(list_reduce(list_prepend(0.0::DOUBLE, list(mx ORDER BY term)),
+            (a, x) -> a + x), 6) AS maxsim
+        FROM mx GROUP BY query_id, doc_id),
+      r AS (SELECT query_id,
+          CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY maxsim DESC, doc_id) AS BIGINT) AS rank,
+          doc_id, maxsim
+        FROM ms)
+      SELECT query_id, rank, doc_id, maxsim FROM r
+      ORDER BY query_id, rank"""
+    })
+
   val all: Map[String, GQuery] = Map(
     "q134_bpe_apply" -> q134,
     "q135_pagerank_dangling" -> q135,
@@ -955,5 +1055,6 @@ object PipelineQueries {
     "q145_ridge_probe" -> q145,
     "q146_hard_negatives" -> q146,
     "q147_containment_pairs" -> q147,
-    "q148_bm25_index_lifecycle" -> q148)
+    "q148_bm25_index_lifecycle" -> q148,
+    "q149_maxsim_rerank" -> q149)
 }

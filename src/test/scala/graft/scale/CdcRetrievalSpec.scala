@@ -214,6 +214,28 @@ class CdcRetrievalSpec extends SparkSpec {
       .count() == 0, "stale posting survived the re-ingest")
   }
 
+  test("maxsim rerank: exact term hits score ~1 each; misses score lower") {
+    val docs = Seq(
+      (1L, "spark merge window filler filler"), // all 3 terms verbatim
+      (2L, "spark spark spark other tokens"),   // only one distinct hit
+      (3L, "completely unrelated words here"))
+      .toDF("doc_id", "text")
+    val qs = Seq(7L -> Seq("spark", "merge", "window"))
+    val cand = Seq((7L, 1L), (7L, 2L), (7L, 3L)).toDF("query_id", "doc_id")
+    val out = Retrieval.maxSimRerank(spark, docs, "doc_id", "text", qs, cand)
+      .orderBy("rank").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // identical tokens embed identically -> cosine 1 per matched term
+    val byDoc = out.map { case (_, id, s) => id -> s }.toMap
+    assert(byDoc(1L) > 2.999, s"all-terms doc scored ${byDoc(1L)}")
+    assert(byDoc(1L) > byDoc(2L) && byDoc(2L) > byDoc(3L),
+      s"order violated: $byDoc")
+    assert(out.head._2 == 1L && out.map(_._1).toSeq == Seq(1L, 2L, 3L))
+    // doc 2's one exact hit contributes ~1; the other two terms only
+    // what random pseudo-embeddings give
+    assert(byDoc(2L) >= 1.0 - 1e-6)
+  }
+
   test("bm25TopK: rejects duplicate terms within a query") {
     val docs = Seq((1L, "a b")).toDF("doc_id", "text")
     intercept[IllegalArgumentException] {
