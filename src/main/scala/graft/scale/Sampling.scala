@@ -184,6 +184,73 @@ object Sampling {
       .drop("__b", "__shard")
   }
 
+  /** Token-budget mixture realization WITH UPSAMPLING — the companion
+    * [[temperatureMix]] deliberately lacks: given target mixture weights
+    * and a total token budget, each stratum's docs are emitted
+    * `epochs = target_tokens / available_tokens` times — full integer
+    * epochs for everyone, plus a deterministic portable-hash tail for
+    * the fractional remainder (the "repeat the small high-quality
+    * source 3.2×, downsample the crawl to 0.4×" move every
+    * mixture-weighted training run performs). Strata without a weight
+    * (or weights without corpus presence) drop out.
+    *
+    * Exactness: per-stratum token targets are computed on the DRIVER in
+    * integer arithmetic (⌊budget · ⌊w·10⁶⌋ / 10⁶⌋ via BigInt — weights
+    * are rationals, never float products); full epochs and remainder
+    * are integer div/mod of longs in-plan; the tail keep is the
+    * [[portableBucket]] rule under an exact-IEEE rem/avail rate — all
+    * engine-portable, which is how q150 hash-certifies the whole
+    * decision table plus the materialized epochs.
+    *
+    * Scale shape: one map-side-combined token-sum per stratum (output =
+    * #strata rows), the target/epoch arithmetic rides that tiny frame,
+    * one broadcast join back, and a codegen'd narrow flag — the corpus
+    * never shuffles; materialization ([[materializeEpochs]]) is a
+    * narrow generator (`sequence` + explode), ×epochs row growth with
+    * zero exchange, the q86 chunking shape.
+    *
+    * Returns the input plus (avail, full_epochs, keep_tail, copies).
+    */
+  def realizeMixture(df: DataFrame, key: Column, strata: Column,
+      tokenCount: Column, weights: Seq[(String, Double)],
+      budgetTokens: Long): DataFrame = {
+    require(weights.nonEmpty && weights.forall(_._2 >= 0.0),
+      "weights must be non-negative")
+    require(budgetTokens > 0, "budget must be positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val targets = weights.map { case (s, w) =>
+      val wNum = math.floor(w * 1e6).toLong
+      (s, (BigInt(budgetTokens) * wNum / 1000000L).toLong)
+    }.toDF("__stratum", "__target")
+    val avail = df.groupBy(strata.as("__astratum"))
+      .agg(sum(tokenCount.cast("long")).as("avail"))
+    val m = broadcast(targets
+      .join(avail, col("__stratum") === col("__astratum"))
+      .where(col("avail") > 0)
+      .select(col("__stratum"), col("avail"),
+        call_function("div", col("__target"), col("avail"))
+          .as("full_epochs"),
+        (col("__target") % col("avail")).as("__rem")))
+    df.join(m, strata === col("__stratum"))
+      .withColumn("keep_tail",
+        (portableBucket(key).cast("double") <
+          (col("__rem").cast("double") / col("avail").cast("double")) *
+            lit(P31.toDouble)).cast("long"))
+      .withColumn("copies", col("full_epochs") + col("keep_tail"))
+      .drop("__stratum", "__astratum", "__rem")
+  }
+
+  /** Materialize a [[realizeMixture]] decision table: one output row per
+    * (doc, epoch), epoch ∈ [1, copies]; copies = 0 rows vanish. Pure
+    * narrow generator — no shuffle, the controlled row-growth shape.
+    */
+  def materializeEpochs(decided: DataFrame): DataFrame =
+    decided.withColumn("epoch",
+      explode(when(col("copies") >= 1L,
+        sequence(lit(1L), col("copies")))
+        .otherwise(array().cast("array<long>"))))
+
   /** Deterministic weighted sampling WITHOUT replacement, top-k of n
     * (Efraimidis–Spirakis A-ES): each row draws u ∈ (0, 1) from its key's
     * portable bucket and scores ln(u)/w — the log-domain, strictly

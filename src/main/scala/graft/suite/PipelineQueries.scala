@@ -1040,6 +1040,62 @@ object PipelineQueries {
       ORDER BY query_id, rank"""
     })
 
+  /** Token-budget mixture realization (Sampling.realizeMixture +
+    * materializeEpochs): a 10 000-token budget split 50/30/20 over three
+    * sources whose corpora hold ~1.4k tokens each — so every weighted
+    * source UPSAMPLES (3/2/1 full epochs plus a deterministic
+    * fractional tail), the operation temperatureMix (q75) deliberately
+    * lacks. The oracle recomputes per-source token availability, the
+    * driver's integer targets (embedded as literals — exact by BigInt
+    * construction), floor-div/mod epoch arithmetic, the portable-bucket
+    * tail keep under the exact-IEEE rem/avail rate, and the epoch
+    * explosion — a hash-match certifies decision table AND materialized
+    * copies. Unweighted sources must vanish.
+    */
+  private val q150 = GQuery(
+    (s, d) => {
+      val weights = Seq("src1" -> 0.5, "src3" -> 0.3, "src7" -> 0.2)
+      val docs = T.documents(s, d).withColumn("n_tokens",
+        graft.scale.TextOps.tokenCount(col("text")).cast("long"))
+      val dec = graft.scale.Sampling.realizeMixture(docs, col("doc_id"),
+        col("source"), col("n_tokens"), weights, budgetTokens = 10000L)
+      graft.scale.Sampling.materializeEpochs(dec)
+        .select(col("doc_id"), col("source"), col("full_epochs"),
+          col("keep_tail"), col("epoch"))
+        .orderBy(col("doc_id"), col("epoch"))
+    },
+    Some {
+      val wts = Seq("src1" -> 0.5, "src3" -> 0.3, "src7" -> 0.2)
+        .map { case (s0, w) =>
+          val t = (BigInt(10000L) * math.floor(w * 1e6).toLong / 1000000L).toLong
+          s"('$s0', $t)"
+        }.mkString(", ")
+      val P = "2147483647"
+      s"""WITH tk AS (
+        SELECT doc_id, source,
+          CAST(len(list_filter(string_split_regex(text, '\\s+'),
+            x -> len(x) > 0)) AS BIGINT) AS n_tokens
+        FROM documents),
+      av AS (SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS avail
+        FROM tk GROUP BY source),
+      wt(source, target) AS (VALUES $wts),
+      m AS (SELECT av.source, avail,
+          target // avail AS full_epochs, target % avail AS rem
+        FROM av JOIN wt USING (source) WHERE avail > 0),
+      dec AS (SELECT tk.doc_id, tk.source, m.full_epochs,
+          CASE WHEN ((1103515245 * ((tk.doc_id % $P + $P) % $P) + 12345)
+              % $P)::DOUBLE
+            < (m.rem::DOUBLE / m.avail::DOUBLE) * 2147483647.0
+            THEN 1 ELSE 0 END AS keep_tail
+        FROM tk JOIN m USING (source))
+      SELECT doc_id, source, full_epochs,
+        CAST(keep_tail AS BIGINT) AS keep_tail, epoch
+      FROM (SELECT dec.*,
+          unnest(range(1, full_epochs + keep_tail + 1)) AS epoch
+        FROM dec)
+      ORDER BY doc_id, epoch"""
+    })
+
   val all: Map[String, GQuery] = Map(
     "q134_bpe_apply" -> q134,
     "q135_pagerank_dangling" -> q135,
@@ -1056,5 +1112,6 @@ object PipelineQueries {
     "q146_hard_negatives" -> q146,
     "q147_containment_pairs" -> q147,
     "q148_bm25_index_lifecycle" -> q148,
-    "q149_maxsim_rerank" -> q149)
+    "q149_maxsim_rerank" -> q149,
+    "q150_mixture_epochs" -> q150)
 }

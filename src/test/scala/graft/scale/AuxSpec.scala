@@ -490,4 +490,48 @@ class AuxSpec extends SparkSpec {
     val pf = plan.linesIterator.find(_.contains("PartitionFilters"))
     assert(pf.exists(_.contains("= A)")), plan.take(800))
   }
+
+  test("realizeMixture: epochs realize the token budget; unweighted vanish") {
+    import spark.implicits._
+    // source a: 10 docs x 10 tokens = 100 tokens; source b: 20 x 10 = 200
+    val docs = ((0 until 10).map(i => (i.toLong, "a", 10L)) ++
+      (100 until 120).map(i => (i.toLong, "b", 10L)) ++
+      (200 until 205).map(i => (i.toLong, "c", 10L)))
+      .toDF("id", "src", "n_tok")
+    // budget 1000: a -> 600 tokens = 6.0 epochs exact; b -> 400 = 2.0
+    val dec = Sampling.realizeMixture(docs, col("id"), col("src"),
+      col("n_tok"), Seq("a" -> 0.6, "b" -> 0.4), budgetTokens = 1000L)
+    val bySrc = dec.groupBy("src")
+      .agg(sum(col("copies") * col("n_tok")).as("realized"),
+        max("full_epochs").as("fe"), min("full_epochs").as("fe2"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // exact-integer epochs: realized tokens == target, zero tail
+    assert(bySrc("a") == ((600L, 6L, 6L)))
+    assert(bySrc("b") == ((400L, 2L, 2L)))
+    assert(!bySrc.contains("c"), "unweighted source must vanish")
+    // fractional case: a -> 0.35 -> 350 tokens = 3.5 epochs; the tail
+    // keeps SOME but not all docs, and realized lands within one
+    // stratum-max-doc of the target
+    val frac = Sampling.realizeMixture(docs, col("id"), col("src"),
+      col("n_tok"), Seq("a" -> 0.35), budgetTokens = 1000L)
+    val tails = frac.agg(sum("keep_tail"), sum(col("copies") * col("n_tok")))
+      .collect().head
+    assert(tails.getLong(0) > 0 && tails.getLong(0) < 10,
+      s"tail kept ${tails.getLong(0)} of 10")
+    assert(math.abs(tails.getLong(1) - 350L) <= 60L,
+      s"realized ${tails.getLong(1)} too far from 350")
+    // materialization: one row per epoch, copies = 0 rows vanish
+    val mat = Sampling.materializeEpochs(dec)
+    assert(mat.count() == dec.agg(sum("copies")).collect().head.getLong(0))
+    assert(mat.groupBy("id").count().agg(min("count"), max("count"))
+      .collect().head.getLong(1) == 6L)
+    // partitioning invariance of the tail decision
+    val rep = Sampling.realizeMixture(docs.repartition(7), col("id"),
+      col("src"), col("n_tok"), Seq("a" -> 0.35), budgetTokens = 1000L)
+      .select("id", "keep_tail").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rep === frac.select("id", "keep_tail").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet)
+  }
 }
