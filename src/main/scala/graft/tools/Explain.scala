@@ -101,7 +101,15 @@ object Explain {
       "q139_incremental_components", // batch-sized CC + broadcast relabel
       "q140_product_quantization", // codebook argmin encode + ADC narrow scan
       "q141_bpe_token_costs",  // broadcast vocab join-back, no re-encode
-      "q142_ivf_pq_search")    // probed-cell filter + ADC lookup scan
+      "q142_ivf_pq_search",    // probed-cell filter + ADC lookup scan
+      "q143_ivf_pq_index_merge", // anti-join fold + probed search over merged
+      "q144_hll_vocab_sketch", // bucket-max agg + register-array collapse
+      "q145_ridge_probe",      // one-pass moments + broadcast-weight scoring
+      "q146_hard_negatives",   // label-mismatch join through TopKPerGroup
+      "q147_containment_pairs", // one-sided prefix join + sorted-merge verify
+      "q148_bm25_index_lifecycle", // postings probe, no corpus text scan
+      "q149_maxsim_rerank",    // candidate-bounded maxsim fold
+      "q150_mixture_epochs")   // stratum-stats broadcast + narrow epoch explode
 
     val sb = new StringBuilder
     sb.append("# EXPLAIN — flagship physical plans\n\n")

@@ -296,6 +296,62 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("hard negatives cut through TopKPerGroup, not a corpus window (q146)") {
+    // the rank window must run on the operator's k×groups output; the
+    // corpus-sized scored frame reaches only the bounded-heap exec nodes
+    val df = SparkEntry.queries("q146_hard_negatives")(spark, sf)
+    val p = plan(df)
+    assert(p.contains("TopKPerGroup"), p.take(2000))
+  }
+
+  test("containment join: no nested loop even with broadcast suppressed (q147)") {
+    withSQLConf("spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.enabled" -> "false") {
+      val df = SparkEntry.queries("q147_containment_pairs")(spark, sf)
+      val p = plan(df)
+      assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+      assert(!p.contains("CartesianProduct"), p.take(2000))
+    }
+  }
+
+  test("bm25 against-index serves from postings, never the corpus text") {
+    // behavioral witness (the q131 tamper pattern): plant an absurd tf
+    // for a term doc 1's text does not contain; the served score must
+    // move accordingly, proving the query path reads the index tables
+    // and no tokenize/count of text happens at query time
+    import spark.implicits._
+    import graft.scale.Retrieval
+    val docs = Seq((1L, "filler filler filler filler"),
+      (2L, "spark spark filler filler")).toDF("doc_id", "text")
+    val (dl, p0) = Retrieval.bm25Index(docs, "doc_id", "text")
+    val tampered = p0.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .filterNot { case (id, t, _, _) => id == 1L && t == "filler" }
+      .toSeq ++ Seq((1L, "spark", 50L, 4L))
+    val tp = tampered.toDF("doc_id", "term", "tf", "dl")
+    val out = Retrieval.bm25AgainstIndex(spark, dl, tp,
+      Seq(9L -> Seq("spark")), k = 2)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSeq
+    assert(out.head == ((1L, 1L)),
+      s"tampered posting did not drive the ranking: $out")
+  }
+
+  test("mixture realization: corpus path is broadcast-joined, one shuffle total") {
+    // the only hash exchange feeds the #strata-row token-count aggregate;
+    // the corpus reaches the output through a broadcast join + narrow flag
+    import spark.implicits._
+    import graft.scale.Sampling
+    val docs = (0 until 100).map(i => (i.toLong, s"s${i % 3}", 10L))
+      .toDF("id", "src", "n_tok")
+    val dec = Sampling.realizeMixture(docs, col("id"), col("src"),
+      col("n_tok"), Seq("s0" -> 0.5, "s1" -> 0.5), budgetTokens = 5000L)
+    val p = plan(dec)
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    val shuffles = p.linesIterator
+      .filter(l => l.contains("Exchange") && !l.contains("Broadcast")).size
+    assert(shuffles <= 2, s"expected <= 2 hash exchanges, got $shuffles:\n$p")
+  }
+
   private def withSQLConf[A](pairs: (String, String)*)(f: => A): A = {
     val conf = spark.conf
     val olds = pairs.map { case (k, _) => k -> conf.getOption(k) }
