@@ -377,6 +377,35 @@ object Dedup {
     * run at the pair stage (inline comments below), and the verify is a
     * sorted-merge overlap kernel — see [[graft.functions.SortedLongOverlap]].
     */
+  /** (hot-flag, hash)-ordered view of a frozen (id, sh) frame's shingle
+    * arrays — the shared prefix order of [[ngramJaccardPairs]] and
+    * [[containmentPairs]]: shingles with df ≥ maxBucket (a broadcast
+    * Bloom over the ≤ [[MaxHotShingles]] hottest) sort behind every rare
+    * shingle, so prefixes prefer the discriminative ones. Recall-free:
+    * both prefix theorems hold for ANY prefix-sized subset under a
+    * consistent global order. Runs df/count/Bloom as eager plan-build
+    * jobs over the one shared id shuffle.
+    */
+  private def rareFirstOrder(frozen: DataFrame, maxBucket: Int): Column = {
+    val hotDf = frozen.select(explode(col("sh")).as("g"))
+      .groupBy("g").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= maxBucket)
+      .orderBy(col("df").desc, col("g"))
+      .limit(MaxHotShingles)
+    val nHot = hotDf.count()
+    if (nHot == 0) col("sh") // clean corpus: hash order, zero overhead
+    else {
+      val bc = frozen.sparkSession.sparkContext
+        .broadcast(hotDf.stat.bloomFilter("g", nHot, 0.01))
+      val hot = (g: Column) => when(
+        graft.functions.NativeExpressions.bloom_might_contain_long(g, bc),
+        1).otherwise(0)
+      transform(
+        array_sort(transform(col("sh"), g => struct(hot(g).as("h"), g.as("g")))),
+        s => s.getField("g"))
+    }
+  }
+
   /** Directed containment join — the asymmetric sibling of
     * [[ngramJaccardPairs]]: pairs (a, b) with
     * |Sh(a) ∩ Sh(b)| / |Sh(a)| ≥ t, i.e. "at least t of a's shingles
@@ -406,7 +435,8 @@ object Dedup {
     * of a mutual near-dup pair are reported.
     */
   def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
-      shingleSize: Int = 2, threshold: Double = 0.8): DataFrame = {
+      shingleSize: Int = 2, threshold: Double = 0.8,
+      maxBucket: Int = 1024): DataFrame = {
     require(threshold > 0 && threshold <= 1, s"threshold in (0,1]: $threshold")
     val tNum = math.floor(threshold * 1e6).toLong
     val tDen = 1000000L
@@ -420,13 +450,42 @@ object Dedup {
     val n = size(col("sh")).cast("long")
     val ceilTn = call_function("div", n * tNum + (tDen - 1), lit(tDen))
     val prefixLen = (n - ceilTn + 1).cast("int")
-    val pref = frozen.select(col("id").as("id_a"), n.as("na"),
-      explode(slice(col("sh"), lit(1), greatest(prefixLen, lit(0)))).as("g"))
-    val post = frozen.select(col("id").as("id_b"), explode(col("sh")).as("g"))
+    // rare-first prefix order (the q85 hot-Bloom move): the one-sided
+    // prefix theorem holds for ANY (n − ⌈t·n⌉ + 1)-element subset of A,
+    // so pushing df ≥ maxBucket shingles behind every rare one is free
+    // for recall and collapses the candidate join's hot-hash fanout
+    // (boilerplate bigrams otherwise pair every probe with every doc).
+    // BOTH sides explode the same ordered view, so positions live in one
+    // corpus-global total order and the PPJoin positional bound applies.
+    val ordered = rareFirstOrder(frozen, maxBucket)
+    val pref = frozen
+      .select(col("id").as("id_a"), n.as("na"),
+        posexplode(slice(ordered, lit(1), greatest(prefixLen, lit(0)))))
+      .select(col("id_a"), col("na"), col("col").as("g"),
+        col("pos").cast("long").as("pa"))
+    val post = frozen
+      .select(col("id").as("id_b"), n.as("nb"), posexplode(ordered))
+      .select(col("id_b"), col("nb"), col("col").as("g"),
+        col("pos").cast("long").as("pb"))
+    // pair-level filters, all recall-safe integer under-approximations:
+    //  - container length: C(a→b) ≥ t needs |B| ≥ |A∩B| ≥ t·|A|, so
+    //    nb·10⁶ < na·⌊t·10⁶⌋ cannot qualify — rejected pre-aggregate;
+    //  - positional (q85's PPJoin move, one-sided): at the order-minimal
+    //    common element (pa, pb), every intersection element sits in the
+    //    suffixes, so o ≤ min(na − pa, nb − pb), and o ≥ ⌈t·na⌉ must
+    //    still be reachable. The min-(pa, pb) pair rides ONE packed long
+    //    through the same hash aggregate that dedups candidates.
+    val ceilTnA = call_function("div",
+      col("na") * tNum + (tDen - 1), lit(tDen))
     val cand = pref.join(post, "g")
-      .filter(col("id_a") =!= col("id_b"))
+      .filter(col("id_a") =!= col("id_b") &&
+        col("nb") * tDen >= col("na") * tNum)
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(min(shiftleft(col("pa"), 31).bitwiseOR(col("pb"))).as("pp"),
+        min(col("na")).as("na"), min(col("nb")).as("nb"))
+      .filter(least(col("na") - shiftright(col("pp"), 31),
+        col("nb") - col("pp").bitwiseAND(lit((1L << 31) - 1))) >= ceilTnA)
       .select(col("id_a"), col("na"), col("id_b"))
-      .distinct()
     val sh = frozen.select(col("id"), col("sh"))
     cand
       .join(sh.withColumnRenamed("id", "id_a")
@@ -470,24 +529,7 @@ object Dedup {
     // behind every rare shingle in the prefix order. Runs as eager jobs at
     // plan-build time (df agg + count + Bloom agg), all over the one
     // shared id shuffle — the shingle kernel itself is not re-run.
-    val hotDf = frozen.select(explode(col("sh")).as("g"))
-      .groupBy("g").agg(count(lit(1)).as("df"))
-      .filter(col("df") >= maxBucket)
-      .orderBy(col("df").desc, col("g"))
-      .limit(MaxHotShingles)
-    val nHot = hotDf.count()
-    val prefixSource =
-      if (nHot == 0) col("sh") // clean corpus: hash order, zero overhead
-      else {
-        val bc = docs.sparkSession.sparkContext
-          .broadcast(hotDf.stat.bloomFilter("g", nHot, 0.01))
-        val hot = (g: Column) => when(
-          graft.functions.NativeExpressions.bloom_might_contain_long(g, bc),
-          1).otherwise(0)
-        transform(
-          array_sort(transform(col("sh"), g => struct(hot(g).as("h"), g.as("g")))),
-          s => s.getField("g"))
-      }
+    val prefixSource = rareFirstOrder(frozen, maxBucket)
     // prefix rows carry (owning id, set size, position in the global
     // order) so the pair stage can run PPJoin's two published
     // recall-safe filters before any document data is rejoined:

@@ -184,6 +184,14 @@ class ScaleSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(strict.contains((100L, 101L)))
     assert(!strict.contains((101L, 100L)))
+    // hot-Bloom rare-first prefix path (maxBucket = 4 makes the shared
+    // quote shingles hot): results identical to the hash-order path
+    val hot = Dedup.containmentPairs(docs, "doc_id", "text",
+      shingleSize = 2, threshold = 0.5, maxBucket = 4)
+    val plainOrder = Dedup.containmentPairs(docs, "doc_id", "text",
+      shingleSize = 2, threshold = 0.5)
+    assert(hot.except(plainOrder).count() == 0 &&
+      plainOrder.except(hot).count() == 0)
   }
 
   test("prefix-filter jaccard: boilerplate-heavy corpus matches brute force") {
