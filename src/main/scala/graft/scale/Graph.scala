@@ -143,4 +143,126 @@ object Graph {
     last.select(col("id"),
       (col("__r").cast("double") / lit(Scale).cast("double")).as("rank"))
   }
+
+  /** Canonical undirected edge set from a possibly-directed, possibly-
+    * duplicated edge list: self-loops dropped, endpoints ordered a < b,
+    * exact-distinct. One narrow projection + one distinct shuffle.
+    */
+  def canonicalEdges(edges: DataFrame, srcCol: String, dstCol: String): DataFrame =
+    edges.select(
+      least(col(srcCol), col(dstCol)).as("a"),
+      greatest(col(srcCol), col(dstCol)).as("b"))
+      .where(col("a") =!= col("b"))
+      .distinct()
+
+  /** Per-node triangle counts and local clustering coefficient over the
+    * canonical undirected edge set of `edges`.
+    *
+    * Distributed shape (the standard degree-orientation algorithm —
+    * Suri & Vassilvitskii's MR triangle counting / "node-iterator++"):
+    * orient every undirected edge from its lower-(degree, id) endpoint to
+    * the higher one, so each node's OUT-degree is O(√m) regardless of its
+    * true degree. Wedges are generated by the oriented self-join on the
+    * center (out-neighbor pairs), then closed against the canonical edge
+    * set with one more equi-join — each triangle is found exactly once,
+    * at its unique minimum-(degree, id) corner. The wedge count — the
+    * whole cost — is Σ outdeg² ≤ O(m^1.5) instead of Σ deg² (which a
+    * power-law hub would blow up); a 100 TB graph's hottest node
+    * contributes only its √m-bounded oriented fan-out. All arithmetic is
+    * integer; the coefficient 2T/(d(d−1)) is a single exact-IEEE division
+    * of integers, bit-identical across engines.
+    *
+    * Returns (id, degree, triangles, lcc) — every node of the graph,
+    * zero-filled where no triangle touches it.
+    */
+  def triangleStats(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val und = canonicalEdges(edges, srcCol, dstCol)
+    val deg = und.select(col("a").as("id"))
+      .union(und.select(col("b").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("degree"))
+    // orientation rank: (degree, id) lexicographic — total order, so the
+    // oriented graph is acyclic and every triangle has one unique source
+    val dl = deg.select(col("id").as("__oid"), col("degree").as("__odeg"))
+    val dr = deg.select(col("id").as("__pid"), col("degree").as("__pdeg"))
+    val oriented = und
+      .join(dl, col("a") === col("__oid"))
+      .join(dr, col("b") === col("__pid"))
+      .select(
+        when(col("__odeg") < col("__pdeg") ||
+          (col("__odeg") === col("__pdeg") && col("a") < col("b")),
+          struct(col("a").as("u"), col("b").as("v")))
+          .otherwise(struct(col("b").as("u"), col("a").as("v")))
+          .as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
+    // wedges at center u: unordered out-neighbor pairs (v < w by id —
+    // any total order works; id keeps the closing join key canonical)
+    val o2 = oriented.select(col("u").as("u2"), col("v").as("w"))
+    val wedges = oriented.join(o2, col("u") === col("u2"))
+      .where(col("v") < col("w"))
+      .select(col("u"), col("v"), col("w"))
+    val closed = wedges.join(und,
+      col("v") === col("a") && col("w") === col("b"))
+      .select(col("u"), col("v"), col("w"))
+    val perNode = closed
+      .select(explode(array(col("u"), col("v"), col("w"))).as("id"))
+      .groupBy(col("id")).agg(count(lit(1)).as("triangles"))
+    deg.join(perNode, Seq("id"), "left")
+      .select(col("id"), col("degree"),
+        coalesce(col("triangles"), lit(0L)).as("triangles"))
+      .withColumn("lcc",
+        when(col("degree") >= 2,
+          (col("triangles") * 2).cast("double") /
+            (col("degree") * (col("degree") - 1)).cast("double"))
+          .otherwise(lit(0.0)))
+  }
+
+  /** `iters` rounds of SYNCHRONOUS label propagation (community
+    * detection) over the undirected graph of `edges`. Seed label = own
+    * id; each round every node adopts the most frequent label among its
+    * neighbors, ties broken toward the SMALLEST label — a total,
+    * engine-portable rule (no hash-order or visit-order dependence, the
+    * nondeterminism that makes vanilla async LPA unreproducible).
+    * Neighbor-less nodes cannot occur (edges are symmetrized and
+    * self-loops dropped), but isolated inputs would keep their seed via
+    * the left join.
+    *
+    * Scale shape: per round ONE join of the directed (2m-row) edge list
+    * against the label frame + one (node, label) count aggregate + one
+    * per-node arg-max — all keyed shuffles on node id, map-side
+    * combinable. Deep rounds inherit [[pageRank]]'s lineage story —
+    * `checkpointEvery` truncates in-loop. Hot nodes: the count aggregate
+    * pre-collapses a hub's incident edges to ≤ (distinct neighbor
+    * labels) rows before the arg-max, so a 10^8-degree node costs its
+    * label diversity, not its degree, past the first combine.
+    *
+    * Returns (id, label, csize) — final label and its community size.
+    */
+  def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
+      iters: Int, checkpointEvery: Int = 8,
+      checkpointDir: Option[String] = None): DataFrame = {
+    require(iters >= 1, "labelPropagation needs at least one iteration")
+    checkpointDir.foreach(edges.sparkSession.sparkContext.setCheckpointDir)
+    val und = canonicalEdges(edges, srcCol, dstCol)
+    val dir = und.select(col("a").as("n"), col("b").as("m"))
+      .union(und.select(col("b").as("n"), col("a").as("m")))
+    val nodes = dir.select(col("n").as("id")).distinct()
+    val init = nodes.select(col("id"), col("id").as("lbl"))
+    val last = (1 to iters).foldLeft(init) { (labels, it) =>
+      val nbr = dir.join(labels.withColumnRenamed("id", "__lid"),
+        col("m") === col("__lid"))
+        .groupBy(col("n"), col("lbl")).agg(count(lit(1)).as("__c"))
+      // arg-max by (count, -label): max count, tie -> smallest label
+      val picked = nbr.groupBy(col("n"))
+        .agg(max(struct(col("__c"), (-col("lbl")).as("__nl"))).as("__m"))
+        .select(col("n").as("id"), (-col("__m.__nl")).as("lbl"))
+      val next = nodes.join(picked, Seq("id"), "left")
+        .select(col("id"), coalesce(col("lbl"), col("id")).as("lbl"))
+      if (checkpointEvery > 0 && it % checkpointEvery == 0 && it < iters) {
+        if (checkpointDir.isDefined) next.checkpoint(eager = true)
+        else next.localCheckpoint(eager = true)
+      } else next
+    }
+    val sizes = last.groupBy(col("lbl")).agg(count(lit(1)).as("csize"))
+    last.join(sizes, "lbl").select(col("id"), col("lbl").as("label"), col("csize"))
+  }
 }

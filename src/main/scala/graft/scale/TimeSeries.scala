@@ -101,4 +101,81 @@ object TimeSeries {
           aggregate(weights, lit(0d), (acc, x) => acc + x), 6))
       .drop("__arr")
   }
+
+  /** One-sided CUSUM changepoint detection per key — the sequential
+    * drift monitor (Page 1954) a pipeline runs over metric/sensor
+    * streams to flag level shifts. The recursive statistic
+    * S_t = max(0, S_{t−1} + (x_t − target − slack)) is computed in
+    * CLOSED FORM as S_t = P_t − min(0, min_{j≤t} P_j) over the
+    * deviation prefix sums P — two window passes over ONE per-key sort
+    * (same spec, Spark reuses the exchange+sort), no recursion, no UDF.
+    *
+    * Determinism: values are quantized to integer `unitsPerValue`-ths
+    * via floor(x·u + 0.5) — one exact-IEEE multiply/add/floor — and
+    * every sum/min/comparison after that is 64-bit integer, so the
+    * statistic is bit-identical across engines (floating-point prefix
+    * sums would be association-order-dependent; see the fixed-point
+    * PageRank contract). Caller supplies target/slack/threshold in the
+    * SAME integer units.
+    *
+    * Scale shape: one hash exchange on the key + one sort; state per
+    * row is O(1). Keys are independent — linear scale-out; a single
+    * key's history must fit one task's sort (true of any per-entity
+    * sequential statistic; shard the key upstream if an entity exceeds
+    * ~10^8 events).
+    *
+    * Returns input keys/order plus (units, s_units, alarm).
+    */
+  def cusumChangepoints(df: DataFrame, keyCol: String, orderCols: Seq[String],
+      valueCol: String, targetUnits: Long, slackUnits: Long,
+      thresholdUnits: Long, unitsPerValue: Long = 100L): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(orderCols.map(col): _*)
+    val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("units",
+        floor(col(valueCol) * lit(unitsPerValue.toDouble) + lit(0.5)))
+      .withColumn("__p",
+        sum(col("units") - lit(targetUnits) - lit(slackUnits)).over(cum))
+      .withColumn("s_units",
+        col("__p") - least(lit(0L), min(col("__p")).over(cum)))
+      .withColumn("alarm", col("s_units") > lit(thresholdUnits))
+      .drop("__p")
+  }
+
+  /** Rolling z-score anomaly flags per key: each value is compared
+    * against the mean/std of the PREVIOUS `window` values (the trailing
+    * frame excludes the current row — an anomaly must not contaminate
+    * its own baseline). Only full windows are scored.
+    *
+    * Determinism: the z-test |x−μ| > z·σ is evaluated EXACTLY in
+    * integers on the quantized units — squared and cross-multiplied to
+    * (n·x − S)²·(n−1) > z²·n·(n·Q − S²) with S = Σu, Q = Σu² over the
+    * frame — so no division, no sqrt, no floating point anywhere: the
+    * flag (and both sides of the inequality, which are emitted for
+    * audit) is bit-identical across engines. With unit-scaled magnitudes
+    * |u| ≤ 10^6 and n ≤ 100 every term stays far below 2^63.
+    *
+    * Scale shape: one exchange + one sort per key (all three frame
+    * aggregates share the window spec), O(1) state per row.
+    */
+  def rollingZscoreAnomalies(df: DataFrame, keyCol: String,
+      orderCols: Seq[String], valueCol: String, window: Int = 8,
+      z: Int = 3, unitsPerValue: Long = 100L): DataFrame = {
+    require(window >= 2, "need >= 2 trailing rows for a variance")
+    val w = Window.partitionBy(col(keyCol)).orderBy(orderCols.map(col): _*)
+      .rowsBetween(-window, -1)
+    val n = lit(window.toLong)
+    df.withColumn("units",
+        floor(col(valueCol) * lit(unitsPerValue.toDouble) + lit(0.5)))
+      .withColumn("__n", count(col("units")).over(w))
+      .withColumn("__s", sum(col("units")).over(w))
+      .withColumn("__q", sum(col("units") * col("units")).over(w))
+      .where(col("__n") === n)
+      .withColumn("lhs",
+        (n * col("units") - col("__s")) * (n * col("units") - col("__s")) *
+          (n - 1))
+      .withColumn("rhs",
+        lit(z.toLong * z) * n * (n * col("__q") - col("__s") * col("__s")))
+      .withColumn("anomaly", col("lhs") > col("rhs"))
+      .drop("__n", "__s", "__q")
+  }
 }
