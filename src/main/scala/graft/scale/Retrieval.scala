@@ -373,4 +373,51 @@ object Retrieval {
       .select(col("cluster"), col("term"), col("tf"), col("cdf"),
         col("score"), col("rank"))
   }
+
+  /** Exact positional phrase search: for each phrase (an ordered term
+    * sequence), every document and occurrence count where the terms
+    * appear at CONSECUTIVE token positions — the `"exact quote"` operator
+    * BM25's bag-of-words scoring cannot express, and the detector a
+    * training pipeline runs for memorization probes / benchmark quotes.
+    *
+    * Scale shape: the corpus's token arrays are filtered to the phrases'
+    * term set BEFORE posexplode — the positional postings that shuffle
+    * are bounded by matches of phrase VOCABULARY, not corpus tokens (the
+    * inverted-positional-index probe shape; rare-term phrases cost
+    * almost nothing). Each phrase then chains (len−1) equi-joins on
+    * (doc, anchor-relative position); all joins share the doc_id key so
+    * the postings exchange is reused, and phrase results union without
+    * further shuffles. Occurrences collapse to one (phrase, doc) count.
+    *
+    * Returns (phrase, doc_id, n_occur) — only matching docs.
+    */
+  def phraseSearch(docs: DataFrame, idCol: String, textCol: String,
+      phrases: Seq[String]): DataFrame = {
+    require(phrases.nonEmpty, "phraseSearch needs at least one phrase")
+    val split = phrases.map(p => p -> p.split("\\s+").toSeq.filter(_.nonEmpty))
+    require(split.forall(_._2.size >= 2), "phrases need >= 2 terms")
+    val vocab = split.flatMap(_._2).distinct
+    // positional postings, restricted to the phrase vocabulary while
+    // still inside the per-doc array (narrow filter, THEN explode)
+    val post = docs.select(col(idCol).as("doc_id"),
+        explode(filter(
+          transform(TextOps.tokens(lower(col(textCol))),
+            (t, i) => struct(t.as("w"), i.as("p"))),
+          e => e.getField("w").isin(vocab: _*))).as("e"))
+      .select(col("doc_id"), col("e.w").as("w"), col("e.p").as("p"))
+    val matches = split.map { case (phrase, terms) =>
+      val anchor = post.where(col("w") === terms.head)
+        .select(col("doc_id"), col("p"))
+      terms.zipWithIndex.drop(1).foldLeft(anchor) { case (acc, (t, j)) =>
+        val nxt = post.where(col("w") === t)
+          .select(col("doc_id").as(s"__d$j"), col("p").as(s"__p$j"))
+        acc.join(nxt,
+          col("doc_id") === col(s"__d$j") && col(s"__p$j") === col("p") + j)
+          .select(col("doc_id"), col("p"))
+      }.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_occur"))
+        .select(lit(phrase).as("phrase"), col("doc_id"), col("n_occur"))
+    }
+    matches.reduce(_ unionAll _)
+  }
 }

@@ -124,4 +124,90 @@ object Sketches {
       zip_with(registers, sequence(lit(1), lit(HllM)),
         (r, i) => r.cast("long") * i),
       lit(0L), (acc, x) => acc + x)
+
+  // --------------------------------------------------------------------
+  // Count-min sketch — the mergeable FREQUENCY companion of the HLL
+  // cardinality sketch: per-group depth×width counter tables whose
+  // point-query estimate is an upper bound on the true count
+  // (never under; over by at most ε·N with prob 1−δ for width e/ε,
+  // depth ln 1/δ — Cormode & Muthukrishnan 2005). merge = element-wise
+  // SUM, which is associative/commutative but — unlike HLL's max — NOT
+  // idempotent: a re-delivered batch double-counts, so streaming folds
+  // must sit behind exactly-once batch boundaries (foreachBatch
+  // checkpointing, as Streaming.maintainCmsSketches does).
+  //
+  // Determinism: values enter as the 62-bit portable hash; the per-row
+  // slot is ((a_r·(h mod P) + b_r) mod P) mod width with P = 2^31−1 and
+  // row-specific small (a, b) — every intermediate < 2^48, so the whole
+  // sketch replays exactly in integer SQL (q155's oracle).
+  // --------------------------------------------------------------------
+
+  /** CMS depth (independent hash rows). */
+  val CmsDepth = 4
+  /** CMS width (counters per row). */
+  val CmsWidth = 64
+  /** Per-row affine salts (a, b) — small, so a·(h mod P) stays < 2^48. */
+  val CmsSalts: Seq[(Long, Long)] =
+    Seq((131L, 7L), (1571L, 101L), (8191L, 313L), (65599L, 911L))
+
+  private val P31 = 2147483647L
+
+  /** Flattened slot index (row·width + column) of hash column `h` in
+    * row `r` — the single place the slot arithmetic lives, shared by
+    * build and estimate so they can never drift apart.
+    */
+  def cmsSlot(h: Column, r: Int): Column = {
+    val (a, b) = CmsSalts(r)
+    ((h % P31) * a + b) % P31 % CmsWidth + (r * CmsWidth)
+  }
+
+  /** Build the per-group CMS from (group, 62-bit-hash) rows:
+    * (groupCol, counters array<long>[depth·width]). One narrow ×depth
+    * fan-out, one (group, slot) count — map-side combined into ≤ 256
+    * partial cells per group per task — one 256-row collapse.
+    */
+  def cmsSketch(rows: DataFrame, groupCol: String, hashCol: String): DataFrame = {
+    val slots = array((0 until CmsDepth).map(r => cmsSlot(col(hashCol), r)): _*)
+    rows.select(col(groupCol), explode(slots).as("__slot"))
+      .groupBy(col(groupCol), col("__slot"))
+      .agg(count(lit(1)).as("__c"))
+      .groupBy(col(groupCol))
+      .agg(map_from_entries(collect_list(struct(col("__slot"), col("__c"))))
+        .as("__m"))
+      .select(col(groupCol),
+        transform(sequence(lit(0L), lit((CmsDepth * CmsWidth - 1).toLong)),
+          s => coalesce(element_at(col("__m"), s), lit(0L))).as("counters"))
+  }
+
+  /** Merge two CMS tables: full-outer on the group, element-wise SUM.
+    * merge(cms(A), cms(B)) ≡ cms(A ⊎ B) exactly — counts are additive —
+    * which is why q155 can certify the parity-batch merge against an
+    * oracle built from the whole corpus in one pass.
+    */
+  def cmsMerge(a: DataFrame, b: DataFrame, groupCol: String): DataFrame =
+    a.select(col(groupCol), col("counters").as("__ca"))
+      .join(b.select(col(groupCol).as("__g"), col("counters").as("__cb")),
+        col(groupCol) === col("__g"), "full_outer")
+      .select(coalesce(col(groupCol), col("__g")).as(groupCol),
+        when(col("__ca").isNull, col("__cb"))
+          .when(col("__cb").isNull, col("__ca"))
+          .otherwise(zip_with(col("__ca"), col("__cb"),
+            (x, y) => x + y)).as("counters"))
+
+  /** Point-query estimate of hash column `h` against a `counters`
+    * array: min over the depth rows — the classic CMS upper bound.
+    */
+  def cmsEstimateCol(counters: Column, h: Column): Column =
+    least((0 until CmsDepth).map(r =>
+      element_at(counters, (cmsSlot(h, r) + 1).cast("int"))): _*)
+
+  /** Counter-table fingerprint Σ (slot+1)·count — same checksum shape
+    * as [[registerFingerprint]]; bounded by (depth·width)·N so it stays
+    * far inside int64 for any realistic corpus.
+    */
+  def cmsFingerprint(counters: Column): Column =
+    aggregate(
+      zip_with(counters, sequence(lit(1L), lit((CmsDepth * CmsWidth).toLong)),
+        (c, i) => c * i),
+      lit(0L), (acc, x) => acc + x)
 }

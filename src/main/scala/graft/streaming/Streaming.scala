@@ -384,6 +384,25 @@ object Streaming {
           graft.scale.Sketches.hllSketch(batch, groupCol, hashCol), groupCol)
     }
 
+  /** Streaming maintenance of the per-group count-min frequency sketch
+    * ([[graft.scale.Sketches.cmsSketch]]): sketch each micro-batch,
+    * element-wise-SUM it into the snapshot. Unlike the HLL fold this
+    * merge is NOT idempotent — a re-applied batch double-counts — which
+    * is exactly the case [[foldSnapshotStream]]'s checkpointed
+    * foreachBatch + crash-consistent swap exists for: a batch is folded
+    * once or not at all, never twice.
+    */
+  def maintainCmsSketches(rows: DataFrame, statePath: String,
+      groupCol: String, hashCol: String):
+      org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    foldSnapshotStream(rows, statePath,
+      batch => graft.scale.Sketches
+        .cmsSketch(batch.limit(0), groupCol, hashCol).schema) {
+      (current, batch, _) =>
+        graft.scale.Sketches.cmsMerge(current,
+          graft.scale.Sketches.cmsSketch(batch, groupCol, hashCol), groupCol)
+    }
+
   /** The shared snapshot-fold engine behind [[applyCdcStream]] and
     * [[maintainMinhashIndex]]: per micro-batch, recover + read the
     * current snapshot (schema from `stateSchema(batch)`, empty on first

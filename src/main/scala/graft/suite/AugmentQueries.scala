@@ -164,9 +164,154 @@ object AugmentQueries {
           AS anomaly
       FROM w WHERE n = 8 ORDER BY user_id, event_id"""))
 
+  /** CMS probe terms: four corpus words spanning frequency tiers plus
+    * one absent ('zzzz') — whose estimate demonstrates the collision
+    * overcount the sketch bounds but never hides (estimate ≥ truth).
+    */
+  private val CmsProbes = Seq("table", "query", "spark", "value", "zzzz")
+
+  /** DuckDB slot expression for CMS row r: mirrors
+    * [[graft.scale.Sketches.cmsSlot]] term for term.
+    */
+  private def cmsSlotSql(h: String, r: Int): String = {
+    val (a, b) = graft.scale.Sketches.CmsSalts(r)
+    s"(($h % 2147483647) * $a + $b) % 2147483647 % 64 + ${r * 64}"
+  }
+
+  /** Count-min frequency sketch lifecycle
+    * ([[graft.scale.Sketches.cmsSketch]]/cmsMerge/cmsEstimateCol): two
+    * parity batches sketched independently, merged by element-wise SUM
+    * (exact — counts are additive, so merge ≡ build-from-union, which is
+    * precisely what the one-pass oracle certifies), then point-queried
+    * for five probe terms next to their exact counts. The 256-counter
+    * table is the frequency sibling of q144's HLL registers: ~2 KB per
+    * group forever, merge-fold per batch, never rescan. Streaming twin:
+    * [[graft.streaming.Streaming.maintainCmsSketches]].
+    */
+  private val q155 = GQuery(
+    (s, d) => {
+      val docs = T.documents(s, d)
+      def hashRows(part: org.apache.spark.sql.DataFrame) =
+        part.select(col("source"),
+          explode(graft.scale.Dedup.portableTokenHashes(
+            graft.scale.TextOps.tokens(col("text")))).as("h"))
+      val skA = graft.scale.Sketches
+        .cmsSketch(hashRows(docs.where(col("doc_id") % 2 === 0)), "source", "h")
+      val skB = graft.scale.Sketches
+        .cmsSketch(hashRows(docs.where(col("doc_id") % 2 === 1)), "source", "h")
+      val merged = graft.scale.Sketches.cmsMerge(skA, skB, "source")
+      val probes = s.range(1)
+        .select(explode(typedLit(CmsProbes)).as("term"))
+        .select(col("term"), element_at(
+          graft.scale.Dedup.portableTokenHashes(array(col("term"))), 1)
+          .as("__th"))
+      val est = merged.crossJoin(broadcast(probes))
+        .select(col("source"), col("term"),
+          graft.scale.Sketches.cmsEstimateCol(col("counters"), col("__th"))
+            .as("cms_estimate"),
+          graft.scale.Sketches.cmsFingerprint(col("counters")).as("reg_fp"))
+      val exact = docs
+        .select(col("source"),
+          explode(graft.scale.TextOps.tokens(col("text"))).as("w"))
+        .where(col("w").isin(CmsProbes: _*))
+        .groupBy(col("source"), col("w"))
+        .agg(count(lit(1)).as("__n"))
+      est.join(exact,
+          est("source") === exact("source") && est("term") === exact("w"),
+          "left")
+        .select(est("source"), col("term"),
+          coalesce(col("__n"), lit(0L)).as("n_exact"),
+          col("cms_estimate"), col("reg_fp"))
+        .orderBy(col("source"), col("term"))
+    },
+    Some(s"""WITH toks AS (
+        SELECT source, unnest(list_filter(string_split_regex(text, '\\s+'),
+          x -> len(x) > 0)) AS w
+        FROM documents),
+      h AS (SELECT source, ${ScaleQueries.h62Sql("w")} AS h FROM toks),
+      slots AS (
+        ${(0 until graft.scale.Sketches.CmsDepth).map(r =>
+          s"SELECT source, ${cmsSlotSql("h", r)} AS slot FROM h")
+          .mkString("\n        UNION ALL ")}),
+      cnt AS (SELECT source, slot, COUNT(*)::BIGINT AS c
+        FROM slots GROUP BY source, slot),
+      grid AS (SELECT s.source, gs.slot
+        FROM (SELECT DISTINCT source FROM toks) s
+        CROSS JOIN (SELECT unnest(range(0, 256)) AS slot) gs),
+      regs AS (SELECT grid.source, grid.slot, COALESCE(cnt.c, 0) AS c
+        FROM grid LEFT JOIN cnt
+        ON grid.source = cnt.source AND grid.slot = cnt.slot),
+      vec AS (SELECT source, list(c ORDER BY slot) AS rv
+        FROM regs GROUP BY source),
+      probes AS (SELECT unnest(${CmsProbes.map(t => s"'$t'")
+        .mkString("[", ",", "]")}) AS term),
+      ph AS (SELECT term, ${ScaleQueries.h62Sql("term")} AS h FROM probes),
+      est AS (SELECT v.source, p.term,
+          LEAST(${(0 until graft.scale.Sketches.CmsDepth).map(r =>
+            s"rv[${cmsSlotSql("p.h", r)} + 1]").mkString(",\n            ")})
+            AS cms_estimate,
+          CAST(list_sum(list_transform(list_zip(rv, range(1, 257)),
+            z -> z[1] * z[2])) AS BIGINT) AS reg_fp
+        FROM vec v CROSS JOIN ph p),
+      ex AS (SELECT source, w AS term, COUNT(*)::BIGINT AS n_exact
+        FROM toks WHERE w IN (${CmsProbes.map(t => s"'$t'").mkString(",")})
+        GROUP BY source, w)
+      SELECT est.source, est.term,
+        COALESCE(ex.n_exact, 0)::BIGINT AS n_exact,
+        est.cms_estimate, est.reg_fp
+      FROM est LEFT JOIN ex
+      ON est.source = ex.source AND est.term = ex.term
+      ORDER BY est.source, est.term"""))
+
+  /** Phrase set: a bigram and two trigrams, all present in the corpus
+    * (up to 8 occurrences / 5+ docs each at sf0.01) so every phrase
+    * exercises multi-occurrence counting, not just existence.
+    */
+  private val Phrases = Seq("hash value", "slow hash batch", "row column sort")
+
+  private def phraseCte(idx: Int, phrase: String): String = {
+    val terms = phrase.split(" ").toSeq
+    val joins = terms.zipWithIndex.drop(1).map { case (t, j) =>
+      s"JOIN post p$j ON p$j.doc_id = p0.doc_id AND p$j.p = p0.p + $j AND p$j.w = '$t'"
+    }.mkString("\n        ")
+    s"""m$idx AS (SELECT '$phrase' AS phrase, p0.doc_id,
+        COUNT(*)::BIGINT AS n_occur
+        FROM post p0
+        $joins
+        WHERE p0.w = '${terms.head}'
+        GROUP BY p0.doc_id)"""
+  }
+
+  /** Exact positional phrase search
+    * ([[graft.scale.Retrieval.phraseSearch]]): the `"exact quote"`
+    * operator — consecutive-position term chains over positional
+    * postings that are vocabulary-filtered while still inside the
+    * per-doc token array, so only phrase-term positions ever shuffle.
+    * The oracle rebuilds the positional index with DuckDB's zipped
+    * unnest and chains the same adjacency joins; counts (not just
+    * existence) must match per (phrase, doc).
+    */
+  private val q156 = GQuery(
+    (s, d) => graft.scale.Retrieval
+      .phraseSearch(T.documents(s, d), "doc_id", "text", Phrases)
+      .orderBy(col("phrase"), col("doc_id")),
+    Some(s"""WITH tk AS (SELECT doc_id,
+          list_filter(string_split_regex(text, '\\s+'), x -> len(x) > 0) AS ws
+        FROM documents),
+      post AS (SELECT doc_id, unnest(ws) AS w,
+          unnest(range(0, len(ws))) AS p
+        FROM tk),
+      ${Phrases.zipWithIndex.map { case (p, i) => phraseCte(i, p) }
+        .mkString(",\n      ")}
+      SELECT * FROM (${Phrases.indices.map(i => s"SELECT * FROM m$i")
+        .mkString(" UNION ALL ")})
+      ORDER BY phrase, doc_id"""))
+
   val all: Map[String, GQuery] = Map(
     "q151_triangle_count" -> q151,
     "q152_label_propagation" -> q152,
     "q153_cusum_changepoints" -> q153,
-    "q154_rolling_zscore" -> q154)
+    "q154_rolling_zscore" -> q154,
+    "q155_count_min_sketch" -> q155,
+    "q156_phrase_search" -> q156)
 }
