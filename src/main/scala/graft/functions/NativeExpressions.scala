@@ -193,6 +193,40 @@ object NativeExpressions {
   def regex_scrub(text: Column, patterns: Seq[(String, String)]): Column =
     Bridge.column(RegexScrub(Bridge.expression(text), patterns))
 
+  /** Single-pass ASCII text normalization (see [[NormalizeAsciiText]]). */
+  def normalize_ascii_text(text: Column): Column =
+    Bridge.column(NormalizeAsciiText(Bridge.expression(text)))
+
+  /** Reference JVM implementation of [[NormalizeAsciiText]]: one pass,
+    * one output buffer. Chars ≤ 0x20 (space, tab, CR/LF, all C0
+    * controls) are whitespace; runs collapse to one ' '; leading and
+    * trailing whitespace is dropped; ASCII A-Z lowercases; every other
+    * char (incl. non-ASCII) passes through untouched, so the kernel is
+    * exactly mirrorable by
+    * `trim(regexp_replace(lower(t), '[\\x00-\\x20]+', ' ', 'g'))` on
+    * ASCII corpora while never corrupting multi-byte content.
+    */
+  def normalizeAscii(text: org.apache.spark.unsafe.types.UTF8String):
+      org.apache.spark.unsafe.types.UTF8String = {
+    val s = text.toString
+    val n = s.length
+    val sb = new java.lang.StringBuilder(n)
+    var pending = false
+    var i = 0
+    while (i < n) {
+      val c = s.charAt(i)
+      if (c <= ' ') {
+        if (sb.length > 0) pending = true
+      } else {
+        if (pending) { sb.append(' '); pending = false }
+        if (c >= 'A' && c <= 'Z') sb.append((c + 32).toChar)
+        else sb.append(c)
+      }
+      i += 1
+    }
+    org.apache.spark.unsafe.types.UTF8String.fromString(sb.toString)
+  }
+
   /** Reference JVM implementation of [[RegexScrub]]: one Matcher pass
     * per pattern, counting matches while building the replacement.
     */
@@ -1462,6 +1496,29 @@ case class RegexScrub(child: Expression,
     nullSafeCodeGen(ctx, ev, c =>
       s"""${ev.value} = graft.functions.NativeExpressions.regexScrub($c, $pats, $reps);""")
   }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Single-pass ASCII text normalization (see
+  * [[NativeExpressions.normalizeAscii]]): collapse whitespace runs,
+  * trim, lowercase A-Z. One buffer, no regex machinery — the cleanup
+  * kernel a curation pipeline runs over every document before
+  * fingerprinting, so it must stay inside whole-stage codegen.
+  */
+case class NormalizeAsciiText(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = child.nullable
+
+  override def nullSafeEval(input: Any): Any =
+    NativeExpressions.normalizeAscii(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""${ev.value} = graft.functions.NativeExpressions.normalizeAscii($c);""")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

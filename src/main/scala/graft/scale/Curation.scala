@@ -690,6 +690,41 @@ object Curation {
           col("total").cast("double") * target).cast("long").as("kept"))
   }
 
+  /** Canonical text cleanup — the pass every curation pipeline runs
+    * BEFORE fingerprinting/dedup so that whitespace and case variants of
+    * the same document collide (ref test.py's lower/strip prep before
+    * report grouping, generalized to corpus scale): collapse all ASCII
+    * whitespace/control runs (chars ≤ 0x20) to one space, trim, lowercase
+    * A–Z. Non-ASCII bytes pass through untouched, so the kernel never
+    * corrupts multi-byte UTF-8 content it doesn't understand.
+    *
+    * Scale shape: one narrow codegen projection
+    * ([[graft.functions.NormalizeAsciiText]], single pass, one output
+    * buffer per row) — zero shuffles, zero regex machinery on the hot
+    * path; at 100 TB this pins at the parquet scan's speed. `norm_stable`
+    * re-applies the kernel to its own output and compares — idempotence
+    * is the contract that makes dedup keys computed before and after a
+    * re-normalization pass agree, so it ships as a checked column rather
+    * than a doc comment.
+    *
+    * Returns (id, n_raw, n_norm, text_norm, norm_stable), exactly
+    * mirrorable by `trim(regexp_replace(lower(t), '[\x00-\x20]+', ' ',
+    * 'g'))` on ASCII corpora (q157 hash-certifies).
+    */
+  def normalizeDocuments(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    import graft.functions.NativeExpressions.normalize_ascii_text
+    docs
+      .select(col(idCol).as("id"),
+        length(col(textCol)).cast("long").as("n_raw"),
+        normalize_ascii_text(col(textCol)).as("text_norm"))
+      .select(col("id"), col("n_raw"),
+        length(col("text_norm")).cast("long").as("n_norm"),
+        col("text_norm"),
+        (normalize_ascii_text(col("text_norm")) === col("text_norm"))
+          .as("norm_stable"))
+  }
+
   /** Above this estimated-input size (Catalyst plan statistics), the
     * skew-safe formulations of [[dedupSentences]] and [[sourceQuota]]
     * take over. 1 GiB: far below anything a hot key could break, far

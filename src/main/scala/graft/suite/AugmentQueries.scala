@@ -307,11 +307,39 @@ object AugmentQueries {
         .mkString(" UNION ALL ")})
       ORDER BY phrase, doc_id"""))
 
+  /** Text canonicalization ([[graft.scale.Curation.normalizeDocuments]]):
+    * the corpus ships pre-cleaned (lowercase, single-spaced), so the query
+    * first deterministically DIRTIES each doc on both engines — leading
+    * tab/space padding, an uppercased 24-char prefix echo, CRLF, trailing
+    * runs — then certifies the single-pass native kernel against DuckDB's
+    * trim(regexp_replace(lower(t), '[\x00-\x20]+', ' ', 'g')) replay,
+    * including the idempotence bit (normalize∘normalize = normalize).
+    */
+  private val q157 = GQuery(
+    (s, d) => graft.scale.Curation.normalizeDocuments(
+      T.documents(s, d).select(col("doc_id"),
+        concat(lit(" \t"), upper(substring(col("text"), 1, 24)),
+          lit("\r\n"), col("text"), lit("  \n ")).as("text")),
+      "doc_id", "text").orderBy(col("id")),
+    Some("""WITH dirty AS (SELECT doc_id,
+          ' ' || chr(9) || upper(substr(text, 1, 24)) || chr(13) || chr(10)
+            || text || '  ' || chr(10) || ' ' AS dt
+        FROM documents),
+      n AS (SELECT doc_id AS id, length(dt)::BIGINT AS n_raw,
+          trim(regexp_replace(lower(dt), '[\x00-\x20]+', ' ', 'g'))
+            AS text_norm
+        FROM dirty)
+      SELECT id, n_raw, length(text_norm)::BIGINT AS n_norm, text_norm,
+        (trim(regexp_replace(lower(text_norm), '[\x00-\x20]+', ' ', 'g'))
+          = text_norm) AS norm_stable
+      FROM n ORDER BY id"""))
+
   val all: Map[String, GQuery] = Map(
     "q151_triangle_count" -> q151,
     "q152_label_propagation" -> q152,
     "q153_cusum_changepoints" -> q153,
     "q154_rolling_zscore" -> q154,
     "q155_count_min_sketch" -> q155,
-    "q156_phrase_search" -> q156)
+    "q156_phrase_search" -> q156,
+    "q157_text_normalize" -> q157)
 }

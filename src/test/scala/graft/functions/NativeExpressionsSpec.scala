@@ -403,4 +403,31 @@ class NativeExpressionsSpec extends SparkSpec {
     assert(got("ababab") == Seq("abab", "ab"))
     assert(got("cdcd") == Seq("cd", "cd"))
   }
+
+  test("normalize_ascii_text: whitespace collapse, trim, case, passthrough") {
+    import spark.implicits._
+    val cases = Seq(
+      "" -> "",
+      " \t\r\n " -> "",                       // all-whitespace → empty
+      "ABC" -> "abc",
+      "  Hello\t\tWorld \r\n" -> "hello world",
+      "a\u0000b" -> "a b",               // NUL is C0 control -> space
+      "one  two\nthree" -> "one two three",
+      "ümlaut É ok" -> "ümlaut É ok",         // non-ASCII untouched (incl. case)
+      "x  y" -> "x y",
+      "already clean" -> "already clean")
+    val got = cases.map(_._1).toDF("t")
+      .select(col("t"), NativeExpressions.normalize_ascii_text(col("t")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    cases.foreach { case (in, want) =>
+      assert(got(in) == want, s"in=${in.map(_.toInt)} got=${got(in)}")
+    }
+    // null propagates, and the kernel is idempotent on its own output
+    val df = (cases.map(_._1) :+ (null: String)).toDF("t")
+      .select(NativeExpressions.normalize_ascii_text(col("t")).as("n"))
+    assert(df.filter(col("n").isNull).count() == 1)
+    assert(df.filter(col("n").isNotNull)
+      .filter(NativeExpressions.normalize_ascii_text(col("n")) =!= col("n"))
+      .count() == 0)
+  }
 }
