@@ -1,0 +1,251 @@
+package graft.scale
+
+import graft.SparkSpec
+import graft.core.{Tables => T}
+import org.apache.spark.sql.functions._
+
+/** Pins the round-10 analytics family (q151–q157) against hand-built
+  * fixtures and driver-side reference replays — the brute-force or
+  * recursive formulation each distributed plan must reproduce exactly
+  * (all outputs are integers or exact-IEEE quotients, so equality is
+  * bitwise, no tolerances).
+  */
+class AugmentSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---------------------------------------------------------------- q151
+
+  test("triangleStats: handcrafted two-triangle graph, dup/self edges ignored") {
+    // triangles (1,2,3) and (3,4,5), pendant 6 on 5; plus noise: a
+    // reversed duplicate, an exact duplicate, and a self-loop
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L),
+      (3L, 5L), (5L, 6L), (2L, 1L), (3L, 4L), (6L, 6L)).toDF("s", "t")
+    val got = Graph.triangleStats(edges, "s", "t")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got == Map(
+      1L -> ((2L, 1L, 1.0)), 2L -> ((2L, 1L, 1.0)),
+      3L -> ((4L, 2L, 2.0 * 2 / (4 * 3))), 4L -> ((2L, 1L, 1.0)),
+      5L -> ((3L, 1L, 2.0 * 1 / (3 * 2))), 6L -> ((1L, 0L, 0.0))))
+  }
+
+  test("triangleStats == brute-force ordered-triple enumeration on a random graph") {
+    val rnd = new scala.util.Random(151)
+    val raw = (1 to 400).map(_ => (rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+    val und = raw.collect { case (a, b) if a != b =>
+      (math.min(a, b), math.max(a, b)) }.distinct.toSet
+    val nodes = und.flatMap(e => Seq(e._1, e._2)).toSeq.sorted
+    val deg = nodes.map(n => n -> und.count(e => e._1 == n || e._2 == n)).toMap
+    val triPerNode = scala.collection.mutable.Map.empty[Long, Long]
+      .withDefaultValue(0L)
+    for (Seq(x, y, z) <- nodes.combinations(3)
+         if und((x, y)) && und((y, z)) && und((x, z))) {
+      triPerNode(x) += 1; triPerNode(y) += 1; triPerNode(z) += 1
+    }
+    val got = Graph.triangleStats(raw.toDF("s", "t"), "s", "t")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got.keySet == nodes.toSet)
+    nodes.foreach { n =>
+      val d = deg(n).toLong
+      val tr = triPerNode(n)
+      val lcc = if (d >= 2) 2.0 * tr / (d * (d - 1)) else 0.0
+      assert(got(n) == ((d, tr, lcc)), s"node $n")
+    }
+  }
+
+  // ---------------------------------------------------------------- q152
+
+  /** Driver-side synchronous LPA replay: same seed, same most-frequent /
+    * smallest-label tiebreak, same per-round simultaneous update.
+    */
+  private def lpaRef(und: Set[(Long, Long)], iters: Int): Map[Long, Long] = {
+    val adj = (und.toSeq ++ und.toSeq.map(e => (e._2, e._1)))
+      .groupMap(_._1)(_._2)
+    var lbl = adj.keys.map(n => n -> n).toMap
+    for (_ <- 1 to iters) {
+      lbl = adj.map { case (n, ms) =>
+        val counts = ms.groupBy(lbl).view.mapValues(_.size)
+        n -> counts.toSeq.minBy { case (l, c) => (-c, l) }._1
+      }
+    }
+    lbl
+  }
+
+  test("labelPropagation == driver-side synchronous replay (2 and 3 rounds)") {
+    val rnd = new scala.util.Random(152)
+    val raw = (1 to 300).map(_ => (rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))
+    val und = raw.collect { case (a, b) if a != b =>
+      (math.min(a, b), math.max(a, b)) }.toSet
+    for (iters <- Seq(2, 3)) {
+      val want = lpaRef(und, iters)
+      val got = Graph.labelPropagation(raw.toDF("s", "t"), "s", "t", iters)
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+        .toMap
+      assert(got.keySet == want.keySet)
+      val sizes = want.values.groupBy(identity).view.mapValues(_.size.toLong)
+      want.foreach { case (n, l) =>
+        assert(got(n) == ((l, sizes(l))), s"node $n iters $iters")
+      }
+    }
+  }
+
+  test("labelPropagation: two bridged cliques keep two communities") {
+    val clique = (ns: Seq[Long]) =>
+      for (a <- ns; b <- ns if a < b) yield (a, b)
+    val edges = (clique(Seq(1L, 2L, 3L, 4L)) ++
+      clique(Seq(10L, 11L, 12L, 13L)) :+ ((4L, 10L))).toDF("s", "t")
+    val got = Graph.labelPropagation(edges, "s", "t", iters = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Seq(1L, 2L, 3L).map(got).distinct.size == 1)
+    assert(Seq(11L, 12L, 13L).map(got).distinct.size == 1)
+    assert(got(1L) != got(11L))
+  }
+
+  // ---------------------------------------------------------------- q153
+
+  test("cusumChangepoints == recursive Page statistic, alarms only after the shift") {
+    // 30 flat points at 10.0 then 30 shifted to 10.6; target 10, slack
+    // 0.2 (in units of 1/100), threshold 200 units
+    val series = (0 until 30).map(i => (1L, i.toLong, 10.0)) ++
+      (30 until 60).map(i => (1L, i.toLong, 10.6)) ++
+      (0 until 40).map(i => (2L, i.toLong, 10.0 + 0.001 * (i % 3)))
+    val df = series.toDF("k", "i", "v")
+    val got = TimeSeries.cusumChangepoints(df, "k", Seq("i"), "v",
+        targetUnits = 1000L, slackUnits = 20L, thresholdUnits = 200L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(3), r.getLong(4), r.getBoolean(5))))
+      .toMap
+    // reference: the literal recursion on the same quantized units
+    series.groupBy(_._1).foreach { case (k, rows) =>
+      var s = 0L
+      rows.sortBy(_._2).foreach { case (_, i, v) =>
+        val u = math.floor(v * 100.0 + 0.5).toLong
+        s = math.max(0L, s + (u - 1000L - 20L))
+        assert(got((k, i)) == ((u, s, s > 200L)), s"k=$k i=$i")
+      }
+    }
+    // the shift key alarms, and only from some point after the shift on:
+    // drift is +40 units/step against a 200-unit threshold → first alarm
+    // at the 6th shifted point (i = 35)
+    val alarms = series.filter(_._1 == 1L).map(r => got((1L, r._2))._3)
+    assert(!alarms.take(35).exists(identity))
+    assert(alarms.drop(35).forall(identity))
+    assert(!series.filter(_._1 == 2L).exists(r => got((2L, r._2))._3))
+  }
+
+  // ---------------------------------------------------------------- q154
+
+  test("rollingZscoreAnomalies == integer inequality replay; spike flagged, baseline not") {
+    val vals = (0 until 40).map(i => if (i == 25) 9.0 else 1.0 + 0.01 * (i % 2))
+    val df = vals.zipWithIndex.map { case (v, i) => (7L, i.toLong, v) }
+      .toDF("k", "i", "v")
+    val got = TimeSeries.rollingZscoreAnomalies(df, "k", Seq("i"), "v",
+        window = 8, z = 3)
+      .collect().map(r => r.getLong(1) ->
+        ((r.getLong(3), r.getLong(4), r.getLong(5), r.getBoolean(6))))
+      .toMap
+    // only full windows score: rows 0..7 absent
+    assert(got.keySet == (8 until 40).map(_.toLong).toSet)
+    val units = vals.map(v => math.floor(v * 100.0 + 0.5).toLong)
+    (8 until 40).foreach { i =>
+      val frame = units.slice(i - 8, i)
+      val (n, sS, q) = (8L, frame.sum, frame.map(u => u * u).sum)
+      val u = units(i)
+      val lhs = (n * u - sS) * (n * u - sS) * (n - 1)
+      val rhs = 9L * n * (n * q - sS * sS)
+      assert(got(i.toLong) == ((u, lhs, rhs, lhs > rhs)), s"i=$i")
+    }
+    assert(got(25L)._4, "spike must flag")
+    assert((8 until 25).forall(i => !got(i.toLong)._4), "baseline must not flag")
+  }
+
+  // ---------------------------------------------------------------- q155
+
+  private def cmsRows(values: Seq[(String, String)]) =
+    values.toDF("g", "tok").select(col("g"),
+      explode(Dedup.portableTokenHashes(array(col("tok")))).as("h"))
+
+  test("cms: estimate >= exact always (one-sided), exact on sparse groups") {
+    val tokens = (0 until 2000).map(i => ("src", s"t${i % 97}")) ++
+      (0 until 50).map(i => ("sparse", s"u$i"))
+    val sk = Sketches.cmsSketch(cmsRows(tokens), "g", "h")
+    val probes = (0 until 97).map(i => s"t$i") ++ (0 until 50).map(i => s"u$i")
+    val est = sk.crossJoin(
+        probes.toDF("tok").select(col("tok"),
+          explode(Dedup.portableTokenHashes(array(col("tok")))).as("ph")))
+      .select(col("g"), col("tok"),
+        Sketches.cmsEstimateCol(col("counters"), col("ph")).as("e"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    val exact = tokens.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    probes.foreach { t =>
+      Seq("src", "sparse").foreach { g =>
+        val ex = exact.getOrElse((g, t), 0L)
+        assert(est((g, t)) >= ex, s"$g/$t est ${est((g, t))} < exact $ex")
+      }
+    }
+    // 50 distinct tokens over width-64 rows collide freely (p≈0.54 per
+    // row); the min over 4 rows brings all-row collision to ≈0.09 — the
+    // deterministic hashes land 8/50 overestimated, each by ≤ the εN
+    // guarantee (ε ≈ e/w). Pin both the count and the bound.
+    val sparseErr = (0 until 50).count(i => est(("sparse", s"u$i")) != 1L)
+    assert(sparseErr <= 10, s"CMS min-of-4 too loose: $sparseErr/50 off")
+    (0 until 50).foreach { i =>
+      assert(est(("sparse", s"u$i")) <= 1L + 3L, s"u$i over eps*N")
+    }
+  }
+
+  test("cms: merge of parity batches == whole-corpus sketch, counters bitwise") {
+    val tokens = (0 until 3000).map(i => (s"g${i % 3}", s"w${i % 211}"))
+    val (a, b) = tokens.zipWithIndex.partition(_._2 % 2 == 0)
+    val merged = Sketches.cmsMerge(
+        Sketches.cmsSketch(cmsRows(a.map(_._1)), "g", "h"),
+        Sketches.cmsSketch(cmsRows(b.map(_._1)), "g", "h"), "g")
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1).toSeq).toMap
+    val whole = Sketches.cmsSketch(cmsRows(tokens), "g", "h")
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1).toSeq).toMap
+    assert(merged == whole)
+    // total mass per group = inserted tokens × depth
+    merged.foreach { case (g, cs) =>
+      assert(cs.sum == tokens.count(_._1 == g).toLong * Sketches.CmsDepth)
+    }
+  }
+
+  // ---------------------------------------------------------------- q156
+
+  test("phraseSearch: occurrence counts incl. overlaps, case-fold, absent docs") {
+    val docs = Seq(
+      (1L, "a b a b a b"),        // "a b" x3
+      (2L, "A B a  b c"),         // case-fold + space run: "a b" x2, "a b a" x1
+      (3L, "a b a b a"),          // "a b a" overlapping x2
+      (4L, "b a c"),              // no match
+      (5L, "x y z x y z x y")     // "x y z" x2
+    ).toDF("doc_id", "text")
+    val got = Retrieval.phraseSearch(docs, "doc_id", "text",
+        Seq("a b", "a b a", "x y z"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    assert(got == Map(
+      ("a b", 1L) -> 3L, ("a b", 2L) -> 2L, ("a b", 3L) -> 2L,
+      ("a b a", 1L) -> 2L, ("a b a", 2L) -> 1L, ("a b a", 3L) -> 2L,
+      ("x y z", 5L) -> 2L))
+  }
+
+  // ---------------------------------------------------------------- q157
+
+  test("normalizeDocuments: idempotent, shrinking, and dirty→clean round trip") {
+    val clean = T.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text"))
+    val dirty = clean.select(col("doc_id"),
+      concat(lit("\t "), upper(col("text")), lit(" \r\n x  Y \n")).as("text"))
+    val out = Curation.normalizeDocuments(dirty, "doc_id", "text")
+    assert(out.filter(!col("norm_stable")).count() == 0)
+    assert(out.filter(col("n_norm") > col("n_raw")).count() == 0)
+    // the corpus ships canonical (lowercase, single-spaced, trimmed), so
+    // normalization must recover it exactly modulo the appended tail
+    val joined = out.join(clean, out("id") === clean("doc_id"))
+      .filter(col("text_norm") =!= concat(col("text"), lit(" x y")))
+    assert(joined.count() == 0)
+  }
+}
