@@ -109,7 +109,14 @@ object Explain {
       "q147_containment_pairs", // one-sided prefix join + sorted-merge verify
       "q148_bm25_index_lifecycle", // postings probe, no corpus text scan
       "q149_maxsim_rerank",    // candidate-bounded maxsim fold
-      "q150_mixture_epochs")   // stratum-stats broadcast + narrow epoch explode
+      "q150_mixture_epochs",   // stratum-stats broadcast + narrow epoch explode
+      "q151_triangle_count",   // degree-oriented wedge join, O(m^1.5) bound
+      "q152_label_propagation",// per-round label-diversity pre-collapse
+      "q153_cusum_changepoints", // one exchange+sort, two window passes
+      "q154_rolling_zscore",   // shared trailing frame, integer z-test
+      "q155_count_min_sketch", // x4 slot fan-out + 256-cell combine
+      "q156_phrase_search",    // vocab filter inside array, shared doc exchange
+      "q157_text_normalize")   // single codegen pass, zero exchange
 
     val sb = new StringBuilder
     sb.append("# EXPLAIN — flagship physical plans\n\n")
