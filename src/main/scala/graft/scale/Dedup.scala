@@ -967,6 +967,37 @@ object Dedup {
       .select(col("id").as(idCol)), idCol)
   }
 
+  /** Quality-aware survivorship: within every near-dup cluster keep the
+    * BEST document instead of [[dedupNearDups]]'s arbitrary min-id — the
+    * rule production dedup actually wants (the longest/cleanest variant of
+    * a template survives, not whichever crawled first). Survivor = max
+    * (n_tokens, then smallest id) per component; the rank rides ONE
+    * max-of-struct aggregate (id negated so struct max realizes the
+    * smallest-id tiebreak) joined back on the component key — no
+    * per-component window sort, so a pathological giant cluster costs a
+    * combinable aggregate cell, not a single-task sort (the q66 skew
+    * lesson). Swap `n_tokens` for any integer quality rank by pre-scoring.
+    *
+    * Returns (id, component, n_tokens, csize, is_survivor) for every doc;
+    * exactly one survivor per component (singletons survive trivially).
+    */
+  def nearDupSurvivorship(docs: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int = 3, numPerm: Int = 64, bands: Int = 16,
+      threshold: Double = 0.6, maxBucket: Int = 1024): DataFrame = {
+    val clusters = nearDupClusters(docs, idCol, textCol, shingleSize, numPerm,
+      bands, threshold, maxBucket)
+    val scored = clusters.join(
+      docs.select(col(idCol).as("id"),
+        TextOps.tokenCount(col(textCol)).cast("long").as("n_tokens")), "id")
+    val best = scored.groupBy(col("component").as("__c"))
+      .agg(count(lit(1)).as("csize"),
+        max(struct(col("n_tokens"), (-col("id")).as("__nid"))).as("__b"))
+      .select(col("__c"), col("csize"), (-col("__b.__nid")).as("__bid"))
+    scored.join(best, col("component") === col("__c"))
+      .select(col("id"), col("component"), col("n_tokens"), col("csize"),
+        (col("id") === col("__bid")).as("is_survivor"))
+  }
+
   /** Leakage-safe train/eval split: every near-dup CLUSTER lands wholly on
     * one side, because the split hashes the cluster representative
     * (component minimum id), not the document. A plain per-document split

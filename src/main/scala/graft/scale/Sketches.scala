@@ -210,4 +210,114 @@ object Sketches {
       zip_with(counters, sequence(lit(1L), lit((CmsDepth * CmsWidth).toLong)),
         (c, i) => c * i),
       lit(0L), (acc, x) => acc + x)
+
+  // --------------------------------------------------------------------
+  // Mergeable fixed-bin histogram — the QUANTILE member of the sketch
+  // family (HLL = cardinality, CMS = frequency, this = distribution).
+  // The exact-quantile operator (q102) re-scans to refine; this is its
+  // steady-state sibling: one pass per batch, counters merge by
+  // element-wise SUM, and any quantile answers from the persisted table
+  // with error ≤ one bin width — the right trade for drift dashboards
+  // over 100 TB. All arithmetic is int64 on pre-quantized units (the
+  // q153 convention), so build, merge, rank walk, and the estimate all
+  // replay exactly in integer SQL.
+  //
+  // Layout: counters[0] = underflow (u < lo), counters[1..bins] =
+  // equal-width interior cells over [lo, hi), counters[bins+1] =
+  // overflow (u ≥ hi). Estimate for rank r = the LOWER BOUND in units
+  // of the first cell whose cumulative count reaches r (lo/hi for the
+  // outer cells) — a total, engine-portable rule with no interpolation
+  // float.
+  // --------------------------------------------------------------------
+
+  /** Length-agnostic counter fingerprint Σ (slot+1)·count — the
+    * [[cmsFingerprint]] checksum for any counter-array sketch.
+    */
+  def counterFingerprint(counters: Column): Column =
+    aggregate(
+      zip_with(counters, sequence(lit(1L), size(counters).cast("long")),
+        (c, i) => c * i),
+      lit(0L), (acc, x) => acc + x)
+
+  /** Exact long division of a NON-NEGATIVE long column by a positive
+    * constant: Column./ is ALWAYS double division in Spark, which would
+    * leak fractional slot keys into the sketch maps — subtract the
+    * remainder first so the double divide is of an exact multiple
+    * (exact for a < 2^53, far past any quantized-unit domain).
+    */
+  private def ldiv(a: Column, b: Long): Column =
+    ((a - pmod(a, lit(b))) / b).cast("long")
+
+  /** Slot index of unit-value column `u` for a [lo, hi) × bins layout.
+    * Shared by build and oracle generation (the cmsSlot pattern): slot 0
+    * underflow, 1..bins interior by integer division, bins+1 overflow.
+    */
+  def histSlot(u: Column, loUnits: Long, hiUnits: Long, bins: Int): Column = {
+    require(bins >= 1 && hiUnits > loUnits, "need hi > lo and bins >= 1")
+    require((hiUnits - loUnits) % bins == 0,
+      s"bin width must be integral: ($hiUnits - $loUnits) % $bins != 0")
+    val w = (hiUnits - loUnits) / bins
+    when(u < loUnits, lit(0L))
+      .when(u >= hiUnits, lit((bins + 1).toLong))
+      .otherwise(ldiv(u - loUnits, w) + 1L)
+  }
+
+  /** Build the per-group histogram from (group, unitValue) rows:
+    * (groupCol, counters array<long>[bins+2]). One narrow slot
+    * projection + one map-side-combined (group, slot) count + one
+    * ≤ bins+2-row collapse per group — the CMS build shape.
+    */
+  def histSketch(rows: DataFrame, groupCol: String, unitCol: String,
+      loUnits: Long, hiUnits: Long, bins: Int): DataFrame =
+    rows.select(col(groupCol),
+        histSlot(col(unitCol), loUnits, hiUnits, bins).as("__slot"))
+      .groupBy(col(groupCol), col("__slot"))
+      .agg(count(lit(1)).as("__c"))
+      .groupBy(col(groupCol))
+      .agg(map_from_entries(collect_list(struct(col("__slot"), col("__c"))))
+        .as("__m"))
+      .select(col(groupCol),
+        transform(sequence(lit(0L), lit((bins + 1).toLong)),
+          s => coalesce(element_at(col("__m"), s), lit(0L))).as("counters"))
+
+  /** Merge two histogram tables: full-outer on the group, element-wise
+    * SUM — exactly additive, so merge(hist(A), hist(B)) ≡ hist(A ⊎ B)
+    * bit for bit (same contract and caveat as [[cmsMerge]]: additive
+    * sketches need exactly-once transport; idempotent ones don't).
+    */
+  def histMerge(a: DataFrame, b: DataFrame, groupCol: String): DataFrame =
+    cmsMerge(a, b, groupCol)
+
+  /** Quantile estimate at exact rational q = num/den over a `counters`
+    * array: the unit-value lower bound of the cell where the cumulative
+    * count first reaches ceil(q·N) (lo for underflow, hi for overflow —
+    * the sketch cannot resolve inside the outer cells). Pure int64: the
+    * rank is (N·num + den − 1) div den; the walk is a pinned fold over
+    * the ≤ bins+2 cells. Error vs the exact quantile is ≤ one bin width
+    * for in-range data (spec-asserted), 0 extra cost per query — the
+    * counters are already in memory.
+    */
+  def histQuantileCol(counters: Column, num: Int, den: Int,
+      loUnits: Long, hiUnits: Long, bins: Int): Column = {
+    require(num >= 1 && num <= den, s"quantile $num/$den outside (0, 1]")
+    val w = (hiUnits - loUnits) / bins
+    val n = aggregate(counters, lit(0L), (acc, x) => acc + x)
+    val rank = ldiv(n * num + (den - 1), den)
+    // fold state: struct(cum, ans) — ans latches the first reaching cell
+    val walked = aggregate(
+      zip_with(counters, sequence(lit(0L), lit((bins + 1).toLong)),
+        (c, i) => struct(c.as("c"), i.as("i"))),
+      struct(lit(0L).as("cum"), lit(null).cast("long").as("ans")),
+      (st, cell) => {
+        val cum = st.getField("cum") + cell.getField("c")
+        val bound = when(cell.getField("i") === 0L, lit(loUnits))
+          .when(cell.getField("i") === (bins + 1).toLong, lit(hiUnits))
+          .otherwise(lit(loUnits) + (cell.getField("i") - 1L) * w)
+        struct(cum.as("cum"),
+          when(st.getField("ans").isNotNull, st.getField("ans"))
+            .when(cum >= rank, bound).otherwise(lit(null).cast("long"))
+            .as("ans"))
+      })
+    walked.getField("ans")
+  }
 }

@@ -2,6 +2,7 @@ package graft.suite
 
 import org.apache.spark.sql.functions._
 import graft.core.{GQuery, Tables => T}
+import graft.scale.Sketches
 
 /** Round-10 analytics breadth: degree-oriented triangle counting (q151),
   * synchronous label propagation (q152), integer-exact CUSUM changepoint
@@ -334,6 +335,105 @@ object AugmentQueries {
           = text_norm) AS norm_stable
       FROM n ORDER BY id"""))
 
+  /** Quality-aware near-dup survivorship
+    * ([[graft.scale.Dedup.nearDupSurvivorship]]): q41's certified
+    * clusters, then ONE max-of-struct aggregate picks the (most tokens,
+    * smallest id) survivor per component — no per-component window sort.
+    * The oracle resolves exact components with the shared recursive CTE
+    * and ranks with a window, so a hash-match certifies cluster recall
+    * AND the survivor rule on every doc.
+    */
+  private val q158 = GQuery(
+    (s, d) => graft.scale.Dedup
+      .nearDupSurvivorship(T.documents(s, d), "doc_id", "text",
+        shingleSize = 3, numPerm = 64, bands = 16, threshold = 0.8)
+      .orderBy(col("id")),
+    Some(s"""${ScaleQueries.clustersCteSql},
+      comp AS (SELECT id, MIN(comp) AS component FROM reach GROUP BY id),
+      tc AS (SELECT doc_id AS id,
+          len(list_filter(string_split_regex(text, '\\s+'),
+            x -> len(x) > 0))::BIGINT AS n_tokens
+        FROM documents),
+      j AS (SELECT comp.id, comp.component, tc.n_tokens
+        FROM comp JOIN tc USING (id)),
+      r AS (SELECT id, component, n_tokens,
+          COUNT(*) OVER (PARTITION BY component)::BIGINT AS csize,
+          ROW_NUMBER() OVER (PARTITION BY component
+            ORDER BY n_tokens DESC, id ASC) AS rn
+        FROM j)
+      SELECT id, component, n_tokens, csize, (rn = 1) AS is_survivor
+      FROM r ORDER BY id"""))
+
+  /** Histogram-sketch layout for q159: events.value ∈ [0.01, ~490]
+    * quantized ×100, 96 interior 500-unit cells over [0, 48000) plus
+    * under/overflow.
+    */
+  private val HLo = 0L
+  private val HHi = 48000L
+  private val HBins = 96
+
+  private def histRankSql(num: Int, den: Int): String =
+    s"MIN(CASE WHEN cum >= (n * $num + ${den - 1}) // $den THEN bound END)"
+
+  /** Mergeable histogram quantile sketch
+    * ([[graft.scale.Sketches.histSketch]]/`histMerge`/`histQuantileCol`):
+    * the distribution member of the sketch family — parity batches
+    * sketched independently, merged by element-wise sum, then p50/p90/p99
+    * answered by an integer rank walk. The oracle rebuilds the counters
+    * from the whole stream in one pass and replays the same rank
+    * arithmetic, so a hash-match certifies merge ≡ whole-build AND every
+    * estimate, plus the counter checksum.
+    */
+  private val q159 = GQuery(
+    (s, d) => {
+      val ev = T.events(s, d).select(col("event_type"),
+        floor(col("value") * 100d + 0.5d).cast("long").as("u"),
+        (col("event_id") % 2 === 0).as("__even"))
+      val a = Sketches.histSketch(ev.filter(col("__even")),
+        "event_type", "u", HLo, HHi, HBins)
+      val b = Sketches.histSketch(ev.filter(!col("__even")),
+        "event_type", "u", HLo, HHi, HBins)
+      Sketches.histMerge(a, b, "event_type")
+        .select(col("event_type"),
+          aggregate(col("counters"), lit(0L), (acc, x) => acc + x).as("n"),
+          Sketches.histQuantileCol(col("counters"), 1, 2, HLo, HHi, HBins)
+            .as("p50_units"),
+          Sketches.histQuantileCol(col("counters"), 9, 10, HLo, HHi, HBins)
+            .as("p90_units"),
+          Sketches.histQuantileCol(col("counters"), 99, 100, HLo, HHi, HBins)
+            .as("p99_units"),
+          Sketches.counterFingerprint(col("counters")).as("hist_fp"))
+        .orderBy(col("event_type"))
+    },
+    Some(s"""WITH u AS (SELECT event_type,
+          CAST(floor(value * 100 + 0.5) AS BIGINT) AS u FROM events),
+      sl AS (SELECT event_type,
+          CASE WHEN u < $HLo THEN 0
+               WHEN u >= $HHi THEN ${HBins + 1}
+               ELSE (u - $HLo) // ${(HHi - HLo) / HBins} + 1 END AS slot
+        FROM u),
+      cnt AS (SELECT event_type, slot, COUNT(*)::BIGINT AS c
+        FROM sl GROUP BY event_type, slot),
+      grid AS (SELECT g.event_type, gs.slot
+        FROM (SELECT DISTINCT event_type FROM u) g
+        CROSS JOIN (SELECT unnest(range(0, ${HBins + 2})) AS slot) gs),
+      regs AS (SELECT grid.event_type, grid.slot, COALESCE(cnt.c, 0) AS c
+        FROM grid LEFT JOIN cnt
+        ON grid.event_type = cnt.event_type AND grid.slot = cnt.slot),
+      cum AS (SELECT event_type, slot, c,
+          SUM(c) OVER (PARTITION BY event_type ORDER BY slot)::BIGINT AS cum,
+          SUM(c) OVER (PARTITION BY event_type)::BIGINT AS n,
+          CASE WHEN slot = 0 THEN $HLo
+               WHEN slot = ${HBins + 1} THEN $HHi
+               ELSE $HLo + (slot - 1) * ${(HHi - HLo) / HBins} END AS bound
+        FROM regs)
+      SELECT event_type, MAX(n) AS n,
+        ${histRankSql(1, 2)} AS p50_units,
+        ${histRankSql(9, 10)} AS p90_units,
+        ${histRankSql(99, 100)} AS p99_units,
+        CAST(SUM((slot + 1) * c) AS BIGINT) AS hist_fp
+      FROM cum GROUP BY event_type ORDER BY event_type"""))
+
   val all: Map[String, GQuery] = Map(
     "q151_triangle_count" -> q151,
     "q152_label_propagation" -> q152,
@@ -341,5 +441,7 @@ object AugmentQueries {
     "q154_rolling_zscore" -> q154,
     "q155_count_min_sketch" -> q155,
     "q156_phrase_search" -> q156,
-    "q157_text_normalize" -> q157)
+    "q157_text_normalize" -> q157,
+    "q158_near_dup_survivorship" -> q158,
+    "q159_histogram_quantile_sketch" -> q159)
 }

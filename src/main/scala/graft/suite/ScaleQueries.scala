@@ -390,7 +390,7 @@ object ScaleQueries {
   /** Exact near-dup components as a recursive CTE — shared by the q41 and
     * q46 oracles (the ground truth both compare against).
     */
-  private val clustersCteSql = """WITH RECURSIVE toks AS (
+  private[suite] val clustersCteSql = """WITH RECURSIVE toks AS (
         SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS t
         FROM documents),
       sh AS (

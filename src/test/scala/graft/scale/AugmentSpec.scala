@@ -232,6 +232,29 @@ class AugmentSpec extends SparkSpec {
       ("x y z", 5L) -> 2L))
   }
 
+  // ---------------------------------------------------------------- q158
+
+  test("nearDupSurvivorship: longest doc survives (not min id), singletons survive") {
+    val base = (1 to 20).map(i => s"tok$i").mkString(" ")
+    val docs = Seq(
+      (1L, base),                       // near-dup of 2, shorter
+      (2L, base + " extra tail words"), // same cluster, longest → survivor
+      (3L, "completely different content here nothing shared at all")
+    ).toDF("doc_id", "text")
+    val got = Dedup.nearDupSurvivorship(docs, "doc_id", "text",
+        threshold = 0.8)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
+    assert(got(1L) == ((1L, 20L, 2L, false)))
+    assert(got(2L) == ((1L, 23L, 2L, true)), "longer doc must beat min id")
+    assert(got(3L)._3 == 1L && got(3L)._4, "singleton survives")
+    // tie on n_tokens → smallest id wins
+    val tied = Seq((5L, base), (4L, base)).toDF("doc_id", "text")
+    val t = Dedup.nearDupSurvivorship(tied, "doc_id", "text", threshold = 0.8)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(4)).toMap
+    assert(t == Map(4L -> true, 5L -> false))
+  }
+
   // ---------------------------------------------------------------- q157
 
   test("normalizeDocuments: idempotent, shrinking, and dirty→clean round trip") {

@@ -64,4 +64,63 @@ class SketchesSpec extends SparkSpec {
     assert(regsOf(Sketches.hllSketch(once, "g", "h")) ===
       regsOf(Sketches.hllSketch(thrice, "g", "h")))
   }
+
+  // ------------------------------------------------------ histogram sketch
+
+  import spark.implicits._
+
+  private def histOf(df: DataFrame): Map[String, Seq[Long]] =
+    df.collect().map(r => r.getString(0) -> r.getSeq[Long](1).toSeq).toMap
+
+  test("hist: counters == driver-side binning, incl. under/overflow cells") {
+    // [0, 100) x 10 bins of width 10; values at every boundary + outliers
+    val vals = Seq(-5L, 0L, 9L, 10L, 15L, 99L, 100L, 250L, 55L, 55L)
+    val got = histOf(Sketches.histSketch(
+      vals.map(("g", _)).toDF("g", "u"), "g", "u", 0L, 100L, 10))("g")
+    val want = Array.fill(12)(0L)
+    vals.foreach { u =>
+      val slot = if (u < 0) 0 else if (u >= 100) 11 else (u / 10 + 1).toInt
+      want(slot) += 1
+    }
+    assert(got == want.toSeq)
+  }
+
+  test("hist: merge of parity batches == whole build, counters bitwise") {
+    val rnd = new scala.util.Random(159)
+    val all = (0 until 5000).map(i => (s"g${i % 3}", rnd.nextInt(1200).toLong - 100L))
+    val (a, b) = all.zipWithIndex.partition(_._2 % 2 == 0)
+    val mk = (xs: Seq[(String, Long)]) =>
+      Sketches.histSketch(xs.toDF("g", "u"), "g", "u", 0L, 1000L, 50)
+    val merged = histOf(Sketches.histMerge(mk(a.map(_._1)), mk(b.map(_._1)), "g"))
+    assert(merged == histOf(mk(all)))
+    merged.foreach { case (g, cs) => assert(cs.sum == all.count(_._1 == g)) }
+  }
+
+  test("hist: quantile estimate within one bin width of the exact quantile") {
+    val rnd = new scala.util.Random(42)
+    val vals = (0 until 4000).map(_ => rnd.nextInt(1000).toLong)
+    val sk = Sketches.histSketch(vals.map(("g", _)).toDF("g", "u"),
+      "g", "u", 0L, 1000L, 50)
+    val sorted = vals.sorted
+    for ((num, den) <- Seq((1, 2), (9, 10), (99, 100), (1, 100))) {
+      val est = sk.select(Sketches.histQuantileCol(col("counters"),
+          num, den, 0L, 1000L, 50).as("q"))
+        .collect().head.getLong(0)
+      val rank = (vals.size.toLong * num + den - 1) / den
+      val exact = sorted((rank - 1).toInt)
+      assert(est <= exact && exact < est + 20,
+        s"q=$num/$den est=$est exact=$exact")
+    }
+  }
+
+  test("hist: out-of-range mass resolves to the lo/hi boundaries") {
+    val vals = Seq.fill(10)(-50L) ++ Seq.fill(10)(5000L)
+    val sk = Sketches.histSketch(vals.map(("g", _)).toDF("g", "u"),
+      "g", "u", 0L, 1000L, 10)
+    val got = sk.select(
+        Sketches.histQuantileCol(col("counters"), 1, 4, 0L, 1000L, 10).as("lo"),
+        Sketches.histQuantileCol(col("counters"), 3, 4, 0L, 1000L, 10).as("hi"))
+      .collect().head
+    assert(got.getLong(0) == 0L && got.getLong(1) == 1000L)
+  }
 }
