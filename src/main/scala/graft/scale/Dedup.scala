@@ -1375,6 +1375,72 @@ object Dedup {
           col("n_grams").cast("double"), 6).as("dup_ratio"))
   }
 
+  /** The APPLY step of [[duplicateSpans]] (Lee et al.'s ExactSubstr
+    * removal): excise every stride-sampled gram whose hash occurs more
+    * than once in the corpus, with overlapping/touching gram intervals
+    * merged into maximal spans, and return the cleaned text. This is the
+    * operator a dedup pipeline actually runs after the q91 signal — the
+    * duplicated boilerplate is cut out, the unique prose survives.
+    *
+    * Scale shape: identical to the detector up to the join-back — the
+    * gram stream freezes through ONE hash shuffle, counts are map-side
+    * combined, and only DUPLICATED gram start positions (ints) travel to
+    * the per-doc collect. The excision itself is a single narrow fold
+    * per document: starts are sorted, gram ends are monotone (equal
+    * lengths), so merged-interval cutting is one left-to-right pass —
+    * kept segments concatenate into the output buffer, `pos` rides the
+    * running island end. Text shuffles exactly once (the doc-keyed left
+    * join), never through the gram exchange.
+    *
+    * Returns (doc_id, n_spans_removed, n_chars_removed, text_clean) for
+    * EVERY document (clean docs pass through with 0/0). A short doc
+    * duplicated in full (its single whole-doc gram shared) cleans to "".
+    */
+  def removeDuplicateSpans(docs: DataFrame, idCol: String, textCol: String,
+      gramChars: Int = 40, stride: Int = 10): DataFrame = {
+    require(gramChars > 0 && stride > 0,
+      s"need positive gramChars/stride: $gramChars/$stride")
+    val g = gramChars
+    val starts = sequence(lit(1),
+      greatest(length(col(textCol)) - g + 1, lit(1)), lit(stride))
+    val grams = sharedShuffle(docs
+      .select(col(idCol).as("doc_id"), explode(starts).as("__s"),
+        col(textCol))
+      .select(col("doc_id"), col("__s"),
+        md5(substring(col(textCol), col("__s"), lit(g))
+          .cast("binary")).as("__h")), col("__h"))
+    val counts = grams.groupBy(col("__h")).agg(count(lit(1)).as("__n"))
+    val dupStarts = grams.join(counts, "__h")
+      .filter(col("__n") > 1L)
+      .groupBy(col("doc_id"))
+      .agg(array_sort(collect_list(col("__s"))).as("__ds"))
+    docs.select(col(idCol).as("doc_id"), col(textCol).as("__text"))
+      .join(dupStarts, Seq("doc_id"), "left")
+      .withColumn("__ds", coalesce(col("__ds"), array().cast("array<int>")))
+      .withColumn("__st", aggregate(col("__ds"),
+        struct(lit("").as("acc"), lit(1).as("pos"), lit(0L).as("k")),
+        (st, s) => struct(
+          when(s > st.getField("pos"),
+            concat(st.getField("acc"), col("__text")
+              .substr(st.getField("pos"), s - st.getField("pos"))))
+            .otherwise(st.getField("acc")).as("acc"),
+          (s + g).as("pos"),
+          // a new island opens on the very first dup gram, and whenever a
+          // gap precedes this one; s <= pos extends the current island
+          (st.getField("k") + when(st.getField("k") === 0L || s > st.getField("pos"), 1L)
+            .otherwise(0L)).as("k"))))
+      .select(col("doc_id"),
+        col("__st.k").as("n_spans_removed"),
+        concat(col("__st.acc"), col("__text").substr(col("__st.pos"),
+          greatest(length(col("__text")) - col("__st.pos") + 1, lit(0))))
+          .as("text_clean"),
+        col("__text"))
+      .select(col("doc_id"), col("n_spans_removed"),
+        (length(col("__text")) - length(col("text_clean"))).cast("long")
+          .as("n_chars_removed"),
+        col("text_clean"))
+  }
+
   /** SimHash 64-bit fingerprint over a token array: per-bit vote of token
     * hashes, sign → bit. Near-dups have small Hamming distance.
     * Reference formulation — prefer [[simhashNative]] on hot paths.

@@ -365,6 +365,49 @@ object TextOps {
         i => concat_ws(" ", element_at(toks, i - 1), element_at(toks, i))))
       .otherwise(array().cast("array<string>"))
 
+  /** PMI collocation mining — the phrase/multi-word-expression detector
+    * ("new york", "machine learning") a tokenizer-prep or phrase-index
+    * pass runs over a corpus: for every adjacent token pair with
+    * n_pair ≥ `minCount`, PMI = ln(n_pair·N / (n_head·n_tail)) over the
+    * bigram stream's own marginals (head = count as first word, tail =
+    * count as second — the standard collocation formulation), returning
+    * the top `topN` by (pmi desc, pair asc).
+    *
+    * Scale shape: the bigram stream is frozen through ONE shuffle
+    * ([[graft.scale.Dedup.sharedShuffle]]) and feeds all four consumers
+    * (pair counts, head marginals, tail marginals, total) — the corpus
+    * text is scanned and tokenized once. Every aggregate is map-side
+    * combinable on Zipf-collapsed keys; the N total is a broadcast
+    * 1-row frame; the final cut is TakeOrdered (per-partition heaps),
+    * never a global sort. The PMI ratio is evaluated in doubles with a
+    * FIXED expression shape ((n_pair·N)/(n_head·n_tail), then ln, then
+    * round 6) so both engines walk identical IEEE ops — counts first
+    * exceed 2^53 only past ~10^15 bigrams, far beyond one corpus.
+    */
+  def collocationPmi(docs: org.apache.spark.sql.DataFrame, textCol: String,
+      minCount: Long = 5L, topN: Int = 100): org.apache.spark.sql.DataFrame = {
+    val bi = Dedup.sharedShuffle(
+      docs.select(explode(bigrams(tokens(col(textCol)))).as("bigram"))
+        .withColumn("w1", split(col("bigram"), " ", 2).getItem(0))
+        .withColumn("w2", split(col("bigram"), " ", 2).getItem(1)),
+      col("bigram"))
+    val cb = bi.groupBy(col("bigram"), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("n_pair"))
+    val ch = bi.groupBy(col("w1")).agg(count(lit(1)).as("n_head"))
+    val ct = bi.groupBy(col("w2")).agg(count(lit(1)).as("n_tail"))
+    val n = bi.agg(count(lit(1)).as("n_total"))
+    cb.filter(col("n_pair") >= minCount)
+      .join(ch, "w1").join(ct, "w2").crossJoin(broadcast(n))
+      .select(col("w1"), col("w2"), col("n_pair"), col("n_head"),
+        col("n_tail"),
+        round(log(
+          (col("n_pair").cast("double") * col("n_total").cast("double")) /
+            (col("n_head").cast("double") * col("n_tail").cast("double"))),
+          6).as("pmi"))
+      .orderBy(col("pmi").desc, col("w1"), col("w2"))
+      .limit(topN)
+  }
+
   /** Distinct-n diversity per group: distinct unigrams / total unigrams
     * and distinct bigrams / total bigrams — the corpus-health metric that
     * flags template farms and model-generated spam (low distinct-n) per

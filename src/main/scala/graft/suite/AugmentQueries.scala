@@ -434,6 +434,87 @@ object AugmentQueries {
         CAST(SUM((slot + 1) * c) AS BIGINT) AS hist_fp
       FROM cum GROUP BY event_type ORDER BY event_type"""))
 
+  /** PMI collocation mining ([[graft.scale.TextOps.collocationPmi]]):
+    * bigram-marginal pointwise mutual information over one frozen bigram
+    * shuffle, top-50 by (pmi desc, pair). The oracle replays counts,
+    * marginals, and the exact IEEE expression shape (products → divide →
+    * ln → round 6), so the hash-match certifies the ranking cut too.
+    */
+  private val q160 = GQuery(
+    (s, d) => graft.scale.TextOps
+      .collocationPmi(T.documents(s, d), "text", minCount = 5L, topN = 50)
+      .orderBy(col("pmi").desc, col("w1"), col("w2")),
+    Some("""WITH toks AS (
+        SELECT doc_id, list_filter(string_split_regex(text, '\s+'),
+          x -> len(x) > 0) AS t
+        FROM documents),
+      b2 AS (
+        SELECT bigram, string_split(bigram, ' ')[1] AS w1,
+          string_split(bigram, ' ')[2] AS w2
+        FROM (SELECT unnest(list_transform(range(2, len(t) + 1),
+            i -> t[i-1] || ' ' || t[i])) AS bigram
+          FROM toks)),
+      cb AS (SELECT bigram, w1, w2, COUNT(*)::BIGINT AS n_pair
+        FROM b2 GROUP BY bigram, w1, w2),
+      ch AS (SELECT w1, COUNT(*)::BIGINT AS n_head FROM b2 GROUP BY w1),
+      ct AS (SELECT w2, COUNT(*)::BIGINT AS n_tail FROM b2 GROUP BY w2),
+      n AS (SELECT COUNT(*)::BIGINT AS n_total FROM b2)
+      SELECT w1, w2, n_pair, n_head, n_tail,
+        ROUND(ln((n_pair::DOUBLE * n_total::DOUBLE)
+          / (n_head::DOUBLE * n_tail::DOUBLE)), 6) AS pmi
+      FROM cb JOIN ch USING (w1) JOIN ct USING (w2) CROSS JOIN n
+      WHERE n_pair >= 5
+      ORDER BY pmi DESC, w1, w2 LIMIT 50"""))
+
+  /** Duplicate-span REMOVAL ([[graft.scale.Dedup.removeDuplicateSpans]]):
+    * q91's ExactSubstr signal applied — duplicated 40-char grams (stride
+    * 10) excised as merged maximal spans. The oracle resolves the same
+    * dup-gram set (md5 parity with q91), merges islands by the
+    * gaps-and-islands window pattern, and reassembles the kept text with
+    * an ordered string_agg — so the hash-match certifies the exact
+    * character-level excision, not just the counts.
+    */
+  private val q161 = GQuery(
+    (s, d) => graft.scale.Dedup
+      .removeDuplicateSpans(T.documents(s, d), "doc_id", "text",
+        gramChars = 40, stride = 10)
+      .orderBy(col("doc_id")),
+    Some("""WITH st AS (
+        SELECT doc_id, text,
+          unnest(range(1, greatest(len(text) - 40 + 1, 1) + 1, 10)) AS s
+        FROM documents),
+      gr AS (SELECT doc_id, s, md5(substr(text, s, 40)) AS h FROM st),
+      c AS (SELECT h, COUNT(*)::BIGINT AS n FROM gr GROUP BY h),
+      dup AS (SELECT doc_id, s FROM gr JOIN c USING (h) WHERE c.n > 1),
+      mk AS (SELECT doc_id, s,
+          CASE WHEN LAG(s) OVER w IS NULL OR s > LAG(s) OVER w + 40
+            THEN 1 ELSE 0 END AS brk
+        FROM dup WINDOW w AS (PARTITION BY doc_id ORDER BY s)),
+      isl AS (SELECT doc_id,
+          SUM(brk) OVER (PARTITION BY doc_id ORDER BY s) AS island, s
+        FROM mk),
+      ib AS (SELECT doc_id, island, MIN(s) AS ib, MAX(s) + 40 AS ie
+        FROM isl GROUP BY doc_id, island),
+      seg AS (SELECT doc_id,
+          COALESCE(LAG(ie) OVER (PARTITION BY doc_id ORDER BY ib), 1) AS kb,
+          ib AS ke FROM ib),
+      mid AS (SELECT seg.doc_id,
+          string_agg(substr(d.text, kb, ke - kb), '' ORDER BY kb) AS m
+        FROM seg JOIN documents d USING (doc_id) GROUP BY seg.doc_id),
+      tl AS (SELECT doc_id, COUNT(*)::BIGINT AS n_spans, MAX(ie) AS te
+        FROM ib GROUP BY doc_id),
+      res AS (SELECT d.doc_id,
+          COALESCE(tl.n_spans, 0)::BIGINT AS n_spans_removed,
+          COALESCE(mid.m, '') ||
+            CASE WHEN tl.te IS NULL THEN d.text
+                 ELSE substr(d.text, tl.te::INT) END AS text_clean,
+          d.text
+        FROM documents d LEFT JOIN tl USING (doc_id)
+        LEFT JOIN mid ON mid.doc_id = d.doc_id)
+      SELECT doc_id, n_spans_removed,
+        (len(text) - len(text_clean))::BIGINT AS n_chars_removed, text_clean
+      FROM res ORDER BY doc_id"""))
+
   val all: Map[String, GQuery] = Map(
     "q151_triangle_count" -> q151,
     "q152_label_propagation" -> q152,
@@ -443,5 +524,7 @@ object AugmentQueries {
     "q156_phrase_search" -> q156,
     "q157_text_normalize" -> q157,
     "q158_near_dup_survivorship" -> q158,
-    "q159_histogram_quantile_sketch" -> q159)
+    "q159_histogram_quantile_sketch" -> q159,
+    "q160_pmi_collocations" -> q160,
+    "q161_dup_span_removal" -> q161)
 }

@@ -255,6 +255,94 @@ class AugmentSpec extends SparkSpec {
     assert(t == Map(4L -> true, 5L -> false))
   }
 
+  // ---------------------------------------------------------------- q160
+
+  test("collocationPmi: bound phrase tops the ranking, marginals exact") {
+    // "new york" always collocated; "the" promiscuous (low PMI)
+    val docs = Seq.fill(6)("the city of new york is the place in new york") ++
+      Seq("the a b", "the b a", "the a a", "the b b")
+    val got = TextOps.collocationPmi(docs.zipWithIndex.map(_.swap)
+        .toDF("id", "text"), "text", minCount = 2L, topN = 10)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))))
+    val m = got.toMap
+    // output is (pmi desc, w1, w2)-sorted
+    val keys = got.toSeq.map { case ((a, b), (_, _, _, p)) => (-p, a, b) }
+    assert(keys == keys.sorted, "ranking order violated")
+    val (np, nh, nt, pmi) = m(("new", "york"))
+    assert(np == 12L && nh == 12L && nt == 12L)
+    // replay the exact rounding: ln(np*N/(nh*nt)) at N = total bigrams
+    val nTotal = docs.map(_.split("\\s+").count(_.nonEmpty) - 1).sum.toLong
+    val want = java.math.BigDecimal.valueOf(
+      math.log(np.toDouble * nTotal / (nh.toDouble * nt.toDouble)))
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    assert(pmi == want)
+    // the promiscuous head scores below the bound phrase
+    assert(m(("the", "a"))._4 < pmi, "promiscuous pair must score lower")
+    assert(m.values.forall(_._1 >= 2L), "minCount filter")
+  }
+
+  // ---------------------------------------------------------------- q161
+
+  /** Driver-side ExactSubstr-removal replay: same stride grams, same
+    * corpus-wide dup rule, same merged-interval excision.
+    */
+  private def removeRef(docs: Seq[(Long, String)], g: Int,
+      stride: Int): Map[Long, (Long, Long, String)] = {
+    def grams(t: String) =
+      (0 to math.max(t.length - g, 0) by stride).map(p => (p, t.slice(p, p + g)))
+    val counts = docs.flatMap { case (_, t) => grams(t).map(_._2) }
+      .groupBy(identity).view.mapValues(_.size)
+    docs.map { case (id, t) =>
+      val dup = grams(t).collect { case (p, s) if counts(s) > 1 => p }
+      var (pos, k) = (0, 0L)
+      val sb = new StringBuilder
+      dup.foreach { s =>
+        if (s > pos) sb.append(t.slice(pos, s))
+        if (k == 0 || s > pos) k += 1
+        pos = s + g
+      }
+      sb.append(t.slice(pos, t.length))
+      id -> ((k, (t.length - sb.length).toLong, sb.toString))
+    }.toMap
+  }
+
+  test("removeDuplicateSpans == driver replay: merge, passthrough, full-doc") {
+    val shared = "0123456789abcdefghij" // 20 chars, >= gram size
+    val docs = Seq(
+      (1L, s"AAAA${shared}BBBB${shared}CCCC"), // internal repeat -> 2 islands
+      (2L, s"XXXXXXXX${shared}YYYYYYYY"),      // cross-doc dup
+      (3L, "totally unique text with no repeats whatsoever here"),
+      (4L, shared.take(8)),                     // short, unique -> untouched
+      (5L, shared.take(8)))                     // exact dup of 4 -> cleans to ""
+    val got = Dedup.removeDuplicateSpans(docs.toDF("doc_id", "text"),
+        "doc_id", "text", gramChars = 10, stride = 5)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    val want = removeRef(docs, 10, 5)
+    assert(got == want)
+    assert(got(3L) == ((0L, 0L, docs(2)._2)), "clean doc must pass through")
+    assert(got(5L)._3 == "" && got(4L)._3 == "", "full dups clean to empty")
+    // alignment decides which sampled grams collide; the replay is the
+    // authority — here just pin that doc 1 lost SOMETHING
+    assert(got(1L)._1 >= 1L && got(1L)._2 > 0L)
+  }
+
+  test("removeDuplicateSpans == driver replay on random low-alphabet corpus") {
+    val rnd = new scala.util.Random(161)
+    val docs = (1L to 40L).map { id =>
+      id -> (1 to (20 + rnd.nextInt(120))).map(_ => "ab"(rnd.nextInt(2))).mkString
+    }
+    val got = Dedup.removeDuplicateSpans(docs.toDF("doc_id", "text"),
+        "doc_id", "text", gramChars = 12, stride = 4)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    assert(got == removeRef(docs, 12, 4))
+  }
+
   // ---------------------------------------------------------------- q157
 
   test("normalizeDocuments: idempotent, shrinking, and dirty→clean round trip") {
