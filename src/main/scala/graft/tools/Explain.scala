@@ -116,7 +116,11 @@ object Explain {
       "q154_rolling_zscore",   // shared trailing frame, integer z-test
       "q155_count_min_sketch", // x4 slot fan-out + 256-cell combine
       "q156_phrase_search",    // vocab filter inside array, shared doc exchange
-      "q157_text_normalize")   // single codegen pass, zero exchange
+      "q157_text_normalize",   // single codegen pass, zero exchange
+      "q158_near_dup_survivorship", // max-of-struct pick, no component window
+      "q159_histogram_quantile_sketch", // slot count + rank-walk fold
+      "q160_pmi_collocations", // one frozen bigram shuffle, 4 consumers
+      "q161_dup_span_removal") // int starts cross gram shuffle, narrow fold cut
 
     val sb = new StringBuilder
     sb.append("# EXPLAIN — flagship physical plans\n\n")
