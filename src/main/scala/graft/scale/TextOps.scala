@@ -408,6 +408,42 @@ object TextOps {
       .limit(topN)
   }
 
+  /** Per-source Shannon entropy of the token distribution — the
+    * information-density companion to [[distinctNgramDiversity]] (low
+    * entropy = template farm / boilerplate, independent of the distinct
+    * RATIO). H = ln N − (Σ c·ln c)/N over token counts c.
+    *
+    * Determinism trick that also fixes the scale story: Σ c·ln c is NOT
+    * summed over the vocabulary (a float sum in engine-dependent order,
+    * and vocab-sized driver lists don't scale). Counts collapse to their
+    * MULTIPLICITY table first — (count value c, #tokens with that count
+    * m) — which Zipf squeezes to a handful of rows per source; the fold
+    * Σ m·c·ln(c) then runs PINNED over the c-sorted list. Two map-side
+    * combinable aggregates, one ≤ |distinct counts| collect per source,
+    * identical IEEE walk on both engines.
+    */
+  def tokenEntropy(docs: org.apache.spark.sql.DataFrame, srcCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    val tc = docs.select(col(srcCol).as("source"),
+        explode(tokens(col(textCol))).as("t"))
+      .groupBy(col("source"), col("t"))
+      .agg(count(lit(1)).as("c"))
+    val cm = tc.groupBy(col("source"), col("c"))
+      .agg(count(lit(1)).as("m"))
+    cm.groupBy(col("source"))
+      .agg(sum(col("m") * col("c")).as("n_tokens"),
+        sum(col("m")).as("vocab"),
+        aggregate(
+          array_sort(collect_list(struct(col("c"), col("m")))),
+          lit(0.0),
+          (acc, x) => acc +
+            (x.getField("m") * x.getField("c")).cast("double") *
+              log(x.getField("c").cast("double"))).as("__s"))
+      .select(col("source"), col("n_tokens"), col("vocab"),
+        round(log(col("n_tokens").cast("double")) -
+          col("__s") / col("n_tokens").cast("double"), 6).as("entropy"))
+  }
+
   /** Distinct-n diversity per group: distinct unigrams / total unigrams
     * and distinct bigrams / total bigrams — the corpus-health metric that
     * flags template farms and model-generated spam (low distinct-n) per

@@ -515,6 +515,62 @@ object AugmentQueries {
         (len(text) - len(text_clean))::BIGINT AS n_chars_removed, text_clean
       FROM res ORDER BY doc_id"""))
 
+  /** Explicit salted fact⋈dim join ([[graft.scale.Skew.saltedJoin]]):
+    * lineitem⋈supplier on the supplier key through 8 salt buckets, then
+    * per-supplier revenue. The oracle is the PLAIN SQL join — the
+    * hash-match certifies salt-routing changes nothing (the whole point
+    * of the operator), while PlanSpec pins that the salted (key, salt)
+    * join + dim replication actually shape the plan.
+    */
+  private val q162 = GQuery(
+    (s, d) => graft.scale.Skew.saltedJoin(
+        T.lineitem(s, d).select(col("l_suppkey"), col("l_extendedprice"),
+          col("l_discount")),
+        T.supplier(s, d).select(col("s_suppkey"), col("s_name")),
+        "l_suppkey", "s_suppkey", saltBuckets = 8)
+      .groupBy(col("s_name"))
+      .agg(count(lit(1)).as("n_items"),
+        sum((col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(1).cast("decimal(18,2)") -
+            col("l_discount").cast("decimal(18,2)")))
+          .cast("decimal(28,4)")).cast("double").as("revenue"))
+      .orderBy(col("s_name")),
+    Some("""SELECT s_name, COUNT(*)::BIGINT AS n_items,
+        CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+          (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+          AS DECIMAL(28,4))) AS DOUBLE) AS revenue
+      FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      GROUP BY s_name ORDER BY s_name"""))
+
+  /** Per-source token-distribution entropy
+    * ([[graft.scale.TextOps.tokenEntropy]]): Σ c·ln c folded over the
+    * Zipf-collapsed count-MULTIPLICITY table (sorted, pinned), never the
+    * vocabulary — the oracle replays the same collapse and fold shape.
+    */
+  private val q163 = GQuery(
+    (s, d) => graft.scale.TextOps
+      .tokenEntropy(T.documents(s, d), "source", "text")
+      .orderBy(col("source")),
+    Some("""WITH tc AS (
+        SELECT source, t, COUNT(*)::BIGINT AS c
+        FROM (SELECT source,
+            unnest(list_filter(string_split_regex(text, '\s+'),
+              x -> len(x) > 0)) AS t
+          FROM documents)
+        GROUP BY source, t),
+      cm AS (SELECT source, c, COUNT(*)::BIGINT AS m
+        FROM tc GROUP BY source, c),
+      agg AS (SELECT source,
+          CAST(SUM(m * c) AS BIGINT) AS n_tokens,
+          CAST(SUM(m) AS BIGINT) AS vocab,
+          list_reduce(list_prepend(0.0::DOUBLE,
+            list((m * c)::DOUBLE * ln(c::DOUBLE) ORDER BY c)),
+            (a, x) -> a + x) AS s
+        FROM cm GROUP BY source)
+      SELECT source, n_tokens, vocab,
+        ROUND(ln(n_tokens::DOUBLE) - s / n_tokens::DOUBLE, 6) AS entropy
+      FROM agg ORDER BY source"""))
+
   val all: Map[String, GQuery] = Map(
     "q151_triangle_count" -> q151,
     "q152_label_propagation" -> q152,
@@ -526,5 +582,7 @@ object AugmentQueries {
     "q158_near_dup_survivorship" -> q158,
     "q159_histogram_quantile_sketch" -> q159,
     "q160_pmi_collocations" -> q160,
-    "q161_dup_span_removal" -> q161)
+    "q161_dup_span_removal" -> q161,
+    "q162_salted_join" -> q162,
+    "q163_token_entropy" -> q163)
 }

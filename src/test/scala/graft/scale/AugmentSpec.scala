@@ -255,6 +255,54 @@ class AugmentSpec extends SparkSpec {
     assert(t == Map(4L -> true, 5L -> false))
   }
 
+  // ---------------------------------------------------------------- q162
+
+  test("saltedJoin == plain join on a hot-key fixture; salt shapes the plan") {
+    val fact = ((1 to 500).map(_ => (7L, "hot")) ++
+      (1 to 50).map(i => (i.toLong % 5, s"cold$i"))).toDF("k", "payload")
+    val dim = Seq((7L, "seven"), (0L, "zero"), (2L, "two"), (99L, "unmatched"))
+      .toDF("dk", "name")
+    val salted = Skew.saltedJoin(fact, dim, "k", "dk", saltBuckets = 8)
+    val plain = fact.join(dim, col("k") === col("dk"))
+    val key = (r: org.apache.spark.sql.Row) =>
+      (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3))
+    assert(salted.collect().map(key).sorted.toSeq ==
+      plain.collect().map(key).sorted.toSeq)
+    assert(salted.columns.toSeq == Seq("k", "payload", "dk", "name"))
+    // the salt is real: dim replication + (key, salt) equi-join in the plan
+    val planStr = salted.queryExecution.optimizedPlan.toString
+    assert(planStr.contains("__fsalt") && planStr.contains("__dsalt"))
+    assert(planStr.contains("explode") || planStr.contains("Generate"))
+  }
+
+  // ---------------------------------------------------------------- q163
+
+  test("tokenEntropy: uniform == ln(vocab), constant == 0, replay exact") {
+    val docs = Seq(
+      ("uni", "a b c d a b c d"),       // uniform over 4 tokens
+      ("one", "x x x x x x"),           // single token -> 0
+      ("mix", "a a a b b c")
+    ).toDF("source", "text")
+    val got = TextOps.tokenEntropy(docs, "source", "text")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    def ref(counts: Seq[Long]): Double = {
+      val n = counts.sum
+      // same collapse + c-sorted pinned fold as the operator
+      val cm = counts.groupBy(identity).view.mapValues(_.size.toLong).toSeq
+        .sortBy(_._1)
+      val s = cm.foldLeft(0.0) { case (acc, (c, m)) =>
+        acc + (m * c).toDouble * math.log(c.toDouble) }
+      java.math.BigDecimal.valueOf(math.log(n.toDouble) - s / n.toDouble)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    }
+    assert(got("uni") == ((8L, 4L, ref(Seq(2L, 2L, 2L, 2L)))))
+    assert(got("uni")._3 == java.math.BigDecimal.valueOf(math.log(4.0))
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue())
+    assert(got("one") == ((6L, 1L, 0.0)))
+    assert(got("mix") == ((6L, 3L, ref(Seq(3L, 2L, 1L)))))
+  }
+
   // ---------------------------------------------------------------- q160
 
   test("collocationPmi: bound phrase tops the ranking, marginals exact") {
