@@ -120,7 +120,9 @@ object Explain {
       "q158_near_dup_survivorship", // max-of-struct pick, no component window
       "q159_histogram_quantile_sketch", // slot count + rank-walk fold
       "q160_pmi_collocations", // one frozen bigram shuffle, 4 consumers
-      "q161_dup_span_removal") // int starts cross gram shuffle, narrow fold cut
+      "q161_dup_span_removal", // int starts cross gram shuffle, narrow fold cut
+      "q162_salted_join",      // dim ×8 replication, (key, salt) equi-join
+      "q163_token_entropy")    // count-multiplicity collapse + pinned fold
 
     val sb = new StringBuilder
     sb.append("# EXPLAIN — flagship physical plans\n\n")
