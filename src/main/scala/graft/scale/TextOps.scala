@@ -360,9 +360,17 @@ object TextOps {
     * n < 2, hence the explicit guard).
     */
   def bigrams(toks: Column): Column =
+    // zip_with over two slices, NOT transform-with-element_at: zip_with
+    // evaluates each array OPERAND once per row, while element_at(toks, i)
+    // inside a transform re-evaluates `toks` per ELEMENT whenever
+    // projection collapse has inlined it (toks = tokens(text) → O(len²)
+    // interpreted work per doc — measured 7.6 s → 0.8 s on the sf0.1
+    // bigram stream; the q97 generate-collapse hazard class, HOF variant)
     when(size(toks) >= 2,
-      transform(sequence(lit(2), size(toks)),
-        i => concat_ws(" ", element_at(toks, i - 1), element_at(toks, i))))
+      zip_with(
+        slice(toks, lit(1), size(toks) - 1),
+        slice(toks, lit(2), size(toks) - 1),
+        (a, b) => concat_ws(" ", a, b)))
       .otherwise(array().cast("array<string>"))
 
   /** PMI collocation mining — the phrase/multi-word-expression detector
