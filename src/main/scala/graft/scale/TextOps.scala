@@ -452,6 +452,44 @@ object TextOps {
           col("__s") / col("n_tokens").cast("double"), 6).as("entropy"))
   }
 
+  /** Per-source token-distribution TAIL statistics — the Good-Turing /
+    * concentration companions to [[tokenEntropy]], over the same
+    * count-multiplicity collapse and therefore exactly certifiable:
+    *   - n_hapax (tokens seen once) and hapax_share = n_hapax·1/N — the
+    *     Good-Turing estimate of UNSEEN mass, the number that says "this
+    *     source still has vocabulary we haven't crawled";
+    *   - simpson = Σ c(c−1) / (N(N−1)) — repeat-probability
+    *     concentration (high = a few tokens dominate, the template
+    *     signal), an exact rational of integer sums, no ln anywhere.
+    *
+    * Scale: identical shape to [[tokenEntropy]] — two combinable
+    * aggregates, Zipf-tiny multiplicity table, integer sums (associative
+    * — no fold pinning needed). The Σ m·c·(c−1) numerator stays in int64
+    * to ~10^9 tokens per source at worst-case concentration; beyond
+    * that, flip the term to double (the ratio needs 6dp, not exactness).
+    */
+  def tokenTailStats(docs: org.apache.spark.sql.DataFrame, srcCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    val tc = docs.select(col(srcCol).as("source"),
+        explode(tokens(col(textCol))).as("t"))
+      .groupBy(col("source"), col("t"))
+      .agg(count(lit(1)).as("c"))
+    tc.groupBy(col("source"), col("c"))
+      .agg(count(lit(1)).as("m"))
+      .groupBy(col("source"))
+      .agg(sum(col("m") * col("c")).as("n_tokens"),
+        sum(col("m")).as("vocab"),
+        sum(when(col("c") === 1L, col("m")).otherwise(0L)).as("n_hapax"),
+        sum(col("m") * col("c") * (col("c") - 1L)).as("__rep"))
+      .select(col("source"), col("n_tokens"), col("vocab"), col("n_hapax"),
+        round(col("n_hapax").cast("double") /
+          col("n_tokens").cast("double"), 6).as("hapax_share"),
+        when(col("n_tokens") >= 2L,
+          round(col("__rep").cast("double") /
+            (col("n_tokens") * (col("n_tokens") - 1L)).cast("double"), 6))
+          .otherwise(lit(0.0)).as("simpson"))
+  }
+
   /** Distinct-n diversity per group: distinct unigrams / total unigrams
     * and distinct bigrams / total bigrams — the corpus-health metric that
     * flags template farms and model-generated spam (low distinct-n) per

@@ -102,6 +102,49 @@ object TimeSeries {
       .drop("__arr")
   }
 
+  /** Interval-integrity audit per key — the data-quality check every
+    * SCD2 / validity-interval table needs before anyone trusts a
+    * point-in-time join against it: overlapping rows double-attribute,
+    * gaps silently drop history. Per key (intervals as [s, e) integer
+    * units, ordered by (s, e)):
+    *   - a row OVERLAPS when its start precedes the running max end of
+    *     all earlier rows (covers nested and out-of-order intervals,
+    *     which a plain lag(e) misses);
+    *   - a row opens a GAP when its start exceeds that running max;
+    *   - gap_units accumulates the uncovered stretch; covered_units =
+    *     span − gaps (exact, by construction).
+    *
+    * Scale shape: ONE keyed exchange + sort; the running max is a
+    * cumulative frame aggregate (O(1) state/row); keys independent →
+    * linear scale-out. All arithmetic is int64 — bit-identical
+    * cross-engine (q165).
+    *
+    * Returns (key, n_intervals, n_overlaps, n_gaps, gap_units,
+    * span_units, covered_units).
+    */
+  def intervalAudit(df: DataFrame, keyCol: String, startCol: String,
+      endCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(startCol), col(endCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.withColumn("__pmax", max(col(endCol)).over(w))
+      .groupBy(col(keyCol).as("key"))
+      .agg(count(lit(1)).as("n_intervals"),
+        sum(when(col("__pmax").isNotNull &&
+          col(startCol) < col("__pmax"), 1L).otherwise(0L))
+          .as("n_overlaps"),
+        sum(when(col("__pmax").isNotNull &&
+          col(startCol) > col("__pmax"), 1L).otherwise(0L))
+          .as("n_gaps"),
+        sum(when(col("__pmax").isNotNull &&
+          col(startCol) > col("__pmax"),
+          col(startCol) - col("__pmax")).otherwise(0L))
+          .as("gap_units"),
+        (max(greatest(col(endCol), coalesce(col("__pmax"), col(endCol)))) -
+          min(col(startCol))).as("span_units"))
+      .withColumn("covered_units", col("span_units") - col("gap_units"))
+  }
+
   /** One-sided CUSUM changepoint detection per key — the sequential
     * drift monitor (Page 1954) a pipeline runs over metric/sensor
     * streams to flag level shifts. The recursive statistic

@@ -403,6 +403,28 @@ object Streaming {
           graft.scale.Sketches.cmsSketch(batch, groupCol, hashCol), groupCol)
     }
 
+  /** Streaming maintenance of the per-group histogram quantile sketch
+    * ([[graft.scale.Sketches.histSketch]]): sketch each micro-batch's
+    * quantized units, element-wise-SUM into the snapshot. Same additive
+    * (non-idempotent) contract as [[maintainCmsSketches]] — the
+    * checkpointed fold guarantees each batch lands exactly once — and
+    * the persisted table answers any quantile without rescanning
+    * (q159's batch form certifies the arithmetic).
+    */
+  def maintainHistSketches(rows: DataFrame, statePath: String,
+      groupCol: String, unitCol: String, loUnits: Long, hiUnits: Long,
+      bins: Int):
+      org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    foldSnapshotStream(rows, statePath,
+      batch => graft.scale.Sketches
+        .histSketch(batch.limit(0), groupCol, unitCol, loUnits, hiUnits,
+          bins).schema) {
+      (current, batch, _) =>
+        graft.scale.Sketches.histMerge(current,
+          graft.scale.Sketches.histSketch(batch, groupCol, unitCol,
+            loUnits, hiUnits, bins), groupCol)
+    }
+
   /** The shared snapshot-fold engine behind [[applyCdcStream]] and
     * [[maintainMinhashIndex]]: per micro-batch, recover + read the
     * current snapshot (schema from `stateSchema(batch)`, empty on first

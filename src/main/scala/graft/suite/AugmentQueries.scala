@@ -571,6 +571,77 @@ object AugmentQueries {
         ROUND(ln(n_tokens::DOUBLE) - s / n_tokens::DOUBLE, 6) AS entropy
       FROM agg ORDER BY source"""))
 
+  /** Token-distribution tail stats
+    * ([[graft.scale.TextOps.tokenTailStats]]): hapax counts /
+    * Good-Turing unseen-mass share and Simpson repeat-probability over
+    * the count-multiplicity collapse — all integer sums and exact
+    * rationals, so the oracle replays everything including the ratios.
+    */
+  private val q164 = GQuery(
+    (s, d) => graft.scale.TextOps
+      .tokenTailStats(T.documents(s, d), "source", "text")
+      .orderBy(col("source")),
+    Some("""WITH tc AS (
+        SELECT source, t, COUNT(*)::BIGINT AS c
+        FROM (SELECT source,
+            unnest(list_filter(string_split_regex(text, '\s+'),
+              x -> len(x) > 0)) AS t
+          FROM documents)
+        GROUP BY source, t),
+      cm AS (SELECT source, c, COUNT(*)::BIGINT AS m
+        FROM tc GROUP BY source, c),
+      agg AS (SELECT source,
+          CAST(SUM(m * c) AS BIGINT) AS n_tokens,
+          CAST(SUM(m) AS BIGINT) AS vocab,
+          CAST(SUM(CASE WHEN c = 1 THEN m ELSE 0 END) AS BIGINT) AS n_hapax,
+          CAST(SUM(m * c * (c - 1)) AS BIGINT) AS rep
+        FROM cm GROUP BY source)
+      SELECT source, n_tokens, vocab, n_hapax,
+        ROUND(n_hapax::DOUBLE / n_tokens::DOUBLE, 6) AS hapax_share,
+        CASE WHEN n_tokens >= 2
+          THEN ROUND(rep::DOUBLE / (n_tokens * (n_tokens - 1))::DOUBLE, 6)
+          ELSE 0.0::DOUBLE END AS simpson
+      FROM agg ORDER BY source"""))
+
+  /** Interval-integrity audit ([[graft.scale.TimeSeries.intervalAudit]]):
+    * validity intervals synthesized deterministically from events
+    * (start = event micros, length = quantized value in ms), audited per
+    * user bucket for overlaps / gaps / coverage — the pre-flight check
+    * for any point-in-time join table. All int64; the oracle replays the
+    * running-max window and every counter.
+    */
+  private val q165 = GQuery(
+    (s, d) => graft.scale.TimeSeries.intervalAudit(
+        T.events(s, d).select((col("user_id") % 50).as("k"),
+          unix_micros(col("ts")).as("s0"),
+          (unix_micros(col("ts")) +
+            floor(col("value") * 100d + 0.5d).cast("long") * 1000L)
+            .as("e0")),
+        "k", "s0", "e0")
+      .orderBy(col("key")),
+    Some("""WITH iv AS (SELECT user_id % 50 AS k,
+          epoch_us(ts) AS s0,
+          epoch_us(ts) + CAST(floor(value * 100 + 0.5) AS BIGINT) * 1000
+            AS e0
+        FROM events),
+      mk AS (SELECT k, s0, e0,
+          MAX(e0) OVER (PARTITION BY k ORDER BY s0, e0
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+        FROM iv),
+      agg AS (SELECT k AS key,
+          COUNT(*)::BIGINT AS n_intervals,
+          CAST(SUM(CASE WHEN pmax IS NOT NULL AND s0 < pmax
+            THEN 1 ELSE 0 END) AS BIGINT) AS n_overlaps,
+          CAST(SUM(CASE WHEN pmax IS NOT NULL AND s0 > pmax
+            THEN 1 ELSE 0 END) AS BIGINT) AS n_gaps,
+          CAST(SUM(CASE WHEN pmax IS NOT NULL AND s0 > pmax
+            THEN s0 - pmax ELSE 0 END) AS BIGINT) AS gap_units,
+          MAX(GREATEST(e0, COALESCE(pmax, e0))) - MIN(s0) AS span_units
+        FROM mk GROUP BY k)
+      SELECT key, n_intervals, n_overlaps, n_gaps, gap_units, span_units,
+        span_units - gap_units AS covered_units
+      FROM agg ORDER BY key"""))
+
   val all: Map[String, GQuery] = Map(
     "q151_triangle_count" -> q151,
     "q152_label_propagation" -> q152,
@@ -584,5 +655,7 @@ object AugmentQueries {
     "q160_pmi_collocations" -> q160,
     "q161_dup_span_removal" -> q161,
     "q162_salted_join" -> q162,
-    "q163_token_entropy" -> q163)
+    "q163_token_entropy" -> q163,
+    "q164_token_tail_stats" -> q164,
+    "q165_interval_audit" -> q165)
 }

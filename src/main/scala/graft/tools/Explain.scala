@@ -122,7 +122,9 @@ object Explain {
       "q160_pmi_collocations", // one frozen bigram shuffle, 4 consumers
       "q161_dup_span_removal", // int starts cross gram shuffle, narrow fold cut
       "q162_salted_join",      // dim ×8 replication, (key, salt) equi-join
-      "q163_token_entropy")    // count-multiplicity collapse + pinned fold
+      "q163_token_entropy",    // count-multiplicity collapse + pinned fold
+      "q164_token_tail_stats", // same collapse, pure integer sums
+      "q165_interval_audit")   // one exchange+sort, running-max frame
 
     val sb = new StringBuilder
     sb.append("# EXPLAIN — flagship physical plans\n\n")

@@ -352,6 +352,49 @@ class PlanSpec extends SparkSpec {
     assert(shuffles <= 2, s"expected <= 2 hash exchanges, got $shuffles:\n$p")
   }
 
+  test("survivorship picks via aggregate + join-back, never a component window") {
+    val q = SparkEntry.queries("q158_near_dup_survivorship")(spark, sf)
+    val p = plan(q)
+    // no row_number/rank window over components — the survivor is a
+    // max-of-struct hash aggregate (giant clusters must not serialize)
+    assert(!p.contains("row_number"), p.take(2000))
+    assert(p.contains("HashAggregate"), p.take(2000))
+  }
+
+  test("histogram sketch: build is one narrow projection + grouped counts") {
+    import spark.implicits._
+    import graft.scale.Sketches
+    val rows = (0 until 1000).map(i => ("g", (i % 700).toLong)).toDF("g", "u")
+    val sk = Sketches.histSketch(rows, "g", "u", 0L, 500L, 50)
+    val p = plan(sk)
+    assert(!p.contains("Generate"), "slot fan-out must not explode rows: " +
+      p.take(1500))
+    val shuffles = p.linesIterator
+      .filter(l => l.contains("Exchange") && !l.contains("Broadcast")).size
+    assert(shuffles <= 2, s"expected <= 2 exchanges, got $shuffles")
+  }
+
+  test("salted join: dim replicates through a generate, join keys carry the salt") {
+    val q = SparkEntry.queries("q162_salted_join")(spark, sf)
+    val p = plan(q)
+    assert(p.contains("Generate") || p.contains("explode"),
+      "dim replication missing: " + p.take(1500))
+    assert(p.contains("__fsalt") && p.contains("__dsalt"),
+      "salt not in the join keys: " + p.take(1500))
+  }
+
+  test("pmi collocations: the bigram kernel runs once behind a frozen shuffle") {
+    val q = SparkEntry.queries("q160_pmi_collocations")(spark, sf)
+    val p = plan(q)
+    // the frozen RDD boundary: consumers scan the same shuffle output, so
+    // the text scan + tokenize/bigram kernel appears exactly once
+    val scans = p.linesIterator.count(_.contains("Scan ExistingRDD"))
+    assert(scans >= 3, s"expected >= 3 frozen-shuffle reads, got $scans")
+    val textScans = p.linesIterator.count(l =>
+      l.contains("Scan parquet") && l.contains("documents"))
+    assert(textScans <= 1, s"bigram kernel re-ran: $textScans document scans")
+  }
+
   private def withSQLConf[A](pairs: (String, String)*)(f: => A): A = {
     val conf = spark.conf
     val olds = pairs.map { case (k, _) => k -> conf.getOption(k) }

@@ -303,6 +303,44 @@ class AugmentSpec extends SparkSpec {
     assert(got("mix") == ((6L, 3L, ref(Seq(3L, 2L, 1L)))))
   }
 
+  // ---------------------------------------------------------------- q164
+
+  test("tokenTailStats: hapax share and simpson exact on handcrafted sources") {
+    val docs = Seq(
+      ("s1", "a a a b c"),        // N=5 vocab=3 hapax=2 rep=3*2=6
+      ("s2", "x y z"),            // all hapax, simpson 0
+      ("s3", "w")                 // N=1: simpson guard
+    ).toDF("source", "text")
+    val got = TextOps.tokenTailStats(docs, "source", "text")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4),
+          r.getDouble(5)))).toMap
+    assert(got("s1") == ((5L, 3L, 2L, 0.4, 0.3))) // 6/20
+    assert(got("s2") == ((3L, 3L, 3L, 1.0, 0.0)))
+    assert(got("s3") == ((1L, 1L, 1L, 1.0, 0.0)))
+  }
+
+  // ---------------------------------------------------------------- q165
+
+  test("intervalAudit: contiguous, nested-overlap, and gap fixtures") {
+    val iv = Seq(
+      // key 1: contiguous chain, one overlap, one gap of 15
+      (1L, 0L, 10L), (1L, 10L, 20L), (1L, 15L, 25L), (1L, 40L, 50L),
+      // key 2: nested inside a long row, then a 50-gap
+      (2L, 0L, 100L), (2L, 10L, 20L), (2L, 150L, 160L),
+      // key 3: single pristine interval
+      (3L, 5L, 8L)
+    ).toDF("k", "s0", "e0")
+    val got = TimeSeries.intervalAudit(iv, "k", "s0", "e0")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6)))).toMap
+    assert(got(1L) == ((4L, 1L, 1L, 15L, 50L, 35L)))
+    // nested [10,20) overlaps (pmax=100); gap 100->150; span 160
+    assert(got(2L) == ((3L, 1L, 1L, 50L, 160L, 110L)))
+    assert(got(3L) == ((1L, 0L, 0L, 0L, 3L, 3L)))
+  }
+
   // ---------------------------------------------------------------- q160
 
   test("collocationPmi: bound phrase tops the ranking, marginals exact") {

@@ -411,6 +411,65 @@ class StreamingSpec extends SparkSpec {
         hashed((b1 ++ b2).distinct), "g", "h")))
   }
 
+  test("streaming CMS and histogram sketch folds converge to from-scratch builds") {
+    import spark.implicits._
+    // additive merges: batches are DISJOINT deliveries (exactly-once is
+    // the foldSnapshotStream contract; overlap-absorption is HLL's story)
+    def hashed(vals: Seq[(String, Long)]) =
+      vals.toDF("g", "v").select(col("g"),
+        explode(graft.scale.Dedup.portableTokenHashes(
+          array(concat(lit("t"), (col("v") % 37L).cast("string")))))
+          .as("h"))
+    val b1 = (0L until 500L).map(i => (s"s${i % 2}", i))
+    val b2 = (500L until 900L).map(i => (s"s${i % 2}", i))
+    // CMS fold
+    locally {
+      val in = Files.createTempDirectory("graft_cmsin").toString
+      val state = Files.createTempDirectory("graft_cmsst").toString + "/sk"
+      val ckpt = Files.createTempDirectory("graft_cmsck").toString
+      hashed(b1).coalesce(1).write.parquet(s"$in/b1")
+      hashed(b2).coalesce(1).write.parquet(s"$in/b2")
+      val stream = spark.readStream.schema(hashed(b1).schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true").parquet(in)
+      val q = Streaming.maintainCmsSketches(stream, state, "g", "h")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      assert(q.exception.isEmpty, s"cms stream failed: ${q.exception}")
+      def cs(df: org.apache.spark.sql.DataFrame) =
+        df.orderBy("g").collect().toSeq
+          .map(r => (r.getString(0), r.getSeq[Long](1)))
+      assert(cs(spark.read.parquet(state)) ===
+        cs(graft.scale.Sketches.cmsSketch(hashed(b1 ++ b2), "g", "h")))
+    }
+    // histogram fold
+    locally {
+      val units = (vals: Seq[(String, Long)]) =>
+        vals.map { case (g, v) => (g, v % 1200L) }.toDF("g", "u")
+      val in = Files.createTempDirectory("graft_histin").toString
+      val state = Files.createTempDirectory("graft_histst").toString + "/sk"
+      val ckpt = Files.createTempDirectory("graft_histck").toString
+      units(b1).coalesce(1).write.parquet(s"$in/b1")
+      units(b2).coalesce(1).write.parquet(s"$in/b2")
+      val stream = spark.readStream.schema(units(b1).schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true").parquet(in)
+      val q = Streaming.maintainHistSketches(stream, state, "g", "u",
+          0L, 1000L, 50)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      assert(q.exception.isEmpty, s"hist stream failed: ${q.exception}")
+      def cs(df: org.apache.spark.sql.DataFrame) =
+        df.orderBy("g").collect().toSeq
+          .map(r => (r.getString(0), r.getSeq[Long](1)))
+      assert(cs(spark.read.parquet(state)) ===
+        cs(graft.scale.Sketches.histSketch(units(b1 ++ b2), "g", "u",
+          0L, 1000L, 50)))
+    }
+  }
+
   test("resample+ffill stream converges to the batch twin (q115)") {
     import spark.implicits._
     val base = java.sql.Timestamp.valueOf("2024-01-01 10:00:00").getTime
