@@ -356,9 +356,11 @@ class PlanSpec extends SparkSpec {
     val q = SparkEntry.queries("q158_near_dup_survivorship")(spark, sf)
     val p = plan(q)
     // no row_number/rank window over components — the survivor is a
-    // max-of-struct hash aggregate (giant clusters must not serialize)
-    assert(!p.contains("row_number"), p.take(2000))
-    assert(p.contains("HashAggregate"), p.take(2000))
+    // max-of-struct aggregate (SortAggregate: struct buffers aren't
+    // hash-mappable, but it still partial-combines — giant clusters must
+    // not serialize through a Window sort)
+    assert(!p.contains("row_number") && !p.contains("Window"), p.take(2000))
+    assert(p.contains("Aggregate"), p.take(2000))
   }
 
   test("histogram sketch: build is one narrow projection + grouped counts") {
