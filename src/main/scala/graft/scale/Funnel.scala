@@ -123,4 +123,37 @@ object Funnel {
       .withColumn("stickiness",
         round(col("dau").cast("double") / col("wau").cast("double"), 6))
   }
+
+  /** Frequent event-path mining: the top `topN` length-`n` consecutive
+    * event-type sequences across all users' ordered streams — the
+    * "what do users actually do" sequential-pattern report that the
+    * Markov matrix (q123) summarizes one step at a time and this
+    * surfaces as whole paths.
+    *
+    * Shape: ONE per-user exchange + sort; the n-gram is `n − 1` lead()
+    * columns over that single window spec (no collect_list — a
+    * billion-event user never materializes a driver- or row-sized
+    * array), a null-guarded concat, then a map-side-combinable count
+    * and a TakeOrdered (n desc, path asc) cut. Ordering ties resolve by
+    * (ts, event_id) — total, so the paths are engine-exact.
+    *
+    * Returns (path, n) — `sep`-joined type sequences.
+    */
+  def frequentPaths(events: DataFrame, userCol: String, typeCol: String,
+      tsCol: String, idCol: String, n: Int = 3, topN: Int = 25,
+      sep: String = ">"): DataFrame = {
+    require(n >= 2, s"paths need length >= 2: $n")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(userCol)).orderBy(col(tsCol), col(idCol))
+    val steps = (1 until n).map(i => lead(col(typeCol), i).over(w))
+    events
+      .withColumn("__last", steps.last)
+      .withColumn("__path",
+        concat_ws(sep, (col(typeCol) +: steps): _*))
+      .where(col("__last").isNotNull)
+      .groupBy(col("__path").as("path"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("path"))
+      .limit(topN)
+  }
 }

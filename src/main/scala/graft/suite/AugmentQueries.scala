@@ -642,6 +642,24 @@ object AugmentQueries {
         span_units - gap_units AS covered_units
       FROM agg ORDER BY key"""))
 
+  /** Frequent event-path mining ([[graft.scale.Funnel.frequentPaths]]):
+    * top-25 consecutive 3-step event-type paths over (ts, event_id)-
+    * ordered per-user streams; the oracle replays the LEAD window and
+    * the (n desc, path) cut.
+    */
+  private val q166 = GQuery(
+    (s, d) => graft.scale.Funnel.frequentPaths(
+      T.events(s, d), "user_id", "event_type", "ts", "event_id",
+      n = 3, topN = 25),
+    Some("""WITH st AS (SELECT user_id, event_type,
+          LEAD(event_type, 1) OVER w AS e2,
+          LEAD(event_type, 2) OVER w AS e3
+        FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      p AS (SELECT event_type || '>' || e2 || '>' || e3 AS path
+        FROM st WHERE e3 IS NOT NULL)
+      SELECT path, COUNT(*)::BIGINT AS n FROM p GROUP BY path
+      ORDER BY n DESC, path LIMIT 25"""))
+
   val all: Map[String, GQuery] = Map(
     "q151_triangle_count" -> q151,
     "q152_label_propagation" -> q152,
@@ -657,5 +675,6 @@ object AugmentQueries {
     "q162_salted_join" -> q162,
     "q163_token_entropy" -> q163,
     "q164_token_tail_stats" -> q164,
-    "q165_interval_audit" -> q165)
+    "q165_interval_audit" -> q165,
+    "q166_frequent_paths" -> q166)
 }

@@ -303,6 +303,31 @@ class AugmentSpec extends SparkSpec {
     assert(got("mix") == ((6L, 3L, ref(Seq(3L, 2L, 1L)))))
   }
 
+  // ---------------------------------------------------------------- q166
+
+  test("frequentPaths: per-user chains, no cross-user paths, id tie-break") {
+    def t(m: Int) = new java.sql.Timestamp(m * 60000L)
+    val ev = Seq(
+      // user 1: a b c b c  -> a>b>c, b>c>b, c>b>c
+      (1L, 1L, "a", t(1)), (2L, 1L, "b", t(2)), (3L, 1L, "c", t(3)),
+      (4L, 1L, "b", t(4)), (5L, 1L, "c", t(5)),
+      // user 2: a b c      -> a>b>c (no chain into user 1)
+      (6L, 2L, "a", t(10)), (7L, 2L, "b", t(11)), (8L, 2L, "c", t(12)),
+      // user 3: same ts, order by event_id: x y z
+      (10L, 3L, "y", t(20)), (9L, 3L, "x", t(20)), (11L, 3L, "z", t(20))
+    ).toDF("event_id", "user_id", "event_type", "ts")
+    val got = Funnel.frequentPaths(ev, "user_id", "event_type", "ts",
+        "event_id", n = 3, topN = 10)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("a>b>c" -> 2L, "b>c>b" -> 1L, "c>b>c" -> 1L,
+      "x>y>z" -> 1L))
+    // n = 2 pairs
+    val pairs = Funnel.frequentPaths(ev, "user_id", "event_type", "ts",
+        "event_id", n = 2, topN = 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    assert(pairs.head == ("b>c" -> 3L))
+  }
+
   // ---------------------------------------------------------------- q164
 
   test("tokenTailStats: hapax share and simpson exact on handcrafted sources") {
