@@ -124,7 +124,8 @@ object Explain {
       "q162_salted_join",      // dim ×8 replication, (key, salt) equi-join
       "q163_token_entropy",    // count-multiplicity collapse + pinned fold
       "q164_token_tail_stats", // same collapse, pure integer sums
-      "q165_interval_audit")   // one exchange+sort, running-max frame
+      "q165_interval_audit",   // one exchange+sort, running-max frame
+      "q166_frequent_paths")   // lead-chain n-grams, one user window
 
     val sb = new StringBuilder
     sb.append("# EXPLAIN — flagship physical plans\n\n")

@@ -397,6 +397,37 @@ class PlanSpec extends SparkSpec {
     assert(textScans <= 1, s"bigram kernel re-ran: $textScans document scans")
   }
 
+  test("cusum + rolling z-score share one exchange and one sort each") {
+    for (name <- Seq("q153_cusum_changepoints", "q154_rolling_zscore")) {
+      val p = plan(SparkEntry.queries(name)(spark, sf))
+      val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+      assert(exchanges == 1, s"$name: expected 1 hash exchange, got $exchanges")
+    }
+  }
+
+  test("text normalize is a narrow codegen pass: no hash exchange at all") {
+    val p = plan(SparkEntry.queries("q157_text_normalize")(spark, sf))
+    assert(!p.contains("Exchange hashpartitioning"), p.take(1500))
+    assert(p.contains("normalizeascii") || p.contains("NormalizeAscii") ||
+      p.contains("normalize_ascii"), "native kernel missing: " + p.take(1500))
+  }
+
+  test("phrase search filters vocabulary INSIDE the token array, before explode") {
+    val q = SparkEntry.queries("q156_phrase_search")(spark, sf)
+    val p = q.queryExecution.optimizedPlan.toString
+    // the vocab filter must sit under the Generate (array filter), not as
+    // a post-explode row filter over corpus-sized postings
+    val genIdx = p.indexOf("Generate")
+    assert(genIdx >= 0, p.take(1500))
+    assert(p.contains("filter(") || p.contains("ArrayFilter"),
+      "array-level vocab filter missing: " + p.take(1500))
+  }
+
+  test("frequent paths: one user exchange, TakeOrdered cut, no global sort") {
+    val p = plan(SparkEntry.queries("q166_frequent_paths")(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"), p.take(1500))
+  }
+
   private def withSQLConf[A](pairs: (String, String)*)(f: => A): A = {
     val conf = spark.conf
     val olds = pairs.map { case (k, _) => k -> conf.getOption(k) }
