@@ -240,6 +240,90 @@ object Streaming {
       }
   }
 
+  final case class CusumInput(event_id: Long, key: Long,
+      ts: java.sql.Timestamp, value: Double)
+  final case class CusumState(p: Long, minP: Long)
+  final case class CusumOut(event_id: Long, key: Long, units: Long,
+      s_units: Long, alarm: Boolean)
+
+  /** Streaming twin of [[graft.scale.TimeSeries.cusumChangepoints]]
+    * (q153's batch form). The batch plan computes the Page statistic in
+    * closed form over prefix sums; the stream carries EXACTLY the two
+    * longs that closed form needs per key — the running deviation prefix
+    * P and its running minimum — so state is O(1) per key forever and
+    * every emitted row replays the batch integer arithmetic bit for bit
+    * (S_t = P_t − min(0, min_{j≤t} P_j), same floor(x·u + 0.5)
+    * quantization). Append mode, no watermark: state never grows with
+    * history.
+    *
+    * Same [[ewmaBoundedStream]] ordering contract: rows arrive per-key
+    * (ts, event_id)-ordered across micro-batches; in-batch order is
+    * normalized by sorting.
+    */
+  def cusumStream(events: Dataset[CusumInput], targetUnits: Long,
+      slackUnits: Long, thresholdUnits: Long,
+      unitsPerValue: Long = 100L): Dataset[CusumOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.key)
+      .flatMapGroupsWithState[CusumState, CusumOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (key, rows, state: GroupState[CusumState]) =>
+          var st = state.getOption.getOrElse(CusumState(0L, 0L))
+          val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          val out = sorted.map { e =>
+            val u = math.floor(e.value * unitsPerValue.toDouble + 0.5).toLong
+            val p = st.p + (u - targetUnits - slackUnits)
+            val minP = math.min(st.minP, p)
+            st = CusumState(p, minP)
+            val s = p - math.min(0L, minP)
+            CusumOut(e.event_id, key, u, s, s > thresholdUnits)
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
+  final case class ZscoreState(recent: Seq[Long])
+  final case class ZscoreOut(event_id: Long, key: Long, units: Long,
+      lhs: Long, rhs: Long, anomaly: Boolean)
+
+  /** Streaming twin of
+    * [[graft.scale.TimeSeries.rollingZscoreAnomalies]] (q154's batch
+    * form): the trailing-window integer z-test over the last `window`
+    * quantized units per key — state is exactly the batch frame's
+    * content, the cross-multiplied inequality replays bit for bit, and
+    * (matching the batch) rows score only once their trailing window is
+    * full. Append mode, no watermark, O(window) state per key.
+    */
+  def rollingZscoreStream(events: Dataset[CusumInput], window: Int = 8,
+      z: Int = 3, unitsPerValue: Long = 100L): Dataset[ZscoreOut] = {
+    import events.sparkSession.implicits._
+    require(window >= 2, "need >= 2 trailing rows for a variance")
+    events.groupByKey(_.key)
+      .flatMapGroupsWithState[ZscoreState, ZscoreOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (key, rows, state: GroupState[ZscoreState]) =>
+          var recent = state.getOption.map(_.recent.toVector)
+            .getOrElse(Vector.empty[Long])
+          val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          val out = sorted.flatMap { e =>
+            val u = math.floor(e.value * unitsPerValue.toDouble + 0.5).toLong
+            val res = if (recent.length == window) {
+              val n = window.toLong
+              val s = recent.sum
+              val q = recent.map(x => x * x).sum
+              val lhs = (n * u - s) * (n * u - s) * (n - 1)
+              val rhs = z.toLong * z * n * (n * q - s * s)
+              Some(ZscoreOut(e.event_id, key, u, lhs, rhs, lhs > rhs))
+            } else None
+            recent = (recent :+ u).takeRight(window)
+            res
+          }
+          state.update(ZscoreState(recent))
+          out.iterator
+      }
+  }
+
   final case class SessionInput(user_id: Long, ts: java.sql.Timestamp, value: Double)
   final case class SessionState(start_ms: Long, last_ms: Long, n: Long, total: Double)
   final case class SessionOut(user_id: Long, start_ms: Long, end_ms: Long,

@@ -545,6 +545,63 @@ class StreamingSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("CUSUM and rolling z-score streams converge to their batch twins (q153/q154)") {
+    import spark.implicits._
+    val base = java.sql.Timestamp.valueOf("2024-03-01 08:00:00").getTime
+    def ts(minutes: Int) = new java.sql.Timestamp(base + minutes * 60000L)
+    // key 1 carries a level shift at i = 12; key 2 has a spike at i = 15;
+    // batch boundary at event 10 forces state carry-over for both twins
+    val all = (0 until 24).flatMap { i =>
+      Seq(Streaming.CusumInput(i * 2L, 1L, ts(i),
+          if (i < 12) 10.0 else 10.6),
+        Streaming.CusumInput(i * 2L + 1L, 2L, ts(i),
+          if (i == 15) 9.0 else 1.0 + 0.01 * (i % 2)))
+    }
+    val (first, second) = all.partition(_.event_id < 20L)
+    val dir = Files.createTempDirectory("graft_cusum").toString
+    first.toDS().coalesce(1).write.parquet(s"$dir/b1")
+    second.toDS().coalesce(1).write.parquet(s"$dir/b2")
+    def stream = spark.readStream.schema(first.toDS().schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("recursiveFileLookup", "true").parquet(dir)
+      .as[Streaming.CusumInput]
+    val batchDf = all.toDF("event_id", "key", "ts", "value")
+    // CUSUM
+    val qc = Streaming.cusumStream(stream, targetUnits = 1000L,
+        slackUnits = 20L, thresholdUnits = 200L)
+      .writeStream.format("memory").queryName("cusumstream")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    qc.awaitTermination()
+    assert(qc.exception.isEmpty, s"cusum stream failed: ${qc.exception}")
+    val gotC = spark.table("cusumstream").as[Streaming.CusumOut].collect()
+      .map(r => r.event_id -> ((r.units, r.s_units, r.alarm))).toMap
+    val wantC = graft.scale.TimeSeries
+      .cusumChangepoints(batchDf.where(col("key") === 1L), "key",
+        Seq("ts", "event_id"), "value", 1000L, 20L, 200L)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(4), r.getLong(5), r.getBoolean(6))))
+      .toMap
+    wantC.foreach { case (id, v) => assert(gotC(id) == v, s"cusum id=$id") }
+    assert(gotC.size == 48)
+    assert(gotC.values.exists(_._3), "shift must alarm")
+    // rolling z-score
+    val qz = Streaming.rollingZscoreStream(stream, window = 8, z = 3)
+      .writeStream.format("memory").queryName("zstream")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    qz.awaitTermination()
+    assert(qz.exception.isEmpty, s"zscore stream failed: ${qz.exception}")
+    val gotZ = spark.table("zstream").as[Streaming.ZscoreOut].collect()
+      .map(r => r.event_id -> ((r.units, r.lhs, r.rhs, r.anomaly))).toMap
+    val wantZ = graft.scale.TimeSeries
+      .rollingZscoreAnomalies(batchDf, "key", Seq("ts", "event_id"),
+        "value", window = 8, z = 3)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(4), r.getLong(5), r.getLong(6),
+        r.getBoolean(7)))).toMap
+    assert(gotZ === wantZ)
+    assert(gotZ.values.exists(_._4), "spike must flag")
+  }
+
   test("stateful sessionizer splits on gap and aggregates in order") {
     import spark.implicits._
     val base = java.sql.Timestamp.valueOf("2024-01-01 10:00:00").getTime
