@@ -270,6 +270,82 @@ object Sampling {
     * 1-ulp engine drift) and the cut is total-ordered by
     * (score desc, key asc) — the q88 precedent.
     */
+  /** EXACT-count stratified split: within every stratum, exactly
+    * ⌊n·p_j⌋ rows land in split j (the last split takes the remainder) —
+    * the contract [[splitByPortableHash]]'s rate-based assignment only
+    * approximates (binomial noise ~ √n per stratum, which an eval-set
+    * budget of 500 docs cannot absorb). Rows are ordered inside each
+    * stratum by (portable bucket, id) — deterministic pseudo-random,
+    * partitioning-invariant — and cut at exact integer boundaries.
+    * Weights are PERMILLE integers (Σ = 1000), so every count is pure
+    * integer arithmetic, replayable in SQL.
+    *
+    * Scale shape (the q64 two-job prefix-sum pattern, NOT a per-stratum
+    * window): one range exchange on (stratum, bucket, id) + in-partition
+    * sort; per-(partition, stratum) counts collect to the driver
+    * (partitions × strata rows); broadcast offsets seed a narrow
+    * per-partition rank pass. No stratum ever serializes into one task,
+    * so a 99%-one-language corpus splits at full parallelism.
+    *
+    * Returns (id, stratum, rank, split) — rank is the 0-based position
+    * within the stratum's deterministic order.
+    */
+  def exactStratifiedSplit(df: DataFrame, key: Column, strata: Column,
+      weights: Seq[(String, Int)]): DataFrame = {
+    require(weights.nonEmpty && weights.map(_._2).sum == 1000 &&
+      weights.forall(_._2 >= 0), s"permille weights must sum to 1000: $weights")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ds: org.apache.spark.sql.Dataset[(String, Long, Long)] = df
+      .select(strata.cast("string").as("_1"),
+        portableBucket(key).as("_2"), key.cast("long").as("_3"))
+      .as[(String, Long, Long)]
+    val ranged = ds.repartitionByRange(col("_1"), col("_2"), col("_3"))
+      .sortWithinPartitions(col("_1"), col("_2"), col("_3"))
+    val rangedRdd = ranged.rdd // shared lineage: one shuffle, two jobs
+    val partials = rangedRdd
+      .mapPartitionsWithIndex((pid, it) => {
+        val m = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+        it.foreach { case (s, _, _) => m.update(s, m.getOrElse(s, 0L) + 1L) }
+        m.iterator.map { case (s, n) => (pid, s, n) }
+      })
+      .collect()
+    val totals = partials.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+    // per-(pid, stratum) start offset: rows of the same stratum in
+    // earlier partitions (range partitioning keeps strata contiguous,
+    // but a stratum may span partitions)
+    val offsets: Map[(Int, String), Long] = {
+      val byStratum = partials.groupBy(_._2)
+      byStratum.flatMap { case (s, rows) =>
+        val sorted = rows.sortBy(_._1)
+        val starts = sorted.map(_._3).scanLeft(0L)(_ + _)
+        sorted.map(_._1).zip(starts).map { case (pid, off) => (pid, s) -> off }
+      }
+    }
+    // exact cut boundaries per stratum: floor(n·w/1000) each, last takes
+    // the remainder
+    val cuts: Map[String, Seq[(String, Long)]] = totals.map { case (s, n) =>
+      val base = weights.init.map { case (nm, w) => nm -> n * w / 1000L }
+      val cum = base.scanLeft(0L)(_ + _._2).tail
+      s -> (base.map(_._1).zip(cum) :+ (weights.last._1 -> n))
+    }
+    val bcOff = spark.sparkContext.broadcast(offsets)
+    val bcCuts = spark.sparkContext.broadcast(cuts)
+    val out = rangedRdd.mapPartitionsWithIndex { (pid, it) =>
+      val counters = scala.collection.mutable.HashMap.empty[String, Long]
+      it.map { case (s, _, id) =>
+        val r = counters.getOrElse(s,
+          bcOff.value.getOrElse((pid, s), 0L))
+        counters.update(s, r + 1L)
+        val split = bcCuts.value(s).collectFirst {
+          case (nm, cut) if r < cut => nm
+        }.getOrElse(bcCuts.value(s).last._1)
+        (id, s, r, split)
+      }
+    }
+    out.toDF("id", "stratum", "rank", "split")
+  }
+
   def weightedSampleTopK(df: DataFrame, key: Column, weight: Column,
       k: Int): DataFrame = {
     require(k > 0, s"k must be positive: $k")

@@ -660,6 +660,33 @@ object AugmentQueries {
       SELECT path, COUNT(*)::BIGINT AS n FROM p GROUP BY path
       ORDER BY n DESC, path LIMIT 25"""))
 
+  /** Exact-count stratified split
+    * ([[graft.scale.Sampling.exactStratifiedSplit]]): per language,
+    * exactly ⌊n·0.8⌋ train / ⌊n·0.1⌋ val / remainder test, cut on the
+    * deterministic (portable bucket, id) order via the two-job
+    * prefix-sum rank (no per-stratum window). The oracle replays the
+    * rank with a window (fine at oracle scale) and the same integer cut
+    * arithmetic — a hash-match certifies every row's rank AND split.
+    */
+  private val q167 = GQuery(
+    (s, d) => graft.scale.Sampling.exactStratifiedSplit(
+        T.documents(s, d), col("doc_id"), col("lang"),
+        Seq("train" -> 800, "val" -> 100, "test" -> 100))
+      .orderBy(col("id")),
+    Some(s"""WITH b AS (SELECT doc_id AS id, lang AS stratum,
+          ${ScaleQueries.bucketSql("doc_id")} AS bk
+        FROM documents),
+      r AS (SELECT id, stratum, bk,
+          CAST(ROW_NUMBER() OVER (PARTITION BY stratum ORDER BY bk, id) - 1
+            AS BIGINT) AS rank,
+          COUNT(*) OVER (PARTITION BY stratum) AS n
+        FROM b)
+      SELECT id, stratum, rank,
+        CASE WHEN rank < n * 800 // 1000 THEN 'train'
+             WHEN rank < n * 800 // 1000 + n * 100 // 1000 THEN 'val'
+             ELSE 'test' END AS split
+      FROM r ORDER BY id"""))
+
   val all: Map[String, GQuery] = Map(
     "q151_triangle_count" -> q151,
     "q152_label_propagation" -> q152,
@@ -676,5 +703,6 @@ object AugmentQueries {
     "q163_token_entropy" -> q163,
     "q164_token_tail_stats" -> q164,
     "q165_interval_audit" -> q165,
-    "q166_frequent_paths" -> q166)
+    "q166_frequent_paths" -> q166,
+    "q167_exact_stratified_split" -> q167)
 }

@@ -303,6 +303,34 @@ class AugmentSpec extends SparkSpec {
     assert(got("mix") == ((6L, 3L, ref(Seq(3L, 2L, 1L)))))
   }
 
+  // ---------------------------------------------------------------- q167
+
+  test("exactStratifiedSplit: exact counts, remainder to last, partition-invariant") {
+    // 103 en / 57 de / 1 zh: exercises floor remainders and a tiny stratum
+    val docs = ((1 to 103).map(i => (i.toLong, "en")) ++
+      (200 to 256).map(i => (i.toLong, "de")) :+ ((999L, "zh")))
+      .toDF("doc_id", "lang")
+    val w = Seq("train" -> 800, "val" -> 100, "test" -> 100)
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Sampling.exactStratifiedSplit(df, col("doc_id"), col("lang"), w)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          r.getString(3))).toSet
+    val got = run(docs)
+    val bySplit = got.groupBy(r => (r._2, r._4)).view.mapValues(_.size).toMap
+    // en: 103 -> 82 train, 10 val, 11 test; de: 57 -> 45/5/7; zh: 1 -> test
+    assert(bySplit(("en", "train")) == 82 && bySplit(("en", "val")) == 10 &&
+      bySplit(("en", "test")) == 11)
+    assert(bySplit(("de", "train")) == 45 && bySplit(("de", "val")) == 5 &&
+      bySplit(("de", "test")) == 7)
+    assert(bySplit.get(("zh", "train")).isEmpty &&
+      bySplit(("zh", "test")) == 1)
+    // ranks are a permutation of 0..n-1 per stratum
+    assert(got.filter(_._2 == "en").map(_._3) == (0L until 103L).toSet)
+    // same rows regardless of input partitioning
+    assert(run(docs.repartition(7)) == got)
+    assert(run(docs.coalesce(1)) == got)
+  }
+
   // ---------------------------------------------------------------- q166
 
   test("frequentPaths: per-user chains, no cross-user paths, id tie-break") {
