@@ -91,4 +91,67 @@ object Probe {
     } :+ lit(w.last)
     round(terms.reduceLeft(_ + _), roundDp)
   }
+
+  /** Isotonic calibration of a [0, 1) model score against binary labels
+    * — the "my probe's scores aren't probabilities" fix (Zadrozny &
+    * Elkan's binning + isotonic regression), computed by the CLOSED
+    * minimax formula instead of the iterative PAVA loop:
+    *
+    *   rate_iso(i) = max_{j≤i} min_{k≥i} (Σ labels in bins j..k) /
+    *                                      (Σ rows in bins j..k)
+    *
+    * which is the exact isotonic-regression solution and — unlike PAVA's
+    * data-dependent pooling — a fixed expression tree both engines walk
+    * identically (q168 hash-certifies every calibrated rate).
+    *
+    * Scale shape: the ONLY corpus-sized work is one map-side-combinable
+    * (bin, n, positives) aggregate; everything after runs on the ≤ bins
+    * rows — prefix sums via a tiny single-partition window (bounded by
+    * `bins`, never by data) and a bins×pairs grid join (≤ bins³ tiny
+    * rows). Calibrated rates are monotone by construction; raw and
+    * calibrated rates are emitted rounded 6 alongside the exact integer
+    * evidence (n, positives).
+    *
+    * Returns (bin, n, pos, rate_raw, rate_iso) for every NON-EMPTY bin,
+    * ordered by bin. Scores outside [0, 1) clamp into the edge bins.
+    */
+  def isotonicCalibrate(df: DataFrame, scoreCol: Column, labelCol: Column,
+      bins: Int = 20): DataFrame = {
+    require(bins >= 1 && bins <= 64, s"bins in [1, 64]: $bins")
+    import org.apache.spark.sql.expressions.Window
+    val bin = least(greatest(
+      floor(scoreCol.cast("double") * bins).cast("long"), lit(0L)),
+      lit((bins - 1).toLong))
+    val base = df.select(bin.as("bin"),
+        labelCol.cast("long").as("__y"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("__y")).as("pos"))
+    val wp = Window.orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val pre = base
+      .withColumn("cn", sum(col("n")).over(wp))
+      .withColumn("cp", sum(col("pos")).over(wp))
+    // interval means over prefix sums: avg(j..k) = (cp_k − cp_{j−1}) /
+    // (cn_k − cn_{j−1}); the "before j" prefix is (cn_j − n_j, cp_j − pos_j)
+    val k = pre.select(col("bin").as("kb"), col("cn").as("kn"),
+      col("cp").as("kp"))
+    val jFull = pre.select(col("bin").as("jb"),
+      (col("cn") - col("n")).as("jn0"), (col("cp") - col("pos")).as("jp0"))
+    val grid = jFull.join(k, col("jb") <= col("kb"))
+      .select(col("jb"), col("kb"),
+        ((col("kp") - col("jp0")).cast("double") /
+          (col("kn") - col("jn0")).cast("double")).as("avg"))
+    val ident = pre.select(col("bin").as("ib"))
+    val minOverK = ident.join(grid, col("jb") <= col("ib") &&
+        col("kb") >= col("ib"))
+      .groupBy(col("ib"), col("jb"))
+      .agg(min(col("avg")).as("mn"))
+      .groupBy(col("ib"))
+      .agg(max(col("mn")).as("iso"))
+    base.join(minOverK, col("bin") === col("ib"))
+      .select(col("bin"), col("n"), col("pos"),
+        round(col("pos").cast("double") / col("n").cast("double"), 6)
+          .as("rate_raw"),
+        round(col("iso"), 6).as("rate_iso"))
+  }
 }

@@ -687,6 +687,56 @@ object AugmentQueries {
              ELSE 'test' END AS split
       FROM r ORDER BY id"""))
 
+  /** Isotonic score calibration ([[graft.scale.Probe.isotonicCalibrate]]):
+    * a deterministic synthetic (score, label) pair per doc — two
+    * independent sub-streams of the portable bucket, P(label|score) ≈
+    * score — binned ×20 and calibrated by the closed minimax formula.
+    * The oracle replays bins, prefix sums, the interval-mean grid, and
+    * the min/max collapse — certifying every calibrated rate, which an
+    * iterative PAVA could never hash-match.
+    */
+  private val q168 = GQuery(
+    (s, d) => {
+      val b = graft.scale.Sampling.portableBucket(col("doc_id"))
+      val u1 = pmod(b, lit(1000L))
+      val u2 = pmod(((b - pmod(b, lit(1000L))) / 1000L).cast("long"),
+        lit(1000L))
+      graft.scale.Probe.isotonicCalibrate(
+        T.documents(s, d).select(
+          (u1.cast("double") / 1000d).as("score"),
+          (u2 < u1).cast("long").as("y")),
+        col("score"), col("y"), bins = 20)
+        .orderBy(col("bin"))
+    },
+    Some(s"""WITH b AS (SELECT ${ScaleQueries.bucketSql("doc_id")} AS bk
+        FROM documents),
+      sl AS (SELECT bk % 1000 AS u1, (bk // 1000) % 1000 AS u2 FROM b),
+      rws AS (SELECT
+          LEAST(GREATEST(CAST(floor((u1 / 1000.0) * 20) AS BIGINT), 0), 19)
+            AS bin,
+          CASE WHEN u2 < u1 THEN 1 ELSE 0 END AS y
+        FROM sl),
+      base AS (SELECT bin, COUNT(*)::BIGINT AS n,
+          CAST(SUM(y) AS BIGINT) AS pos
+        FROM rws GROUP BY bin),
+      pre AS (SELECT bin, n, pos,
+          SUM(n) OVER (ORDER BY bin)::BIGINT AS cn,
+          SUM(pos) OVER (ORDER BY bin)::BIGINT AS cp
+        FROM base),
+      jf AS (SELECT bin AS jb, cn - n AS jn0, cp - pos AS jp0 FROM pre),
+      kf AS (SELECT bin AS kb, cn AS kn, cp AS kp FROM pre),
+      grid AS (SELECT jb, kb,
+          (kp - jp0)::DOUBLE / (kn - jn0)::DOUBLE AS avg
+        FROM jf JOIN kf ON jb <= kb),
+      mn AS (SELECT i.bin AS ib, g.jb, MIN(g.avg) AS mn
+        FROM pre i JOIN grid g ON g.jb <= i.bin AND g.kb >= i.bin
+        GROUP BY i.bin, g.jb),
+      iso AS (SELECT ib, MAX(mn) AS iso FROM mn GROUP BY ib)
+      SELECT base.bin, n, pos,
+        ROUND(pos::DOUBLE / n::DOUBLE, 6) AS rate_raw,
+        ROUND(iso, 6) AS rate_iso
+      FROM base JOIN iso ON base.bin = iso.ib ORDER BY bin"""))
+
   val all: Map[String, GQuery] = Map(
     "q151_triangle_count" -> q151,
     "q152_label_propagation" -> q152,
@@ -704,5 +754,6 @@ object AugmentQueries {
     "q164_token_tail_stats" -> q164,
     "q165_interval_audit" -> q165,
     "q166_frequent_paths" -> q166,
-    "q167_exact_stratified_split" -> q167)
+    "q167_exact_stratified_split" -> q167,
+    "q168_isotonic_calibration" -> q168)
 }

@@ -126,7 +126,8 @@ object Explain {
       "q164_token_tail_stats", // same collapse, pure integer sums
       "q165_interval_audit",   // one exchange+sort, running-max frame
       "q166_frequent_paths",   // lead-chain n-grams, one user window
-      "q167_exact_stratified_split") // two-job prefix-sum rank, no stratum window
+      "q167_exact_stratified_split", // two-job prefix-sum rank, no stratum window
+      "q168_isotonic_calibration") // one bin aggregate + tiny minimax grid
 
     val sb = new StringBuilder
     sb.append("# EXPLAIN — flagship physical plans\n\n")

@@ -331,6 +331,60 @@ class AugmentSpec extends SparkSpec {
     assert(run(docs.coalesce(1)) == got)
   }
 
+  // ---------------------------------------------------------------- q168
+
+  /** Classic stack PAVA over (n, pos) bins — the iterative algorithm the
+    * closed minimax formula must reproduce exactly.
+    */
+  private def pavaRef(binsNP: Seq[(Long, Long)]): Seq[Double] = {
+    case class Block(n: Long, pos: Long)
+    val st = scala.collection.mutable.Stack.empty[Block]
+    binsNP.foreach { case (n, p) =>
+      var b = Block(n, p)
+      // pool while the new block's mean < the previous block's mean
+      while (st.nonEmpty && st.top.pos * b.n >= b.pos * st.top.n) {
+        val t = st.pop(); b = Block(t.n + b.n, t.pos + b.pos)
+      }
+      st.push(b)
+    }
+    // expand blocks back to per-bin rates
+    val blocks = st.toSeq.reverse
+    val out = scala.collection.mutable.ArrayBuffer.empty[Double]
+    var i = 0
+    blocks.foreach { b =>
+      var left = b.n
+      while (left > 0 && i < binsNP.length) {
+        out += b.pos.toDouble / b.n.toDouble
+        left -= binsNP(i)._1
+        i += 1
+      }
+    }
+    out.toSeq
+  }
+
+  test("isotonicCalibrate == classic PAVA on random bins; monotone output") {
+    val rnd = new scala.util.Random(168)
+    (1 to 5).foreach { trial =>
+      // random per-row scores/labels over 12 bins
+      val rows = (1 to 800).map { _ =>
+        val sc = rnd.nextDouble()
+        (sc, if (rnd.nextDouble() < math.min(1.0, sc + 0.3 * rnd.nextGaussian()))
+          1L else 0L)
+      }
+      val got = Probe.isotonicCalibrate(rows.toDF("score", "y"),
+          col("score"), col("y"), bins = 12)
+        .orderBy(col("bin")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(4)))
+      val iso = got.map(_._4)
+      assert(iso.zip(iso.tail).forall { case (a, b) => a <= b },
+        s"trial $trial not monotone: ${iso.toSeq}")
+      val want = pavaRef(got.map(r => (r._2, r._3)).toSeq).map(v =>
+        java.math.BigDecimal.valueOf(v)
+          .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue())
+      assert(iso.toSeq == want, s"trial $trial minimax != PAVA")
+    }
+  }
+
   // ---------------------------------------------------------------- q166
 
   test("frequentPaths: per-user chains, no cross-user paths, id tie-break") {
