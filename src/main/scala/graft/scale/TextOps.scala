@@ -490,6 +490,48 @@ object TextOps {
           .otherwise(lit(0.0)).as("simpson"))
   }
 
+  /** Deterministic MLM-style masking — the training-example GENERATOR
+    * (BERT/T5 prep): each token masks independently with probability
+    * `maskPermille`/1000, decided by the portable hash of
+    * (doc, position) — so the same corpus always yields the same
+    * examples (reproducible pretraining data), any engine can replay
+    * the choice, and re-runs of an interrupted job regenerate identical
+    * shards. Masked positions are replaced by `[MASK]` in the emitted
+    * text; the labels column preserves (position, original token) as
+    * "pos:token" pairs in position order — exactly what an MLM loss
+    * needs to reconstruct.
+    *
+    * Scale shape: one narrow codegen+HOF projection per doc (transform
+    * with index — array operand evaluated once), zero shuffles; at
+    * 100 TB this is scan-speed example generation, the q86/q157 class.
+    */
+  def mlmMask(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String,
+      maskPermille: Int = 150): org.apache.spark.sql.DataFrame = {
+    require(maskPermille >= 0 && maskPermille <= 1000,
+      s"maskPermille in [0, 1000]: $maskPermille")
+    val P31 = 2147483647L
+    val cut = P31 * maskPermille / 1000L
+    docs.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("__t"))
+      .withColumn("__m", transform(col("__t"), (t, i) => {
+        val key = col("doc_id") * 131071L + i.cast("long")
+        val b = pmod(lit(1103515245L) * pmod(key, lit(P31)) + 12345L,
+          lit(P31))
+        struct((b < cut).as("mask"), t.as("tok"), i.cast("long").as("pos"))
+      }))
+      .select(col("doc_id"),
+        size(col("__t")).cast("long").as("n_tokens"),
+        size(filter(col("__m"), e => e.getField("mask"))).cast("long")
+          .as("n_masked"),
+        concat_ws(" ", transform(col("__m"),
+          e => when(e.getField("mask"), lit("[MASK]"))
+            .otherwise(e.getField("tok")))).as("text_masked"),
+        concat_ws(" ", transform(
+          filter(col("__m"), e => e.getField("mask")),
+          e => concat(e.getField("pos").cast("string"), lit(":"),
+            e.getField("tok")))).as("labels"))
+  }
+
   /** Distinct-n diversity per group: distinct unigrams / total unigrams
     * and distinct bigrams / total bigrams — the corpus-health metric that
     * flags template farms and model-generated spam (low distinct-n) per

@@ -737,6 +737,37 @@ object AugmentQueries {
         ROUND(iso, 6) AS rate_iso
       FROM base JOIN iso ON base.bin = iso.ib ORDER BY bin"""))
 
+  /** Deterministic MLM masking ([[graft.scale.TextOps.mlmMask]]): 15%
+    * per-token mask decided by the portable (doc, position) hash; the
+    * oracle replays the hash, the [MASK] substitution, and the
+    * "pos:token" label stream character-exactly.
+    */
+  private val q169 = GQuery(
+    (s, d) => graft.scale.TextOps
+      .mlmMask(T.documents(s, d), "doc_id", "text", maskPermille = 150)
+      .orderBy(col("doc_id")),
+    Some {
+      val cut = 2147483647L * 150L / 1000L
+      s"""WITH toks AS (SELECT doc_id,
+          list_filter(string_split_regex(text, '\\s+'), x -> len(x) > 0)
+            AS t
+        FROM documents),
+      m AS (SELECT doc_id, len(t)::BIGINT AS n,
+          list_transform(t, (tok, i) -> struct_pack(
+            mask := ${ScaleQueries.bucketSql("(doc_id * 131071 + (i - 1))")}
+              < $cut,
+            tok := tok, pos := i - 1)) AS mm
+        FROM toks)
+      SELECT doc_id, n AS n_tokens,
+        len(list_filter(mm, e -> e.mask))::BIGINT AS n_masked,
+        array_to_string(list_transform(mm,
+          e -> CASE WHEN e.mask THEN '[MASK]' ELSE e.tok END), ' ')
+          AS text_masked,
+        COALESCE(array_to_string(list_transform(list_filter(mm, e -> e.mask),
+          e -> e.pos::VARCHAR || ':' || e.tok), ' '), '') AS labels
+      FROM m ORDER BY doc_id"""
+    })
+
   val all: Map[String, GQuery] = Map(
     "q151_triangle_count" -> q151,
     "q152_label_propagation" -> q152,
@@ -755,5 +786,6 @@ object AugmentQueries {
     "q165_interval_audit" -> q165,
     "q166_frequent_paths" -> q166,
     "q167_exact_stratified_split" -> q167,
-    "q168_isotonic_calibration" -> q168)
+    "q168_isotonic_calibration" -> q168,
+    "q169_mlm_masking" -> q169)
 }

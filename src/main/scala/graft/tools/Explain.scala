@@ -127,7 +127,8 @@ object Explain {
       "q165_interval_audit",   // one exchange+sort, running-max frame
       "q166_frequent_paths",   // lead-chain n-grams, one user window
       "q167_exact_stratified_split", // two-job prefix-sum rank, no stratum window
-      "q168_isotonic_calibration") // one bin aggregate + tiny minimax grid
+      "q168_isotonic_calibration", // one bin aggregate + tiny minimax grid
+      "q169_mlm_masking")      // narrow transform-with-index, zero exchange
 
     val sb = new StringBuilder
     sb.append("# EXPLAIN — flagship physical plans\n\n")

@@ -331,6 +331,43 @@ class AugmentSpec extends SparkSpec {
     assert(run(docs.coalesce(1)) == got)
   }
 
+  // ---------------------------------------------------------------- q169
+
+  test("mlmMask: labels reconstruct the original, rate ~ permille, deterministic") {
+    val docs = T.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text"))
+    val run = () => TextOps.mlmMask(docs, "doc_id", "text", 150)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3), r.getString(4))))
+      .toMap
+    val got = run()
+    assert(got == run(), "masking must be deterministic")
+    val orig = docs.collect().map(r => r.getLong(0) ->
+      r.getString(1).split("\\s+").filter(_.nonEmpty).toSeq).toMap
+    var masked = 0L; var total = 0L
+    got.foreach { case (id, (n, m, tm, labels)) =>
+      val toks = orig(id)
+      assert(n == toks.length && m >= 0 && m <= n)
+      masked += m; total += n
+      val mt = tm.split(" ", -1).filter(_.nonEmpty)
+      assert(mt.length == toks.length, s"doc $id length")
+      val lab = if (labels.isEmpty) Map.empty[Int, String]
+        else labels.split(" ").map { kv =>
+          val Array(p, t) = kv.split(":", 2); p.toInt -> t
+        }.toMap
+      assert(lab.size.toLong == m, s"doc $id label count")
+      // reconstruction: [MASK] positions filled from labels == original
+      val rebuilt = mt.zipWithIndex.map { case (t, i) =>
+        if (t == "[MASK]") lab(i) else t }
+      assert(rebuilt.toSeq == toks, s"doc $id reconstruction")
+      // non-masked positions untouched
+      mt.zipWithIndex.foreach { case (t, i) =>
+        if (t != "[MASK]") assert(t == toks(i)) }
+    }
+    val rate = masked.toDouble / total.toDouble
+    assert(rate > 0.10 && rate < 0.20, s"mask rate $rate out of band")
+  }
+
   // ---------------------------------------------------------------- q168
 
   /** Classic stack PAVA over (n, pos) bins — the iterative algorithm the
