@@ -532,6 +532,34 @@ object TextOps {
             e.getField("tok")))).as("labels"))
   }
 
+  /** One-call per-source corpus health report — the dataset-card frame a
+    * pipeline publishes per snapshot: volume (docs, tokens, mean doc
+    * length), vocabulary (size, hapax share — unseen-mass proxy),
+    * information density (entropy), and concentration (Simpson). Pure
+    * composition of [[tokenEntropy]] and [[tokenTailStats]] plus one doc
+    * count — the token stream is scanned by the component operators
+    * (each certified on its own), and the report joins their tiny
+    * per-source outputs; at 100 TB the cost is the two collapse passes,
+    * the joins are #sources-row.
+    */
+  def corpusReport(docs: org.apache.spark.sql.DataFrame, srcCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    val vol = docs.groupBy(col(srcCol).as("source"))
+      .agg(count(lit(1)).as("n_docs"))
+    val ent = tokenEntropy(docs, srcCol, textCol)
+      .select(col("source").as("__s1"), col("n_tokens"), col("entropy"))
+    val tail = tokenTailStats(docs, srcCol, textCol)
+      .select(col("source").as("__s2"), col("vocab"), col("n_hapax"),
+        col("hapax_share"), col("simpson"))
+    vol.join(ent, col("source") === col("__s1"))
+      .join(tail, col("source") === col("__s2"))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        round(col("n_tokens").cast("double") / col("n_docs").cast("double"),
+          6).as("mean_doc_tokens"),
+        col("vocab"), col("n_hapax"), col("hapax_share"), col("entropy"),
+        col("simpson"))
+  }
+
   /** Distinct-n diversity per group: distinct unigrams / total unigrams
     * and distinct bigrams / total bigrams — the corpus-health metric that
     * flags template farms and model-generated spam (low distinct-n) per

@@ -768,6 +768,50 @@ object AugmentQueries {
       FROM m ORDER BY doc_id"""
     })
 
+  /** Per-source corpus health report
+    * ([[graft.scale.TextOps.corpusReport]]): the dataset-card
+    * composition — volume, vocabulary, entropy, concentration in one
+    * frame; the oracle fuses the q163/q164 replay chains.
+    */
+  private val q170 = GQuery(
+    (s, d) => graft.scale.TextOps
+      .corpusReport(T.documents(s, d), "source", "text")
+      .orderBy(col("source")),
+    Some("""WITH tc AS (
+        SELECT source, t, COUNT(*)::BIGINT AS c
+        FROM (SELECT source,
+            unnest(list_filter(string_split_regex(text, '\s+'),
+              x -> len(x) > 0)) AS t
+          FROM documents)
+        GROUP BY source, t),
+      cm AS (SELECT source, c, COUNT(*)::BIGINT AS m
+        FROM tc GROUP BY source, c),
+      agg AS (SELECT source,
+          CAST(SUM(m * c) AS BIGINT) AS n_tokens,
+          CAST(SUM(m) AS BIGINT) AS vocab,
+          CAST(SUM(CASE WHEN c = 1 THEN m ELSE 0 END) AS BIGINT)
+            AS n_hapax,
+          CAST(SUM(m * c * (c - 1)) AS BIGINT) AS rep,
+          list_reduce(list_prepend(0.0::DOUBLE,
+            list((m * c)::DOUBLE * ln(c::DOUBLE) ORDER BY c)),
+            (a, x) -> a + x) AS s
+        FROM cm GROUP BY source),
+      vol AS (SELECT source, COUNT(*)::BIGINT AS n_docs
+        FROM documents GROUP BY source)
+      SELECT vol.source, vol.n_docs, agg.n_tokens,
+        ROUND(agg.n_tokens::DOUBLE / vol.n_docs::DOUBLE, 6)
+          AS mean_doc_tokens,
+        agg.vocab, agg.n_hapax,
+        ROUND(agg.n_hapax::DOUBLE / agg.n_tokens::DOUBLE, 6)
+          AS hapax_share,
+        ROUND(ln(agg.n_tokens::DOUBLE) - agg.s / agg.n_tokens::DOUBLE, 6)
+          AS entropy,
+        CASE WHEN agg.n_tokens >= 2
+          THEN ROUND(agg.rep::DOUBLE /
+            (agg.n_tokens * (agg.n_tokens - 1))::DOUBLE, 6)
+          ELSE 0.0::DOUBLE END AS simpson
+      FROM vol JOIN agg USING (source) ORDER BY vol.source"""))
+
   val all: Map[String, GQuery] = Map(
     "q151_triangle_count" -> q151,
     "q152_label_propagation" -> q152,
@@ -787,5 +831,6 @@ object AugmentQueries {
     "q166_frequent_paths" -> q166,
     "q167_exact_stratified_split" -> q167,
     "q168_isotonic_calibration" -> q168,
-    "q169_mlm_masking" -> q169)
+    "q169_mlm_masking" -> q169,
+    "q170_corpus_report" -> q170)
 }
