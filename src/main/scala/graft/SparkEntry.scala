@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.suite.{AnalyticsQueries, AugmentQueries, AuxQueries, CdcQueries, CoreQueries, CurationQueries, ExtendedQueries, IngestQueries, MlQueries, MultimodalQueries, PipelineQueries, ReportQueries, ScaleQueries, WindowQueries}
+import graft.suite.{AnalyticsQueries, AugmentQueries, AuxQueries, CdcQueries, CoreQueries, CurationQueries, EvalQueries, ExtendedQueries, IngestQueries, MlQueries, MultimodalQueries, PipelineQueries, ReportQueries, ScaleQueries, WindowQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -22,7 +22,8 @@ object SparkEntry {
     CoreQueries.all, WindowQueries.all, ReportQueries.all, ScaleQueries.all,
     ExtendedQueries.all, MlQueries.all, IngestQueries.all, CurationQueries.all,
     MultimodalQueries.all, CdcQueries.all, AuxQueries.all,
-    AnalyticsQueries.all, PipelineQueries.all, AugmentQueries.all)
+    AnalyticsQueries.all, PipelineQueries.all, AugmentQueries.all,
+    EvalQueries.all)
     .reduce(_ ++ _)
 
   /** Flagship: the reference's CVD clinical report pipeline

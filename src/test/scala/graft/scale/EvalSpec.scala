@@ -1,0 +1,96 @@
+package graft.scale
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Pins the evaluation-metric family against brute-force driver
+  * replays: AUC against the O(P·N) pairwise Mann-Whitney count, KS
+  * against the literal ECDF-gap max — the definitions the collapsed
+  * prefix-sum plans must reproduce exactly (integer numerators, one
+  * division, so equality is bitwise).
+  */
+class EvalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def bruteAuc(rows: Seq[(Long, Long)]): Option[Double] = {
+    val pos = rows.collect { case (u, 1L) => u }
+    val neg = rows.collect { case (u, 0L) => u }
+    if (pos.isEmpty || neg.isEmpty) None
+    else {
+      val wins = (for (p <- pos; n <- neg)
+        yield if (p > n) 2L else if (p == n) 1L else 0L).sum
+      Some(math.round(wins.toDouble / (2.0 * pos.length * neg.length)
+        * 1e6) / 1e6)
+    }
+  }
+
+  test("binaryAuc == brute-force pairwise Mann-Whitney, ties included") {
+    val rnd = new scala.util.Random(171)
+    val rows = (1 to 600).map { _ =>
+      val g = s"g${rnd.nextInt(3)}"
+      val u = rnd.nextInt(20).toLong // few units -> many ties
+      val y = if (rnd.nextInt(100) < 30 + 2 * u) 1L else 0L
+      (g, u, y)
+    }
+    val got = Eval.binaryAuc(rows.toDF("g", "u", "y"),
+        col("g"), col("u"), col("y"))
+      .collect()
+      .map(r => r.getString(0) ->
+        (if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    rows.groupBy(_._1).foreach { case (g, rs) =>
+      assert(got(g) == bruteAuc(rs.map(t => (t._2, t._3))), s"group $g")
+    }
+  }
+
+  test("binaryAuc: perfect separation = 1.0, reversed = 0.0, all-ties = 0.5") {
+    val df = Seq(
+      ("sep", 10L, 1L), ("sep", 10L, 1L), ("sep", 1L, 0L),
+      ("rev", 1L, 1L), ("rev", 10L, 0L),
+      ("tie", 5L, 1L), ("tie", 5L, 0L), ("tie", 5L, 1L), ("tie", 5L, 0L),
+      ("deg", 3L, 1L), ("deg", 4L, 1L)).toDF("g", "u", "y")
+    val got = Eval.binaryAuc(df, col("g"), col("u"), col("y")).collect()
+      .map(r => r.getString(0) ->
+        (if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    assert(got == Map("sep" -> Some(1.0), "rev" -> Some(0.0),
+      "tie" -> Some(0.5), "deg" -> None))
+  }
+
+  test("ksStatistic == brute-force ECDF gap max") {
+    val rnd = new scala.util.Random(172)
+    val rows = (1 to 500).map { _ =>
+      val g = s"g${rnd.nextInt(3)}"
+      val a = rnd.nextBoolean()
+      // side A shifted upward in one group to force a visible D
+      val u = (rnd.nextInt(30) + (if (a && g == "g0") 8 else 0)).toLong
+      (g, u, a)
+    }
+    val got = Eval.ksStatistic(rows.toDF("g", "u", "a"),
+        col("g"), col("u"), col("a"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    rows.groupBy(_._1).foreach { case (g, rs) =>
+      val av = rs.filter(_._3).map(_._2)
+      val bv = rs.filterNot(_._3).map(_._2)
+      val units = rs.map(_._2).distinct.sorted
+      val dNum = units.map(v => math.abs(
+        bv.length.toLong * av.count(_ <= v) -
+          av.length.toLong * bv.count(_ <= v))).max
+      val d = math.round(dNum.toDouble / (av.length.toLong * bv.length)
+        * 1e6) / 1e6
+      assert(got(g) == ((av.length.toLong, bv.length.toLong, dNum, d)),
+        s"group $g")
+    }
+  }
+
+  test("ksStatistic: identical sides give D = 0; missing side gives null") {
+    val same = Seq(("g", 1L, true), ("g", 1L, false),
+      ("g", 7L, true), ("g", 7L, false)).toDF("g", "u", "a")
+    val r0 = Eval.ksStatistic(same, col("g"), col("u"), col("a"))
+      .collect().head
+    assert(r0.getLong(3) == 0L && r0.getDouble(4) == 0.0)
+    val one = Seq(("g", 1L, true), ("g", 2L, true)).toDF("g", "u", "a")
+    val r1 = Eval.ksStatistic(one, col("g"), col("u"), col("a"))
+      .collect().head
+    assert(r1.getLong(2) == 0L && r1.isNullAt(4))
+  }
+}
