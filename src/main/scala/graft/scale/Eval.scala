@@ -104,4 +104,68 @@ object Eval {
           round(col("d_num").cast("double") /
             (col("n_a") * col("n_b")).cast("double"), 6)).as("d"))
   }
+
+  /** Per-query ranking metrics — reciprocal rank, recall@k, NDCG@k — of
+    * a run table (qid, doc, rank) against a graded gold table
+    * (qid, doc, grade ≥ 1). One row per gold query; queries the system
+    * returned nothing for score 0 (not dropped — silent misses are the
+    * bug this operator exists to surface).
+    *
+    * Determinism: DCG/IDCG are IEEE sums of grade/log2(pos+1) terms —
+    * order-sensitive — so both are folded in EXPLICIT ascending-position
+    * order over an array (`aggregate` over a rank-sorted `collect_list`,
+    * the q92/c-TF-IDF discipline; the oracle replays with `list_reduce`
+    * over `list(... ORDER BY rank)`). RR and recall are exact rationals
+    * rounded once.
+    *
+    * Scale shape: one (q, doc) hash join (runs are pre-truncated to
+    * rank ≤ k, so the run side is ≤ k rows per query by contract), one
+    * groupBy q with ≤ k array elements per group, and the IDCG side
+    * bounds its per-query state to k rows via a (grade desc, doc) window
+    * BEFORE collecting — a query with a million gold docs still folds k
+    * terms. No driver state at all.
+    */
+  def rankingEval(runs: DataFrame, gold: DataFrame, qCol: String,
+      docCol: String, rankCol: String, gradeCol: String,
+      k: Int): DataFrame = {
+    val r = runs.select(col(qCol).as("q"), col(docCol).as("doc"),
+        col(rankCol).cast("long").as("rank"))
+      .where(col("rank") <= k)
+    val g = gold.select(col(qCol).as("q"), col(docCol).as("doc"),
+      col(gradeCol).cast("long").as("grade"))
+    val perRun = r.join(g, Seq("q", "doc"), "left")
+      .withColumn("rel", coalesce(col("grade"), lit(0L)))
+      .groupBy(col("q"))
+      .agg(
+        min(when(col("rel") > 0L, col("rank"))).as("first_hit"),
+        sum((col("rel") > 0L).cast("long")).as("hits"),
+        aggregate(
+          transform(
+            array_sort(collect_list(struct(col("rank"), col("rel")))),
+            x => x.getField("rel").cast("double") /
+              log2(x.getField("rank").cast("double") + 1d)),
+          lit(0.0d), (a, x) => a + x).as("dcg"))
+    val topGold = g
+      .withColumn("pos", row_number().over(Window.partitionBy(col("q"))
+        .orderBy(col("grade").desc, col("doc"))))
+      .where(col("pos") <= k)
+    val perGold = g.groupBy(col("q")).agg(count(lit(1)).as("n_gold"))
+      .join(
+        topGold.groupBy(col("q")).agg(
+          aggregate(
+            transform(
+              array_sort(collect_list(struct(col("pos"), col("grade")))),
+              x => x.getField("grade").cast("double") /
+                log2(x.getField("pos").cast("double") + 1d)),
+            lit(0.0d), (a, x) => a + x).as("idcg")),
+        Seq("q"))
+    perGold.join(perRun, Seq("q"), "left")
+      .select(col("q").as("qid"), col("n_gold"),
+        coalesce(col("hits"), lit(0L)).as("hits"),
+        round(coalesce(lit(1.0d) / col("first_hit").cast("double"),
+          lit(0.0d)), 6).as("rr"),
+        round(coalesce(col("hits"), lit(0L)).cast("double") /
+          col("n_gold").cast("double"), 6).as("recall"),
+        round(coalesce(col("dcg"), lit(0.0d)) / col("idcg"), 6).as("ndcg"))
+  }
 }

@@ -97,7 +97,71 @@ object EvalQueries {
           ELSE NULL END AS d
       FROM agg ORDER BY lang"""))
 
+  /** Retrieval grading ([[graft.scale.Eval.rankingEval]]): MRR /
+    * recall@10 / NDCG@10 of a deterministic run table against graded
+    * gold, both synthesized from the lineitem candidate pool by
+    * independent portable-hash streams (runs ranked by one hash, gold
+    * membership drawn by another — a plausibly-imperfect retriever).
+    * DCG/IDCG fold in explicit rank order on both engines, so even the
+    * IEEE sums hash-match; queries with no run hits keep a row with
+    * zero scores.
+    */
+  private val q173 = GQuery(
+    (s, d) => {
+      import graft.scale.Sampling.portableBucket
+      val pool = T.lineitem(s, d)
+        .select(pmod(col("l_orderkey"), lit(40L)).as("q"),
+          pmod(col("l_partkey"), lit(200L)).as("doc"))
+        .distinct()
+      val runs = pool
+        .withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("q"))
+            .orderBy(portableBucket(col("q") * 1009L + col("doc")),
+              col("doc"))))
+        .where(col("rank") <= 10)
+      val gold = pool
+        .where(pmod(portableBucket(col("doc") * 31L + col("q")), lit(5L))
+          === 0L)
+        .withColumn("grade", lit(1L) + pmod(col("doc"), lit(3L)))
+      graft.scale.Eval.rankingEval(runs, gold, "q", "doc", "rank",
+          "grade", k = 10)
+        .orderBy(col("qid"))
+    },
+    Some(s"""WITH pool AS (SELECT DISTINCT l_orderkey % 40 AS q,
+          l_partkey % 200 AS doc FROM lineitem),
+      runs AS (SELECT q, doc, ROW_NUMBER() OVER (PARTITION BY q
+          ORDER BY ${ScaleQueries.bucketSql("(q * 1009 + doc)")}, doc)
+          AS rank FROM pool),
+      r AS (SELECT * FROM runs WHERE rank <= 10),
+      gold AS (SELECT q, doc, 1 + doc % 3 AS grade FROM pool
+        WHERE ${ScaleQueries.bucketSql("(doc * 31 + q)")} % 5 = 0),
+      j AS (SELECT r.q, r.rank, COALESCE(gold.grade, 0) AS rel
+        FROM r LEFT JOIN gold ON r.q = gold.q AND r.doc = gold.doc),
+      pr AS (SELECT q,
+          MIN(CASE WHEN rel > 0 THEN rank END) AS first_hit,
+          CAST(SUM(CASE WHEN rel > 0 THEN 1 ELSE 0 END) AS BIGINT) AS hits,
+          list_reduce(list_prepend(0.0::DOUBLE,
+            list(rel::DOUBLE / log2(rank::DOUBLE + 1) ORDER BY rank)),
+            (a, x) -> a + x) AS dcg
+        FROM j GROUP BY q),
+      tg AS (SELECT q, grade, ROW_NUMBER() OVER (PARTITION BY q
+          ORDER BY grade DESC, doc) AS pos FROM gold),
+      pg AS (SELECT g1.q, g1.n_gold, g2.idcg FROM
+        (SELECT q, COUNT(*)::BIGINT AS n_gold FROM gold GROUP BY q) g1
+        JOIN (SELECT q, list_reduce(list_prepend(0.0::DOUBLE,
+            list(grade::DOUBLE / log2(pos::DOUBLE + 1) ORDER BY pos)),
+            (a, x) -> a + x) AS idcg
+          FROM tg WHERE pos <= 10 GROUP BY q) g2 ON g1.q = g2.q)
+      SELECT pg.q AS qid, pg.n_gold,
+        COALESCE(pr.hits, 0)::BIGINT AS hits,
+        ROUND(COALESCE(1.0 / first_hit, 0.0), 6) AS rr,
+        ROUND(COALESCE(pr.hits, 0)::DOUBLE / pg.n_gold::DOUBLE, 6)
+          AS recall,
+        ROUND(COALESCE(pr.dcg, 0.0) / pg.idcg, 6) AS ndcg
+      FROM pg LEFT JOIN pr ON pg.q = pr.q ORDER BY qid"""))
+
   val all: Map[String, GQuery] = Map(
     "q171_roc_auc" -> q171,
-    "q172_ks_drift" -> q172)
+    "q172_ks_drift" -> q172,
+    "q173_ranking_eval" -> q173)
 }

@@ -82,6 +82,44 @@ class EvalSpec extends SparkSpec {
     }
   }
 
+  test("rankingEval == driver-side MRR/recall/NDCG replay") {
+    val rnd = new scala.util.Random(173)
+    val k = 5
+    val runs = (0 until 20).flatMap { q =>
+      rnd.shuffle((0 until 50).toList).take(8).zipWithIndex
+        .map { case (doc, i) => (q.toLong, doc.toLong, (i + 1).toLong) }
+    }
+    val gold = (0 until 20).flatMap { q =>
+      rnd.shuffle((0 until 50).toList).take(rnd.nextInt(12) + 1)
+        .map(doc => (q.toLong, doc.toLong, (rnd.nextInt(3) + 1).toLong))
+    }
+    val got = Eval.rankingEval(runs.toDF("q", "doc", "rank"),
+        gold.toDF("q", "doc", "grade"), "q", "doc", "rank", "grade", k)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4),
+          r.getDouble(5)))).toMap
+    def rnd6(x: Double) = math.round(x * 1e6) / 1e6
+    gold.groupBy(_._1).foreach { case (q, gs) =>
+      val gmap = gs.map(t => t._2 -> t._3).toMap
+      val top = runs.filter(t => t._1 == q && t._3 <= k).sortBy(_._3)
+      val hitRanks = top.filter(t => gmap.contains(t._2)).map(_._3)
+      val rr = if (hitRanks.isEmpty) 0.0 else 1.0 / hitRanks.min
+      // fold in ascending rank order, exactly like the plan
+      val dcg = top.foldLeft(0.0) { (a, t) =>
+        a + gmap.getOrElse(t._2, 0L).toDouble /
+          (math.log(t._3.toDouble + 1) / math.log(2.0))
+      }
+      val idcg = gs.map(t => (t._3, t._2)).sortBy(t => (-t._1, t._2))
+        .take(k).zipWithIndex.foldLeft(0.0) { case (a, ((g, _), i)) =>
+          a + g.toDouble / (math.log(i + 2.0) / math.log(2.0))
+        }
+      val want = (gs.length.toLong, hitRanks.length.toLong, rnd6(rr),
+        rnd6(hitRanks.length.toDouble / gs.length), rnd6(dcg / idcg))
+      assert(got(q) == want, s"query $q")
+    }
+    assert(got.keySet == gold.map(_._1).toSet)
+  }
+
   test("ksStatistic: identical sides give D = 0; missing side gives null") {
     val same = Seq(("g", 1L, true), ("g", 1L, false),
       ("g", 7L, true), ("g", 7L, false)).toDF("g", "u", "a")
