@@ -168,4 +168,108 @@ object Eval {
           col("n_gold").cast("double"), 6).as("recall"),
         round(coalesce(col("dcg"), lit(0.0d)) / col("idcg"), 6).as("ndcg"))
   }
+
+  /** Cohen's kappa inter-annotator agreement per group — the
+    * label-quality gate before any labeled subset enters training.
+    *
+    * κ = (n·Σnᵢᵢ − Σrᵢcᵢ) / (n² − Σrᵢcᵢ): every term is an int64 count
+    * product (marginal products ≤ n², safe to ~3·10⁹ rows per group),
+    * ONE double division at the end. Degenerate groups (chance
+    * agreement = 1, i.e. both annotators constant) report null κ.
+    *
+    * Plan: one (group, a, b) contingency aggregate — the only pass over
+    * the data — then marginal re-aggregates over the CELL table (≤
+    * |labels|² rows per group, not rows of data). Categories one
+    * annotator never used contribute 0 to Σrᵢcᵢ, which the inner
+    * marginal join reproduces by dropping them.
+    */
+  def cohenKappa(df: DataFrame, groupCol: Column, aCol: Column,
+      bCol: Column): DataFrame = {
+    val cells = df
+      .select(groupCol.as("g"), aCol.as("a"), bCol.as("b"))
+      .groupBy(col("g"), col("a"), col("b"))
+      .agg(count(lit(1)).as("n"))
+    val totals = cells.groupBy(col("g")).agg(
+      sum(col("n")).as("n_rows"),
+      sum(when(col("a") === col("b"), col("n")).otherwise(0L))
+        .as("agree"))
+    val rows = cells.groupBy(col("g"), col("a")).agg(sum(col("n")).as("ra"))
+    val cols = cells.groupBy(col("g"), col("b")).agg(sum(col("n")).as("cb"))
+    val pe = rows.join(cols,
+        rows("g") === cols("g") && rows("a") === cols("b"))
+      .groupBy(rows("g").as("g"))
+      .agg(sum(col("ra") * col("cb")).as("pe_num"))
+    totals.join(pe, Seq("g"), "left")
+      .select(col("g").as("group"), col("n_rows"), col("agree"),
+        coalesce(col("pe_num"), lit(0L)).as("pe_num"),
+        round(col("agree").cast("double") / col("n_rows").cast("double"),
+          6).as("agree_rate"),
+        when(col("n_rows") * col("n_rows") =!=
+            coalesce(col("pe_num"), lit(0L)),
+          round((col("n_rows") * col("agree") - coalesce(col("pe_num"),
+              lit(0L))).cast("double") /
+            (col("n_rows") * col("n_rows") - coalesce(col("pe_num"),
+              lit(0L))).cast("double"), 6)).as("kappa"))
+  }
+
+  /** χ² feature selection: the topK terms most associated with each
+    * label by the 2×2 doc-presence contingency test — the
+    * "what vocabulary separates this source / this quality band"
+    * operator behind classifier-based curation (and the c-TF-IDF
+    * label summaries of q129, with test statistics instead of scores).
+    *
+    * Candidates are the terms PRESENT in the label (a ≥ 1): a term the
+    * label never uses scores pure anti-association — which is exactly
+    * some other label's positive story, and shows up there.
+    *
+    * χ² = N(ad−bc)² / ((a+b)(c+d)(a+c)(b+d)). ad−bc stays int64
+    * (marginal products ≤ N²/4 — exact to N ≈ 3·10⁹ docs); the square
+    * and the ratio are IEEE with ONE canonical parenthesization
+    * replayed verbatim by the oracle, so ordering by χ² is
+    * engine-stable. Ranking is total: (χ² desc, term asc).
+    *
+    * Plan: explode → per-(label, doc, term) distinct (presence, not
+    * frequency) → (label, term) counts → term totals re-aggregated from
+    * THAT frame (no second corpus pass) → broadcast label sizes → one
+    * window top-k over the label's candidate terms. `minDf` prunes the
+    * hapax tail before the window sort.
+    */
+  def chiSquareTerms(docs: DataFrame, labelCol: Column, idCol: Column,
+      textCol: Column, topK: Int, minDf: Long): DataFrame = {
+    val pres = docs
+      .select(labelCol.as("lbl"), idCol.as("id"),
+        explode(TextOps.tokens(textCol)).as("term"))
+      .distinct()
+    val lt = pres.groupBy(col("lbl"), col("term"))
+      .agg(count(lit(1)).as("a_cnt"))
+    val tf = lt.groupBy(col("term")).agg(sum(col("a_cnt")).as("tf"))
+      .where(col("tf") >= minDf)
+    val sizes = docs.select(labelCol.as("lbl"), idCol.as("id")).distinct()
+      .groupBy(col("lbl")).agg(count(lit(1)).as("nl"))
+    val nTotal = sizes.agg(sum(col("nl")).as("n_docs"))
+    val scored = lt.join(tf, "term")
+      .join(broadcast(sizes), "lbl")
+      .crossJoin(broadcast(nTotal))
+      .withColumn("b_cnt", col("nl") - col("a_cnt"))
+      .withColumn("c_cnt", col("tf") - col("a_cnt"))
+      .withColumn("d_cnt",
+        col("n_docs") - col("nl") - col("tf") + col("a_cnt"))
+      .withColumn("det",
+        (col("a_cnt") * col("d_cnt") - col("b_cnt") * col("c_cnt"))
+          .cast("double"))
+      .withColumn("chi2",
+        (col("n_docs").cast("double") * (col("det") * col("det"))) /
+          ((col("nl").cast("double") *
+            (col("n_docs") - col("nl")).cast("double")) *
+           (col("tf").cast("double") *
+            (col("n_docs") - col("tf")).cast("double"))))
+    scored
+      .withColumn("pos", row_number().over(Window.partitionBy(col("lbl"))
+        .orderBy(col("chi2").desc, col("term"))))
+      .where(col("pos") <= topK)
+      .select(col("lbl").as("label"), col("pos").cast("long").as("pos"),
+        col("term"),
+        col("a_cnt").as("df_label"), col("tf").as("df_all"),
+        round(col("chi2"), 6).as("chi2"))
+  }
 }

@@ -160,8 +160,98 @@ object EvalQueries {
         ROUND(COALESCE(pr.dcg, 0.0) / pg.idcg, 6) AS ndcg
       FROM pg LEFT JOIN pr ON pg.q = pr.q ORDER BY qid"""))
 
+  /** Cohen's kappa inter-annotator agreement per language
+    * ([[graft.scale.Eval.cohenKappa]]): annotator A bands each doc by
+    * length (n_chars/100); annotator B sees the length through a
+    * deterministic ±60-char jitter (a portable-bucket sub-stream) —
+    * a realistically-noisy second rater. κ's numerator and denominator
+    * are pure int64 marginal products; the oracle replays the full
+    * contingency algebra.
+    */
+  private val q174 = GQuery(
+    (s, d) => {
+      val b = graft.scale.Sampling.portableBucket(col("doc_id"))
+      val jit = pmod(b, lit(120L)) - 60L
+      val v = greatest(col("n_chars") + jit, lit(0L))
+      graft.scale.Eval.cohenKappa(
+        T.documents(s, d).select(col("lang"),
+          floor(col("n_chars") / lit(100d)).cast("long").as("a"),
+          floor(v / lit(100d)).cast("long").as("b")),
+        col("lang"), col("a"), col("b"))
+        .withColumnRenamed("group", "lang")
+        .orderBy(col("lang"))
+    },
+    Some(s"""WITH ann AS (SELECT lang,
+          n_chars // 100 AS a,
+          GREATEST(n_chars + ${ScaleQueries.bucketSql("doc_id")} % 120 - 60,
+            0) // 100 AS b
+        FROM documents),
+      cells AS (SELECT lang, a, b, COUNT(*)::BIGINT AS n
+        FROM ann GROUP BY lang, a, b),
+      tot AS (SELECT lang, CAST(SUM(n) AS BIGINT) AS n_rows,
+          CAST(SUM(CASE WHEN a = b THEN n ELSE 0 END) AS BIGINT) AS agree
+        FROM cells GROUP BY lang),
+      ra AS (SELECT lang, a, CAST(SUM(n) AS BIGINT) AS ra
+        FROM cells GROUP BY lang, a),
+      cb AS (SELECT lang, b, CAST(SUM(n) AS BIGINT) AS cb
+        FROM cells GROUP BY lang, b),
+      pe AS (SELECT ra.lang, CAST(SUM(ra.ra * cb.cb) AS BIGINT) AS pe_num
+        FROM ra JOIN cb ON ra.lang = cb.lang AND ra.a = cb.b
+        GROUP BY ra.lang)
+      SELECT tot.lang, tot.n_rows, tot.agree,
+        COALESCE(pe.pe_num, 0)::BIGINT AS pe_num,
+        ROUND(tot.agree::DOUBLE / tot.n_rows::DOUBLE, 6) AS agree_rate,
+        CASE WHEN tot.n_rows * tot.n_rows <> COALESCE(pe.pe_num, 0)
+          THEN ROUND((tot.n_rows * tot.agree - COALESCE(pe.pe_num, 0))
+              ::DOUBLE /
+            (tot.n_rows * tot.n_rows - COALESCE(pe.pe_num, 0))::DOUBLE, 6)
+          ELSE NULL END AS kappa
+      FROM tot LEFT JOIN pe ON tot.lang = pe.lang ORDER BY tot.lang"""))
+
+  /** χ² term selection per language ([[graft.scale.Eval.chiSquareTerms]]):
+    * top-15 tokens most associated with each lang by doc-presence
+    * contingency, minDf 3 — "which vocabulary separates the subcorpora".
+    * det = ad−bc stays int64; the χ² ratio uses one canonical IEEE
+    * parenthesization replayed verbatim, so even the DESC ordering on
+    * the statistic is engine-stable.
+    */
+  private val q175 = GQuery(
+    (s, d) => graft.scale.Eval.chiSquareTerms(
+        T.documents(s, d), col("lang"), col("doc_id"), col("text"),
+        topK = 15, minDf = 3L)
+      .orderBy(col("label"), col("pos")),
+    Some("""WITH pres AS (SELECT DISTINCT lang AS lbl, doc_id AS id,
+          unnest(list_filter(string_split_regex(text, '\s+'),
+            x -> len(x) > 0)) AS term
+        FROM documents),
+      lt AS (SELECT lbl, term, COUNT(*)::BIGINT AS a_cnt
+        FROM pres GROUP BY lbl, term),
+      tf AS (SELECT term, CAST(SUM(a_cnt) AS BIGINT) AS tf
+        FROM lt GROUP BY term HAVING CAST(SUM(a_cnt) AS BIGINT) >= 3),
+      sizes AS (SELECT lang AS lbl, COUNT(DISTINCT doc_id)::BIGINT AS nl
+        FROM documents GROUP BY lang),
+      nt AS (SELECT CAST(SUM(nl) AS BIGINT) AS n_docs FROM sizes),
+      sc AS (SELECT lt.lbl, lt.term, lt.a_cnt, tf.tf, sizes.nl, nt.n_docs,
+          (lt.a_cnt * (nt.n_docs - sizes.nl - tf.tf + lt.a_cnt) -
+           (sizes.nl - lt.a_cnt) * (tf.tf - lt.a_cnt))::DOUBLE AS det
+        FROM lt JOIN tf USING (term) JOIN sizes USING (lbl) CROSS JOIN nt),
+      chi AS (SELECT lbl, term, a_cnt, tf,
+          (n_docs::DOUBLE * (det * det)) /
+            ((nl::DOUBLE * (n_docs - nl)::DOUBLE) *
+             (tf::DOUBLE * (n_docs - tf)::DOUBLE)) AS chi2
+        FROM sc),
+      rk AS (SELECT lbl, term, a_cnt, tf, chi2,
+          ROW_NUMBER() OVER (PARTITION BY lbl
+            ORDER BY chi2 DESC, term) AS pos
+        FROM chi)
+      SELECT lbl AS label, pos::BIGINT AS pos, term,
+        a_cnt AS df_label, tf AS df_all, ROUND(chi2, 6) AS chi2
+      FROM rk WHERE pos <= 15 ORDER BY label, pos"""))
+
   val all: Map[String, GQuery] = Map(
     "q171_roc_auc" -> q171,
     "q172_ks_drift" -> q172,
-    "q173_ranking_eval" -> q173)
+    "q173_ranking_eval" -> q173,
+    "q174_cohen_kappa" -> q174,
+    "q175_chi2_terms" -> q175)
 }

@@ -120,6 +120,81 @@ class EvalSpec extends SparkSpec {
     assert(got.keySet == gold.map(_._1).toSet)
   }
 
+  test("cohenKappa == textbook contingency replay; degenerate group null") {
+    val rnd = new scala.util.Random(174)
+    val labels = Seq("x", "y", "z")
+    val rows = (1 to 400).map { _ =>
+      val g = s"g${rnd.nextInt(2)}"
+      val a = labels(rnd.nextInt(3))
+      // B mostly copies A
+      val b = if (rnd.nextInt(10) < 7) a else labels(rnd.nextInt(3))
+      (g, a, b)
+    } ++ (1 to 5).map(_ => ("const", "x", "x")) // pe = 1 -> null kappa
+    val got = Eval.cohenKappa(rows.toDF("g", "a", "b"),
+        col("g"), col("a"), col("b"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3),
+          if (r.isNullAt(5)) None else Some(r.getDouble(5))))).toMap
+    rows.groupBy(_._1).foreach { case (g, rs) =>
+      val n = rs.length.toLong
+      val agree = rs.count(t => t._2 == t._3).toLong
+      val pe = labels.map(l =>
+        rs.count(_._2 == l).toLong * rs.count(_._3 == l).toLong).sum
+      val kappa = if (n * n == pe) None
+        else Some(math.round((n * agree - pe).toDouble / (n * n - pe)
+          * 1e6) / 1e6)
+      assert(got(g) == ((n, agree, pe, kappa)), s"group $g")
+    }
+  }
+
+  test("chiSquareTerms == brute-force 2x2 chi2 on a tiny labeled corpus") {
+    val docs = Seq(
+      (1L, "en", "the cat sat on the mat"),
+      (2L, "en", "the dog sat"),
+      (3L, "en", "cat and dog"),
+      (4L, "fr", "le chat et le chien"),
+      (5L, "fr", "le chien dort"),
+      (6L, "fr", "chat dort the")).toDF("id", "lbl", "text")
+    val got = Eval.chiSquareTerms(docs, col("lbl"), col("id"),
+        col("text"), topK = 3, minDf = 2L)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getString(2), r.getLong(3), r.getLong(4), r.getDouble(5))))
+      .toMap
+    // driver replay
+    val corpus = Seq(
+      (1L, "en", Set("the", "cat", "sat", "on", "mat")),
+      (2L, "en", Set("the", "dog", "sat")),
+      (3L, "en", Set("cat", "and", "dog")),
+      (4L, "fr", Set("le", "chat", "et", "chien")),
+      (5L, "fr", Set("le", "chien", "dort")),
+      (6L, "fr", Set("chat", "dort", "the")))
+    val nDocs = corpus.length.toLong
+    val terms = corpus.flatMap(_._3).distinct
+      .filter(t => corpus.count(_._3(t)) >= 2)
+    for (lbl <- Seq("en", "fr")) {
+      val nl = corpus.count(_._2 == lbl).toLong
+      // candidates = terms PRESENT in the label (the operator contract:
+      // absent terms are pure anti-association, i.e. other labels' story)
+      val want = terms.filter(t =>
+        corpus.exists(c => c._2 == lbl && c._3(t))).map { t =>
+        val a = corpus.count(c => c._2 == lbl && c._3(t)).toLong
+        val tf = corpus.count(_._3(t)).toLong
+        val det = (a * (nDocs - nl - tf + a) -
+          (nl - a) * (tf - a)).toDouble
+        val chi2 = (nDocs.toDouble * (det * det)) /
+          ((nl.toDouble * (nDocs - nl).toDouble) *
+            (tf.toDouble * (nDocs - tf).toDouble))
+        (t, a, tf, chi2)
+      }.sortBy(x => (-x._4, x._1)).take(3)
+      want.zipWithIndex.foreach { case ((t, a, tf, chi2), i) =>
+        val e = got((lbl, i + 1L))
+        assert(e == ((t, a, tf, math.round(chi2 * 1e6) / 1e6)),
+          s"label $lbl pos ${i + 1}")
+      }
+    }
+  }
+
   test("ksStatistic: identical sides give D = 0; missing side gives null") {
     val same = Seq(("g", 1L, true), ("g", 1L, false),
       ("g", 7L, true), ("g", 7L, false)).toDF("g", "u", "a")
