@@ -272,4 +272,68 @@ object Eval {
         col("a_cnt").as("df_label"), col("tf").as("df_all"),
         round(col("chi2"), 6).as("chi2"))
   }
+
+  /** Pairwise Jensen–Shannon divergence between the groups' unigram
+    * token distributions — the symmetric, bounded ([0, ln 2]) corpus
+    * drift measure (embedding-space drift is q130; this is its
+    * token-space twin, the one that works before any encoder exists).
+    *
+    * Decomposition that avoids materializing the union vocabulary per
+    * pair: terms one side lacks contribute exactly ½·ln2·(their mass),
+    * so  JSD = ½ln2·(2 − Sp − Sq) + ½·Σ_shared[p·ln(2p/(p+q)) +
+    * q·ln(2q/(p+q))]  where Sp/Sq are the SHARED-mass fractions — only
+    * the vocabulary INTERSECTION is ever joined, and its per-pair term
+    * frame collapses to (x, y) count-multiplicity rows (the q163
+    * discipline) before any double is summed. ROUND(…, 6) absorbs
+    * sum-order ulps, as everywhere in the suite.
+    *
+    * Scale: the term self-join is keyed on term (hash-partitioned); per
+    * pair state after the multiplicity collapse is bounded by distinct
+    * (x, y) count pairs — Zipf corpora keep that tiny relative to the
+    * vocabulary. Totals are a broadcast |groups|-row frame.
+    */
+  def jsDivergence(docs: DataFrame, srcCol: Column,
+      textCol: Column): DataFrame = {
+    val ln2 = math.log(2.0)
+    val tc = docs
+      .select(srcCol.as("src"), explode(TextOps.tokens(textCol)).as("t"))
+      .groupBy(col("src"), col("t")).agg(count(lit(1)).as("c"))
+    val tot = tc.groupBy(col("src")).agg(sum(col("c")).as("n"))
+    val shared = tc.select(col("src").as("sa"), col("t"), col("c").as("x"))
+      .join(tc.select(col("src").as("sb"), col("t"), col("c").as("y")),
+        "t")
+      .where(col("sa") < col("sb"))
+    val mult = shared.groupBy(col("sa"), col("sb"), col("x"), col("y"))
+      .agg(count(lit(1)).as("m"))
+    val withTot = mult
+      .join(broadcast(tot.select(col("src").as("sa"),
+        col("n").as("na"))), "sa")
+      .join(broadcast(tot.select(col("src").as("sb"),
+        col("n").as("nb"))), "sb")
+    val p = col("x").cast("double") / col("na").cast("double")
+    val q = col("y").cast("double") / col("nb").cast("double")
+    val contrib = col("m").cast("double") *
+      (p * log(lit(2.0d) * p / (p + q)) +
+       q * log(lit(2.0d) * q / (p + q)))
+    val sharedAgg = withTot.groupBy(col("sa"), col("sb")).agg(
+      sum(col("m")).as("shared_terms"),
+      sum(col("m") * col("x")).as("sx"),
+      sum(col("m") * col("y")).as("sy"),
+      sum(contrib).as("sc"))
+    val pairs = tot.select(col("src").as("sa"), col("n").as("na"))
+      .crossJoin(broadcast(tot.select(col("src").as("sb"),
+        col("n").as("nb"))))
+      .where(col("sa") < col("sb"))
+    val jsd = lit(ln2 / 2.0d) *
+      ((lit(1.0d) - coalesce(col("sx"), lit(0L)).cast("double") /
+          col("na").cast("double")) +
+       (lit(1.0d) - coalesce(col("sy"), lit(0L)).cast("double") /
+          col("nb").cast("double"))) +
+      coalesce(col("sc"), lit(0.0d)) / lit(2.0d)
+    pairs.join(sharedAgg, Seq("sa", "sb"), "left")
+      .select(col("sa").as("src_a"), col("sb").as("src_b"),
+        coalesce(col("shared_terms"), lit(0L)).as("shared_terms"),
+        round(jsd, 6).as("jsd"),
+        round(jsd / lit(ln2), 6).as("jsd_norm"))
+  }
 }

@@ -248,10 +248,66 @@ object EvalQueries {
         a_cnt AS df_label, tf AS df_all, ROUND(chi2, 6) AS chi2
       FROM rk WHERE pos <= 15 ORDER BY label, pos"""))
 
+  /** Pairwise Jensen–Shannon divergence between language token
+    * distributions ([[graft.scale.Eval.jsDivergence]]): the token-space
+    * drift twin of q130's embedding drift. Only the vocabulary
+    * intersection is joined (absent-term mass is closed-form ½·ln2·mass)
+    * and the per-pair frame collapses to (x, y) count multiplicities
+    * before any double sum; the oracle replays the identical
+    * decomposition.
+    */
+  private val q176 = GQuery(
+    (s, d) => graft.scale.Eval
+      .jsDivergence(T.documents(s, d), col("lang"), col("text"))
+      .orderBy(col("src_a"), col("src_b")),
+    Some("""WITH tc AS (SELECT src, t, COUNT(*)::BIGINT AS c
+        FROM (SELECT lang AS src,
+            unnest(list_filter(string_split_regex(text, '\s+'),
+              x -> len(x) > 0)) AS t
+          FROM documents)
+        GROUP BY src, t),
+      tot AS (SELECT src, CAST(SUM(c) AS BIGINT) AS n FROM tc GROUP BY src),
+      sh AS (SELECT a.src AS sa, b.src AS sb, a.c AS x, b.c AS y
+        FROM tc a JOIN tc b ON a.t = b.t WHERE a.src < b.src),
+      mult AS (SELECT sa, sb, x, y, COUNT(*)::BIGINT AS m
+        FROM sh GROUP BY sa, sb, x, y),
+      wt AS (SELECT mult.sa, mult.sb, mult.x, mult.y, mult.m,
+          ta.n AS na, tb.n AS nb
+        FROM mult JOIN tot ta ON mult.sa = ta.src
+        JOIN tot tb ON mult.sb = tb.src),
+      agg AS (SELECT sa, sb, CAST(SUM(m) AS BIGINT) AS shared_terms,
+          CAST(SUM(m * x) AS BIGINT) AS sx,
+          CAST(SUM(m * y) AS BIGINT) AS sy,
+          SUM(m::DOUBLE *
+            ((x::DOUBLE / na::DOUBLE) *
+               ln(2 * (x::DOUBLE / na::DOUBLE) /
+                 ((x::DOUBLE / na::DOUBLE) + (y::DOUBLE / nb::DOUBLE))) +
+             (y::DOUBLE / nb::DOUBLE) *
+               ln(2 * (y::DOUBLE / nb::DOUBLE) /
+                 ((x::DOUBLE / na::DOUBLE) + (y::DOUBLE / nb::DOUBLE)))))
+            AS sc
+        FROM wt GROUP BY sa, sb),
+      pairs AS (SELECT ta.src AS sa, ta.n AS na, tb.src AS sb, tb.n AS nb
+        FROM tot ta, tot tb WHERE ta.src < tb.src)
+      SELECT pairs.sa AS src_a, pairs.sb AS src_b,
+        COALESCE(agg.shared_terms, 0)::BIGINT AS shared_terms,
+        ROUND(ln(2) / 2 *
+            ((1 - COALESCE(agg.sx, 0)::DOUBLE / pairs.na::DOUBLE) +
+             (1 - COALESCE(agg.sy, 0)::DOUBLE / pairs.nb::DOUBLE)) +
+          COALESCE(agg.sc, 0.0) / 2, 6) AS jsd,
+        ROUND((ln(2) / 2 *
+            ((1 - COALESCE(agg.sx, 0)::DOUBLE / pairs.na::DOUBLE) +
+             (1 - COALESCE(agg.sy, 0)::DOUBLE / pairs.nb::DOUBLE)) +
+          COALESCE(agg.sc, 0.0) / 2) / ln(2), 6) AS jsd_norm
+      FROM pairs LEFT JOIN agg
+        ON pairs.sa = agg.sa AND pairs.sb = agg.sb
+      ORDER BY src_a, src_b"""))
+
   val all: Map[String, GQuery] = Map(
     "q171_roc_auc" -> q171,
     "q172_ks_drift" -> q172,
     "q173_ranking_eval" -> q173,
     "q174_cohen_kappa" -> q174,
-    "q175_chi2_terms" -> q175)
+    "q175_chi2_terms" -> q175,
+    "q176_js_divergence" -> q176)
 }

@@ -195,6 +195,56 @@ class EvalSpec extends SparkSpec {
     }
   }
 
+  test("jsDivergence == brute-force union-vocabulary JSD") {
+    val rnd = new scala.util.Random(176)
+    val vocab = (1 to 40).map(i => s"w$i")
+    val docs = (1 to 120).map { _ =>
+      val src = s"s${rnd.nextInt(3)}"
+      // biased vocabularies per source so divergences differ
+      val bias = src.last.asDigit * 10
+      val words = (1 to rnd.nextInt(15) + 5)
+        .map(_ => vocab(math.min(rnd.nextInt(30) + bias, 39)))
+      (src, words.mkString(" "))
+    }
+    val got = Eval.jsDivergence(docs.toDF("src", "text"),
+        col("src"), col("text"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    val bySrc = docs.groupBy(_._1).map { case (s, ds) =>
+      s -> ds.flatMap(_._2.split(" ")).groupBy(identity)
+        .map { case (w, ws) => w -> ws.length.toLong }
+    }
+    def rnd6(x: Double) = math.round(x * 1e6) / 1e6
+    val ln2 = math.log(2.0)
+    for (sa <- bySrc.keys; sb <- bySrc.keys if sa < sb) {
+      val (ca, cb) = (bySrc(sa), bySrc(sb))
+      val (na, nb) = (ca.values.sum.toDouble, cb.values.sum.toDouble)
+      val jsd = (ca.keySet ++ cb.keySet).toSeq.sorted.map { w =>
+        val p = ca.getOrElse(w, 0L) / na
+        val q = cb.getOrElse(w, 0L) / nb
+        val m = (p + q) / 2
+        (if (p > 0) p * math.log(p / m) else 0.0) / 2 +
+          (if (q > 0) q * math.log(q / m) else 0.0) / 2
+      }.sum
+      val sharedTerms = ca.keySet.count(cb.keySet)
+      val (gs, gj, gn) = got((sa, sb))
+      assert(gs == sharedTerms.toLong, s"pair $sa-$sb shared")
+      assert(math.abs(gj - jsd) < 2e-6, s"pair $sa-$sb jsd $gj vs $jsd")
+      assert(math.abs(gn - jsd / ln2) < 2e-6, s"pair $sa-$sb norm")
+    }
+  }
+
+  test("jsDivergence: identical corpora give 0, disjoint give ln 2") {
+    val docs = Seq(("a", "x y z x"), ("b", "x y z x"), ("c", "u v w"))
+      .toDF("src", "text")
+    val got = Eval.jsDivergence(docs, col("src"), col("text"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(got(("a", "b")) == ((3L, 0.0, 0.0)))
+    assert(got(("a", "c"))._1 == 0L)
+    assert(got(("a", "c"))._3 == 1.0) // normalized disjoint = exactly 1
+  }
+
   test("ksStatistic: identical sides give D = 0; missing side gives null") {
     val same = Seq(("g", 1L, true), ("g", 1L, false),
       ("g", 7L, true), ("g", 7L, false)).toDF("g", "u", "a")
