@@ -1,0 +1,97 @@
+package graft.scale
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed multinomial Naive Bayes — train and score in ONE logical
+  * plan over the corpus (the classical lang-ID / topic-gate baseline the
+  * hashed linear scorer of q78 graduates from when real labels exist).
+  *
+  * Engine-portable scoring: every log-probability is quantized ONCE to
+  * integer micro-units — u(l,t) = round(10⁶·ln(c+1)), base_l =
+  * round(10⁶·ln(T_l+V)), prior from round(10⁶·ln n) differences — and
+  * the per-document score is then PURE int64 arithmetic:
+  *
+  *   score_l(doc) = prior_l + Σ_t tc_t·u(l,t) − ntok·base_l
+  *
+  * (the Laplace-smoothed multinomial log-likelihood times 10⁶, with the
+  * unseen-term mass folded into base_l so absent (l,t) pairs cost
+  * nothing). Argmax over int64 with a label-ascending tiebreak is
+  * deterministic on any engine — no float comparison anywhere past the
+  * single quantization, which both Spark and the oracle compute from
+  * identical integers.
+  *
+  * Scale shape: one token explode feeds BOTH the model (label-keyed
+  * aggregates; the model is a (label, term) frame, never driver state)
+  * and the scoring side; terms carry their per-label units as a small
+  * map (|labels| entries) through ONE term-keyed join. The |labels|×
+  * expansion happens INSIDE the per-(doc, label) hash aggregate's map
+  * side — partial aggregation collapses it before the exchange, so the
+  * shuffled volume is docs×labels rows, not tokens×labels. The label
+  * stats frame (|labels| rows) broadcasts. Empty documents (no tokens)
+  * have no likelihood evidence and are excluded from the output — the
+  * caller's quality gates (q21/q60) own those.
+  */
+object Classify {
+
+  private val U = 1000000L
+
+  private def lnU(x: Column): Column =
+    round(lit(U).cast("double") * log(x.cast("double"))).cast("long")
+
+  /** Per-document NB scores and prediction: (id, label, pred). Training
+    * corpus = scoring corpus (the resubstitution fit — the eval-split
+    * variant is a caller-side filter on both frames).
+    */
+  def naiveBayes(docs: DataFrame, idCol: Column, labelCol: Column,
+      textCol: Column): DataFrame = {
+    val toks = docs.select(idCol.as("id"), labelCol.as("lbl"),
+      explode(TextOps.tokens(textCol)).as("t"))
+    val docTerm = toks.groupBy(col("id"), col("lbl"), col("t"))
+      .agg(count(lit(1)).as("tc"))
+    val classTerm = toks.groupBy(col("lbl"), col("t"))
+      .agg(count(lit(1)).as("c"))
+    val classTot = classTerm.groupBy(col("lbl")).agg(sum(col("c")).as("tl"))
+    val vocab = classTerm.select(col("t")).distinct()
+      .agg(count(lit(1)).as("v"))
+    val priors = docs.groupBy(labelCol.as("lbl"))
+      .agg(count(lit(1)).as("nl"))
+    val nTot = priors.agg(sum(col("nl")).as("n"))
+    val stats = priors.join(classTot, "lbl")
+      .crossJoin(broadcast(vocab)).crossJoin(broadcast(nTot))
+      .select(col("lbl").as("cls"),
+        lnU(col("tl") + col("v")).as("base_u"),
+        (lnU(col("nl")) - lnU(col("n"))).as("prior_u"))
+    val termUnits = classTerm
+      .select(col("lbl"), col("t"), lnU(col("c") + 1L).as("u"))
+      .groupBy(col("t"))
+      .agg(map_from_entries(collect_list(struct(col("lbl"), col("u"))))
+        .as("um"))
+    val scored = docTerm.join(termUnits, "t")
+      .crossJoin(broadcast(stats))
+      .groupBy(col("id"), col("lbl"), col("cls"))
+      .agg(
+        sum(col("tc") * coalesce(element_at(col("um"), col("cls")),
+          lit(0L))).as("s"),
+        sum(col("tc")).as("ntok"),
+        first(col("prior_u")).as("prior_u"),
+        first(col("base_u")).as("base_u"))
+      .withColumn("score",
+        col("prior_u") + col("s") - col("ntok") * col("base_u"))
+    scored
+      .withColumn("rn", row_number().over(Window.partitionBy(col("id"))
+        .orderBy(col("score").desc, col("cls"))))
+      .where(col("rn") === 1)
+      .select(col("id"), col("lbl").as("label"), col("cls").as("pred"))
+  }
+
+  /** The bounded summary of [[naiveBayes]]: the (label, pred) confusion
+    * matrix — |labels|² rows regardless of corpus size.
+    */
+  def naiveBayesConfusion(docs: DataFrame, idCol: Column,
+      labelCol: Column, textCol: Column): DataFrame =
+    naiveBayes(docs, idCol, labelCol, textCol)
+      .groupBy(col("label"), col("pred"))
+      .agg(count(lit(1)).as("n"))
+}

@@ -303,11 +303,59 @@ object EvalQueries {
         ON pairs.sa = agg.sa AND pairs.sb = agg.sb
       ORDER BY src_a, src_b"""))
 
+  /** Multinomial Naive Bayes lang-ID
+    * ([[graft.scale.Classify.naiveBayesConfusion]]): train on the
+    * corpus, score the corpus, emit the confusion matrix. The oracle
+    * replays the entire model — integer micro-unit log-probabilities,
+    * int64 score sums, argmax with label tiebreak — so a hash-match
+    * certifies every per-document prediction, not just the counts.
+    */
+  private val q177 = GQuery(
+    (s, d) => graft.scale.Classify.naiveBayesConfusion(
+        T.documents(s, d), col("doc_id"), col("lang"), col("text"))
+      .orderBy(col("label"), col("pred")),
+    Some("""WITH toks AS (SELECT doc_id AS id, lang AS lbl,
+          unnest(list_filter(string_split_regex(text, '\s+'),
+            x -> len(x) > 0)) AS t
+        FROM documents),
+      dt AS (SELECT id, lbl, t, COUNT(*)::BIGINT AS tc
+        FROM toks GROUP BY id, lbl, t),
+      ct AS (SELECT lbl, t, COUNT(*)::BIGINT AS c
+        FROM toks GROUP BY lbl, t),
+      u AS (SELECT lbl, t,
+          CAST(round(1000000 * ln((c + 1)::DOUBLE)) AS BIGINT) AS u
+        FROM ct),
+      tl AS (SELECT lbl, CAST(SUM(c) AS BIGINT) AS tl FROM ct GROUP BY lbl),
+      v AS (SELECT COUNT(DISTINCT t)::BIGINT AS v FROM ct),
+      pri AS (SELECT lang AS lbl, COUNT(*)::BIGINT AS nl
+        FROM documents GROUP BY lang),
+      nn AS (SELECT CAST(SUM(nl) AS BIGINT) AS n FROM pri),
+      stats AS (SELECT pri.lbl AS cls,
+          CAST(round(1000000 * ln((tl.tl + v.v)::DOUBLE)) AS BIGINT)
+            AS base_u,
+          CAST(round(1000000 * ln(pri.nl::DOUBLE)) AS BIGINT) -
+            CAST(round(1000000 * ln(nn.n::DOUBLE)) AS BIGINT) AS prior_u
+        FROM pri JOIN tl ON pri.lbl = tl.lbl CROSS JOIN v CROSS JOIN nn),
+      sc AS (SELECT dt.id, dt.lbl AS truth, s.cls,
+          MAX(s.prior_u) + CAST(SUM(dt.tc * COALESCE(u.u, 0)) AS BIGINT)
+            - CAST(SUM(dt.tc) AS BIGINT) * MAX(s.base_u) AS score
+        FROM dt CROSS JOIN stats s
+        LEFT JOIN u ON u.lbl = s.cls AND u.t = dt.t
+        GROUP BY dt.id, dt.lbl, s.cls),
+      pred AS (SELECT id, truth, cls,
+          ROW_NUMBER() OVER (PARTITION BY id
+            ORDER BY score DESC, cls) AS rn
+        FROM sc)
+      SELECT truth AS label, cls AS pred, COUNT(*)::BIGINT AS n
+      FROM pred WHERE rn = 1 GROUP BY truth, cls
+      ORDER BY label, pred"""))
+
   val all: Map[String, GQuery] = Map(
     "q171_roc_auc" -> q171,
     "q172_ks_drift" -> q172,
     "q173_ranking_eval" -> q173,
     "q174_cohen_kappa" -> q174,
     "q175_chi2_terms" -> q175,
-    "q176_js_divergence" -> q176)
+    "q176_js_divergence" -> q176,
+    "q177_naive_bayes" -> q177)
 }
