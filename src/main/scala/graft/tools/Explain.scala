@@ -128,7 +128,15 @@ object Explain {
       "q166_frequent_paths",   // lead-chain n-grams, one user window
       "q167_exact_stratified_split", // two-job prefix-sum rank, no stratum window
       "q168_isotonic_calibration", // one bin aggregate + tiny minimax grid
-      "q169_mlm_masking")      // narrow transform-with-index, zero exchange
+      "q169_mlm_masking",      // narrow transform-with-index, zero exchange
+      "q170_corpus_report",    // fused q163/q164 collapse, one term shuffle
+      "q171_roc_auc",          // unit-collapse agg + <=resolution-row window
+      "q172_ks_drift",         // same collapse, integer ECDF cross-multiply
+      "q173_ranking_eval",     // rank<=k join + k-bounded sorted folds
+      "q174_cohen_kappa",      // one contingency pass + cell-table marginals
+      "q175_chi2_terms",       // presence distinct + vocab-bounded top-k window
+      "q176_js_divergence",    // intersection-only term join + (x,y) collapse
+      "q177_naive_bayes")      // term-map join, map-side x-labels collapse
 
     val sb = new StringBuilder
     sb.append("# EXPLAIN — flagship physical plans\n\n")
