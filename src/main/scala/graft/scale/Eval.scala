@@ -336,4 +336,73 @@ object Eval {
         round(jsd, 6).as("jsd"),
         round(jsd / lit(ln2), 6).as("jsd_norm"))
   }
+
+  /** Precision/recall curve per group: one row per DISTINCT score unit
+    * (threshold = "predict positive at score ≥ u"), with exact int64
+    * TP/FP/FN counts from descending prefix sums over the same
+    * collapsed-units frame as [[binaryAuc]] — the full operating-point
+    * table a threshold picker reads, at ≤ resolution rows per group.
+    * precision/recall/F1 are single exact divisions per row (F1 as
+    * 2TP/(2TP+FP+FN) — one division, not a mean of two ratios).
+    */
+  def prCurve(df: DataFrame, groupCol: Column, unitsCol: Column,
+      labelCol: Column): DataFrame = {
+    val per = df
+      .select(groupCol.as("g"), unitsCol.cast("long").as("u"),
+        labelCol.cast("long").as("y"))
+      .groupBy(col("g"), col("u"))
+      .agg(sum(col("y")).as("pos"),
+        (count(lit(1)) - sum(col("y"))).as("neg"))
+    val fromHere = Window.partitionBy(col("g")).orderBy(col("u").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val whole = Window.partitionBy(col("g"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    per
+      .withColumn("tp", sum(col("pos")).over(fromHere))
+      .withColumn("fp", sum(col("neg")).over(fromHere))
+      .withColumn("p_tot", sum(col("pos")).over(whole))
+      .withColumn("fn", col("p_tot") - col("tp"))
+      .select(col("g").as("group"), col("u").as("threshold_unit"),
+        col("tp"), col("fp"), col("fn"),
+        when(col("tp") + col("fp") > 0L,
+          round(col("tp").cast("double") /
+            (col("tp") + col("fp")).cast("double"), 6)).as("precision"),
+        when(col("p_tot") > 0L,
+          round(col("tp").cast("double") / col("p_tot").cast("double"),
+            6)).as("recall"),
+        when(lit(2L) * col("tp") + col("fp") + col("fn") > 0L,
+          round((lit(2L) * col("tp")).cast("double") /
+            (lit(2L) * col("tp") + col("fp") + col("fn")).cast("double"),
+            6)).as("f1"))
+  }
+
+  /** Expected calibration error per group over `bins` equal-width score
+    * bins (scores as permille units in [0, 1000)). The weighted
+    * |accuracy − confidence| sum telescopes to PURE int64:
+    *
+    *   ECE = Σ_b (n_b/N)·|pos_b/n_b − su_b/(1000·n_b)|
+    *       = (Σ_b |1000·pos_b − su_b|) / (1000·N)
+    *
+    * so the entire statistic is one absolute-difference sum over the
+    * ≤ bins-row frame and ONE division — no per-bin float means at all
+    * (the per-bin reliability diagram itself is q168's output).
+    */
+  def calibrationError(df: DataFrame, groupCol: Column, unitsCol: Column,
+      labelCol: Column, bins: Int): DataFrame = {
+    val b = least(greatest(
+      floor(unitsCol.cast("double") / 1000d * bins).cast("long"), lit(0L)),
+      lit(bins.toLong - 1L))
+    val per = df
+      .select(groupCol.as("g"), b.as("bin"),
+        unitsCol.cast("long").as("u"), labelCol.cast("long").as("y"))
+      .groupBy(col("g"), col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("pos"),
+        sum(col("u")).as("su"))
+    per.groupBy(col("g"))
+      .agg(sum(col("n")).as("n_rows"),
+        sum(abs(lit(1000L) * col("pos") - col("su"))).as("dev_num"))
+      .select(col("g").as("group"), col("n_rows"), col("dev_num"),
+        round(col("dev_num").cast("double") /
+          (lit(1000L) * col("n_rows")).cast("double"), 6).as("ece"))
+  }
 }

@@ -350,6 +350,87 @@ object EvalQueries {
       FROM pred WHERE rn = 1 GROUP BY truth, cls
       ORDER BY label, pred"""))
 
+  /** Full precision/recall operating-point table per language
+    * ([[graft.scale.Eval.prCurve]]): one row per distinct score unit,
+    * exact int64 TP/FP/FN from descending prefix sums — same q168
+    * synthetic scorer as q171. The oracle replays every threshold row.
+    */
+  private val q178 = GQuery(
+    (s, d) => {
+      val b = graft.scale.Sampling.portableBucket(col("doc_id"))
+      val u1 = pmod(b, lit(1000L))
+      val u2 = pmod(((b - pmod(b, lit(1000L))) / 1000L).cast("long"),
+        lit(1000L))
+      graft.scale.Eval.prCurve(
+        T.documents(s, d).select(col("lang"), u1.as("u"),
+          (u2 < u1).cast("long").as("y")),
+        col("lang"), col("u"), col("y"))
+        .withColumnRenamed("group", "lang")
+        .orderBy(col("lang"), col("threshold_unit"))
+    },
+    Some(s"""WITH b AS (SELECT lang, ${ScaleQueries.bucketSql("doc_id")} AS bk
+        FROM documents),
+      sl AS (SELECT lang, bk % 1000 AS u,
+          CASE WHEN (bk // 1000) % 1000 < bk % 1000 THEN 1 ELSE 0 END AS y
+        FROM b),
+      per AS (SELECT lang, u, CAST(SUM(y) AS BIGINT) AS pos,
+          CAST(SUM(1 - y) AS BIGINT) AS neg
+        FROM sl GROUP BY lang, u),
+      cum AS (SELECT lang, u, pos, neg,
+          SUM(pos) OVER (PARTITION BY lang ORDER BY u DESC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+            AS tp,
+          SUM(neg) OVER (PARTITION BY lang ORDER BY u DESC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+            AS fp,
+          SUM(pos) OVER (PARTITION BY lang)::BIGINT AS p_tot
+        FROM per)
+      SELECT lang, u AS threshold_unit, tp, fp, p_tot - tp AS fn,
+        CASE WHEN tp + fp > 0
+          THEN ROUND(tp::DOUBLE / (tp + fp)::DOUBLE, 6) END AS precision,
+        CASE WHEN p_tot > 0
+          THEN ROUND(tp::DOUBLE / p_tot::DOUBLE, 6) END AS recall,
+        CASE WHEN 2 * tp + fp + (p_tot - tp) > 0
+          THEN ROUND((2 * tp)::DOUBLE /
+            (2 * tp + fp + (p_tot - tp))::DOUBLE, 6) END AS f1
+      FROM cum ORDER BY lang, threshold_unit"""))
+
+  /** Expected calibration error per language
+    * ([[graft.scale.Eval.calibrationError]]): the q168 reliability
+    * diagram's scalar summary, via the integer telescoping
+    * ECE = Σ|1000·pos_b − su_b| / (1000·N) — certifiable to the last
+    * bit because no per-bin float mean ever exists.
+    */
+  private val q179 = GQuery(
+    (s, d) => {
+      val b = graft.scale.Sampling.portableBucket(col("doc_id"))
+      val u1 = pmod(b, lit(1000L))
+      val u2 = pmod(((b - pmod(b, lit(1000L))) / 1000L).cast("long"),
+        lit(1000L))
+      graft.scale.Eval.calibrationError(
+        T.documents(s, d).select(col("lang"), u1.as("u"),
+          (u2 < u1).cast("long").as("y")),
+        col("lang"), col("u"), col("y"), bins = 10)
+        .withColumnRenamed("group", "lang")
+        .orderBy(col("lang"))
+    },
+    Some(s"""WITH b AS (SELECT lang, ${ScaleQueries.bucketSql("doc_id")} AS bk
+        FROM documents),
+      sl AS (SELECT lang, bk % 1000 AS u,
+          CASE WHEN (bk // 1000) % 1000 < bk % 1000 THEN 1 ELSE 0 END AS y
+        FROM b),
+      pb AS (SELECT lang,
+          LEAST(GREATEST(CAST(floor(u / 1000.0 * 10) AS BIGINT), 0), 9)
+            AS bin,
+          COUNT(*)::BIGINT AS n, CAST(SUM(y) AS BIGINT) AS pos,
+          CAST(SUM(u) AS BIGINT) AS su
+        FROM sl GROUP BY lang, bin)
+      SELECT lang, CAST(SUM(n) AS BIGINT) AS n_rows,
+        CAST(SUM(ABS(1000 * pos - su)) AS BIGINT) AS dev_num,
+        ROUND(SUM(ABS(1000 * pos - su))::DOUBLE /
+          (1000 * SUM(n))::DOUBLE, 6) AS ece
+      FROM pb GROUP BY lang ORDER BY lang"""))
+
   val all: Map[String, GQuery] = Map(
     "q171_roc_auc" -> q171,
     "q172_ks_drift" -> q172,
@@ -357,5 +438,7 @@ object EvalQueries {
     "q174_cohen_kappa" -> q174,
     "q175_chi2_terms" -> q175,
     "q176_js_divergence" -> q176,
-    "q177_naive_bayes" -> q177)
+    "q177_naive_bayes" -> q177,
+    "q178_pr_curve" -> q178,
+    "q179_calibration_error" -> q179)
 }

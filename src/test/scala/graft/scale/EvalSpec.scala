@@ -245,6 +245,61 @@ class EvalSpec extends SparkSpec {
     assert(got(("a", "c"))._3 == 1.0) // normalized disjoint = exactly 1
   }
 
+  test("prCurve == brute-force per-threshold confusion counts") {
+    val rnd = new scala.util.Random(178)
+    val rows = (1 to 300).map { _ =>
+      val g = s"g${rnd.nextInt(2)}"
+      val u = rnd.nextInt(15).toLong
+      val y = if (rnd.nextInt(15) < u) 1L else 0L
+      (g, u, y)
+    }
+    val got = Eval.prCurve(rows.toDF("g", "u", "y"),
+        col("g"), col("u"), col("y"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    def rnd6(x: Double) = math.round(x * 1e6) / 1e6
+    rows.groupBy(_._1).foreach { case (g, rs) =>
+      rs.map(_._2).distinct.foreach { t =>
+        val tp = rs.count(r => r._2 >= t && r._3 == 1L).toLong
+        val fp = rs.count(r => r._2 >= t && r._3 == 0L).toLong
+        val fn = rs.count(r => r._2 < t && r._3 == 1L).toLong
+        assert(got((g, t)) == ((tp, fp, fn)), s"group $g threshold $t")
+      }
+      assert(got.keys.count(_._1 == g) == rs.map(_._2).distinct.length)
+    }
+  }
+
+  test("calibrationError: integer telescoping == naive weighted-bin ECE") {
+    val rnd = new scala.util.Random(179)
+    val rows = (1 to 800).map { _ =>
+      val g = s"g${rnd.nextInt(2)}"
+      val u = rnd.nextInt(1000).toLong
+      val y = if (rnd.nextInt(1000) < u) 1L else 0L
+      (g, u, y)
+    }
+    val bins = 10
+    val got = Eval.calibrationError(rows.toDF("g", "u", "y"),
+        col("g"), col("u"), col("y"), bins)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    rows.groupBy(_._1).foreach { case (g, rs) =>
+      val n = rs.length.toLong
+      // naive definition: sum over bins of (n_b/N)|acc_b - conf_b|
+      val naive = rs.groupBy(r => math.min(r._2 * bins / 1000, bins - 1L))
+        .values.map { b =>
+          val acc = b.count(_._3 == 1L).toDouble / b.length
+          val conf = b.map(_._2).sum.toDouble / (1000.0 * b.length)
+          b.length.toDouble / n * math.abs(acc - conf)
+        }.sum
+      val devNum = rs.groupBy(r => math.min(r._2 * bins / 1000, bins - 1L))
+        .values.map(b => math.abs(1000L * b.count(_._3 == 1L) -
+          b.map(_._2).sum)).sum
+      val (gn, gd, ge) = got(g)
+      assert(gn == n && gd == devNum, s"group $g counts")
+      assert(math.abs(ge - naive) < 2e-6, s"group $g ece $ge vs $naive")
+    }
+  }
+
   test("ksStatistic: identical sides give D = 0; missing side gives null") {
     val same = Seq(("g", 1L, true), ("g", 1L, false),
       ("g", 7L, true), ("g", 7L, false)).toDF("g", "u", "a")
