@@ -405,4 +405,72 @@ object Eval {
         round(col("dev_num").cast("double") /
           (lit(1000L) * col("n_rows")).cast("double"), 6).as("ece"))
   }
+
+  /** McNemar's paired test per group: is classifier B actually better
+    * than classifier A, on the SAME rows? Only the discordant counts
+    * matter — b = A right/B wrong, c = A wrong/B right — and the
+    * continuity-corrected statistic (|b−c|−1)²/(b+c) is int64 algebra
+    * with one division (null when b = c = 0: no evidence either way).
+    * The whole reduction is a single combinable aggregate; accuracies
+    * ride along for the report.
+    */
+  def mcnemar(df: DataFrame, groupCol: Column, labelCol: Column,
+      predACol: Column, predBCol: Column): DataFrame = {
+    val aOk = (predACol === labelCol).cast("long")
+    val bOk = (predBCol === labelCol).cast("long")
+    df.select(groupCol.as("g"), aOk.as("ao"), bOk.as("bo"))
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("ao")).as("a_correct"),
+        sum(col("bo")).as("b_correct"),
+        sum(col("ao") * (lit(1L) - col("bo"))).as("b_disc"),
+        sum((lit(1L) - col("ao")) * col("bo")).as("c_disc"))
+      .select(col("g").as("group"), col("n"),
+        col("a_correct"), col("b_correct"), col("b_disc"), col("c_disc"),
+        round(col("a_correct").cast("double") / col("n").cast("double"),
+          6).as("acc_a"),
+        round(col("b_correct").cast("double") / col("n").cast("double"),
+          6).as("acc_b"),
+        when(col("b_disc") + col("c_disc") > 0L,
+          round(((abs(col("b_disc") - col("c_disc")) - lit(1L)) *
+                 (abs(col("b_disc") - col("c_disc")) - lit(1L)))
+              .cast("double") /
+            (col("b_disc") + col("c_disc")).cast("double"), 6))
+          .as("chi2_cc"))
+  }
+
+  /** Per-group selection/error-rate audit of a binary gate against a
+    * protected attribute — selection rate, TPR, FPR per group plus the
+    * disparate-impact ratio vs the OVERALL rate, computed as the exact
+    * integer cross-product sel_g·n_all / (n_g·sel_all) with one
+    * division. The group frame is |groups| rows; the overall row is a
+    * broadcast 1-row stat frame (the suite-wide crossJoin idiom).
+    */
+  def fairnessAudit(df: DataFrame, groupCol: Column, labelCol: Column,
+      predCol: Column): DataFrame = {
+    val base = df.select(groupCol.as("g"),
+      labelCol.cast("long").as("y"), predCol.cast("long").as("p"))
+    val per = base.groupBy(col("g")).agg(
+      count(lit(1)).as("n"),
+      sum(col("p")).as("sel"),
+      sum(col("y")).as("pos"),
+      sum(col("p") * col("y")).as("tp"),
+      sum(col("p") * (lit(1L) - col("y"))).as("fp"))
+    val overall = per.agg(sum(col("n")).as("n_all"),
+      sum(col("sel")).as("sel_all"))
+    per.crossJoin(broadcast(overall))
+      .select(col("g").as("group"), col("n"), col("sel"),
+        round(col("sel").cast("double") / col("n").cast("double"), 6)
+          .as("sel_rate"),
+        when(col("pos") > 0L,
+          round(col("tp").cast("double") / col("pos").cast("double"), 6))
+          .as("tpr"),
+        when(col("n") - col("pos") > 0L,
+          round(col("fp").cast("double") /
+            (col("n") - col("pos")).cast("double"), 6)).as("fpr"),
+        when(col("sel_all") > 0L,
+          round((col("sel") * col("n_all")).cast("double") /
+            (col("n") * col("sel_all")).cast("double"), 6))
+          .as("disparate_impact"))
+  }
 }

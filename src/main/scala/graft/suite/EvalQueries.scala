@@ -431,6 +431,102 @@ object EvalQueries {
           (1000 * SUM(n))::DOUBLE, 6) AS ece
       FROM pb GROUP BY lang ORDER BY lang"""))
 
+  /** McNemar paired-classifier test per language
+    * ([[graft.scale.Eval.mcnemar]]): classifier A thresholds the
+    * synthetic score at 500; classifier B sees the score through a
+    * deterministic ±50 jitter substream — "is B different from A on
+    * the same rows" with only the discordant int64 counts deciding.
+    */
+  private val q180 = GQuery(
+    (s, d) => {
+      val b = graft.scale.Sampling.portableBucket(col("doc_id"))
+      val u1 = pmod(b, lit(1000L))
+      val u2 = pmod(((b - pmod(b, lit(1000L))) / 1000L).cast("long"),
+        lit(1000L))
+      val u3 = pmod(graft.scale.Sampling.portableBucket(
+        col("doc_id") * 7L + 3L), lit(100L))
+      graft.scale.Eval.mcnemar(
+        T.documents(s, d).select(col("lang"),
+          (u2 < u1).cast("long").as("y"),
+          (u1 >= 500L).cast("long").as("pa"),
+          (u1 + u3 - 50L >= 500L).cast("long").as("pb")),
+        col("lang"), col("y"), col("pa"), col("pb"))
+        .withColumnRenamed("group", "lang")
+        .orderBy(col("lang"))
+    },
+    Some(s"""WITH b AS (SELECT lang,
+          ${ScaleQueries.bucketSql("doc_id")} AS bk,
+          ${ScaleQueries.bucketSql("(doc_id * 7 + 3)")} % 100 AS u3
+        FROM documents),
+      sl AS (SELECT lang,
+          CASE WHEN (bk // 1000) % 1000 < bk % 1000 THEN 1 ELSE 0 END AS y,
+          CASE WHEN bk % 1000 >= 500 THEN 1 ELSE 0 END AS pa,
+          CASE WHEN bk % 1000 + u3 - 50 >= 500 THEN 1 ELSE 0 END AS pb
+        FROM b),
+      m AS (SELECT lang,
+          CASE WHEN pa = y THEN 1 ELSE 0 END AS ao,
+          CASE WHEN pb = y THEN 1 ELSE 0 END AS bo
+        FROM sl),
+      agg AS (SELECT lang, COUNT(*)::BIGINT AS n,
+          CAST(SUM(ao) AS BIGINT) AS a_correct,
+          CAST(SUM(bo) AS BIGINT) AS b_correct,
+          CAST(SUM(ao * (1 - bo)) AS BIGINT) AS b_disc,
+          CAST(SUM((1 - ao) * bo) AS BIGINT) AS c_disc
+        FROM m GROUP BY lang)
+      SELECT lang, n, a_correct, b_correct, b_disc, c_disc,
+        ROUND(a_correct::DOUBLE / n::DOUBLE, 6) AS acc_a,
+        ROUND(b_correct::DOUBLE / n::DOUBLE, 6) AS acc_b,
+        CASE WHEN b_disc + c_disc > 0
+          THEN ROUND(((ABS(b_disc - c_disc) - 1) *
+              (ABS(b_disc - c_disc) - 1))::DOUBLE /
+            (b_disc + c_disc)::DOUBLE, 6) END AS chi2_cc
+      FROM agg ORDER BY lang"""))
+
+  /** Selection/error-rate fairness audit across languages
+    * ([[graft.scale.Eval.fairnessAudit]]): does the synthetic quality
+    * gate select uniformly across subcorpora? Disparate impact is the
+    * exact integer cross-product ratio vs the overall rate — the
+    * pre-training-mix representation check.
+    */
+  private val q181 = GQuery(
+    (s, d) => {
+      val b = graft.scale.Sampling.portableBucket(col("doc_id"))
+      val u1 = pmod(b, lit(1000L))
+      val u2 = pmod(((b - pmod(b, lit(1000L))) / 1000L).cast("long"),
+        lit(1000L))
+      graft.scale.Eval.fairnessAudit(
+        T.documents(s, d).select(col("lang"),
+          (u2 < u1).cast("long").as("y"),
+          (u1 >= 400L).cast("long").as("p")),
+        col("lang"), col("y"), col("p"))
+        .withColumnRenamed("group", "lang")
+        .orderBy(col("lang"))
+    },
+    Some(s"""WITH b AS (SELECT lang, ${ScaleQueries.bucketSql("doc_id")} AS bk
+        FROM documents),
+      sl AS (SELECT lang,
+          CASE WHEN (bk // 1000) % 1000 < bk % 1000 THEN 1 ELSE 0 END AS y,
+          CASE WHEN bk % 1000 >= 400 THEN 1 ELSE 0 END AS p
+        FROM b),
+      per AS (SELECT lang, COUNT(*)::BIGINT AS n,
+          CAST(SUM(p) AS BIGINT) AS sel,
+          CAST(SUM(y) AS BIGINT) AS pos,
+          CAST(SUM(p * y) AS BIGINT) AS tp,
+          CAST(SUM(p * (1 - y)) AS BIGINT) AS fp
+        FROM sl GROUP BY lang),
+      ov AS (SELECT CAST(SUM(n) AS BIGINT) AS n_all,
+          CAST(SUM(sel) AS BIGINT) AS sel_all FROM per)
+      SELECT lang, n, sel,
+        ROUND(sel::DOUBLE / n::DOUBLE, 6) AS sel_rate,
+        CASE WHEN pos > 0
+          THEN ROUND(tp::DOUBLE / pos::DOUBLE, 6) END AS tpr,
+        CASE WHEN n - pos > 0
+          THEN ROUND(fp::DOUBLE / (n - pos)::DOUBLE, 6) END AS fpr,
+        CASE WHEN sel_all > 0
+          THEN ROUND((sel * n_all)::DOUBLE / (n * sel_all)::DOUBLE, 6)
+          END AS disparate_impact
+      FROM per CROSS JOIN ov ORDER BY lang"""))
+
   val all: Map[String, GQuery] = Map(
     "q171_roc_auc" -> q171,
     "q172_ks_drift" -> q172,
@@ -440,5 +536,7 @@ object EvalQueries {
     "q176_js_divergence" -> q176,
     "q177_naive_bayes" -> q177,
     "q178_pr_curve" -> q178,
-    "q179_calibration_error" -> q179)
+    "q179_calibration_error" -> q179,
+    "q180_mcnemar" -> q180,
+    "q181_fairness_audit" -> q181)
 }

@@ -300,6 +300,55 @@ class EvalSpec extends SparkSpec {
     }
   }
 
+  test("mcnemar == discordant-pair replay; b=c=0 gives null statistic") {
+    val rnd = new scala.util.Random(180)
+    val rows = (1 to 400).map { _ =>
+      val g = s"g${rnd.nextInt(2)}"
+      val y = rnd.nextInt(2).toLong
+      val pa = if (rnd.nextInt(10) < 7) y else 1L - y
+      val pb = if (rnd.nextInt(10) < 8) y else 1L - y
+      (g, y, pa, pb)
+    } ++ Seq(("same", 1L, 1L, 1L), ("same", 0L, 1L, 1L)) // no discordants
+    val got = Eval.mcnemar(rows.toDF("g", "y", "pa", "pb"),
+        col("g"), col("y"), col("pa"), col("pb"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(4), r.getLong(5),
+          if (r.isNullAt(8)) None else Some(r.getDouble(8))))).toMap
+    rows.groupBy(_._1).foreach { case (g, rs) =>
+      val b = rs.count(r => r._3 == r._2 && r._4 != r._2).toLong
+      val c = rs.count(r => r._3 != r._2 && r._4 == r._2).toLong
+      val chi = if (b + c == 0) None
+        else Some(math.round((math.abs(b - c) - 1.0) *
+          (math.abs(b - c) - 1.0) / (b + c) * 1e6) / 1e6)
+      assert(got(g) == ((b, c, chi)), s"group $g")
+    }
+  }
+
+  test("fairnessAudit == per-group rate replay with exact DI ratio") {
+    val rnd = new scala.util.Random(181)
+    val rows = (1 to 500).map { _ =>
+      val g = s"g${rnd.nextInt(3)}"
+      val y = rnd.nextInt(2).toLong
+      // group-dependent selection bias so DI differs from 1
+      val p = if (rnd.nextInt(10) < 3 + g.last.asDigit * 2) 1L else 0L
+      (g, y, p)
+    }
+    val got = Eval.fairnessAudit(rows.toDF("g", "y", "p"),
+        col("g"), col("y"), col("p"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(6))))
+      .toMap
+    def rnd6(x: Double) = math.round(x * 1e6) / 1e6
+    val nAll = rows.length.toLong
+    val selAll = rows.count(_._3 == 1L).toLong
+    rows.groupBy(_._1).foreach { case (g, rs) =>
+      val n = rs.length.toLong
+      val sel = rs.count(_._3 == 1L).toLong
+      val di = rnd6((sel * nAll).toDouble / (n * selAll).toDouble)
+      assert(got(g) == ((n, sel, rnd6(sel.toDouble / n), di)), s"group $g")
+    }
+  }
+
   test("ksStatistic: identical sides give D = 0; missing side gives null") {
     val same = Seq(("g", 1L, true), ("g", 1L, false),
       ("g", 7L, true), ("g", 7L, false)).toDF("g", "u", "a")
