@@ -527,6 +527,79 @@ object EvalQueries {
           END AS disparate_impact
       FROM per CROSS JOIN ov ORDER BY lang"""))
 
+  /** Held-out Kneser–Ney bigram cross-entropy per language
+    * ([[graft.scale.Lm.knBigramCrossEntropy]]): train on even doc_ids,
+    * score odd doc_ids — the distribution-shift instrument q89's
+    * in-corpus Laplace probe cannot be (a memorized template scores
+    * perfectly in-corpus; held-out KN exposes it). The oracle replays
+    * the whole model: bigram types, continuation fan-ins/outs, the
+    * canonical interpolated-KN expression, micro-unit quantization,
+    * and the exact integer NLL sums.
+    */
+  private val q182 = GQuery(
+    (s, d) => {
+      val all = T.documents(s, d)
+      graft.scale.Lm.knBigramCrossEntropy(
+        all.where(pmod(col("doc_id"), lit(2L)) === 0L),
+        all.where(pmod(col("doc_id"), lit(2L)) === 1L),
+        col("lang"), col("text"))
+        .withColumnRenamed("source", "lang")
+        .orderBy(col("lang"))
+    },
+    Some("""WITH trt AS (SELECT
+          list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)
+            AS t
+        FROM documents WHERE doc_id % 2 = 0),
+      bt AS (SELECT string_split(bigram, ' ')[1] AS w1,
+          string_split(bigram, ' ')[2] AS w2
+        FROM (SELECT unnest(list_transform(range(2, len(t) + 1),
+            i -> t[i-1] || ' ' || t[i])) AS bigram
+          FROM trt)),
+      cb AS (SELECT w1, w2, COUNT(*)::BIGINT AS cb
+        FROM bt GROUP BY w1, w2),
+      heads AS (SELECT w1, CAST(SUM(cb) AS BIGINT) AS c1,
+          COUNT(*)::BIGINT AS n1f
+        FROM cb GROUP BY w1),
+      tails AS (SELECT w2, COUNT(*)::BIGINT AS n1b FROM cb GROUP BY w2),
+      consts AS (SELECT (SELECT COUNT(*)::BIGINT FROM cb) AS tt,
+          (SELECT COUNT(DISTINCT tok)::BIGINT
+            FROM (SELECT unnest(t) AS tok FROM trt)) AS v),
+      evt AS (SELECT lang,
+          list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)
+            AS t
+        FROM documents WHERE doc_id % 2 = 1),
+      be AS (SELECT lang AS src, string_split(bigram, ' ')[1] AS w1,
+          string_split(bigram, ' ')[2] AS w2
+        FROM (SELECT lang, unnest(list_transform(range(2, len(t) + 1),
+            i -> t[i-1] || ' ' || t[i])) AS bigram
+          FROM evt)),
+      bem AS (SELECT src, w1, w2, COUNT(*)::BIGINT AS m
+        FROM be GROUP BY src, w1, w2),
+      sc AS (SELECT bem.src, bem.m,
+          CASE WHEN tails.n1b IS NULL THEN 1 ELSE 0 END AS oov,
+          -CAST(round(1000000.0 * ln(
+            CASE WHEN heads.c1 IS NOT NULL
+              THEN GREATEST(COALESCE(cb.cb, 0)::DOUBLE - 0.75, 0.0) /
+                  heads.c1::DOUBLE +
+                (0.75 * heads.n1f::DOUBLE / heads.c1::DOUBLE) *
+                  ((COALESCE(tails.n1b, 0) + 1)::DOUBLE /
+                   (consts.tt + consts.v + 1)::DOUBLE)
+              ELSE (COALESCE(tails.n1b, 0) + 1)::DOUBLE /
+                (consts.tt + consts.v + 1)::DOUBLE
+            END)) AS BIGINT) AS lpu
+        FROM bem LEFT JOIN cb ON bem.w1 = cb.w1 AND bem.w2 = cb.w2
+        LEFT JOIN heads ON bem.w1 = heads.w1
+        LEFT JOIN tails ON bem.w2 = tails.w2
+        CROSS JOIN consts)
+      SELECT src AS lang, CAST(SUM(m) AS BIGINT) AS n_bigrams,
+        CAST(SUM(m * oov) AS BIGINT) AS n_oov,
+        CAST(SUM(m * lpu) AS BIGINT) AS nll_units,
+        ROUND(SUM(m * lpu)::DOUBLE / (1000000.0 * SUM(m)::DOUBLE), 6)
+          AS ce_nats,
+        ROUND(exp(SUM(m * lpu)::DOUBLE / (1000000.0 * SUM(m)::DOUBLE)), 6)
+          AS ppl
+      FROM sc GROUP BY src ORDER BY lang"""))
+
   val all: Map[String, GQuery] = Map(
     "q171_roc_auc" -> q171,
     "q172_ks_drift" -> q172,
@@ -538,5 +611,6 @@ object EvalQueries {
     "q178_pr_curve" -> q178,
     "q179_calibration_error" -> q179,
     "q180_mcnemar" -> q180,
-    "q181_fairness_audit" -> q181)
+    "q181_fairness_audit" -> q181,
+    "q182_kn_cross_entropy" -> q182)
 }
