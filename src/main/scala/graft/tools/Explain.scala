@@ -136,7 +136,12 @@ object Explain {
       "q174_cohen_kappa",      // one contingency pass + cell-table marginals
       "q175_chi2_terms",       // presence distinct + vocab-bounded top-k window
       "q176_js_divergence",    // intersection-only term join + (x,y) collapse
-      "q177_naive_bayes")      // term-map join, map-side x-labels collapse
+      "q177_naive_bayes",      // term-map join, map-side x-labels collapse
+      "q178_pr_curve",         // desc prefix sums on the unit collapse
+      "q179_calibration_error",// integer-telescoped bin aggregate
+      "q180_mcnemar",          // one combinable discordant-count agg
+      "q181_fairness_audit",   // group rates + broadcast overall row
+      "q182_kn_cross_entropy") // train-type counts joined to (src,w1,w2,m)
 
     val sb = new StringBuilder
     sb.append("# EXPLAIN — flagship physical plans\n\n")
