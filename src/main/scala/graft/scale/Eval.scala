@@ -44,13 +44,36 @@ object Eval {
     * rather than a divide-by-zero.
     */
   def binaryAuc(df: DataFrame, groupCol: Column, unitsCol: Column,
-      labelCol: Column): DataFrame = {
-    val per = df
-      .select(groupCol.as("g"), unitsCol.cast("long").as("u"),
+      labelCol: Column): DataFrame =
+    binaryAucFromContingency(
+      scoreContingency(df, groupCol, unitsCol, labelCol))
+
+  /** The mergeable state behind [[binaryAuc]]/[[calibrationError]]: the
+    * (group, unit) → (n, pos) contingency table. Additive under
+    * [[contingencyMerge]] (element-wise sum on matching keys), which is
+    * what makes AUC/ECE maintainable from a stream or across shards
+    * without ever re-reading scores — the same persisted-sketch
+    * contract as HLL/CMS/histogram (exactly-once transport required;
+    * a re-delivered batch double-counts).
+    */
+  def scoreContingency(df: DataFrame, groupCol: Column, unitsCol: Column,
+      labelCol: Column): DataFrame =
+    df.select(groupCol.as("g"), unitsCol.cast("long").as("u"),
         labelCol.cast("long").as("y"))
       .groupBy(col("g"), col("u"))
       .agg(count(lit(1)).as("n"), sum(col("y")).as("pos"))
-      .withColumn("neg", col("n") - col("pos"))
+
+  /** Element-wise sum of two contingency tables (missing keys = 0). */
+  def contingencyMerge(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy(col("g"), col("u"))
+      .agg(sum(col("n")).as("n"), sum(col("pos")).as("pos"))
+
+  /** Finalize a [[scoreContingency]] table to per-group AUC — runs over
+    * ≤ resolution rows per group, so it answers from the persisted
+    * state table alone.
+    */
+  def binaryAucFromContingency(contingency: DataFrame): DataFrame = {
+    val per = contingency.withColumn("neg", col("n") - col("pos"))
     val below = Window.partitionBy(col("g")).orderBy(col("u"))
       .rowsBetween(Window.unboundedPreceding, -1)
     per

@@ -509,6 +509,27 @@ object Streaming {
             loUnits, hiUnits, bins), groupCol)
     }
 
+  /** Streaming maintenance of the AUC/ECE score-contingency table
+    * ([[graft.scale.Eval.scoreContingency]]): collapse each micro-batch
+    * of (group, unit, label) scores, element-wise-SUM into the snapshot.
+    * Same additive exactly-once contract as [[maintainCmsSketches]].
+    * The persisted table answers exact tie-aware AUC
+    * ([[graft.scale.Eval.binaryAucFromContingency]]) and ECE at any
+    * time WITHOUT re-reading a single historical score — the online
+    * model-quality dashboard at ≤ resolution rows per group.
+    */
+  def maintainScoreContingency(rows: DataFrame, statePath: String,
+      groupCol: String, unitsCol: String, labelCol: String):
+      org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    foldSnapshotStream(rows, statePath,
+      batch => graft.scale.Eval.scoreContingency(batch.limit(0),
+        col(groupCol), col(unitsCol), col(labelCol)).schema) {
+      (current, batch, _) =>
+        graft.scale.Eval.contingencyMerge(current,
+          graft.scale.Eval.scoreContingency(batch,
+            col(groupCol), col(unitsCol), col(labelCol)))
+    }
+
   /** The shared snapshot-fold engine behind [[applyCdcStream]] and
     * [[maintainMinhashIndex]]: per micro-batch, recover + read the
     * current snapshot (schema from `stateSchema(batch)`, empty on first

@@ -602,6 +602,39 @@ class StreamingSpec extends SparkSpec {
     assert(gotZ.values.exists(_._4), "spike must flag")
   }
 
+  test("streaming score-contingency fold answers the exact batch AUC") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(183)
+    def scores(ids: Range) = ids.map { i =>
+      val u = rnd.nextInt(100).toLong
+      (s"m${i % 2}", u, if (rnd.nextInt(100) < u) 1L else 0L)
+    }
+    val b1 = scores(0 until 400)
+    val b2 = scores(400 until 700) // disjoint delivery (additive contract)
+    val in = Files.createTempDirectory("graft_aucin").toString
+    val state = Files.createTempDirectory("graft_aucst").toString + "/ct"
+    val ckpt = Files.createTempDirectory("graft_aucck").toString
+    b1.toDF("g", "u", "y").coalesce(1).write.parquet(s"$in/b1")
+    b2.toDF("g", "u", "y").coalesce(1).write.parquet(s"$in/b2")
+    val stream = spark.readStream.schema(b1.toDF("g", "u", "y").schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("recursiveFileLookup", "true").parquet(in)
+    val q = Streaming.maintainScoreContingency(stream, state, "g", "u", "y")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(q.exception.isEmpty, s"stream failed: ${q.exception}")
+    def aucRows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("group").collect().toSeq
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3)))
+    val fromState = graft.scale.Eval.binaryAucFromContingency(
+      spark.read.parquet(state))
+    val fromBatch = graft.scale.Eval.binaryAuc(
+      (b1 ++ b2).toDF("g", "u", "y"), col("g"), col("u"), col("y"))
+    assert(aucRows(fromState) === aucRows(fromBatch))
+  }
+
   test("stateful sessionizer splits on gap and aggregates in order") {
     import spark.implicits._
     val base = java.sql.Timestamp.valueOf("2024-01-01 10:00:00").getTime
