@@ -142,4 +142,28 @@ object Cdc {
         measureCols.map(m => sum(col(m)).as(m)): _*)
     merged.where(col(cntCol) > 0)
   }
+
+  /** Incremental maintenance of an equi-JOIN view under append-only
+    * deltas — the join-side companion to [[mergeAdditiveAggs]] (q110
+    * maintains aggregates; this maintains A ⋈ B itself):
+    *
+    *   Δ(A⋈B) = ΔA⋈B  ∪  A⋈ΔB  ∪  ΔA⋈ΔB
+    *
+    * (multiset-exact for inserts-only CDC — the append-only contract
+    * every log/event source satisfies; retractions belong to the
+    * upsert/SCD2 operators above). Returns ONLY the delta rows: the
+    * caller appends them to the stored view, so steady state never
+    * re-joins the two base tables — at 100 TB the whole point is that
+    * both big-⋈-big terms have a DELTA side, which is batch-sized and
+    * broadcastable, while base-⋈-base (the only big⋈big term) never
+    * runs again after bootstrap.
+    */
+  def joinViewDelta(aBase: DataFrame, aDelta: DataFrame,
+      bBase: DataFrame, bDelta: DataFrame,
+      keyCols: Seq[String]): DataFrame = {
+    val k = keyCols
+    aDelta.join(bBase, k)
+      .unionByName(aBase.join(bDelta, k))
+      .unionByName(aDelta.join(bDelta, k))
+  }
 }

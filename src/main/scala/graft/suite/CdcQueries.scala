@@ -100,8 +100,42 @@ object CdcQueries {
           AS BIGINT) AS is_current
       FROM s ORDER BY user_id, from_us"""))
 
+  /** Incremental JOIN-view maintenance ([[graft.scale.Cdc.joinViewDelta]]):
+    * orders⋈customer split into base/delta on both sides by pure
+    * arithmetic (orders by date, customers by key residue); the stored
+    * view (base⋈base) plus the three-delta term must equal the full
+    * join of the merged tables — which is exactly what the oracle
+    * computes, so a hash-match certifies the delta decomposition is
+    * multiset-exact, not just count-right.
+    */
+  private val q183 = GQuery(
+    (s, d) => {
+      val o = T.orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+        col("o_orderdate"))
+      val c = T.customer(s, d).select(col("c_custkey").as("o_custkey"),
+        col("c_nationkey"), col("c_acctbal"))
+      val aBase = o.where(col("o_orderdate") < "1995-01-01")
+      val aDelta = o.where(col("o_orderdate") >= "1995-01-01")
+      val bBase = c.where(col("o_custkey") % 3 =!= 0)
+      val bDelta = c.where(col("o_custkey") % 3 === 0)
+      val stored = aBase.join(bBase, Seq("o_custkey"))
+      val out = stored.unionByName(Cdc.joinViewDelta(
+        aBase, aDelta, bBase, bDelta, Seq("o_custkey")))
+      out.select(col("o_orderkey"), col("o_custkey"),
+          col("o_orderdate").cast("string").as("o_orderdate"),
+          col("c_nationkey").cast("long").as("c_nationkey"),
+          col("c_acctbal"))
+        .orderBy(col("o_orderkey"))
+    },
+    Some("""SELECT o_orderkey, o_custkey,
+        CAST(o_orderdate AS VARCHAR) AS o_orderdate,
+        CAST(c_nationkey AS BIGINT) AS c_nationkey, c_acctbal
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      ORDER BY o_orderkey"""))
+
   def all: Map[String, GQuery] = Map(
     "q90_cdc_upsert" -> q90,
     "q93_scd2_intervals" -> q93,
+    "q183_join_view_ivm" -> q183,
   )
 }

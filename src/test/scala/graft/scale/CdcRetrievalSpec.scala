@@ -243,4 +243,24 @@ class CdcRetrievalSpec extends SparkSpec {
         Seq(1L -> Seq("a", "a")))
     }
   }
+
+  test("joinViewDelta: stored + delta == full join, multiset-exact") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(183)
+    // duplicate keys on BOTH sides so multiset semantics are exercised
+    val a = (1 to 200).map(i => (rnd.nextInt(30).toLong, s"a$i"))
+    val b = (1 to 80).map(i => (rnd.nextInt(30).toLong, s"b$i"))
+    val (aBase, aDelta) = a.partition(_._2.hashCode % 3 != 0)
+    val (bBase, bDelta) = b.partition(_._2.hashCode % 2 != 0)
+    def df(s: Seq[(Long, String)], v: String) = s.toDF("k", v)
+    val stored = df(aBase, "av").join(df(bBase, "bv"), Seq("k"))
+    val delta = Cdc.joinViewDelta(df(aBase, "av"), df(aDelta, "av"),
+      df(bBase, "bv"), df(bDelta, "bv"), Seq("k"))
+    val got = stored.unionByName(delta).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+      .groupBy(identity).map { case (k, v) => k -> v.size }
+    val want = (for ((k1, av) <- a; (k2, bv) <- b if k1 == k2)
+      yield (k1, av, bv)).groupBy(identity).map { case (k, v) => k -> v.size }
+    assert(got == want)
+  }
 }
