@@ -168,4 +168,69 @@ object Features {
             (q, x) => abs(q * (col("__maxabs") / 127d) - x)),
           lit(0d), (acc, e) => greatest(acc, e))).as("max_err"))
   }
+
+  /** Weight-of-evidence encoding + information value per categorical
+    * bucket against a binary target — the credit-scoring-lineage
+    * predictive-power screen (the categorical twin of q175's χ²: χ²
+    * asks "associated at all?", WOE/IV ask "how separative, and in
+    * which direction?").
+    *
+    *   woe_b = ln( (pos_b/pos_tot) / (neg_b/neg_tot) )
+    *   iv    = Σ_b (pos_b/pos_tot − neg_b/neg_tot) · woe_b
+    *
+    * with Laplace +1 on the bucket counts so empty-side buckets stay
+    * finite (the standard zero-cell adjustment, applied to EVERY bucket
+    * so the estimator is continuous). One combinable (bucket) count
+    * pass; totals re-aggregate the bucket frame; ln follows the q163
+    * round-6 precedent; IV's bucket-sum folds in bucket order via the
+    * pinned sorted-array aggregate.
+    */
+  def woeEncoding(df: DataFrame, bucketCol: Column,
+      labelCol: Column): DataFrame = {
+    val cells = df.select(bucketCol.as("bucket"),
+        labelCol.cast("long").as("y"))
+      .groupBy(col("bucket"))
+      .agg(sum(col("y")).as("pos"),
+        (count(lit(1)) - sum(col("y"))).as("neg"))
+    val tot = cells.agg(sum(col("pos")).as("pt"), sum(col("neg")).as("nt"),
+      count(lit(1)).as("nb"))
+    val rated = cells.crossJoin(broadcast(tot))
+      .withColumn("pr", (col("pos") + 1L).cast("double") /
+        (col("pt") + col("nb")).cast("double"))
+      .withColumn("nr", (col("neg") + 1L).cast("double") /
+        (col("nt") + col("nb")).cast("double"))
+      .withColumn("woe", log(col("pr") / col("nr")))
+    rated.select(col("bucket"), col("pos"), col("neg"),
+      round(col("woe"), 6).as("woe"),
+      round((col("pr") - col("nr")) * col("woe"), 6).as("iv_term"))
+  }
+
+  /** Leave-one-out target encoding with additive smoothing — the
+    * high-cardinality categorical encoder that cannot leak the row's
+    * own label:
+    *
+    *   te_row = (sum_y(bucket) − y_row + m·prior) / (n(bucket) − 1 + m)
+    *
+    * (m = smoothing pseudo-count, prior = global positive rate). The
+    * bucket sums are ONE combinable aggregate joined back on the bucket
+    * key — no window, no self-join; a billion-row bucket costs one
+    * cell. All numerators/denominators are exact (prior enters as the
+    * integer ratio pt/n scaled through m), one division per row,
+    * round-6.
+    */
+  def looTargetEncode(df: DataFrame, idCol: Column, bucketCol: Column,
+      labelCol: Column, m: Long = 10L): DataFrame = {
+    val base = df.select(idCol.as("id"), bucketCol.as("bucket"),
+      labelCol.cast("long").as("y"))
+    val per = base.groupBy(col("bucket"))
+      .agg(sum(col("y")).as("sy"), count(lit(1)).as("nb"))
+    val tot = per.agg(sum(col("sy")).as("pt"), sum(col("nb")).as("n"))
+    base.join(per, "bucket").crossJoin(broadcast(tot))
+      .select(col("id"), col("bucket"), col("y"),
+        round(((col("sy") - col("y")).cast("double") +
+            lit(m).cast("double") * col("pt").cast("double") /
+              col("n").cast("double")) /
+          ((col("nb") - 1L).cast("double") + lit(m).cast("double")), 6)
+          .as("te"))
+  }
 }
