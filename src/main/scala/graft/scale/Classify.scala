@@ -41,22 +41,19 @@ object Classify {
     round(lit(U).cast("double") * log(x.cast("double"))).cast("long")
 
   /** Per-document NB scores and prediction: (id, label, pred). Training
-    * corpus = scoring corpus (the resubstitution fit — the eval-split
-    * variant is a caller-side filter on both frames).
+    * corpus = scoring corpus (the resubstitution fit). For a real
+    * train/eval split use [[naiveBayesScore]], which fits on one frame
+    * and scores another with proper OOV handling.
     */
-  def naiveBayes(docs: DataFrame, idCol: Column, labelCol: Column,
-      textCol: Column): DataFrame = {
-    val toks = docs.select(idCol.as("id"), labelCol.as("lbl"),
-      explode(TextOps.tokens(textCol)).as("t"))
-    val docTerm = toks.groupBy(col("id"), col("lbl"), col("t"))
-      .agg(count(lit(1)).as("tc"))
-    val classTerm = toks.groupBy(col("lbl"), col("t"))
-      .agg(count(lit(1)).as("c"))
+  /** Model frames from a (lbl, t)-count frame and a (lbl, nl) prior
+    * frame: the per-class integer-unit stats (cls, base_u, prior_u) and
+    * the per-term per-class unit map (t, um).
+    */
+  private def modelFrames(classTerm: DataFrame,
+      priors: DataFrame): (DataFrame, DataFrame) = {
     val classTot = classTerm.groupBy(col("lbl")).agg(sum(col("c")).as("tl"))
     val vocab = classTerm.select(col("t")).distinct()
       .agg(count(lit(1)).as("v"))
-    val priors = docs.groupBy(labelCol.as("lbl"))
-      .agg(count(lit(1)).as("nl"))
     val nTot = priors.agg(sum(col("nl")).as("n"))
     val stats = priors.join(classTot, "lbl")
       .crossJoin(broadcast(vocab)).crossJoin(broadcast(nTot))
@@ -68,7 +65,28 @@ object Classify {
       .groupBy(col("t"))
       .agg(map_from_entries(collect_list(struct(col("lbl"), col("u"))))
         .as("um"))
-    val scored = docTerm.join(termUnits, "t")
+    (stats, termUnits)
+  }
+
+  def naiveBayes(docs: DataFrame, idCol: Column, labelCol: Column,
+      textCol: Column): DataFrame = {
+    val toks = docs.select(idCol.as("id"), labelCol.as("lbl"),
+      explode(TextOps.tokens(textCol)).as("t"))
+    val docTerm = toks.groupBy(col("id"), col("lbl"), col("t"))
+      .agg(count(lit(1)).as("tc"))
+    val classTerm = toks.groupBy(col("lbl"), col("t"))
+      .agg(count(lit(1)).as("c"))
+    val priors = docs.groupBy(labelCol.as("lbl"))
+      .agg(count(lit(1)).as("nl"))
+    val (stats, termUnits) = modelFrames(classTerm, priors)
+    // LEFT join: a scoring-side token absent from the training vocabulary
+    // (possible when the caller filters train/score splits) contributes
+    // u = 0 for every class but still counts in ntok — it pays the full
+    // −base_l unseen-mass penalty instead of silently vanishing, so
+    // OOV-heavy documents aren't skewed toward artificially high scores.
+    // For the resubstitution fit (train = score) no token is OOV and the
+    // plan is value-identical to an inner join.
+    val scored = docTerm.join(termUnits, Seq("t"), "left")
       .crossJoin(broadcast(stats))
       .groupBy(col("id"), col("lbl"), col("cls"))
       .agg(
@@ -92,6 +110,60 @@ object Classify {
   def naiveBayesConfusion(docs: DataFrame, idCol: Column,
       labelCol: Column, textCol: Column): DataFrame =
     naiveBayes(docs, idCol, labelCol, textCol)
+      .groupBy(col("label"), col("pred"))
+      .agg(count(lit(1)).as("n"))
+
+  /** Held-out variant: fit the multinomial NB model on `train`, score
+    * `score` (which needs no label column) — the real train/eval split
+    * the resubstitution fit approximates. Scoring-side tokens absent
+    * from the training vocabulary (genuine OOV here) keep u = 0 for
+    * every class but still count in ntok, so they pay the full
+    * −base_l unseen-mass penalty — an OOV-heavy document is penalized,
+    * not flattered. Documents whose tokens are ALL OOV still score
+    * (prior_l − ntok·base_l): the prediction degrades gracefully to
+    * the prior argmax instead of dropping the document.
+    *
+    * Same scale shape as [[naiveBayes]]: the model is a (t, um) frame
+    * joined once on the term key; the |labels| stats frame broadcasts;
+    * the |labels|× expansion collapses map-side. Output: (id, pred)
+    * for every non-empty scored document.
+    */
+  def naiveBayesScore(train: DataFrame, score: DataFrame, idCol: Column,
+      labelCol: Column, textCol: Column): DataFrame = {
+    val classTerm = train
+      .select(labelCol.as("lbl"), explode(TextOps.tokens(textCol)).as("t"))
+      .groupBy(col("lbl"), col("t")).agg(count(lit(1)).as("c"))
+    val priors = train.groupBy(labelCol.as("lbl"))
+      .agg(count(lit(1)).as("nl"))
+    val (stats, termUnits) = modelFrames(classTerm, priors)
+    val docTerm = score
+      .select(idCol.as("id"), explode(TextOps.tokens(textCol)).as("t"))
+      .groupBy(col("id"), col("t")).agg(count(lit(1)).as("tc"))
+    val scored = docTerm.join(termUnits, Seq("t"), "left")
+      .crossJoin(broadcast(stats))
+      .groupBy(col("id"), col("cls"))
+      .agg(
+        sum(col("tc") * coalesce(element_at(col("um"), col("cls")),
+          lit(0L))).as("s"),
+        sum(col("tc")).as("ntok"),
+        first(col("prior_u")).as("prior_u"),
+        first(col("base_u")).as("base_u"))
+      .withColumn("score",
+        col("prior_u") + col("s") - col("ntok") * col("base_u"))
+    scored
+      .withColumn("rn", row_number().over(Window.partitionBy(col("id"))
+        .orderBy(col("score").desc, col("cls"))))
+      .where(col("rn") === 1)
+      .select(col("id"), col("cls").as("pred"))
+  }
+
+  /** Held-out confusion matrix: [[naiveBayesScore]] joined back to the
+    * scoring frame's true labels — |labels|² rows.
+    */
+  def naiveBayesHeldOutConfusion(train: DataFrame, score: DataFrame,
+      idCol: Column, labelCol: Column, textCol: Column): DataFrame =
+    naiveBayesScore(train, score, idCol, labelCol, textCol)
+      .join(score.select(idCol.as("id"), labelCol.as("label")), "id")
       .groupBy(col("label"), col("pred"))
       .agg(count(lit(1)).as("n"))
 }

@@ -281,11 +281,17 @@ object Eval {
         (col("a_cnt") * col("d_cnt") - col("b_cnt") * col("c_cnt"))
           .cast("double"))
       .withColumn("chi2",
-        (col("n_docs").cast("double") * (col("det") * col("det"))) /
-          ((col("nl").cast("double") *
-            (col("n_docs") - col("nl")).cast("double")) *
-           (col("tf").cast("double") *
-            (col("n_docs") - col("tf")).cast("double"))))
+        // A term present in every document (tf == n_docs) or a corpus
+        // with a single label (nl == n_docs) zeroes the denominator and
+        // 0/0 = NaN, which Spark sorts as LARGEST — such degenerate
+        // terms carry no association signal, so their chi2 is 0.
+        when(col("tf") < col("n_docs") && col("nl") < col("n_docs"),
+          (col("n_docs").cast("double") * (col("det") * col("det"))) /
+            ((col("nl").cast("double") *
+              (col("n_docs") - col("nl")).cast("double")) *
+             (col("tf").cast("double") *
+              (col("n_docs") - col("tf")).cast("double"))))
+          .otherwise(lit(0.0d)))
     scored
       .withColumn("pos", row_number().over(Window.partitionBy(col("lbl"))
         .orderBy(col("chi2").desc, col("term"))))
@@ -307,8 +313,10 @@ object Eval {
     * q·ln(2q/(p+q))]  where Sp/Sq are the SHARED-mass fractions — only
     * the vocabulary INTERSECTION is ever joined, and its per-pair term
     * frame collapses to (x, y) count-multiplicity rows (the q163
-    * discipline) before any double is summed. ROUND(…, 6) absorbs
-    * sum-order ulps, as everywhere in the suite.
+    * discipline). Each multiplicity row's contribution is quantized to
+    * integer pico-units and summed in int64, so the shared sum is exact
+    * and partition-order-independent; ROUND(…, 6) on the final value is
+    * cosmetic, not load-bearing.
     *
     * Scale: the term self-join is keyed on term (hash-partitioned); per
     * pair state after the multiplicity collapse is bounded by distinct
@@ -335,14 +343,20 @@ object Eval {
         col("n").as("nb"))), "sb")
     val p = col("x").cast("double") / col("na").cast("double")
     val q = col("y").cast("double") / col("nb").cast("double")
-    val contrib = col("m").cast("double") *
-      (p * log(lit(2.0d) * p / (p + q)) +
-       q * log(lit(2.0d) * q / (p + q)))
+    // Each (x, y)-multiplicity contribution is quantized ONCE to integer
+    // pico-units (round(1e12·f); f ≥ 0 by convexity and the pair total is
+    // ≤ 2·ln2·1e12 ≈ 1.4e12, safely int64 under ANSI) so the shared-mass
+    // sum is exact int64 arithmetic independent of partition/sum order —
+    // the Lm.knBigramCrossEntropy discipline. A last-ulp ln() disagreement
+    // between engines moves f·1e12 by ~1e-10, absorbed by the rounding.
+    val fTerm = p * log(lit(2.0d) * p / (p + q)) +
+      q * log(lit(2.0d) * q / (p + q))
+    val contribU = col("m") * round(lit(1.0e12d) * fTerm).cast("long")
     val sharedAgg = withTot.groupBy(col("sa"), col("sb")).agg(
       sum(col("m")).as("shared_terms"),
       sum(col("m") * col("x")).as("sx"),
       sum(col("m") * col("y")).as("sy"),
-      sum(contrib).as("sc"))
+      sum(contribU).as("sc_u"))
     val pairs = tot.select(col("src").as("sa"), col("n").as("na"))
       .crossJoin(broadcast(tot.select(col("src").as("sb"),
         col("n").as("nb"))))
@@ -352,7 +366,7 @@ object Eval {
           col("na").cast("double")) +
        (lit(1.0d) - coalesce(col("sy"), lit(0L)).cast("double") /
           col("nb").cast("double"))) +
-      coalesce(col("sc"), lit(0.0d)) / lit(2.0d)
+      coalesce(col("sc_u"), lit(0L)).cast("double") / lit(2.0e12d)
     pairs.join(sharedAgg, Seq("sa", "sb"), "left")
       .select(col("sa").as("src_a"), col("sb").as("src_b"),
         coalesce(col("shared_terms"), lit(0L)).as("shared_terms"),
@@ -469,6 +483,124 @@ object Eval {
     * division. The group frame is |groups| rows; the overall row is a
     * broadcast 1-row stat frame (the suite-wide crossJoin idiom).
     */
+  /** Cumulative gains / lift table per group at `buckets` cuts over the
+    * score distribution — the "how much better than random is the top
+    * decile" operating view behind every targeting/curation threshold
+    * choice (ROC answers ranking quality; THIS answers "if I keep the
+    * top 10/20/…% by score, what fraction of positives do I capture").
+    *
+    * Runs entirely on the [[scoreContingency]] collapse (≤ resolution
+    * rows per group — the 100 TB shape), so it is maintainable from the
+    * same persisted/streamed state as AUC/ECE. Ties are handled by
+    * fractional interpolation inside the straddling score unit (the
+    * tie-aware convention, mirroring the trapezoidal AUC): cut k takes
+    * exactly k·N/buckets rows, with a tied unit contributing
+    * proportional positive mass. All boundary arithmetic is exact int64
+    * (k·N vs buckets·cumrows — no float steers WHICH unit straddles);
+    * the fractional mass is ONE division per output row.
+    *
+    * Output per (group, bucket k): cum_pos (tie-interpolated positives
+    * in the top k/buckets fraction), gain = cum_pos / total positives,
+    * lift = gain / (k/buckets).
+    */
+  def liftTable(df: DataFrame, groupCol: Column, unitsCol: Column,
+      labelCol: Column, buckets: Int = 10): DataFrame =
+    liftTableFromContingency(
+      scoreContingency(df, groupCol, unitsCol, labelCol), buckets)
+
+  /** Finalize a [[scoreContingency]] table to the per-group lift table —
+    * answers from the persisted state alone.
+    */
+  def liftTableFromContingency(contingency: DataFrame,
+      buckets: Int = 10): DataFrame = {
+    val b = lit(buckets.toLong)
+    val above = Window.partitionBy(col("g")).orderBy(col("u").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val pre = contingency
+      .withColumn("rows_above", coalesce(sum(col("n")).over(above), lit(0L)))
+      .withColumn("pos_above", coalesce(sum(col("pos")).over(above), lit(0L)))
+    val tot = contingency.groupBy(col("g"))
+      .agg(sum(col("n")).as("nn"), sum(col("pos")).as("np"))
+    // Each cut k lands in exactly ONE unit: the half-open row intervals
+    // (b·rows_above, b·(rows_above+n)] partition (0, b·N] and k·N is in
+    // it. The explode is over the COLLAPSED contingency (≤ resolution
+    // rows/group), so the ×buckets expansion is bounded state, not data.
+    val expanded = pre.join(broadcast(tot), "g")
+      .select(col("g"), col("n"), col("pos"), col("rows_above"),
+        col("pos_above"), col("nn"), col("np"),
+        explode(sequence(lit(1L), b)).as("k"))
+      .where(col("rows_above") * b < col("k") * col("nn") &&
+        col("k") * col("nn") <= (col("rows_above") + col("n")) * b)
+    val mB = col("k") * col("nn") - col("rows_above") * b
+    val cumPos = col("pos_above").cast("double") +
+      mB.cast("double") * col("pos").cast("double") /
+        (b.cast("double") * col("n").cast("double"))
+    expanded.select(col("g").as("group"), col("k").as("bucket"),
+      col("nn").as("n_rows"), col("np").as("n_pos"),
+      round(cumPos, 6).as("cum_pos"),
+      when(col("np") > 0L,
+        round(cumPos / col("np").cast("double"), 6)).as("gain"),
+      when(col("np") > 0L,
+        round(cumPos * b.cast("double") /
+          (col("np").cast("double") * col("k").cast("double")), 6))
+        .as("lift"))
+  }
+
+  /** Per-label top-k terms by mutual information I(term; label) over the
+    * document-presence contingency — χ²'s information-theoretic twin
+    * (q175 asks "associated at all?"; MI asks "how many nats does
+    * observing the term buy about the label").
+    *
+    * I = Σ_cell (cnt/N)·ln(N·cnt/(row·col)) over the 2×2 presence table;
+    * empty cells contribute 0 (the x·ln x → 0 limit), and a non-empty
+    * cell's marginals are ≥ its count, so no 0/0 exists by construction.
+    * Each cell term is quantized ONCE to integer pico-units
+    * (round(1e12·f), |f| ≤ ln N — int64-safe) and the 4-cell sum is
+    * int64, so the RANKING key is exact integer arithmetic — unlike a
+    * float sum, tie order can't depend on evaluation order. Ranking is
+    * total: (mi desc, term asc). Same plan shape as [[chiSquareTerms]]:
+    * one presence pass, term totals re-aggregated, broadcast label
+    * sizes, one bounded window.
+    */
+  def mutualInfoTerms(docs: DataFrame, labelCol: Column, idCol: Column,
+      textCol: Column, topK: Int, minDf: Long): DataFrame = {
+    def cellU(cnt: Column, rowm: Column, colm: Column, n: Column): Column =
+      when(cnt > 0L,
+        round(lit(1.0e12d) * (cnt.cast("double") / n.cast("double")) *
+          log(n.cast("double") * cnt.cast("double") /
+            (rowm.cast("double") * colm.cast("double")))).cast("long"))
+        .otherwise(lit(0L))
+    val pres = docs
+      .select(labelCol.as("lbl"), idCol.as("id"),
+        explode(TextOps.tokens(textCol)).as("term"))
+      .distinct()
+    val lt = pres.groupBy(col("lbl"), col("term"))
+      .agg(count(lit(1)).as("a_cnt"))
+    val tf = lt.groupBy(col("term")).agg(sum(col("a_cnt")).as("tf"))
+      .where(col("tf") >= minDf)
+    val sizes = docs.select(labelCol.as("lbl"), idCol.as("id")).distinct()
+      .groupBy(col("lbl")).agg(count(lit(1)).as("nl"))
+    val nTotal = sizes.agg(sum(col("nl")).as("n_docs"))
+    val n = col("n_docs")
+    val scored = lt.join(tf, "term")
+      .join(broadcast(sizes), "lbl")
+      .crossJoin(broadcast(nTotal))
+      .withColumn("mi_u",
+        cellU(col("a_cnt"), col("tf"), col("nl"), n) +
+        cellU(col("nl") - col("a_cnt"), n - col("tf"), col("nl"), n) +
+        cellU(col("tf") - col("a_cnt"), col("tf"), n - col("nl"), n) +
+        cellU(n - col("nl") - col("tf") + col("a_cnt"),
+          n - col("tf"), n - col("nl"), n))
+    scored
+      .withColumn("pos", row_number().over(Window.partitionBy(col("lbl"))
+        .orderBy(col("mi_u").desc, col("term"))))
+      .where(col("pos") <= topK)
+      .select(col("lbl").as("label"), col("pos").cast("long").as("pos"),
+        col("term"),
+        col("a_cnt").as("df_label"), col("tf").as("df_all"),
+        round(col("mi_u").cast("double") / lit(1.0e12d), 6).as("mi"))
+  }
+
   def fairnessAudit(df: DataFrame, groupCol: Column, labelCol: Column,
       predCol: Column): DataFrame = {
     val base = df.select(groupCol.as("g"),

@@ -800,4 +800,37 @@ object TextOps {
       .select(col("w"), array_join(col("toks"), " ").as("encoded"),
         size(col("toks")).cast("long").as("n_tokens"), col("wn"))
   }
+
+  /** Hashing-trick bag-of-words vectorizer (Weinberger et al. 2009 /
+    * scikit-learn HashingVectorizer): each token lands in bucket
+    * h mod `dim` with a ±1 sign drawn from an independent bit of the
+    * same 62-bit portable hash, and a document's feature value is the
+    * signed token count — the fixed-dimension, vocabulary-free text
+    * featurization that feeds linear probes (q145) without ever
+    * building a term dictionary.
+    *
+    * Sign independence: h = h1·2³¹ + h2 (two independent affine folds,
+    * [[graft.functions.NativeExpressions.portableHash62]]); the sign
+    * bit is h1's low bit while h mod dim is driven by the h2 fold (for
+    * dims dividing 2³¹ it is exactly h2 mod dim), so sign and bucket
+    * never correlate through shared fold state.
+    *
+    * Output: sparse COO entries (id, idx, val), exact-cancelled zeros
+    * dropped. Plan: one explode → one (id, idx) hash aggregate with
+    * map-side combine — the shuffle carries at most min(dim, n_tokens)
+    * rows per document, never the token stream.
+    */
+  def featureHash(docs: org.apache.spark.sql.DataFrame, idCol: Column,
+      textCol: Column, dim: Int = 64): org.apache.spark.sql.DataFrame = {
+    require(dim > 0, "dim must be positive")
+    docs.select(idCol.as("id"),
+        explode(graft.scale.Dedup.portableTokenHashes(tokens(textCol)))
+          .as("h"))
+      .select(col("id"), pmod(col("h"), lit(dim.toLong)).as("idx"),
+        (lit(1L) - lit(2L) * shiftright(col("h"), 31)
+          .bitwiseAND(lit(1L))).as("s"))
+      .groupBy(col("id"), col("idx"))
+      .agg(sum(col("s")).as("v"))
+      .where(col("v") =!= 0L)
+  }
 }

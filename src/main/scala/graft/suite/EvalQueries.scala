@@ -236,9 +236,11 @@ object EvalQueries {
            (sizes.nl - lt.a_cnt) * (tf.tf - lt.a_cnt))::DOUBLE AS det
         FROM lt JOIN tf USING (term) JOIN sizes USING (lbl) CROSS JOIN nt),
       chi AS (SELECT lbl, term, a_cnt, tf,
-          (n_docs::DOUBLE * (det * det)) /
-            ((nl::DOUBLE * (n_docs - nl)::DOUBLE) *
-             (tf::DOUBLE * (n_docs - tf)::DOUBLE)) AS chi2
+          CASE WHEN tf < n_docs AND nl < n_docs
+            THEN (n_docs::DOUBLE * (det * det)) /
+              ((nl::DOUBLE * (n_docs - nl)::DOUBLE) *
+               (tf::DOUBLE * (n_docs - tf)::DOUBLE))
+            ELSE 0.0 END AS chi2
         FROM sc),
       rk AS (SELECT lbl, term, a_cnt, tf, chi2,
           ROW_NUMBER() OVER (PARTITION BY lbl
@@ -278,14 +280,14 @@ object EvalQueries {
       agg AS (SELECT sa, sb, CAST(SUM(m) AS BIGINT) AS shared_terms,
           CAST(SUM(m * x) AS BIGINT) AS sx,
           CAST(SUM(m * y) AS BIGINT) AS sy,
-          SUM(m::DOUBLE *
+          CAST(SUM(m * CAST(ROUND(1e12 *
             ((x::DOUBLE / na::DOUBLE) *
                ln(2 * (x::DOUBLE / na::DOUBLE) /
                  ((x::DOUBLE / na::DOUBLE) + (y::DOUBLE / nb::DOUBLE))) +
              (y::DOUBLE / nb::DOUBLE) *
                ln(2 * (y::DOUBLE / nb::DOUBLE) /
                  ((x::DOUBLE / na::DOUBLE) + (y::DOUBLE / nb::DOUBLE)))))
-            AS sc
+            AS BIGINT)) AS BIGINT) AS sc_u
         FROM wt GROUP BY sa, sb),
       pairs AS (SELECT ta.src AS sa, ta.n AS na, tb.src AS sb, tb.n AS nb
         FROM tot ta, tot tb WHERE ta.src < tb.src)
@@ -294,11 +296,11 @@ object EvalQueries {
         ROUND(ln(2) / 2 *
             ((1 - COALESCE(agg.sx, 0)::DOUBLE / pairs.na::DOUBLE) +
              (1 - COALESCE(agg.sy, 0)::DOUBLE / pairs.nb::DOUBLE)) +
-          COALESCE(agg.sc, 0.0) / 2, 6) AS jsd,
+          COALESCE(agg.sc_u, 0)::DOUBLE / 2e12, 6) AS jsd,
         ROUND((ln(2) / 2 *
             ((1 - COALESCE(agg.sx, 0)::DOUBLE / pairs.na::DOUBLE) +
              (1 - COALESCE(agg.sy, 0)::DOUBLE / pairs.nb::DOUBLE)) +
-          COALESCE(agg.sc, 0.0) / 2) / ln(2), 6) AS jsd_norm
+          COALESCE(agg.sc_u, 0)::DOUBLE / 2e12) / ln(2), 6) AS jsd_norm
       FROM pairs LEFT JOIN agg
         ON pairs.sa = agg.sa AND pairs.sb = agg.sb
       ORDER BY src_a, src_b"""))
@@ -600,6 +602,272 @@ object EvalQueries {
           AS ppl
       FROM sc GROUP BY src ORDER BY lang"""))
 
+  /** Weight-of-evidence / information-value screen per language bucket
+    * ([[graft.scale.Features.woeEncoding]]) against the q171-style
+    * synthesized binary label: Laplace(+1)-adjusted bucket rates, ln
+    * ratio, per-bucket IV term. One combinable count pass; the bucket
+    * frame (|langs| rows) is the only state past it. ln follows the
+    * q163 round-6 precedent.
+    */
+  private val q184 = GQuery(
+    (s, d) => {
+      val b = graft.scale.Sampling.portableBucket(col("doc_id"))
+      val u1 = pmod(b, lit(1000L))
+      val u2 = pmod(((b - pmod(b, lit(1000L))) / 1000L).cast("long"),
+        lit(1000L))
+      graft.scale.Features.woeEncoding(
+        T.documents(s, d).select(col("lang"),
+          (u2 < u1).cast("long").as("y")),
+        col("lang"), col("y"))
+        .orderBy(col("bucket"))
+    },
+    Some(s"""WITH b AS (SELECT lang, ${ScaleQueries.bucketSql("doc_id")} AS bk
+        FROM documents),
+      base AS (SELECT lang AS bucket,
+          CASE WHEN (bk // 1000) % 1000 < bk % 1000 THEN 1 ELSE 0 END AS y
+        FROM b),
+      cells AS (SELECT bucket, CAST(SUM(y) AS BIGINT) AS pos,
+          COUNT(*)::BIGINT - CAST(SUM(y) AS BIGINT) AS neg
+        FROM base GROUP BY bucket),
+      tot AS (SELECT CAST(SUM(pos) AS BIGINT) AS pt,
+          CAST(SUM(neg) AS BIGINT) AS nt, COUNT(*)::BIGINT AS nb
+        FROM cells)
+      SELECT bucket, pos, neg,
+        ROUND(ln(((pos + 1)::DOUBLE / (pt + nb)::DOUBLE) /
+                 ((neg + 1)::DOUBLE / (nt + nb)::DOUBLE)), 6) AS woe,
+        ROUND((((pos + 1)::DOUBLE / (pt + nb)::DOUBLE) -
+               ((neg + 1)::DOUBLE / (nt + nb)::DOUBLE)) *
+              ln(((pos + 1)::DOUBLE / (pt + nb)::DOUBLE) /
+                 ((neg + 1)::DOUBLE / (nt + nb)::DOUBLE)), 6) AS iv_term
+      FROM cells CROSS JOIN tot ORDER BY bucket"""))
+
+  /** Leave-one-out target encoding with additive smoothing
+    * ([[graft.scale.Features.looTargetEncode]]) over the same synthesized
+    * label: te = (sum_y(bucket) − y_row + m·prior)/(n(bucket) − 1 + m),
+    * m = 10. One combinable bucket aggregate joined back on the bucket
+    * key — no window, no self-join; the oracle replays every per-row
+    * division, so a hash-match certifies the whole encoded frame.
+    */
+  private val q185 = GQuery(
+    (s, d) => {
+      val b = graft.scale.Sampling.portableBucket(col("doc_id"))
+      val u1 = pmod(b, lit(1000L))
+      val u2 = pmod(((b - pmod(b, lit(1000L))) / 1000L).cast("long"),
+        lit(1000L))
+      graft.scale.Features.looTargetEncode(
+        T.documents(s, d).select(col("doc_id"), col("lang"),
+          (u2 < u1).cast("long").as("y")),
+        col("doc_id"), col("lang"), col("y"), m = 10L)
+        .orderBy(col("id"))
+    },
+    Some(s"""WITH b AS (SELECT doc_id, lang,
+          ${ScaleQueries.bucketSql("doc_id")} AS bk
+        FROM documents),
+      base AS (SELECT doc_id AS id, lang AS bucket,
+          CASE WHEN (bk // 1000) % 1000 < bk % 1000 THEN 1 ELSE 0 END AS y
+        FROM b),
+      per AS (SELECT bucket, CAST(SUM(y) AS BIGINT) AS sy,
+          COUNT(*)::BIGINT AS nb
+        FROM base GROUP BY bucket),
+      tot AS (SELECT CAST(SUM(sy) AS BIGINT) AS pt,
+          CAST(SUM(nb) AS BIGINT) AS n FROM per)
+      SELECT id, bucket, y::BIGINT AS y,
+        ROUND(((sy - y)::DOUBLE + 10.0 * pt::DOUBLE / n::DOUBLE) /
+              ((nb - 1)::DOUBLE + 10.0), 6) AS te
+      FROM base JOIN per USING (bucket) CROSS JOIN tot ORDER BY id"""))
+
+  /** Held-out Naive Bayes ([[graft.scale.Classify.naiveBayesScore]]):
+    * fit the multinomial model on even doc_ids, score odd doc_ids —
+    * the eval-split twin of q177's resubstitution fit, and the query
+    * that exercises genuine OOV handling (scoring-side tokens absent
+    * from the training vocabulary pay the full unseen-mass penalty via
+    * the LEFT term join). The oracle replays the whole split model:
+    * train-side integer micro-unit log-probabilities, int64 score
+    * sums over the scoring frame, argmax with label tiebreak.
+    */
+  private val q186 = GQuery(
+    (s, d) => {
+      val all = T.documents(s, d)
+      graft.scale.Classify.naiveBayesHeldOutConfusion(
+        all.where(pmod(col("doc_id"), lit(2L)) === 0L),
+        all.where(pmod(col("doc_id"), lit(2L)) === 1L),
+        col("doc_id"), col("lang"), col("text"))
+        .orderBy(col("label"), col("pred"))
+    },
+    Some("""WITH tr AS (SELECT doc_id, lang, text FROM documents
+          WHERE doc_id % 2 = 0),
+      ev AS (SELECT doc_id, lang, text FROM documents
+          WHERE doc_id % 2 = 1),
+      ttoks AS (SELECT lang AS lbl,
+          unnest(list_filter(string_split_regex(text, '\s+'),
+            x -> len(x) > 0)) AS t
+        FROM tr),
+      ct AS (SELECT lbl, t, COUNT(*)::BIGINT AS c
+        FROM ttoks GROUP BY lbl, t),
+      u AS (SELECT lbl, t,
+          CAST(round(1000000 * ln((c + 1)::DOUBLE)) AS BIGINT) AS u
+        FROM ct),
+      tl AS (SELECT lbl, CAST(SUM(c) AS BIGINT) AS tl FROM ct GROUP BY lbl),
+      v AS (SELECT COUNT(DISTINCT t)::BIGINT AS v FROM ct),
+      pri AS (SELECT lang AS lbl, COUNT(*)::BIGINT AS nl
+        FROM tr GROUP BY lang),
+      nn AS (SELECT CAST(SUM(nl) AS BIGINT) AS n FROM pri),
+      stats AS (SELECT pri.lbl AS cls,
+          CAST(round(1000000 * ln((tl.tl + v.v)::DOUBLE)) AS BIGINT)
+            AS base_u,
+          CAST(round(1000000 * ln(pri.nl::DOUBLE)) AS BIGINT) -
+            CAST(round(1000000 * ln(nn.n::DOUBLE)) AS BIGINT) AS prior_u
+        FROM pri JOIN tl ON pri.lbl = tl.lbl CROSS JOIN v CROSS JOIN nn),
+      stoks AS (SELECT doc_id AS id, lang AS truth,
+          unnest(list_filter(string_split_regex(text, '\s+'),
+            x -> len(x) > 0)) AS t
+        FROM ev),
+      dt AS (SELECT id, truth, t, COUNT(*)::BIGINT AS tc
+        FROM stoks GROUP BY id, truth, t),
+      sc AS (SELECT dt.id, dt.truth, s.cls,
+          MAX(s.prior_u) + CAST(SUM(dt.tc * COALESCE(u.u, 0)) AS BIGINT)
+            - CAST(SUM(dt.tc) AS BIGINT) * MAX(s.base_u) AS score
+        FROM dt CROSS JOIN stats s
+        LEFT JOIN u ON u.lbl = s.cls AND u.t = dt.t
+        GROUP BY dt.id, dt.truth, s.cls),
+      pred AS (SELECT id, truth, cls,
+          ROW_NUMBER() OVER (PARTITION BY id
+            ORDER BY score DESC, cls) AS rn
+        FROM sc)
+      SELECT truth AS label, cls AS pred, COUNT(*)::BIGINT AS n
+      FROM pred WHERE rn = 1 GROUP BY truth, cls
+      ORDER BY label, pred"""))
+
+  /** Cumulative gains / lift table per language
+    * ([[graft.scale.Eval.liftTable]]) over the q171 synthetic scorer:
+    * ten decile cuts, tie-aware fractional interpolation inside the
+    * straddling score unit, all boundary arithmetic exact int64 on the
+    * collapsed contingency. For the calibrated P(y|u)=u scorer the
+    * top-decile lift lands near 1.9 — replayed exactly by the oracle's
+    * identical prefix sums and divisions.
+    */
+  private val q187 = GQuery(
+    (s, d) => {
+      val b = graft.scale.Sampling.portableBucket(col("doc_id"))
+      val u1 = pmod(b, lit(1000L))
+      val u2 = pmod(((b - pmod(b, lit(1000L))) / 1000L).cast("long"),
+        lit(1000L))
+      graft.scale.Eval.liftTable(
+        T.documents(s, d).select(col("lang"), u1.as("u"),
+          (u2 < u1).cast("long").as("y")),
+        col("lang"), col("u"), col("y"), buckets = 10)
+        .withColumnRenamed("group", "lang")
+        .orderBy(col("lang"), col("bucket"))
+    },
+    Some(s"""WITH b AS (SELECT lang, ${ScaleQueries.bucketSql("doc_id")} AS bk
+        FROM documents),
+      sl AS (SELECT lang, bk % 1000 AS u,
+          CASE WHEN (bk // 1000) % 1000 < bk % 1000 THEN 1 ELSE 0 END AS y
+        FROM b),
+      per AS (SELECT lang, u, COUNT(*)::BIGINT AS n,
+          CAST(SUM(y) AS BIGINT) AS pos
+        FROM sl GROUP BY lang, u),
+      pre AS (SELECT lang, u, n, pos,
+          COALESCE(SUM(n) OVER (PARTITION BY lang ORDER BY u DESC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+            AS rows_above,
+          COALESCE(SUM(pos) OVER (PARTITION BY lang ORDER BY u DESC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+            AS pos_above,
+          SUM(n) OVER (PARTITION BY lang)::BIGINT AS nn,
+          CAST(SUM(pos) OVER (PARTITION BY lang) AS BIGINT) AS np
+        FROM per),
+      ex AS (SELECT lang, k, nn, np, rows_above, pos_above, n, pos
+        FROM pre CROSS JOIN (SELECT unnest(range(1, 11)) AS k)
+        WHERE rows_above * 10 < k * nn AND k * nn <= (rows_above + n) * 10)
+      SELECT lang, k::BIGINT AS bucket, nn AS n_rows, np AS n_pos,
+        ROUND(pos_above::DOUBLE +
+          (k * nn - rows_above * 10)::DOUBLE * pos::DOUBLE /
+            (10.0 * n::DOUBLE), 6) AS cum_pos,
+        CASE WHEN np > 0 THEN ROUND((pos_above::DOUBLE +
+          (k * nn - rows_above * 10)::DOUBLE * pos::DOUBLE /
+            (10.0 * n::DOUBLE)) / np::DOUBLE, 6) END AS gain,
+        CASE WHEN np > 0 THEN ROUND((pos_above::DOUBLE +
+          (k * nn - rows_above * 10)::DOUBLE * pos::DOUBLE /
+            (10.0 * n::DOUBLE)) * 10.0 / (np::DOUBLE * k::DOUBLE), 6)
+          END AS lift
+      FROM ex ORDER BY lang, bucket"""))
+
+  /** Per-label top terms by mutual information
+    * ([[graft.scale.Eval.mutualInfoTerms]]) — q175's
+    * information-theoretic twin over the same presence contingency,
+    * with an EXACT integer ranking key: each of the 4 cell terms is
+    * quantized to pico-units and summed in int64, so the top-k order
+    * can't depend on float evaluation order. Oracle replays cell by
+    * cell.
+    */
+  private val q188 = GQuery(
+    (s, d) => graft.scale.Eval.mutualInfoTerms(
+        T.documents(s, d), col("lang"), col("doc_id"), col("text"),
+        topK = 15, minDf = 3L)
+      .orderBy(col("label"), col("pos")),
+    Some("""WITH pres AS (SELECT DISTINCT lang AS lbl, doc_id AS id,
+          unnest(list_filter(string_split_regex(text, '\s+'),
+            x -> len(x) > 0)) AS term
+        FROM documents),
+      lt AS (SELECT lbl, term, COUNT(*)::BIGINT AS a
+        FROM pres GROUP BY lbl, term),
+      tf AS (SELECT term, CAST(SUM(a) AS BIGINT) AS tf
+        FROM lt GROUP BY term HAVING CAST(SUM(a) AS BIGINT) >= 3),
+      sizes AS (SELECT lang AS lbl, COUNT(DISTINCT doc_id)::BIGINT AS nl
+        FROM documents GROUP BY lang),
+      nt AS (SELECT CAST(SUM(nl) AS BIGINT) AS n FROM sizes),
+      sc AS (SELECT lt.lbl, lt.term, lt.a, tf.tf, sizes.nl, nt.n
+        FROM lt JOIN tf USING (term) JOIN sizes USING (lbl) CROSS JOIN nt),
+      mi AS (SELECT lbl, term, a, tf,
+          (CASE WHEN a > 0
+            THEN CAST(round(1e12 * (a::DOUBLE / n::DOUBLE) *
+              ln(n::DOUBLE * a::DOUBLE / (tf::DOUBLE * nl::DOUBLE)))
+              AS BIGINT) ELSE 0 END +
+           CASE WHEN nl - a > 0
+            THEN CAST(round(1e12 * ((nl - a)::DOUBLE / n::DOUBLE) *
+              ln(n::DOUBLE * (nl - a)::DOUBLE /
+                ((n - tf)::DOUBLE * nl::DOUBLE))) AS BIGINT) ELSE 0 END +
+           CASE WHEN tf - a > 0
+            THEN CAST(round(1e12 * ((tf - a)::DOUBLE / n::DOUBLE) *
+              ln(n::DOUBLE * (tf - a)::DOUBLE /
+                (tf::DOUBLE * (n - nl)::DOUBLE))) AS BIGINT) ELSE 0 END +
+           CASE WHEN n - nl - tf + a > 0
+            THEN CAST(round(1e12 * ((n - nl - tf + a)::DOUBLE / n::DOUBLE) *
+              ln(n::DOUBLE * (n - nl - tf + a)::DOUBLE /
+                ((n - tf)::DOUBLE * (n - nl)::DOUBLE))) AS BIGINT)
+            ELSE 0 END) AS mi_u
+        FROM sc),
+      rk AS (SELECT lbl, term, a, tf, mi_u,
+          ROW_NUMBER() OVER (PARTITION BY lbl
+            ORDER BY mi_u DESC, term) AS pos
+        FROM mi)
+      SELECT lbl AS label, pos::BIGINT AS pos, term,
+        a AS df_label, tf AS df_all, ROUND(mi_u::DOUBLE / 1e12, 6) AS mi
+      FROM rk WHERE pos <= 15 ORDER BY label, pos"""))
+
+  /** Hashing-trick document vectorizer
+    * ([[graft.scale.TextOps.featureHash]]): every token of every
+    * document lands in one of 64 signed buckets via the portable
+    * 62-bit hash — the oracle recomputes the hash character by
+    * character, so a hash-match certifies each document's full sparse
+    * vector (index, sign and count), not a summary.
+    */
+  private val q189 = GQuery(
+    (s, d) => graft.scale.TextOps.featureHash(
+        T.documents(s, d), col("doc_id"), col("text"), dim = 64)
+      .orderBy(col("id"), col("idx")),
+    Some(s"""WITH toks AS (SELECT doc_id AS id,
+          unnest(list_filter(string_split_regex(text, '\\s+'),
+            x -> len(x) > 0)) AS tok
+        FROM documents),
+      h AS (SELECT id, ${ScaleQueries.h62Sql("tok")} AS h FROM toks),
+      e AS (SELECT id, h % 64 AS idx, 1 - 2 * ((h >> 31) & 1) AS s
+        FROM h)
+      SELECT id, idx, CAST(SUM(s) AS BIGINT) AS v
+      FROM e GROUP BY id, idx HAVING CAST(SUM(s) AS BIGINT) <> 0
+      ORDER BY id, idx"""))
+
   val all: Map[String, GQuery] = Map(
     "q171_roc_auc" -> q171,
     "q172_ks_drift" -> q172,
@@ -612,5 +880,11 @@ object EvalQueries {
     "q179_calibration_error" -> q179,
     "q180_mcnemar" -> q180,
     "q181_fairness_audit" -> q181,
-    "q182_kn_cross_entropy" -> q182)
+    "q182_kn_cross_entropy" -> q182,
+    "q184_woe_iv" -> q184,
+    "q185_loo_target_encode" -> q185,
+    "q186_nb_heldout" -> q186,
+    "q187_lift_table" -> q187,
+    "q188_mutual_info_terms" -> q188,
+    "q189_feature_hash" -> q189)
 }
