@@ -1441,6 +1441,48 @@ object Dedup {
         col("text_clean"))
   }
 
+  /** LSH quality evaluation: [[minhashDupPairs]]' output measured
+    * against [[ngramJaccardPairs]]' exact recall-1 ground truth at the
+    * SAME shingle definition and threshold — the validation a
+    * production dedup pipeline runs before trusting a banding config
+    * on a new corpus or threshold (banding recall is
+    * corpus-similarity-profile dependent; this measures it instead of
+    * assuming the (1−(1−t^r)^b) curve transfers).
+    *
+    * Both operands are the existing distributed operators (nothing
+    * here is O(n²) — the exact side is the prefix-filtered AllPairs
+    * join), and the three counts collapse to broadcast 1-row frames.
+    * Precision is structurally 1 when both sides share the shingle
+    * basis (LSH candidates are exact-verified), so a sub-1 precision
+    * or recall is a regression alarm, not a tuning knob.
+    *
+    * Output: one row (threshold, n_true, n_found, n_hit, precision,
+    * recall).
+    */
+  def lshRecallEval(docs: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int = 3, numPerm: Int = 64, bands: Int = 16,
+      threshold: Double = 0.8, maxBucket: Int = 1024): DataFrame = {
+    val found = minhashDupPairs(docs, idCol, textCol, shingleSize,
+      numPerm, bands, threshold, maxBucket)
+      .select(col("id_a"), col("id_b"))
+    val truth = ngramJaccardPairs(docs, idCol, textCol, shingleSize,
+      threshold, maxBucket)
+      .select(col("id_a"), col("id_b"))
+    val nT = truth.agg(count(lit(1)).as("n_true"))
+    val nF = found.agg(count(lit(1)).as("n_found"))
+    val nH = truth.join(found, Seq("id_a", "id_b"), "left_semi")
+      .agg(count(lit(1)).as("n_hit"))
+    nT.crossJoin(nF).crossJoin(nH)
+      .select(lit(threshold).as("threshold"), col("n_true"),
+        col("n_found"), col("n_hit"),
+        when(col("n_found") > 0L,
+          round(col("n_hit").cast("double") /
+            col("n_found").cast("double"), 6)).as("precision"),
+        when(col("n_true") > 0L,
+          round(col("n_hit").cast("double") /
+            col("n_true").cast("double"), 6)).as("recall"))
+  }
+
   /** SimHash 64-bit fingerprint over a token array: per-bit vote of token
     * hashes, sign → bit. Near-dups have small Hamming distance.
     * Reference formulation — prefer [[simhashNative]] on hot paths.

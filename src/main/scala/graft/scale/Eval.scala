@@ -601,6 +601,184 @@ object Eval {
         round(col("mi_u").cast("double") / lit(1.0e12d), 6).as("mi"))
   }
 
+  /** Population Stability Index of each group's binned score
+    * distribution against the POOLED corpus — the industry-standard
+    * "did this slice drift from the profile we validated" monitor
+    * (PSI < 0.1 stable / 0.1–0.25 watch / > 0.25 act), completing the
+    * drift family: KS (q172) is distribution-free per unit, JSD (q176)
+    * is token-space, THIS is the binned, thresholded operations view.
+    *
+    * PSI = Σ_b (a_b/A − e_b/E)·ln((a_b/A)/(e_b/E)) with Laplace +1 on
+    * both sides of every bin (the continuous zero-cell adjustment —
+    * a bin one side lacks stays finite). Each bin term is ≥ 0
+    * (same-sign factors) and quantized ONCE to integer pico-units; the
+    * per-group sum is int64 over ≤ `bins` cells. Bins empty in the
+    * POOLED corpus are empty in every group and contribute exactly 0 —
+    * omitted rather than gridded.
+    *
+    * Plan: one (group, bin) count pass; the global/bin and group-total
+    * frames re-aggregate it; the group×bin grid is |groups|·bins rows
+    * of broadcast-joined state — nothing rescans the corpus.
+    */
+  def psiVsGlobal(df: DataFrame, groupCol: Column, unitsCol: Column,
+      bins: Int = 10): DataFrame = {
+    val b = least(greatest(
+      floor(unitsCol.cast("double") / 1000d * bins).cast("long"), lit(0L)),
+      lit(bins.toLong - 1L))
+    val act = df.select(groupCol.as("g"), b.as("bin"))
+      .groupBy(col("g"), col("bin")).agg(count(lit(1)).as("a"))
+    val glob = act.groupBy(col("bin")).agg(sum(col("a")).as("e"))
+    val totA = act.groupBy(col("g")).agg(sum(col("a")).as("ta"))
+    val totE = glob.agg(sum(col("e")).as("te"))
+    val cells = totA.crossJoin(broadcast(glob))
+      .join(act, Seq("g", "bin"), "left")
+      .withColumn("a0", coalesce(col("a"), lit(0L)))
+      .crossJoin(broadcast(totE))
+    val ar = (col("a0") + 1L).cast("double") /
+      (col("ta") + lit(bins.toLong)).cast("double")
+    val er = (col("e") + 1L).cast("double") /
+      (col("te") + lit(bins.toLong)).cast("double")
+    val termU = round(lit(1.0e12d) * ((ar - er) * log(ar / er)))
+      .cast("long")
+    cells.groupBy(col("g"))
+      .agg(first(col("ta")).as("n_rows"), sum(termU).as("psi_u"))
+      .select(col("g").as("group"), col("n_rows"),
+        round(col("psi_u").cast("double") / lit(1.0e12d), 6).as("psi"))
+  }
+
+  /** CUPED (Controlled-experiment Using Pre-Experiment Data) variance
+    * reduction per group: θ = cov(X,Y)/var(X) from ONE moment aggregate
+    * (n, Σx, Σy, Σxy, Σx², Σy²), and the adjusted metric's variance
+    * var(Y − θ(X − x̄)) = var(Y)·(1 − ρ²) — the experimentation
+    * pipeline's sensitivity win, reported without materializing any
+    * per-row adjustment.
+    *
+    * X and Y must be integer units (scores, counts, integer-quantized
+    * metrics): cnum = nΣxy − ΣxΣy and the two variance numerators are
+    * then EXACT int64 (bounds: with units ≤ 10³ the products stay
+    * int64-safe to n ≈ 3·10⁶ rows per group; re-quantize coarser units
+    * beyond that). θ, ρ², means and variances are one IEEE division
+    * each off the exact integers, so both engines agree bit for bit.
+    * Degenerate groups (var X = 0 or var Y = 0) report null θ/ρ².
+    */
+  def cuped(df: DataFrame, groupCol: Column, xCol: Column,
+      yCol: Column): DataFrame = {
+    val agg = df.select(groupCol.as("g"), xCol.cast("long").as("x"),
+        yCol.cast("long").as("y"))
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      .withColumn("cnum", col("n") * col("sxy") - col("sx") * col("sy"))
+      .withColumn("vx", col("n") * col("sxx") - col("sx") * col("sx"))
+      .withColumn("vy", col("n") * col("syy") - col("sy") * col("sy"))
+    val rho2 = col("cnum").cast("double") * col("cnum").cast("double") /
+      (col("vx").cast("double") * col("vy").cast("double"))
+    val varY = col("vy").cast("double") /
+      (col("n").cast("double") * col("n").cast("double"))
+    agg.select(col("g").as("group"), col("n"),
+      when(col("vx") > 0L,
+        round(col("cnum").cast("double") / col("vx").cast("double"), 6))
+        .as("theta"),
+      when(col("vx") > 0L && col("vy") > 0L, round(rho2, 6)).as("rho2"),
+      round(col("sy").cast("double") / col("n").cast("double"), 6)
+        .as("mean_y"),
+      round(varY, 6).as("var_y"),
+      when(col("vx") > 0L && col("vy") > 0L,
+        round(varY * (lit(1.0d) - rho2), 6)).as("var_y_adj"))
+  }
+
+  /** Split-conformal calibration threshold per group: the k-th smallest
+    * nonconformity score with k = ⌈(n+1)·(1−α)⌉ — the
+    * distribution-free "accept if score ≤ threshold ⇒ ≥ 1−α coverage"
+    * guarantee (Vovk et al.; the modern selective-prediction gate).
+    * α is given in integer percent so k is EXACT integer arithmetic:
+    * k = ⌈(n+1)(100−αPct)/100⌉ via the div-ceil identity — no float
+    * decides the order statistic.
+    *
+    * Runs on the score-unit contingency collapse (the q171 shape): the
+    * ordered pass windows over ≤ resolution rows per group, and the
+    * threshold is the smallest unit whose inclusive cumulative count
+    * reaches k. Groups with k > n (too few calibration rows for the
+    * requested coverage) report a null threshold rather than a fake
+    * max. Empirical coverage = cum(threshold)/n is the one division.
+    */
+  def conformalThreshold(df: DataFrame, groupCol: Column,
+      unitsCol: Column, alphaPct: Int = 10): DataFrame = {
+    require(alphaPct > 0 && alphaPct < 100, "alphaPct in (0, 100)")
+    val per = df.select(groupCol.as("g"), unitsCol.cast("long").as("u"))
+      .groupBy(col("g"), col("u")).agg(count(lit(1)).as("c"))
+    val cum = per.withColumn("cum",
+      sum(col("c")).over(Window.partitionBy(col("g")).orderBy(col("u"))
+        .rowsBetween(Window.unboundedPreceding, 0)))
+    val kNum = (col("n") + 1L) * lit(100L - alphaPct) + 99L
+    val tot = per.groupBy(col("g")).agg(sum(col("c")).as("n"))
+      .withColumn("k",
+        ((kNum - pmod(kNum, lit(100L))) / 100L).cast("long"))
+    val hit = cum.join(tot, "g").where(col("cum") >= col("k"))
+      .withColumn("rn", row_number().over(Window.partitionBy(col("g"))
+        .orderBy(col("u"))))
+      .where(col("rn") === 1)
+      .select(col("g"), col("u").as("threshold_unit"),
+        col("cum").as("n_covered"))
+    tot.join(hit, Seq("g"), "left")
+      .select(col("g").as("group"), col("n"), col("k"),
+        when(col("k") <= col("n"), col("threshold_unit"))
+          .as("threshold_unit"),
+        when(col("k") <= col("n"), col("n_covered")).as("n_covered"),
+        when(col("k") <= col("n"),
+          round(col("n_covered").cast("double") / col("n").cast("double"),
+            6)).as("coverage"))
+  }
+
+  /** Two-proportion A/B test per group: arm sizes/successes from ONE
+    * combinable aggregate, then the pooled two-proportion z statistic
+    * and the treatment arm's Wilson 95% interval — the experiment
+    * readout (q191's CUPED reduces the variance; THIS decides
+    * significance). All counts exact int64; every ratio is one IEEE
+    * division replayed verbatim by the oracle (the canonical-
+    * parenthesization discipline — sqrt is correctly rounded on both
+    * engines, so the full expressions agree bit for bit).
+    *
+    * Degenerate guards: z needs both arms non-empty and a pooled rate
+    * strictly inside (0, 1); the Wilson interval needs a non-empty
+    * treatment arm — null otherwise.
+    */
+  def abTest(df: DataFrame, groupCol: Column, armCol: Column,
+      labelCol: Column): DataFrame = {
+    val agg = df.select(groupCol.as("g"), armCol.cast("long").as("t"),
+        labelCol.cast("long").as("y"))
+      .groupBy(col("g"))
+      .agg(sum(col("t")).as("n1"), sum(col("t") * col("y")).as("x1"),
+        sum(lit(1L) - col("t")).as("n0"),
+        sum((lit(1L) - col("t")) * col("y")).as("x0"))
+    val n1d = col("n1").cast("double")
+    val n0d = col("n0").cast("double")
+    val p1 = col("x1").cast("double") / n1d
+    val p0 = col("x0").cast("double") / n0d
+    val pp = (col("x1") + col("x0")).cast("double") /
+      (col("n1") + col("n0")).cast("double")
+    val z = (p1 - p0) / sqrt(pp * (lit(1.0d) - pp) *
+      (lit(1.0d) / n1d + lit(1.0d) / n0d))
+    val denom = lit(1.0d) + lit(3.8416d) / n1d
+    val center = (p1 + lit(3.8416d) / (lit(2.0d) * n1d)) / denom
+    val half = lit(1.96d) * sqrt(p1 * (lit(1.0d) - p1) / n1d +
+      lit(3.8416d) / (lit(4.0d) * n1d * n1d)) / denom
+    val zOk = col("n1") > 0L && col("n0") > 0L &&
+      col("x1") + col("x0") > 0L &&
+      col("x1") + col("x0") < col("n1") + col("n0")
+    agg.select(col("g").as("group"), col("n1"), col("x1"), col("n0"),
+      col("x0"),
+      when(col("n1") > 0L, round(p1, 6)).as("p1"),
+      when(col("n0") > 0L, round(p0, 6)).as("p0"),
+      when(col("n1") > 0L && col("n0") > 0L, round(p1 - p0, 6))
+        .as("lift"),
+      when(zOk, round(z, 6)).as("z"),
+      when(col("n1") > 0L, round(center - half, 6)).as("wilson_lo"),
+      when(col("n1") > 0L, round(center + half, 6)).as("wilson_hi"))
+  }
+
   def fairnessAudit(df: DataFrame, groupCol: Column, labelCol: Column,
       predCol: Column): DataFrame = {
     val base = df.select(groupCol.as("g"),

@@ -50,4 +50,35 @@ object Quality {
     val all = (rowReport.toSeq ++ keyReports).reduce(_ unionByName _)
     all.withColumn("pass", col("n_violations") === 0L)
   }
+
+  /** Referential-integrity / coverage audit for one FK relation: how
+    * many child rows point at no parent (orphans), and how many carry a
+    * null FK (their own category — a null never "matches" and is NOT
+    * counted as an orphan). Run child→parent for integrity ("no order
+    * without a customer") and parent→child for coverage ("which
+    * customers never appear in the event log") — same operator, swapped
+    * frames.
+    *
+    * Plan: one LEFT ANTI join on the key (the parent side collapses to
+    * distinct keys first, so a billion-row parent contributes its key
+    * cardinality) plus one counting pass over the child keys; both
+    * combine map-side. AQE broadcasts the distinct-parent side when it
+    * fits. Output: one row (relation, n_child, n_null_fk, n_orphan,
+    * orphan_rate).
+    */
+  def referentialAudit(relation: String, child: DataFrame,
+      childKey: org.apache.spark.sql.Column, parent: DataFrame,
+      parentKey: org.apache.spark.sql.Column): DataFrame = {
+    val ck = child.select(childKey.as("k"))
+    val orphan = ck.where(col("k").isNotNull)
+      .join(parent.select(parentKey.as("k")).distinct(), Seq("k"),
+        "left_anti")
+      .agg(count(lit(1)).as("n_orphan"))
+    val base = ck.agg(count(lit(1)).as("n_child"),
+      sum(when(col("k").isNull, 1L).otherwise(0L)).as("n_null_fk"))
+    base.crossJoin(orphan).select(lit(relation).as("relation"),
+      col("n_child"), col("n_null_fk"), col("n_orphan"),
+      round(col("n_orphan").cast("double") / col("n_child").cast("double"),
+        6).as("orphan_rate"))
+  }
 }

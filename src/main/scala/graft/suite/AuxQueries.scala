@@ -554,6 +554,52 @@ object AuxQueries {
       FROM lineitem WHERE l_orderkey % 10 = 0
       GROUP BY l_returnflag ORDER BY l_returnflag"""))
 
+  /** Referential-integrity / coverage audit
+    * ([[graft.scale.Quality.referentialAudit]]): both directions of the
+    * same operator — integrity (every order/event points at a customer:
+    * 0 orphans expected) and coverage (which customers never appear in
+    * the event log: a real, large orphan share). One anti-join per
+    * relation over distinct parent keys; the oracle replays each count.
+    */
+  private val q192 = GQuery(
+    (s, d) => {
+      val audit = graft.scale.Quality.referentialAudit(
+        "events.user_id->customer", T.events(s, d), col("user_id"),
+        T.customer(s, d), col("c_custkey"))
+        .unionByName(graft.scale.Quality.referentialAudit(
+          "orders.o_custkey->customer", T.orders(s, d), col("o_custkey"),
+          T.customer(s, d), col("c_custkey")))
+        .unionByName(graft.scale.Quality.referentialAudit(
+          "customer->events.user_id", T.customer(s, d), col("c_custkey"),
+          T.events(s, d), col("user_id")))
+      audit.orderBy(col("relation"))
+    },
+    Some("""WITH raw AS (
+        SELECT 'events.user_id->customer' AS relation,
+          (SELECT COUNT(*) FROM events)::BIGINT AS n_child,
+          (SELECT COUNT(*) FROM events WHERE user_id IS NULL)::BIGINT
+            AS n_null_fk,
+          (SELECT COUNT(*) FROM events e WHERE e.user_id IS NOT NULL
+            AND NOT EXISTS (SELECT 1 FROM customer c
+              WHERE c.c_custkey = e.user_id))::BIGINT AS n_orphan
+        UNION ALL
+        SELECT 'orders.o_custkey->customer',
+          (SELECT COUNT(*) FROM orders)::BIGINT,
+          (SELECT COUNT(*) FROM orders WHERE o_custkey IS NULL)::BIGINT,
+          (SELECT COUNT(*) FROM orders o WHERE o.o_custkey IS NOT NULL
+            AND NOT EXISTS (SELECT 1 FROM customer c
+              WHERE c.c_custkey = o.o_custkey))::BIGINT
+        UNION ALL
+        SELECT 'customer->events.user_id',
+          (SELECT COUNT(*) FROM customer)::BIGINT,
+          (SELECT COUNT(*) FROM customer WHERE c_custkey IS NULL)::BIGINT,
+          (SELECT COUNT(*) FROM customer c WHERE c.c_custkey IS NOT NULL
+            AND NOT EXISTS (SELECT 1 FROM events e
+              WHERE e.user_id = c.c_custkey))::BIGINT)
+      SELECT relation, n_child, n_null_fk, n_orphan,
+        ROUND(n_orphan::DOUBLE / n_child::DOUBLE, 6) AS orphan_rate
+      FROM raw ORDER BY relation"""))
+
   def all: Map[String, GQuery] = Map(
     "q94_stream_window_twin" -> q94,
     "q95_tfidf_topk" -> q95,
@@ -574,5 +620,6 @@ object AuxQueries {
     "q110_incremental_agg" -> q110,
     "q111_hopping_window" -> q111,
     "q112_compaction_roundtrip" -> q112,
+    "q192_referential_audit" -> q192,
   )
 }

@@ -868,6 +868,198 @@ object EvalQueries {
       FROM e GROUP BY id, idx HAVING CAST(SUM(s) AS BIGINT) <> 0
       ORDER BY id, idx"""))
 
+  /** Population Stability Index per language vs the pooled corpus
+    * ([[graft.scale.Eval.psiVsGlobal]]) over the document-length units
+    * (n_chars mod 1000) — the binned, thresholded drift monitor
+    * completing KS (q172) / JSD (q176). Laplace +1 on both sides of
+    * every bin; each bin term quantized once to pico-units, per-group
+    * sums pure int64. The oracle replays every cell.
+    */
+  private val q190 = GQuery(
+    (s, d) => graft.scale.Eval.psiVsGlobal(
+        T.documents(s, d).select(col("lang"),
+          pmod(col("n_chars"), lit(1000L)).as("u")),
+        col("lang"), col("u"), bins = 10)
+      .withColumnRenamed("group", "lang")
+      .orderBy(col("lang")),
+    Some("""WITH sl AS (SELECT lang AS g, (n_chars % 1000) AS u
+        FROM documents),
+      act AS (SELECT g,
+          LEAST(GREATEST(CAST(floor(u / 1000.0 * 10) AS BIGINT), 0), 9)
+            AS bin,
+          COUNT(*)::BIGINT AS a
+        FROM sl GROUP BY 1, 2),
+      gbin AS (SELECT bin, CAST(SUM(a) AS BIGINT) AS e
+        FROM act GROUP BY bin),
+      tta AS (SELECT g, CAST(SUM(a) AS BIGINT) AS ta FROM act GROUP BY g),
+      tte AS (SELECT CAST(SUM(e) AS BIGINT) AS te FROM gbin),
+      cells AS (SELECT tta.g, tta.ta, gbin.bin, gbin.e,
+          COALESCE(act.a, 0) AS a0, tte.te
+        FROM tta CROSS JOIN gbin
+        LEFT JOIN act ON act.g = tta.g AND act.bin = gbin.bin
+        CROSS JOIN tte),
+      terms AS (SELECT g, ta,
+          CAST(round(1e12 *
+            ((((a0 + 1)::DOUBLE / (ta + 10)::DOUBLE) -
+              ((e + 1)::DOUBLE / (te + 10)::DOUBLE)) *
+             ln(((a0 + 1)::DOUBLE / (ta + 10)::DOUBLE) /
+                ((e + 1)::DOUBLE / (te + 10)::DOUBLE)))) AS BIGINT) AS tu
+        FROM cells)
+      SELECT g AS lang, MAX(ta) AS n_rows,
+        ROUND(CAST(SUM(tu) AS BIGINT)::DOUBLE / 1e12, 6) AS psi
+      FROM terms GROUP BY g ORDER BY lang"""))
+
+  /** CUPED variance reduction per language
+    * ([[graft.scale.Eval.cuped]]): pre-metric x = the q171 score unit,
+    * outcome y = x + an independent jitter substream — a correlated
+    * pair whose θ and ρ² the oracle replays from the same six exact
+    * int64 moments (one aggregate, one division per statistic).
+    */
+  private val q191 = GQuery(
+    (s, d) => {
+      val b = graft.scale.Sampling.portableBucket(col("doc_id"))
+      val u1 = pmod(b, lit(1000L))
+      val u3 = pmod(graft.scale.Sampling.portableBucket(
+        col("doc_id") * 7L + 3L), lit(100L))
+      graft.scale.Eval.cuped(
+        T.documents(s, d).select(col("lang"), u1.as("x"),
+          (u1 + u3).as("y")),
+        col("lang"), col("x"), col("y"))
+        .withColumnRenamed("group", "lang")
+        .orderBy(col("lang"))
+    },
+    Some(s"""WITH b AS (SELECT lang,
+          ${ScaleQueries.bucketSql("doc_id")} AS bk,
+          ${ScaleQueries.bucketSql("(doc_id * 7 + 3)")} % 100 AS u3
+        FROM documents),
+      sl AS (SELECT lang, bk % 1000 AS x, bk % 1000 + u3 AS y FROM b),
+      agg AS (SELECT lang, COUNT(*)::BIGINT AS n,
+          CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+          CAST(SUM(x * y) AS BIGINT) AS sxy,
+          CAST(SUM(x * x) AS BIGINT) AS sxx,
+          CAST(SUM(y * y) AS BIGINT) AS syy
+        FROM sl GROUP BY lang),
+      m AS (SELECT lang, n, sy,
+          n * sxy - sx * sy AS cnum,
+          n * sxx - sx * sx AS vx,
+          n * syy - sy * sy AS vy
+        FROM agg)
+      SELECT lang, n,
+        CASE WHEN vx > 0
+          THEN ROUND(cnum::DOUBLE / vx::DOUBLE, 6) END AS theta,
+        CASE WHEN vx > 0 AND vy > 0
+          THEN ROUND(cnum::DOUBLE * cnum::DOUBLE /
+            (vx::DOUBLE * vy::DOUBLE), 6) END AS rho2,
+        ROUND(sy::DOUBLE / n::DOUBLE, 6) AS mean_y,
+        ROUND(vy::DOUBLE / (n::DOUBLE * n::DOUBLE), 6) AS var_y,
+        CASE WHEN vx > 0 AND vy > 0
+          THEN ROUND(vy::DOUBLE / (n::DOUBLE * n::DOUBLE) *
+            (1 - cnum::DOUBLE * cnum::DOUBLE /
+              (vx::DOUBLE * vy::DOUBLE)), 6) END AS var_y_adj
+      FROM m ORDER BY lang"""))
+
+  /** Split-conformal calibration threshold per language
+    * ([[graft.scale.Eval.conformalThreshold]]): the ⌈(n+1)·0.9⌉-th
+    * smallest score unit — the distribution-free ≥90% coverage gate.
+    * The order statistic is exact integer arithmetic over the unit
+    * collapse; the oracle replays the cumulative walk and the div-ceil
+    * k identically.
+    */
+  private val q193 = GQuery(
+    (s, d) => {
+      val b = graft.scale.Sampling.portableBucket(col("doc_id"))
+      val u1 = pmod(b, lit(1000L))
+      graft.scale.Eval.conformalThreshold(
+        T.documents(s, d).select(col("lang"), u1.as("u")),
+        col("lang"), col("u"), alphaPct = 10)
+        .withColumnRenamed("group", "lang")
+        .orderBy(col("lang"))
+    },
+    Some(s"""WITH b AS (SELECT lang, ${ScaleQueries.bucketSql("doc_id")} AS bk
+        FROM documents),
+      sl AS (SELECT lang, bk % 1000 AS u FROM b),
+      per AS (SELECT lang, u, COUNT(*)::BIGINT AS c
+        FROM sl GROUP BY lang, u),
+      cum AS (SELECT lang, u, SUM(c) OVER (PARTITION BY lang ORDER BY u
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cum
+        FROM per),
+      tot AS (SELECT lang, CAST(SUM(c) AS BIGINT) AS n
+        FROM per GROUP BY lang),
+      tk AS (SELECT lang, n, ((n + 1) * 90 + 99) // 100 AS k FROM tot),
+      hit AS (SELECT cum.lang, cum.u, cum.cum,
+          ROW_NUMBER() OVER (PARTITION BY cum.lang ORDER BY cum.u) AS rn
+        FROM cum JOIN tk ON cum.lang = tk.lang WHERE cum.cum >= tk.k),
+      h1 AS (SELECT lang, u AS threshold_unit, cum AS n_covered
+        FROM hit WHERE rn = 1)
+      SELECT tk.lang, tk.n, tk.k,
+        CASE WHEN tk.k <= tk.n THEN h1.threshold_unit END AS threshold_unit,
+        CASE WHEN tk.k <= tk.n THEN h1.n_covered END AS n_covered,
+        CASE WHEN tk.k <= tk.n
+          THEN ROUND(h1.n_covered::DOUBLE / tk.n::DOUBLE, 6) END
+          AS coverage
+      FROM tk LEFT JOIN h1 ON tk.lang = h1.lang ORDER BY tk.lang"""))
+
+  /** Two-proportion A/B readout per language
+    * ([[graft.scale.Eval.abTest]]): deterministic arm assignment
+    * (doc_id parity), q171's synthesized outcome; pooled z statistic
+    * and the treatment arm's Wilson 95% interval — every ratio and
+    * the correctly-rounded sqrt replayed verbatim by the oracle.
+    */
+  private val q194 = GQuery(
+    (s, d) => {
+      val b = graft.scale.Sampling.portableBucket(col("doc_id"))
+      val u1 = pmod(b, lit(1000L))
+      val u2 = pmod(((b - pmod(b, lit(1000L))) / 1000L).cast("long"),
+        lit(1000L))
+      graft.scale.Eval.abTest(
+        T.documents(s, d).select(col("lang"),
+          pmod(col("doc_id"), lit(2L)).as("t"),
+          (u2 < u1).cast("long").as("y")),
+        col("lang"), col("t"), col("y"))
+        .withColumnRenamed("group", "lang")
+        .orderBy(col("lang"))
+    },
+    Some(s"""WITH b AS (SELECT lang, doc_id % 2 AS t,
+          ${ScaleQueries.bucketSql("doc_id")} AS bk
+        FROM documents),
+      sl AS (SELECT lang, t,
+          CASE WHEN (bk // 1000) % 1000 < bk % 1000 THEN 1 ELSE 0 END AS y
+        FROM b),
+      agg AS (SELECT lang, CAST(SUM(t) AS BIGINT) AS n1,
+          CAST(SUM(t * y) AS BIGINT) AS x1,
+          CAST(SUM(1 - t) AS BIGINT) AS n0,
+          CAST(SUM((1 - t) * y) AS BIGINT) AS x0
+        FROM sl GROUP BY lang)
+      SELECT lang, n1, x1, n0, x0,
+        CASE WHEN n1 > 0
+          THEN ROUND(x1::DOUBLE / n1::DOUBLE, 6) END AS p1,
+        CASE WHEN n0 > 0
+          THEN ROUND(x0::DOUBLE / n0::DOUBLE, 6) END AS p0,
+        CASE WHEN n1 > 0 AND n0 > 0
+          THEN ROUND(x1::DOUBLE / n1::DOUBLE - x0::DOUBLE / n0::DOUBLE, 6)
+          END AS lift,
+        CASE WHEN n1 > 0 AND n0 > 0 AND x1 + x0 > 0
+            AND x1 + x0 < n1 + n0
+          THEN ROUND((x1::DOUBLE / n1::DOUBLE - x0::DOUBLE / n0::DOUBLE) /
+            sqrt((x1 + x0)::DOUBLE / (n1 + n0)::DOUBLE *
+              (1.0 - (x1 + x0)::DOUBLE / (n1 + n0)::DOUBLE) *
+              (1.0 / n1::DOUBLE + 1.0 / n0::DOUBLE)), 6) END AS z,
+        CASE WHEN n1 > 0
+          THEN ROUND((x1::DOUBLE / n1::DOUBLE +
+              3.8416 / (2.0 * n1::DOUBLE)) / (1.0 + 3.8416 / n1::DOUBLE) -
+            1.96 * sqrt(x1::DOUBLE / n1::DOUBLE *
+                (1.0 - x1::DOUBLE / n1::DOUBLE) / n1::DOUBLE +
+              3.8416 / (4.0 * n1::DOUBLE * n1::DOUBLE)) /
+              (1.0 + 3.8416 / n1::DOUBLE), 6) END AS wilson_lo,
+        CASE WHEN n1 > 0
+          THEN ROUND((x1::DOUBLE / n1::DOUBLE +
+              3.8416 / (2.0 * n1::DOUBLE)) / (1.0 + 3.8416 / n1::DOUBLE) +
+            1.96 * sqrt(x1::DOUBLE / n1::DOUBLE *
+                (1.0 - x1::DOUBLE / n1::DOUBLE) / n1::DOUBLE +
+              3.8416 / (4.0 * n1::DOUBLE * n1::DOUBLE)) /
+              (1.0 + 3.8416 / n1::DOUBLE), 6) END AS wilson_hi
+      FROM agg ORDER BY lang"""))
+
   val all: Map[String, GQuery] = Map(
     "q171_roc_auc" -> q171,
     "q172_ks_drift" -> q172,
@@ -886,5 +1078,9 @@ object EvalQueries {
     "q186_nb_heldout" -> q186,
     "q187_lift_table" -> q187,
     "q188_mutual_info_terms" -> q188,
-    "q189_feature_hash" -> q189)
+    "q189_feature_hash" -> q189,
+    "q190_psi_drift" -> q190,
+    "q191_cuped" -> q191,
+    "q193_conformal_threshold" -> q193,
+    "q194_ab_test" -> q194)
 }

@@ -1043,11 +1043,51 @@ object ScaleQueries {
       SELECT pair, SUM(wn)::BIGINT AS n FROM p
       GROUP BY pair ORDER BY n DESC, pair LIMIT 50"""))
 
+  /** LSH banding quality evaluation ([[Dedup.lshRecallEval]]): measure
+    * [[Dedup.minhashDupPairs]] against the exact recall-1 AllPairs
+    * ground truth at q24's parameters. On this corpus the banding
+    * config recovers every true pair (q24's hash-match certifies the
+    * pair sets are identical), so the oracle pins n_found = n_hit =
+    * n_true and precision = recall = 1 — any lost pair breaks the
+    * match. The sub-1-recall regime is pinned by the low-band fixture
+    * in EvalLiftSpec instead.
+    */
+  private val q195 = GQuery(
+    (s, d) => Dedup.lshRecallEval(T.documents(s, d), "doc_id", "text",
+      shingleSize = 3, numPerm = 64, bands = 16, threshold = 0.8),
+    Some("""WITH toks AS (
+        SELECT doc_id, list_filter(string_split_regex(text, '\s+'),
+          x -> len(x) > 0) AS t
+        FROM documents),
+      sh AS (
+        SELECT doc_id,
+          CASE WHEN len(t) >= 3
+            THEN list_distinct(list_transform(range(1, len(t)-1),
+              i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+            ELSE [array_to_string(t, ' ')] END AS s
+        FROM toks),
+      pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+          len(list_intersect(a.s, b.s))::DOUBLE AS inter,
+          (len(a.s) + len(b.s))::DOUBLE AS tot
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id),
+      tr AS (SELECT id_a FROM pairs
+        WHERE (CASE WHEN tot - inter > 0 THEN inter / (tot - inter)
+          ELSE 1.0 END) >= 0.8)
+      SELECT 0.8::DOUBLE AS threshold, COUNT(*)::BIGINT AS n_true,
+        COUNT(*)::BIGINT AS n_found, COUNT(*)::BIGINT AS n_hit,
+        CASE WHEN COUNT(*) > 0 THEN ROUND(COUNT(*)::DOUBLE /
+          COUNT(*)::DOUBLE, 6) END AS precision,
+        CASE WHEN COUNT(*) > 0 THEN ROUND(COUNT(*)::DOUBLE /
+          COUNT(*)::DOUBLE, 6) END AS recall
+      FROM tr"""))
+
   def all: Map[String, GQuery] = Map(
     "q21_text_quality" -> q21,
     "q22_lang_id" -> q22,
     "q23_token_topk" -> q23,
     "q24_minhash_dedup_pairs" -> q24,
+    "q195_lsh_recall_eval" -> q195,
     "q26_simhash_fingerprint" -> q26,
     "q27_cosine_topk" -> q27,
     "q28_embedding_stats" -> q28,

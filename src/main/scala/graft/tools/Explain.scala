@@ -141,7 +141,20 @@ object Explain {
       "q179_calibration_error",// integer-telescoped bin aggregate
       "q180_mcnemar",          // one combinable discordant-count agg
       "q181_fairness_audit",   // group rates + broadcast overall row
-      "q182_kn_cross_entropy") // train-type counts joined to (src,w1,w2,m)
+      "q182_kn_cross_entropy", // train-type counts joined to (src,w1,w2,m)
+      "q183_join_view_ivm",    // stored view ∪ three delta joins
+      "q184_woe_iv",           // one bucket count pass + broadcast totals
+      "q185_loo_target_encode",// bucket cells joined back, no window
+      "q186_nb_heldout",       // split-model term-map join, LEFT for OOV
+      "q187_lift_table",       // unit collapse + bounded ×buckets explode
+      "q188_mutual_info_terms",// presence contingency, int64 pico-unit key
+      "q189_feature_hash",     // explode + (id, idx) combine, nothing else
+      "q190_psi_drift",        // one (g, bin) count pass + broadcast grids
+      "q191_cuped",            // single six-moment aggregate per group
+      "q192_referential_audit",// anti-join per relation, distinct parent keys
+      "q193_conformal_threshold", // unit-collapse cumulative walk, int-exact k
+      "q194_ab_test",          // one arm-count aggregate + IEEE readout
+      "q195_lsh_recall_eval")  // two dedup operators + 1-row count joins
 
     val sb = new StringBuilder
     sb.append("# EXPLAIN — flagship physical plans\n\n")

@@ -428,6 +428,21 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p.take(1500))
   }
 
+  test("feature hashing: one hash exchange, no joins (q189 contract)") {
+    val p = plan(SparkEntry.queries("q189_feature_hash")(spark, sf))
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 1,
+      s"expected exactly the (id, idx) combine exchange, got $exchanges")
+    assert(!p.contains("Join"), "no join belongs in a hashing vectorizer: " +
+      p.take(1500))
+  }
+
+  test("loo target encode: aggregate + join-back, never a window (q185)") {
+    val p = plan(SparkEntry.queries("q185_loo_target_encode")(spark, sf))
+    assert(!p.contains("Window"),
+      "LOO must not window the corpus: " + p.take(1500))
+  }
+
   private def withSQLConf[A](pairs: (String, String)*)(f: => A): A = {
     val conf = spark.conf
     val olds = pairs.map { case (k, _) => k -> conf.getOption(k) }

@@ -132,6 +132,174 @@ class EvalLiftSpec extends SparkSpec {
     assert(!got.keySet.exists(_._1 == 3L)) // empty doc: no entries
   }
 
+  test("psiVsGlobal == driver replay; pooled-identical group scores ~0") {
+    val rnd = new scala.util.Random(190)
+    val rows = (1 to 900).map { _ =>
+      val g = s"g${rnd.nextInt(3)}"
+      // g2 skews high so its PSI vs the pool is visibly > 0
+      val u = if (g == "g2") 500L + rnd.nextInt(500) else rnd.nextInt(1000)
+      (g, u.toLong)
+    }
+    val bins = 10
+    val got = Eval.psiVsGlobal(rows.toDF("g", "u"), col("g"), col("u"),
+        bins)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2))))
+      .toMap
+    val act = rows.groupBy(r => (r._1, math.min(math.max(
+      math.floor(r._2.toDouble / 1000d * bins).toLong, 0L), bins - 1L)))
+      .map { case (k, v) => k -> v.size.toLong }
+    val glob = act.groupBy(_._1._2).map { case (b, v) => b -> v.values.sum }
+    val ta = act.groupBy(_._1._1).map { case (g, v) => g -> v.values.sum }
+    val te = glob.values.sum
+    ta.foreach { case (g, t) =>
+      val psiU = glob.toSeq.map { case (b, e) =>
+        val a0 = act.getOrElse((g, b), 0L)
+        val ar = (a0 + 1).toDouble / (t + bins).toDouble
+        val er = (e + 1).toDouble / (te + bins).toDouble
+        rU(1.0e12 * ((ar - er) * math.log(ar / er)))
+      }.sum
+      assert(got(g) == ((t, r6(psiU.toDouble / 1.0e12))), s"group $g")
+    }
+    assert(got("g2")._2 > got("g0")._2, "skewed group must drift more")
+  }
+
+  test("cuped == driver replay; exact-linear pre-metric gives rho2 = 1") {
+    val rnd = new scala.util.Random(191)
+    val rows = (1 to 500).map { _ =>
+      val g = s"g${rnd.nextInt(2)}"
+      val x = rnd.nextInt(1000).toLong
+      val y = x + rnd.nextInt(100).toLong
+      (g, x, y)
+    } :+ (("lin", 1L, 2L)) :+ (("lin", 2L, 4L)) :+ (("lin", 3L, 6L))
+    val got = Eval.cuped(rows.toDF("g", "x", "y"), col("g"), col("x"),
+        col("y"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4),
+          r.getDouble(5), r.getDouble(6)))).toMap
+    rows.groupBy(_._1).foreach { case (g, rs) =>
+      val n = rs.size.toLong
+      val sx = rs.map(_._2).sum; val sy = rs.map(_._3).sum
+      val sxy = rs.map(r => r._2 * r._3).sum
+      val sxx = rs.map(r => r._2 * r._2).sum
+      val syy = rs.map(r => r._3 * r._3).sum
+      val cnum = n * sxy - sx * sy
+      val vx = n * sxx - sx * sx; val vy = n * syy - sy * sy
+      val rho2 = cnum.toDouble * cnum.toDouble / (vx.toDouble * vy.toDouble)
+      val varY = vy.toDouble / (n.toDouble * n.toDouble)
+      assert(got(g) == ((n, r6(cnum.toDouble / vx.toDouble), r6(rho2),
+        r6(sy.toDouble / n.toDouble), r6(varY),
+        r6(varY * (1.0 - rho2)))), s"group $g")
+    }
+    assert(got("lin")._3 == 1.0 && got("lin")._6 == 0.0)
+  }
+
+  test("referentialAudit: orphans, null FKs and coverage direction") {
+    val child = Seq((1L, "a"), (2L, "a"), (3L, "b"), (4L, "zz"),
+      (5L, null.asInstanceOf[String])).toDF("id", "fk")
+    val parent = Seq(("a", 1), ("b", 2), ("c", 3)).toDF("pk", "x")
+    val row = Quality.referentialAudit("child->parent", child, col("fk"),
+      parent, col("pk")).collect().head
+    assert(row.getString(0) == "child->parent")
+    assert(row.getLong(1) == 5L) // n_child counts nulls
+    assert(row.getLong(2) == 1L) // the null FK is its own category
+    assert(row.getLong(3) == 1L) // only "zz" is an orphan
+    assert(row.getDouble(4) == 0.2)
+    // coverage direction: parents never referenced
+    val cov = Quality.referentialAudit("parent->child", parent, col("pk"),
+      child, col("fk")).collect().head
+    assert(cov.getLong(3) == 1L) // "c" never appears in child
+  }
+
+  test("conformalThreshold: exact order statistic, coverage >= k/n") {
+    val rnd = new scala.util.Random(193)
+    val rows = (1 to 800).map(_ =>
+      (s"g${rnd.nextInt(3)}", rnd.nextInt(200).toLong))
+    val got = Eval.conformalThreshold(rows.toDF("g", "u"), col("g"),
+        col("u"), alphaPct = 10)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) -1L else r.getLong(3),
+          if (r.isNullAt(4)) -1L else r.getLong(4)))).toMap
+    rows.groupBy(_._1).foreach { case (g, rs) =>
+      val n = rs.size.toLong
+      val k = ((n + 1) * 90 + 99) / 100
+      val thr = rs.map(_._2).sorted.apply((k - 1).toInt)
+      val covered = rs.count(_._2 <= thr).toLong
+      assert(got(g) == ((n, k, thr, covered)), s"group $g")
+      assert(covered >= k, "conformal coverage bound")
+    }
+    // too few calibration rows for 90%: k = ceil(6*0.9) = 6 > n = 5
+    val tiny = Eval.conformalThreshold(
+      (1L to 5L).map(u => ("t", u)).toDF("g", "u"), col("g"), col("u"),
+      alphaPct = 10).collect().head
+    assert(tiny.getLong(1) == 5L && tiny.getLong(2) == 6L &&
+      tiny.isNullAt(3) && tiny.isNullAt(5))
+  }
+
+  test("abTest == driver replay of z and Wilson; null guards hold") {
+    val rnd = new scala.util.Random(194)
+    val rows = (1 to 600).map { i =>
+      val g = s"g${rnd.nextInt(2)}"
+      val t = (i % 2).toLong
+      val y = if (rnd.nextInt(100) < (if (t == 1L) 60 else 40)) 1L else 0L
+      (g, t, y)
+    } :+ (("onearm", 1L, 1L)) // no control rows -> z and p0 null
+    val got = Eval.abTest(rows.toDF("g", "t", "y"), col("g"), col("t"),
+        col("y"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    rows.groupBy(_._1).foreach { case (g, rs) =>
+      val n1 = rs.count(_._2 == 1L).toLong
+      val x1 = rs.count(r => r._2 == 1L && r._3 == 1L).toLong
+      val n0 = rs.count(_._2 == 0L).toLong
+      val x0 = rs.count(r => r._2 == 0L && r._3 == 1L).toLong
+      val r = got(g)
+      assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)) ==
+        ((n1, x1, n0, x0)), s"counts $g")
+      if (n1 > 0 && n0 > 0) {
+        val p1 = x1.toDouble / n1.toDouble
+        val p0 = x0.toDouble / n0.toDouble
+        val pp = (x1 + x0).toDouble / (n1 + n0).toDouble
+        val z = (p1 - p0) / math.sqrt(pp * (1.0 - pp) *
+          (1.0 / n1.toDouble + 1.0 / n0.toDouble))
+        val denom = 1.0 + 3.8416 / n1.toDouble
+        val center = (p1 + 3.8416 / (2.0 * n1.toDouble)) / denom
+        val half = 1.96 * math.sqrt(p1 * (1.0 - p1) / n1.toDouble +
+          3.8416 / (4.0 * n1.toDouble * n1.toDouble)) / denom
+        assert(r.getDouble(8) == r6(z), s"z $g")
+        assert(r.getDouble(9) == r6(center - half), s"wilson_lo $g")
+        assert(r.getDouble(10) == r6(center + half), s"wilson_hi $g")
+        // Wilson interval must contain the point estimate
+        assert(r.getDouble(9) <= r.getDouble(5) &&
+          r.getDouble(5) <= r.getDouble(10))
+      }
+    }
+    val one = got("onearm")
+    assert(one.isNullAt(6) && one.isNullAt(7) && one.isNullAt(8))
+    assert(!one.isNullAt(9) && !one.isNullAt(10))
+  }
+
+  test("lshRecallEval: exact-basis precision 1; low bands lose recall") {
+    // near-dup template corpus: pairs (2k, 2k+1) are true duplicates
+    val docs = (0L until 40L).map { i =>
+      val fam = i / 2
+      val tail = if (i % 2 == 0) "alpha" else "alpha" // identical pair text
+      (i, s"family $fam shared prefix tokens run $fam $tail end block $fam")
+    }.toDF("id", "text")
+    val full = Dedup.lshRecallEval(docs, "id", "text", shingleSize = 2,
+      numPerm = 64, bands = 16, threshold = 0.8).collect().head
+    assert(full.getLong(1) > 0L, "fixture must contain true pairs")
+    assert(full.getDouble(5) == 1.0, "16 bands must recover every pair")
+    assert(full.getDouble(4) == 1.0, "exact verify keeps precision 1")
+    // 1 band of 64 rows: collision needs ALL 64 minhashes equal -> only
+    // verbatim-identical shingle sets collide; recall stays defined and
+    // correct, and can only be <= the 16-band recall
+    val low = Dedup.lshRecallEval(docs, "id", "text", shingleSize = 2,
+      numPerm = 64, bands = 1, threshold = 0.8).collect().head
+    assert(low.getLong(1) == full.getLong(1), "ground truth is banding-free")
+    assert(low.getLong(3) <= full.getLong(3))
+    assert(low.isNullAt(4) || low.getDouble(4) == 1.0)
+  }
+
   test("naiveBayesScore: held-out split with OOV-heavy and all-OOV docs") {
     val train = Seq(
       (2L, "en", "the cat runs the cat sat the dog barks"),

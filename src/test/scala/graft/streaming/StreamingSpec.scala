@@ -633,6 +633,16 @@ class StreamingSpec extends SparkSpec {
     val fromBatch = graft.scale.Eval.binaryAuc(
       (b1 ++ b2).toDF("g", "u", "y"), col("g"), col("u"), col("y"))
     assert(aucRows(fromState) === aucRows(fromBatch))
+    // the SAME persisted contingency finalizes to the batch lift table
+    // too — gains/lift are streamable with zero extra state
+    def liftRows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("group", "bucket").collect().toSeq
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getDouble(4), r.getDouble(5), r.getDouble(6)))
+    assert(liftRows(graft.scale.Eval.liftTableFromContingency(
+        spark.read.parquet(state))) ===
+      liftRows(graft.scale.Eval.liftTable((b1 ++ b2).toDF("g", "u", "y"),
+        col("g"), col("u"), col("y"))))
   }
 
   test("stateful sessionizer splits on gap and aggregates in order") {
