@@ -779,6 +779,67 @@ object Eval {
       when(col("n1") > 0L, round(center + half, 6)).as("wilson_hi"))
   }
 
+  /** Percentile-bootstrap confidence interval for each group's mean —
+    * with DETERMINISTIC, engine-portable resampling, so the oracle
+    * replays every draw: resample r's slot i picks the value at
+    * in-group rank portableBucket(gid·1000003 + r·2654435761 + i) mod n
+    * (rank→value is well-defined under ties because equal ranks carry
+    * equal values), each resample's mean is the exact int64 sum of its
+    * picks (same n ⇒ ordering sums IS ordering means — no float enters
+    * the order statistics), and the CI bounds are the ⌈m·α/2⌉-th /
+    * (m+1−⌈m·α/2⌉)-th smallest resample sums, divided once at the end.
+    *
+    * Scale: the slots frame is m·N rows — linear in the corpus times a
+    * constant m; the rank join is one hash shuffle on (g, rank). At
+    * 100 TB you bootstrap a SAMPLED stratum (the statistic needs
+    * hundreds of rows per group, not billions) — this operator is the
+    * per-stratum finisher, not a full-corpus pass. gid (a dense index
+    * over ≤|groups| rows) and the per-group ranking window over group
+    * rows are the only windows.
+    */
+  def bootstrapMeanCI(df: DataFrame, groupCol: Column, unitsCol: Column,
+      m: Int = 200, alphaPct: Int = 5): DataFrame = {
+    require(m > 1 && alphaPct > 0 && alphaPct < 100, "m > 1, α in (0,100)")
+    val kLo = (m.toLong * alphaPct + 199L) / 200L // ceil(m·α/200)
+    val kHi = m.toLong + 1L - kLo
+    val base = df.select(groupCol.as("g"), unitsCol.cast("long").as("u"))
+    val ranked = base.withColumn("pos",
+      row_number().over(Window.partitionBy(col("g")).orderBy(col("u")))
+        .cast("long") - 1L)
+    val sizes = base.groupBy(col("g"))
+      .agg(count(lit(1)).as("n"), sum(col("u")).as("su"))
+      .withColumn("gid",
+        row_number().over(Window.orderBy(col("g"))).cast("long"))
+    val slots = sizes
+      .select(col("g"), col("gid"), col("n"),
+        explode(sequence(lit(0L), lit(m.toLong - 1L))).as("r"))
+      .select(col("g"), col("gid"), col("n"), col("r"),
+        explode(sequence(lit(0L), col("n") - 1L)).as("i"))
+      .withColumn("idx", pmod(Sampling.portableBucket(
+        col("gid") * 1000003L + col("r") * 2654435761L + col("i")),
+        col("n")))
+    val picks = slots.join(ranked,
+      slots("g") === ranked("g") && slots("idx") === ranked("pos"))
+      .select(slots("g").as("g"), col("r"), col("u"))
+    val sums = picks.groupBy(col("g"), col("r"))
+      .agg(sum(col("u")).as("s"))
+    val ordered = sums.withColumn("rk",
+      row_number().over(Window.partitionBy(col("g"))
+        .orderBy(col("s"), col("r"))).cast("long"))
+    val lo = ordered.where(col("rk") === kLo)
+      .select(col("g"), col("s").as("s_lo"))
+    val hi = ordered.where(col("rk") === kHi)
+      .select(col("g"), col("s").as("s_hi"))
+    sizes.join(lo, "g").join(hi, "g")
+      .select(col("g").as("group"), col("n"), lit(m.toLong).as("m"),
+        round(col("su").cast("double") / col("n").cast("double"), 6)
+          .as("mean"),
+        round(col("s_lo").cast("double") / col("n").cast("double"), 6)
+          .as("ci_lo"),
+        round(col("s_hi").cast("double") / col("n").cast("double"), 6)
+          .as("ci_hi"))
+  }
+
   def fairnessAudit(df: DataFrame, groupCol: Column, labelCol: Column,
       predCol: Column): DataFrame = {
     val base = df.select(groupCol.as("g"),

@@ -1060,6 +1060,52 @@ object EvalQueries {
               (1.0 + 3.8416 / n1::DOUBLE), 6) END AS wilson_hi
       FROM agg ORDER BY lang"""))
 
+  /** Percentile-bootstrap CI for each language's mean document-length
+    * unit ([[graft.scale.Eval.bootstrapMeanCI]]): 200 deterministic
+    * portable-hash resamples, int64 resample sums as the order
+    * statistics, one division per output cell — the oracle replays
+    * every single draw of every resample, so the hash-match certifies
+    * the complete bootstrap, not a summary.
+    */
+  private val q196 = GQuery(
+    (s, d) => graft.scale.Eval.bootstrapMeanCI(
+        T.documents(s, d).select(col("lang"),
+          pmod(col("n_chars"), lit(1000L)).as("u")),
+        col("lang"), col("u"), m = 200, alphaPct = 5)
+      .withColumnRenamed("group", "lang")
+      .orderBy(col("lang")),
+    Some(s"""WITH base AS (SELECT lang AS g, (n_chars % 1000) AS u
+        FROM documents),
+      ranked AS (SELECT g, u,
+          ROW_NUMBER() OVER (PARTITION BY g ORDER BY u) - 1 AS pos
+        FROM base),
+      sizes AS (SELECT g, COUNT(*)::BIGINT AS n,
+          CAST(SUM(u) AS BIGINT) AS su
+        FROM base GROUP BY g),
+      gids AS (SELECT g, n, su,
+          ROW_NUMBER() OVER (ORDER BY g) AS gid
+        FROM sizes),
+      slots AS (SELECT rk.g, gd.gid, gd.n, rr.r, rk.pos AS i,
+          ${ScaleQueries.bucketSql("(gd.gid * 1000003 + rr.r * 2654435761 + rk.pos)")}
+            % gd.n AS idx
+        FROM ranked rk JOIN gids gd USING (g)
+        CROSS JOIN (SELECT unnest(range(0, 200)) AS r) rr),
+      picks AS (SELECT s.g, s.r, rk2.u
+        FROM slots s JOIN ranked rk2 ON rk2.g = s.g AND rk2.pos = s.idx),
+      sums AS (SELECT g, r, CAST(SUM(u) AS BIGINT) AS s
+        FROM picks GROUP BY g, r),
+      ord AS (SELECT g, s,
+          ROW_NUMBER() OVER (PARTITION BY g ORDER BY s, r) AS rk
+        FROM sums)
+      SELECT gd.g AS lang, gd.n, 200::BIGINT AS m,
+        ROUND(gd.su::DOUBLE / gd.n::DOUBLE, 6) AS mean,
+        ROUND(lo.s::DOUBLE / gd.n::DOUBLE, 6) AS ci_lo,
+        ROUND(hi.s::DOUBLE / gd.n::DOUBLE, 6) AS ci_hi
+      FROM gids gd
+      JOIN (SELECT g, s FROM ord WHERE rk = 5) lo USING (g)
+      JOIN (SELECT g, s FROM ord WHERE rk = 196) hi USING (g)
+      ORDER BY lang"""))
+
   val all: Map[String, GQuery] = Map(
     "q171_roc_auc" -> q171,
     "q172_ks_drift" -> q172,
@@ -1082,5 +1128,6 @@ object EvalQueries {
     "q190_psi_drift" -> q190,
     "q191_cuped" -> q191,
     "q193_conformal_threshold" -> q193,
-    "q194_ab_test" -> q194)
+    "q194_ab_test" -> q194,
+    "q196_bootstrap_ci" -> q196)
 }

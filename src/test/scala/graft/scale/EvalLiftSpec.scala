@@ -300,6 +300,41 @@ class EvalLiftSpec extends SparkSpec {
     assert(low.isNullAt(4) || low.getDouble(4) == 1.0)
   }
 
+  test("bootstrapMeanCI == full driver replay of every draw") {
+    val rnd = new scala.util.Random(196)
+    val rows = (1 to 300).map(_ => (s"g${rnd.nextInt(2)}",
+      rnd.nextInt(1000).toLong))
+    val m = 40
+    val got = Eval.bootstrapMeanCI(rows.toDF("g", "u"), col("g"),
+        col("u"), m, alphaPct = 5)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4),
+          r.getDouble(5)))).toMap
+    val P = 2147483647L
+    def bucket(k: Long): Long =
+      math.floorMod(1103515245L * math.floorMod(k, P) + 12345L, P)
+    val kLo = (m.toLong * 5 + 199) / 200 // = 1 for m = 40
+    val kHi = m.toLong + 1 - kLo
+    val groups = rows.map(_._1).distinct.sorted
+    groups.zipWithIndex.foreach { case (g, gi) =>
+      val gid = gi + 1L
+      val vals = rows.filter(_._1 == g).map(_._2).sorted
+      val n = vals.size.toLong
+      val sums = (0L until m.toLong).map { r =>
+        (0L until n).map { i =>
+          vals(bucket(gid * 1000003L + r * 2654435761L + i).%(n).toInt)
+        }.sum -> r
+      }.sortBy(x => (x._1, x._2)).map(_._1)
+      val want = ((n, m.toLong,
+        r6(vals.sum.toDouble / n.toDouble),
+        r6(sums(kLo.toInt - 1).toDouble / n.toDouble),
+        r6(sums(kHi.toInt - 1).toDouble / n.toDouble)))
+      assert(got(g) == want, s"group $g")
+      // CI sanity: lo <= mean-ish ordering and lo <= hi always
+      assert(got(g)._4 <= got(g)._5)
+    }
+  }
+
   test("naiveBayesScore: held-out split with OOV-heavy and all-OOV docs") {
     val train = Seq(
       (2L, "en", "the cat runs the cat sat the dog barks"),
