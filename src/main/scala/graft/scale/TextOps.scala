@@ -801,6 +801,87 @@ object TextOps {
         size(col("toks")).cast("long").as("n_tokens"), col("wn"))
   }
 
+  /** SentencePiece-flavored unigram-LM compression statistics: derive a
+    * piece vocabulary FROM the corpus (every character + the top
+    * `topBigrams`/`topTrigrams` character n-grams by token-weighted
+    * frequency, costs = integer micro-log-units of corpus frequency),
+    * Viterbi-segment every distinct word to its MINIMUM total cost,
+    * and report per-group compression (nats per character) — the
+    * "how well does a subword inventory of this corpus compress each
+    * slice" instrument, the unigram-LM sibling of the BPE family
+    * (q137 trains merges; this scores an inventory).
+    *
+    * Exactness: piece costs are lnU differences (the q177
+    * quantization); the Viterbi DP is a pure int64 3-term recurrence
+    * best[j] = min(best[j−1]+c₁, best[j−2]+c₂, best[j−3]+c₃) folded
+    * in explicit position order with a 10¹⁵ sentinel for unreachable
+    * states — the minimum COST is unique-valued regardless of
+    * segmentation ties, so both engines agree bit for bit (the oracle
+    * replays the whole model: counts, top-k cuts, every DP step).
+    *
+    * Scale shape: the corpus is touched once (the distinct-word
+    * collapse); n-gram counting and the DP run over VOCABULARY-sized
+    * frames. The piece inventory (≤ |charset| + topBigrams +
+    * topTrigrams rows) is the one bounded driver collect — it becomes
+    * a literal map inside the codegen'd fold, the same artifact shape
+    * as q47's model weights.
+    */
+  def unigramLmStats(docs: org.apache.spark.sql.DataFrame,
+      langCol: Column, textCol: Column, topBigrams: Int = 200,
+      topTrigrams: Int = 100): org.apache.spark.sql.DataFrame = {
+    val U = 1000000L
+    def lnU(x: Column): Column =
+      round(lit(U).cast("double") * log(x.cast("double"))).cast("long")
+    val lw = docs.select(langCol.as("lang"), explode(tokens(textCol)).as("w"))
+      .groupBy(col("lang"), col("w")).agg(count(lit(1)).as("wn"))
+    val wc = lw.groupBy(col("w")).agg(sum(col("wn")).as("wn"))
+    def gramCounts(k: Int) = wc
+      .where(length(col("w")) >= k)
+      .select(col("wn"), explode(transform(
+        sequence(lit(1), length(col("w")) - (k - 1)),
+        i => col("w").substr(i, lit(k)))).as("piece"))
+      .groupBy(col("piece")).agg(sum(col("wn")).as("cnt"))
+    def topK(df: org.apache.spark.sql.DataFrame, k: Int) = df
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("cnt").desc, col("piece"))))
+      .where(col("rk") <= k).drop("rk")
+    val chars = gramCounts(1)
+    val nTot = chars.agg(sum(col("cnt")).as("nt"))
+    val vocab = chars
+      .unionByName(topK(gramCounts(2), topBigrams))
+      .unionByName(topK(gramCounts(3), topTrigrams))
+      .crossJoin(broadcast(nTot))
+      .select(col("piece"), (lnU(col("nt")) - lnU(col("cnt"))).as("cost"))
+    val vm = typedLit(vocab.collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap)
+    val BIG = 1000000000000000L
+    val dp = aggregate(
+      sequence(lit(1), length(col("w"))),
+      struct(lit(BIG).as("a"), lit(BIG).as("b"), lit(0L).as("c")),
+      (acc, j) => {
+        def ck(k: Int) = when(j >= k,
+          element_at(vm, col("w").substr(j - lit(k - 1), lit(k))))
+          .otherwise(lit(null).cast("long"))
+        struct(acc.getField("b").as("a"), acc.getField("c").as("b"),
+          least(
+            coalesce(acc.getField("c") + ck(1), lit(BIG)),
+            coalesce(acc.getField("b") + ck(2), lit(BIG)),
+            coalesce(acc.getField("a") + ck(3), lit(BIG))).as("c"))
+      }).getField("c")
+    val wcost = wc.select(col("w"), dp.as("cost"))
+    lw.join(wcost, "w")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_words"), sum(col("wn")).as("n_tokens"),
+        sum(col("wn") * length(col("w")).cast("long")).as("n_chars"),
+        sum(col("wn") * col("cost")).as("cost_units"))
+      .select(col("lang"), col("n_words"), col("n_tokens"),
+        col("n_chars"), col("cost_units"),
+        round(col("cost_units").cast("double") /
+          (lit(1000000.0d) * col("n_chars").cast("double")), 6)
+          .as("nats_per_char"))
+  }
+
   /** Hashing-trick bag-of-words vectorizer (Weinberger et al. 2009 /
     * scikit-learn HashingVectorizer): each token lands in bucket
     * h mod `dim` with a ±1 sign drawn from an independent bit of the

@@ -1106,6 +1106,83 @@ object EvalQueries {
       JOIN (SELECT g, s FROM ord WHERE rk = 196) hi USING (g)
       ORDER BY lang"""))
 
+  /** Unigram-LM subword compression per language
+    * ([[graft.scale.TextOps.unigramLmStats]]): corpus-derived piece
+    * inventory (chars + top-200 bigrams + top-100 trigrams), integer
+    * micro-unit piece costs, and an exact int64 Viterbi DP per
+    * distinct word. The oracle replays the ENTIRE model — counts,
+    * deterministic top-k cuts, and every DP step via an ordered
+    * list_reduce over the same 3-term recurrence — so the hash-match
+    * certifies each word's minimal segmentation cost.
+    */
+  private val q197 = GQuery(
+    (s, d) => graft.scale.TextOps.unigramLmStats(
+        T.documents(s, d), col("lang"), col("text"),
+        topBigrams = 200, topTrigrams = 100)
+      .orderBy(col("lang")),
+    Some("""WITH lw AS (SELECT lang,
+          unnest(list_filter(string_split_regex(text, '\s+'),
+            x -> len(x) > 0)) AS w
+        FROM documents),
+      lwc AS (SELECT lang, w, COUNT(*)::BIGINT AS wn
+        FROM lw GROUP BY lang, w),
+      wc AS (SELECT w, CAST(SUM(wn) AS BIGINT) AS wn FROM lwc GROUP BY w),
+      g1 AS (SELECT piece, CAST(SUM(wn) AS BIGINT) AS cnt
+        FROM (SELECT wn, unnest(list_transform(range(1, len(w) + 1),
+            i -> substr(w, i::INT, 1))) AS piece
+          FROM wc)
+        GROUP BY piece),
+      g2 AS (SELECT piece, CAST(SUM(wn) AS BIGINT) AS cnt
+        FROM (SELECT wn, unnest(list_transform(range(1, len(w)),
+            i -> substr(w, i::INT, 2))) AS piece
+          FROM wc WHERE len(w) >= 2)
+        GROUP BY piece),
+      g3 AS (SELECT piece, CAST(SUM(wn) AS BIGINT) AS cnt
+        FROM (SELECT wn, unnest(list_transform(range(1, len(w) - 1),
+            i -> substr(w, i::INT, 3))) AS piece
+          FROM wc WHERE len(w) >= 3)
+        GROUP BY piece),
+      nt AS (SELECT CAST(SUM(cnt) AS BIGINT) AS nt FROM g1),
+      v2 AS (SELECT piece, cnt FROM (SELECT piece, cnt,
+          ROW_NUMBER() OVER (ORDER BY cnt DESC, piece) AS rk FROM g2)
+        WHERE rk <= 200),
+      v3 AS (SELECT piece, cnt FROM (SELECT piece, cnt,
+          ROW_NUMBER() OVER (ORDER BY cnt DESC, piece) AS rk FROM g3)
+        WHERE rk <= 100),
+      vocab AS (SELECT piece,
+          CAST(round(1000000 * ln(nt.nt::DOUBLE)) AS BIGINT) -
+            CAST(round(1000000 * ln(cnt::DOUBLE)) AS BIGINT) AS cost
+        FROM (SELECT * FROM g1 UNION ALL SELECT * FROM v2
+          UNION ALL SELECT * FROM v3) CROSS JOIN nt),
+      pos AS (SELECT w, unnest(range(1, len(w) + 1)) AS j FROM wc),
+      pc AS (SELECT pos.w, pos.j, vv1.cost AS c1, vv2.cost AS c2,
+          vv3.cost AS c3
+        FROM pos
+        LEFT JOIN vocab vv1 ON vv1.piece = substr(pos.w, pos.j::INT, 1)
+        LEFT JOIN vocab vv2 ON pos.j >= 2
+          AND vv2.piece = substr(pos.w, (pos.j - 1)::INT, 2)
+        LEFT JOIN vocab vv3 ON pos.j >= 3
+          AND vv3.piece = substr(pos.w, (pos.j - 2)::INT, 3)),
+      wl AS (SELECT w, list([c1, c2, c3] ORDER BY j) AS st
+        FROM pc GROUP BY w),
+      dp AS (SELECT w, list_reduce(
+          list_prepend([1000000000000000::BIGINT,
+            1000000000000000::BIGINT, 0::BIGINT], st),
+          (acc, s) -> [acc[2], acc[3],
+            LEAST(COALESCE(acc[3] + s[1], 1000000000000000),
+              COALESCE(acc[2] + s[2], 1000000000000000),
+              COALESCE(acc[1] + s[3], 1000000000000000))])[3] AS cost
+        FROM wl)
+      SELECT lwc.lang, COUNT(*)::BIGINT AS n_words,
+        CAST(SUM(lwc.wn) AS BIGINT) AS n_tokens,
+        CAST(SUM(lwc.wn * len(lwc.w)) AS BIGINT) AS n_chars,
+        CAST(SUM(lwc.wn * dp.cost) AS BIGINT) AS cost_units,
+        ROUND(SUM(lwc.wn * dp.cost)::DOUBLE /
+          (1000000.0 * SUM(lwc.wn * len(lwc.w))::DOUBLE), 6)
+          AS nats_per_char
+      FROM lwc JOIN dp ON lwc.w = dp.w
+      GROUP BY lwc.lang ORDER BY lang"""))
+
   val all: Map[String, GQuery] = Map(
     "q171_roc_auc" -> q171,
     "q172_ks_drift" -> q172,
@@ -1129,5 +1206,6 @@ object EvalQueries {
     "q191_cuped" -> q191,
     "q193_conformal_threshold" -> q193,
     "q194_ab_test" -> q194,
-    "q196_bootstrap_ci" -> q196)
+    "q196_bootstrap_ci" -> q196,
+    "q197_unigram_lm" -> q197)
 }

@@ -335,6 +335,65 @@ class EvalLiftSpec extends SparkSpec {
     }
   }
 
+  test("unigramLmStats: Viterbi picks the cheaper segmentation exactly") {
+    // corpus: "ababab" dominates, so pieces "ab"/"aba"/"bab" are cheap;
+    // "xy" keeps rare chars in the inventory
+    val docs = Seq((1L, "en", "ababab ababab ababab xy"),
+      (2L, "en", "ababab ababab"), (3L, "de", "xy xy ababab"))
+      .toDF("id", "lbl", "text")
+    val got = TextOps.unigramLmStats(docs.toDF(), col("lbl"), col("text"),
+        topBigrams = 5, topTrigrams = 5)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getDouble(5)))).toMap
+    // driver replay of the full model
+    val words = Seq("en" -> "ababab", "en" -> "ababab", "en" -> "ababab",
+      "en" -> "xy", "en" -> "ababab", "en" -> "ababab",
+      "de" -> "xy", "de" -> "xy", "de" -> "ababab")
+    val wc = words.map(_._2).groupBy(identity).map { case (w, v) =>
+      w -> v.size.toLong
+    }
+    def grams(k: Int) = wc.toSeq.flatMap { case (w, n) =>
+      if (w.length >= k) (0 to w.length - k).map(i =>
+        w.substring(i, i + k) -> n)
+      else Nil
+    }.groupBy(_._1).map { case (p, v) => p -> v.map(_._2).sum }
+    val g1 = grams(1); val nt = g1.values.sum
+    def top(m: Map[String, Long], k: Int) =
+      m.toSeq.sortBy(x => (-x._2, x._1)).take(k).toMap
+    val vocab = (g1 ++ top(grams(2), 5) ++ top(grams(3), 5)).map {
+      case (p, c) => p -> (math.round(1e6 * math.log(nt.toDouble)) -
+        math.round(1e6 * math.log(c.toDouble)))
+    }
+    val BIG = 1000000000000000L
+    def viterbi(w: String): Long = {
+      val best = Array.fill(w.length + 1)(BIG)
+      best(0) = 0L
+      for (j <- 1 to w.length; k <- 1 to 3 if j >= k) {
+        vocab.get(w.substring(j - k, j)).foreach { c =>
+          if (best(j - k) != BIG && best(j - k) + c < best(j))
+            best(j) = best(j - k) + c
+        }
+      }
+      best(w.length)
+    }
+    words.groupBy(_._1).foreach { case (l, ws) =>
+      val perW = ws.map(_._2).groupBy(identity).map { case (w, v) =>
+        (w, v.size.toLong)
+      }
+      val nWords = perW.size.toLong
+      val nTok = perW.values.sum
+      val nCh = perW.map { case (w, n) => n * w.length }.sum
+      val cu = perW.map { case (w, n) => n * viterbi(w) }.sum
+      assert(got(l) == ((nWords, nTok, nCh, cu,
+        r6(cu.toDouble / (1000000.0 * nCh.toDouble)))), s"lang $l")
+    }
+    // the multi-char pieces must actually win: cost("ababab") strictly
+    // below six single-char picks
+    val six = "ababab".map(c => vocab(c.toString)).sum
+    assert(viterbi("ababab") < six, "subword pieces must beat chars")
+  }
+
   test("naiveBayesScore: held-out split with OOV-heavy and all-OOV docs") {
     val train = Seq(
       (2L, "en", "the cat runs the cat sat the dog barks"),
