@@ -627,6 +627,24 @@ object Eval {
       lit(bins.toLong - 1L))
     val act = df.select(groupCol.as("g"), b.as("bin"))
       .groupBy(col("g"), col("bin")).agg(count(lit(1)).as("a"))
+    psiFromBinned(act, bins)
+  }
+
+  /** Finalize a persisted/streamed [[scoreContingency]] table to the
+    * per-group PSI — same state, zero extra maintenance (the q187
+    * contract). Bins the contingency's score units exactly as
+    * [[psiVsGlobal]] bins raw units.
+    */
+  def psiVsGlobalFromContingency(contingency: DataFrame,
+      bins: Int = 10): DataFrame = {
+    val b = least(greatest(
+      floor(col("u").cast("double") / 1000d * bins).cast("long"),
+      lit(0L)), lit(bins.toLong - 1L))
+    psiFromBinned(contingency.select(col("g"), b.as("bin"), col("n"))
+      .groupBy(col("g"), col("bin")).agg(sum(col("n")).as("a")), bins)
+  }
+
+  private def psiFromBinned(act: DataFrame, bins: Int): DataFrame = {
     val glob = act.groupBy(col("bin")).agg(sum(col("a")).as("e"))
     val totA = act.groupBy(col("g")).agg(sum(col("a")).as("ta"))
     val totE = glob.agg(sum(col("e")).as("te"))
@@ -705,10 +723,23 @@ object Eval {
     * max. Empirical coverage = cum(threshold)/n is the one division.
     */
   def conformalThreshold(df: DataFrame, groupCol: Column,
-      unitsCol: Column, alphaPct: Int = 10): DataFrame = {
+      unitsCol: Column, alphaPct: Int = 10): DataFrame =
+    conformalFromUnitCounts(
+      df.select(groupCol.as("g"), unitsCol.cast("long").as("u"))
+        .groupBy(col("g"), col("u")).agg(count(lit(1)).as("c")), alphaPct)
+
+  /** Finalize a persisted/streamed [[scoreContingency]] table to the
+    * per-group conformal threshold — the calibration gate answers from
+    * the same state AUC/ECE/lift/PSI maintain.
+    */
+  def conformalThresholdFromContingency(contingency: DataFrame,
+      alphaPct: Int = 10): DataFrame =
+    conformalFromUnitCounts(
+      contingency.select(col("g"), col("u"), col("n").as("c")), alphaPct)
+
+  private def conformalFromUnitCounts(per: DataFrame,
+      alphaPct: Int): DataFrame = {
     require(alphaPct > 0 && alphaPct < 100, "alphaPct in (0, 100)")
-    val per = df.select(groupCol.as("g"), unitsCol.cast("long").as("u"))
-      .groupBy(col("g"), col("u")).agg(count(lit(1)).as("c"))
     val cum = per.withColumn("cum",
       sum(col("c")).over(Window.partitionBy(col("g")).orderBy(col("u"))
         .rowsBetween(Window.unboundedPreceding, 0)))

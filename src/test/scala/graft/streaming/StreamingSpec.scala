@@ -643,6 +643,17 @@ class StreamingSpec extends SparkSpec {
         spark.read.parquet(state))) ===
       liftRows(graft.scale.Eval.liftTable((b1 ++ b2).toDF("g", "u", "y"),
         col("g"), col("u"), col("y"))))
+    // ... and so do PSI and the conformal threshold: four monitoring
+    // views, one maintained state table
+    val all = (b1 ++ b2).toDF("g", "u", "y")
+    assert(graft.scale.Eval.psiVsGlobalFromContingency(
+        spark.read.parquet(state)).orderBy("group").collect().toSeq ===
+      graft.scale.Eval.psiVsGlobal(all, col("g"), col("u"))
+        .orderBy("group").collect().toSeq)
+    assert(graft.scale.Eval.conformalThresholdFromContingency(
+        spark.read.parquet(state)).orderBy("group").collect().toSeq ===
+      graft.scale.Eval.conformalThreshold(all, col("g"), col("u"))
+        .orderBy("group").collect().toSeq)
   }
 
   test("stateful sessionizer splits on gap and aggregates in order") {
