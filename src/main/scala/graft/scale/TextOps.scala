@@ -826,15 +826,19 @@ object TextOps {
     * a literal map inside the codegen'd fold, the same artifact shape
     * as q47's model weights.
     */
-  def unigramLmStats(docs: org.apache.spark.sql.DataFrame,
-      langCol: Column, textCol: Column, topBigrams: Int = 200,
-      topTrigrams: Int = 100): org.apache.spark.sql.DataFrame = {
+  private val UnigramBig = 1000000000000000L
+
+  /** Corpus-derived unigram piece inventory as a driver-side map:
+    * every character + top `topBigrams`/`topTrigrams` character n-grams
+    * by token-weighted frequency, cost = lnU(total) − lnU(count). The
+    * collect is bounded by |charset| + topBigrams + topTrigrams —
+    * the q47 model-artifact shape.
+    */
+  private def unigramVocabMap(wc: org.apache.spark.sql.DataFrame,
+      topBigrams: Int, topTrigrams: Int): Column = {
     val U = 1000000L
     def lnU(x: Column): Column =
       round(lit(U).cast("double") * log(x.cast("double"))).cast("long")
-    val lw = docs.select(langCol.as("lang"), explode(tokens(textCol)).as("w"))
-      .groupBy(col("lang"), col("w")).agg(count(lit(1)).as("wn"))
-    val wc = lw.groupBy(col("w")).agg(sum(col("wn")).as("wn"))
     def gramCounts(k: Int) = wc
       .where(length(col("w")) >= k)
       .select(col("wn"), explode(transform(
@@ -853,23 +857,36 @@ object TextOps {
       .unionByName(topK(gramCounts(3), topTrigrams))
       .crossJoin(broadcast(nTot))
       .select(col("piece"), (lnU(col("nt")) - lnU(col("cnt"))).as("cost"))
-    val vm = typedLit(vocab.collect()
+    typedLit(vocab.collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap)
-    val BIG = 1000000000000000L
-    val dp = aggregate(
+  }
+
+  /** Forward Viterbi over `col("w")` with piece-cost map `vm`: the full
+    * best[0..len] array (1-indexed as a Spark array: element i+1 =
+    * best[i]), int64 with the 10¹⁵ unreachable sentinel.
+    */
+  private def unigramBestArray(vm: Column): Column =
+    aggregate(
       sequence(lit(1), length(col("w"))),
-      struct(lit(BIG).as("a"), lit(BIG).as("b"), lit(0L).as("c")),
+      array(lit(0L)),
       (acc, j) => {
-        def ck(k: Int) = when(j >= k,
-          element_at(vm, col("w").substr(j - lit(k - 1), lit(k))))
-          .otherwise(lit(null).cast("long"))
-        struct(acc.getField("b").as("a"), acc.getField("c").as("b"),
-          least(
-            coalesce(acc.getField("c") + ck(1), lit(BIG)),
-            coalesce(acc.getField("b") + ck(2), lit(BIG)),
-            coalesce(acc.getField("a") + ck(3), lit(BIG))).as("c"))
-      }).getField("c")
-    val wcost = wc.select(col("w"), dp.as("cost"))
+        def cand(k: Int) = when(j >= k,
+          coalesce(element_at(acc, j - lit(k - 1)) +
+            element_at(vm, col("w").substr(j - lit(k - 1), lit(k))),
+            lit(UnigramBig)))
+          .otherwise(lit(UnigramBig))
+        concat(acc, array(least(cand(1), cand(2), cand(3))))
+      })
+
+  def unigramLmStats(docs: org.apache.spark.sql.DataFrame,
+      langCol: Column, textCol: Column, topBigrams: Int = 200,
+      topTrigrams: Int = 100): org.apache.spark.sql.DataFrame = {
+    val lw = docs.select(langCol.as("lang"), explode(tokens(textCol)).as("w"))
+      .groupBy(col("lang"), col("w")).agg(count(lit(1)).as("wn"))
+    val wc = lw.groupBy(col("w")).agg(sum(col("wn")).as("wn"))
+    val vm = unigramVocabMap(wc, topBigrams, topTrigrams)
+    val wcost = wc.select(col("w"),
+      element_at(unigramBestArray(vm), length(col("w")) + 1).as("cost"))
     lw.join(wcost, "w")
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_words"), sum(col("wn")).as("n_tokens"),
@@ -880,6 +897,53 @@ object TextOps {
         round(col("cost_units").cast("double") /
           (lit(1000000.0d) * col("n_chars").cast("double")), 6)
           .as("nats_per_char"))
+  }
+
+  /** Apply-side unigram tokenization: Viterbi-segment every DISTINCT
+    * word with the corpus-derived piece inventory and emit the ACTUAL
+    * pieces — the step a pipeline runs on every document once an
+    * inventory exists ([[unigramLmStats]] scores inventories; this one
+    * encodes with them — together the unigram twin of the BPE
+    * train/apply pair q137/q134).
+    *
+    * Segmentation ties are broken deterministically: backtracking from
+    * the end of the word, prefer the LONGEST piece whose cost closes
+    * the optimal recurrence (k = 3 > 2 > 1). Both the forward DP and
+    * the backtrack are exact int64 — the oracle replays them step by
+    * step, so the hash-match certifies every piece of every word.
+    * Same scale shape as [[bpeEncodeWords]]: the corpus is touched
+    * once; the DP runs per VOCABULARY entry.
+    */
+  def unigramEncodeWords(docs: org.apache.spark.sql.DataFrame,
+      textCol: Column, topBigrams: Int = 200,
+      topTrigrams: Int = 100): org.apache.spark.sql.DataFrame = {
+    val wc = docs.select(explode(tokens(textCol)).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("wn"))
+    val vm = unigramVocabMap(wc, topBigrams, topTrigrams)
+    val withBest = wc.withColumn("best", unigramBestArray(vm))
+    val bt = aggregate(
+      sequence(lit(1), length(col("w"))),
+      struct(length(col("w")).cast("int").as("j"),
+        array().cast("array<string>").as("ps")),
+      (st, _) => {
+        val j = st.getField("j")
+        def ok(k: Int) = j >= k &&
+          (element_at(col("best"), j + 1) ===
+            coalesce(element_at(col("best"), j - lit(k - 1)) +
+              element_at(vm, col("w").substr(j - lit(k - 1), lit(k))),
+              lit(UnigramBig)))
+        val kSel = when(ok(3), lit(3)).when(ok(2), lit(2)).otherwise(lit(1))
+        val piece = col("w").substr(j - kSel + lit(1), kSel)
+        when(j <= 0, st).otherwise(
+          struct((j - kSel).as("j"),
+            concat(array(piece), st.getField("ps")).as("ps")))
+      })
+    withBest
+      .withColumn("ps", bt.getField("ps"))
+      .select(col("w"), col("wn"),
+        array_join(col("ps"), " ").as("encoded"),
+        size(col("ps")).cast("long").as("n_pieces"),
+        element_at(col("best"), length(col("w")) + 1).as("cost_u"))
   }
 
   /** Hashing-trick bag-of-words vectorizer (Weinberger et al. 2009 /

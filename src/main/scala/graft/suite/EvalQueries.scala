@@ -1183,6 +1183,101 @@ object EvalQueries {
       FROM lwc JOIN dp ON lwc.w = dp.w
       GROUP BY lwc.lang ORDER BY lang"""))
 
+  /** Apply-side unigram tokenization
+    * ([[graft.scale.TextOps.unigramEncodeWords]]): q197's inventory
+    * actually ENCODING the corpus — every distinct word's Viterbi
+    * pieces, with the longest-piece-first tie-break replayed by the
+    * oracle's backtracking fold. The hash-match certifies each piece
+    * of each word, not just costs.
+    */
+  private val q198 = {
+    // Backtracking runs as a RECURSIVE CTE, not a list_reduce lambda:
+    // DuckDB 1.0 misbinds OUTER row columns referenced inside
+    // list_reduce lambdas (sibling of the struct-accumulator defect —
+    // costs came out right, encodings belonged to other rows). The
+    // recursive walk is plain correlated SQL, one row per (word, step).
+    def ok(k: Int) =
+      s"bt.j >= $k AND bst.st[bt.j::INT][$k] IS NOT NULL AND " +
+        s"bst.b[(bt.j - ${k - 1})::INT] + bst.st[bt.j::INT][$k] = " +
+        s"bst.b[(bt.j + 1)::INT]"
+    val kSel =
+      s"(CASE WHEN ${ok(3)} THEN 3 WHEN ${ok(2)} THEN 2 ELSE 1 END)"
+    GQuery(
+      (s, d) => graft.scale.TextOps.unigramEncodeWords(
+          T.documents(s, d), col("text"),
+          topBigrams = 200, topTrigrams = 100)
+        .orderBy(col("w")),
+      Some(s"""WITH RECURSIVE toks AS (SELECT
+            unnest(list_filter(string_split_regex(text, '\\s+'),
+              x -> len(x) > 0)) AS w
+          FROM documents),
+        wc AS (SELECT w, COUNT(*)::BIGINT AS wn FROM toks GROUP BY w),
+        g1 AS (SELECT piece, CAST(SUM(wn) AS BIGINT) AS cnt
+          FROM (SELECT wn, unnest(list_transform(range(1, len(w) + 1),
+              i -> substr(w, i::INT, 1))) AS piece
+            FROM wc)
+          GROUP BY piece),
+        g2 AS (SELECT piece, CAST(SUM(wn) AS BIGINT) AS cnt
+          FROM (SELECT wn, unnest(list_transform(range(1, len(w)),
+              i -> substr(w, i::INT, 2))) AS piece
+            FROM wc WHERE len(w) >= 2)
+          GROUP BY piece),
+        g3 AS (SELECT piece, CAST(SUM(wn) AS BIGINT) AS cnt
+          FROM (SELECT wn, unnest(list_transform(range(1, len(w) - 1),
+              i -> substr(w, i::INT, 3))) AS piece
+            FROM wc WHERE len(w) >= 3)
+          GROUP BY piece),
+        nt AS (SELECT CAST(SUM(cnt) AS BIGINT) AS nt FROM g1),
+        v2 AS (SELECT piece, cnt FROM (SELECT piece, cnt,
+            ROW_NUMBER() OVER (ORDER BY cnt DESC, piece) AS rk FROM g2)
+          WHERE rk <= 200),
+        v3 AS (SELECT piece, cnt FROM (SELECT piece, cnt,
+            ROW_NUMBER() OVER (ORDER BY cnt DESC, piece) AS rk FROM g3)
+          WHERE rk <= 100),
+        vocab AS (SELECT piece,
+            CAST(round(1000000 * ln(nt.nt::DOUBLE)) AS BIGINT) -
+              CAST(round(1000000 * ln(cnt::DOUBLE)) AS BIGINT) AS cost
+          FROM (SELECT * FROM g1 UNION ALL SELECT * FROM v2
+            UNION ALL SELECT * FROM v3) CROSS JOIN nt),
+        pos AS (SELECT w, unnest(range(1, len(w) + 1)) AS j FROM wc),
+        pc AS (SELECT pos.w, pos.j, vv1.cost AS c1, vv2.cost AS c2,
+            vv3.cost AS c3
+          FROM pos
+          LEFT JOIN vocab vv1 ON vv1.piece = substr(pos.w, pos.j::INT, 1)
+          LEFT JOIN vocab vv2 ON pos.j >= 2
+            AND vv2.piece = substr(pos.w, (pos.j - 1)::INT, 2)
+          LEFT JOIN vocab vv3 ON pos.j >= 3
+            AND vv3.piece = substr(pos.w, (pos.j - 2)::INT, 3)),
+        wl AS (SELECT w, list([c1, c2, c3] ORDER BY j) AS st
+          FROM pc GROUP BY w),
+        bst AS (SELECT w, st, list_reduce(
+            list_prepend([0::BIGINT], st),
+            (acc, s) -> list_append(acc, LEAST(
+              COALESCE(acc[len(acc)] + s[1], 1000000000000000),
+              CASE WHEN len(acc) >= 2
+                THEN COALESCE(acc[len(acc) - 1] + s[2], 1000000000000000)
+                ELSE 1000000000000000 END,
+              CASE WHEN len(acc) >= 3
+                THEN COALESCE(acc[len(acc) - 2] + s[3], 1000000000000000)
+                ELSE 1000000000000000 END))) AS b
+          FROM wl),
+        walk AS (
+          SELECT w, len(w)::BIGINT AS j, ''::VARCHAR AS encoded FROM bst
+          UNION ALL
+          SELECT bt.w, bt.j - $kSel,
+            substr(bt.w, (bt.j - $kSel + 1)::INT, $kSel) ||
+              CASE WHEN bt.encoded = '' THEN ''
+                ELSE ' ' || bt.encoded END
+          FROM walk bt JOIN bst ON bst.w = bt.w
+          WHERE bt.j > 0)
+        SELECT wc.w, wc.wn, walk.encoded,
+          len(string_split(walk.encoded, ' '))::BIGINT AS n_pieces,
+          bst.b[(len(wc.w) + 1)::INT] AS cost_u
+        FROM wc JOIN walk ON wc.w = walk.w AND walk.j = 0
+        JOIN bst ON bst.w = wc.w
+        ORDER BY wc.w"""))
+  }
+
   val all: Map[String, GQuery] = Map(
     "q171_roc_auc" -> q171,
     "q172_ks_drift" -> q172,
@@ -1207,5 +1302,6 @@ object EvalQueries {
     "q193_conformal_threshold" -> q193,
     "q194_ab_test" -> q194,
     "q196_bootstrap_ci" -> q196,
-    "q197_unigram_lm" -> q197)
+    "q197_unigram_lm" -> q197,
+    "q198_unigram_encode" -> q198)
 }

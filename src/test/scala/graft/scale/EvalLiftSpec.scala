@@ -394,6 +394,59 @@ class EvalLiftSpec extends SparkSpec {
     assert(viterbi("ababab") < six, "subword pieces must beat chars")
   }
 
+  test("unigramEncodeWords: pieces rebuild the word; longest-first ties") {
+    val docs = Seq((1L, "ababab ababab ababab xy"),
+      (2L, "ababab ababab"), (3L, "xy xy ababab"))
+      .toDF("id", "text")
+    val got = TextOps.unigramEncodeWords(docs, col("text"),
+        topBigrams = 5, topTrigrams = 5)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getString(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(got.keySet == Set("ababab", "xy"))
+    // driver replay: same vocab + viterbi + longest-first backtrack
+    val wc = Map("ababab" -> 6L, "xy" -> 3L)
+    def grams(k: Int) = wc.toSeq.flatMap { case (w, n) =>
+      if (w.length >= k) (0 to w.length - k).map(i =>
+        w.substring(i, i + k) -> n) else Nil
+    }.groupBy(_._1).map { case (p, v) => p -> v.map(_._2).sum }
+    val g1 = grams(1); val nt = g1.values.sum
+    def top(m: Map[String, Long], k: Int) =
+      m.toSeq.sortBy(x => (-x._2, x._1)).take(k).toMap
+    val vocab = (g1 ++ top(grams(2), 5) ++ top(grams(3), 5)).map {
+      case (p, c) => p -> (math.round(1e6 * math.log(nt.toDouble)) -
+        math.round(1e6 * math.log(c.toDouble)))
+    }
+    val BIG = 1000000000000000L
+    def encode(w: String): (Seq[String], Long) = {
+      val best = Array.fill(w.length + 1)(BIG); best(0) = 0L
+      for (j <- 1 to w.length; k <- 1 to 3 if j >= k)
+        vocab.get(w.substring(j - k, j)).foreach { c =>
+          if (best(j - k) != BIG && best(j - k) + c < best(j))
+            best(j) = best(j - k) + c
+        }
+      var j = w.length
+      var ps = List.empty[String]
+      while (j > 0) {
+        val k = (3 to 1 by -1).find { k =>
+          j >= k && vocab.get(w.substring(j - k, j))
+            .exists(c => best(j - k) + c == best(j))
+        }.get
+        ps = w.substring(j - k, j) :: ps
+        j -= k
+      }
+      (ps, best(w.length))
+    }
+    wc.foreach { case (w, n) =>
+      val (ps, cost) = encode(w)
+      assert(got(w) == ((n, ps.mkString(" "), ps.size.toLong, cost)),
+        s"word $w")
+      assert(ps.mkString("") == w, "pieces must rebuild the word")
+    }
+    // the dominant word must compress below per-char encoding
+    assert(got("ababab")._3 < 6L)
+  }
+
   test("naiveBayesScore: held-out split with OOV-heavy and all-OOV docs") {
     val train = Seq(
       (2L, "en", "the cat runs the cat sat the dog barks"),
