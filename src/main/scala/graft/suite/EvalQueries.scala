@@ -1278,6 +1278,108 @@ object EvalQueries {
         ORDER BY wc.w"""))
   }
 
+  /** Perplexity gate with a calibrated cutoff — the canonical LM-based
+    * quality filter, composed from two verified operators:
+    * [[graft.scale.Lm.knBigramCrossEntropy]] grouped by doc_id gives
+    * each held-out document's exact integer NLL (milli-nats-per-bigram
+    * units via integer floor division), and
+    * [[graft.scale.Eval.conformalThreshold]] turns the per-language
+    * score distribution into a distribution-free 90%-coverage cutoff —
+    * flagged = the ≤10% most-surprising docs per language. Single-token
+    * documents have no bigrams and are excluded (the length gates own
+    * those). The oracle replays the whole chain: KN model, per-doc NLL,
+    * cumulative threshold walk, every flag.
+    */
+  private val q199 = GQuery(
+    (s, d) => {
+      val all = T.documents(s, d)
+      val train = all.where(pmod(col("doc_id"), lit(2L)) === 0L)
+      val ev = all.where(pmod(col("doc_id"), lit(2L)) === 1L)
+      val den = lit(1000L) * col("n_bigrams")
+      val perDoc = graft.scale.Lm.knBigramCrossEntropy(
+          train, ev, col("doc_id"), col("text"))
+        .select(col("source").cast("long").as("doc_id"),
+          ((col("nll_units") - pmod(col("nll_units"), den)) / den)
+            .cast("long").as("u"))
+      val scored = perDoc.join(
+        ev.select(col("doc_id"), col("lang")), "doc_id")
+      val thr = graft.scale.Eval.conformalThreshold(
+          scored, col("lang"), col("u"), alphaPct = 10)
+        .select(col("group").as("lang"),
+          col("threshold_unit"))
+      scored.join(broadcast(thr), "lang")
+        .select(col("doc_id"), col("lang"), col("u"),
+          when(col("threshold_unit").isNotNull,
+            col("u") > col("threshold_unit")).as("flagged"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH trt AS (SELECT
+          list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)
+            AS t
+        FROM documents WHERE doc_id % 2 = 0),
+      bt AS (SELECT string_split(bigram, ' ')[1] AS w1,
+          string_split(bigram, ' ')[2] AS w2
+        FROM (SELECT unnest(list_transform(range(2, len(t) + 1),
+            i -> t[i-1] || ' ' || t[i])) AS bigram
+          FROM trt)),
+      cb AS (SELECT w1, w2, COUNT(*)::BIGINT AS cb
+        FROM bt GROUP BY w1, w2),
+      heads AS (SELECT w1, CAST(SUM(cb) AS BIGINT) AS c1,
+          COUNT(*)::BIGINT AS n1f
+        FROM cb GROUP BY w1),
+      tails AS (SELECT w2, COUNT(*)::BIGINT AS n1b FROM cb GROUP BY w2),
+      consts AS (SELECT (SELECT COUNT(*)::BIGINT FROM cb) AS tt,
+          (SELECT COUNT(DISTINCT tok)::BIGINT
+            FROM (SELECT unnest(t) AS tok FROM trt)) AS v),
+      evt AS (SELECT doc_id, lang,
+          list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)
+            AS t
+        FROM documents WHERE doc_id % 2 = 1),
+      be AS (SELECT doc_id, lang, string_split(bigram, ' ')[1] AS w1,
+          string_split(bigram, ' ')[2] AS w2
+        FROM (SELECT doc_id, lang,
+            unnest(list_transform(range(2, len(t) + 1),
+              i -> t[i-1] || ' ' || t[i])) AS bigram
+          FROM evt)),
+      bem AS (SELECT doc_id, lang, w1, w2, COUNT(*)::BIGINT AS m
+        FROM be GROUP BY doc_id, lang, w1, w2),
+      sc AS (SELECT bem.doc_id, bem.lang, bem.m,
+          -CAST(round(1000000.0 * ln(
+            CASE WHEN heads.c1 IS NOT NULL
+              THEN GREATEST(COALESCE(cb.cb, 0)::DOUBLE - 0.75, 0.0) /
+                  heads.c1::DOUBLE +
+                (0.75 * heads.n1f::DOUBLE / heads.c1::DOUBLE) *
+                  ((COALESCE(tails.n1b, 0) + 1)::DOUBLE /
+                   (consts.tt + consts.v + 1)::DOUBLE)
+              ELSE (COALESCE(tails.n1b, 0) + 1)::DOUBLE /
+                (consts.tt + consts.v + 1)::DOUBLE
+            END)) AS BIGINT) AS lpu
+        FROM bem LEFT JOIN cb ON bem.w1 = cb.w1 AND bem.w2 = cb.w2
+        LEFT JOIN heads ON bem.w1 = heads.w1
+        LEFT JOIN tails ON bem.w2 = tails.w2
+        CROSS JOIN consts),
+      pd AS (SELECT doc_id, lang, CAST(SUM(m) AS BIGINT) AS nb,
+          CAST(SUM(m * lpu) AS BIGINT) AS nll
+        FROM sc GROUP BY doc_id, lang),
+      ud AS (SELECT doc_id, lang, nll // (1000 * nb) AS u FROM pd),
+      per AS (SELECT lang, u, COUNT(*)::BIGINT AS c
+        FROM ud GROUP BY lang, u),
+      cum AS (SELECT lang, u, SUM(c) OVER (PARTITION BY lang ORDER BY u
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cum
+        FROM per),
+      tot AS (SELECT lang, CAST(SUM(c) AS BIGINT) AS n
+        FROM per GROUP BY lang),
+      tk AS (SELECT lang, n, ((n + 1) * 90 + 99) // 100 AS k FROM tot),
+      hit AS (SELECT cum.lang, cum.u,
+          ROW_NUMBER() OVER (PARTITION BY cum.lang ORDER BY cum.u) AS rn
+        FROM cum JOIN tk ON cum.lang = tk.lang WHERE cum.cum >= tk.k),
+      h1 AS (SELECT lang, u AS thr FROM hit WHERE rn = 1)
+      SELECT ud.doc_id, ud.lang, ud.u,
+        CASE WHEN tk.k <= tk.n THEN ud.u > h1.thr END AS flagged
+      FROM ud JOIN tk ON ud.lang = tk.lang
+      LEFT JOIN h1 ON ud.lang = h1.lang
+      ORDER BY ud.doc_id"""))
+
   val all: Map[String, GQuery] = Map(
     "q171_roc_auc" -> q171,
     "q172_ks_drift" -> q172,
@@ -1303,5 +1405,6 @@ object EvalQueries {
     "q194_ab_test" -> q194,
     "q196_bootstrap_ci" -> q196,
     "q197_unigram_lm" -> q197,
-    "q198_unigram_encode" -> q198)
+    "q198_unigram_encode" -> q198,
+    "q199_ppl_gate" -> q199)
 }

@@ -157,7 +157,8 @@ object Explain {
       "q195_lsh_recall_eval",  // two dedup operators + 1-row count joins
       "q196_bootstrap_ci",     // m-resample slot join on (g, rank)
       "q197_unigram_lm",       // vocab-sized DP fold, corpus touched once
-      "q198_unigram_encode")   // forward DP + backtrack, per-vocab-entry
+      "q198_unigram_encode",   // forward DP + backtrack, per-vocab-entry
+      "q199_ppl_gate")         // KN per-doc NLL + conformal cutoff join
 
     val sb = new StringBuilder
     sb.append("# EXPLAIN — flagship physical plans\n\n")
