@@ -188,4 +188,53 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("sim"))
   }
+
+  /** Greedy k-center coreset (farthest-point traversal) over an
+    * embedding column — the diversity-maximizing data-selection
+    * primitive (coreset/active-learning lineage): seed with the
+    * smallest id, then k−1 times pick the point FARTHEST (max over
+    * points of min cosine distance to the selected set), ties by
+    * smallest id. The selected set is the k-bounded driver state
+    * (the IVF-centroid contract); each round is ONE distributed
+    * argmax pass — k·N distance evaluations total, no pairwise
+    * materialization.
+    *
+    * Determinism: distances are 1 − cosine with the pinned-fold native
+    * kernel (the q27 parity shape), the per-point min over ≤k centers
+    * is an exact IEEE min, and the argmax orders by (dist desc, id
+    * asc) — the oracle replays every round with the identical
+    * incremental LEAST chain.
+    *
+    * Output: (rank, vec_id, sel_dist) — sel_dist is the point's
+    * min-distance to the previously selected set at the moment of
+    * selection (null for the seed), the classic coverage-radius curve.
+    */
+  def kCenterCoreset(emb: DataFrame, idCol: String, vecCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    val spark = emb.sparkSession
+    val base = emb.select(col(idCol).cast("long").as("id"),
+      toDouble(col(vecCol)).as("v"))
+    val seed = base.orderBy(col("id")).limit(1).collect().head
+    var selected = List((1, seed.getLong(0),
+      Option.empty[Double], seed.getSeq[Double](1)))
+    for (t <- 2 to k) {
+      val centers = array(selected.map(c => typedLit(c._4)): _*)
+      val md = array_min(transform(centers,
+        cv => lit(1.0d) - cosineNative(col("v"), cv)))
+      val pick = base
+        .where(!col("id").isInCollection(selected.map(_._2)))
+        .select(col("id"), md.as("md"), col("v"))
+        .orderBy(col("md").desc, col("id"))
+        .limit(1).collect().head
+      selected = selected :+ ((t, pick.getLong(0),
+        Some(pick.getDouble(1)), pick.getSeq[Double](2)))
+    }
+    import spark.implicits._
+    selected.map { case (r, id, d, _) =>
+      (r.toLong, id, d.map(x =>
+        BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+          .toDouble))
+    }.toDF("rank", "vec_id", "sel_dist")
+  }
 }

@@ -1082,12 +1082,62 @@ object ScaleQueries {
           COUNT(*)::DOUBLE, 6) END AS recall
       FROM tr"""))
 
+  /** Greedy k-center coreset ([[Similarity.kCenterCoreset]]): the
+    * diversity-maximizing selection over the embedding table — seed at
+    * the smallest id, then 7 farthest-point rounds. The oracle unrolls
+    * every round as an incremental LEAST layer over the q27 pinned-fold
+    * cosine, so the hash-match certifies each selected center AND its
+    * coverage radius at selection.
+    */
+  private val q200 = {
+    val k = 8
+    def dist(p: String, c: String): String = {
+      val dt = foldSum((1 to EmbeddingDim).map(i =>
+        s"$p.embedding[$i]::DOUBLE * $c.embedding[$i]::DOUBLE"))
+      val np = foldSum((1 to EmbeddingDim).map(i =>
+        s"$p.embedding[$i]::DOUBLE * $p.embedding[$i]::DOUBLE"))
+      val nc = foldSum((1 to EmbeddingDim).map(i =>
+        s"$c.embedding[$i]::DOUBLE * $c.embedding[$i]::DOUBLE"))
+      s"(1.0 - (CASE WHEN SQRT($np) > 0 AND SQRT($nc) > 0 " +
+        s"THEN ($dt) / (SQRT($np) * SQRT($nc)) ELSE 0.0 END))"
+    }
+    val layers = new StringBuilder
+    layers.append(
+      """c1 AS (SELECT vec_id, embedding FROM embeddings
+        WHERE vec_id = (SELECT MIN(vec_id) FROM embeddings)),
+      m1 AS (SELECT e.vec_id, e.embedding, """ + dist("e", "c") +
+        """ AS md
+        FROM embeddings e CROSS JOIN c1 c WHERE e.vec_id <> c.vec_id)""")
+    for (t <- 2 to k) {
+      layers.append(s""",
+      c$t AS (SELECT vec_id, embedding, md FROM m${t - 1}
+        ORDER BY md DESC, vec_id LIMIT 1)""")
+      if (t < k) layers.append(s""",
+      m$t AS (SELECT e.vec_id, e.embedding,
+          LEAST(e.md, ${dist("e", "c")}) AS md
+        FROM m${t - 1} e CROSS JOIN c$t c WHERE e.vec_id <> c.vec_id)""")
+    }
+    val finalSel = (Seq(
+      "SELECT 1::BIGINT AS rank, vec_id, NULL::DOUBLE AS sel_dist FROM c1") ++
+      (2 to k).map(t =>
+        s"SELECT $t::BIGINT, vec_id, ROUND(md, 6) FROM c$t"))
+      .mkString("\n      UNION ALL ")
+    GQuery(
+      (s, d) => graft.scale.Similarity.kCenterCoreset(
+          T.embeddings(s, d), "vec_id", "embedding", k)
+        .orderBy(col("rank")),
+      Some(s"""WITH ${layers.toString}
+      $finalSel
+      ORDER BY rank"""))
+  }
+
   def all: Map[String, GQuery] = Map(
     "q21_text_quality" -> q21,
     "q22_lang_id" -> q22,
     "q23_token_topk" -> q23,
     "q24_minhash_dedup_pairs" -> q24,
     "q195_lsh_recall_eval" -> q195,
+    "q200_kcenter_coreset" -> q200,
     "q26_simhash_fingerprint" -> q26,
     "q27_cosine_topk" -> q27,
     "q28_embedding_stats" -> q28,

@@ -158,7 +158,8 @@ object Explain {
       "q196_bootstrap_ci",     // m-resample slot join on (g, rank)
       "q197_unigram_lm",       // vocab-sized DP fold, corpus touched once
       "q198_unigram_encode",   // forward DP + backtrack, per-vocab-entry
-      "q199_ppl_gate")         // KN per-doc NLL + conformal cutoff join
+      "q199_ppl_gate",         // KN per-doc NLL + conformal cutoff join
+      "q200_kcenter_coreset")  // k-1 argmax rounds, broadcast centers
 
     val sb = new StringBuilder
     sb.append("# EXPLAIN — flagship physical plans\n\n")

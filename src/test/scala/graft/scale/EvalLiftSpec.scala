@@ -447,6 +447,41 @@ class EvalLiftSpec extends SparkSpec {
     assert(got("ababab")._3 < 6L)
   }
 
+  test("kCenterCoreset == driver greedy replay; radii never grow") {
+    val rnd = new scala.util.Random(200)
+    val emb = (0L until 40L).map(i =>
+      (i, Seq.fill(8)(rnd.nextGaussian().toFloat)))
+    val got = Similarity.kCenterCoreset(emb.toDF("vec_id", "embedding"),
+        "vec_id", "embedding", k = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      a.indices.foreach { i =>
+        d += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+      }
+      if (math.sqrt(na) > 0 && math.sqrt(nb) > 0)
+        d / (math.sqrt(na) * math.sqrt(nb)) else 0.0
+    }
+    val byId = emb.toMap
+    var sel = List(0L) // seed = smallest id
+    var want = List((1L, 0L, Option.empty[Double]))
+    (2 to 6).foreach { t =>
+      val cand = emb.filterNot(e => sel.contains(e._1)).map { case (id, v) =>
+        id -> sel.map(s => 1.0 - cos(v, byId(s))).min
+      }
+      val (id, md) = cand.maxBy { case (id, md) => (md, -id) }
+      sel = sel :+ id
+      want = want :+ ((t.toLong, id, Some(r6(md))))
+    }
+    assert(got.toList == want)
+    // farthest-point property: the coverage radius never grows
+    val radii = got.flatMap(_._3)
+    assert(radii.zip(radii.tail).forall { case (a, b) => b <= a })
+  }
+
   test("naiveBayesScore: held-out split with OOV-heavy and all-OOV docs") {
     val train = Seq(
       (2L, "en", "the cat runs the cat sat the dog barks"),
