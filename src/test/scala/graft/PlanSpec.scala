@@ -443,6 +443,26 @@ class PlanSpec extends SparkSpec {
       "LOO must not window the corpus: " + p.take(1500))
   }
 
+  test("bootstrap CI: corpus windows only per-group rank; gid window is sizes-only (q196)") {
+    val q = SparkEntry.queries("q196_bootstrap_ci")(spark, sf)
+    val p = q.queryExecution.optimizedPlan.toString
+    // the single-partition window (gid assignment) must consume the
+    // |groups|-row aggregate, never corpus rows: its child plan contains
+    // an Aggregate below it
+    val winIdx = p.indexOf("windowspecdefinition()")
+    // Spark prints a global (no-partition) window with empty partition
+    // spec; locate any window without partitioning keys
+    assert(p.contains("Window"), p.take(1000))
+    assert(winIdx < 0 || p.indexOf("Aggregate", winIdx) >= 0, p.take(2000))
+  }
+
+  test("ppl gate: threshold joins back via broadcast, corpus scanned twice at most (q199)") {
+    val p = plan(SparkEntry.queries("q199_ppl_gate")(spark, sf))
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      "conformal threshold frame must broadcast: " + p.take(1500))
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+  }
+
   private def withSQLConf[A](pairs: (String, String)*)(f: => A): A = {
     val conf = spark.conf
     val olds = pairs.map { case (k, _) => k -> conf.getOption(k) }
