@@ -189,6 +189,80 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("sim"))
   }
 
+  /** Maximal Marginal Relevance rerank (Carbonell & Goldstein 1998):
+    * from each query's `kCand` cosine candidates, greedily select
+    * `kOut` balancing relevance against redundancy —
+    * argmax λ·sim(q, c) − (1−λ)·max_{s∈S} sim(c, s) — the
+    * diversity-aware final stage after candidate generation (q27/q82
+    * fetch candidates; q149 reranks by relevance alone; THIS trades
+    * the near-duplicate tail of a result list for coverage).
+    *
+    * Fully distributed: no driver state — each of the kOut−1 rounds is
+    * a candidate⋈selected join keyed on query_id (both sides
+    * ≤ kCand rows per query, so every round is bounded work per query)
+    * + one per-query window argmax. λ is a permille integer so the
+    * mixing weights are exact decimal literals both engines parse to
+    * the same doubles; similarities are the pinned-fold cosine (q27
+    * parity); ties break on neighbor_id — the oracle replays every
+    * round.
+    *
+    * Output: (query_id, pos, neighbor_id, rel, max_sim_sel, score) —
+    * pos 1 is the pure-relevance seed (null max_sim/score).
+    */
+  def mmrRerank(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, kCand: Int, kOut: Int,
+      lambdaPermille: Int = 700): DataFrame = {
+    require(kOut >= 1 && kCand >= kOut, "need kCand >= kOut >= 1")
+    require(lambdaPermille > 0 && lambdaPermille < 1000,
+      "lambdaPermille in (0, 1000)")
+    val lam = lambdaPermille.toDouble / 1000d
+    // Both frames are (|queries| × kCand)-bounded; eager local
+    // checkpoints cut the round-over-round lineage (each round
+    // references the previous selected THREE times — without the
+    // freeze the candidate window recomputes 3^round times: measured
+    // 15.6 s → 2 s at sf0.1). Same bounded-iteration convention as
+    // connectedComponents.
+    val candBase = bruteForceTopK(queries, corpus, idCol, vecCol, kCand)
+      .join(corpus.select(col(idCol).as("neighbor_id"),
+        toDouble(col(vecCol)).as("cv")), "neighbor_id")
+      .select(col("query_id"), col("neighbor_id"), col("sim").as("rel"),
+        col("cv"))
+      .localCheckpoint(true)
+    val w1 = Window.partitionBy(col("query_id"))
+      .orderBy(col("rel").desc, col("neighbor_id"))
+    var selected = candBase
+      .withColumn("rn", row_number().over(w1)).where(col("rn") === 1)
+      .select(col("query_id"), col("neighbor_id"), col("rel"), col("cv"),
+        lit(1L).as("pos"),
+        lit(null).cast("double").as("max_sim_sel"),
+        lit(null).cast("double").as("score"))
+    for (t <- 2 to kOut) {
+      val sel = selected.select(col("query_id"),
+        col("neighbor_id").as("sid"), col("cv").as("sv"))
+      val rem = candBase.join(
+        sel.select(col("query_id"), col("sid").as("neighbor_id")),
+        Seq("query_id", "neighbor_id"), "left_anti")
+      val scored = rem.join(sel, "query_id")
+        .groupBy(col("query_id"), col("neighbor_id"))
+        .agg(first(col("rel")).as("rel"), first(col("cv")).as("cv"),
+          max(cosineNative(col("cv"), col("sv"))).as("ms"))
+        .withColumn("sc",
+          lit(lam) * col("rel") - lit(1.0d - lam) * col("ms"))
+      val wt = Window.partitionBy(col("query_id"))
+        .orderBy(col("sc").desc, col("neighbor_id"))
+      selected = selected.unionByName(scored
+        .withColumn("rn", row_number().over(wt)).where(col("rn") === 1)
+        .select(col("query_id"), col("neighbor_id"), col("rel"),
+          col("cv"), lit(t.toLong).as("pos"),
+          col("ms").as("max_sim_sel"), col("sc").as("score")))
+        .localCheckpoint(true)
+    }
+    selected.select(col("query_id"), col("pos"), col("neighbor_id"),
+      round(col("rel"), 6).as("rel"),
+      round(col("max_sim_sel"), 6).as("max_sim_sel"),
+      round(col("score"), 6).as("score"))
+  }
+
   /** Greedy k-center coreset (farthest-point traversal) over an
     * embedding column — the diversity-maximizing data-selection
     * primitive (coreset/active-learning lineage): seed with the

@@ -1131,6 +1131,90 @@ object ScaleQueries {
       ORDER BY rank"""))
   }
 
+  /** MMR diverse rerank ([[Similarity.mmrRerank]]): each query's top-10
+    * cosine candidates greedily reduced to 5 balancing relevance and
+    * redundancy (λ = 0.7). The oracle unrolls all four selection rounds
+    * — candidate-to-selected max-similarity via the pinned-fold cosine,
+    * the mixing weights written as `0.7` / `(1.0 - 0.7)` so both
+    * engines compute the identical IEEE doubles — certifying every
+    * picked position.
+    */
+  private val q201 = {
+    val kOut = 5
+    def cosRS(r: String, s: String): String = {
+      val dt = foldSum((1 to EmbeddingDim).map(i =>
+        s"$r.embedding[$i]::DOUBLE * $s.embedding[$i]::DOUBLE"))
+      val nr = foldSum((1 to EmbeddingDim).map(i =>
+        s"$r.embedding[$i]::DOUBLE * $r.embedding[$i]::DOUBLE"))
+      val ns = foldSum((1 to EmbeddingDim).map(i =>
+        s"$s.embedding[$i]::DOUBLE * $s.embedding[$i]::DOUBLE"))
+      s"(CASE WHEN SQRT($nr) > 0 AND SQRT($ns) > 0 " +
+        s"THEN ($dt) / (SQRT($nr) * SQRT($ns)) ELSE 0.0 END)"
+    }
+    val rounds = new StringBuilder
+    rounds.append(
+      """sel1 AS (SELECT query_id, neighbor_id, rel, embedding,
+          1::BIGINT AS pos, NULL::DOUBLE AS ms, NULL::DOUBLE AS sc
+        FROM (SELECT query_id, neighbor_id, rel, embedding,
+            ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY rel DESC, neighbor_id) AS rn
+          FROM cand) WHERE rn = 1),
+      selall1 AS (SELECT * FROM sel1)""")
+    for (t <- 2 to kOut) {
+      rounds.append(s""",
+      rem$t AS (SELECT c.* FROM cand c WHERE NOT EXISTS (
+        SELECT 1 FROM selall${t - 1} s
+        WHERE s.query_id = c.query_id
+          AND s.neighbor_id = c.neighbor_id)),
+      ms$t AS (SELECT r.query_id, r.neighbor_id,
+          MAX(${cosRS("r", "s")}) AS ms
+        FROM rem$t r JOIN selall${t - 1} s ON r.query_id = s.query_id
+        GROUP BY r.query_id, r.neighbor_id),
+      sel$t AS (SELECT query_id, neighbor_id, rel, embedding,
+          $t::BIGINT AS pos, ms, sc
+        FROM (SELECT r.query_id, r.neighbor_id, r.rel, r.embedding,
+            m.ms, 0.7 * r.rel - (1.0 - 0.7) * m.ms AS sc,
+            ROW_NUMBER() OVER (PARTITION BY r.query_id
+              ORDER BY 0.7 * r.rel - (1.0 - 0.7) * m.ms DESC,
+                r.neighbor_id) AS rn
+          FROM rem$t r JOIN ms$t m ON r.query_id = m.query_id
+            AND r.neighbor_id = m.neighbor_id) WHERE rn = 1),
+      selall$t AS (SELECT * FROM selall${t - 1}
+        UNION ALL SELECT * FROM sel$t)""")
+    }
+    GQuery(
+      (s, d) => {
+        val emb = T.embeddings(s, d)
+        graft.scale.Similarity.mmrRerank(
+            emb.where(col("vec_id") < 8), emb, "vec_id", "embedding",
+            kCand = 10, kOut = kOut, lambdaPermille = 700)
+          .orderBy(col("query_id"), col("pos"))
+      },
+      Some {
+        val dt = foldSum((1 to EmbeddingDim).map(i =>
+          s"q.embedding[$i]::DOUBLE * c.embedding[$i]::DOUBLE"))
+        val nq = foldSum((1 to EmbeddingDim).map(i =>
+          s"q.embedding[$i]::DOUBLE * q.embedding[$i]::DOUBLE"))
+        val nc = foldSum((1 to EmbeddingDim).map(i =>
+          s"c.embedding[$i]::DOUBLE * c.embedding[$i]::DOUBLE"))
+        s"""WITH scored AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+            c.embedding,
+            CASE WHEN SQRT($nq) > 0 AND SQRT($nc) > 0
+              THEN ($dt) / (SQRT($nq) * SQRT($nc)) ELSE 0.0 END AS rel
+          FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+          WHERE q.vec_id < 8),
+        cand AS (SELECT query_id, neighbor_id, rel, embedding
+          FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY rel DESC, neighbor_id) AS rk
+            FROM scored) WHERE rk <= 10),
+        ${rounds.toString}
+        SELECT query_id, pos, neighbor_id, ROUND(rel, 6) AS rel,
+          ROUND(ms, 6) AS max_sim_sel, ROUND(sc, 6) AS score
+        FROM selall$kOut ORDER BY query_id, pos"""
+      })
+  }
+
   def all: Map[String, GQuery] = Map(
     "q21_text_quality" -> q21,
     "q22_lang_id" -> q22,
@@ -1138,6 +1222,7 @@ object ScaleQueries {
     "q24_minhash_dedup_pairs" -> q24,
     "q195_lsh_recall_eval" -> q195,
     "q200_kcenter_coreset" -> q200,
+    "q201_mmr_rerank" -> q201,
     "q26_simhash_fingerprint" -> q26,
     "q27_cosine_topk" -> q27,
     "q28_embedding_stats" -> q28,

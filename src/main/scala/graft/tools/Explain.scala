@@ -159,7 +159,8 @@ object Explain {
       "q197_unigram_lm",       // vocab-sized DP fold, corpus touched once
       "q198_unigram_encode",   // forward DP + backtrack, per-vocab-entry
       "q199_ppl_gate",         // KN per-doc NLL + conformal cutoff join
-      "q200_kcenter_coreset")  // k-1 argmax rounds, broadcast centers
+      "q200_kcenter_coreset",  // k-1 argmax rounds, broadcast centers
+      "q201_mmr_rerank")       // bounded candidate joins, frozen rounds
 
     val sb = new StringBuilder
     sb.append("# EXPLAIN — flagship physical plans\n\n")

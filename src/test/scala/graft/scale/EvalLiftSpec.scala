@@ -482,6 +482,49 @@ class EvalLiftSpec extends SparkSpec {
     assert(radii.zip(radii.tail).forall { case (a, b) => b <= a })
   }
 
+  test("mmrRerank: near-duplicate runner-up loses to the diverse pick") {
+    // q(1,0,0,0); c10 ~ q, c11 ≈ c10 (near-dup, slightly less relevant),
+    // c12 orthogonal-ish but still relevant
+    val emb = Seq(
+      (1L, Seq(1f, 0f, 0f, 0f)),
+      (10L, Seq(0.9f, 0.1f, 0f, 0f)),
+      (11L, Seq(0.9f, 0.11f, 0f, 0f)),
+      (12L, Seq(0.5f, 0f, 0.8f, 0f)))
+    val df = emb.toDF("vec_id", "embedding")
+    // diversity-heavy mix (λ = 0.3): pure relevance order is 10, 11,
+    // 12, but the near-dup 11 must lose pos 2 to the diverse 12
+    val got = Similarity.mmrRerank(df.where(col("vec_id") === 1L), df,
+        "vec_id", "embedding", kCand = 3, kOut = 3,
+        lambdaPermille = 300)
+      .orderBy(col("pos"))
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq((1L, 10L), (2L, 12L), (3L, 11L)))
+    // at relevance-heavy λ = 0.7 the 0.99-relevant near-dup wins again
+    val rel = Similarity.mmrRerank(df.where(col("vec_id") === 1L), df,
+        "vec_id", "embedding", kCand = 3, kOut = 3,
+        lambdaPermille = 700)
+      .orderBy(col("pos"))
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(rel.toSeq == Seq((1L, 10L), (2L, 11L), (3L, 12L)))
+    // driver replay of the λ = 0.3 pos-2 decision
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      a.indices.foreach { i =>
+        d += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val q = emb.head._2
+    val byId = emb.toMap
+    val sc11 = 0.3 * cos(q, byId(11L)) -
+      (1.0 - 0.3) * cos(byId(11L), byId(10L))
+    val sc12 = 0.3 * cos(q, byId(12L)) -
+      (1.0 - 0.3) * cos(byId(12L), byId(10L))
+    assert(sc12 > sc11, "fixture must make diversity decisive")
+  }
+
   test("naiveBayesScore: held-out split with OOV-heavy and all-OOV docs") {
     val train = Seq(
       (2L, "en", "the cat runs the cat sat the dog barks"),
