@@ -171,7 +171,11 @@ object Bench {
     if (!f.isFile) return Map.empty
     try {
       val txt = new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
-      """"(q[0-9]+)":(-?[0-9.]+)""".r.findAllMatchIn(txt)
+      // \s* after the colon: the round-11 file was pretty-printed with a
+      // space there and this regex silently parsed ZERO entries, so the
+      // >2x-ref tripwire never fired off the reference — only the
+      // absolute RerunFloorSec did
+      """"(q[0-9]+)":\s*(-?[0-9.]+)""".r.findAllMatchIn(txt)
         .map(m => m.group(1) -> m.group(2).toDouble).toMap
     } catch { case _: Exception => Map.empty }
   }

@@ -609,12 +609,17 @@ object Eval {
     * is token-space, THIS is the binned, thresholded operations view.
     *
     * PSI = Σ_b (a_b/A − e_b/E)·ln((a_b/A)/(e_b/E)) with Laplace +1 on
-    * both sides of every bin (the continuous zero-cell adjustment —
-    * a bin one side lacks stays finite). Each bin term is ≥ 0
-    * (same-sign factors) and quantized ONCE to integer pico-units; the
-    * per-group sum is int64 over ≤ `bins` cells. Bins empty in the
-    * POOLED corpus are empty in every group and contribute exactly 0 —
-    * omitted rather than gridded.
+    * both sides of every pooled-present bin (the continuous zero-cell
+    * adjustment — a bin one side lacks stays finite). Each bin term is
+    * ≥ 0 (same-sign factors) and quantized ONCE to integer pico-units;
+    * the per-group sum is int64 over ≤ `bins` cells. Convention: bins
+    * empty in the POOLED corpus are EXCLUDED from the smoothed sum
+    * (not gridded) — under smoothing such a bin would contribute a
+    * small nonzero (1/(A+bins) − 1/(E+bins))·ln-ratio term whenever
+    * group and pool sizes differ, so omitting it is a deliberate
+    * convention (the DuckDB oracle replays the same one), not an
+    * identity; the `+bins` denominators likewise smooth all `bins`
+    * nominal cells while only pooled-present cells are summed.
     *
     * Plan: one (group, bin) count pass; the global/bin and group-total
     * frames re-aggregate it; the group×bin grid is |groups|·bins rows
@@ -675,7 +680,10 @@ object Eval {
     * metrics): cnum = nΣxy − ΣxΣy and the two variance numerators are
     * then EXACT int64 (bounds: with units ≤ 10³ the products stay
     * int64-safe to n ≈ 3·10⁶ rows per group; re-quantize coarser units
-    * beyond that). θ, ρ², means and variances are one IEEE division
+    * beyond that — a runtime guard raises an error the moment any
+    * moment product could exceed int64, so overflow fails loudly
+    * instead of silently wrapping under non-ANSI arithmetic).
+    * θ, ρ², means and variances are one IEEE division
     * each off the exact integers, so both engines agree bit for bit.
     * Degenerate groups (var X = 0 or var Y = 0) report null θ/ρ².
     */
@@ -688,7 +696,24 @@ object Eval {
         sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
         sum(col("x") * col("x")).as("sxx"),
         sum(col("y") * col("y")).as("syy"))
-      .withColumn("cnum", col("n") * col("sxy") - col("sx") * col("sy"))
+      // Overflow guard: every product below is bounded by M·V with
+      // M = max(n,|Σx|,|Σy|) and V = max(|Σxy|,|Σx²|,|Σy²|,|Σx|,|Σy|,n);
+      // requiring M·V ≤ int64max/2 keeps each product AND the following
+      // subtraction exact. Violation raises instead of wrapping.
+      .withColumn("_momM",
+        greatest(col("n"), abs(col("sx")), abs(col("sy"))))
+      .withColumn("_momV",
+        greatest(abs(col("sxy")), abs(col("sxx")), abs(col("syy")),
+          abs(col("sx")), abs(col("sy")), col("n")))
+      .withColumn("_momOk",
+        col("_momM") <= lit(Long.MaxValue / 2L) / greatest(col("_momV"), lit(1L)))
+      .withColumn("cnum",
+        when(col("_momOk"), col("n") * col("sxy") - col("sx") * col("sy"))
+          .otherwise(raise_error(concat(
+            lit("cuped: int64 overflow in moment products for group "),
+            col("g").cast("string"),
+            lit(" (n="), col("n").cast("string"),
+            lit(") — re-quantize x/y to coarser integer units")))))
       .withColumn("vx", col("n") * col("sxx") - col("sx") * col("sx"))
       .withColumn("vy", col("n") * col("syy") - col("sy") * col("sy"))
     val rho2 = col("cnum").cast("double") * col("cnum").cast("double") /

@@ -64,7 +64,11 @@ object Quality {
     * cardinality) plus one counting pass over the child keys; both
     * combine map-side. AQE broadcasts the distinct-parent side when it
     * fits. Output: one row (relation, n_child, n_null_fk, n_orphan,
-    * orphan_rate).
+    * orphan_rate). `orphan_rate` = n_orphan / (n_child − n_null_fk):
+    * the rate among RESOLVABLE FKs — null-FK rows can never match, so
+    * counting them in the denominator would understate integrity
+    * violations on sparsely-populated FK columns. Null when the child
+    * has no non-null FK rows (never NaN).
     */
   def referentialAudit(relation: String, child: DataFrame,
       childKey: org.apache.spark.sql.Column, parent: DataFrame,
@@ -78,7 +82,9 @@ object Quality {
       sum(when(col("k").isNull, 1L).otherwise(0L)).as("n_null_fk"))
     base.crossJoin(orphan).select(lit(relation).as("relation"),
       col("n_child"), col("n_null_fk"), col("n_orphan"),
-      round(col("n_orphan").cast("double") / col("n_child").cast("double"),
-        6).as("orphan_rate"))
+      when(col("n_child") - col("n_null_fk") > 0L,
+        round(col("n_orphan").cast("double") /
+          (col("n_child") - col("n_null_fk")).cast("double"), 6))
+        .as("orphan_rate"))
   }
 }

@@ -287,22 +287,37 @@ object Similarity {
       k: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1: $k")
     val spark = emb.sparkSession
-    val base = emb.select(col(idCol).cast("long").as("id"),
+    // try_cast: non-numeric ids become null regardless of the session's
+    // ANSI setting, and the require below turns that into one clear
+    // message (plain cast would NPE at getLong under non-ANSI, or throw
+    // a per-row CAST_INVALID_INPUT mid-plan under ANSI)
+    val base = emb.select(col(idCol).try_cast("long").as("id"),
       toDouble(col(vecCol)).as("v"))
-    val seed = base.orderBy(col("id")).limit(1).collect().head
+    val seedRows = base.orderBy(col("id")).limit(1).collect()
+    require(seedRows.nonEmpty, s"kCenterCoreset: input is empty ($idCol/$vecCol)")
+    require(!seedRows.head.isNullAt(0),
+      s"kCenterCoreset: $idCol must cast to a non-null long (got null after cast)")
+    val seed = seedRows.head
     var selected = List((1, seed.getLong(0),
       Option.empty[Double], seed.getSeq[Double](1)))
-    for (t <- 2 to k) {
+    var exhausted = false
+    for (t <- 2 to k if !exhausted) {
       val centers = array(selected.map(c => typedLit(c._4)): _*)
       val md = array_min(transform(centers,
         cv => lit(1.0d) - cosineNative(col("v"), cv)))
-      val pick = base
+      val pickRows = base
         .where(!col("id").isInCollection(selected.map(_._2)))
         .select(col("id"), md.as("md"), col("v"))
         .orderBy(col("md").desc, col("id"))
-        .limit(1).collect().head
-      selected = selected :+ ((t, pick.getLong(0),
-        Some(pick.getDouble(1)), pick.getSeq[Double](2)))
+        .limit(1).collect()
+      // k > N: every point is already a center — stop with the N-point
+      // coreset instead of throwing NoSuchElementException mid-loop
+      if (pickRows.isEmpty) exhausted = true
+      else {
+        val pick = pickRows.head
+        selected = selected :+ ((t, pick.getLong(0),
+          Some(pick.getDouble(1)), pick.getSeq[Double](2)))
+      }
     }
     import spark.implicits._
     selected.map { case (r, id, d, _) =>

@@ -597,7 +597,9 @@ object AuxQueries {
             AND NOT EXISTS (SELECT 1 FROM events e
               WHERE e.user_id = c.c_custkey))::BIGINT)
       SELECT relation, n_child, n_null_fk, n_orphan,
-        ROUND(n_orphan::DOUBLE / n_child::DOUBLE, 6) AS orphan_rate
+        CASE WHEN n_child - n_null_fk > 0 THEN
+          ROUND(n_orphan::DOUBLE / (n_child - n_null_fk)::DOUBLE, 6)
+        END AS orphan_rate
       FROM raw ORDER BY relation"""))
 
   def all: Map[String, GQuery] = Map(

@@ -193,6 +193,23 @@ class EvalLiftSpec extends SparkSpec {
     assert(got("lin")._3 == 1.0 && got("lin")._6 == 0.0)
   }
 
+  test("cuped: moment-product overflow raises instead of wrapping") {
+    // 30 rows of x ≈ 5e8: every per-row product (2.5e17) and sum
+    // (Σx² ≈ 7.5e18) still fits int64, but n·Σx² ≈ 2.2e20 wraps under
+    // non-ANSI arithmetic; the guard must fail loudly, not report
+    // corrupt theta/rho2
+    val rows = (0 until 30).map(i =>
+      ("g", 500_000_000L + i, 500_000_000L + 2L * i))
+    val ex = intercept[Exception] {
+      Eval.cuped(rows.toDF("g", "x", "y"), col("g"), col("x"), col("y"))
+        .collect()
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(8).toSeq
+    assert(chain(ex).exists(c =>
+      Option(c.getMessage).exists(_.contains("int64 overflow"))))
+  }
+
   test("referentialAudit: orphans, null FKs and coverage direction") {
     val child = Seq((1L, "a"), (2L, "a"), (3L, "b"), (4L, "zz"),
       (5L, null.asInstanceOf[String])).toDF("id", "fk")
@@ -203,11 +220,19 @@ class EvalLiftSpec extends SparkSpec {
     assert(row.getLong(1) == 5L) // n_child counts nulls
     assert(row.getLong(2) == 1L) // the null FK is its own category
     assert(row.getLong(3) == 1L) // only "zz" is an orphan
-    assert(row.getDouble(4) == 0.2)
+    assert(row.getDouble(4) == 0.25) // 1 orphan / 4 resolvable (non-null) FKs
     // coverage direction: parents never referenced
     val cov = Quality.referentialAudit("parent->child", parent, col("pk"),
       child, col("fk")).collect().head
     assert(cov.getLong(3) == 1L) // "c" never appears in child
+    // empty child and all-null-FK child → null rate, never NaN
+    val empty = Quality.referentialAudit("none", child.where(col("id") < 0L),
+      col("fk"), parent, col("pk")).collect().head
+    assert(empty.getLong(1) == 0L && empty.isNullAt(4))
+    val allNull = Quality.referentialAudit("nulls",
+      child.where(col("fk").isNull), col("fk"), parent, col("pk"))
+      .collect().head
+    assert(allNull.getLong(1) == 1L && allNull.isNullAt(4))
   }
 
   test("conformalThreshold: exact order statistic, coverage >= k/n") {
@@ -480,6 +505,28 @@ class EvalLiftSpec extends SparkSpec {
     // farthest-point property: the coverage radius never grows
     val radii = got.flatMap(_._3)
     assert(radii.zip(radii.tail).forall { case (a, b) => b <= a })
+  }
+
+  test("kCenterCoreset guards: k > N stops at N; bad inputs fail clearly") {
+    val three = Seq((1L, Seq(1f, 0f)), (2L, Seq(0f, 1f)),
+      (3L, Seq(1f, 1f))).toDF("vec_id", "embedding")
+    // k exceeding the point count returns the N-point coreset, no throw
+    val capped = Similarity.kCenterCoreset(three, "vec_id", "embedding",
+      k = 10).collect()
+    assert(capped.length == 3)
+    assert(capped.map(_.getLong(1)).toSet == Set(1L, 2L, 3L))
+    // empty input → clear require, not NoSuchElementException
+    val exEmpty = intercept[IllegalArgumentException] {
+      Similarity.kCenterCoreset(three.where(col("vec_id") < 0L),
+        "vec_id", "embedding", k = 2)
+    }
+    assert(exEmpty.getMessage.contains("empty"))
+    // non-numeric id (nulls under cast) → clear require, not NPE
+    val badId = Seq(("doc-a", Seq(1f, 0f))).toDF("vec_id", "embedding")
+    val exBad = intercept[IllegalArgumentException] {
+      Similarity.kCenterCoreset(badId, "vec_id", "embedding", k = 1)
+    }
+    assert(exBad.getMessage.contains("non-null long"))
   }
 
   test("mmrRerank: near-duplicate runner-up loses to the diverse pick") {
