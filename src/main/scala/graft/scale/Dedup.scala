@@ -386,6 +386,197 @@ object Dedup {
     * consistent global order. Runs df/count/Bloom as eager plan-build
     * jobs over the one shared id shuffle.
     */
+  /** (id, sh) sorted-distinct shingle-hash frame — the text kernel the
+    * whole exact-pair family starts from, and the persisted schema of
+    * [[jaccardIndex]]. `sh` is a pure per-document function (tokens →
+    * xxhash64 → n-gram hash combine → distinct → ascending sort) with
+    * NO corpus-dependent state, which is what makes the index's
+    * merge ≡ rebuild guarantee exact rather than statistical.
+    */
+  private def shingleSetFrame(docs: DataFrame, idCol: String,
+      textCol: String, shingleSize: Int): DataFrame =
+    docs.select(col(idCol).as("id"), TextOps.tokens(col(textCol)).as("toks"))
+      .withColumn("th", xxhashTokens(col("toks")))
+      .select(col("id"),
+        sort_array(array_distinct(hashedShingles(col("th"), shingleSize)))
+          .as("sh"))
+
+  /** Persisted exact-pair index: (id, sh) with sh the sorted distinct
+    * shingle hashes — the amortization the q85/q147 exact-pair family
+    * was missing. Serving ([[jaccardPairsAgainstIndex]] /
+    * [[containmentPairsAgainstIndex]]) reads these arrays instead of
+    * re-running tokenize+xxhash+shingle over the corpus on every batch;
+    * only prefix-posting construction (an explode over the persisted
+    * arrays) remains per-serve, because the rare-first order is a
+    * corpus+batch statistic, not per-document state.
+    *
+    * `shingleSize` cannot be validated from the stored arrays, so it is
+    * part of the index table's contract (the [[minhashIndex]] note).
+    * At 100 TB the index is bucketed by id so [[jaccardIndexMerge]]'s
+    * anti-join and the append are bucket-local.
+    */
+  def jaccardIndex(docs: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int = 3): DataFrame =
+    shingleSetFrame(docs, idCol, textCol, shingleSize)
+
+  /** Incremental maintenance of a persisted [[jaccardIndex]]: fold a
+    * batch in WITHOUT re-reading the corpus — the text kernel runs over
+    * the batch only. Batch wins on id collision (a re-ingested document
+    * replaces its stale shingles), so
+    * merge(index(A), B) ≡ index((A ∖ ids(B)) ∪ B) EXACTLY — per-doc
+    * rows are bit-equal to a from-scratch build because `sh` carries no
+    * corpus state (unlike e.g. a df-ordered posting list, which is why
+    * the order is serve-time, not persisted). The anti-join ships
+    * 8-byte ids only; sh payloads ride untouched.
+    */
+  def jaccardIndexMerge(index: DataFrame, batch: DataFrame,
+      idCol: String, textCol: String, shingleSize: Int = 3): DataFrame = {
+    val newSh = shingleSetFrame(batch, idCol, textCol, shingleSize)
+    index.select(col("id"), col("sh"))
+      .join(newSh.select(col("id").as("__bid")),
+        col("id") === col("__bid"), "left_anti")
+      .union(newSh)
+  }
+
+  /** Exact symmetric Jaccard pairs of a text batch against a persisted
+    * [[jaccardIndex]] — [[ngramJaccardPairs]]'s serve path: same
+    * recall-1 AllPairs prefix theorem, same exact sorted-merge verify,
+    * but the corpus side's shingle arrays come from the index (never
+    * re-tokenized; DedupLifecycleSpec witnesses this by tampering the
+    * persisted arrays and watching the scores move — the q148 pattern).
+    *
+    * Candidates: both sides post (n − ⌈t·n⌉ + 1)-element prefixes under
+    * ONE serve-time rare-first order (hot set = df over index ∪ batch
+    * arrays — an explode+count over persisted longs, no text kernel);
+    * the minimal common element of any qualifying pair lies in BOTH
+    * prefixes, so the equi-join on shingle hash is recall-1, and the
+    * PPJoin length + positional bounds prune before any array is
+    * rejoined. Hot posting hashes are plain equi-join keys — AQE's skew
+    * join splits them (the [[containmentPairs]] shape; there is no
+    * self-pair triangle here, the frames are distinct).
+    *
+    * Output (id_l = index side, id_r = batch side, jaccard); a batch
+    * doc also present in the index pairs with itself at 1.0 — the q136
+    * convention that lets one hash-match certify "nothing lost, nothing
+    * duplicated" through a merge.
+    */
+  def jaccardPairsAgainstIndex(index: DataFrame, batch: DataFrame,
+      idCol: String, textCol: String, shingleSize: Int = 3,
+      threshold: Double = 0.8, maxBucket: Int = 1024): DataFrame = {
+    require(threshold > 0 && threshold <= 1, s"threshold in (0,1]: $threshold")
+    val tNum = math.floor(threshold * 1e6).toLong
+    val tDen = 1000000L
+    val idx = sharedShuffle(index.select(col("id"), col("sh")), col("id"))
+    val bat = sharedShuffle(
+      shingleSetFrame(batch, idCol, textCol, shingleSize), col("id"))
+    val ordered = rareFirstOrder(
+      idx.select(col("sh")).unionAll(bat.select(col("sh"))), maxBucket)
+    val n = size(col("sh")).cast("long")
+    val ceilTn = call_function("div", n * tNum + (tDen - 1), lit(tDen))
+    val prefixLen = (n - ceilTn + 1).cast("int")
+    def pref(f: DataFrame, side: String): DataFrame = f
+      .select(col("id").as(s"id_$side"), n.as(s"n_$side"),
+        posexplode(slice(ordered, lit(1), greatest(prefixLen, lit(0)))))
+      .select(col(s"id_$side"), col(s"n_$side"), col("col").as("g"),
+        col("pos").cast("long").as(s"p_$side"))
+    // same two recall-safe integer filters as [[ngramJaccardPairs]]:
+    // length pre-aggregate, positional (packed e* = lex-min (p_l, p_r))
+    // post-aggregate
+    val oMin = call_function("div",
+      (col("na") + col("nb")) * tNum + lit(tNum + tDen - 1),
+      lit(tNum + tDen))
+    val candidates = pref(idx, "l").join(pref(bat, "r"), "g")
+      .filter(greatest(col("n_l"), col("n_r")) * tNum <=
+        least(col("n_l"), col("n_r")) * tDen)
+      .groupBy(col("id_l"), col("id_r"))
+      .agg(min(shiftleft(col("p_l"), 31).bitwiseOR(col("p_r"))).as("pp"),
+        min(col("n_l")).as("na"), min(col("n_r")).as("nb"))
+      .filter(least(col("na") - shiftright(col("pp"), 31),
+        col("nb") - col("pp").bitwiseAND(lit((1L << 31) - 1))) >= oMin)
+      .select(col("id_l"), col("id_r"), col("na"), col("nb"))
+    candidates
+      .join(idx.select(col("id").as("id_l"), col("sh").as("sh_l")), "id_l")
+      .join(bat.select(col("id").as("id_r"), col("sh").as("sh_r")), "id_r")
+      .withColumn("o", graft.functions.NativeExpressions
+        .sorted_long_overlap(col("sh_l"), col("sh_r")))
+      .withColumn("jaccard",
+        when(col("na") + col("nb") - col("o") > 0,
+          col("o").cast("double") / (col("na") + col("nb") - col("o")))
+          .otherwise(lit(1.0)))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_l"), col("id_r"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** Directed containment of a text batch against a persisted
+    * [[jaccardIndex]] — "is this new document a quote/copy of something
+    * already in the corpus", the dedup-on-ingest direction of
+    * [[containmentPairs]]. The batch probes (posts its one-sided
+    * prefixes); the index is the container side and posts ALL its
+    * shingles — from the persisted arrays, never from text, which is
+    * exactly the half of q147's cost an index can amortize (the
+    * container side is the corpus-sized posting). Semantics, filters
+    * and verify are [[containmentPairs]]'s, batch→index orientation:
+    * (id_a = batch probe, id_b = index container, containment ≥ t).
+    */
+  def containmentPairsAgainstIndex(index: DataFrame, batch: DataFrame,
+      idCol: String, textCol: String, shingleSize: Int = 2,
+      threshold: Double = 0.8, maxBucket: Int = 1024): DataFrame = {
+    require(threshold > 0 && threshold <= 1, s"threshold in (0,1]: $threshold")
+    val tNum = math.floor(threshold * 1e6).toLong
+    val tDen = 1000000L
+    val idx = sharedShuffle(index.select(col("id"), col("sh")), col("id"))
+    val bat = sharedShuffle(
+      shingleSetFrame(batch, idCol, textCol, shingleSize), col("id"))
+    val ordered = rareFirstOrder(
+      idx.select(col("sh")).unionAll(bat.select(col("sh"))), maxBucket)
+    containmentCore(bat, idx, ordered, tNum, tDen, threshold)
+  }
+
+  /** Shared pair stage of [[containmentPairs]] (probe = container =
+    * the one frozen corpus frame) and [[containmentPairsAgainstIndex]]
+    * (probe = batch, container = persisted index): probe prefixes join
+    * container postings under the given global `ordered` view, then the
+    * container-length and one-sided PPJoin positional bounds prune
+    * before the exact sorted-merge verify.
+    */
+  private def containmentCore(probe: DataFrame, container: DataFrame,
+      ordered: Column, tNum: Long, tDen: Long,
+      threshold: Double): DataFrame = {
+    val n = size(col("sh")).cast("long")
+    val ceilTn = call_function("div", n * tNum + (tDen - 1), lit(tDen))
+    val prefixLen = (n - ceilTn + 1).cast("int")
+    val pref = probe
+      .select(col("id").as("id_a"), n.as("na"),
+        posexplode(slice(ordered, lit(1), greatest(prefixLen, lit(0)))))
+      .select(col("id_a"), col("na"), col("col").as("g"),
+        col("pos").cast("long").as("pa"))
+    val post = container
+      .select(col("id").as("id_b"), n.as("nb"), posexplode(ordered))
+      .select(col("id_b"), col("nb"), col("col").as("g"),
+        col("pos").cast("long").as("pb"))
+    val ceilTnA = call_function("div",
+      col("na") * tNum + (tDen - 1), lit(tDen))
+    val cand = pref.join(post, "g")
+      .filter(col("id_a") =!= col("id_b") &&
+        col("nb") * tDen >= col("na") * tNum)
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(min(shiftleft(col("pa"), 31).bitwiseOR(col("pb"))).as("pp"),
+        min(col("na")).as("na"), min(col("nb")).as("nb"))
+      .filter(least(col("na") - shiftright(col("pp"), 31),
+        col("nb") - col("pp").bitwiseAND(lit((1L << 31) - 1))) >= ceilTnA)
+      .select(col("id_a"), col("na"), col("id_b"))
+    cand
+      .join(probe.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(container.select(col("id").as("id_b"), col("sh").as("sh_b")),
+        "id_b")
+      .withColumn("o", graft.functions.NativeExpressions
+        .sorted_long_overlap(col("sh_a"), col("sh_b")))
+      .withColumn("containment", col("o").cast("double") / col("na"))
+      .filter(col("containment") >= threshold)
+      .select(col("id_a"), col("id_b"),
+        round(col("containment"), 6).as("containment"))
+  }
+
   private def rareFirstOrder(frozen: DataFrame, maxBucket: Int): Column = {
     val hotDf = frozen.select(explode(col("sh")).as("g"))
       .groupBy("g").agg(count(lit(1)).as("df"))
@@ -440,64 +631,19 @@ object Dedup {
     require(threshold > 0 && threshold <= 1, s"threshold in (0,1]: $threshold")
     val tNum = math.floor(threshold * 1e6).toLong
     val tDen = 1000000L
-    val base = docs
-      .select(col(idCol).as("id"), TextOps.tokens(col(textCol)).as("toks"))
-      .withColumn("th", xxhashTokens(col("toks")))
-      .withColumn("sh",
-        sort_array(array_distinct(hashedShingles(col("th"), shingleSize))))
-      .select(col("id"), col("sh"))
-    val frozen = sharedShuffle(base, col("id"))
-    val n = size(col("sh")).cast("long")
-    val ceilTn = call_function("div", n * tNum + (tDen - 1), lit(tDen))
-    val prefixLen = (n - ceilTn + 1).cast("int")
     // rare-first prefix order (the q85 hot-Bloom move): the one-sided
     // prefix theorem holds for ANY (n − ⌈t·n⌉ + 1)-element subset of A,
     // so pushing df ≥ maxBucket shingles behind every rare one is free
     // for recall and collapses the candidate join's hot-hash fanout
     // (boilerplate bigrams otherwise pair every probe with every doc).
     // BOTH sides explode the same ordered view, so positions live in one
-    // corpus-global total order and the PPJoin positional bound applies.
+    // corpus-global total order and the PPJoin positional bound applies
+    // — the pair stage itself is [[containmentCore]], shared with the
+    // persisted-index serve path.
+    val frozen = sharedShuffle(
+      shingleSetFrame(docs, idCol, textCol, shingleSize), col("id"))
     val ordered = rareFirstOrder(frozen, maxBucket)
-    val pref = frozen
-      .select(col("id").as("id_a"), n.as("na"),
-        posexplode(slice(ordered, lit(1), greatest(prefixLen, lit(0)))))
-      .select(col("id_a"), col("na"), col("col").as("g"),
-        col("pos").cast("long").as("pa"))
-    val post = frozen
-      .select(col("id").as("id_b"), n.as("nb"), posexplode(ordered))
-      .select(col("id_b"), col("nb"), col("col").as("g"),
-        col("pos").cast("long").as("pb"))
-    // pair-level filters, all recall-safe integer under-approximations:
-    //  - container length: C(a→b) ≥ t needs |B| ≥ |A∩B| ≥ t·|A|, so
-    //    nb·10⁶ < na·⌊t·10⁶⌋ cannot qualify — rejected pre-aggregate;
-    //  - positional (q85's PPJoin move, one-sided): at the order-minimal
-    //    common element (pa, pb), every intersection element sits in the
-    //    suffixes, so o ≤ min(na − pa, nb − pb), and o ≥ ⌈t·na⌉ must
-    //    still be reachable. The min-(pa, pb) pair rides ONE packed long
-    //    through the same hash aggregate that dedups candidates.
-    val ceilTnA = call_function("div",
-      col("na") * tNum + (tDen - 1), lit(tDen))
-    val cand = pref.join(post, "g")
-      .filter(col("id_a") =!= col("id_b") &&
-        col("nb") * tDen >= col("na") * tNum)
-      .groupBy(col("id_a"), col("id_b"))
-      .agg(min(shiftleft(col("pa"), 31).bitwiseOR(col("pb"))).as("pp"),
-        min(col("na")).as("na"), min(col("nb")).as("nb"))
-      .filter(least(col("na") - shiftright(col("pp"), 31),
-        col("nb") - col("pp").bitwiseAND(lit((1L << 31) - 1))) >= ceilTnA)
-      .select(col("id_a"), col("na"), col("id_b"))
-    val sh = frozen.select(col("id"), col("sh"))
-    cand
-      .join(sh.withColumnRenamed("id", "id_a")
-        .withColumnRenamed("sh", "sh_a"), "id_a")
-      .join(sh.withColumnRenamed("id", "id_b")
-        .withColumnRenamed("sh", "sh_b"), "id_b")
-      .withColumn("o", graft.functions.NativeExpressions
-        .sorted_long_overlap(col("sh_a"), col("sh_b")))
-      .withColumn("containment", col("o").cast("double") / col("na"))
-      .filter(col("containment") >= threshold)
-      .select(col("id_a"), col("id_b"),
-        round(col("containment"), 6).as("containment"))
+    containmentCore(frozen, frozen, ordered, tNum, tDen, threshold)
   }
 
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
@@ -510,15 +656,10 @@ object Dedup {
     // is always recall-safe; the exact final Jaccard filter keeps precision
     val tNum = math.floor(threshold * 1e6).toLong
     val tDen = 1000000L
-    val base = docs
-      .select(col(idCol).as("id"), TextOps.tokens(col(textCol)).as("toks"))
-      .withColumn("th", xxhashTokens(col("toks")))
-      .withColumn("sh",
-        sort_array(array_distinct(hashedShingles(col("th"), shingleSize))))
-      .select(col("id"), col("sh"))
     // read twice (prefix index + verify join): one shared id shuffle, no
     // persist — the [[sharedShuffle]] lifecycle used family-wide
-    val frozen = sharedShuffle(base, col("id"))
+    val frozen = sharedShuffle(
+      shingleSetFrame(docs, idCol, textCol, shingleSize), col("id"))
     // ceil(t·n) = (n·tNum + tDen − 1) div tDen — integral division, exact
     // in Long (n ≤ 2^31 shingles, tNum ≤ 10^6 → products ≤ 2^51)
     val n = size(col("sh")).cast("long")

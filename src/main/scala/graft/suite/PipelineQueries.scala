@@ -1096,6 +1096,119 @@ object PipelineQueries {
       ORDER BY doc_id, epoch"""
     })
 
+  /** Persisted exact-Jaccard index lifecycle (Dedup.jaccardIndex /
+    * jaccardIndexMerge / jaccardPairsAgainstIndex) — the amortization
+    * round 11 flagged as missing for the q85/q147 exact-pair family,
+    * with the q148 re-ingest twist: the index builds on the corpus
+    * snapshot (doc_id % 3 ≠ 0), a batch folds in (% 3 = 0 new docs plus
+    * % 30 = 1 RE-INGESTED with three extra tokens — changed shingle
+    * sets, so a stale-array leak moves a score), and the batch is
+    * scored against the merged index with the exact AllPairs prefix
+    * path. Unlike the minhash lifecycle (q136) this is EXACT: recall 1
+    * by the prefix theorem, so the oracle — direct Jaccard over the
+    * effective corpus ((A ∖ ids(B)) ∪ B) × batch — is a theorem-backed
+    * hash-match, not an LSH-recall observation. Serving never
+    * re-tokenizes the corpus (DedupLifecycleSpec's tamper witness).
+    */
+  private val q202 = GQuery(
+    (s, d) => {
+      val docs = T.documents(s, d)
+      val corpus = docs.where(col("doc_id") % 3 =!= 0)
+      val batch = docs.where(col("doc_id") % 3 === 0)
+        .unionByName(docs.where(col("doc_id") % 30 === 1)
+          .withColumn("text", concat(col("text"), lit(" spark spark spark"))))
+      val dir = Scratch.fresh("graft_jacidx_")
+      graft.scale.Dedup.jaccardIndex(corpus, "doc_id", "text")
+        .write.mode("overwrite").parquet(s"$dir/base")
+      graft.scale.Dedup.jaccardIndexMerge(
+          s.read.parquet(s"$dir/base"), batch, "doc_id", "text")
+        .write.mode("overwrite").parquet(s"$dir/merged")
+      graft.scale.Dedup.jaccardPairsAgainstIndex(
+          s.read.parquet(s"$dir/merged"), batch, "doc_id", "text",
+          shingleSize = 3, threshold = 0.8)
+        .orderBy(col("id_l"), col("id_r"))
+    },
+    Some("""WITH batch AS (
+        SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0
+        UNION ALL
+        SELECT doc_id, text || ' spark spark spark' FROM documents
+        WHERE doc_id % 30 = 1),
+      eff AS (
+        SELECT doc_id, text FROM documents
+        WHERE doc_id % 3 <> 0 AND doc_id NOT IN (SELECT doc_id FROM batch)
+        UNION ALL SELECT doc_id, text FROM batch),
+      sh_eff AS (
+        SELECT doc_id, CASE WHEN len(t) >= 3
+            THEN list_distinct(list_transform(range(1, len(t)-1),
+              i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+            ELSE [array_to_string(t, ' ')] END AS s
+        FROM (SELECT doc_id, list_filter(string_split_regex(text, '\s+'),
+          x -> len(x) > 0) AS t FROM eff)),
+      sh_b AS (
+        SELECT doc_id, CASE WHEN len(t) >= 3
+            THEN list_distinct(list_transform(range(1, len(t)-1),
+              i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+            ELSE [array_to_string(t, ' ')] END AS s
+        FROM (SELECT doc_id, list_filter(string_split_regex(text, '\s+'),
+          x -> len(x) > 0) AS t FROM batch)),
+      pairs AS (
+        SELECT a.doc_id AS id_l, b.doc_id AS id_r,
+          len(list_intersect(a.s, b.s))::DOUBLE AS inter,
+          (len(a.s) + len(b.s))::DOUBLE AS tot
+        FROM sh_eff a JOIN sh_b b ON true)
+      SELECT id_l, id_r,
+        ROUND(CASE WHEN tot - inter > 0 THEN inter / (tot - inter)
+          ELSE 1.0 END, 6) AS jaccard
+      FROM pairs
+      WHERE (CASE WHEN tot - inter > 0 THEN inter / (tot - inter)
+        ELSE 1.0 END) >= 0.8
+      ORDER BY id_l, id_r"""))
+
+  /** Directed containment against the persisted index
+    * (Dedup.containmentPairsAgainstIndex): odd docs probe the even-doc
+    * [[graft.scale.Dedup.jaccardIndex]] — "is this incoming document a
+    * quote/copy of something already indexed", the dedup-on-ingest
+    * direction. The container side's postings come from the persisted
+    * arrays (the corpus-sized half of q147's cost); the probe side
+    * posts one-sided prefixes, so recall is 1 by the same theorem and
+    * the oracle enumerates exact directed containment odd→even.
+    */
+  private val q203 = GQuery(
+    (s, d) => {
+      val docs = T.documents(s, d)
+      val dir = Scratch.fresh("graft_ctidx_")
+      graft.scale.Dedup
+        .jaccardIndex(docs.where(col("doc_id") % 2 === 0), "doc_id", "text",
+          shingleSize = 2)
+        .write.mode("overwrite").parquet(s"$dir/idx")
+      graft.scale.Dedup.containmentPairsAgainstIndex(
+          s.read.parquet(s"$dir/idx"),
+          docs.where(col("doc_id") % 2 === 1), "doc_id", "text",
+          shingleSize = 2, threshold = 0.7)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+    Some("""WITH toks AS (
+        SELECT doc_id, list_filter(string_split_regex(text, '\s+'),
+          x -> len(x) > 0) AS t
+        FROM documents),
+      sh AS (
+        SELECT doc_id,
+          CASE WHEN len(t) >= 2
+            THEN list_distinct(list_transform(range(1, len(t)),
+              i -> t[i] || ' ' || t[i+1]))
+            ELSE [array_to_string(t, ' ')] END AS s
+        FROM toks),
+      pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+          CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) AS inter,
+          CAST(len(a.s) AS DOUBLE) AS na
+        FROM sh a JOIN sh b
+          ON a.doc_id % 2 = 1 AND b.doc_id % 2 = 0)
+      SELECT id_a, id_b, ROUND(inter / na, 6) AS containment
+      FROM pairs
+      WHERE inter / na >= 0.7
+      ORDER BY id_a, id_b"""))
+
   val all: Map[String, GQuery] = Map(
     "q134_bpe_apply" -> q134,
     "q135_pagerank_dangling" -> q135,
@@ -1113,5 +1226,7 @@ object PipelineQueries {
     "q147_containment_pairs" -> q147,
     "q148_bm25_index_lifecycle" -> q148,
     "q149_maxsim_rerank" -> q149,
-    "q150_mixture_epochs" -> q150)
+    "q150_mixture_epochs" -> q150,
+    "q202_jaccard_index_lifecycle" -> q202,
+    "q203_containment_vs_index" -> q203)
 }

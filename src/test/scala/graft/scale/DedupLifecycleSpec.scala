@@ -121,4 +121,74 @@ class DedupLifecycleSpec extends SparkSpec {
       "doc_id", "text")
     assert(indexRows(merged) === indexRows(expected))
   }
+
+  private def jacRows(df: DataFrame): Seq[(Long, Seq[Long])] =
+    df.orderBy("id").collect().toSeq.map(r =>
+      (r.getLong(0), r.getSeq[Long](1)))
+
+  test("jaccardIndexMerge(index(old), batch) == index(old union batch), bit for bit") {
+    val old = docs.filter(col("doc_id") % 2 === 0)
+    val batch = docs.filter(col("doc_id") % 2 === 1)
+    val merged = Dedup.jaccardIndexMerge(
+      Dedup.jaccardIndex(old, "doc_id", "text"), batch, "doc_id", "text")
+    assert(jacRows(merged) === jacRows(Dedup.jaccardIndex(docs, "doc_id", "text")))
+  }
+
+  test("jaccardIndexMerge: batch wins on id collision (re-ingest replaces)") {
+    import spark.implicits._
+    val old = Seq((1L, "alpha beta gamma delta"), (2L, "one two three four"))
+      .toDF("doc_id", "text")
+    val batch = Seq((2L, "five six seven eight"), (3L, "nine ten eleven twelve"))
+      .toDF("doc_id", "text")
+    val merged = Dedup.jaccardIndexMerge(
+      Dedup.jaccardIndex(old, "doc_id", "text"), batch, "doc_id", "text")
+    val expected = Dedup.jaccardIndex(
+      Seq((1L, "alpha beta gamma delta"), (2L, "five six seven eight"),
+        (3L, "nine ten eleven twelve")).toDF("doc_id", "text"),
+      "doc_id", "text")
+    assert(jacRows(merged) === jacRows(expected))
+  }
+
+  test("jaccardPairsAgainstIndex serves FROM the index, never from text (tamper witness)") {
+    import spark.implicits._
+    // doc 1 and doc 2 are near-identical (59/60 shared tokens => 57/59
+    // shared trigram shingles on each side; J ~ 0.87 >= 0.8)
+    val idxTrue = Dedup.jaccardIndex(docs, "doc_id", "text")
+    val served = Dedup.jaccardPairsAgainstIndex(idxTrue,
+      docs.filter(col("doc_id") === 2L), "doc_id", "text",
+      shingleSize = 3, threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(served.contains((1L, 2L)), s"expected (1,2) in $served")
+    assert(served.contains((2L, 2L)), "self-pair via index must score 1.0")
+    // tamper: replace doc 1's persisted shingles with garbage. If serving
+    // re-derived shingles from text, (1,2) would still appear; reading
+    // the tampered arrays, it must vanish while (2,2) survives.
+    val tampered = idxTrue.filter(col("id") =!= 1L)
+      .unionByName(Seq((1L, Seq(-999L, -998L, -997L))).toDF("id", "sh"))
+    val servedT = Dedup.jaccardPairsAgainstIndex(tampered,
+      docs.filter(col("doc_id") === 2L), "doc_id", "text",
+      shingleSize = 3, threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!servedT.contains((1L, 2L)), "tampered index must change the result")
+    assert(servedT.contains((2L, 2L)))
+  }
+
+  test("containmentPairsAgainstIndex == containmentPairs restricted to batch->index") {
+    // ground truth: the certified direct operator on the full corpus,
+    // filtered to odd-probe -> even-container orientation
+    val direct = Dedup.containmentPairs(docs, "doc_id", "text",
+        shingleSize = 2, threshold = 0.5)
+      .filter(col("id_a") % 2 === 1 && col("id_b") % 2 === 0)
+      .orderBy("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val viaIndex = Dedup.containmentPairsAgainstIndex(
+        Dedup.jaccardIndex(docs.filter(col("doc_id") % 2 === 0),
+          "doc_id", "text", shingleSize = 2),
+        docs.filter(col("doc_id") % 2 === 1), "doc_id", "text",
+        shingleSize = 2, threshold = 0.5)
+      .orderBy("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(viaIndex === direct)
+    assert(viaIndex.nonEmpty == direct.nonEmpty)
+  }
 }
