@@ -600,8 +600,162 @@ object CurationQueries {
         md5(substr(text, start, 200)) AS chunk_md5
       FROM st ORDER BY doc_id, chunk_id"""))
 
+  /** End-to-end curation-pipeline capstone: the full decision chain a
+    * real corpus run executes, composed from six individually-certified
+    * operators — normalize (q157) → Gopher quality gate (q68,
+    * corpus-tuned bounds minWords=30/minStopHits=1: the synthetic corpus
+    * is word-soup with ≤1 stop-word hit per doc) → near-dup
+    * survivorship (q158) → decontaminate against the held-out portable
+    * 10% split (q58, drop ≥ 0.5 overlap) → temperature mix α=0.5 over
+    * language strata (q75) → sequence packing at 512 (q64). The oracle
+    * replays EVERY stage's decision — one hash-match certifies that the
+    * certified parts compose at pipeline granularity (interface drift
+    * between stages was previously caught only pairwise). At sf0.01 the
+    * corpus flows 500 → 354 gated → 338 survivors → 31 held out → 307
+    * scored clean → 218 mixed-in packed docs.
+    *
+    * Scale shape: stages 1–2 are narrow codegen projections fused into
+    * the scan; the only exchanges are dedup's banded-bucket family
+    * (q24's), contamination's distinct-shingle semi-join, the #strata-row
+    * mix aggregate, and packing's two-job prefix scan — no stage adds a
+    * corpus-wide shuffle beyond its certified standalone plan
+    * (SCALING.md "q204 fused plan" note).
+    */
+  private val q204 = GQuery(
+    (s, d) => {
+      val docs = T.documents(s, d)
+      // deterministic dirtying (q157's recipe) so normalization has work
+      val dirty = docs.select(col("doc_id"),
+        concat(lit(" \t"), upper(substring(col("text"), 1, 24)),
+          lit("\r\n"), col("text"), lit("  \n ")).as("text"))
+      val norm = Curation.normalizeDocuments(dirty, "doc_id", "text")
+        .select(col("id").as("doc_id"), col("text_norm").as("text"))
+        .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+      val flags = Curation.gopherQualityFlags(norm, "doc_id", "text",
+        minWords = 30, minStopHits = 1)
+      val gated = norm.join(
+        flags.where(col("keep") === 1L).select("doc_id"), "doc_id")
+      val surv = graft.scale.Dedup.nearDupSurvivorship(gated, "doc_id",
+        "text", shingleSize = 3, numPerm = 64, bands = 16, threshold = 0.8)
+      val kept = gated.join(
+        surv.where(col("is_survivor")).select(col("id").as("doc_id")),
+        "doc_id")
+      val scored = Curation.contamination(kept, "doc_id", "text",
+        trainFrac = 0.1, shingleSize = 3)
+      val clean = kept.join(
+        scored.where(col("contamination") < 0.5).select("doc_id"), "doc_id")
+      val mixed = graft.scale.Sampling.temperatureMix(clean, col("doc_id"),
+          col("lang"), alpha = 0.5)
+        .where(col("keep") === 1L)
+        .select(col("doc_id"), col("lang"), col("text"), col("rate"))
+      graft.scale.Packing.concatChunk(mixed, "doc_id", "text", seqLen = 512L)
+        .join(mixed.select(col("doc_id"), col("lang"), col("rate")), "doc_id")
+        .select(col("doc_id"), col("lang"), col("rate"), col("n_tokens"),
+          col("start_token"), col("first_seq"), col("last_seq"))
+        .orderBy(col("doc_id"))
+    },
+    Some {
+      val stopSql = graft.scale.Curation.GopherStopWords.map(w =>
+        s"CASE WHEN len(list_filter(toks, x -> lower(x) = '$w')) > 0 THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      val contThr = (0.1 * 2147483647L).toLong
+      val trigram = """CASE WHEN len(toks) >= 3
+          THEN list_distinct(list_transform(range(1, len(toks)-1),
+            i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+          ELSE [array_to_string(toks, ' ')] END"""
+      s"""WITH RECURSIVE dirty AS (SELECT doc_id, lang,
+          ' ' || chr(9) || upper(substr(text, 1, 24)) || chr(13) || chr(10)
+            || text || '  ' || chr(10) || ' ' AS dt
+        FROM documents),
+      norm AS (SELECT doc_id, lang,
+          trim(regexp_replace(lower(dt), '[\\x00-\\x20]+', ' ', 'g')) AS text
+        FROM dirty),
+      nt AS (SELECT doc_id, lang, text,
+          list_filter(string_split_regex(text, '\\s+'), x -> len(x) > 0) AS toks,
+          list_filter(list_transform(string_split_regex(text, '\\n'),
+            x -> trim(x)), l -> len(l) > 0) AS lines
+        FROM norm),
+      gm AS (SELECT doc_id, lang, text, toks,
+          len(toks) AS nw, len(lines) AS nl,
+          COALESCE(list_sum(list_transform(toks, x -> len(x))), 0) AS sumlen,
+          (len(text) - len(replace(text, '#', '')))
+            + ((len(text) - len(replace(text, '...', ''))) // 3) AS nsym,
+          len(list_filter(lines, l -> l[1] IN ('-', '*'))) AS nbul,
+          len(list_filter(lines, l -> right(l, 3) = '...')) AS nell,
+          len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]'))) AS nalpha,
+          ($stopSql) AS stophits
+        FROM nt),
+      gated AS (SELECT doc_id, lang, text, toks FROM gm
+        WHERE (nw BETWEEN 30 AND 100000)
+          AND COALESCE(CASE WHEN nw > 0 THEN sumlen::DOUBLE / nw::DOUBLE END
+            BETWEEN 3.0 AND 10.0, false)
+          AND COALESCE(CASE WHEN nw > 0 THEN nsym::DOUBLE / nw::DOUBLE END
+            <= 0.1, false)
+          AND COALESCE(CASE WHEN nl > 0 THEN nbul::DOUBLE / nl::DOUBLE END
+            <= 0.9, false)
+          AND COALESCE(CASE WHEN nl > 0 THEN nell::DOUBLE / nl::DOUBLE END
+            <= 0.3, false)
+          AND COALESCE(CASE WHEN nw > 0 THEN nalpha::DOUBLE / nw::DOUBLE END
+            >= 0.8, false)
+          AND stophits >= 1),
+      gsh AS (SELECT doc_id, $trigram AS sset FROM gated),
+      gpairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM gsh a JOIN gsh b ON a.doc_id < b.doc_id
+        WHERE (CASE WHEN (len(a.sset) + len(b.sset))::DOUBLE
+              - len(list_intersect(a.sset, b.sset))::DOUBLE > 0
+          THEN len(list_intersect(a.sset, b.sset))::DOUBLE
+            / ((len(a.sset) + len(b.sset))::DOUBLE
+              - len(list_intersect(a.sset, b.sset))::DOUBLE)
+          ELSE 1.0 END) >= 0.8),
+      gedges AS (SELECT id_a AS src, id_b AS dst FROM gpairs
+        UNION ALL SELECT id_b, id_a FROM gpairs),
+      reach(id, comp) AS (SELECT doc_id, doc_id FROM gated
+        UNION SELECT e.dst, r.comp FROM reach r JOIN gedges e ON e.src = r.id),
+      comp AS (SELECT id, MIN(comp) AS component FROM reach GROUP BY id),
+      ranked AS (SELECT g.doc_id, g.lang, g.text, g.toks,
+          ROW_NUMBER() OVER (PARTITION BY c.component
+            ORDER BY len(g.toks) DESC, g.doc_id ASC) AS rn
+        FROM gated g JOIN comp c ON g.doc_id = c.id),
+      kept AS (SELECT doc_id, lang, text, toks FROM ranked WHERE rn = 1),
+      kth AS (SELECT doc_id, lang, text, toks,
+          list_transform(toks, tok -> ${ScaleQueries.h62Sql("tok")}) AS th
+        FROM kept),
+      ksh AS (SELECT doc_id, lang, text, toks,
+          ${ScaleQueries.bucketSql("doc_id")} AS b,
+          list_distinct(${shingleListSql("th")}) AS s
+        FROM kth),
+      train AS (SELECT DISTINCT unnest(s) AS g FROM ksh WHERE b < $contThr),
+      ev AS (SELECT doc_id, lang, text, toks, len(s) AS n_sh, s
+        FROM ksh WHERE b >= $contThr),
+      hits AS (SELECT e.doc_id, COUNT(*) AS shared
+        FROM (SELECT doc_id, unnest(s) AS g FROM ev) e
+        JOIN train t ON e.g = t.g GROUP BY e.doc_id),
+      clean AS (SELECT ev.doc_id, ev.lang, ev.text, ev.toks
+        FROM ev LEFT JOIN hits h ON ev.doc_id = h.doc_id
+        WHERE COALESCE(h.shared, 0)::DOUBLE / ev.n_sh::DOUBLE < 0.5),
+      cnt AS (SELECT lang, COUNT(*)::BIGINT AS sn FROM clean GROUP BY lang),
+      mn AS (SELECT MIN(sn) AS nmin FROM cnt),
+      mixed AS (SELECT c.doc_id, c.lang, c.toks,
+          sqrt(mn.nmin::DOUBLE / r.sn::DOUBLE) AS rate
+        FROM clean c JOIN cnt r USING (lang) CROSS JOIN mn
+        WHERE (${ScaleQueries.bucketSql("c.doc_id")})
+          < sqrt(mn.nmin::DOUBLE / r.sn::DOUBLE) * 2147483647.0),
+      pk AS (SELECT doc_id, lang, rate,
+          CAST(len(toks) AS BIGINT) AS n_tokens,
+          CAST(COALESCE(SUM(len(toks)) OVER (ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+            AS start_token
+        FROM mixed)
+      SELECT doc_id, lang, rate, n_tokens, start_token,
+        CAST(start_token // 512 AS BIGINT) AS first_seq,
+        CAST(CASE WHEN n_tokens > 0 THEN (start_token + n_tokens - 1) // 512
+          ELSE start_token // 512 END AS BIGINT) AS last_seq
+      FROM pk ORDER BY doc_id"""
+    })
+
   def all: Map[String, GQuery] = Map(
     "q58_decontamination" -> q58,
+    "q204_curation_pipeline" -> q204,
     "q59_repetition_signals" -> q59,
     "q60_source_quota" -> q60,
     "q61_pii_redaction" -> q61,
