@@ -350,6 +350,77 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("opq: trainRotation is orthogonal, deterministic, balanced") {
+    val rnd = new scala.util.Random(205L)
+    // correlated dims: latent 2D structure smeared over 8 dims
+    val vecs = (0L until 60L).map { i =>
+      val a = rnd.nextInt(10) * 10.0
+      val b = rnd.nextInt(10) * 10.0
+      (i, Array.tabulate(8)(d =>
+        (a * math.cos(d * 0.7) + b * math.sin(d * 0.4)).toFloat))
+    }.toDF("id", "vec")
+    val r1 = graft.scale.Opq.trainRotation(vecs, "vec", dim = 8, m = 4)
+    val r2 = graft.scale.Opq.trainRotation(vecs, "vec", dim = 8, m = 4)
+    assert(r1.map(_.toSeq).toSeq == r2.map(_.toSeq).toSeq, "deterministic")
+    // orthogonality: R R^T = I (rows are the sign-pinned eigenbasis)
+    for (i <- 0 until 8; j <- 0 until 8) {
+      val dot = (0 until 8).map(k => r1(i)(k) * r1(j)(k)).sum
+      assert(math.abs(dot - (if (i == j) 1.0 else 0.0)) < 1e-6,
+        s"RR^T[$i][$j] = $dot")
+    }
+    // balanced allocation: with 8 eigenvalues descending into 4
+    // subspaces of 2, no subspace may hold both of the top-2 eigenpairs
+    val cov = graft.scale.Pca.collectMatrix(
+      graft.scale.Pca.covarianceMatrix(vecs, "vec"))
+    val (vals, vecsE) = graft.scale.Pca.jacobiEigen(cov)
+    val rowIdx = r1.map(row => vecsE.indexWhere(_.toSeq == row.toSeq))
+    assert(rowIdx.forall(_ >= 0), "rotation rows are eigenvectors")
+    val top2Sub = Seq(rowIdx.indexOf(0) / 2, rowIdx.indexOf(1) / 2)
+    assert(top2Sub.distinct.size == 2,
+      s"top-2 eigenpairs must land in different subspaces: $top2Sub (vals ${vals.take(3).toSeq})")
+  }
+
+  test("opq: rotated PQ recall beats plain PQ on variance-concentrated vectors") {
+    // ALL the information lives in dims 0-1 (a 5x5 grid scaled by 100);
+    // dims 2-7 are zero. Plain PQ gives subspace (0,1) only k=4 cells
+    // for 25 distinct points and wastes the other three codebooks;
+    // a rotation spreads the grid over every subspace.
+    val pts = for (u <- 0 until 5; v <- 0 until 5) yield (u, v)
+    val vecs = pts.zipWithIndex.map { case ((u, v), i) =>
+      (i.toLong, Array(u * 100f, v * 100f, 0f, 0f, 0f, 0f, 0f, 0f))
+    }.toDF("id", "vec")
+    val raw = pts.map { case (u, v) =>
+      Array(u * 100.0, v * 100.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0) }
+    def exactTopK(q: Array[Double], k: Int): Seq[Long] =
+      raw.zipWithIndex.map { case (x, i) =>
+        (x.zip(q).map { case (a, b) => (a - b) * (a - b) }.sum, i.toLong)
+      }.sortBy { case (d2, i) => (d2, i) }.take(k).map(_._2).toSeq
+    def recallOf(rot: Option[Array[Array[Double]]]): Double = {
+      val base = rot.map(r =>
+        graft.scale.Opq.rotate(vecs, "id", "vec", r)).getOrElse(vecs)
+      val cb = graft.scale.Pq.trainCodebooks(base, "id", "vec",
+        dim = 8, m = 4, k = 4, iters = 3)
+      val codes = graft.scale.Pq.encode(base, "id", "vec", cb)
+      val queries = Seq(0, 6, 12, 18, 24)
+      val hits = queries.map { qi =>
+        val q0 = raw(qi)
+        val q = rot.map(r => graft.scale.Opq.rotateVector(q0, r)).getOrElse(q0)
+        val got = graft.scale.Pq.adcTopK(codes, "id", cb, q, topK = 5)
+          .collect().map(_.getLong(0)).toSet
+        (exactTopK(q0, 5).toSet intersect got).size
+      }.sum
+      hits.toDouble / (queries.size * 5)
+    }
+    val plain = recallOf(None)
+    val had = recallOf(Some(graft.scale.Opq.hadamardRotation(8)))
+    val opq = recallOf(Some(
+      graft.scale.Opq.trainRotation(vecs, "vec", dim = 8, m = 4)))
+    assert(had >= plain, s"hadamard $had < plain $plain")
+    assert(opq >= plain, s"opq $opq < plain $plain")
+    assert(math.max(had, opq) > plain,
+      s"rotation must strictly improve recall here: plain=$plain had=$had opq=$opq")
+  }
+
   test("pq: well-separated clusters retrieve their own members first") {
     // 3 clusters of 4 vectors in 8-dim, far apart; after 2 Lloyd iters
     // per subspace, every query's top-4 must be exactly its own cluster
