@@ -60,6 +60,15 @@ object NativeExpressions {
     Bridge.column(BpeEncodeWord(Bridge.expression(word),
       merges.map(_._1), merges.map(_._2)))
 
+  /** Encode a word column with a WordPiece vocabulary (greedy
+    * longest-match-first; whole word → `unk` on any miss).
+    */
+  def wordpiece_encode(word: Column, vocab: Seq[String],
+      unk: String = "[UNK]", contPrefix: String = "##",
+      maxChars: Int = 100): Column =
+    Bridge.column(WordPieceEncodeWord(Bridge.expression(word), vocab,
+      unk, contPrefix, maxChars))
+
   def bloom_might_contain_long(hash: Column,
       bloom: org.apache.spark.broadcast.Broadcast[
         org.apache.spark.util.sketch.BloomFilter]): Column =
@@ -1885,6 +1894,86 @@ case class BpeEncodeWord(child: Expression,
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("bpeEncoder", this,
       classOf[BpeEncodeWord].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.encodeUtf8($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** WordPiece greedy longest-match-first encoding of ONE word against a
+  * fixed vocabulary (HuggingFace/BERT semantics): from each position take
+  * the LONGEST substring whose piece form (raw at word start,
+  * `contPrefix`-prefixed after) is in the vocab; any position with no
+  * match makes the WHOLE word `unk` (the is_bad contract — no partial
+  * emission), as does a word longer than `maxChars` codepoints. Completes
+  * the tokenizer triad next to [[BpeEncodeWord]] (merge-rank fusion) and
+  * the unigram-LM Viterbi kernels — same per-DISTINCT-word collapse, same
+  * reference-object codegen shape, vocab broadcast inside the expression.
+  * Codepoint indexing for oracle parity with DuckDB's character slicing.
+  */
+case class WordPieceEncodeWord(child: Expression, vocab: Seq[String],
+    unk: String, contPrefix: String, maxChars: Int)
+    extends UnaryExpression {
+  require(vocab.nonEmpty, "vocab must be non-empty")
+  require(maxChars >= 1, s"maxChars must be >= 1: $maxChars")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  @transient private lazy val vocabSet: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String](vocab.length * 2)
+    vocab.foreach(s.add)
+    s
+  }
+
+  /** Public for codegen: encode one word to its WordPiece tokens. */
+  def encodeUtf8(word: org.apache.spark.unsafe.types.UTF8String): ArrayData = {
+    val s = word.toString
+    // one entry per codepoint — parity with the oracle's w[a:b] slicing
+    val cps = new Array[String](s.codePointCount(0, s.length))
+    var ci = 0
+    var k = 0
+    while (ci < s.length) {
+      val cp = s.codePointAt(ci)
+      cps(k) = new String(Character.toChars(cp))
+      k += 1
+      ci += Character.charCount(cp)
+    }
+    val toks =
+      if (cps.length == 0 || cps.length > maxChars) Array(unk)
+      else {
+        val out = scala.collection.mutable.ArrayBuffer.empty[String]
+        var pos = 0
+        var bad = false
+        while (pos < cps.length && !bad) {
+          var end = cps.length
+          var hit: String = null
+          while (end > pos && hit == null) {
+            val sub = cps.slice(pos, end).mkString
+            val cand = if (pos == 0) sub else contPrefix + sub
+            if (vocabSet.contains(cand)) hit = cand else end -= 1
+          }
+          if (hit == null) bad = true
+          else { out += hit; pos = end }
+        }
+        if (bad) Array(unk) else out.toArray
+      }
+    val arr = new Array[Any](toks.length)
+    var j = 0
+    while (j < toks.length) {
+      arr(j) = org.apache.spark.unsafe.types.UTF8String.fromString(toks(j))
+      j += 1
+    }
+    new GenericArrayData(arr)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    encodeUtf8(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("wordpieceEncoder", this,
+      classOf[WordPieceEncodeWord].getName)
     nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.encodeUtf8($c);")
   }
 

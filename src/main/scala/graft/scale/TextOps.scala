@@ -801,6 +801,31 @@ object TextOps {
         size(col("toks")).cast("long").as("n_tokens"), col("wn"))
   }
 
+  /** WordPiece apply over the corpus vocabulary — the q134 shape with the
+    * greedy longest-match-first encoder
+    * ([[graft.functions.WordPieceEncodeWord]]) instead of merge-rank
+    * fusion: every DISTINCT word encodes once (Zipf makes the distinct
+    * table orders of magnitude smaller than the token stream at 100 TB),
+    * vocab rides inside the codegen'd expression. Returns
+    * (w, encoded, n_tokens, wn); words with any unmatched position (or
+    * longer than `maxChars`) encode to the single `unk` token — the
+    * BERT is_bad contract, certified against a recursive-CTE
+    * longest-match replay (q206) and a driver reference encoder
+    * (TextOpsSpec property test).
+    */
+  def wordpieceEncodeWords(docs: org.apache.spark.sql.DataFrame,
+      textCol: String, vocab: Seq[String], unk: String = "[UNK]",
+      contPrefix: String = "##", maxChars: Int = 100)
+      : org.apache.spark.sql.DataFrame = {
+    val wc = docs.select(explode(tokens(col(textCol))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("wn"))
+    wc.select(col("w"),
+        graft.functions.NativeExpressions.wordpiece_encode(col("w"), vocab,
+          unk, contPrefix, maxChars).as("toks"), col("wn"))
+      .select(col("w"), array_join(col("toks"), " ").as("encoded"),
+        size(col("toks")).cast("long").as("n_tokens"), col("wn"))
+  }
+
   /** SentencePiece-flavored unigram-LM compression statistics: derive a
     * piece vocabulary FROM the corpus (every character + the top
     * `topBigrams`/`topTrigrams` character n-grams by token-weighted

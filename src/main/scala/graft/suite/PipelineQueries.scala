@@ -434,6 +434,68 @@ object PipelineQueries {
       SELECT vec_id, adc_dist, rank FROM r WHERE rank <= 10
       ORDER BY rank"""))
 
+  /** The q206 WordPiece vocabulary, pinned (the q134 pinned-merges
+    * pattern): every lowercase letter and digit in both word-initial and
+    * `##`-continuation form, plus common multi-character pieces of each
+    * kind — so greedy longest-match, continuation prefixing, and the
+    * whole-word-UNK rule (words containing anything outside [a-z0-9])
+    * all fire on the real corpus.
+    */
+  private val WpVocab: Seq[String] = {
+    val chars = (('a' to 'z') ++ ('0' to '9')).map(_.toString)
+    chars ++ chars.map("##" + _) ++
+      Seq("th", "the", "re", "in", "on", "an", "qu", "pro", "con") ++
+      Seq("##ing", "##ed", "##er", "##es", "##tion", "##ent", "##al",
+        "##ly", "##ion", "##at")
+  }
+
+  /** WordPiece apply over the corpus vocabulary
+    * (TextOps.wordpieceEncodeWords + the WordPieceEncodeWord codegen
+    * kernel): greedy longest-match-first against the pinned vocab,
+    * `##`-prefixed continuations, whole word → [UNK] on any unmatched
+    * position — BERT's encoder, completing the tokenizer triad (BPE
+    * q134/q137, unigram q197/q198). Same per-DISTINCT-word collapse as
+    * q134. The oracle replays the exact greedy loop as a recursive CTE:
+    * per step, best k = MAX piece length whose (position-dependent)
+    * piece form is in the vocab, advance or fail — so a hash-match
+    * certifies match order, prefixing, UNK semantics, and the join-back
+    * counts for every corpus word.
+    */
+  private val q206 = GQuery(
+    (s, d) => graft.scale.TextOps
+      .wordpieceEncodeWords(T.documents(s, d), "text", WpVocab)
+      .orderBy(col("w")),
+    Some(s"""WITH RECURSIVE
+      v AS (SELECT ${sqlList(WpVocab)} AS vocab),
+      words AS (
+        SELECT w, COUNT(*)::BIGINT AS wn FROM (
+          SELECT unnest(list_filter(string_split_regex(text, '\\s+'),
+            x -> len(x) > 0)) AS w
+          FROM documents) GROUP BY w),
+      enc(w, pos, toks, bad) AS (
+        SELECT w, 1::BIGINT, []::VARCHAR[], length(w) > 100 FROM words
+        UNION ALL
+        SELECT w,
+          CASE WHEN bk IS NULL THEN length(w)::BIGINT + 1 ELSE pos + bk END,
+          CASE WHEN bk IS NULL THEN toks
+            ELSE list_append(toks, CASE WHEN pos = 1 THEN w[pos:pos+bk-1]
+              ELSE '##' || w[pos:pos+bk-1] END) END,
+          bk IS NULL
+        FROM (
+          SELECT w, pos, toks,
+            list_max(list_filter(range(1, length(w) - pos + 2),
+              k -> list_contains(v.vocab,
+                CASE WHEN pos = 1 THEN w[pos:pos+k-1]
+                  ELSE '##' || w[pos:pos+k-1] END))) AS bk
+          FROM enc CROSS JOIN v
+          WHERE pos <= length(w) AND NOT bad)),
+      term AS (
+        SELECT w, CASE WHEN bad THEN ['[UNK]'] ELSE toks END AS toks
+        FROM enc WHERE bad OR pos > length(w))
+      SELECT t.w AS w, array_to_string(t.toks, ' ') AS encoded,
+        len(t.toks)::BIGINT AS n_tokens, words.wn
+      FROM term t JOIN words USING (w) ORDER BY w"""))
+
   /** The q205 rotation literal as DuckDB SQL: one
     * `round(list_reduce(...), 6)` index-order left fold per output
     * dimension — the exact [[graft.scale.Opq.rotate]] arithmetic with
@@ -1300,5 +1362,6 @@ object PipelineQueries {
     "q150_mixture_epochs" -> q150,
     "q202_jaccard_index_lifecycle" -> q202,
     "q203_containment_vs_index" -> q203,
-    "q205_opq_rotated_pq" -> q205)
+    "q205_opq_rotated_pq" -> q205,
+    "q206_wordpiece_apply" -> q206)
 }

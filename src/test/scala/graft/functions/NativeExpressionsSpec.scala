@@ -390,6 +390,80 @@ class NativeExpressionsSpec extends SparkSpec {
     }
   }
 
+  /** Driver reference WordPiece encoder — greedy longest-match-first,
+    * whole word → unk on any miss (BERT semantics).
+    */
+  private def refWordPiece(w: String, vocab: Set[String],
+      unk: String = "[UNK]", maxChars: Int = 100): Seq[String] = {
+    if (w.isEmpty || w.length > maxChars) return Seq(unk)
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var pos = 0
+    while (pos < w.length) {
+      var end = w.length
+      var hit: Option[String] = None
+      while (end > pos && hit.isEmpty) {
+        val cand = (if (pos == 0) "" else "##") + w.substring(pos, end)
+        if (vocab.contains(cand)) hit = Some(cand) else end -= 1
+      }
+      hit match {
+        case None => return Seq(unk)
+        case Some(p) => out += p; pos = end
+      }
+    }
+    out.toSeq
+  }
+
+  test("wordpiece_encode == reference encoder over random words and vocabs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(206L)
+    val alphabet = "abcd"
+    def randPiece(maxLen: Int): String =
+      (1 to (1 + rnd.nextInt(maxLen))).map(_ =>
+        alphabet(rnd.nextInt(alphabet.length))).mkString
+    (1 to 25).foreach { _ =>
+      // random vocab: a few initial pieces, a few continuations, and a
+      // RANDOM subset of single chars (so UNK paths occur organically)
+      val vocab = ((1 to (2 + rnd.nextInt(8))).map(_ => randPiece(3)) ++
+        (1 to (2 + rnd.nextInt(8))).map(_ => "##" + randPiece(3)) ++
+        alphabet.filter(_ => rnd.nextBoolean()).map(_.toString) ++
+        alphabet.filter(_ => rnd.nextBoolean()).map("##" + _)).distinct
+      val words = (1 to 40).map(_ =>
+        (1 to (1 + rnd.nextInt(10))).map(_ =>
+          alphabet(rnd.nextInt(alphabet.length))).mkString).distinct
+      val got = words.toDF("w")
+        .select(col("w"), NativeExpressions.wordpiece_encode(col("w"), vocab).as("t"))
+        .collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+      val vs = vocab.toSet
+      words.foreach { w =>
+        assert(got(w) == refWordPiece(w, vs),
+          s"word=$w vocab=$vocab got=${got(w)} want=${refWordPiece(w, vs)}")
+      }
+    }
+  }
+
+  test("wordpiece_encode edge cases: longest match, continuation, UNK, maxChars") {
+    import spark.implicits._
+    val vocab = Seq("un", "want", "##aff", "##able", "##ed", "a", "##a",
+      "b", "##b", "wanted")
+    def enc(w: String, maxChars: Int = 100): Seq[String] =
+      Seq(w).toDF("w")
+        .select(NativeExpressions.wordpiece_encode(col("w"), vocab,
+          maxChars = maxChars).as("t"))
+        .collect().head.getSeq[String](0)
+    // the classic: greedy longest-first, continuations prefixed
+    assert(enc("unaffable") == Seq("un", "##aff", "##able"))
+    // longest INITIAL match wins over a shorter one plus continuation
+    assert(enc("wanted") == Seq("wanted"))
+    assert(enc("wantable") == Seq("want", "##able"))
+    // any unmatched position voids the whole word, even a late one
+    assert(enc("wantz") == Seq("[UNK]"))
+    assert(enc("zb") == Seq("[UNK]"))
+    // continuation vs initial forms are distinct vocab entries
+    assert(enc("ab") == Seq("a", "##b"))
+    // maxChars guard
+    assert(enc("ab", maxChars = 1) == Seq("[UNK]"))
+  }
+
   test("bpe_encode edge cases: single char, unmergeable, full collapse") {
     import spark.implicits._
     val merges = Seq(("a", "b"), ("ab", "ab"), ("c", "d"))
