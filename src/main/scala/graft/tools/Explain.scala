@@ -160,7 +160,12 @@ object Explain {
       "q198_unigram_encode",   // forward DP + backtrack, per-vocab-entry
       "q199_ppl_gate",         // KN per-doc NLL + conformal cutoff join
       "q200_kcenter_coreset",  // k-1 argmax rounds, broadcast centers
-      "q201_mmr_rerank")       // bounded candidate joins, frozen rounds
+      "q201_mmr_rerank",       // bounded candidate joins, frozen rounds
+      "q202_jaccard_index_lifecycle", // persisted-array prefix join, no text kernel on corpus
+      "q203_containment_vs_index", // index postings probe, batch-only prefixes
+      "q204_curation_pipeline", // 6-stage composition, exchanges = sum of parts
+      "q205_opq_rotated_pq",   // broadcast d x d rotation fold + PQ encode/ADC
+      "q206_wordpiece_apply")  // distinct-word collapse + codegen greedy match
 
     val sb = new StringBuilder
     sb.append("# EXPLAIN — flagship physical plans\n\n")
