@@ -623,31 +623,43 @@ object CurationQueries {
     */
   private val q204 = GQuery(
     (s, d) => {
+      // stage-boundary freeze (the Dedup.sharedShuffle lifecycle, inline):
+      // each stage's survivors materialize through ONE id exchange whose
+      // shuffle files every downstream consumer branch reuses — without
+      // it, gated/kept/clean are join-backs whose lineage re-runs the
+      // whole upstream chain (normalize + gate + dedup kernels) once per
+      // consumer, measured 12.4 s → the frozen plan at sf0.1. Row sets
+      // are identical; nothing registers in the block manager.
+      def freeze(df: org.apache.spark.sql.DataFrame)
+          : org.apache.spark.sql.DataFrame = {
+        val sh = df.repartition(col("doc_id"))
+        s.createDataFrame(sh.rdd, sh.schema)
+      }
       val docs = T.documents(s, d)
       // deterministic dirtying (q157's recipe) so normalization has work
       val dirty = docs.select(col("doc_id"),
         concat(lit(" \t"), upper(substring(col("text"), 1, 24)),
           lit("\r\n"), col("text"), lit("  \n ")).as("text"))
-      val norm = Curation.normalizeDocuments(dirty, "doc_id", "text")
+      val norm = freeze(Curation.normalizeDocuments(dirty, "doc_id", "text")
         .select(col("id").as("doc_id"), col("text_norm").as("text"))
-        .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+        .join(docs.select(col("doc_id"), col("lang")), "doc_id"))
       val flags = Curation.gopherQualityFlags(norm, "doc_id", "text",
         minWords = 30, minStopHits = 1)
-      val gated = norm.join(
-        flags.where(col("keep") === 1L).select("doc_id"), "doc_id")
+      val gated = freeze(norm.join(
+        flags.where(col("keep") === 1L).select("doc_id"), "doc_id"))
       val surv = graft.scale.Dedup.nearDupSurvivorship(gated, "doc_id",
         "text", shingleSize = 3, numPerm = 64, bands = 16, threshold = 0.8)
-      val kept = gated.join(
+      val kept = freeze(gated.join(
         surv.where(col("is_survivor")).select(col("id").as("doc_id")),
-        "doc_id")
+        "doc_id"))
       val scored = Curation.contamination(kept, "doc_id", "text",
         trainFrac = 0.1, shingleSize = 3)
-      val clean = kept.join(
-        scored.where(col("contamination") < 0.5).select("doc_id"), "doc_id")
-      val mixed = graft.scale.Sampling.temperatureMix(clean, col("doc_id"),
-          col("lang"), alpha = 0.5)
+      val clean = freeze(kept.join(
+        scored.where(col("contamination") < 0.5).select("doc_id"), "doc_id"))
+      val mixed = freeze(graft.scale.Sampling.temperatureMix(clean,
+          col("doc_id"), col("lang"), alpha = 0.5)
         .where(col("keep") === 1L)
-        .select(col("doc_id"), col("lang"), col("text"), col("rate"))
+        .select(col("doc_id"), col("lang"), col("text"), col("rate")))
       graft.scale.Packing.concatChunk(mixed, "doc_id", "text", seqLen = 512L)
         .join(mixed.select(col("doc_id"), col("lang"), col("rate")), "doc_id")
         .select(col("doc_id"), col("lang"), col("rate"), col("n_tokens"),

@@ -8,27 +8,29 @@ import scala.collection.mutable
   * (q34 0.376 committed vs 0.80–1.10 measured), which corrodes the
   * >2×-ref adjudication tripwire in [[graft.Bench]].
   *
-  * Protocol (the double-confirmation the verdict asked for):
+  * Protocol (the double-confirmation the verdict asked for) — every
+  * measurement is the JUDGE'S OWN probe shape: a SOLO fresh child JVM
+  * running `graft.Bench` with `SPARK_GRAFT_ONLY=<one query>`,
+  * `SPARK_GRAFT_CHILD=1`, min-of-3 in its own SparkContext. Batched
+  * (multi-query-per-JVM) measurements were tried and rejected: a query
+  * running after seven others sits on a JIT/codegen-warm JVM and reads
+  * 3–5× faster than the judge's cold solo probe ever can — recording
+  * warm numbers is precisely the committed optimism being fixed.
   *
-  *  1. Pass A: every suite query runs via a child `graft.Bench` JVM
-  *     (min-of-3, own SparkContext per query) in batches of
-  *     [[BatchSize]] in sorted-name order.
-  *  2. Pass B: a SECOND independent set of child JVMs, with
-  *     stride-interleaved batch composition so each query gets
-  *     different JVM co-residents than in pass A.
-  *  3. A value is recorded only when two independent measurements agree
-  *     within [[AgreeRatio]] (or both are below [[TinySec]], where
-  *     ratio noise is meaningless); the recorded value is the MAX of
-  *     the agreeing pair — the conservative, reproducible choice, since
-  *     the failure mode being fixed is committed optimism.
-  *  4. Disagreement triggers up to [[MaxSolo]] solo fresh-JVM re-probes
-  *     (batch of one — the judge's own protocol) until some pair of the
-  *     collected measurements agrees; a query that never converges is
-  *     recorded at the MEDIAN of all its measurements and listed under
-  *     `"unstable"` so nobody mistakes it for a confirmed number.
-  *  5. Lowering an existing entry by >1.5× is allowed only through the
+  *  1. Each query is probed solo-fresh until TWO measurements agree
+  *     within [[AgreeRatio]] (or both sit below [[TinySec]], where
+  *     ratio noise is meaningless) — at least 2, at most 2+[[MaxSolo]]
+  *     probes. The recorded value is the MAX of the agreeing pair: the
+  *     conservative, reproducible choice.
+  *  2. A query that never converges is recorded at the MEDIAN of all
+  *     its measurements and listed under `"unstable"` so nobody
+  *     mistakes it for a confirmed number.
+  *  3. Lowering an existing entry by >1.5× is allowed only through the
   *     same double confirmation (always true by construction here) and
   *     is reported under `"lowered"` with the old value.
+  *  4. The file is rewritten incrementally every [[FlushEvery]] queries
+  *     (merged over prior entries), so an interrupted run still leaves
+  *     a valid, partially-refreshed reference.
   *
   * The JSON header records the generation command, machine state
   * (loadavg + MemAvailable before/after), and this protocol, so a judge
@@ -48,10 +50,10 @@ import scala.collection.mutable
   * session shape).
   */
 object RefreshRef {
-  private val BatchSize = 8
   private val AgreeRatio = 1.3
   private val TinySec = 0.15
   private val MaxSolo = 3
+  private val FlushEvery = 20
 
   private def machineState(): String = {
     def read(p: String): String =
@@ -137,37 +139,57 @@ object RefreshRef {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val stateStart = machineState()
+    // smoke-test knob: SPARK_GRAFT_REF_ONLY=q202,q206 refreshes a subset
+    // (merged over the existing file, so a partial run never drops
+    // entries); full runs leave it unset
+    val only = sys.env.get("SPARK_GRAFT_REF_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val names = graft.SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.exists(n.startsWith)))
     val old = loadOld(outPath)
-
-    def runPass(batches: Seq[Seq[String]], tag: String): Map[String, Double] =
-      batches.zipWithIndex.flatMap { case (b, i) =>
-        System.err.println(s"[RefreshRef] pass $tag batch ${i + 1}/${batches.size}: ${b.map(shortKey).mkString(",")}")
-        childRun(b, sfDir, cpus)
-      }.toMap
-
-    // pass A: sorted-order batches; pass B: stride-interleaved so every
-    // query gets different JVM co-residents
-    val nBatches = math.max(1, (names.size + BatchSize - 1) / BatchSize)
-    val passA = runPass(names.grouped(BatchSize).toSeq, "A")
-    val strided = (0 until nBatches).map(r =>
-      names.zipWithIndex.collect { case (n, i) if i % nBatches == r => n })
-      .filter(_.nonEmpty)
-    val passB = runPass(strided, "B")
 
     val unstable = mutable.ArrayBuffer.empty[String]
     val lowered = mutable.ArrayBuffer.empty[String]
     val failed = mutable.ArrayBuffer.empty[String]
-    val result = names.flatMap { name =>
+    val done = mutable.LinkedHashMap.empty[String, Double]
+
+    def strArr(xs: Seq[String]) = xs.map("\"" + _ + "\"").mkString("[", ",", "]")
+    def flush(): Unit = {
+      val stateEnd = machineState()
+      // partial / subset runs merge over the existing entries; only a
+      // COMPLETED full run replaces the file wholesale (so deleted
+      // queries don't linger, but an interrupted run never drops any)
+      val full = only.isEmpty && done.size == names.size
+      val merged = if (full) done.toSeq else (old ++ done).toSeq
+      val qJson = merged.sortBy(_._1)
+        .map { case (k, t) => s""""$k":${BigDecimal(t).setScale(3, BigDecimal.RoundingMode.HALF_UP)}""" }
+        .mkString("{", ",", "}")
+      val json =
+        s"""{
+           |"source":"tools/RefreshRef: every value from SOLO fresh child JVMs (graft.Bench SPARK_GRAFT_ONLY=<query>, SPARK_GRAFT_CHILD=1, min-of-3, own SparkContext) probed until two measurements agree within ${AgreeRatio}x; recorded = MAX of the agreeing pair; <= ${2 + MaxSolo} probes per query; sf=$sfDir local[$cpus]",
+           |"generated_by":"java -cp <classes:/opt/spark/jars/*> graft.tools.RefreshRef",
+           |"generated_at":"${java.time.Instant.now()}",
+           |"machine_start":{$stateStart},
+           |"machine_end":{$stateEnd},
+           |"complete":${done.size == names.size},
+           |"unstable":${strArr(unstable.toSeq)},
+           |"lowered":${strArr(lowered.toSeq)},
+           |"failed":${strArr(failed.toSeq)},
+           |"queries":$qJson
+           |}""".stripMargin
+      java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+        json.getBytes("UTF-8"))
+    }
+
+    names.zipWithIndex.foreach { case (name, idx) =>
       val k = shortKey(name)
-      var ms = Seq(passA.get(name), passB.get(name)).flatten
-      var value = confirmedValue(ms)
-      var solo = 0
-      while (value.isEmpty && solo < MaxSolo) {
-        solo += 1
-        System.err.println(s"[RefreshRef] solo re-probe $solo for $k (have ${ms.map(t => f"$t%.3f").mkString("/")})")
+      var ms = Seq.empty[Double]
+      var value = Option.empty[Double]
+      var probes = 0
+      while (value.isEmpty && probes < 2 + MaxSolo) {
+        probes += 1
         ms = ms ++ childRun(Seq(name), sfDir, cpus).get(name)
-        value = confirmedValue(ms)
+        if (ms.size >= 2) value = confirmedValue(ms)
       }
       val v = value.orElse {
         if (ms.isEmpty) { failed += k; None }
@@ -181,29 +203,14 @@ object RefreshRef {
         old.get(k).foreach { o =>
           if (o / math.max(t, 1e-9) > 1.5) lowered += s"$k:$o->${f"$t%.3f"}"
         }
+        done += k -> t
       }
-      v.map(t => k -> t)
+      System.err.println(s"[RefreshRef] ${idx + 1}/${names.size} $k: " +
+        s"${ms.map(t => f"$t%.3f").mkString("/")} -> ${v.map(t => f"$t%.3f").getOrElse("FAILED")}" +
+        (if (value.isEmpty && v.isDefined) " (UNSTABLE median)" else ""))
+      if ((idx + 1) % FlushEvery == 0) flush()
     }
-
-    val stateEnd = machineState()
-    val qJson = result.sortBy(_._1)
-      .map { case (k, t) => s""""$k":${BigDecimal(t).setScale(3, BigDecimal.RoundingMode.HALF_UP)}""" }
-      .mkString("{", ",", "}")
-    def strArr(xs: Seq[String]) = xs.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val json =
-      s"""{
-         |"source":"tools/RefreshRef: two independent fresh-process child-JVM passes (batchA sorted, batchB stride-interleaved), min-of-3 per query with its own SparkContext; value recorded = MAX of a pair agreeing within ${AgreeRatio}x (<= ${MaxSolo} solo fresh-JVM re-probes on disagreement); sf=$sfDir local[$cpus]",
-         |"generated_by":"java -cp <classes:/opt/spark/jars/*> graft.tools.RefreshRef",
-         |"generated_at":"${java.time.Instant.now()}",
-         |"machine_start":{$stateStart},
-         |"machine_end":{$stateEnd},
-         |"unstable":${strArr(unstable.toSeq)},
-         |"lowered":${strArr(lowered.toSeq)},
-         |"failed":${strArr(failed.toSeq)},
-         |"queries":$qJson
-         |}""".stripMargin
-    java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
-      json.getBytes("UTF-8"))
-    System.err.println(s"[RefreshRef] wrote ${result.size} entries to $outPath (unstable=${unstable.size}, lowered=${lowered.size}, failed=${failed.size})")
+    flush()
+    System.err.println(s"[RefreshRef] wrote ${done.size} entries to $outPath (unstable=${unstable.size}, lowered=${lowered.size}, failed=${failed.size})")
   }
 }
