@@ -142,10 +142,22 @@ object Bench {
     pb.redirectError(ProcessBuilder.Redirect.INHERIT)
     try {
       val p = pb.start()
-      val out = new String(p.getInputStream.readAllBytes(), "UTF-8")
+      // Drain stdout on its own thread: readAllBytes() on the calling
+      // thread blocks until the child closes stdout, which made the
+      // waitFor timeout below dead code (a wedged child hung the parent
+      // forever instead of being destroyed after 10 minutes).
+      val outBuf = new java.io.ByteArrayOutputStream()
+      val drain = new Thread(() => {
+        try p.getInputStream.transferTo(outBuf)
+        catch { case _: Exception => () }
+      })
+      drain.setDaemon(true)
+      drain.start()
       val done = p.waitFor(10, java.util.concurrent.TimeUnit.MINUTES)
       if (!done) { p.destroyForcibly(); return None }
+      drain.join(10000)
       if (p.exitValue() != 0) return None
+      val out = outBuf.toString("UTF-8")
       // last machine line carries "queries":{"qNN":t}; short key = prefix
       val k = shortKey(name)
       val re = ("\"" + java.util.regex.Pattern.quote(k) + "\":(-?[0-9.]+)").r
@@ -197,6 +209,8 @@ object Bench {
       case None => SparkEntry.queries
     }).toSeq.sortBy(_._1)
 
+    val ref = loadRef()
+    val isChild = sys.env.get("SPARK_GRAFT_CHILD").contains("1")
     var spark = newSession(cpus)
     val suiteResults = selected.map { case (name, fn) =>
       if (!shared) {
@@ -205,14 +219,26 @@ object Bench {
         SparkSession.clearDefaultSession()
         spark = newSession(cpus)
       }
-      name -> time(spark, sfDir, fn)
+      val t = time(spark, sfDir, fn)
+      // Incremental per-query flush: println is line-flushed, so if the
+      // harness kills this process on a wall-clock budget (r12: rc=124,
+      // zero output) the 2000-byte stdout tail still holds the most
+      // recent ~50 per-query results as parseable partials.
+      if (!isChild)
+        println(s"""{"q":"${shortKey(name)}","sec":${fmt(t)}}""")
+      name -> t
     }
 
     // Outlier adjudication phase. Runs after all timed windows so child
     // JVMs never compete with a measurement; a child (SPARK_GRAFT_CHILD=1)
-    // never recurses.
-    val ref = loadRef()
-    val isChild = sys.env.get("SPARK_GRAFT_CHILD").contains("1")
+    // never recurses. Since r12 the committed bench_ref.json is
+    // judge-reproducible (RefreshRef solo fresh-JVM protocol; r12 probe:
+    // 9/9 within 0.79-1.14x), so a suite time within AgreeBand of its ref
+    // is trusted as-is — re-running ~40 always-slow-by-nature queries at
+    // ~40 s each (~27 min) is what pushed r12 past the driver's budget
+    // (rc=124). Only ref-less expensive queries, >AgreeBand-over-ref
+    // outliers, and failures get the fresh-JVM re-run.
+    val AgreeBand = 1.3
     val results = if (isChild) suiteResults else {
       spark.stop() // free the 8g heap before child JVMs start
       SparkSession.clearActiveSession()
@@ -220,8 +246,10 @@ object Bench {
       val rerun = scala.collection.mutable.ArrayBuffer.empty[String]
       val adjudicated = suiteResults.map { case (name, t) =>
         val k = shortKey(name)
-        val suspect = t < 0 || t > RerunFloorSec ||
-          ref.get(k).exists(r => r > 0 && t > 2 * r)
+        val suspect = t < 0 || (ref.get(k) match {
+          case Some(r) if r > 0 => t > AgreeBand * r
+          case _                => t > RerunFloorSec
+        })
         if (!suspect) name -> t
         else {
           rerun += k
@@ -236,18 +264,30 @@ object Bench {
       adjudicated
     }
     val failed = results.collect { case (n, t) if t < 0 => n }.sorted
-    val failedJson = failed.map("\"" + shortKey(_) + "\"").mkString("[", ",", "]")
+    // Cap the failed list so a catastrophic round can't overflow the
+    // final machine line; nfailed always carries the true count.
+    val failedJson = failed.take(20).map("\"" + shortKey(_) + "\"")
+      .mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
     // Full-name breakdown for humans first — the tail window may truncate
-    // its head, which loses nothing the compact line below doesn't carry.
+    // its head, which loses nothing the compact lines below don't carry.
     val fullQs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     println(s"""{"detail":"full-names","queries":$fullQs}""")
-    // The machine-parseable line LAST, short keys, `value` at the END so a
-    // head-truncation can never eat the total before the queries map.
-    val qs = results.map { case (k, v) => "\"" + shortKey(k) + "\":" + fmt(v) }
-      .mkString("{", ",", "}")
-    println(s"""{"metric":"total","unit":"sec","runs":$Runs,"sf":"$sfDir","failed":$failedJson,"queries":$qs,"value":${fmt(total)}}""")
+    // Short-key per-query map in CHUNKED lines of <=60 keys: one line for
+    // 205 queries is ~2.5 KB, which overflowed the driver's 2000-byte
+    // stdout tail window and truncated the head of the machine line away
+    // (BENCH_r10/r11 parsed null). Each chunk is ~750 bytes.
+    val shortPairs = results.map { case (k, v) => "\"" + shortKey(k) + "\":" + fmt(v) }
+    val chunks = shortPairs.grouped(60).toSeq
+    chunks.zipWithIndex.foreach { case (chunk, i) =>
+      val m = chunk.mkString("{", ",", "}")
+      println(s"""{"detail":"queries-${i + 1}of${chunks.size}","queries":$m}""")
+    }
+    // The machine-parseable line LAST and TINY (~150 bytes): no queries
+    // map, so it always fits whole inside the tail window regardless of
+    // suite size.
+    println(s"""{"metric":"total","unit":"sec","runs":$Runs,"sf":"$sfDir","nq":${results.size},"nfailed":${failed.size},"failed":$failedJson,"value":${fmt(total)}}""")
     if (!spark.sparkContext.isStopped) spark.stop()
   }
 }

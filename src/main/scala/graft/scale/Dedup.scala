@@ -377,15 +377,6 @@ object Dedup {
     * run at the pair stage (inline comments below), and the verify is a
     * sorted-merge overlap kernel — see [[graft.functions.SortedLongOverlap]].
     */
-  /** (hot-flag, hash)-ordered view of a frozen (id, sh) frame's shingle
-    * arrays — the shared prefix order of [[ngramJaccardPairs]] and
-    * [[containmentPairs]]: shingles with df ≥ maxBucket (a broadcast
-    * Bloom over the ≤ [[MaxHotShingles]] hottest) sort behind every rare
-    * shingle, so prefixes prefer the discriminative ones. Recall-free:
-    * both prefix theorems hold for ANY prefix-sized subset under a
-    * consistent global order. Runs df/count/Bloom as eager plan-build
-    * jobs over the one shared id shuffle.
-    */
   /** (id, sh) sorted-distinct shingle-hash frame — the text kernel the
     * whole exact-pair family starts from, and the persisted schema of
     * [[jaccardIndex]]. `sh` is a pure per-document function (tokens →
@@ -511,12 +502,33 @@ object Dedup {
     * [[jaccardIndex]] — "is this new document a quote/copy of something
     * already in the corpus", the dedup-on-ingest direction of
     * [[containmentPairs]]. The batch probes (posts its one-sided
-    * prefixes); the index is the container side and posts ALL its
-    * shingles — from the persisted arrays, never from text, which is
+    * prefixes); the index is the container side — its shingles come
+    * from the persisted arrays, never from text, which is
     * exactly the half of q147's cost an index can amortize (the
     * container side is the corpus-sized posting). Semantics, filters
     * and verify are [[containmentPairs]]'s, batch→index orientation:
     * (id_a = batch probe, id_b = index container, containment ≥ t).
+    *
+    * Serving is BATCH-BOUNDED, not corpus-linear: a Bloom filter over
+    * the batch's prefix shingle hashes (batch-sized, broadcast) prunes
+    * the container-side posting explode BEFORE its exchange, so only
+    * postings that can match some probe prefix (plus the fpp share)
+    * ever shuffle — the q77
+    * [[graft.functions.NativeExpressions.BloomMightContainLong]] move.
+    * Recall 1 is preserved: every qualifying pair's candidate evidence
+    * is a common element of the probe's PREFIX (the one-sided prefix
+    * theorem), and a Bloom has no false negatives on exactly that set.
+    * The container arrays are still SCANNED once per serve (a narrow,
+    * shuffle-free explode+filter — unavoidable without an inverted
+    * posting store), but nothing corpus-sized moves or joins.
+    *
+    * Self pairs: a batch doc whose id is ALSO in the index pairs with
+    * its indexed version (containment of the batch's shingles in the
+    * stored arrays; 1.0 when the text is unchanged) — the
+    * [[jaccardPairsAgainstIndex]] / q136 convention, so a re-ingest
+    * against a stale index is visible rather than silently excluded.
+    * Only the direct self-join form ([[containmentPairs]]) drops
+    * id_a = id_b, where a self pair is vacuous.
     */
   def containmentPairsAgainstIndex(index: DataFrame, batch: DataFrame,
       idCol: String, textCol: String, shingleSize: Int = 2,
@@ -527,9 +539,21 @@ object Dedup {
     val idx = sharedShuffle(index.select(col("id"), col("sh")), col("id"))
     val bat = sharedShuffle(
       shingleSetFrame(batch, idCol, textCol, shingleSize), col("id"))
+    // Bloom over ALL batch shingles (batch-sized, broadcast): scopes the
+    // serve-time rare-first df aggregate so its exchange carries only
+    // batch-relevant hashes — without it, the hot-order computation
+    // alone re-shuffles every distinct corpus shingle per serve. The
+    // tighter prefix-only Bloom inside containmentCore then bounds the
+    // posting join itself.
+    val batG = bat.select(explode(col("sh")).as("g"))
+    val nBatG = batG.count()
+    val batBloom = bat.sparkSession.sparkContext.broadcast(
+      batG.stat.bloomFilter("g", math.max(nBatG, 1L), 0.001))
     val ordered = rareFirstOrder(
-      idx.select(col("sh")).unionAll(bat.select(col("sh"))), maxBucket)
-    containmentCore(bat, idx, ordered, tNum, tDen, threshold)
+      idx.select(col("sh")).unionAll(bat.select(col("sh"))), maxBucket,
+      candidates = Some(batBloom))
+    containmentCore(bat, idx, ordered, tNum, tDen, threshold,
+      excludeSelfPairs = false, bloomBoundPostings = true)
   }
 
   /** Shared pair stage of [[containmentPairs]] (probe = container =
@@ -538,10 +562,20 @@ object Dedup {
     * container postings under the given global `ordered` view, then the
     * container-length and one-sided PPJoin positional bounds prune
     * before the exact sorted-merge verify.
+    *
+    * `excludeSelfPairs`: the direct form is a self-join of one frame,
+    * where id_a = id_b is vacuous noise; the index serve path keeps
+    * self pairs by the q136 re-ingest convention (scaladoc above).
+    * `bloomBoundPostings`: build a Bloom over the probe's prefix hashes
+    * (two extra probe-sized plan-build jobs: a count and the Bloom agg)
+    * and apply it to the container posting rows under the explode,
+    * BEFORE their exchange — recall-1 batch-bounding for the serve
+    * path. Off for the direct self-join form, where probe = container
+    * makes the prefix-union Bloom pass nearly everything.
     */
   private def containmentCore(probe: DataFrame, container: DataFrame,
-      ordered: Column, tNum: Long, tDen: Long,
-      threshold: Double): DataFrame = {
+      ordered: Column, tNum: Long, tDen: Long, threshold: Double,
+      excludeSelfPairs: Boolean, bloomBoundPostings: Boolean): DataFrame = {
     val n = size(col("sh")).cast("long")
     val ceilTn = call_function("div", n * tNum + (tDen - 1), lit(tDen))
     val prefixLen = (n - ceilTn + 1).cast("int")
@@ -550,15 +584,31 @@ object Dedup {
         posexplode(slice(ordered, lit(1), greatest(prefixLen, lit(0)))))
       .select(col("id_a"), col("na"), col("col").as("g"),
         col("pos").cast("long").as("pa"))
-    val post = container
+    val postAll = container
       .select(col("id").as("id_b"), n.as("nb"), posexplode(ordered))
       .select(col("id_b"), col("nb"), col("col").as("g"),
         col("pos").cast("long").as("pb"))
+    val post = if (!bloomBoundPostings) postAll else {
+      val gDf = pref.select(col("g"))
+      val nG = gDf.count()
+      if (nG == 0) postAll.where(lit(false)) // empty batch: no candidates
+      else {
+        // fpp 0.001, not 0.01: the false-positive share is CORPUS-sized
+        // postings leaking into the exchange, so a 10x tighter Bloom
+        // (≈1.4x the bits of a batch-sized filter) buys a 10x smaller
+        // leak — the right trade at every scale
+        val bc = probe.sparkSession.sparkContext
+          .broadcast(gDf.stat.bloomFilter("g", math.max(nG, 1L), 0.001))
+        postAll.where(graft.functions.NativeExpressions
+          .bloom_might_contain_long(col("g"), bc))
+      }
+    }
     val ceilTnA = call_function("div",
       col("na") * tNum + (tDen - 1), lit(tDen))
-    val cand = pref.join(post, "g")
-      .filter(col("id_a") =!= col("id_b") &&
-        col("nb") * tDen >= col("na") * tNum)
+    val joined = pref.join(post, "g")
+    val cand = (if (excludeSelfPairs) joined.filter(col("id_a") =!= col("id_b"))
+                else joined)
+      .filter(col("nb") * tDen >= col("na") * tNum)
       .groupBy(col("id_a"), col("id_b"))
       .agg(min(shiftleft(col("pa"), 31).bitwiseOR(col("pb"))).as("pp"),
         min(col("na")).as("na"), min(col("nb")).as("nb"))
@@ -577,8 +627,36 @@ object Dedup {
         round(col("containment"), 6).as("containment"))
   }
 
-  private def rareFirstOrder(frozen: DataFrame, maxBucket: Int): Column = {
-    val hotDf = frozen.select(explode(col("sh")).as("g"))
+  /** (hot-flag, hash)-ordered view of a frozen (id, sh) frame's shingle
+    * arrays — the shared prefix order of [[ngramJaccardPairs]] and
+    * [[containmentPairs]]: shingles with df ≥ maxBucket (a broadcast
+    * Bloom over the ≤ [[MaxHotShingles]] hottest) sort behind every rare
+    * shingle, so prefixes prefer the discriminative ones. Recall-free:
+    * both prefix theorems hold for ANY prefix-sized subset under a
+    * consistent global order. Runs df/count/Bloom as eager plan-build
+    * jobs over the one shared id shuffle.
+    *
+    * `candidates`: optional Bloom restricting WHICH shingles can be
+    * flagged hot — the index-serve paths pass a Bloom over the batch's
+    * shingles so the df aggregate's exchange carries batch-relevant
+    * hashes only (plus the fpp share) instead of every distinct corpus
+    * shingle. Recall-safe twice over: the hot flag stays a pure
+    * deterministic function of g (same broadcast Bloom on both sides ⇒
+    * one consistent global order), and a shingle absent from the batch
+    * can never appear in a probe prefix or survive the posting Bloom,
+    * so demotion decisions about it are irrelevant to the candidate
+    * join it feeds.
+    */
+  private def rareFirstOrder(frozen: DataFrame, maxBucket: Int,
+      candidates: Option[org.apache.spark.broadcast.Broadcast[
+        org.apache.spark.util.sketch.BloomFilter]] = None): Column = {
+    val exploded = frozen.select(explode(col("sh")).as("g"))
+    val scoped = candidates match {
+      case Some(bc) => exploded.where(
+        graft.functions.NativeExpressions.bloom_might_contain_long(col("g"), bc))
+      case None => exploded
+    }
+    val hotDf = scoped
       .groupBy("g").agg(count(lit(1)).as("df"))
       .filter(col("df") >= maxBucket)
       .orderBy(col("df").desc, col("g"))
@@ -643,7 +721,8 @@ object Dedup {
     val frozen = sharedShuffle(
       shingleSetFrame(docs, idCol, textCol, shingleSize), col("id"))
     val ordered = rareFirstOrder(frozen, maxBucket)
-    containmentCore(frozen, frozen, ordered, tNum, tDen, threshold)
+    containmentCore(frozen, frozen, ordered, tNum, tDen, threshold,
+      excludeSelfPairs = true, bloomBoundPostings = false)
   }
 
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,

@@ -291,12 +291,17 @@ object Similarity {
     // ANSI setting, and the require below turns that into one clear
     // message (plain cast would NPE at getLong under non-ANSI, or throw
     // a per-row CAST_INVALID_INPUT mid-plan under ANSI)
+    // drop null / non-castable ids BEFORE seeding: orderBy sorts NULLs
+    // first, so a single bad id among millions of valid rows would
+    // otherwise become the seed and fail the whole call with a message
+    // implying the id column as a whole doesn't cast
     val base = emb.select(col(idCol).try_cast("long").as("id"),
       toDouble(col(vecCol)).as("v"))
+      .where(col("id").isNotNull)
     val seedRows = base.orderBy(col("id")).limit(1).collect()
-    require(seedRows.nonEmpty, s"kCenterCoreset: input is empty ($idCol/$vecCol)")
-    require(!seedRows.head.isNullAt(0),
-      s"kCenterCoreset: $idCol must cast to a non-null long (got null after cast)")
+    require(seedRows.nonEmpty,
+      s"kCenterCoreset: no rows with a non-null long-castable $idCol " +
+        s"(input empty, or every $idCol is null / fails try_cast)")
     val seed = seedRows.head
     var selected = List((1, seed.getLong(0),
       Option.empty[Double], seed.getSeq[Double](1)))

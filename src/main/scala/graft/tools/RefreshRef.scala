@@ -91,10 +91,22 @@ object RefreshRef {
     pb.redirectError(ProcessBuilder.Redirect.INHERIT)
     try {
       val p = pb.start()
-      val out = new String(p.getInputStream.readAllBytes(), "UTF-8")
+      // Drain stdout on its own thread — readAllBytes() on this thread
+      // blocks until the child closes stdout, which made the waitFor
+      // timeout below unreachable (a wedged child hung the refresh
+      // forever instead of being destroyForcibly'd after 30 minutes).
+      val outBuf = new java.io.ByteArrayOutputStream()
+      val drain = new Thread(() => {
+        try p.getInputStream.transferTo(outBuf)
+        catch { case _: Exception => () }
+      })
+      drain.setDaemon(true)
+      drain.start()
       val done = p.waitFor(30, java.util.concurrent.TimeUnit.MINUTES)
       if (!done) { p.destroyForcibly(); return Map.empty }
+      drain.join(10000)
       if (p.exitValue() != 0) return Map.empty
+      val out = outBuf.toString("UTF-8")
       // the full-names detail line carries "qNN_full_name":sec
       val re = """"(q[0-9]+_[a-z0-9_]+)":(-?[0-9.]+)""".r
       re.findAllMatchIn(out)

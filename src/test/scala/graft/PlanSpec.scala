@@ -314,6 +314,43 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("containment index serve: Bloom batch-bound UNDER the posting exchange (q203)") {
+    // the serve path's container side explodes the persisted shingle
+    // arrays; without the batch-prefix Bloom that posting frame is
+    // corpus-linear per serve (r12 verdict: decade exponent 1.02). The
+    // witness: a FilterExec whose condition is BloomMightContainLong
+    // sits directly over the container GenerateExec with NO shuffle in
+    // between — i.e. postings are pruned to batch-relevant hashes
+    // before anything corpus-sized reaches an exchange.
+    withSQLConf("spark.sql.adaptive.enabled" -> "false") {
+      import spark.implicits._
+      import org.apache.spark.sql.execution.{FilterExec, GenerateExec}
+      import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+      val docs = (1 to 20).map(i =>
+        (i.toLong, (i to i + 15).map(j => s"t$j").mkString(" ")))
+        .toDF("doc_id", "text")
+      val served = graft.scale.Dedup.containmentPairsAgainstIndex(
+        graft.scale.Dedup.jaccardIndex(
+          docs.filter(col("doc_id") % 2 === 0), "doc_id", "text",
+          shingleSize = 2),
+        docs.filter(col("doc_id") % 2 === 1), "doc_id", "text",
+        shingleSize = 2, threshold = 0.7)
+      val exec = served.queryExecution.executedPlan
+      val bloomFilters = exec.collect {
+        case f: FilterExec if f.condition
+          .find(_.isInstanceOf[graft.functions.BloomMightContainLong])
+          .isDefined => f
+      }
+      assert(bloomFilters.nonEmpty, s"no Bloom filter in serve plan:\n$exec")
+      val underExplodeNoShuffle = bloomFilters.exists { f =>
+        f.collectFirst { case g: GenerateExec => g }.isDefined &&
+          f.collect { case s: ShuffleExchangeExec => s }.isEmpty
+      }
+      assert(underExplodeNoShuffle,
+        s"Bloom filter not narrow-under-the-explode:\n$exec")
+    }
+  }
+
   test("bm25 against-index serves from postings, never the corpus text") {
     // behavioral witness (the q131 tamper pattern): plant an absurd tf
     // for a term doc 1's text does not contain; the served score must

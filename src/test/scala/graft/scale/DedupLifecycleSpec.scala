@@ -191,4 +191,47 @@ class DedupLifecycleSpec extends SparkSpec {
     assert(viaIndex === direct)
     assert(viaIndex.nonEmpty == direct.nonEmpty)
   }
+
+  test("containmentPairsAgainstIndex: same-id batch/index pair reported, not excluded") {
+    import spark.implicits._
+    // index holds docs 1 (long) and 2; the batch RE-INGESTS doc 2 with
+    // unchanged text and doc 3 as a quote of doc 1. The re-ingested doc
+    // must pair with its own indexed version at containment 1.0 (the
+    // jaccardPairsAgainstIndex self-pair convention) — the dedup-on-
+    // ingest case a blanket id_a =!= id_b filter would silently drop.
+    val longDoc = (1 to 40).map(i => s"w$i").mkString(" ")
+    val idx = Dedup.jaccardIndex(
+      Seq((1L, longDoc), (2L, "alpha beta gamma delta epsilon zeta"))
+        .toDF("doc_id", "text"), "doc_id", "text", shingleSize = 2)
+    val batch = Seq(
+      (2L, "alpha beta gamma delta epsilon zeta"), // re-ingest, unchanged
+      (3L, (5 to 20).map(i => s"w$i").mkString(" "))) // quote of doc 1
+      .toDF("doc_id", "text")
+    val served = Dedup.containmentPairsAgainstIndex(idx, batch,
+        "doc_id", "text", shingleSize = 2, threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(served.contains((2L, 2L, 1.0)),
+      s"re-ingested doc must self-pair at 1.0: $served")
+    assert(served.exists(p => p._1 == 3L && p._2 == 1L),
+      s"quote containment (3 in 1) expected: $served")
+  }
+
+  test("containmentPairsAgainstIndex Bloom bound keeps recall (vs direct, cross-id)") {
+    // recall witness for the batch-bounded serve path at a LOW threshold
+    // (long prefixes, many postings): the Bloom prefilter must not lose
+    // any pair the direct operator finds in the batch->index orientation
+    val direct = Dedup.containmentPairs(docs, "doc_id", "text",
+        shingleSize = 3, threshold = 0.34)
+      .filter(col("id_a") % 3 === 0 && col("id_b") % 3 =!= 0)
+      .orderBy("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val viaIndex = Dedup.containmentPairsAgainstIndex(
+        Dedup.jaccardIndex(docs.filter(col("doc_id") % 3 =!= 0),
+          "doc_id", "text", shingleSize = 3),
+        docs.filter(col("doc_id") % 3 === 0), "doc_id", "text",
+        shingleSize = 3, threshold = 0.34)
+      .orderBy("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(viaIndex === direct)
+  }
 }

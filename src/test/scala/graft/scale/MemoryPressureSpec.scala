@@ -31,8 +31,21 @@ class MemoryPressureSpec extends AnyFunSuite {
     pb.redirectErrorStream(false)
     pb.redirectError(ProcessBuilder.Redirect.INHERIT)
     val p = pb.start()
-    val out = new String(p.getInputStream.readAllBytes(), "UTF-8")
+    // Drain stdout on its own thread so the waitFor timeout below can
+    // actually fire: readAllBytes() on this thread blocks until the child
+    // closes stdout, so a wedged probe would hang sbt test indefinitely
+    // instead of failing after 15 minutes.
+    val outBuf = new java.io.ByteArrayOutputStream()
+    val drain = new Thread(() => {
+      try p.getInputStream.transferTo(outBuf)
+      catch { case _: Exception => () }
+    })
+    drain.setDaemon(true)
+    drain.start()
     val done = p.waitFor(15, java.util.concurrent.TimeUnit.MINUTES)
+    if (!done) p.destroyForcibly()
+    drain.join(10000)
+    val out = outBuf.toString("UTF-8")
     assert(done, "pressure probe timed out")
     assert(p.exitValue() == 0, s"pressure probe failed (rc=${p.exitValue()}):\n$out")
     val line = out.linesIterator.find(_.startsWith("PRESSURE_OK"))
