@@ -78,6 +78,36 @@ object NativeExpressions {
       weights: org.apache.spark.broadcast.Broadcast[Array[Double]]): Column =
     Bridge.column(BucketWeightSum(Bridge.expression(hashes), weights))
 
+  /** Per-pattern Aho–Corasick occurrence counts over text (see
+    * [[AhoCorasickCounts]]): array<long> indexed like the automaton's
+    * pattern list, every occurrence counted (overlaps + nested patterns).
+    */
+  def ac_counts(text: Column,
+      auto: org.apache.spark.broadcast.Broadcast[AcAutomaton]): Column =
+    Bridge.column(AhoCorasickCounts(Bridge.expression(text), auto))
+
+  /** Total Aho–Corasick occurrences across all patterns — the page-gate
+    * scalar (see [[AhoCorasickTotal]]); same single pass, no per-pattern
+    * array allocation.
+    */
+  def ac_total(text: Column,
+      auto: org.apache.spark.broadcast.Broadcast[AcAutomaton]): Column =
+    Bridge.column(AhoCorasickTotal(Bridge.expression(text), auto))
+
+  /** Canonical form + lowercased host of a URL in one parse (see
+    * [[CanonicalUrlParts]]): struct(canonical string, host string).
+    */
+  def canonical_url_parts(url: Column): Column =
+    Bridge.column(CanonicalUrlParts(Bridge.expression(url)))
+
+  /** Registered domain (public suffix + one label) of a lowercase host
+    * against a broadcast suffix set (see [[RegisteredDomainExpr]]).
+    */
+  def registered_domain(host: Column,
+      suffixes: org.apache.spark.broadcast.Broadcast[
+        java.util.HashSet[String]]): Column =
+    Bridge.column(RegisteredDomainExpr(Bridge.expression(host), suffixes))
+
   /** KMV distinct sketch over a pre-hashed long column (see
     * [[KMinValues]]); `domain` must match the hash range — 2^31−1 for
     * [[graft.scale.Sampling.portableBucket]] (the oracle-verifiable
@@ -1975,6 +2005,301 @@ case class WordPieceEncodeWord(child: Expression, vocab: Seq[String],
     val ref = ctx.addReferenceObj("wordpieceEncoder", this,
       classOf[WordPieceEncodeWord].getName)
     nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.encodeUtf8($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Per-pattern Aho–Corasick occurrence counts (see [[AcAutomaton]]): one
+  * pass over the text emits array<long> — counts(i) = occurrences of
+  * pattern i, every start position counted (overlapping matches and
+  * patterns nested inside longer patterns included). The automaton rides
+  * a broadcast (a production blocklist is thousands of patterns — too
+  * big for a plan literal and rebuilt-per-task would dwarf the scan), so
+  * the scan is a narrow zero-shuffle projection whatever the list size —
+  * the [[BucketWeightSum]] distribution shape.
+  */
+case class AhoCorasickCounts(child: Expression,
+    auto: org.apache.spark.broadcast.Broadcast[AcAutomaton])
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  /** Public for codegen. */
+  def countsUtf8(text: org.apache.spark.unsafe.types.UTF8String): ArrayData = {
+    val c = auto.value.counts(text.toString)
+    val out = new Array[Any](c.length)
+    var i = 0
+    while (i < c.length) { out(i) = c(i); i += 1 }
+    new GenericArrayData(out)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    countsUtf8(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("acCounts", this,
+      classOf[AhoCorasickCounts].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.countsUtf8($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Total Aho–Corasick occurrences across every pattern — the blocklist
+  * page gate ([[graft.scale.Curation.blocklistFilter]]) needs only this
+  * scalar, so it skips [[AhoCorasickCounts]]'s per-row array allocation:
+  * same automaton, same single pass, one long out.
+  */
+case class AhoCorasickTotal(child: Expression,
+    auto: org.apache.spark.broadcast.Broadcast[AcAutomaton])
+    extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = child.nullable
+
+  /** Public for codegen. */
+  def totalUtf8(text: org.apache.spark.unsafe.types.UTF8String): Long =
+    auto.value.total(text.toString)
+
+  override def nullSafeEval(input: Any): Any =
+    totalUtf8(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("acTotal", this,
+      classOf[AhoCorasickTotal].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.totalUtf8($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** URL canonicalization in one parse — struct(canonical, host). Rules
+  * (the deterministic RFC 3986 §6 subset every crawl pipeline applies
+  * before keying on URLs):
+  *
+  *  - scheme and host lowercased; single trailing dot stripped from the
+  *    host; userinfo preserved verbatim;
+  *  - default port dropped (http/ws 80, https/wss 443, ftp 21; leading
+  *    zeros ignored for the comparison), other ports kept as given;
+  *  - fragment stripped; empty path with an authority → "/";
+  *  - percent-normalization over path and query: %XX decoding to an
+  *    UNRESERVED byte (ALPHA / DIGIT / "-" / "." / "_" / "~") is
+  *    decoded, any other %XX gets uppercase hex digits, and a malformed
+  *    "%" (no two hex digits) passes through literally — multi-byte
+  *    UTF-8 sequences (every byte ≥ 0x80) therefore stay encoded, which
+  *    keeps the transform charset-free;
+  *  - query parameter ORDER IS PRESERVED (reordering changes semantics
+  *    for some endpoints — a dedup layer that wants order-insensitivity
+  *    should sort keys explicitly downstream).
+  *
+  * Non-hierarchical inputs (no "://") get fragment-strip + percent-
+  * normalization only, with a null host. The transform is idempotent —
+  * canonical(canonical(u)) == canonical(u), property-tested.
+  */
+case class CanonicalUrlParts(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("canonical", StringType, nullable = false),
+    StructField("host", StringType, nullable = true)))
+  override def nullable: Boolean = child.nullable
+
+  @inline private def isHex(c: Char): Boolean =
+    (c >= '0' && c <= '9') || (c >= 'a' && c <= 'f') || (c >= 'A' && c <= 'F')
+
+  @inline private def hexVal(c: Char): Int =
+    if (c <= '9') c - '0' else (c | 0x20) - 'a' + 10
+
+  @inline private def isUnreserved(v: Int): Boolean =
+    (v >= 'A' && v <= 'Z') || (v >= 'a' && v <= 'z') ||
+      (v >= '0' && v <= '9') || v == '-' || v == '.' || v == '_' || v == '~'
+
+  private def pctNormalize(s: String): String = {
+    val sb = new java.lang.StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 2 < s.length &&
+        isHex(s.charAt(i + 1)) && isHex(s.charAt(i + 2))) {
+        val v = (hexVal(s.charAt(i + 1)) << 4) | hexVal(s.charAt(i + 2))
+        if (isUnreserved(v)) sb.append(v.toChar)
+        else sb.append('%')
+          .append(java.lang.Character.toUpperCase(s.charAt(i + 1)))
+          .append(java.lang.Character.toUpperCase(s.charAt(i + 2)))
+        i += 3
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
+  private def lower(s: String): String =
+    s.toLowerCase(java.util.Locale.ROOT)
+
+  /** Public for codegen: (canonical, host) for one URL. */
+  def parts(u: org.apache.spark.unsafe.types.UTF8String):
+      org.apache.spark.sql.catalyst.InternalRow = {
+    val raw = u.toString.trim
+    def utf8(s: String) =
+      if (s == null) null
+      else org.apache.spark.unsafe.types.UTF8String.fromString(s)
+    def row(canonical: String, host: String) =
+      new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](utf8(canonical), utf8(host)))
+    // hierarchical? scheme = [A-Za-z][A-Za-z0-9+.-]* followed by "://"
+    val ci = raw.indexOf(':')
+    val schemeOk = ci > 0 && {
+      val c0 = raw.charAt(0)
+      ((c0 >= 'A' && c0 <= 'Z') || (c0 >= 'a' && c0 <= 'z')) &&
+        (1 until ci).forall { k =>
+          val c = raw.charAt(k)
+          (c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z') ||
+            (c >= '0' && c <= '9') || c == '+' || c == '.' || c == '-'
+        }
+    }
+    if (!schemeOk || !raw.regionMatches(ci, "://", 0, 3)) {
+      val hashIdx = raw.indexOf('#')
+      val nf = if (hashIdx >= 0) raw.substring(0, hashIdx) else raw
+      return row(pctNormalize(nf), null)
+    }
+    val scheme = lower(raw.substring(0, ci))
+    val rest = raw.substring(ci + 3)
+    var authEnd = rest.length
+    var i = 0
+    while (i < rest.length && authEnd == rest.length) {
+      val c = rest.charAt(i)
+      if (c == '/' || c == '?' || c == '#') authEnd = i
+      i += 1
+    }
+    val auth = rest.substring(0, authEnd)
+    val afterAuth = rest.substring(authEnd)
+    val hashIdx = afterAuth.indexOf('#')
+    val pathEtc = if (hashIdx >= 0) afterAuth.substring(0, hashIdx) else afterAuth
+    val at = auth.lastIndexOf('@')
+    val userinfo = if (at >= 0) auth.substring(0, at) else null
+    val hostport = if (at >= 0) auth.substring(at + 1) else auth
+    var host: String = null
+    var port: String = null
+    if (hostport.startsWith("[")) {
+      val rb = hostport.indexOf(']')
+      if (rb >= 0) {
+        host = lower(hostport.substring(0, rb + 1))
+        val after = hostport.substring(rb + 1)
+        if (after.startsWith(":")) port = after.substring(1)
+      } else host = lower(hostport)
+    } else {
+      val colon = hostport.lastIndexOf(':')
+      if (colon >= 0 &&
+        (colon + 1 until hostport.length).forall(k =>
+          hostport.charAt(k) >= '0' && hostport.charAt(k) <= '9')) {
+        host = lower(hostport.substring(0, colon))
+        port = hostport.substring(colon + 1)
+      } else host = lower(hostport)
+    }
+    if (host.length > 1 && host.endsWith(".") && !host.startsWith("["))
+      host = host.substring(0, host.length - 1)
+    val defPort = scheme match {
+      case "http" | "ws"   => "80"
+      case "https" | "wss" => "443"
+      case "ftp"           => "21"
+      case _               => null
+    }
+    val portKept = if (port == null || port.isEmpty) null else {
+      val noZeros = {
+        val t = port.dropWhile(_ == '0')
+        if (t.isEmpty) "0" else t
+      }
+      if (defPort != null && noZeros == defPort) null else port
+    }
+    val qIdx = pathEtc.indexOf('?')
+    val path0 = if (qIdx >= 0) pathEtc.substring(0, qIdx) else pathEtc
+    val query0 = if (qIdx >= 0) pathEtc.substring(qIdx + 1) else null
+    val path = pctNormalize(if (path0.isEmpty) "/" else path0)
+    val sb = new java.lang.StringBuilder(raw.length)
+    sb.append(scheme).append("://")
+    if (userinfo != null) sb.append(userinfo).append('@')
+    sb.append(host)
+    if (portKept != null) sb.append(':').append(portKept)
+    sb.append(path)
+    if (query0 != null) sb.append('?').append(pctNormalize(query0))
+    row(sb.toString, if (host.isEmpty) null else host)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    parts(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("canonicalUrl", this,
+      classOf[CanonicalUrlParts].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.parts($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Registered domain (longest matching public suffix + one label) of a
+  * LOWERCASE host against a broadcast suffix set — the key a crawl
+  * pipeline groups per-site quotas/drift on. Semantics:
+  *
+  *  - every label suffix of the host is probed against the set and the
+  *    LONGEST match wins (so "ac.uk" beats "uk" when both are present —
+  *    sets need not be suffix-closed);
+  *  - no suffix matches → the last label is treated as the suffix (the
+  *    public-suffix list's implicit "*" default rule);
+  *  - host == a public suffix (no label left of it) → null;
+  *  - all-numeric labels (an IPv4 literal) → the host itself; bracketed
+  *    IPv6 literals and malformed hosts (empty labels) → null.
+  *
+  * The set rides a broadcast: the real public-suffix list is ~9k rules —
+  * per-executor once, never per task. Callers pass the HOST column from
+  * [[CanonicalUrlParts]] (already lowercased, trailing dot stripped).
+  */
+case class RegisteredDomainExpr(child: Expression,
+    suffixes: org.apache.spark.broadcast.Broadcast[java.util.HashSet[String]])
+    extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+
+  /** Public for codegen; null when no registered domain exists. */
+  def domainUtf8(host: org.apache.spark.unsafe.types.UTF8String):
+      org.apache.spark.unsafe.types.UTF8String = {
+    val h = host.toString
+    if (h.isEmpty || h.startsWith("[")) return null
+    val labels = h.split("\\.", -1)
+    if (labels.exists(_.isEmpty)) return null
+    if (labels.forall(l => l.forall(c => c >= '0' && c <= '9')))
+      return org.apache.spark.unsafe.types.UTF8String.fromString(h)
+    val set = suffixes.value
+    var best = 0
+    var suf: String = null
+    var k = 1
+    while (k <= labels.length) {
+      suf = if (k == 1) labels(labels.length - 1)
+        else labels(labels.length - k) + "." + suf
+      if (set.contains(suf)) best = k
+      k += 1
+    }
+    val sufLabels = if (best >= 1) best else 1
+    if (sufLabels >= labels.length) null
+    else org.apache.spark.unsafe.types.UTF8String.fromString(
+      labels.slice(labels.length - sufLabels - 1, labels.length)
+        .mkString("."))
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    domainUtf8(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("registeredDomain", this,
+      classOf[RegisteredDomainExpr].getName)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""${ev.value} = $ref.domainUtf8($c);
+         ${ev.isNull} = ${ev.value} == null;""")
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =

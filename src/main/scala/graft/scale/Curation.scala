@@ -725,6 +725,60 @@ object Curation {
           .as("norm_stable"))
   }
 
+  /** Per-document blocklist hit counts (the C4 "bad words" gate, Raffel
+    * et al. 2020 §2.2, at production pattern counts): every occurrence
+    * of every pattern in every document, via ONE Aho–Corasick pass per
+    * row ([[graft.functions.AcAutomaton]] — automaton built once on the
+    * driver, broadcast; O(text + matches) per doc regardless of whether
+    * the list holds 5 patterns or 50,000, where the q61-style per-regex
+    * scan multiplies the corpus scan by the pattern count). Counting is
+    * raw substring occurrence, overlaps and nested patterns included
+    * (exactly what the automaton's dictionary-suffix links emit) —
+    * callers wanting word-boundary semantics pad patterns with spaces.
+    *
+    * Returns (doc_id, pattern, hits) for hits > 0 only — output is
+    * bounded by actual matches, not |docs| × |patterns|. Lowercases the
+    * text before matching when `foldCase` (patterns must then be
+    * lowercase; the usual blocklist convention).
+    *
+    * Scale shape: narrow kernel projection → posexplode of a
+    * |patterns|-length array → filter. Zero shuffles, zero joins; text
+    * never moves. The explode fans out |patterns| rows per doc
+    * pre-filter, which whole-stage codegen consumes inline — nothing is
+    * materialized.
+    */
+  def blocklistCounts(docs: DataFrame, idCol: String, textCol: String,
+      patterns: Seq[String], foldCase: Boolean = true): DataFrame = {
+    val auto = new graft.functions.AcAutomaton(patterns.toArray)
+    val bc = docs.sparkSession.sparkContext.broadcast(auto)
+    val text = if (foldCase) lower(col(textCol)) else col(textCol)
+    val patArr = array(patterns.map(lit): _*)
+    docs
+      .select(col(idCol).as("doc_id"),
+        graft.functions.NativeExpressions.ac_counts(text, bc).as("__c"))
+      .select(col("doc_id"), posexplode(col("__c")).as(Seq("__p", "hits")))
+      .filter(col("hits") > 0)
+      .select(col("doc_id"), element_at(patArr, col("__p") + 1).as("pattern"),
+        col("hits"))
+  }
+
+  /** The blocklist page gate: keep documents whose TOTAL blocklist hits
+    * are ≤ `maxHits` (C4 drops any page with a single hit — the default).
+    * Single [[graft.functions.AhoCorasickTotal]] pass per row, no
+    * per-pattern array, no explode — a narrow codegen'd filter that
+    * composes with the q204 curation chain like any other gate.
+    */
+  def blocklistFilter(docs: DataFrame, textCol: String,
+      patterns: Seq[String], maxHits: Long = 0,
+      foldCase: Boolean = true): DataFrame = {
+    require(maxHits >= 0, s"maxHits must be >= 0: $maxHits")
+    val auto = new graft.functions.AcAutomaton(patterns.toArray)
+    val bc = docs.sparkSession.sparkContext.broadcast(auto)
+    val text = if (foldCase) lower(col(textCol)) else col(textCol)
+    docs.filter(
+      graft.functions.NativeExpressions.ac_total(text, bc) <= maxHits)
+  }
+
   /** Above this estimated-input size (Catalyst plan statistics), the
     * skew-safe formulations of [[dedupSentences]] and [[sourceQuota]]
     * take over. 1 GiB: far below anything a hot key could break, far

@@ -212,6 +212,38 @@ object Pq {
     * vector, zero joins and zero shuffles beyond the TakeOrdered cut.
     * Returns (idCol, cell, adc_dist, rank).
     */
+  /** [[buildIvfPqIndex]] in OPQ-rotated space: every vector is rotated
+    * ([[Opq.rotate]] — one broadcast d×d narrow fold fused into the
+    * scan, zero extra shuffle) before coarse assignment and subspace
+    * encoding. `coarse` and `codebooks` must have been trained on
+    * ROTATED vectors (train on `Opq.rotate(corpus, …)` — the models and
+    * the index must live in the same space). The index schema and the
+    * serve path are unchanged: rotation costs d² multiplies per vector
+    * at BUILD time only.
+    */
+  def buildIvfPqIndexRotated(corpus: DataFrame, idCol: String,
+      vecCol: String, rotation: Array[Array[Double]],
+      coarse: Array[Array[Double]],
+      codebooks: Array[Array[Array[Double]]], roundDp: Int = 6): DataFrame =
+    buildIvfPqIndex(Opq.rotate(corpus, idCol, vecCol, rotation, roundDp),
+      idCol, vecCol, coarse, codebooks)
+
+  /** [[ivfPqTopK]] against a [[buildIvfPqIndexRotated]] index: the query
+    * rotates ONCE on the driver (d² flops — [[Opq.rotateVector]], same
+    * fold order and rounding as the build side) and the scan path is
+    * byte-identical to the unrotated serve — probe pruning, ADC lookup
+    * tables, TakeOrdered cut. Orthogonality makes rotated-space ADC
+    * distances equal true distances up to quantization error, so this is
+    * a pure recall upgrade at zero per-row serve cost.
+    */
+  def ivfPqTopKRotated(index: DataFrame, idCol: String,
+      rotation: Array[Array[Double]],
+      coarse: Array[Array[Double]], codebooks: Array[Array[Array[Double]]],
+      query: Array[Double], nprobe: Int, topK: Int,
+      roundDp: Int = 6): DataFrame =
+    ivfPqTopK(index, idCol, coarse, codebooks,
+      Opq.rotateVector(query, rotation, roundDp), nprobe, topK)
+
   def ivfPqTopK(index: DataFrame, idCol: String,
       coarse: Array[Array[Double]], codebooks: Array[Array[Array[Double]]],
       query: Array[Double], nprobe: Int, topK: Int): DataFrame = {

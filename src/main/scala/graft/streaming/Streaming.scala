@@ -446,6 +446,32 @@ object Streaming {
           shingleSize, numPerm)
     }
 
+  /** Continuous maintenance of the persisted EXACT-pair index
+    * ([[graft.scale.Dedup.jaccardIndex]] — the (id, sorted-distinct
+    * shingle hashes) table behind q202/q203's serve paths): fold each
+    * micro-batch in with [[graft.scale.Dedup.jaccardIndexMerge]], the
+    * streaming form of q202's batch merge and the exact-index sibling of
+    * [[maintainMinhashIndex]] — both persisted dedup indexes are now
+    * maintainable from the same stream. Each batch's text runs the
+    * tokenize→hash→shingle kernel exactly once; the corpus index is
+    * never rebuilt, and because `sh` carries no corpus state the folded
+    * snapshot is BIT-EQUAL to a from-scratch build over the latest text
+    * per id (batch-wins on re-ingest). Replays are safe: the merge is
+    * idempotent. Same crash-consistent snapshot swap as
+    * [[applyCdcStream]].
+    */
+  def maintainJaccardIndex(docs: DataFrame, statePath: String,
+      idCol: String, textCol: String, shingleSize: Int = 3):
+      org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    foldSnapshotStream(docs, statePath,
+      batch => graft.scale.Dedup
+        .jaccardIndex(batch.limit(0), idCol, textCol, shingleSize)
+        .schema) {
+      (current, batch, _) =>
+        graft.scale.Dedup.jaccardIndexMerge(current, batch, idCol, textCol,
+          shingleSize)
+    }
+
   /** Continuous cardinality-sketch maintenance: keep a persisted
     * per-group [[graft.scale.Sketches]] HLL register table current from
     * a stream of (group, 62-bit-hash) batches — each micro-batch builds

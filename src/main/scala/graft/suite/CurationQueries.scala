@@ -2,7 +2,7 @@ package graft.suite
 
 import org.apache.spark.sql.functions._
 import graft.core.{GQuery, Tables => T}
-import graft.scale.Curation
+import graft.scale.{Curation, Urls}
 
 /** Corpus-curation operators (graft.scale.Curation) as fully-oracled
   * queries: q58 eval-set decontamination, q59 repetition signals, q60
@@ -765,8 +765,157 @@ object CurationQueries {
       FROM pk ORDER BY doc_id"""
     })
 
+  /** The q207 blocklist: lowercase literal patterns drawn from the corpus
+    * vocabulary so hits actually occur, chosen to exercise every
+    * Aho–Corasick edge — patterns nested inside other patterns ("ta" ⊂
+    * "table", "able" ⊂ "table"), overlapping occurrences ("le"),
+    * cross-word patterns ("fast table", "merge batch"), and one that
+    * never matches (zero rows must be excluded, not emitted).
+    */
+  private val BadWords: Seq[String] = Seq(
+    "slow", "fast table", "row scan", "agg", "value table", "a row",
+    "ta", "table", "able", "le", "merge batch", "zzz never")
+
+  /** Blocklist hit counts (Curation.blocklistCounts — the C4 §2.2 "bad
+    * words" gate at production pattern counts): ONE Aho–Corasick pass
+    * per document counts every occurrence of every pattern, overlaps and
+    * nested patterns included, instead of one corpus scan per pattern.
+    * The oracle replays raw overlapping substring counting per pattern —
+    * count of start positions i with text[i, i+|p|) = p — which is
+    * exactly the automaton's dictionary-suffix-link emission semantics,
+    * so a hash-match certifies goto/fail/dict construction and the
+    * per-pattern attribution in one go (the naive replay is O(|text| ×
+    * |patterns|), fine at oracle scale and precisely what the kernel
+    * exists to avoid at corpus scale).
+    */
+  private val q207 = GQuery(
+    (s, d) => Curation.blocklistCounts(T.documents(s, d), "doc_id", "text",
+      BadWords).orderBy("doc_id", "pattern"),
+    Some(s"""WITH pats AS (
+        SELECT unnest([${BadWords.map(p => s"'$p'").mkString(",")}]) AS pattern),
+      hits AS (
+        SELECT d.doc_id, p.pattern,
+          CAST(len(list_filter(
+            range(1, length(lower(d.text)) - length(p.pattern) + 2),
+            i -> substr(lower(d.text), i, length(p.pattern)) = p.pattern))
+            AS BIGINT) AS hits
+        FROM documents d CROSS JOIN pats p)
+      SELECT doc_id, pattern, hits FROM hits WHERE hits > 0
+      ORDER BY doc_id, pattern"""))
+
+  /** The q208/q209 messy-URL construction: deterministic per-doc URLs
+    * over six messiness modes (doc_id % 6) — uppercase scheme+host,
+    * default ports (with and without userinfo), an explicit non-default
+    * port, unreserved percent-escapes in upper and lower hex (%41 → A,
+    * %7E/%7e → ~), a reserved escape that must stay encoded with
+    * uppercased hex (%2f → %2F), a trailing-dot host, fragments, and an
+    * empty path. Both engines build the SAME string from (doc_id,
+    * source), so the oracle certifies the canonicalizer's OUTPUT without
+    * sharing its code.
+    */
+  private def messyUrl: org.apache.spark.sql.Column = {
+    val m = col("doc_id") % 6
+    val i = col("doc_id").cast("string")
+    when(m === 0, concat(lit("HTTP://WWW."), upper(col("source")),
+        lit(".COM:80/docs/"), i, lit("#frag")))
+      .when(m === 1, concat(lit("https://User@"), col("source"),
+        lit(".co.uk:443/a%7Eb/"), i))
+      .when(m === 2, concat(lit("http://cdn."), col("source"),
+        lit(".com:8080/x/"), i, lit("?q=%41%2f")))
+      .when(m === 3, concat(lit("https://"), col("source"),
+        lit(".com./p/"), i, lit("?a=1&b=2#sec")))
+      .when(m === 4, concat(lit("http://"), col("source"), lit(".org")))
+      .otherwise(concat(lit("https://sub.a."), col("source"),
+        lit(".ac.uk/%7e"), i))
+  }
+
+  private val messyUrlSql =
+    """CASE m WHEN 0 THEN 'HTTP://WWW.' || upper(source) || '.COM:80/docs/' || i || '#frag'
+         WHEN 1 THEN 'https://User@' || source || '.co.uk:443/a%7Eb/' || i
+         WHEN 2 THEN 'http://cdn.' || source || '.com:8080/x/' || i || '?q=%41%2f'
+         WHEN 3 THEN 'https://' || source || '.com./p/' || i || '?a=1&b=2#sec'
+         WHEN 4 THEN 'http://' || source || '.org'
+         ELSE 'https://sub.a.' || source || '.ac.uk/%7e' || i END"""
+
+  private val domainSql =
+    """CASE m WHEN 1 THEN source || '.co.uk'
+         WHEN 4 THEN source || '.org'
+         WHEN 5 THEN source || '.ac.uk'
+         ELSE source || '.com' END"""
+
+  /** URL canonicalization + registered-domain derivation (Urls
+    * .canonicalize over CanonicalUrlParts/RegisteredDomainExpr): the
+    * per-site key derivation in front of quotas/drift. The oracle
+    * constructs the same messy URLs and the EXPECTED canonical form,
+    * host, and registered domain per messiness mode from the RFC 3986 §6
+    * spec — an independent replay of the specification, not of the
+    * parser — so a hash-match certifies scheme/host case-folding,
+    * default-port and fragment stripping, userinfo preservation,
+    * selective percent-decoding with hex uppercasing, empty-path
+    * normalization, trailing-dot removal, and longest-suffix domain
+    * extraction (co.uk/ac.uk beating uk) across all six modes at once.
+    */
+  private val q208 = GQuery(
+    (s, d) => Urls.canonicalize(
+        T.documents(s, d).select(col("doc_id"), col("source"))
+          .withColumn("url", messyUrl), "url")
+      .select("doc_id", "url", "canonical", "host", "registered_domain")
+      .orderBy("doc_id"),
+    Some(s"""WITH u AS (
+        SELECT doc_id, source, doc_id % 6 AS m, CAST(doc_id AS VARCHAR) AS i
+        FROM documents)
+      SELECT doc_id,
+        $messyUrlSql AS url,
+        CASE m WHEN 0 THEN 'http://www.' || source || '.com/docs/' || i
+          WHEN 1 THEN 'https://User@' || source || '.co.uk/a~b/' || i
+          WHEN 2 THEN 'http://cdn.' || source || '.com:8080/x/' || i || '?q=A%2F'
+          WHEN 3 THEN 'https://' || source || '.com/p/' || i || '?a=1&b=2'
+          WHEN 4 THEN 'http://' || source || '.org/'
+          ELSE 'https://sub.a.' || source || '.ac.uk/~' || i END AS canonical,
+        CASE m WHEN 0 THEN 'www.' || source || '.com'
+          WHEN 1 THEN source || '.co.uk'
+          WHEN 2 THEN 'cdn.' || source || '.com'
+          WHEN 3 THEN source || '.com'
+          WHEN 4 THEN source || '.org'
+          ELSE 'sub.a.' || source || '.ac.uk' END AS host,
+        $domainSql AS registered_domain
+      FROM u ORDER BY doc_id"""))
+
+  /** Per-site quota keyed on the DERIVED registered domain — q60's
+    * sourceQuota composed over q208's derivation instead of a stored
+    * source column, the shape a real crawl pipeline runs (cap pages per
+    * SITE, where "site" must be computed from the URL; www./cdn./sub.a.
+    * variants of one site share a quota because the registered domain
+    * collapses them). Quota 5 bites on the .com domains (~12 docs each —
+    * three modes share one registered domain) and passes the others
+    * through (~4 docs each), so both branches of the gate are certified.
+    * The oracle derives the domain per mode and replays the portable-
+    * bucket rank.
+    */
+  private val q209 = GQuery(
+    (s, d) => Curation.sourceQuota(
+        Urls.canonicalize(
+          T.documents(s, d).select(col("doc_id"), col("source"))
+            .withColumn("url", messyUrl), "url"),
+        "doc_id", "registered_domain", quota = 5)
+      .select(col("doc_id"), col("registered_domain"), col("rank"))
+      .orderBy("doc_id"),
+    Some(s"""WITH u AS (
+        SELECT doc_id, source, doc_id % 6 AS m FROM documents),
+      dom AS (SELECT doc_id, $domainSql AS registered_domain FROM u),
+      r AS (SELECT doc_id, registered_domain,
+        CAST(ROW_NUMBER() OVER (PARTITION BY registered_domain
+          ORDER BY ${ScaleQueries.bucketSql("doc_id")}, doc_id) AS BIGINT)
+          AS rank
+        FROM dom)
+      SELECT doc_id, registered_domain, rank FROM r WHERE rank <= 5
+      ORDER BY doc_id"""))
+
   def all: Map[String, GQuery] = Map(
     "q58_decontamination" -> q58,
+    "q207_blocklist_counts" -> q207,
+    "q208_url_canonicalize" -> q208,
+    "q209_domain_quota" -> q209,
     "q204_curation_pipeline" -> q204,
     "q59_repetition_signals" -> q59,
     "q60_source_quota" -> q60,

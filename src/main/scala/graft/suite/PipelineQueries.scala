@@ -567,6 +567,69 @@ object PipelineQueries {
       SELECT vec_id, adc_dist, rank FROM r WHERE rank <= 10
       ORDER BY rank"""))
 
+  /** OPQ rotation composed into the FULL IVF+PQ serve path
+    * (Pq.buildIvfPqIndexRotated + Pq.ivfPqTopKRotated): q142's composed
+    * billion-scale ANN shape with every vector rotated before coarse
+    * assignment and subspace encoding, and the query rotated once
+    * driver-side — the production form of q205's rotation certificate
+    * (q205 proves rotate→encode→ADC; this proves the rotation threads
+    * through coarse quantization, cell probing, and the cell-restricted
+    * ADC ranking without touching the serve path's shape). The pinned
+    * Hadamard rotation keeps the oracle exact; the corpus-trained OPQ
+    * rotation shares this identical code path and its recall gain over
+    * unrotated IVF+PQ is asserted in AnalyticsSpec. The oracle is q142's
+    * full unroll (coarse KMeans, probe selection, four subspace
+    * codebooks, cell-restricted ADC) running entirely in rotated space.
+    */
+  private val q210 = GQuery(
+    (s, d) => {
+      val emb = T.embeddings(s, d)
+      val rot = graft.scale.Opq.hadamardRotation(64)
+      val re = graft.scale.Opq.rotate(emb, "vec_id", "embedding", rot)
+      val coarse = graft.scale.Clustering
+        .lloydTrain(re, "vec_id", "embedding", k = 8, iters = 2)
+      val cb = graft.scale.Pq.trainCodebooks(re, "vec_id", "embedding",
+        dim = 64, m = 4, k = 4, iters = 2)
+      val idx = graft.scale.Pq.buildIvfPqIndexRotated(emb, "vec_id",
+        "embedding", rot, coarse, cb)
+      val q0 = emb.where(col("vec_id") === 0)
+        .select(transform(col("embedding"), x => x.cast("double")).as("v"))
+        .collect().head.getSeq[Double](0).toArray
+      graft.scale.Pq.ivfPqTopKRotated(idx, "vec_id", rot, coarse, cb, q0,
+        nprobe = 2, topK = 10)
+        .orderBy(col("rank"))
+    },
+    Some(s"""WITH e0 AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings),
+      e AS (SELECT vec_id, ${hadamardRotateSql(64)} AS v FROM e0),
+      qv AS (SELECT v FROM e WHERE vec_id = 0),
+      ${kmeansCtes("c", "e", "v", 8)},
+      ${argminCte("e", "v", "c1_c", "cellv")},
+      probe AS (SELECT j FROM (
+        SELECT c1_c.j, ROW_NUMBER() OVER (ORDER BY
+          list_sum(list_transform(list_zip(qv.v, c1_c.c),
+            p -> (p[1]-p[2])**2)), c1_c.j) AS rn
+        FROM c1_c CROSS JOIN qv) WHERE rn <= 2),
+      ${Seq((1, 1, 16), (2, 17, 32), (3, 33, 48), (4, 49, 64))
+        .map { case (s0, lo, hi) => pqSubspace(s0, lo, hi) }
+        .mkString(",\n      ")},
+      cand AS (SELECT cellv.vec_id, cellv.j AS cell
+        FROM cellv JOIN probe ON cellv.j = probe.j),
+      sc AS (SELECT cand.vec_id, cand.cell,
+          round(t_1.dist + t_2.dist + t_3.dist + t_4.dist, 6) AS adc_dist
+        FROM cand
+        JOIN code_1 USING (vec_id) JOIN code_2 USING (vec_id)
+        JOIN code_3 USING (vec_id) JOIN code_4 USING (vec_id)
+        JOIN t_1 ON t_1.j = code_1.j
+        JOIN t_2 ON t_2.j = code_2.j
+        JOIN t_3 ON t_3.j = code_3.j
+        JOIN t_4 ON t_4.j = code_4.j),
+      r AS (SELECT vec_id, cell, adc_dist, CAST(ROW_NUMBER() OVER (
+          ORDER BY adc_dist, vec_id) AS BIGINT) AS rank FROM sc)
+      SELECT vec_id, cell, adc_dist, rank FROM r WHERE rank <= 10
+      ORDER BY rank"""))
+
   /** Per-doc BPE token costing (TextOps.bpeTokenCosts): the q134 merge
     * list applied to every document's token stream through the
     * encoded-vocab broadcast join — the daily operator of a pipeline
@@ -1367,5 +1430,6 @@ object PipelineQueries {
     "q202_jaccard_index_lifecycle" -> q202,
     "q203_containment_vs_index" -> q203,
     "q205_opq_rotated_pq" -> q205,
-    "q206_wordpiece_apply" -> q206)
+    "q206_wordpiece_apply" -> q206,
+    "q210_opq_ivfpq_search" -> q210)
 }

@@ -165,7 +165,11 @@ object Explain {
       "q203_containment_vs_index", // index postings probe, batch-only prefixes
       "q204_curation_pipeline", // 6-stage composition, exchanges = sum of parts
       "q205_opq_rotated_pq",   // broadcast d x d rotation fold + PQ encode/ADC
-      "q206_wordpiece_apply")  // distinct-word collapse + codegen greedy match
+      "q206_wordpiece_apply",  // distinct-word collapse + codegen greedy match
+      "q207_blocklist_counts", // broadcast automaton, one codegen pass, zero shuffle
+      "q208_url_canonicalize", // fused canonical/host/domain narrow projection
+      "q209_domain_quota",     // derived-domain key feeding the quota window
+      "q210_opq_ivfpq_search") // rotation fused into build scan; serve path unchanged
 
     val sb = new StringBuilder
     sb.append("# EXPLAIN — flagship physical plans\n\n")

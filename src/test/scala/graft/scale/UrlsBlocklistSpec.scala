@@ -1,0 +1,172 @@
+package graft.scale
+
+import graft.SparkSpec
+import graft.functions.AcAutomaton
+import org.apache.spark.sql.functions._
+
+/** Blocklist (Aho–Corasick) and URL-canonicalization kernels on crafted
+  * fixtures: the automaton property-tested against a naive overlapping
+  * substring counter, the canonicalizer against pinned RFC 3986 §6 cases
+  * plus the idempotence contract, registered-domain extraction against
+  * the longest-suffix / default-rule / IP edge cases.
+  */
+class UrlsBlocklistSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  /** Reference: overlapping occurrence count of each pattern — count of
+    * start positions i with s[i, i+|p|) == p. Exactly the semantics the
+    * automaton's dictionary-suffix links must reproduce.
+    */
+  private def naiveCounts(s: String, pats: Seq[String]): Seq[Long] =
+    pats.map { p =>
+      (0 to s.length - p.length).count(i => s.regionMatches(i, p, 0, p.length)).toLong
+    }
+
+  test("aho-corasick: counts match the naive reference on adversarial random strings") {
+    // patterns nested in patterns, shared prefixes/suffixes, overlaps —
+    // the cases where fail/dict link construction goes wrong first
+    val pats = Seq("a", "b", "aa", "ab", "aba", "bab", "aab", "abab", "babab")
+    val auto = new AcAutomaton(pats.toArray)
+    val rnd = new scala.util.Random(13L)
+    for (trial <- 0 until 300) {
+      val s = (0 until rnd.nextInt(40)).map(_ => if (rnd.nextBoolean()) 'a' else 'b').mkString
+      assert(auto.counts(s).toSeq == naiveCounts(s, pats),
+        s"trial $trial input '$s'")
+      assert(auto.total(s) == naiveCounts(s, pats).sum, s"total, input '$s'")
+    }
+    // empty text, no matches
+    assert(auto.counts("").toSeq == Seq.fill(pats.length)(0L))
+    // non-BMP pattern matches as a char sequence
+    val emoji = new AcAutomaton(Array("a😀b"))
+    assert(emoji.counts("xa😀bya😀b").toSeq == Seq(2L))
+  }
+
+  test("blocklistCounts/blocklistFilter: per-pattern attribution, case fold, gate") {
+    val docs = Seq(
+      (1L, "Spam SPAM ham"),          // 'spam' x2 under case folding
+      (2L, "clean text only"),
+      (3L, "hamham")                  // overlapping-source: 'ham' x2, 'amha' x1
+    ).toDF("doc_id", "text")
+    val pats = Seq("spam", "ham", "amha")
+    val counts = Curation.blocklistCounts(docs, "doc_id", "text", pats)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(counts == Set((1L, "spam", 2L), (1L, "ham", 1L),
+      (3L, "ham", 2L), (3L, "amha", 1L)))
+    val kept = Curation.blocklistFilter(docs, "text", pats)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L))
+    // maxHits loosens the gate without changing attribution: doc 1 has
+    // exactly 3 total hits (spam x2 + ham x1), doc 3 too (ham x2 + amha)
+    val loose = Curation.blocklistFilter(docs, "text", pats, maxHits = 3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(loose == Set(1L, 2L, 3L))
+    val mid = Curation.blocklistFilter(docs, "text", pats, maxHits = 2)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(mid == Set(2L))
+  }
+
+  private def canon(urls: Seq[String]): Seq[(String, Option[String], Option[String])] =
+    Urls.canonicalize(urls.zipWithIndex.map { case (u, i) => (i, u) }
+        .toDF("id", "url"), "url")
+      .orderBy("id")
+      .select("canonical", "host", "registered_domain")
+      .collect().toSeq
+      .map(r => (r.getString(0), Option(r.getString(1)), Option(r.getString(2))))
+
+  test("url canonicalization: pinned RFC 3986 cases") {
+    val out = canon(Seq(
+      "HTTP://WWW.Example.COM:80/Path/To#frag",      // case, default port, fragment
+      "https://example.com:0443/a",                  // leading-zero default port
+      "http://example.com:8080/a?b=%41%7e%2f",       // decode A ~, keep %2F upper
+      "https://user:P@ss@example.com./x",            // userinfo verbatim, trailing dot
+      "http://example.com",                          // empty path
+      "http://[2001:DB8::1]:80/x",                   // IPv6 literal, default port
+      "ftp://Example.org:21/f",
+      "http://example.com/%zz%4",                    // malformed escapes pass through
+      "mailto:Someone@Example.com#x"                 // non-hierarchical
+    ))
+    assert(out(0) == (("http://www.example.com/Path/To", Some("www.example.com"), Some("example.com"))))
+    assert(out(1) == (("https://example.com/a", Some("example.com"), Some("example.com"))))
+    assert(out(2) == (("http://example.com:8080/a?b=A~%2F", Some("example.com"), Some("example.com"))))
+    assert(out(3) == (("https://user:P@ss@example.com/x", Some("example.com"), Some("example.com"))))
+    assert(out(4) == (("http://example.com/", Some("example.com"), Some("example.com"))))
+    assert(out(5) == (("http://[2001:db8::1]/x", Some("[2001:db8::1]"), None)))
+    assert(out(6) == (("ftp://example.org/f", Some("example.org"), Some("example.org"))))
+    assert(out(7) == (("http://example.com/%zz%4", Some("example.com"), Some("example.com"))))
+    assert(out(8) == (("mailto:Someone@Example.com", None, None)))
+  }
+
+  test("url canonicalization is idempotent") {
+    val messy = Seq(
+      "HTTP://A.B.COM:80/x%41y?q=%7e#f", "https://Example.com",
+      "http://h.org:8080/%2Fa%2f", "weird stuff no scheme %4a",
+      "https://u@H.NET:443/p/q?r=s&t=%55")
+    val once = canon(messy).map(_._1)
+    val twice = canon(once).map(_._1)
+    assert(once == twice, s"not idempotent: $once vs $twice")
+  }
+
+  test("registered domain: longest suffix wins, default rule, suffix-only host") {
+    val out = canon(Seq(
+      "http://a.b.site.ac.uk/",   // ac.uk beats uk → site.ac.uk
+      "http://site.uk/",          // plain uk → site.uk
+      "http://ac.uk/",            // host IS a public suffix → null
+      "http://host.unknowntld/",  // default "*" rule → host.unknowntld
+      "http://192.168.0.1/",      // IPv4 → itself
+      "http://single/"            // one label, not a known suffix → null
+    ))
+    assert(out(0)._3.contains("site.ac.uk"))
+    assert(out(1)._3.contains("site.uk"))
+    assert(out(2)._3.isEmpty)
+    assert(out(3)._3.contains("host.unknowntld"))
+    assert(out(4)._3.contains("192.168.0.1"))
+    assert(out(5)._3.isEmpty)
+  }
+
+  test("rotated IVF+PQ composed search: recall >= plain on variance-concentrated vectors") {
+    // the AnalyticsSpec q205 fixture shape, through the COMPOSED path:
+    // all information in dims 0-1, so unrotated subspace (0,1) has k=4
+    // cells for 25 points and three dead codebooks; the rotation spreads
+    // the grid across subspaces AND the coarse quantizer's input space.
+    val pts = for (u <- 0 until 5; v <- 0 until 5) yield (u, v)
+    val vecs = pts.zipWithIndex.map { case ((u, v), i) =>
+      (i.toLong, Array(u * 100f, v * 100f, 0f, 0f, 0f, 0f, 0f, 0f))
+    }.toDF("id", "vec")
+    val raw = pts.map { case (u, v) =>
+      Array(u * 100.0, v * 100.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0) }
+    def exactTopK(q: Array[Double], k: Int): Set[Long] =
+      raw.zipWithIndex.map { case (x, i) =>
+        (x.zip(q).map { case (a, b) => (a - b) * (a - b) }.sum, i.toLong)
+      }.sortBy { case (d2, i) => (d2, i) }.take(k).map(_._2).toSet
+    def recallOf(rot: Option[Array[Array[Double]]]): Double = {
+      val base = rot.map(r => Opq.rotate(vecs, "id", "vec", r)).getOrElse(vecs)
+      val coarse = Clustering.lloydTrain(base, "id", "vec", k = 4, iters = 3)
+      val cb = Pq.trainCodebooks(base, "id", "vec", dim = 8, m = 4, k = 4,
+        iters = 3)
+      val idx = rot match {
+        case Some(r) => Pq.buildIvfPqIndexRotated(vecs, "id", "vec", r,
+          coarse, cb)
+        case None => Pq.buildIvfPqIndex(vecs, "id", "vec", coarse, cb)
+      }
+      val queries = Seq(0, 6, 12, 18, 24)
+      val hits = queries.map { qi =>
+        val got = (rot match {
+          case Some(r) => Pq.ivfPqTopKRotated(idx, "id", r, coarse, cb,
+            raw(qi), nprobe = 4, topK = 5)
+          case None => Pq.ivfPqTopK(idx, "id", coarse, cb, raw(qi),
+            nprobe = 4, topK = 5)
+        }).collect().map(_.getLong(0)).toSet
+        (exactTopK(raw(qi), 5) intersect got).size
+      }.sum
+      hits.toDouble / (queries.size * 5)
+    }
+    val plain = recallOf(None)
+    val had = recallOf(Some(Opq.hadamardRotation(8)))
+    val opq = recallOf(Some(Opq.trainRotation(vecs, "vec", dim = 8, m = 4)))
+    assert(had >= plain, s"hadamard composed $had < plain $plain")
+    assert(opq >= plain, s"opq composed $opq < plain $plain")
+    assert(math.max(had, opq) > plain,
+      s"rotation must strictly improve composed recall here: plain=$plain had=$had opq=$opq")
+  }
+}

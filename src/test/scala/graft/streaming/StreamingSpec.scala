@@ -380,6 +380,41 @@ class StreamingSpec extends SparkSpec {
       rows(graft.scale.Dedup.minhashIndex(latest, "doc_id", "text")))
   }
 
+  test("streaming jaccard-index maintenance converges to a from-scratch build") {
+    import spark.implicits._
+    val d1 = Seq((1L, "alpha beta gamma delta epsilon"),
+      (2L, "one two three four five"))
+      .toDF("doc_id", "text")
+    // doc 2 re-ingested with new text in batch 2, doc 3 brand new —
+    // batch-wins must REPLACE doc 2's stale shingle array, not union it
+    val d2 = Seq((2L, "six seven eight nine ten"),
+      (3L, "red green blue cyan magenta"))
+      .toDF("doc_id", "text")
+    val in = Files.createTempDirectory("graft_jcin").toString
+    val state = Files.createTempDirectory("graft_jcst").toString + "/index"
+    val ckpt = Files.createTempDirectory("graft_jcck").toString
+    d1.coalesce(1).write.parquet(s"$in/b1")
+    d2.coalesce(1).write.parquet(s"$in/b2")
+    val stream = spark.readStream.schema(d1.schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("recursiveFileLookup", "true").parquet(in)
+    val q = Streaming.maintainJaccardIndex(stream, state, "doc_id", "text")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(q.exception.isEmpty, s"stream failed: ${q.exception}")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("id").collect().toSeq
+        .map(r => (r.getLong(0), r.getSeq[Long](1)))
+    // sh carries no corpus state, so the folded snapshot is BIT-equal to
+    // a from-scratch jaccardIndex over the latest text per doc
+    val latest = Seq((1L, "alpha beta gamma delta epsilon"),
+      (2L, "six seven eight nine ten"), (3L, "red green blue cyan magenta"))
+      .toDF("doc_id", "text")
+    assert(rows(spark.read.parquet(state)) ===
+      rows(graft.scale.Dedup.jaccardIndex(latest, "doc_id", "text")))
+  }
+
   test("streaming HLL-sketch maintenance converges to a from-scratch sketch") {
     import spark.implicits._
     def hashed(vals: Seq[(String, Long)]) =
