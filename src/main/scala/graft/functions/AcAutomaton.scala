@@ -101,6 +101,34 @@ final class AcAutomaton(val patterns: Array[String]) extends Serializable {
     out
   }
 
+  /** Longest pattern-match length beginning at each position of `s`
+    * (0 = no match starts there) — the candidate table a
+    * leftmost-longest scrub rebuilds from (AC emits by END position;
+    * start = end − len + 1). Same single pass as [[counts]].
+    */
+  def longestMatchPerStart(s: String): Array[Int] = {
+    val n = s.length
+    val bestLen = new Array[Int](math.max(n, 1))
+    var u = 0
+    var i = 0
+    while (i < n) {
+      val c = s.charAt(i)
+      var v = u
+      var nxt = goTo(v, c)
+      while (nxt < 0 && v != 0) { v = fail(v); nxt = goTo(v, c) }
+      u = if (nxt >= 0) nxt else 0
+      var w = if (emit(u) >= 0) u else dict(u)
+      while (w >= 0) {
+        val l = patterns(emit(w)).length
+        val st = i - l + 1
+        if (l > bestLen(st)) bestLen(st) = l
+        w = dict(w)
+      }
+      i += 1
+    }
+    bestLen
+  }
+
   /** Total occurrences across all patterns — the page-gate scalar;
     * same pass, no per-pattern array.
     */

@@ -94,6 +94,22 @@ object NativeExpressions {
       auto: org.apache.spark.broadcast.Broadcast[AcAutomaton]): Column =
     Bridge.column(AhoCorasickTotal(Bridge.expression(text), auto))
 
+  /** Leftmost-longest multi-pattern scrub (see [[AhoCorasickScrub]]):
+    * struct(scrubbed string, n_matches long).
+    */
+  def ac_scrub(text: Column,
+      auto: org.apache.spark.broadcast.Broadcast[AcAutomaton],
+      replacement: String): Column =
+    Bridge.column(AhoCorasickScrub(Bridge.expression(text), auto, replacement))
+
+  /** Dense rotation of a vector column (see [[RotateMatVec]]): output
+    * dim r = round(Σ_j R[r][j]·x[j], roundDp), j-ascending fold — the
+    * codegen'd form of the OPQ rotate projection.
+    */
+  def rotate_mat_vec(vec: Column, rotation: Array[Array[Double]],
+      roundDp: Int): Column =
+    Bridge.column(RotateMatVec(Bridge.expression(vec), rotation, roundDp))
+
   /** Canonical form + lowercased host of a URL in one parse (see
     * [[CanonicalUrlParts]]): struct(canonical string, host string).
     */
@@ -2300,6 +2316,122 @@ case class RegisteredDomainExpr(child: Expression,
     nullSafeCodeGen(ctx, ev, c =>
       s"""${ev.value} = $ref.domainUtf8($c);
          ${ev.isNull} = ${ev.value} == null;""")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Dense rotation (matrix × vector) with per-output-dim rounding — the
+  * [[graft.scale.Opq.rotate]] hot kernel. Bit-identical to the HOF
+  * formulation `round(aggregate(zip_with(v, row, _*_), 0.0, _+_), dp)`
+  * per output dimension (same j-ascending IEEE fold, same scala
+  * BigDecimal HALF_UP round — the one Catalyst's `round` applies to
+  * doubles), but ONE pass per row: d² fused multiply-adds in a tight
+  * loop instead of d interpreted lambda chains each allocating a zipped
+  * array — the [[MinHashSignature]] move applied to OPQ. The rotated
+  * frame feeds iterative trainers (Lloyd rounds, PQ codebooks) that
+  * re-execute their input projection once per job, so the kernel's
+  * speedup multiplies by the training pass count (q210: 12.6 s → the
+  * q142 shape + ε). Accepts array<float> (cast exactly) or
+  * array<double>; requires |vec| = d.
+  */
+case class RotateMatVec(child: Expression, rotation: Array[Array[Double]],
+    roundDp: Int) extends UnaryExpression {
+  require(rotation.nonEmpty && rotation.forall(_.length == rotation.head.length),
+    "rotation must be a non-empty rectangular matrix")
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  @transient private lazy val isFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  /** Public for codegen. */
+  def rotateArr(input: ArrayData): ArrayData = {
+    val d = rotation.head.length
+    val n = input.numElements()
+    require(n == d, s"vector length $n != rotation dim $d")
+    val x = new Array[Double](d)
+    var j = 0
+    if (isFloat) while (j < d) { x(j) = input.getFloat(j).toDouble; j += 1 }
+    else while (j < d) { x(j) = input.getDouble(j); j += 1 }
+    val out = new Array[Any](rotation.length)
+    var r = 0
+    while (r < rotation.length) {
+      val row = rotation(r)
+      var acc = 0.0
+      var k = 0
+      while (k < d) { acc += x(k) * row(k); k += 1 }
+      out(r) = BigDecimal(acc)
+        .setScale(roundDp, BigDecimal.RoundingMode.HALF_UP).toDouble
+      r += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    rotateArr(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("rotateMatVec", this,
+      classOf[RotateMatVec].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.rotateArr($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Leftmost-longest multi-pattern scrub — struct(scrubbed, n_matches).
+  * One [[AcAutomaton]] pass collects, for every start position, the
+  * LONGEST pattern match beginning there; a second linear pass rebuilds
+  * the text left to right, replacing each leftmost surviving match with
+  * `replacement` and resuming AFTER it (matches starting inside a
+  * replaced span are skipped; the replacement itself is never
+  * rescanned) — exactly the semantics of a global regex replace over a
+  * longest-first alternation of the literal patterns, which is what the
+  * oracle replays. The multi-pattern sibling of the q61 chained-regex
+  * redaction at blocklist scale: one automaton, one pass, any pattern
+  * count.
+  */
+case class AhoCorasickScrub(child: Expression,
+    auto: org.apache.spark.broadcast.Broadcast[AcAutomaton],
+    replacement: String) extends UnaryExpression {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("scrubbed", StringType, nullable = false),
+    StructField("n_matches", LongType, nullable = false)))
+  override def nullable: Boolean = child.nullable
+
+  /** Public for codegen. */
+  def scrubUtf8(text: org.apache.spark.unsafe.types.UTF8String):
+      org.apache.spark.sql.catalyst.InternalRow = {
+    val s = text.toString
+    val n = s.length
+    // pass 1 (inside the automaton): longest match length per start
+    val bestLen = auto.value.longestMatchPerStart(s)
+    // pass 2: leftmost-longest rebuild
+    val sb = new java.lang.StringBuilder(n)
+    var pos = 0
+    var nm = 0L
+    while (pos < n) {
+      val l = bestLen(pos)
+      if (l > 0) { sb.append(replacement); nm += 1; pos += l }
+      else { sb.append(s.charAt(pos)); pos += 1 }
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](
+        org.apache.spark.unsafe.types.UTF8String.fromString(sb.toString), nm))
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    scrubUtf8(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("acScrub", this,
+      classOf[AhoCorasickScrub].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.scrubUtf8($c);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =

@@ -256,9 +256,8 @@ object FhirIngest {
     */
   def curate(spark: SparkSession, path: String):
       (DataFrame, DataFrame, DataFrame, DataFrame) = {
-    val shuffled = entries(readBundles(spark, path))
-      .repartition(col("resourceType"))
-    val flat = spark.createDataFrame(shuffled.rdd, shuffled.schema)
+    val flat = org.apache.spark.sql.graftbridge.Bridge.freezeLineage(
+      entries(readBundles(spark, path)).repartition(col("resourceType")))
     (patients(flat), encounters(flat), conditions(flat), observations(flat))
   }
 

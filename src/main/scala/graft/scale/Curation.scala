@@ -779,6 +779,89 @@ object Curation {
       graft.functions.NativeExpressions.ac_total(text, bc) <= maxHits)
   }
 
+  /** Multi-pattern scrub (mask, not drop): replace every
+    * leftmost-longest blocklist occurrence with `replacement` — the
+    * redaction sibling of [[blocklistFilter]] (q61's chained regex
+    * redaction generalized to blocklist scale: ONE broadcast automaton,
+    * one [[graft.functions.AhoCorasickScrub]] pass per document, any
+    * pattern count). Semantics match a global regex replace over a
+    * longest-first alternation of the literal patterns — which is
+    * exactly what the oracle replays — so "longest pattern wins at a
+    * position, matches never overlap, replacements are never
+    * rescanned". Returns (doc_id, n_scrubbed, scrubbed). Matching is
+    * case-sensitive (compose with `lower()` upstream for folding — the
+    * scrubbed TEXT is the output here, so the operator does not mutate
+    * case behind the caller's back).
+    */
+  def blocklistScrub(docs: DataFrame, idCol: String, textCol: String,
+      patterns: Seq[String], replacement: String = "[SCRUBBED]"): DataFrame = {
+    val auto = new graft.functions.AcAutomaton(patterns.toArray)
+    val bc = docs.sparkSession.sparkContext.broadcast(auto)
+    docs
+      .select(col(idCol).as("doc_id"),
+        graft.functions.NativeExpressions
+          .ac_scrub(col(textCol), bc, replacement).as("__s"))
+      .select(col("doc_id"), col("__s.n_matches").as("n_scrubbed"),
+        col("__s.scrubbed").as("scrubbed"))
+  }
+
+  /** Per-group boilerplate line removal (the CCNet/RefinedWeb cleanup
+    * between raw crawl and quality filtering): a line that appears in
+    * at least `minDocs` documents AND at least `minPermille`/1000 of
+    * ITS GROUP's documents (group = registered domain in a real crawl —
+    * compose with [[Urls.canonicalize]]) is template boilerplate
+    * (footers, nav bars, cookie notices) and is stripped from every
+    * document of that group; unique prose survives. Both thresholds are
+    * exact integer comparisons (nd·1000 ≥ permille·groupDocs), so the
+    * keep/strip decision is engine-exact.
+    *
+    * Scale shape ([[dedupSentences]]'s, plus one small join): one
+    * explode moves each trimmed line once; the per-(group, line) doc
+    * count collapses through a distinct + map-side-combined count; the
+    * group totals frame (one row per group) rides a broadcast; the
+    * boilerplate set (lines crossing the threshold — template-sized,
+    * not corpus-sized) equi-joins back on the 8-byte line hash under
+    * AQE. Reassembly is the same per-doc sorted fold as q62. Lines are
+    * keyed by the 62-bit portable hash, which the oracle replays
+    * bit-for-bit (q62's discipline), so a collision — however unlikely
+    * — reproduces identically on both engines instead of flaking.
+    *
+    * Returns (doc_id, group, n_lines, n_kept, cleaned) for every doc
+    * with ≥ 1 non-empty line.
+    */
+  def stripBoilerplate(docs: DataFrame, idCol: String, textCol: String,
+      groupCol: String, minDocs: Long = 2, minPermille: Int = 300,
+      sep: String = "\\."): DataFrame = {
+    require(minDocs >= 1, s"minDocs must be >= 1: $minDocs")
+    require(minPermille >= 1 && minPermille <= 1000,
+      s"minPermille in [1,1000]: $minPermille")
+    val lines = docs
+      .select(col(idCol).as("doc_id"), col(groupCol).as("grp"),
+        posexplode(filter(transform(split(col(textCol), sep), x => trim(x)),
+          s => length(s) > 0)).as(Seq("pos", "line")))
+      .withColumn("__h", element_at(
+        graft.functions.NativeExpressions.portable_token_hashes(
+          array(col("line"))), 1))
+    val perLine = lines.select("grp", "__h", "doc_id").distinct()
+      .groupBy("grp", "__h").agg(count(lit(1)).as("__nd"))
+    val grpTotals = docs.groupBy(col(groupCol).as("grp"))
+      .agg(count(lit(1)).as("__gd"))
+    val boiler = perLine.join(broadcast(grpTotals), "grp")
+      .filter(col("__nd") >= minDocs &&
+        col("__nd") * 1000 >= lit(minPermille.toLong) * col("__gd"))
+      .select(col("grp"), col("__h"), lit(true).as("__boiler"))
+    lines.join(boiler, Seq("grp", "__h"), "left")
+      .groupBy("doc_id", "grp")
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when(col("__boiler").isNull, 1L).otherwise(0L)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(when(col("__boiler").isNull,
+            struct(col("pos"), col("line"))))),
+          x => x.getField("line")), " ").as("cleaned"))
+      .select(col("doc_id"), col("grp").as(groupCol), col("n_lines"),
+        col("n_kept"), col("cleaned"))
+  }
+
   /** Above this estimated-input size (Catalyst plan statistics), the
     * skew-safe formulations of [[dedupSentences]] and [[sourceQuota]]
     * take over. 1 GiB: far below anything a hot key could break, far

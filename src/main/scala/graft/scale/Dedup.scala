@@ -828,15 +828,16 @@ object Dedup {
     * independently per consumer branch, the canonicalized exchange
     * subtrees diverge, and ReusedExchange/the AQE stage cache never
     * fire — measured on the pre-freeze plans (0 reused exchanges), the
-    * kernel re-ran per branch. The price of the freeze is one Row
-    * conversion per consumer read and a codegen/pruning boundary, both
-    * linear in the (compact) shuffled rows — the same bytes a persist
-    * would have stored, without the persist's unbounded lifetime.
+    * kernel re-ran per branch. The price of the freeze is one UnsafeRow
+    * copy per consumer read ([[org.apache.spark.sql.graftbridge.Bridge
+    * .freezeLineage]] — the external-Row round trip the old
+    * `createDataFrame(df.rdd, schema)` paid is gone) and a
+    * codegen/pruning boundary, both linear in the (compact) shuffled
+    * rows — the same bytes a persist would have stored, without the
+    * persist's unbounded lifetime.
     */
-  private[scale] def sharedShuffle(df: DataFrame, key: Column): DataFrame = {
-    val shuffled = df.repartition(key)
-    df.sparkSession.createDataFrame(shuffled.rdd, shuffled.schema)
-  }
+  private[scale] def sharedShuffle(df: DataFrame, key: Column): DataFrame =
+    org.apache.spark.sql.graftbridge.Bridge.freezeLineage(df.repartition(key))
 
   /** All distinct within-bucket unordered id pairs of a (id, bk)-shaped
     * frame, with buckets larger than `maxBucket` split deterministically

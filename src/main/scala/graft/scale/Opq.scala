@@ -90,18 +90,19 @@ object Opq {
     * vecCol replaced by the rotated array<double> — output dim r is the
     * index-order left fold Σ_j R[r][j]·x[j], rounded to `roundDp` (the
     * family's between-stages rounding, so downstream KMeans sees
-    * engine-identical inputs). One narrow projection, zero shuffle.
+    * engine-identical inputs). One narrow projection, zero shuffle —
+    * the d² multiply-adds run in the codegen'd
+    * [[graft.functions.RotateMatVec]] kernel (bit-identical to the HOF
+    * `round(aggregate(zip_with(…)))` per dim, which OpqSpec pins; the
+    * kernel matters because iterative trainers downstream re-execute
+    * this projection once per job — q210 ran 5× slower on the
+    * interpreted form).
     */
   def rotate(corpus: DataFrame, idCol: String, vecCol: String,
-      rotation: Array[Array[Double]], roundDp: Int = 6): DataFrame = {
-    val v = transform(col(vecCol), x => x.cast("double"))
-    val outDims = rotation.toIndexedSeq.map { row =>
-      round(aggregate(
-        zip_with(v, array(row.toIndexedSeq.map(lit): _*), (x, w) => x * w),
-        lit(0.0), (acc, z) => acc + z), roundDp)
-    }
-    corpus.select(col(idCol), array(outDims: _*).as(vecCol))
-  }
+      rotation: Array[Array[Double]], roundDp: Int = 6): DataFrame =
+    corpus.select(col(idCol),
+      graft.functions.NativeExpressions
+        .rotate_mat_vec(col(vecCol), rotation, roundDp).as(vecCol))
 
   /** Rotate a driver-side query vector with the same fold order and
     * rounding as [[rotate]] — ADC queries must live in the same rotated

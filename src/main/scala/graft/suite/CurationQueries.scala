@@ -623,18 +623,17 @@ object CurationQueries {
     */
   private val q204 = GQuery(
     (s, d) => {
-      // stage-boundary freeze (the Dedup.sharedShuffle lifecycle, inline):
-      // each stage's survivors materialize through ONE id exchange whose
+      // stage-boundary freeze (the Dedup.sharedShuffle lifecycle): each
+      // stage's survivors materialize through ONE id exchange whose
       // shuffle files every downstream consumer branch reuses — without
       // it, gated/kept/clean are join-backs whose lineage re-runs the
       // whole upstream chain (normalize + gate + dedup kernels) once per
       // consumer, measured 12.4 s → the frozen plan at sf0.1. Row sets
       // are identical; nothing registers in the block manager.
       def freeze(df: org.apache.spark.sql.DataFrame)
-          : org.apache.spark.sql.DataFrame = {
-        val sh = df.repartition(col("doc_id"))
-        s.createDataFrame(sh.rdd, sh.schema)
-      }
+          : org.apache.spark.sql.DataFrame =
+        org.apache.spark.sql.graftbridge.Bridge.freezeLineage(
+          df.repartition(col("doc_id")))
       val docs = T.documents(s, d)
       // deterministic dirtying (q157's recipe) so normalization has work
       val dirty = docs.select(col("doc_id"),
@@ -911,11 +910,140 @@ object CurationQueries {
       SELECT doc_id, registered_domain, rank FROM r WHERE rank <= 5
       ORDER BY doc_id"""))
 
+  /** Per-group boilerplate removal (Curation.stripBoilerplate — the
+    * CCNet/RefinedWeb template-cleanup stage). The derived corpus plants
+    * four line kinds per doc: unique prose (always kept), a per-source
+    * footer present in 100% of the source's docs (always stripped), a
+    * cross-site nav line in ~50% (stripped at the 400‰ threshold), and a
+    * ~20% promo line (kept — under threshold), so both sides of BOTH
+    * integer thresholds fire on real data. The oracle replays the 62-bit
+    * portable line hash (q62's discipline), the distinct-doc counts per
+    * (source, line), the exact nd·1000 ≥ 400·groupDocs comparison, and
+    * the ordered reassembly.
+    */
+  private def boilerDocs(s: org.apache.spark.sql.SparkSession, d: String) = {
+    val derived = concat(
+      substring(col("text"), 1, 60), lit(". all rights reserved "),
+      col("source"), lit(". "),
+      when(pmod(col("doc_id"), lit(2)) === 0, lit("home about contact. "))
+        .otherwise(lit("")),
+      when(pmod(col("doc_id"), lit(5)) === 0, lit("special offer today. "))
+        .otherwise(lit("")),
+      substring(col("text"), 31, 60))
+    T.documents(s, d).withColumn("text", derived)
+  }
+
+  private val boilerDocsSql =
+    """substr(text, 1, 60) || '. all rights reserved ' || source || '. ' ||
+       CASE WHEN doc_id % 2 = 0 THEN 'home about contact. ' ELSE '' END ||
+       CASE WHEN doc_id % 5 = 0 THEN 'special offer today. ' ELSE '' END ||
+       substr(text, 31, 60)"""
+
+  private val q211 = GQuery(
+    (s, d) => Curation.stripBoilerplate(boilerDocs(s, d), "doc_id", "text",
+      "source", minDocs = 2, minPermille = 400).orderBy("doc_id"),
+    Some(s"""WITH base AS (
+        SELECT doc_id, source, $boilerDocsSql AS text FROM documents),
+      sl AS (SELECT doc_id, source,
+          list_filter(list_transform(string_split_regex(text, '\\.'),
+            x -> trim(x)), z -> len(z) > 0) AS l
+        FROM base),
+      s AS (SELECT doc_id, source, i - 1 AS pos, l[i] AS line
+        FROM sl, UNNEST(range(1, len(l) + 1)) AS t(i)),
+      h AS (SELECT doc_id, source, pos, line, ${ScaleQueries.h62Sql("line")} AS hh
+        FROM s),
+      gd AS (SELECT source, COUNT(*)::BIGINT AS gd FROM documents
+        GROUP BY source),
+      nd AS (SELECT source, hh, COUNT(DISTINCT doc_id)::BIGINT AS nd
+        FROM h GROUP BY source, hh),
+      b AS (SELECT nd.source, nd.hh FROM nd JOIN gd USING (source)
+        WHERE nd.nd >= 2 AND nd.nd * 1000 >= 400 * gd.gd),
+      k AS (SELECT h.doc_id, h.source, h.pos, h.line, b.hh IS NULL AS keep
+        FROM h LEFT JOIN b ON h.source = b.source AND h.hh = b.hh)
+      SELECT doc_id, source, CAST(COUNT(*) AS BIGINT) AS n_lines,
+        CAST(COUNT(*) FILTER (WHERE keep) AS BIGINT) AS n_kept,
+        COALESCE(string_agg(line, ' ' ORDER BY pos) FILTER (WHERE keep), '')
+          AS cleaned
+      FROM k GROUP BY doc_id, source ORDER BY doc_id"""))
+
+  /** Multi-pattern leftmost-longest scrub (Curation.blocklistScrub):
+    * equal-length competing patterns ("value table"/"table value"),
+    * a prefix-nested pair ("fast" ⊂ "fast table" — longest must win),
+    * and overlapping occurrences. The oracle is a DuckDB RE2 global
+    * replace over the SAME literals in a longest-first alternation —
+    * RE2 alternation is first-match-at-leftmost-position, so ordering
+    * by length desc reproduces leftmost-longest exactly; match counts
+    * come from regexp_extract_all over the identical pattern.
+    */
+  private val ScrubPats = Seq(
+    "value table", "table value", "fast table", "row scan", "fast", "agg")
+  private val ScrubAlt = ScrubPats.sortBy(-_.length).mkString("|")
+
+  private val q212 = GQuery(
+    (s, d) => Curation.blocklistScrub(T.documents(s, d), "doc_id", "text",
+      ScrubPats, replacement = "[X]").orderBy("doc_id"),
+    Some(s"""SELECT doc_id,
+        CAST(len(regexp_extract_all(text, '$ScrubAlt')) AS BIGINT)
+          AS n_scrubbed,
+        regexp_replace(text, '$ScrubAlt', '[X]', 'g') AS scrubbed
+      FROM documents ORDER BY doc_id"""))
+
+  /** Crawl-variant URL dedup — the FIRST dedup every web pipeline runs,
+    * composed from q208's canonicalizer: five messy variants of one
+    * logical URL per doc (case-folded scheme/host, default port,
+    * fragment, percent-encoded path char) must collapse to ONE
+    * canonical key, and the group stats (variant count, distinct raw
+    * forms, min-id keeper) certify the collapse. The oracle derives the
+    * canonical form directly from the spec per variant mode.
+    */
+  private def crawlUrl: org.apache.spark.sql.Column = {
+    val m = col("doc_id") % 5
+    val i = (col("doc_id") % 100).cast("string")
+    when(m === 0, concat(lit("http://www."), col("source"), lit(".com/p/"), i))
+      .when(m === 1, concat(lit("HTTP://WWW."), upper(col("source")),
+        lit(".COM/p/"), i))
+      .when(m === 2, concat(lit("http://www."), col("source"),
+        lit(".com:80/p/"), i))
+      .when(m === 3, concat(lit("http://www."), col("source"),
+        lit(".com/p/"), i, lit("#top")))
+      .otherwise(concat(lit("http://www."), col("source"),
+        lit(".com/%70/"), i))
+  }
+
+  private val q213 = GQuery(
+    (s, d) => Urls.canonicalize(
+        T.documents(s, d).select(col("doc_id"), col("source"))
+          .withColumn("url", crawlUrl), "url")
+      .groupBy("canonical")
+      .agg(count(lit(1)).as("n_variants"),
+        countDistinct(col("url")).as("n_distinct_urls"),
+        min(col("doc_id")).as("keeper"))
+      .orderBy("canonical"),
+    Some(s"""WITH u AS (
+        SELECT doc_id, source, doc_id % 5 AS m,
+          CAST(doc_id % 100 AS VARCHAR) AS i
+        FROM documents),
+      r AS (SELECT doc_id,
+        CASE m WHEN 0 THEN 'http://www.' || source || '.com/p/' || i
+          WHEN 1 THEN 'HTTP://WWW.' || upper(source) || '.COM/p/' || i
+          WHEN 2 THEN 'http://www.' || source || '.com:80/p/' || i
+          WHEN 3 THEN 'http://www.' || source || '.com/p/' || i || '#top'
+          ELSE 'http://www.' || source || '.com/%70/' || i END AS url,
+        'http://www.' || source || '.com/p/' || i AS canonical
+        FROM u)
+      SELECT canonical, CAST(COUNT(*) AS BIGINT) AS n_variants,
+        CAST(COUNT(DISTINCT url) AS BIGINT) AS n_distinct_urls,
+        MIN(doc_id) AS keeper
+      FROM r GROUP BY canonical ORDER BY canonical"""))
+
   def all: Map[String, GQuery] = Map(
     "q58_decontamination" -> q58,
     "q207_blocklist_counts" -> q207,
     "q208_url_canonicalize" -> q208,
     "q209_domain_quota" -> q209,
+    "q211_boilerplate_removal" -> q211,
+    "q212_blocklist_scrub" -> q212,
+    "q213_url_crawl_dedup" -> q213,
     "q204_curation_pipeline" -> q204,
     "q59_repetition_signals" -> q59,
     "q60_source_quota" -> q60,

@@ -169,7 +169,10 @@ object Explain {
       "q207_blocklist_counts", // broadcast automaton, one codegen pass, zero shuffle
       "q208_url_canonicalize", // fused canonical/host/domain narrow projection
       "q209_domain_quota",     // derived-domain key feeding the quota window
-      "q210_opq_ivfpq_search") // rotation fused into build scan; serve path unchanged
+      "q210_opq_ivfpq_search", // rotation fused into build scan; serve path unchanged
+      "q211_boilerplate_removal", // line explode + group-count join-back, q62 shape
+      "q212_blocklist_scrub",  // one automaton pass, zero shuffle
+      "q213_url_crawl_dedup")  // canonical-key collapse, one agg exchange
 
     val sb = new StringBuilder
     sb.append("# EXPLAIN — flagship physical plans\n\n")

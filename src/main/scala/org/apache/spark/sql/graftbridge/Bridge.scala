@@ -22,4 +22,26 @@ object Bridge {
       : org.apache.spark.sql.DataFrame =
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
+  /** Snap a DataFrame's lineage at its computed RDD so downstream
+    * consumers REUSE its shuffle files instead of re-optimizing (and
+    * re-running) the whole upstream plan per consumer — the stage-freeze
+    * every multi-consumer composition here leans on (Dedup.sharedShuffle,
+    * the q204 stage boundaries).
+    *
+    * The public route, `createDataFrame(df.rdd, df.schema)`, pays an
+    * InternalRow→Row→InternalRow conversion per row per pass (external
+    * Row allocation plus per-field encoder work on both sides);
+    * `internalCreateDataFrame(queryExecution.toRdd, schema)` wraps the
+    * UnsafeRow RDD directly. The `_.copy()` is load-bearing: shuffle
+    * readers reuse row buffers, and LogicalRDD hands rows to consumers
+    * that may buffer them (one flat byte-array copy — still far cheaper
+    * than the external-Row round trip).
+    */
+  def freezeLineage(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val cs = df.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    cs.internalCreateDataFrame(
+      df.queryExecution.toRdd.map(_.copy()), df.schema)
+  }
 }

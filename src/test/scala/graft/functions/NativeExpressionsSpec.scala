@@ -504,4 +504,38 @@ class NativeExpressionsSpec extends SparkSpec {
       .filter(NativeExpressions.normalize_ascii_text(col("n")) =!= col("n"))
       .count() == 0)
   }
+
+  test("rotate_mat_vec == HOF rotation fold on the embeddings table (bit-exact)") {
+    // both rotations the OPQ family ships: exact-IEEE Hadamard and the
+    // corpus-trained eigenbasis (arbitrary doubles — the harder parity)
+    val emb = T.embeddings(spark, sf).select(col("vec_id"), col("embedding"))
+    val rots = Seq(
+      graft.scale.Opq.hadamardRotation(64),
+      graft.scale.Opq.trainRotation(emb, "embedding", dim = 64, m = 4))
+    for (rot <- rots) {
+      val v = transform(col("embedding"), x => x.cast("double"))
+      val hofDims = rot.toIndexedSeq.map { row =>
+        round(aggregate(
+          zip_with(v, array(row.toIndexedSeq.map(lit): _*), (x, w) => x * w),
+          lit(0.0), (acc, z) => acc + z), 6)
+      }
+      val both = emb
+        .withColumn("hof", array(hofDims: _*))
+        .withColumn("native",
+          NativeExpressions.rotate_mat_vec(col("embedding"), rot, 6))
+      assert(both.filter(col("hof") =!= col("native")).count() == 0)
+      assert(both.count() == 500)
+    }
+    // array<double> input path (the HOF casts; the kernel must too)
+    val dbl = T.embeddings(spark, sf)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+    val rot = graft.scale.Opq.hadamardRotation(64)
+    val viaDouble = dbl.select(col("vec_id"),
+      NativeExpressions.rotate_mat_vec(col("v"), rot, 6).as("r"))
+    val viaFloat = T.embeddings(spark, sf).select(col("vec_id"),
+      NativeExpressions.rotate_mat_vec(col("embedding"), rot, 6).as("r"))
+    assert(viaDouble.join(viaFloat.withColumnRenamed("r", "r2"), "vec_id")
+      .filter(col("r") =!= col("r2")).count() == 0)
+  }
 }

@@ -66,6 +66,62 @@ class UrlsBlocklistSpec extends SparkSpec {
     assert(mid == Set(2L))
   }
 
+  test("blocklistScrub: leftmost-longest semantics match a longest-first regex replace") {
+    val pats = Seq("a", "aa", "ab", "aba", "bab", "b a")
+    // reference: java regex global replace over the longest-first
+    // alternation of the quoted literals — the same construction the
+    // q212 oracle uses in DuckDB (both engines pick the first
+    // alternative matching at the leftmost position)
+    val alt = pats.sortBy(-_.length)
+      .map(java.util.regex.Pattern.quote).mkString("|")
+    def ref(s: String): (String, Long) = {
+      val m = java.util.regex.Pattern.compile(alt).matcher(s)
+      var n = 0L
+      val sb = new StringBuffer
+      while (m.find()) { n += 1; m.appendReplacement(sb, "<X>") }
+      m.appendTail(sb)
+      (sb.toString, n)
+    }
+    val rnd = new scala.util.Random(211L)
+    val inputs = (0 until 200).map(_ =>
+      (0 until rnd.nextInt(30)).map(_ =>
+        "ab "(rnd.nextInt(3))).mkString) :+ "" :+ "ababab" :+ "b ab a"
+    val docs = inputs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val got = Curation.blocklistScrub(docs, "doc_id", "text", pats, "<X>")
+      .collect().map(r => r.getLong(0) -> ((r.getString(2), r.getLong(1))))
+      .toMap
+    inputs.zipWithIndex.foreach { case (t, i) =>
+      assert(got(i.toLong) == ref(t), s"input '$t'")
+    }
+  }
+
+  test("stripBoilerplate: footer stripped, threshold line split, prose kept") {
+    val docs = Seq(
+      // group g1: 4 docs; footer in all 4 (1000‰), nav in 2 (500‰ ≥ 400),
+      // promo in 1 (250‰ < 400 → kept)
+      (1L, "g1", "alpha one. all rights reserved. home about"),
+      (2L, "g1", "beta two. all rights reserved. home about. special offer"),
+      (3L, "g1", "gamma three. all rights reserved"),
+      (4L, "g1", "delta four. all rights reserved"),
+      // group g2: 2 docs; 'all rights reserved' here too but per-GROUP
+      // counting keeps groups independent (2/2 = 1000‰ → stripped);
+      // 'home about' appears once (500‰ but nd=1 < minDocs → kept)
+      (5L, "g2", "epsilon five. all rights reserved. home about"),
+      (6L, "g2", "zeta six. all rights reserved")
+    ).toDF("doc_id", "grp", "text")
+    val out = Curation.stripBoilerplate(docs, "doc_id", "text", "grp",
+      minDocs = 2, minPermille = 400)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    assert(out(1L) == ((3L, 1L, "alpha one")))
+    assert(out(2L) == ((4L, 2L, "beta two special offer")))
+    assert(out(3L) == ((2L, 1L, "gamma three")))
+    assert(out(4L) == ((2L, 1L, "delta four")))
+    assert(out(5L) == ((3L, 2L, "epsilon five home about")))
+    assert(out(6L) == ((2L, 1L, "zeta six")))
+  }
+
   private def canon(urls: Seq[String]): Seq[(String, Option[String], Option[String])] =
     Urls.canonicalize(urls.zipWithIndex.map { case (u, i) => (i, u) }
         .toDF("id", "url"), "url")
