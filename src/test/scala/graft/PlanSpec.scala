@@ -159,6 +159,29 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Generate posexplode"), p)
   }
 
+  test("blocklist gate/scrub and URL canonicalization are shuffle-free narrow maps") {
+    // the round-13 crawl-curation kernels must stay pure per-row maps at
+    // any corpus size (their 100 TB claim): one broadcast object each,
+    // no Exchange anywhere before a caller's own ordering/aggregation.
+    val docs = graft.core.Tables.documents(spark, sf)
+    val pats = Seq("data", "fast table")
+    val pFilter = plan(graft.scale.Curation.blocklistFilter(
+      docs, "text", pats))
+    assert(!pFilter.contains("Exchange"), pFilter)
+    val pScrub = plan(graft.scale.Curation.blocklistScrub(
+      docs, "doc_id", "text", pats))
+    assert(!pScrub.contains("Exchange"), pScrub)
+    // counts: explode of the per-pattern array is a narrow Generate
+    val pCounts = plan(graft.scale.Curation.blocklistCounts(
+      docs, "doc_id", "text", pats))
+    assert(!pCounts.contains("Exchange"), pCounts)
+    assert(pCounts.contains("Generate posexplode"), pCounts)
+    val pUrl = plan(graft.scale.Urls.canonicalize(
+      docs.withColumn("url",
+        concat(lit("http://"), col("source"), lit(".com/x"))), "url"))
+    assert(!pUrl.contains("Exchange"), pUrl)
+  }
+
   test("hash-split sampling is a shuffle-free narrow filter") {
     import spark.implicits._
     val df = (1L to 100L).toDF("id")

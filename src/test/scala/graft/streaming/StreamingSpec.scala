@@ -68,6 +68,44 @@ class StreamingSpec extends SparkSpec {
       || !streamed(0).getString(6).contains("bob@x.co"))
   }
 
+  test("blocklist scrub + URL canonicalization run unchanged as a streaming transform") {
+    import spark.implicits._
+    import graft.scale.Urls
+    // both are pure narrow maps (broadcast automaton / suffix table +
+    // codegen'd kernels), so the SAME composed function serves batch and
+    // stream — the round-13 gates slot into the q44-style incremental
+    // ingest exactly like the q61/q67 maps above
+    val auto = new graft.functions.AcAutomaton(Array("spam", "bad apple"))
+    val bc = spark.sparkContext.broadcast(auto)
+    def gate(df: org.apache.spark.sql.DataFrame) =
+      Urls.canonicalize(df, "url")
+        .withColumn("__s",
+          graft.functions.NativeExpressions.ac_scrub(col("text"), bc, "<X>"))
+        .select(col("doc_id"), col("__s.n_matches").as("n_scrubbed"),
+          col("__s.scrubbed").as("scrubbed"), col("canonical"),
+          col("registered_domain"))
+    val in = Files.createTempDirectory("graft_bl_in").toString
+    val out = Files.createTempDirectory("graft_bl_out").toString
+    val ckpt = Files.createTempDirectory("graft_bl_ckpt").toString
+    val d1 = Seq(
+      (1L, "clean text", "HTTP://A.Example.COM:80/x#f"),
+      (2L, "spam and a bad apple here", "https://b.example.co.uk/%7Ey"))
+      .toDF("doc_id", "text", "url")
+    val d2 = Seq(
+      (3L, "spamspam", "http://c.example.org"))
+      .toDF("doc_id", "text", "url")
+    d1.write.parquet(s"$in/b1")
+    Streaming.incrementalIngest(spark, in, d1.schema, out, ckpt, gate)
+    d2.write.parquet(s"$in/b2")
+    Streaming.incrementalIngest(spark, in, d1.schema, out, ckpt, gate)
+    val streamed = spark.read.parquet(out).orderBy("doc_id").collect()
+    val batch = gate(d1.union(d2)).orderBy("doc_id").collect()
+    assert(streamed.map(_.toSeq).toSeq == batch.map(_.toSeq).toSeq)
+    assert(streamed(1).getLong(1) == 2L &&
+      streamed(1).getString(2) == "<X> and a <X> here")
+    assert(streamed(0).getString(3) == "http://a.example.com/x")
+  }
+
   test("Misra-Gries summary aggregates incrementally over a stream") {
     import spark.implicits._
     import graft.scale.TextOps
