@@ -862,6 +862,48 @@ object Curation {
         col("n_kept"), col("cleaned"))
   }
 
+  /** CCNet-style perplexity tercile gate (Wenzek et al. 2020 §4.3):
+    * score every document with the self-trained bigram LM
+    * ([[TextOps.bigramNll]] — the exact, oracle-replayable perplexity
+    * stand-in), rank WITHIN EACH LANGUAGE by (avg_nll asc, id), and
+    * bucket by rank tercile — head (0, least surprising), middle (1),
+    * tail (2); CCNet trains on head+middle, so `keep` = tercile < 2.
+    * Rank terciles instead of quantile CUTOFFS: `(rank−1)·3 div n` is
+    * pure integer arithmetic on an exactly-reproducible rank order — no
+    * interpolation, no cutoff ties, engine-exact by construction
+    * (CurationQueries q215's oracle replays it verbatim).
+    *
+    * Docs the LM cannot score (< 2 tokens → null avg_nll) are NOT
+    * dropped (the q89 contract): they ride through with a null tercile
+    * and keep = false — un-scoreable is un-keepable, loudly visible.
+    *
+    * Scale shape: [[TextOps.bigramNll]]'s corpus-count joins, then ONE
+    * per-language exchange ranking a narrow (id, lang, nll) projection
+    * — the window input is GBs at 100 TB, never the text. (CCNet ranks
+    * against per-language LMs; the gate takes whatever scorer's output
+    * shape (id, n, nll) — swap the scorer, keep the gate.)
+    *
+    * Returns (doc_id, lang, n_bigrams, avg_nll, tercile, keep).
+    */
+  def perplexityTercileGate(docs: DataFrame, idCol: String,
+      textCol: String, langCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nll = TextOps.bigramNll(docs, idCol, textCol)
+      .join(docs.select(col(idCol).as("doc_id"), col(langCol).as("lang")),
+        "doc_id")
+    val byLang = Window.partitionBy(col("lang"))
+    val ranked = nll.filter(col("avg_nll").isNotNull)
+      .withColumn("rank", row_number()
+        .over(byLang.orderBy(col("avg_nll"), col("doc_id"))).cast("long"))
+      .withColumn("n", count(lit(1)).over(byLang))
+      .select(col("doc_id").as("__tid"),
+        call_function("div", (col("rank") - 1L) * 3L, col("n"))
+          .as("tercile"))
+    nll.join(ranked, col("doc_id") === col("__tid"), "left")
+      .select(col("doc_id"), col("lang"), col("n_bigrams"), col("avg_nll"),
+        col("tercile"), coalesce(col("tercile") < 2, lit(false)).as("keep"))
+  }
+
   /** Above this estimated-input size (Catalyst plan statistics), the
     * skew-safe formulations of [[dedupSentences]] and [[sourceQuota]]
     * take over. 1 GiB: far below anything a hot key could break, far

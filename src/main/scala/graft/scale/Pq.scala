@@ -228,6 +228,24 @@ object Pq {
     buildIvfPqIndex(Opq.rotate(corpus, idCol, vecCol, rotation, roundDp),
       idCol, vecCol, coarse, codebooks)
 
+  /** [[mergeIvfPqIndex]] in OPQ-rotated space: the arriving batch is
+    * rotated with the SAME frozen rotation the index was built with
+    * before cell assignment and encoding (rotation is part of the
+    * frozen model set, exactly like `coarse` and `codebooks` — retrain
+    * all three together or none). Completes the rotated index
+    * lifecycle: build ([[buildIvfPqIndexRotated]]) → merge → serve
+    * ([[ivfPqTopKRotated]]). Same batch-wins anti-join contract; with
+    * frozen models, merge(build(A), B) ≡ build((A ∖ ids(B)) ∪ B) holds
+    * bit for bit in rotated space too (q214 oracle-certifies it through
+    * the composed search).
+    */
+  def mergeIvfPqIndexRotated(index: DataFrame, batch: DataFrame,
+      idCol: String, vecCol: String, rotation: Array[Array[Double]],
+      coarse: Array[Array[Double]],
+      codebooks: Array[Array[Array[Double]]], roundDp: Int = 6): DataFrame =
+    mergeIvfPqIndex(index, Opq.rotate(batch, idCol, vecCol, rotation, roundDp),
+      idCol, vecCol, coarse, codebooks)
+
   /** [[ivfPqTopK]] against a [[buildIvfPqIndexRotated]] index: the query
     * rotates ONCE on the driver (d² flops — [[Opq.rotateVector]], same
     * fold order and rounding as the build side) and the scan path is

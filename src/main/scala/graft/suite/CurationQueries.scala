@@ -921,17 +921,17 @@ object CurationQueries {
     * (source, line), the exact nd·1000 ≥ 400·groupDocs comparison, and
     * the ordered reassembly.
     */
-  private def boilerDocs(s: org.apache.spark.sql.SparkSession, d: String) = {
-    val derived = concat(
-      substring(col("text"), 1, 60), lit(". all rights reserved "),
-      col("source"), lit(". "),
-      when(pmod(col("doc_id"), lit(2)) === 0, lit("home about contact. "))
-        .otherwise(lit("")),
-      when(pmod(col("doc_id"), lit(5)) === 0, lit("special offer today. "))
-        .otherwise(lit("")),
-      substring(col("text"), 31, 60))
-    T.documents(s, d).withColumn("text", derived)
-  }
+  private def boilerTextCol: org.apache.spark.sql.Column = concat(
+    substring(col("text"), 1, 60), lit(". all rights reserved "),
+    col("source"), lit(". "),
+    when(pmod(col("doc_id"), lit(2)) === 0, lit("home about contact. "))
+      .otherwise(lit("")),
+    when(pmod(col("doc_id"), lit(5)) === 0, lit("special offer today. "))
+      .otherwise(lit("")),
+    substring(col("text"), 31, 60))
+
+  private def boilerDocs(s: org.apache.spark.sql.SparkSession, d: String) =
+    T.documents(s, d).withColumn("text", boilerTextCol)
 
   private val boilerDocsSql =
     """substr(text, 1, 60) || '. all rights reserved ' || source || '. ' ||
@@ -1036,6 +1036,87 @@ object CurationQueries {
         MIN(doc_id) AS keeper
       FROM r GROUP BY canonical ORDER BY canonical"""))
 
+  /** Crawl-side curation capstone — the round's new family COMPOSED, the
+    * q204 pattern applied to the web-crawl half of a pipeline:
+    *
+    *   1. canonicalize messy URLs (q213's five-variant derivation);
+    *   2. crawl dedup: keep the min-id doc per canonical URL;
+    *   3. per-DOMAIN boilerplate strip (q211's footer/nav/promo text,
+    *      grouped by the DERIVED registered domain — the composition
+    *      q211 exists for);
+    *   4. blocklist page gate on the CLEANED text ("special offer" —
+    *      the ~20% promo line boilerplate deliberately leaves behind,
+    *      so the two gates demonstrably divide the work);
+    *   5. per-domain quota (rank ≤ 3 by portable bucket).
+    *
+    * ONE hash-match replays every decision: canonical collapse,
+    * keep-first winners, survivor-relative boilerplate thresholds, the
+    * contains-gate (maxHits = 0 ≡ strpos = 0), and the quota rank.
+    * Stages 1, 3-gate, and 4 are narrow kernels; the only exchanges are
+    * the canonical-group min, q211's line counts, and the quota window —
+    * composition adds nothing corpus-wide (the q204 accounting).
+    */
+  private val q216 = GQuery(
+    (s, d) => {
+      val staged = T.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          boilerTextCol.as("text"))
+        .withColumn("url", crawlUrl)
+      val canon = Urls.canonicalize(staged, "url")
+      val surv = canon
+        .join(canon.groupBy(col("canonical"))
+          .agg(min(col("doc_id")).as("__keep")), "canonical")
+        .where(col("doc_id") === col("__keep")).drop("__keep")
+      val stripped = Curation.stripBoilerplate(surv, "doc_id", "text",
+        "registered_domain", minDocs = 2, minPermille = 400)
+      val gated = Curation.blocklistFilter(stripped, "cleaned",
+        Seq("special offer"))
+      Curation.sourceQuota(gated, "doc_id", "registered_domain", quota = 3)
+        .select(col("doc_id"), col("registered_domain"), col("n_lines"),
+          col("n_kept"), col("cleaned"), col("rank"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH u AS (
+        SELECT doc_id, source, doc_id % 5 AS m,
+          CAST(doc_id % 100 AS VARCHAR) AS i,
+          $boilerDocsSql AS text
+        FROM documents),
+      c AS (SELECT doc_id, text,
+          'http://www.' || source || '.com/p/' || i AS canonical,
+          source || '.com' AS dom
+        FROM u),
+      surv AS (SELECT doc_id, text, dom FROM c
+        QUALIFY doc_id = MIN(doc_id) OVER (PARTITION BY canonical)),
+      sl AS (SELECT doc_id, dom,
+          list_filter(list_transform(string_split_regex(text, '\\.'),
+            x -> trim(x)), z -> len(z) > 0) AS l
+        FROM surv),
+      sx AS (SELECT doc_id, dom, i - 1 AS pos, l[i] AS line
+        FROM sl, UNNEST(range(1, len(l) + 1)) AS t(i)),
+      h AS (SELECT doc_id, dom, pos, line, ${ScaleQueries.h62Sql("line")} AS hh
+        FROM sx),
+      gd AS (SELECT dom, COUNT(*)::BIGINT AS gd FROM surv GROUP BY dom),
+      nd AS (SELECT dom, hh, COUNT(DISTINCT doc_id)::BIGINT AS nd
+        FROM h GROUP BY dom, hh),
+      b AS (SELECT nd.dom, nd.hh FROM nd JOIN gd USING (dom)
+        WHERE nd.nd >= 2 AND nd.nd * 1000 >= 400 * gd.gd),
+      k AS (SELECT h.doc_id, h.dom, h.pos, h.line, b.hh IS NULL AS keep
+        FROM h LEFT JOIN b ON h.dom = b.dom AND h.hh = b.hh),
+      cl AS (SELECT doc_id, dom, CAST(COUNT(*) AS BIGINT) AS n_lines,
+          CAST(COUNT(*) FILTER (WHERE keep) AS BIGINT) AS n_kept,
+          COALESCE(string_agg(line, ' ' ORDER BY pos) FILTER (WHERE keep),
+            '') AS cleaned
+        FROM k GROUP BY doc_id, dom),
+      g AS (SELECT * FROM cl WHERE strpos(cleaned, 'special offer') = 0),
+      r AS (SELECT doc_id, dom, n_lines, n_kept, cleaned,
+          CAST(ROW_NUMBER() OVER (PARTITION BY dom
+            ORDER BY ${ScaleQueries.bucketSql("doc_id")}, doc_id) AS BIGINT)
+            AS rank
+        FROM g)
+      SELECT doc_id, dom AS registered_domain, n_lines, n_kept, cleaned,
+        rank
+      FROM r WHERE rank <= 3 ORDER BY doc_id"""))
+
   def all: Map[String, GQuery] = Map(
     "q58_decontamination" -> q58,
     "q207_blocklist_counts" -> q207,
@@ -1044,6 +1125,7 @@ object CurationQueries {
     "q211_boilerplate_removal" -> q211,
     "q212_blocklist_scrub" -> q212,
     "q213_url_crawl_dedup" -> q213,
+    "q216_crawl_capstone" -> q216,
     "q204_curation_pipeline" -> q204,
     "q59_repetition_signals" -> q59,
     "q60_source_quota" -> q60,

@@ -630,6 +630,85 @@ object PipelineQueries {
       SELECT vec_id, cell, adc_dist, rank FROM r WHERE rank <= 10
       ORDER BY rank"""))
 
+  /** Incremental maintenance of the ROTATED IVF+PQ index
+    * (Pq.mergeIvfPqIndexRotated) — q143's frozen-model merge lifecycle
+    * with the rotation as a fourth frozen model: coarse quantizer,
+    * codebooks AND rotation train on the corpus snapshot; the arriving
+    * batch (including re-ingested ids with REVERSED raw embeddings —
+    * changed content) is rotated, assigned, and encoded alone, folded in
+    * batch-wins, and the composed rotated search runs over the merged
+    * index. Completes the rotated lifecycle: build (q210) → merge →
+    * serve. The oracle rebuilds the merged set relationally from RAW
+    * vectors (reverse FIRST, rotate SECOND — order matters and a swap
+    * flips the hash), trains on the rotated snapshot, and replays
+    * probe + cell-restricted ADC in rotated space.
+    */
+  private val q214 = GQuery(
+    (s, d) => {
+      val emb = T.embeddings(s, d)
+      val rot = graft.scale.Opq.hadamardRotation(64)
+      val corpus = emb.where(col("vec_id") % 3 =!= 0)
+      val batch = emb.where(col("vec_id") % 3 === 0)
+        .unionByName(emb.where(col("vec_id") % 21 === 1)
+          .withColumn("embedding", reverse(col("embedding"))))
+      val rc = graft.scale.Opq.rotate(corpus, "vec_id", "embedding", rot)
+      val coarse = graft.scale.Clustering
+        .lloydTrain(rc, "vec_id", "embedding", k = 8, iters = 2)
+      val cb = graft.scale.Pq.trainCodebooks(rc, "vec_id", "embedding",
+        dim = 64, m = 4, k = 4, iters = 2)
+      val idx = graft.scale.Pq.buildIvfPqIndexRotated(corpus, "vec_id",
+        "embedding", rot, coarse, cb)
+      val merged = graft.scale.Pq.mergeIvfPqIndexRotated(idx, batch,
+        "vec_id", "embedding", rot, coarse, cb)
+      val q0 = emb.where(col("vec_id") === 0)
+        .select(transform(col("embedding"), x => x.cast("double")).as("v"))
+        .collect().head.getSeq[Double](0).toArray
+      graft.scale.Pq.ivfPqTopKRotated(merged, "vec_id", rot, coarse, cb, q0,
+        nprobe = 2, topK = 10)
+        .orderBy(col("rank"))
+    },
+    Some(s"""WITH e0 AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings),
+      e AS (SELECT vec_id, ${hadamardRotateSql(64)} AS v FROM e0),
+      b0 AS (
+        SELECT vec_id, v FROM e0 WHERE vec_id % 3 = 0
+        UNION ALL
+        SELECT vec_id, list_reverse(v) AS v FROM e0 WHERE vec_id % 21 = 1),
+      b AS (SELECT vec_id, ${hadamardRotateSql(64)} AS v FROM b0),
+      e_train AS (SELECT vec_id, v FROM e WHERE vec_id % 3 <> 0),
+      m_all AS (
+        SELECT vec_id, v FROM e_train
+        WHERE vec_id NOT IN (SELECT vec_id FROM b)
+        UNION ALL SELECT vec_id, v FROM b),
+      qv AS (SELECT v FROM e WHERE vec_id = 0),
+      ${kmeansCtes("c", "e_train", "v", 8)},
+      ${argminCte("m_all", "v", "c1_c", "cellv")},
+      probe AS (SELECT j FROM (
+        SELECT c1_c.j, ROW_NUMBER() OVER (ORDER BY
+          list_sum(list_transform(list_zip(qv.v, c1_c.c),
+            p -> (p[1]-p[2])**2)), c1_c.j) AS rn
+        FROM c1_c CROSS JOIN qv) WHERE rn <= 2),
+      ${Seq((1, 1, 16), (2, 17, 32), (3, 33, 48), (4, 49, 64))
+        .map { case (s0, lo, hi) =>
+          pqSubspace(s0, lo, hi, trainSrc = "e_train", encodeSrc = "m_all") }
+        .mkString(",\n      ")},
+      cand AS (SELECT cellv.vec_id, cellv.j AS cell
+        FROM cellv JOIN probe ON cellv.j = probe.j),
+      sc AS (SELECT cand.vec_id, cand.cell,
+          round(t_1.dist + t_2.dist + t_3.dist + t_4.dist, 6) AS adc_dist
+        FROM cand
+        JOIN code_1 USING (vec_id) JOIN code_2 USING (vec_id)
+        JOIN code_3 USING (vec_id) JOIN code_4 USING (vec_id)
+        JOIN t_1 ON t_1.j = code_1.j
+        JOIN t_2 ON t_2.j = code_2.j
+        JOIN t_3 ON t_3.j = code_3.j
+        JOIN t_4 ON t_4.j = code_4.j),
+      r AS (SELECT vec_id, cell, adc_dist, CAST(ROW_NUMBER() OVER (
+          ORDER BY adc_dist, vec_id) AS BIGINT) AS rank FROM sc)
+      SELECT vec_id, cell, adc_dist, rank FROM r WHERE rank <= 10
+      ORDER BY rank"""))
+
   /** Per-doc BPE token costing (TextOps.bpeTokenCosts): the q134 merge
     * list applied to every document's token stream through the
     * encoded-vocab broadcast join — the daily operator of a pipeline
@@ -1431,5 +1510,6 @@ object PipelineQueries {
     "q203_containment_vs_index" -> q203,
     "q205_opq_rotated_pq" -> q205,
     "q206_wordpiece_apply" -> q206,
-    "q210_opq_ivfpq_search" -> q210)
+    "q210_opq_ivfpq_search" -> q210,
+    "q214_opq_ivfpq_merge" -> q214)
 }

@@ -975,10 +975,11 @@ object ScaleQueries {
     * docs with < 2 tokens appear with n_bigrams = 0, avg_nll null (the
     * left join is part of the contract — scoring must not drop docs).
     */
-  private val q89 = GQuery(
-    (s, d) => TextOps.bigramNll(T.documents(s, d), "doc_id", "text")
-      .orderBy(col("doc_id")),
-    Some("""WITH toks AS (
+  /** The q89 bigram-NLL oracle CTE chain, shared with q215's tercile
+    * gate: ends with `nll`(doc_id, n_bigrams, avg_nll) — one row per
+    * input doc, avg_nll null when < 2 tokens.
+    */
+  private val bigramNllCtes = """toks AS (
         SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS t
         FROM documents),
       b2 AS (
@@ -998,10 +999,44 @@ object ScaleQueries {
         SELECT doc_id, COUNT(*)::BIGINT AS n_bigrams,
           ROUND(list_reduce(list_prepend(0.0::DOUBLE, list(t ORDER BY bigram)),
             (a, x) -> a + x) / COUNT(*)::DOUBLE, 6) AS avg_nll
-        FROM terms GROUP BY doc_id)
-      SELECT tk.doc_id, COALESCE(agg.n_bigrams, 0)::BIGINT AS n_bigrams,
-        agg.avg_nll
-      FROM toks tk LEFT JOIN agg USING (doc_id) ORDER BY tk.doc_id"""))
+        FROM terms GROUP BY doc_id),
+      nll AS (
+        SELECT tk.doc_id, COALESCE(agg.n_bigrams, 0)::BIGINT AS n_bigrams,
+          agg.avg_nll
+        FROM toks tk LEFT JOIN agg USING (doc_id))"""
+
+  private val q89 = GQuery(
+    (s, d) => TextOps.bigramNll(T.documents(s, d), "doc_id", "text")
+      .orderBy(col("doc_id")),
+    Some(s"""WITH $bigramNllCtes
+      SELECT doc_id, n_bigrams, avg_nll FROM nll ORDER BY doc_id"""))
+
+  /** CCNet perplexity tercile gate (Curation.perplexityTercileGate):
+    * per-language rank terciles over the q89 bigram-LM score — head /
+    * middle kept, tail dropped. The oracle replays the whole chain: the
+    * q89 NLL CTEs verbatim, the per-language (avg_nll, doc_id) rank,
+    * the integer `(rank−1)·3 // n` tercile, and the null-score →
+    * keep=false contract — so one hash-match certifies scorer + gate
+    * composed.
+    */
+  private val q215 = GQuery(
+    (s, d) => Curation.perplexityTercileGate(T.documents(s, d),
+      "doc_id", "text", "lang").orderBy(col("doc_id")),
+    Some(s"""WITH $bigramNllCtes,
+      sc AS (
+        SELECT nll.doc_id, d.lang, nll.n_bigrams, nll.avg_nll
+        FROM nll JOIN documents d USING (doc_id)),
+      r AS (
+        SELECT doc_id,
+          ROW_NUMBER() OVER (PARTITION BY lang
+            ORDER BY avg_nll, doc_id) AS rank,
+          COUNT(*) OVER (PARTITION BY lang) AS n
+        FROM sc WHERE avg_nll IS NOT NULL),
+      t AS (SELECT doc_id, CAST((rank - 1) * 3 // n AS BIGINT) AS tercile
+        FROM r)
+      SELECT sc.doc_id, sc.lang, sc.n_bigrams, sc.avg_nll, t.tercile,
+        COALESCE(t.tercile < 2, false) AS keep
+      FROM sc LEFT JOIN t USING (doc_id) ORDER BY sc.doc_id"""))
 
   /** Exact duplicate-span detection (Dedup.duplicateSpans): 40-char grams
     * at stride 10, per-doc duplicated-gram counts. The md5 gram hashing
@@ -1243,6 +1278,7 @@ object ScaleQueries {
     "q87_cross_corpus_dedup" -> q87,
     "q88_bm25_topk" -> q88,
     "q89_bigram_lm_nll" -> q89,
+    "q215_ppl_tercile_gate" -> q215,
     "q91_duplicate_spans" -> q91,
     "q92_bpe_pair_counts" -> q92,
   )

@@ -172,7 +172,10 @@ object Explain {
       "q210_opq_ivfpq_search", // rotation fused into build scan; serve path unchanged
       "q211_boilerplate_removal", // line explode + group-count join-back, q62 shape
       "q212_blocklist_scrub",  // one automaton pass, zero shuffle
-      "q213_url_crawl_dedup")  // canonical-key collapse, one agg exchange
+      "q213_url_crawl_dedup",  // canonical-key collapse, one agg exchange
+      "q214_opq_ivfpq_merge",  // frozen-model rotated fold, batch-only kernels
+      "q215_ppl_tercile_gate", // corpus-count joins + one per-lang rank exchange
+      "q216_crawl_capstone")   // 5-stage composition, exchanges = sum of parts
 
     val sb = new StringBuilder
     sb.append("# EXPLAIN — flagship physical plans\n\n")

@@ -180,6 +180,63 @@ class UrlsBlocklistSpec extends SparkSpec {
     assert(out(5)._3.isEmpty)
   }
 
+  test("perplexityTercileGate: rank terciles per language, null-score keep=false") {
+    // lang A: 6 scoreable docs -> terciles 0,0,1,1,2,2 by nll order;
+    // lang B: 1 scoreable + 1 unscoreable (single token -> null nll)
+    val rep = (w: String, n: Int) => Seq.fill(n)(w).mkString(" ")
+    val docs = Seq(
+      // common bigrams -> low nll; rare chains -> high nll
+      (1L, "A", rep("x", 20)),          // x->x dominates: least surprising
+      (2L, "A", rep("x", 15)),
+      (3L, "A", rep("x", 10) + " y " + rep("x", 5)),
+      (4L, "A", "x y x y x y"),
+      (5L, "A", "p q r s t u v w"),     // all-singleton bigrams
+      (6L, "A", "m n o k l j i h"),
+      (7L, "B", "x y z"),
+      (8L, "B", "solo")                 // 1 token -> null nll
+    ).toDF("doc_id", "lang", "text")
+    val out = Curation.perplexityTercileGate(docs, "doc_id", "text", "lang")
+      .collect().map(r => r.getLong(0) ->
+        ((if (r.isNullAt(4)) -1L else r.getLong(4)), r.getBoolean(5))).toMap
+    assert(out.size == 8, "no doc dropped")
+    // lang A: exactly two docs per tercile, keep = tercile < 2
+    val aT = (1L to 6L).map(out(_)._1).sorted
+    assert(aT == Seq(0L, 0L, 1L, 1L, 2L, 2L), s"lang A terciles: $aT")
+    (1L to 6L).foreach(id => assert(out(id)._2 == (out(id)._1 < 2)))
+    // lang A's heavy-repetition docs rank head, singleton-bigram docs tail
+    assert(out(1L)._1 == 0L && out(5L)._1 == 2L && out(6L)._1 == 2L)
+    // lang B: single scoreable doc -> tercile 0 kept; null doc dropped
+    assert(out(7L) == ((0L, true)))
+    assert(out(8L) == ((-1L, false)))
+  }
+
+  test("rotated IVF+PQ merge == rotated rebuild over the effective corpus") {
+    val rnd = new scala.util.Random(214L)
+    val all = (0L until 30L).map(i =>
+      (i, Array.fill(8)((rnd.nextInt(200) - 100).toFloat)))
+    val corpus = all.filter(_._1 % 3 != 0).toDF("id", "vec")
+    // batch: new ids + a re-ingested id 3 with changed content
+    val batch = (all.filter(_._1 % 3 == 0) :+
+      ((3L, Array.fill(8)(77f)))).toDF("id", "vec")
+    val effective = (all.filter(x => x._1 % 3 != 0 && x._1 != 3L) ++
+      all.filter(_._1 % 3 == 0) :+ ((3L, Array.fill(8)(77f))))
+      .toDF("id", "vec")
+    val rot = Opq.trainRotation(corpus, "vec", dim = 8, m = 4)
+    val rc = Opq.rotate(corpus, "id", "vec", rot)
+    val coarse = Clustering.lloydTrain(rc, "id", "vec", k = 4, iters = 2)
+    val cb = Pq.trainCodebooks(rc, "id", "vec", dim = 8, m = 4, k = 4,
+      iters = 2)
+    val merged = Pq.mergeIvfPqIndexRotated(
+      Pq.buildIvfPqIndexRotated(corpus, "id", "vec", rot, coarse, cb),
+      batch, "id", "vec", rot, coarse, cb)
+    val rebuilt = Pq.buildIvfPqIndexRotated(effective, "id", "vec", rot,
+      coarse, cb)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("id").collect().toSeq
+        .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Int](2)))
+    assert(rows(merged) == rows(rebuilt))
+  }
+
   test("rotated IVF+PQ composed search: recall >= plain on variance-concentrated vectors") {
     // the AnalyticsSpec q205 fixture shape, through the COMPOSED path:
     // all information in dims 0-1, so unrotated subspace (0,1) has k=4
