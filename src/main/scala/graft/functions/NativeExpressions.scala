@@ -2208,7 +2208,11 @@ case class CanonicalUrlParts(child: Expression) extends UnaryExpression {
       } else host = lower(hostport)
     } else {
       val colon = hostport.lastIndexOf(':')
-      if (colon >= 0 &&
+      // >1 colon unbracketed = malformed IPv6 literal (2001:db8::1), not
+      // host:port — splitting at the last colon would corrupt the host
+      // ('2001:db8:' port '1') and poison per-domain grouping downstream
+      val multiColon = colon >= 0 && hostport.indexOf(':') != colon
+      if (colon >= 0 && !multiColon &&
         (colon + 1 until hostport.length).forall(k =>
           hostport.charAt(k) >= '0' && hostport.charAt(k) <= '9')) {
         host = lower(hostport.substring(0, colon))
@@ -2344,6 +2348,21 @@ case class RotateMatVec(child: Expression, rotation: Array[Array[Double]],
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
   override def nullable: Boolean = child.nullable
 
+  // Only float/double element arrays: ArrayData.getFloat/getDouble would
+  // silently misread any other numeric layout (array<int>, array<decimal>),
+  // whereas the HOF formulation this kernel replaced cast them. Fail at
+  // analysis instead of returning garbage.
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType | DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"rotate_mat_vec requires array<float> or array<double> input, " +
+            s"got ${other.catalogString}")
+    }
+
   @transient private lazy val isFloat: Boolean =
     child.dataType.asInstanceOf[ArrayType].elementType == FloatType
 
@@ -2363,8 +2382,13 @@ case class RotateMatVec(child: Expression, rotation: Array[Array[Double]],
       var acc = 0.0
       var k = 0
       while (k < d) { acc += x(k) * row(k); k += 1 }
-      out(r) = BigDecimal(acc)
-        .setScale(roundDp, BigDecimal.RoundingMode.HALF_UP).toDouble
+      // Non-finite passes through unchanged — Spark's RoundBase does the
+      // same, and BigDecimal(NaN) would throw NumberFormatException,
+      // failing the whole job on the first NaN embedding.
+      out(r) =
+        if (java.lang.Double.isNaN(acc) || java.lang.Double.isInfinite(acc)) acc
+        else BigDecimal(acc)
+          .setScale(roundDp, BigDecimal.RoundingMode.HALF_UP).toDouble
       r += 1
     }
     new GenericArrayData(out)

@@ -749,6 +749,7 @@ object Curation {
     */
   def blocklistCounts(docs: DataFrame, idCol: String, textCol: String,
       patterns: Seq[String], foldCase: Boolean = true): DataFrame = {
+    requireLowercasePatterns(patterns, foldCase)
     val auto = new graft.functions.AcAutomaton(patterns.toArray)
     val bc = docs.sparkSession.sparkContext.broadcast(auto)
     val text = if (foldCase) lower(col(textCol)) else col(textCol)
@@ -762,6 +763,19 @@ object Curation {
         col("hits"))
   }
 
+  /** With foldCase the TEXT is lowercased before matching, so an
+    * uppercase pattern can never match — for [[blocklistFilter]] that
+    * silently passes pages that should be dropped. Fail loudly instead.
+    */
+  private def requireLowercasePatterns(patterns: Seq[String],
+      foldCase: Boolean): Unit =
+    if (foldCase) {
+      val bad = patterns.filter(p => p != p.toLowerCase(java.util.Locale.ROOT))
+      require(bad.isEmpty,
+        s"foldCase=true lowercases the text, so patterns must already be " +
+          s"lowercase; offending: ${bad.take(5).mkString(", ")}")
+    }
+
   /** The blocklist page gate: keep documents whose TOTAL blocklist hits
     * are ≤ `maxHits` (C4 drops any page with a single hit — the default).
     * Single [[graft.functions.AhoCorasickTotal]] pass per row, no
@@ -772,6 +786,7 @@ object Curation {
       patterns: Seq[String], maxHits: Long = 0,
       foldCase: Boolean = true): DataFrame = {
     require(maxHits >= 0, s"maxHits must be >= 0: $maxHits")
+    requireLowercasePatterns(patterns, foldCase)
     val auto = new graft.functions.AcAutomaton(patterns.toArray)
     val bc = docs.sparkSession.sparkContext.broadcast(auto)
     val text = if (foldCase) lower(col(textCol)) else col(textCol)

@@ -114,7 +114,10 @@ object Opq {
       var acc = 0.0
       var j = 0
       while (j < row.length) { acc += q(j) * row(j); j += 1 }
-      BigDecimal(acc).setScale(roundDp, BigDecimal.RoundingMode.HALF_UP)
+      // non-finite passes through, mirroring RotateMatVec / Spark's
+      // RoundBase (BigDecimal(NaN) throws)
+      if (acc.isNaN || acc.isInfinite) acc
+      else BigDecimal(acc).setScale(roundDp, BigDecimal.RoundingMode.HALF_UP)
         .toDouble
     }
 }

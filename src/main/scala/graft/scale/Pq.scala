@@ -204,14 +204,6 @@ object Pq {
       .union(newRows)
   }
 
-  /** IVF+PQ query: probe the `nprobe` cells nearest the query (driver
-    * arithmetic, (distance, index) tiebreak), then ADC-rank ONLY the
-    * index rows in those cells — the composed shape that makes
-    * billion-scale ANN a partition-pruned scan of compressed codes:
-    * candidate set ≈ nprobe/k of the corpus, candidate bytes ≈ m per
-    * vector, zero joins and zero shuffles beyond the TakeOrdered cut.
-    * Returns (idCol, cell, adc_dist, rank).
-    */
   /** [[buildIvfPqIndex]] in OPQ-rotated space: every vector is rotated
     * ([[Opq.rotate]] — one broadcast d×d narrow fold fused into the
     * scan, zero extra shuffle) before coarse assignment and subspace
@@ -262,6 +254,14 @@ object Pq {
     ivfPqTopK(index, idCol, coarse, codebooks,
       Opq.rotateVector(query, rotation, roundDp), nprobe, topK)
 
+  /** IVF+PQ query: probe the `nprobe` cells nearest the query (driver
+    * arithmetic, (distance, index) tiebreak), then ADC-rank ONLY the
+    * index rows in those cells — the composed shape that makes
+    * billion-scale ANN a partition-pruned scan of compressed codes:
+    * candidate set ≈ nprobe/k of the corpus, candidate bytes ≈ m per
+    * vector, zero joins and zero shuffles beyond the TakeOrdered cut.
+    * Returns (idCol, cell, adc_dist, rank).
+    */
   def ivfPqTopK(index: DataFrame, idCol: String,
       coarse: Array[Array[Double]], codebooks: Array[Array[Array[Double]]],
       query: Array[Double], nprobe: Int, topK: Int): DataFrame = {

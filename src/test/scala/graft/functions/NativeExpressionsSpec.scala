@@ -538,4 +538,47 @@ class NativeExpressionsSpec extends SparkSpec {
     assert(viaDouble.join(viaFloat.withColumnRenamed("r", "r2"), "vec_id")
       .filter(col("r") =!= col("r2")).count() == 0)
   }
+
+  test("rotate_mat_vec: non-finite inputs pass through like Catalyst round") {
+    // Catalyst's RoundBase leaves NaN/Infinity unchanged; BigDecimal(NaN)
+    // throws — a NaN embedding must not fail the job (r13 ADVICE). The
+    // HOF twin is the parity oracle: round(NaN, 6) = NaN, round(Inf) = Inf.
+    import spark.implicits._
+    val rot = graft.scale.Opq.hadamardRotation(4)
+    val df = Seq(
+      (1L, Array(Double.NaN, 1.0, 2.0, 3.0)),
+      (2L, Array(Double.PositiveInfinity, 1.0, 2.0, 3.0)),
+      (3L, Array(0.5, -0.25, 0.125, 1.0)) // finite control row
+    ).toDF("id", "v")
+    val hofDims = rot.toIndexedSeq.map { row =>
+      round(aggregate(
+        zip_with(col("v"), array(row.toIndexedSeq.map(lit): _*),
+          (x, w) => x * w), lit(0.0), (acc, z) => acc + z), 6)
+    }
+    val both = df
+      .withColumn("hof", array(hofDims: _*))
+      .withColumn("native", NativeExpressions.rotate_mat_vec(col("v"), rot, 6))
+      .collect()
+    for (r <- both) {
+      val hof = r.getSeq[Double](2)
+      val nat = r.getSeq[Double](3)
+      assert(hof.zip(nat).forall { case (a, b) =>
+        (a.isNaN && b.isNaN) || a == b }, s"row ${r.getLong(0)}: $hof vs $nat")
+    }
+    // driver-side twin: Opq.rotateVector must survive non-finite too
+    val v = graft.scale.Opq.rotateVector(
+      Array(Double.NaN, 1.0, 2.0, 3.0), rot)
+    assert(v.forall(_.isNaN)) // Hadamard mixes every input into every output
+  }
+
+  test("rotate_mat_vec: rejects non-float/double element types at analysis") {
+    import spark.implicits._
+    val rot = graft.scale.Opq.hadamardRotation(4)
+    val bad = Seq((1L, Array(1, 2, 3, 4))).toDF("id", "v")
+    val e = intercept[Exception] {
+      bad.select(NativeExpressions.rotate_mat_vec(col("v"), rot, 6)).collect()
+    }
+    assert(e.getMessage.contains("array<float> or array<double>"),
+      e.getMessage)
+  }
 }

@@ -282,4 +282,40 @@ class UrlsBlocklistSpec extends SparkSpec {
     assert(math.max(had, opq) > plain,
       s"rotation must strictly improve composed recall here: plain=$plain had=$had opq=$opq")
   }
+
+  test("url canonicalization: malformed unbracketed IPv6 is not split host:port") {
+    // r13 ADVICE: 'http://2001:db8::1/x' used to split at the LAST colon,
+    // yielding host '2001:db8:' port '1' — a corrupted host fed to
+    // registered-domain grouping. >1 unbracketed colon = whole authority
+    // is the host, no port.
+    val out = canon(Seq(
+      "http://2001:db8::1/x",      // malformed IPv6 literal, no brackets
+      "http://host:80:80/x",       // double port-ish garbage
+      "http://host:8080/x"         // single colon still splits normally
+    ))
+    assert(out(0) == (("http://2001:db8::1/x", Some("2001:db8::1"), None)))
+    assert(out(1) == (("http://host:80:80/x", Some("host:80:80"), None)))
+    assert(out(2)._2.contains("host"))
+    assert(out(2)._1 == "http://host:8080/x")
+    // and the new form stays idempotent
+    val once = canon(Seq("http://2001:db8::1/x")).map(_._1)
+    assert(canon(once).map(_._1) == once)
+  }
+
+  test("blocklist: uppercase patterns under foldCase fail loudly") {
+    // foldCase lowercases the TEXT, so an uppercase pattern can never
+    // match — for the gate that silently PASSES pages that should drop
+    val docs = Seq((1L, "some spam here")).toDF("doc_id", "text")
+    val e1 = intercept[IllegalArgumentException] {
+      Curation.blocklistCounts(docs, "doc_id", "text", Seq("SPAM"))
+    }
+    assert(e1.getMessage.contains("lowercase"))
+    val e2 = intercept[IllegalArgumentException] {
+      Curation.blocklistFilter(docs, "text", Seq("Spam"))
+    }
+    assert(e2.getMessage.contains("lowercase"))
+    // foldCase=false keeps case-sensitive patterns legal
+    assert(Curation.blocklistFilter(docs, "text", Seq("SPAM"),
+      foldCase = false).count() == 1)
+  }
 }
