@@ -556,12 +556,168 @@ object Dedup {
       excludeSelfPairs = false, bloomBoundPostings = true)
   }
 
+  /** Inverted posting store over a [[jaccardIndex]]: one row per
+    * (container doc, shingle hash) — (id_b, nb, g, bucket) with
+    * bucket = pmod(g, buckets) — meant to be written
+    * `.write.partitionBy("bucket")` so a serve reads ONLY the
+    * partitions whose bucket some batch shingle lands in. This is the
+    * store [[containmentPairsAgainstIndex]]'s scaladoc calls
+    * "unavoidable without an inverted posting store": that path still
+    * SCANS every persisted array per serve (narrow and Bloom-pruned,
+    * but corpus-sized I/O); against this store, serve I/O is bounded by
+    * the BATCH's shingle buckets. Size `buckets` ∝ corpus (a layout
+    * decision, like shuffle partitions) so each partition stays
+    * constant-sized as the corpus grows — a fixed batch then touches a
+    * fixed number of constant-sized partitions: serve cost ~O(batch),
+    * decade exponent ~0 on corpus size.
+    *
+    * Rows carry no corpus-global state (nb is per-doc), so the store
+    * composes with the batch-wins merge ([[containmentPostingStoreMerge]])
+    * exactly: merge(store(A), B) ≡ store((A ∖ ids(B)) ∪ B) row for row.
+    * `buckets` and the index's shingleSize are part of the store's
+    * contract (the [[minhashIndex]] note).
+    */
+  def containmentPostingStore(index: DataFrame, buckets: Int): DataFrame = {
+    require(buckets > 0, s"buckets must be positive: $buckets")
+    index.select(col("id").as("id_b"),
+        size(col("sh")).cast("long").as("nb"), explode(col("sh")).as("g"))
+      .withColumn("bucket", pmod(col("g"), lit(buckets.toLong)).cast("int"))
+  }
+
+  /** Batch-wins maintenance of a [[containmentPostingStore]]: drop every
+    * posting of a re-ingested id (by-doc anti-join — a re-ingested doc's
+    * old postings must vanish even for shingles its new text no longer
+    * contains, the [[graft.scale.Retrieval.bm25IndexMerge]] argument),
+    * then append the batch's fresh postings. The anti-join ships 8-byte
+    * ids; at 100 TB the rewrite touches only the buckets the batch's
+    * shingles land in plus the re-ingested ids' old buckets.
+    */
+  def containmentPostingStoreMerge(store: DataFrame, batch: DataFrame,
+      idCol: String, textCol: String, shingleSize: Int,
+      buckets: Int): DataFrame = {
+    val fresh = containmentPostingStore(
+      shingleSetFrame(batch, idCol, textCol, shingleSize), buckets)
+    store.select(col("id_b"), col("nb"), col("g"), col("bucket"))
+      .join(fresh.select(col("id_b").as("__bid")).distinct(),
+        col("id_b") === col("__bid"), "left_anti")
+      .union(fresh)
+  }
+
+  /** [[containmentPairsAgainstIndex]] served from a
+    * [[containmentPostingStore]] — same semantics (directed containment
+    * |A∩B|/|A| ≥ t of batch probes against indexed containers, self
+    * pairs kept by the q136 re-ingest convention), but the container
+    * side never rescans: every container-side read below is the store
+    * pruned to the BATCH's shingle buckets (partition pruning on the
+    * `bucket` column when the store was written partitionBy("bucket"))
+    * and Bloom-filtered to the batch's shingle hashes. Three passes
+    * over that pruned slice:
+    *
+    *  1. df pass — exact per-shingle index document frequency for the
+    *     batch's shingles only (the pruned slice holds every posting of
+    *     every batch shingle, so the counts are exact; Bloom false
+    *     positives add phantom shingles no probe carries).
+    *  2. candidate pass — each probe posts its (n − ⌈t·n⌉ + 1) RAREST
+    *     shingles (df ascending, hash tiebreak; recall 1 by the
+    *     one-sided prefix theorem, which holds for ANY prefix-sized
+    *     subset — rarest-first just minimizes the posting lists the
+    *     prefixes join). Container-length bound nb ≥ ⌈t·na⌉ prunes
+    *     before the aggregate.
+    *  3. verify pass — EXACT overlap |A∩B| as a count of matching
+    *     (probe shingle, container posting) rows, with the container
+    *     side semi-joined to the candidate ids first: a corpus-hot
+    *     shingle fans out only across candidate containers (output-
+    *     bounded), never across the whole slice.
+    *
+    * Driver state: the distinct bucket list (≤ min(batch shingles,
+    * buckets) ints — parameter-bounded, the k-centroids pattern).
+    * Returns (id_a, id_b, containment).
+    */
+  /** The container-side read of [[containmentAgainstPostingStore]]: the
+    * store restricted to the batch's shingle buckets (an In-list on the
+    * partition column — PARTITION pruning when the store was written
+    * partitionBy("bucket"); DedupLifecycleSpec pins the PartitionFilters
+    * plan shape) and Bloom-filtered to the batch's shingle hashes. Exact
+    * for every batch shingle: bucket pruning is exact and the Bloom has
+    * no false negatives, so every posting of every batch shingle
+    * survives — only batch-irrelevant postings are dropped. Driver
+    * state: the distinct bucket list (≤ min(batch shingles, buckets)
+    * ints — parameter-bounded, the k-centroids pattern). Past half the
+    * buckets the In-list stops paying (the pruned scan approaches a full
+    * one and a giant In bloats planning), so it is skipped and the Bloom
+    * alone bounds the rows.
+    */
+  private[scale] def postingStoreSlice(store: DataFrame, batG: DataFrame,
+      buckets: Int): DataFrame = {
+    val bucketList = batG
+      .select(pmod(col("g"), lit(buckets.toLong)).cast("int").as("bucket"))
+      .distinct().collect().map(_.getInt(0)).sorted
+    if (bucketList.isEmpty)
+      return store.select(col("id_b"), col("nb"), col("g")).limit(0)
+    val nG = batG.count()
+    val bloomA = store.sparkSession.sparkContext.broadcast(
+      batG.stat.bloomFilter("g", math.max(nG, 1L), 0.001))
+    val byBucket =
+      if (bucketList.length * 2 > buckets) store
+      else store.where(col("bucket").isin(bucketList.toIndexedSeq: _*))
+    byBucket
+      .where(graft.functions.NativeExpressions
+        .bloom_might_contain_long(col("g"), bloomA))
+      .select(col("id_b"), col("nb"), col("g"))
+  }
+
+  def containmentAgainstPostingStore(store: DataFrame, batch: DataFrame,
+      idCol: String, textCol: String, shingleSize: Int = 2,
+      threshold: Double = 0.8, buckets: Int = 1024): DataFrame = {
+    require(threshold > 0 && threshold <= 1, s"threshold in (0,1]: $threshold")
+    require(buckets > 0, s"buckets must be positive: $buckets")
+    val tNum = math.floor(threshold * 1e6).toLong
+    val tDen = 1000000L
+    val bat = sharedShuffle(
+      shingleSetFrame(batch, idCol, textCol, shingleSize), col("id"))
+    val batG = bat.select(explode(col("sh")).as("g")).distinct()
+    val postA = sharedShuffle(
+      postingStoreSlice(store, batG, buckets), col("g"))
+    // 1. exact df of each batch shingle in the index
+    val dfIdx = postA.groupBy(col("g")).agg(count(lit(1)).as("df"))
+    // 2. rarest-first probe prefixes (missing from index -> df 0 = rarest)
+    val probes = bat.select(col("id").as("id_a"),
+      size(col("sh")).cast("long").as("na"), explode(col("sh")).as("g"))
+    val ceilTnA = call_function("div",
+      col("na") * tNum + (tDen - 1), lit(tDen))
+    val rankW = Window.partitionBy(col("id_a"))
+      .orderBy(col("df").asc, col("g").asc)
+    val pref = probes
+      .join(dfIdx, Seq("g"), "left").na.fill(0L, Seq("df"))
+      .withColumn("rk", row_number().over(rankW).cast("long"))
+      .where(col("rk") <= col("na") - ceilTnA + 1L)
+      .select(col("id_a"), col("na"), col("g"))
+    val cand = pref.join(postA, "g")
+      .where(col("nb") * tDen >= col("na") * tNum)
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(min(col("na")).as("na"), min(col("nb")).as("nb"))
+    // 3. exact overlap, container side bounded to candidate ids
+    val candIds = cand.select(col("id_b")).distinct()
+    val o = probes.select(col("id_a"), col("g"))
+      .join(postA.join(candIds, "id_b").select(col("id_b"), col("g")), "g")
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("o"))
+    cand.join(o, Seq("id_a", "id_b"))
+      .withColumn("containment", col("o").cast("double") / col("na"))
+      .filter(col("containment") >= threshold)
+      .select(col("id_a"), col("id_b"),
+        round(col("containment"), 6).as("containment"))
+  }
+
   /** Shared pair stage of [[containmentPairs]] (probe = container =
     * the one frozen corpus frame) and [[containmentPairsAgainstIndex]]
     * (probe = batch, container = persisted index): probe prefixes join
     * container postings under the given global `ordered` view, then the
     * container-length and one-sided PPJoin positional bounds prune
     * before the exact sorted-merge verify.
+    *
+    * For the posting-STORE serve path (no per-serve container scan at
+    * all) see [[containmentAgainstPostingStore]].
     *
     * `excludeSelfPairs`: the direct form is a self-join of one frame,
     * where id_a = id_b is vacuous noise; the index serve path keeps
@@ -1660,6 +1816,84 @@ object Dedup {
         (length(col("__text")) - length(col("text_clean"))).cast("long")
           .as("n_chars_removed"),
         col("text_clean"))
+  }
+
+  /** EXACT duplicate-span detection at FULL fidelity (Lee et al. 2022's
+    * ExactSubstr semantics, no stride floor): a byte of a document is
+    * duplicated iff SOME length-≥ minLen substring covering it occurs
+    * elsewhere in the corpus (another position of any document,
+    * including the same one) — and that holds iff some length-EXACTLY-
+    * minLen window covering it occurs ≥ 2 times (any longer duplicated
+    * substring contains duplicated minLen-windows covering all its
+    * bytes; a duplicated minLen-window IS a duplicated substring). So
+    * the exact cover is computed from every-position minLen-grams —
+    * [[duplicateSpans]]'s stride sampling can only see spans ≥
+    * 1.5×gram; this sees every duplicated substring ≥ minLen, down to
+    * the minimal ones.
+    *
+    * Distributed suffix-grouping in two passes (the scalable stand-in
+    * for the paper's suffix array, which doesn't distribute):
+    *
+    *  1. hash pass — every position's minLen-gram xxhash64, groupBy
+    *     hash with map-side combine: the exchange carries 16-byte
+    *     (hash, count) partials, never gram strings (minLen× less
+    *     traffic than grouping strings directly);
+    *  2. exact verify — only positions whose HASH repeats re-extract
+    *     their actual gram string (candidate volume ≈ true duplicates +
+    *     the ~2⁻⁶⁴ collision share) and group on the STRING: equal
+    *     strings always share a hash, so every true duplicate reaches
+    *     this group intact, and a hash collision between different
+    *     strings is split here instead of creating a phantom span —
+    *     exactness does not rest on 64-bit injectivity.
+    *
+    * Duplicated positions then merge into maximal spans per document
+    * (overlapping/touching [s, s+minLen) intervals — the
+    * [[removeDuplicateSpans]] island convention: a gap needs
+    * s − prev > minLen). Documents shorter than minLen have no
+    * length-minLen substring and yield no rows, exactly the paper's
+    * contract. Returns (doc_id, span_start, span_len, n_positions) —
+    * one row per maximal duplicated span.
+    */
+  def exactDuplicateSpans(docs: DataFrame, idCol: String, textCol: String,
+      minLen: Int = 30): DataFrame = {
+    require(minLen > 0, s"minLen must be positive: $minLen")
+    val L = minLen
+    val starts = sequence(lit(1), length(col(textCol)) - (L - 1))
+    val grams = sharedShuffle(docs
+      .where(length(col(textCol)) >= L)
+      .select(col(idCol).as("doc_id"), explode(starts).as("__s"),
+        col(textCol))
+      .select(col("doc_id"), col("__s"),
+        xxhash64(substring(col(textCol), col("__s"), lit(L))).as("__h")),
+      col("__h"))
+    val hotHashes = grams.groupBy(col("__h")).agg(count(lit(1)).as("__n"))
+      .where(col("__n") > 1L).select(col("__h"))
+    // candidates re-extract their gram STRING for the exact group —
+    // doc-keyed join back to the text, then string-keyed aggregate
+    val cand = grams.join(hotHashes, "__h")
+      .select(col("doc_id"), col("__s"))
+      .join(docs.select(col(idCol).as("doc_id"),
+        col(textCol).as("__text")), "doc_id")
+      .select(col("doc_id"), col("__s"),
+        substring(col("__text"), col("__s"), lit(L)).as("__g"))
+    val gramCounts = cand.groupBy(col("__g")).agg(count(lit(1)).as("__gn"))
+      .where(col("__gn") > 1L).select(col("__g"))
+    val dupPos = cand.join(gramCounts, "__g")
+      .select(col("doc_id"), col("__s").cast("long").as("s"))
+    // maximal spans: gaps-and-islands over sorted positions per doc
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("s"))
+    dupPos
+      .withColumn("__brk",
+        when(col("s") - lag(col("s"), 1).over(byDoc) <= L, 0L)
+          .otherwise(1L))
+      .withColumn("__island", sum(col("__brk")).over(
+        byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_id"), col("__island"))
+      .agg(min(col("s")).as("span_start"),
+        (max(col("s")) + L - min(col("s"))).as("span_len"),
+        count(lit(1)).as("n_positions"))
+      .select(col("doc_id"), col("span_start"), col("span_len"),
+        col("n_positions"))
   }
 
   /** LSH quality evaluation: [[minhashDupPairs]]' output measured

@@ -1488,6 +1488,74 @@ object PipelineQueries {
       WHERE inter / na >= 0.4
       ORDER BY id_a, id_b"""))
 
+  /** Full lifecycle of the INVERTED POSTING STORE serve path
+    * (Dedup.containmentPostingStore / …Merge / …AgainstPostingStore):
+    * build the store over a STALE even-doc corpus (every doc_id % 20 = 2
+    * doc carries a bogus suffix), write it partitionBy("bucket"),
+    * batch-wins merge the true text back in (the re-ingest repairs the
+    * store), then serve q203's EXACT batch (odd docs ≤ 100, t = 0.4,
+    * 2-shingles) from the merged store. The effective corpus after the
+    * merge is exactly q203's, so the oracle IS q203's exact directed-
+    * containment enumeration — one hash-match certifies posting
+    * construction, the by-doc batch-wins merge, bucket partition
+    * pruning, the rarest-first prefix candidates, and the count-based
+    * exact overlap verify in one go. Unlike q203's serve (which scans
+    * every persisted array per batch), this path's container I/O is
+    * bounded by the batch's shingle buckets — the store the q203
+    * scaladoc named as the missing piece. DedupLifecycleSpec pins the
+    * PartitionFilters plan shape; the decade probe measures the ~0
+    * corpus exponent.
+    */
+  private val q217 = GQuery(
+    (s, d) => {
+      val docs = T.documents(s, d)
+      val dir = Scratch.fresh("graft_ctpost_")
+      val buckets = 64
+      val stale = docs.where(col("doc_id") % 2 === 0)
+        .withColumn("text", when(col("doc_id") % 20 === 2,
+          concat(col("text"), lit(" stale stale stale")))
+          .otherwise(col("text")))
+      graft.scale.Dedup.containmentPostingStore(
+          graft.scale.Dedup.jaccardIndex(stale, "doc_id", "text",
+            shingleSize = 2), buckets)
+        .write.mode("overwrite").partitionBy("bucket")
+        .parquet(s"$dir/store")
+      val reingest = docs.where(col("doc_id") % 2 === 0 &&
+        col("doc_id") % 20 === 2)
+      graft.scale.Dedup.containmentPostingStoreMerge(
+          s.read.parquet(s"$dir/store"), reingest, "doc_id", "text",
+          shingleSize = 2, buckets = buckets)
+        .write.mode("overwrite").partitionBy("bucket")
+        .parquet(s"$dir/merged")
+      graft.scale.Dedup.containmentAgainstPostingStore(
+          s.read.parquet(s"$dir/merged"),
+          docs.where(col("doc_id") % 2 === 1 && col("doc_id") <= 100),
+          "doc_id", "text", shingleSize = 2, threshold = 0.4,
+          buckets = buckets)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+    Some("""WITH toks AS (
+        SELECT doc_id, list_filter(string_split_regex(text, '\s+'),
+          x -> len(x) > 0) AS t
+        FROM documents),
+      sh AS (
+        SELECT doc_id,
+          CASE WHEN len(t) >= 2
+            THEN list_distinct(list_transform(range(1, len(t)),
+              i -> t[i] || ' ' || t[i+1]))
+            ELSE [array_to_string(t, ' ')] END AS s
+        FROM toks),
+      pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+          CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) AS inter,
+          CAST(len(a.s) AS DOUBLE) AS na
+        FROM sh a JOIN sh b
+          ON a.doc_id % 2 = 1 AND a.doc_id <= 100 AND b.doc_id % 2 = 0)
+      SELECT id_a, id_b, ROUND(inter / na, 6) AS containment
+      FROM pairs
+      WHERE inter / na >= 0.4
+      ORDER BY id_a, id_b"""))
+
   val all: Map[String, GQuery] = Map(
     "q134_bpe_apply" -> q134,
     "q135_pagerank_dangling" -> q135,
@@ -1508,6 +1576,7 @@ object PipelineQueries {
     "q150_mixture_epochs" -> q150,
     "q202_jaccard_index_lifecycle" -> q202,
     "q203_containment_vs_index" -> q203,
+    "q217_containment_posting_store" -> q217,
     "q205_opq_rotated_pq" -> q205,
     "q206_wordpiece_apply" -> q206,
     "q210_opq_ivfpq_search" -> q210,

@@ -1060,6 +1060,41 @@ object ScaleQueries {
           / COUNT(*)::DOUBLE, 6) AS dup_ratio
       FROM g JOIN c USING (h) GROUP BY doc_id ORDER BY doc_id"""))
 
+  /** EXACT duplicate spans at full ExactSubstr fidelity
+    * (Dedup.exactDuplicateSpans): every-position 30-grams, hash
+    * prefilter, exact STRING verify, maximal island merge — unlike
+    * q91's stride sampling, this certifies every duplicated substring
+    * ≥ 30 chars down to the minimal ones. The oracle replays the whole
+    * derivation from brute force (all positions, substr group, island
+    * windows), so a hash-match certifies the two-pass hash+verify
+    * pipeline finds EXACTLY the duplicated position set — including
+    * that the hash prefilter lost nothing and the string verify added
+    * nothing.
+    */
+  private val q218 = GQuery(
+    (s, d) => Dedup.exactDuplicateSpans(T.documents(s, d), "doc_id",
+        "text", minLen = 30)
+      .orderBy(col("doc_id"), col("span_start")),
+    Some("""WITH pos AS (
+        SELECT doc_id, unnest(range(1, len(text) - 30 + 2)) AS s, text
+        FROM documents WHERE len(text) >= 30),
+      g AS (SELECT doc_id, s, substr(text, s, 30) AS gram FROM pos),
+      c AS (SELECT gram, COUNT(*)::BIGINT AS n FROM g GROUP BY gram),
+      d AS (SELECT doc_id, s FROM g JOIN c USING (gram) WHERE c.n > 1),
+      w AS (SELECT doc_id, s,
+          CASE WHEN s - LAG(s) OVER (PARTITION BY doc_id ORDER BY s) <= 30
+            THEN 0 ELSE 1 END AS brk
+        FROM d),
+      isl AS (SELECT doc_id, s,
+          SUM(brk) OVER (PARTITION BY doc_id ORDER BY s
+            ROWS UNBOUNDED PRECEDING) AS island
+        FROM w)
+      SELECT doc_id, MIN(s)::BIGINT AS span_start,
+        (MAX(s) + 30 - MIN(s))::BIGINT AS span_len,
+        COUNT(*)::BIGINT AS n_positions
+      FROM isl GROUP BY doc_id, island
+      ORDER BY doc_id, span_start"""))
+
   /** One BPE-training induction step (TextOps.bpePairCounts): top-50
     * adjacent character pairs weighted by word frequency. All-integer —
     * the (n desc, pair asc) total order makes the LIMIT cut exact.
@@ -1281,5 +1316,6 @@ object ScaleQueries {
     "q215_ppl_tercile_gate" -> q215,
     "q91_duplicate_spans" -> q91,
     "q92_bpe_pair_counts" -> q92,
+    "q218_exact_duplicate_spans" -> q218,
   )
 }

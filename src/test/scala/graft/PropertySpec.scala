@@ -348,4 +348,51 @@ class PropertySpec extends SparkSpec {
       assert(r.getDouble(2) == 1.0)
     }
   }
+
+  test("exactDuplicateSpans == brute-force substring reference on random corpora") {
+    import spark.implicits._
+    // tiny alphabets force dense exact repeats (within AND across docs);
+    // the driver reference enumerates every position's L-gram, counts
+    // occurrences corpus-wide, and merges covered positions into maximal
+    // islands — the paper semantics, computed the slow exact way.
+    val corpusGen = for {
+      alpha <- Gen.choose(2, 4)
+      nDocs <- Gen.choose(4, 10)
+      docs <- Gen.listOfN(nDocs, Gen.choose(0, 60).flatMap(len =>
+        Gen.listOfN(len, Gen.choose(0, alpha - 1).map(c => ('a' + c).toChar))))
+    } yield docs.map(_.mkString)
+    for ((texts, ci) <- samples(corpusGen, 6).zipWithIndex; l <- Seq(3, 5)) {
+      val docs = texts.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+        .toDF("doc_id", "text")
+      val got = graft.scale.Dedup.exactDuplicateSpans(docs, "doc_id",
+          "text", minLen = l)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).toSet
+      // driver reference
+      val occ = scala.collection.mutable.Map.empty[String, Int]
+      for (t <- texts; p <- 0 to t.length - l) {
+        val g = t.substring(p, p + l)
+        occ(g) = occ.getOrElse(g, 0) + 1
+      }
+      val want = texts.zipWithIndex.flatMap { case (t, i) =>
+        val dup = (0 to t.length - l).filter(p => occ(t.substring(p, p + l)) > 1)
+        // islands: gap iff next - prev > l (1-based output positions)
+        val spans = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+        var run = List.empty[Int]
+        def flush(): Unit = if (run.nonEmpty) {
+          val ps = run.reverse
+          spans += ((i.toLong, ps.head + 1L, ps.last + l - ps.head.toLong,
+            ps.size.toLong))
+          run = Nil
+        }
+        for (p <- dup) {
+          if (run.nonEmpty && p - run.head > l) flush()
+          run = p :: run
+        }
+        flush()
+        spans
+      }.toSet
+      assert(got == want, s"corpus $ci L=$l: got $got want $want")
+    }
+  }
 }

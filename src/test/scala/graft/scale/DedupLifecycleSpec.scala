@@ -234,4 +234,93 @@ class DedupLifecycleSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
     assert(viaIndex === direct)
   }
+
+  test("containmentAgainstPostingStore == containmentPairsAgainstIndex") {
+    // the posting-store serve must reproduce the array-scan serve exactly
+    // (both are recall-1 + exact-verify, so equal output is the contract,
+    // not a coincidence); low threshold = long prefixes = the hard case
+    val idx = Dedup.jaccardIndex(docs.filter(col("doc_id") % 2 === 0),
+      "doc_id", "text", shingleSize = 2)
+    val batch = docs.filter(col("doc_id") % 2 === 1)
+    val viaIndex = Dedup.containmentPairsAgainstIndex(idx, batch,
+        "doc_id", "text", shingleSize = 2, threshold = 0.4)
+      .orderBy("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val store = Dedup.containmentPostingStore(idx, buckets = 32)
+    val viaStore = Dedup.containmentAgainstPostingStore(store, batch,
+        "doc_id", "text", shingleSize = 2, threshold = 0.4, buckets = 32)
+      .orderBy("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(viaStore === viaIndex)
+    assert(viaStore.nonEmpty)
+  }
+
+  test("containmentPostingStoreMerge == rebuild over effective corpus (batch wins)") {
+    // stale store: doc 2's postings come from bogus text; the re-ingest
+    // must remove EVERY stale posting (by-doc anti-join) and land the
+    // true ones — row-for-row equal to a from-scratch build
+    val staleDocs = docs.withColumn("text",
+      when(col("doc_id") === 2, lit("stale words only here"))
+        .otherwise(col("text")))
+    val merged = Dedup.containmentPostingStoreMerge(
+        Dedup.containmentPostingStore(
+          Dedup.jaccardIndex(staleDocs, "doc_id", "text", shingleSize = 2),
+          buckets = 16),
+        docs.filter(col("doc_id") === 2), "doc_id", "text",
+        shingleSize = 2, buckets = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getInt(3))).toSet
+    val rebuilt = Dedup.containmentPostingStore(
+        Dedup.jaccardIndex(docs, "doc_id", "text", shingleSize = 2),
+        buckets = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getInt(3))).toSet
+    assert(merged === rebuilt)
+  }
+
+  test("posting-store serve reads a bounded, partition-pruned subset") {
+    val buckets = 256
+    val dir = java.nio.file.Files.createTempDirectory("graft_ctpostspec")
+      .toString
+    Dedup.containmentPostingStore(
+        Dedup.jaccardIndex(docs, "doc_id", "text", shingleSize = 2),
+        buckets)
+      .write.mode("overwrite").partitionBy("bucket").parquet(dir)
+    val back = spark.read.parquet(dir)
+    val batch = docs.filter(col("doc_id") === 1) // one doc: few shingles
+    val batG = Dedup.jaccardIndex(batch, "doc_id", "text", shingleSize = 2)
+      .select(explode(col("sh")).as("g")).distinct()
+    // the operator's own container-side scan: the bucket In-list must be
+    // a PARTITION filter (metadata-only pruning), not a data Filter
+    val slice = Dedup.postingStoreSlice(back, batG, buckets)
+    val plan = slice.queryExecution.executedPlan.toString
+    val pf = plan.linesIterator.find(_.contains("PartitionFilters"))
+    assert(pf.exists(l => l.contains("bucket") &&
+      (l.contains(" IN (") || l.contains(" INSET "))), plan.take(1500))
+    // bounded: the batch touches strictly fewer buckets than the store has
+    val batchBuckets = batG
+      .select(pmod(col("g"), lit(buckets.toLong)).cast("int").as("b"))
+      .distinct().count()
+    val storeBuckets = back.select(col("bucket")).distinct().count()
+    assert(batchBuckets < storeBuckets,
+      s"fixture too small: batch $batchBuckets vs store $storeBuckets")
+    assert(slice.select(
+      pmod(col("g"), lit(buckets.toLong)).cast("int").as("b"))
+      .distinct().count() <= batchBuckets)
+    // and the written-store serve matches the in-memory-store serve
+    val servedBack = Dedup.containmentAgainstPostingStore(back, batch,
+        "doc_id", "text", shingleSize = 2, threshold = 0.4,
+        buckets = buckets)
+      .orderBy("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val servedMem = Dedup.containmentAgainstPostingStore(
+        Dedup.containmentPostingStore(
+          Dedup.jaccardIndex(docs, "doc_id", "text", shingleSize = 2),
+          buckets),
+        batch, "doc_id", "text", shingleSize = 2, threshold = 0.4,
+        buckets = buckets)
+      .orderBy("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(servedBack === servedMem)
+  }
 }
