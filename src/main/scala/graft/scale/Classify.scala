@@ -69,9 +69,18 @@ object Classify {
   }
 
   def naiveBayes(docs: DataFrame, idCol: Column, labelCol: Column,
-      textCol: Column): DataFrame = {
+      textCol: Column): DataFrame =
+    nbResub(docs, idCol, labelCol, explode(TextOps.tokens(textCol)))
+
+  /** [[naiveBayes]] generalized over the term extractor: `termCol` is
+    * any generator expression (exploded word tokens, exploded hashed
+    * char-n-gram buckets) — the model/score plan is identical, only the
+    * evidence unit changes.
+    */
+  private def nbResub(docs: DataFrame, idCol: Column, labelCol: Column,
+      termCol: Column): DataFrame = {
     val toks = docs.select(idCol.as("id"), labelCol.as("lbl"),
-      explode(TextOps.tokens(textCol)).as("t"))
+      termCol.as("t"))
     val docTerm = toks.groupBy(col("id"), col("lbl"), col("t"))
       .agg(count(lit(1)).as("tc"))
     val classTerm = toks.groupBy(col("lbl"), col("t"))
@@ -129,15 +138,25 @@ object Classify {
     * for every non-empty scored document.
     */
   def naiveBayesScore(train: DataFrame, score: DataFrame, idCol: Column,
-      labelCol: Column, textCol: Column): DataFrame = {
+      labelCol: Column, textCol: Column): DataFrame =
+    nbHeldOut(train, score, idCol, labelCol,
+      explode(TextOps.tokens(textCol)))
+
+  /** [[naiveBayesScore]] generalized over the term extractor (same
+    * contract as [[nbResub]]'s `termCol`): the SAME expression derives
+    * terms on the train and score frames, so the model and the evidence
+    * live in one term space by construction.
+    */
+  private def nbHeldOut(train: DataFrame, score: DataFrame, idCol: Column,
+      labelCol: Column, termCol: Column): DataFrame = {
     val classTerm = train
-      .select(labelCol.as("lbl"), explode(TextOps.tokens(textCol)).as("t"))
+      .select(labelCol.as("lbl"), termCol.as("t"))
       .groupBy(col("lbl"), col("t")).agg(count(lit(1)).as("c"))
     val priors = train.groupBy(labelCol.as("lbl"))
       .agg(count(lit(1)).as("nl"))
     val (stats, termUnits) = modelFrames(classTerm, priors)
     val docTerm = score
-      .select(idCol.as("id"), explode(TextOps.tokens(textCol)).as("t"))
+      .select(idCol.as("id"), termCol.as("t"))
       .groupBy(col("id"), col("t")).agg(count(lit(1)).as("tc"))
     val scored = docTerm.join(termUnits, Seq("t"), "left")
       .crossJoin(broadcast(stats))
@@ -166,4 +185,68 @@ object Classify {
       .join(score.select(idCol.as("id"), labelCol.as("label")), "id")
       .groupBy(col("label"), col("pred"))
       .agg(count(lit(1)).as("n"))
+
+  /** Hashed char-n-gram term buckets — the fastText/CCNet lang-ID
+    * feature space: every length-`n` character window of the text,
+    * 62-bit portable-hashed ([[graft.functions.NativeExpressions
+    * .portable_token_hashes]], so a DuckDB oracle replays each bucket
+    * bit for bit) and folded into `buckets` residues. Texts shorter
+    * than `n` (including empty) contribute their whole text as one
+    * gram — every doc yields ≥ 1 term, so no doc degrades to a
+    * prior-only score silently (the [[graft.scale.Dedup
+    * .portableShingles]] short-doc convention). Hashing bounds the
+    * model at ≤ |labels|·buckets rows regardless of corpus size — the
+    * trick that makes a trained n-gram profile shippable at 100 TB.
+    */
+  def charNgramBuckets(textCol: Column, n: Int, buckets: Int): Column = {
+    require(n > 0, s"n must be positive: $n")
+    require(buckets > 0, s"buckets must be positive: $buckets")
+    val grams = when(length(textCol) >= n,
+      transform(sequence(lit(1), length(textCol) - (n - 1)),
+        i => substring(textCol, i, lit(n))))
+      .otherwise(array(textCol))
+    transform(
+      graft.functions.NativeExpressions.portable_token_hashes(grams),
+      h => pmod(h, lit(buckets.toLong)))
+  }
+
+  /** TRAINED char-n-gram language-ID — the CCNet/fastText pipeline's
+    * classifier, replacing [[TextOps.langIdFromStats]]' fixed stopword
+    * heuristic with per-language n-gram PROFILES fitted on labeled
+    * text: multinomial NB ([[naiveBayes]]'s exact integer micro-unit
+    * arithmetic — u(l,b) = round(10⁶·ln(c+1)) over hashed char-n-gram
+    * bucket counts, int64 score sums, argmax with label tiebreak) over
+    * [[charNgramBuckets]] evidence. Character n-grams see script AND
+    * orthography (the reason fastText lang-ID uses them), so languages
+    * sharing an alphabet separate where stopword voting cannot —
+    * ClassifySpec's multi-script fixture pins the accuracy win.
+    * Resubstitution fit (train = score); returns (id, label, pred).
+    */
+  def langIdNgram(docs: DataFrame, idCol: Column, labelCol: Column,
+      textCol: Column, n: Int = 3, buckets: Int = 4096): DataFrame =
+    nbResub(docs, idCol, labelCol,
+      explode(charNgramBuckets(textCol, n, buckets)))
+
+  /** The bounded summary of [[langIdNgram]]: the (label, pred)
+    * confusion matrix — |labels|² rows regardless of corpus size.
+    */
+  def langIdNgramConfusion(docs: DataFrame, idCol: Column,
+      labelCol: Column, textCol: Column, n: Int = 3,
+      buckets: Int = 4096): DataFrame =
+    langIdNgram(docs, idCol, labelCol, textCol, n, buckets)
+      .groupBy(col("label"), col("pred"))
+      .agg(count(lit(1)).as("n"))
+
+  /** Held-out [[langIdNgram]]: fit the per-language n-gram profiles on
+    * `train`, predict `score` (no label column needed) — the deployment
+    * shape: train once on labeled seed text, gate the crawl with the
+    * frozen profiles. OOV buckets keep u = 0 but still pay the
+    * −base_l unseen mass, exactly [[naiveBayesScore]]'s contract.
+    * Returns (id, pred).
+    */
+  def langIdNgramScore(train: DataFrame, score: DataFrame, idCol: Column,
+      labelCol: Column, textCol: Column, n: Int = 3,
+      buckets: Int = 4096): DataFrame =
+    nbHeldOut(train, score, idCol, labelCol,
+      explode(charNgramBuckets(textCol, n, buckets)))
 }

@@ -158,6 +158,48 @@ object Retrieval {
     * 100 TB with term-partitioned postings this reads only the query
     * terms' posting lists.
     */
+  /** Single-table encoding of the ([[bm25Index]] doclens, postings)
+    * pair, for maintenance paths that fold ONE snapshot (the
+    * [[graft.streaming.Streaming.maintainBm25Index]] twin —
+    * foldSnapshotStream swaps one directory atomically, and two
+    * separately-swapped tables could be observed torn): the doclens row
+    * is (doc_id, term = NULL, tf = NULL, dl), postings keep their
+    * columns. NULL term is unambiguous — [[bm25Index]] tokenization
+    * never yields a null token. [[bm25SplitCombined]] recovers the pair
+    * for the unchanged [[bm25AgainstIndex]] serve path.
+    */
+  def bm25IndexCombined(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val (dl, post) = bm25Index(docs, idCol, textCol)
+    dl.select(col("doc_id"), lit(null).cast("string").as("term"),
+        lit(null).cast("long").as("tf"), col("dl"))
+      .union(post.select(col("doc_id"), col("term"), col("tf"), col("dl")))
+  }
+
+  /** Decode a [[bm25IndexCombined]] snapshot back to (doclens,
+    * postings).
+    */
+  def bm25SplitCombined(snapshot: DataFrame): (DataFrame, DataFrame) = (
+    snapshot.where(col("term").isNull).select(col("doc_id"), col("dl")),
+    snapshot.where(col("term").isNotNull)
+      .select(col("doc_id"), col("term"), col("tf"), col("dl")))
+
+  /** [[bm25IndexMerge]] on the combined encoding: ONE by-doc anti-join
+    * covers both row kinds (every row is doc-keyed), so a re-ingested
+    * doc's stale doclens row AND all its stale postings vanish together
+    * — merge(build(A), B) ≡ build((A ∖ ids(B)) ∪ B) row for row, rows
+    * carry no corpus state.
+    */
+  def bm25IndexMergeCombined(snapshot: DataFrame, batch: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    val fresh = bm25IndexCombined(batch, idCol, textCol)
+    snapshot.select(col("doc_id"), col("term"), col("tf"), col("dl"))
+      .join(fresh.where(col("term").isNull)
+        .select(col("doc_id").as("__bid")),
+        col("doc_id") === col("__bid"), "left_anti")
+      .union(fresh)
+  }
+
   def bm25AgainstIndex(spark: SparkSession, doclens: DataFrame,
       postings: DataFrame, queries: Seq[(Long, Seq[String])], k: Int = 10,
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {

@@ -352,6 +352,62 @@ object EvalQueries {
       FROM pred WHERE rn = 1 GROUP BY truth, cls
       ORDER BY label, pred"""))
 
+  /** TRAINED char-trigram language-ID
+    * ([[graft.scale.Classify.langIdNgramConfusion]] — the CCNet/fastText
+    * classifier q177's word-token NB graduates to): hashed char-3-gram
+    * buckets (62-bit portable hash mod 4096) as evidence, same integer
+    * micro-unit NB model and int64 argmax. The oracle replays the ENTIRE
+    * model — every gram window, every portable bucket hash, the
+    * per-(label, bucket) log-unit table, priors, unseen mass, argmax
+    * tiebreak — so a hash-match certifies every per-document prediction
+    * of the trained profile classifier, not just the matrix counts.
+    */
+  private val q219 = GQuery(
+    (s, d) => graft.scale.Classify.langIdNgramConfusion(
+        T.documents(s, d), col("doc_id"), col("lang"), col("text"),
+        n = 3, buckets = 4096)
+      .orderBy(col("label"), col("pred")),
+    Some(s"""WITH gr AS (SELECT doc_id AS id, lang AS lbl,
+          unnest(CASE WHEN len(text) >= 3
+            THEN list_transform(range(1, len(text) - 1),
+              i -> substr(text, i, 3))
+            ELSE [text] END) AS gs
+        FROM documents),
+      toks AS (SELECT id, lbl,
+          (${ScaleQueries.h62Sql("gs")}) % 4096 AS t
+        FROM gr),
+      dt AS (SELECT id, lbl, t, COUNT(*)::BIGINT AS tc
+        FROM toks GROUP BY id, lbl, t),
+      ct AS (SELECT lbl, t, COUNT(*)::BIGINT AS c
+        FROM toks GROUP BY lbl, t),
+      u AS (SELECT lbl, t,
+          CAST(round(1000000 * ln((c + 1)::DOUBLE)) AS BIGINT) AS u
+        FROM ct),
+      tl AS (SELECT lbl, CAST(SUM(c) AS BIGINT) AS tl FROM ct GROUP BY lbl),
+      v AS (SELECT COUNT(DISTINCT t)::BIGINT AS v FROM ct),
+      pri AS (SELECT lang AS lbl, COUNT(*)::BIGINT AS nl
+        FROM documents GROUP BY lang),
+      nn AS (SELECT CAST(SUM(nl) AS BIGINT) AS n FROM pri),
+      stats AS (SELECT pri.lbl AS cls,
+          CAST(round(1000000 * ln((tl.tl + v.v)::DOUBLE)) AS BIGINT)
+            AS base_u,
+          CAST(round(1000000 * ln(pri.nl::DOUBLE)) AS BIGINT) -
+            CAST(round(1000000 * ln(nn.n::DOUBLE)) AS BIGINT) AS prior_u
+        FROM pri JOIN tl ON pri.lbl = tl.lbl CROSS JOIN v CROSS JOIN nn),
+      sc AS (SELECT dt.id, dt.lbl AS truth, s.cls,
+          MAX(s.prior_u) + CAST(SUM(dt.tc * COALESCE(u.u, 0)) AS BIGINT)
+            - CAST(SUM(dt.tc) AS BIGINT) * MAX(s.base_u) AS score
+        FROM dt CROSS JOIN stats s
+        LEFT JOIN u ON u.lbl = s.cls AND u.t = dt.t
+        GROUP BY dt.id, dt.lbl, s.cls),
+      pred AS (SELECT id, truth, cls,
+          ROW_NUMBER() OVER (PARTITION BY id
+            ORDER BY score DESC, cls) AS rn
+        FROM sc)
+      SELECT truth AS label, cls AS pred, COUNT(*)::BIGINT AS n
+      FROM pred WHERE rn = 1 GROUP BY truth, cls
+      ORDER BY label, pred"""))
+
   /** Full precision/recall operating-point table per language
     * ([[graft.scale.Eval.prCurve]]): one row per distinct score unit,
     * exact int64 TP/FP/FN from descending prefix sums — same q168
@@ -1406,5 +1462,6 @@ object EvalQueries {
     "q196_bootstrap_ci" -> q196,
     "q197_unigram_lm" -> q197,
     "q198_unigram_encode" -> q198,
-    "q199_ppl_gate" -> q199)
+    "q199_ppl_gate" -> q199,
+    "q219_langid_ngram" -> q219)
 }

@@ -75,4 +75,58 @@ class ClassifySpec extends SparkSpec {
       .toMap
     assert(got == Map(("a", "a") -> 3L, ("b", "b") -> 3L))
   }
+
+  test("langIdNgram beats langIdFromStats on a multi-script fixture") {
+    // Same-script content-heavy text is exactly where stopword voting
+    // fails: almost no stopword hits -> vote ties -> everything falls to
+    // the tie preference ('en'). The trained trigram profiles see
+    // orthography (ção/ñ/sch/aux...), which separates the languages.
+    // Labels match TextOps.Langs so the comparison is fair — the stats
+    // heuristic CAN emit every truth label here.
+    val fixture = Seq(
+      (1L, "en", "wonderful weather through thursday brought sunshine"),
+      (2L, "en", "strength thought although neighbour brought knight"),
+      (3L, "en", "jumping quickly over twelve frozen rivers yesterday"),
+      (4L, "es", "corazón montaña pequeño añejo señorita jalapeño"),
+      (5L, "es", "niño español mañana cañón compañero enseñanza"),
+      (6L, "es", "año señal pequeñita castañas montañoso sueño"),
+      (7L, "fr", "château fenêtre garçon déjà être forêt français"),
+      (8L, "fr", "hôpital théâtre bientôt château crème brûlée aperçu"),
+      (9L, "fr", "beaux chevaux travaux journaux châteaux oiseaux"),
+      (10L, "de", "schönheit straße müller übermäßig größe fräulein"),
+      (11L, "de", "schmetterling pünktlich zwölf müde glückwunsch"),
+      (12L, "de", "weißwurst schließlich tschüss überraschung schloß")
+    ).toDF("doc_id", "lang", "text")
+    def accuracy(pred: Map[Long, String]): Double = {
+      val truth = fixture.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      truth.count { case (id, l) => pred.get(id).contains(l) }.toDouble /
+        truth.size
+    }
+    val statsPred = fixture
+      .select(col("doc_id"),
+        TextOps.langIdFromStats(TextOps.stats(
+          TextOps.tokens(col("text")))).as("pred"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val ngramPred = Classify.langIdNgram(fixture, col("doc_id"),
+        col("lang"), col("text"))
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    val aStats = accuracy(statsPred)
+    val aNgram = accuracy(ngramPred)
+    assert(aNgram == 1.0, s"trained profiles must nail the fixture: $ngramPred")
+    assert(aNgram > aStats,
+      s"trained $aNgram must beat heuristic $aStats ($statsPred)")
+    // held-out deployment shape: frozen profiles classify UNSEEN text by
+    // orthography alone (every content word is new; the trigrams aren't)
+    val unseen = Seq(
+      (101L, "throughout brightness weatherproof sunshine"),
+      (102L, "señoría cañaveral año montañés"),
+      (103L, "château forêt garçons châtaigne"),
+      (104L, "schloßstraße müßig größenwahn")
+    ).toDF("doc_id", "text")
+    val heldOut = Classify.langIdNgramScore(fixture, unseen,
+        col("doc_id"), col("lang"), col("text"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(heldOut == Map(101L -> "en", 102L -> "es", 103L -> "fr",
+      104L -> "de"), heldOut.toString)
+  }
 }

@@ -453,6 +453,55 @@ class StreamingSpec extends SparkSpec {
       rows(graft.scale.Dedup.jaccardIndex(latest, "doc_id", "text")))
   }
 
+  test("streaming BM25-index maintenance converges to a from-scratch build") {
+    import spark.implicits._
+    val d1 = Seq((1L, "alpha beta alpha gamma"),
+      (2L, "one two three two two"))
+      .toDF("doc_id", "text")
+    // doc 2 re-ingested with CHANGED TERM FREQUENCIES and a dropped term
+    // ('three' gone — its stale posting must vanish, not linger), doc 3
+    // brand new, doc 4 empty (doclens row only, still counts in N/avgdl)
+    val d2 = Seq((2L, "one one two"), (3L, "alpha red green"), (4L, ""))
+      .toDF("doc_id", "text")
+    val in = Files.createTempDirectory("graft_bmin").toString
+    val state = Files.createTempDirectory("graft_bmst").toString + "/index"
+    val ckpt = Files.createTempDirectory("graft_bmck").toString
+    d1.coalesce(1).write.parquet(s"$in/b1")
+    d2.coalesce(1).write.parquet(s"$in/b2")
+    val stream = spark.readStream.schema(d1.schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("recursiveFileLookup", "true").parquet(in)
+    val q = Streaming.maintainBm25Index(stream, state, "doc_id", "text")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(q.exception.isEmpty, s"stream failed: ${q.exception}")
+    val latest = Seq((1L, "alpha beta alpha gamma"), (2L, "one one two"),
+      (3L, "alpha red green"), (4L, "")).toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().toSeq
+        .map(r => (r.getLong(0), Option(r.getString(1)),
+          if (r.isNullAt(2)) -1L else r.getLong(2), r.getLong(3))).sorted
+    assert(rows(spark.read.parquet(state)) === rows(
+      graft.scale.Retrieval.bm25IndexCombined(latest, "doc_id", "text")))
+    // the stale 'three' posting is gone and doc 2's tfs are the NEW ones
+    val post = spark.read.parquet(state)
+      .where(col("doc_id") === 2L && col("term").isNotNull)
+      .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(post === Map("one" -> 2L, "two" -> 1L), post.toString)
+    // serve equivalence through the UNCHANGED query path
+    val (dlS, poS) = graft.scale.Retrieval.bm25SplitCombined(
+      spark.read.parquet(state))
+    val (dlB, poB) = graft.scale.Retrieval.bm25Index(latest, "doc_id", "text")
+    val qs = Seq((1L, Seq("alpha", "two")))
+    def served(dl: org.apache.spark.sql.DataFrame,
+        po: org.apache.spark.sql.DataFrame) =
+      graft.scale.Retrieval.bm25AgainstIndex(spark, dl, po, qs, k = 5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3))).toSeq
+    assert(served(dlS, poS) === served(dlB, poB))
+  }
+
   test("streaming HLL-sketch maintenance converges to a from-scratch sketch") {
     import spark.implicits._
     def hashed(vals: Seq[(String, Long)]) =
