@@ -108,6 +108,105 @@ object CdcQueries {
     * computes, so a hash-match certifies the delta decomposition is
     * multiset-exact, not just count-right.
     */
+  /** Snapshot versioning / time travel ([[graft.scale.Versioned]] — the
+    * manifest-log table over [[Cdc.upsert]]): init → two upsert commits →
+    * O(1) rollback → a further commit ON TOP of the rolled-back state,
+    * then every version read back via time travel and unioned under its
+    * snapshot_version. The oracle replays the chain as pure SQL folds
+    * (s1 = upsert(base, A), s2 = upsert(s1, B), v3 = s1 again, s4 =
+    * upsert(s1, C)), so one hash-match certifies read-at-version for all
+    * five versions, the manifest indirection (v3 shares v1's files —
+    * identical rows WITHOUT a rewrite), and that post-rollback commits
+    * branch from the rolled-back state, not the rolled-back-FROM one.
+    * VersionedSpec pins the concurrency story (immutable reader
+    * snapshots, same-version commit conflicts).
+    */
+  private val q220 = GQuery(
+    (s, d) => {
+      val o = T.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice"))
+      val base = o.where(col("o_orderkey") % 3 === 0)
+        .withColumn("version", lit(1L))
+      def up(mod: Int, status: String, v: Long) =
+        base.where(col("o_orderkey") % mod === 0)
+          .withColumn("o_orderstatus", lit(status))
+          .withColumn("version", lit(v)).withColumn("op", lit("U"))
+      val ins = base.where(col("o_orderkey") % 33 === 0)
+        .withColumn("o_orderkey", col("o_orderkey") + 200000000L)
+        .withColumn("o_orderstatus", lit("N"))
+        .withColumn("version", lit(2L)).withColumn("op", lit("I"))
+      // deletes carry their own version: a key in BOTH the %12 update and
+      // the %15 delete (%60) must resolve deterministically — same-version
+      // same-source rows tie in the upsert window
+      val del = base.where(col("o_orderkey") % 15 === 0)
+        .withColumn("version", lit(4L)).withColumn("op", lit("D"))
+      val root = Scratch.fresh("graft_vtab_") + "/orders"
+      graft.scale.Versioned.init(s, root, base)
+      graft.scale.Versioned.commitUpsert(s, root,
+        up(21, "A", 2L).unionByName(ins), Seq("o_orderkey"), "version")
+      graft.scale.Versioned.commitUpsert(s, root,
+        up(12, "B", 3L).unionByName(del), Seq("o_orderkey"), "version")
+      val v3 = graft.scale.Versioned.rollback(s, root, 1L)
+      assert(v3 == 3L)
+      graft.scale.Versioned.commitUpsert(s, root,
+        up(30, "C", 3L), Seq("o_orderkey"), "version")
+      (0L to 4L).map(k => graft.scale.Versioned.readAt(s, root, k)
+          .withColumn("snapshot_version", lit(k)))
+        .reduce(_ unionByName _)
+        .select(col("snapshot_version"), col("o_orderkey"),
+          col("o_orderstatus"), col("o_totalprice"), col("version"))
+        .orderBy(col("snapshot_version"), col("o_orderkey"))
+    },
+    Some("""WITH base AS (
+        SELECT o_orderkey, o_orderstatus, o_totalprice, 1::BIGINT AS version
+        FROM orders WHERE o_orderkey % 3 = 0),
+      a AS (
+        SELECT o_orderkey, 'A' AS o_orderstatus, o_totalprice,
+          2::BIGINT AS version, 'U' AS op
+        FROM base WHERE o_orderkey % 21 = 0
+        UNION ALL
+        SELECT o_orderkey + 200000000, 'N', o_totalprice, 2::BIGINT, 'I'
+        FROM base WHERE o_orderkey % 33 = 0),
+      s1 AS (
+        SELECT o_orderkey, o_orderstatus, o_totalprice, version
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderkey
+            ORDER BY version DESC, src DESC) AS rn
+          FROM (SELECT *, NULL AS op, 0 AS src FROM base
+            UNION ALL SELECT *, 1 AS src FROM a))
+        WHERE rn = 1 AND (op IS NULL OR op <> 'D')),
+      b AS (
+        SELECT o_orderkey, 'B' AS o_orderstatus, o_totalprice,
+          3::BIGINT AS version, 'U' AS op
+        FROM base WHERE o_orderkey % 12 = 0
+        UNION ALL
+        SELECT o_orderkey, o_orderstatus, o_totalprice, 4::BIGINT, 'D'
+        FROM base WHERE o_orderkey % 15 = 0),
+      s2 AS (
+        SELECT o_orderkey, o_orderstatus, o_totalprice, version
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderkey
+            ORDER BY version DESC, src DESC) AS rn
+          FROM (SELECT *, NULL AS op, 0 AS src FROM s1
+            UNION ALL SELECT *, 1 AS src FROM b))
+        WHERE rn = 1 AND (op IS NULL OR op <> 'D')),
+      c AS (
+        SELECT o_orderkey, 'C' AS o_orderstatus, o_totalprice,
+          3::BIGINT AS version, 'U' AS op
+        FROM base WHERE o_orderkey % 30 = 0),
+      s4 AS (
+        SELECT o_orderkey, o_orderstatus, o_totalprice, version
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderkey
+            ORDER BY version DESC, src DESC) AS rn
+          FROM (SELECT *, NULL AS op, 0 AS src FROM s1
+            UNION ALL SELECT *, 1 AS src FROM c))
+        WHERE rn = 1 AND (op IS NULL OR op <> 'D'))
+      SELECT 0::BIGINT AS snapshot_version, * FROM base
+      UNION ALL SELECT 1::BIGINT, * FROM s1
+      UNION ALL SELECT 2::BIGINT, * FROM s2
+      UNION ALL SELECT 3::BIGINT, * FROM s1
+      UNION ALL SELECT 4::BIGINT, * FROM s4
+      ORDER BY snapshot_version, o_orderkey"""))
+
   private val q183 = GQuery(
     (s, d) => {
       val o = T.orders(s, d).select(col("o_orderkey"), col("o_custkey"),
@@ -136,6 +235,7 @@ object CdcQueries {
   def all: Map[String, GQuery] = Map(
     "q90_cdc_upsert" -> q90,
     "q93_scd2_intervals" -> q93,
+    "q220_time_travel" -> q220,
     "q183_join_view_ivm" -> q183,
   )
 }

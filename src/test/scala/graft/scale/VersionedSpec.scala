@@ -1,0 +1,111 @@
+package graft.scale
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Contracts of the manifest-versioned table ([[Versioned]]): time travel
+  * correctness over an upsert chain, O(1) rollback via manifest sharing,
+  * immutable reader snapshots across later commits (the concurrent-reader
+  * safety the applyCdcStream directory swap cannot give), and loud
+  * same-version commit conflicts.
+  */
+class VersionedSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshRoot(): String =
+    java.nio.file.Files.createTempDirectory("graft_vspec").toString + "/t"
+
+  private def snap(k: Long, root: String): Set[(Long, String, Long)] =
+    Versioned.readAt(spark, root, k)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+
+  test("init/commitUpsert/readAt: every version stays readable and exact") {
+    val root = freshRoot()
+    val base = Seq((1L, "a", 1L), (2L, "b", 1L), (3L, "c", 1L))
+      .toDF("k", "v", "version")
+    assert(Versioned.init(spark, root, base) == 0L)
+    // v1: update k=2, insert k=4
+    val b1 = Seq((2L, "B", 2L, "U"), (4L, "d", 2L, "I"))
+      .toDF("k", "v", "version", "op")
+    assert(Versioned.commitUpsert(spark, root, b1, Seq("k"), "version") == 1L)
+    // v2: delete k=1
+    val b2 = Seq((1L, "a", 3L, "D")).toDF("k", "v", "version", "op")
+    assert(Versioned.commitUpsert(spark, root, b2, Seq("k"), "version") == 2L)
+    assert(Versioned.versions(spark, root) == Seq(0L, 1L, 2L))
+    assert(Versioned.latestVersion(spark, root) == 2L)
+    assert(snap(0L, root) == Set((1L, "a", 1L), (2L, "b", 1L), (3L, "c", 1L)))
+    assert(snap(1L, root) == Set((1L, "a", 1L), (2L, "B", 2L),
+      (3L, "c", 1L), (4L, "d", 2L)))
+    assert(snap(2L, root) == Set((2L, "B", 2L), (3L, "c", 1L), (4L, "d", 2L)))
+    // readLatest == readAt(max)
+    assert(Versioned.readLatest(spark, root).count() == 3L)
+  }
+
+  test("rollback shares files (no rewrite), branches history forward") {
+    val root = freshRoot()
+    Versioned.init(spark, root,
+      Seq((1L, "a", 1L), (2L, "b", 1L)).toDF("k", "v", "version"))
+    Versioned.commitUpsert(spark, root,
+      Seq((2L, "B", 2L, "U")).toDF("k", "v", "version", "op"),
+      Seq("k"), "version")
+    Versioned.commitUpsert(spark, root,
+      Seq((1L, "a", 3L, "D")).toDF("k", "v", "version", "op"),
+      Seq("k"), "version")
+    val v3 = Versioned.rollback(spark, root, 1L)
+    assert(v3 == 3L)
+    // O(1): the rollback manifest POINTS AT v1's files, byte for byte
+    assert(Versioned.manifestFiles(spark, root, 3L) ==
+      Versioned.manifestFiles(spark, root, 1L))
+    assert(snap(3L, root) == snap(1L, root))
+    // the rolled-back-FROM state is STILL readable (history, not erasure)
+    assert(snap(2L, root) == Set((2L, "B", 2L)))
+    // a post-rollback commit branches from v3 (= v1), not from v2
+    Versioned.commitUpsert(spark, root,
+      Seq((1L, "A2", 4L, "U")).toDF("k", "v", "version", "op"),
+      Seq("k"), "version")
+    assert(snap(4L, root) == Set((1L, "A2", 4L), (2L, "B", 2L)))
+    // rolling back PAST the latest is refused
+    val e = intercept[IllegalArgumentException] {
+      Versioned.rollback(spark, root, 99L)
+    }
+    assert(e.getMessage.contains("uncommitted"))
+  }
+
+  test("a reader's resolved snapshot survives later commits and rollbacks") {
+    val root = freshRoot()
+    Versioned.init(spark, root,
+      Seq((1L, "a", 1L), (2L, "b", 1L)).toDF("k", "v", "version"))
+    // reader resolves version 0 NOW (plan built, files pinned)...
+    val reader = Versioned.readAt(spark, root, 0L)
+    val before = reader.collect().map(_.toString).sorted.toSeq
+    // ...then the table moves on: two commits and a rollback, each a full
+    // rewrite into NEW directories — nothing the reader resolved is touched
+    Versioned.commitUpsert(spark, root,
+      Seq((1L, "X", 2L, "U"), (2L, "b", 2L, "D"))
+        .toDF("k", "v", "version", "op"), Seq("k"), "version")
+    Versioned.commitUpsert(spark, root,
+      Seq((9L, "z", 3L, "I")).toDF("k", "v", "version", "op"),
+      Seq("k"), "version")
+    Versioned.rollback(spark, root, 0L)
+    val after = reader.collect().map(_.toString).sorted.toSeq
+    assert(after == before, "reader snapshot changed under concurrent commits")
+    // and a fresh time-travel read of v0 still agrees
+    assert(Versioned.readAt(spark, root, 0L)
+      .collect().map(_.toString).sorted.toSeq == before)
+  }
+
+  test("same-version commit conflicts are loud, not last-write-wins") {
+    val root = freshRoot()
+    Versioned.init(spark, root, Seq((1L, "a", 1L)).toDF("k", "v", "version"))
+    // a second init (version 0 again) must refuse
+    val e1 = intercept[IllegalArgumentException] {
+      Versioned.init(spark, root, Seq((2L, "b", 1L)).toDF("k", "v", "version"))
+    }
+    assert(e1.getMessage.contains("already exists"))
+    // reading an uncommitted version must refuse, not return garbage
+    val e2 = intercept[IllegalArgumentException] {
+      Versioned.readAt(spark, root, 7L)
+    }
+    assert(e2.getMessage.contains("not committed"))
+  }
+}
