@@ -579,7 +579,16 @@ object Dedup {
     */
   def containmentPostingStore(index: DataFrame, buckets: Int): DataFrame = {
     require(buckets > 0, s"buckets must be positive: $buckets")
-    index.select(col("id").as("id_b"),
+    // Freeze sh through one id exchange BEFORE the explode: the posting
+    // projection reads sh twice (size + generator), and when the caller
+    // hands an UNMATERIALIZED index expression (jaccardIndex inline),
+    // CollapseProject re-evaluates the whole tokenize+hash+shingle HOF
+    // chain per EXPLODED ELEMENT for the size() — interpreted HOFs don't
+    // CSE (the q58/q74 lesson; measured 5x on the q217 build). For a
+    // parquet-read index this adds one index-sized exchange, which the
+    // partitionBy(bucket) layout write re-shuffles anyway.
+    val frozen = sharedShuffle(index.select(col("id"), col("sh")), col("id"))
+    frozen.select(col("id").as("id_b"),
         size(col("sh")).cast("long").as("nb"), explode(col("sh")).as("g"))
       .withColumn("bucket", pmod(col("g"), lit(buckets.toLong)).cast("int"))
   }

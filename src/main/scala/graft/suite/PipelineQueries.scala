@@ -1515,9 +1515,14 @@ object PipelineQueries {
         .withColumn("text", when(col("doc_id") % 20 === 2,
           concat(col("text"), lit(" stale stale stale")))
           .otherwise(col("text")))
+      // cluster on the partition key before the partitioned write — the
+      // standard layout discipline: one file per bucket instead of
+      // shufflePartitions × buckets tiny files (the naive write cost 20×
+      // the serve it was built to accelerate)
       graft.scale.Dedup.containmentPostingStore(
           graft.scale.Dedup.jaccardIndex(stale, "doc_id", "text",
             shingleSize = 2), buckets)
+        .repartition(col("bucket"))
         .write.mode("overwrite").partitionBy("bucket")
         .parquet(s"$dir/store")
       val reingest = docs.where(col("doc_id") % 2 === 0 &&
@@ -1525,6 +1530,7 @@ object PipelineQueries {
       graft.scale.Dedup.containmentPostingStoreMerge(
           s.read.parquet(s"$dir/store"), reingest, "doc_id", "text",
           shingleSize = 2, buckets = buckets)
+        .repartition(col("bucket"))
         .write.mode("overwrite").partitionBy("bucket")
         .parquet(s"$dir/merged")
       graft.scale.Dedup.containmentAgainstPostingStore(

@@ -175,7 +175,11 @@ object Explain {
       "q213_url_crawl_dedup",  // canonical-key collapse, one agg exchange
       "q214_opq_ivfpq_merge",  // frozen-model rotated fold, batch-only kernels
       "q215_ppl_tercile_gate", // corpus-count joins + one per-lang rank exchange
-      "q216_crawl_capstone")   // 5-stage composition, exchanges = sum of parts
+      "q216_crawl_capstone",   // 5-stage composition, exchanges = sum of parts
+      "q217_containment_posting_store", // bucket-pruned store serve, candidate-bounded verify
+      "q218_exact_duplicate_spans", // every-position grams, hash prefilter + string verify
+      "q219_langid_ngram",     // hashed char-trigram NB, map-side label expansion
+      "q220_time_travel")      // manifest reads, per-version upsert windows
 
     val sb = new StringBuilder
     sb.append("# EXPLAIN — flagship physical plans\n\n")

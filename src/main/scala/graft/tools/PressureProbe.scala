@@ -54,8 +54,21 @@ object PressureProbe {
       shingleSize = 2, threshold = 0.7).count()
     val n62 = graft.scale.Curation.dedupSentences(docs, "doc_id", "text")
       .count()
+    // round-14 heavy additions: every-position exact spans (the largest
+    // gram explode in the repo) and the posting-store containment serve
+    val n218 = graft.scale.Dedup.exactDuplicateSpans(docs, "doc_id",
+      "text", minLen = 30).count()
+    val n217 = graft.scale.Dedup.containmentAgainstPostingStore(
+      graft.scale.Dedup.containmentPostingStore(
+        graft.scale.Dedup.jaccardIndex(
+          docs.where(col("doc_id") % 2 === 0), "doc_id", "text",
+          shingleSize = 2), buckets = 64),
+      docs.where(col("doc_id") % 2 === 1 && col("doc_id") <= 100),
+      "doc_id", "text", shingleSize = 2, threshold = 0.4,
+      buckets = 64).count()
     // the machine line the spec greps; heap size recorded for the log
     println(s"PRESSURE_OK q85=$n85 q147=$n147 q62=$n62 " +
+      s"q217=$n217 q218=$n218 " +
       s"spill_mem=$spillMem spill_disk=$spillDisk " +
       s"max_heap=${Runtime.getRuntime.maxMemory()}")
     spark.stop()

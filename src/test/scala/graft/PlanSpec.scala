@@ -110,6 +110,18 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("round-14 operators never plan a cartesian product") {
+    // q219 is exempt by the q177 precedent: its |labels|-row stats frame
+    // rides an intentional broadcast cross join (map-side label
+    // expansion, collapsed by partial aggregation before any exchange).
+    for (name <- Seq("q217_containment_posting_store",
+        "q218_exact_duplicate_spans", "q220_time_travel")) {
+      val p = plan(SparkEntry.queries(name)(spark, sf))
+      assert(!p.contains("CartesianProduct"), s"$name:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$name:\n$p")
+    }
+  }
+
   test("heavy family at sf0.1 with broadcast suppressed: no cartesian, no text in any exchange") {
     // At sf0.001 EVERY join broadcasts, so the audited plans never show
     // the exchange structure the 100 TB claims rest on (the r6 review's

@@ -55,6 +55,8 @@ class MemoryPressureSpec extends AnyFunSuite {
     assert(kv("q85") > 0L, s"q85 returned no pairs: $line")
     assert(kv("q147") > 0L, s"q147 returned no pairs: $line")
     assert(kv("q62") > 0L, s"q62 returned no rows: $line")
+    assert(kv("q217") > 0L, s"q217 returned no pairs: $line")
+    assert(kv("q218") > 0L, s"q218 returned no spans: $line")
     info(s"pressure probe: ${line.get}")
   }
 }
