@@ -1865,8 +1865,35 @@ object Dedup {
     */
   def exactDuplicateSpans(docs: DataFrame, idCol: String, textCol: String,
       minLen: Int = 30): DataFrame = {
-    require(minLen > 0, s"minLen must be positive: $minLen")
     val L = minLen
+    val dupPos = exactDupPositions(docs, idCol, textCol, L)
+      .select(col("doc_id"), col("__s").cast("long").as("s"))
+    // maximal spans: gaps-and-islands over sorted positions per doc
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("s"))
+    dupPos
+      .withColumn("__brk",
+        when(col("s") - lag(col("s"), 1).over(byDoc) <= L, 0L)
+          .otherwise(1L))
+      .withColumn("__island", sum(col("__brk")).over(
+        byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_id"), col("__island"))
+      .agg(min(col("s")).as("span_start"),
+        (max(col("s")) + L - min(col("s"))).as("span_len"),
+        count(lit(1)).as("n_positions"))
+      .select(col("doc_id"), col("span_start"), col("span_len"),
+        col("n_positions"))
+  }
+
+  /** The shared EXACT duplicated-position pass of [[exactDuplicateSpans]]
+    * and [[removeExactDuplicateSpans]]: every start whose length-L gram
+    * occurs ≥ 2 times corpus-wide, certified on the actual STRING (the
+    * xxhash64 pass only prefilters — see the two-pass rationale on
+    * [[exactDuplicateSpans]]). Docs shorter than L have no length-L
+    * substring and yield no rows. Returns (doc_id, __s int, 1-based).
+    */
+  private def exactDupPositions(docs: DataFrame, idCol: String,
+      textCol: String, L: Int): DataFrame = {
+    require(L > 0, s"minLen must be positive: $L")
     val starts = sequence(lit(1), length(col(textCol)) - (L - 1))
     val grams = sharedShuffle(docs
       .where(length(col(textCol)) >= L)
@@ -1887,22 +1914,58 @@ object Dedup {
         substring(col("__text"), col("__s"), lit(L)).as("__g"))
     val gramCounts = cand.groupBy(col("__g")).agg(count(lit(1)).as("__gn"))
       .where(col("__gn") > 1L).select(col("__g"))
-    val dupPos = cand.join(gramCounts, "__g")
-      .select(col("doc_id"), col("__s").cast("long").as("s"))
-    // maximal spans: gaps-and-islands over sorted positions per doc
-    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("s"))
-    dupPos
-      .withColumn("__brk",
-        when(col("s") - lag(col("s"), 1).over(byDoc) <= L, 0L)
-          .otherwise(1L))
-      .withColumn("__island", sum(col("__brk")).over(
-        byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .groupBy(col("doc_id"), col("__island"))
-      .agg(min(col("s")).as("span_start"),
-        (max(col("s")) + L - min(col("s"))).as("span_len"),
-        count(lit(1)).as("n_positions"))
-      .select(col("doc_id"), col("span_start"), col("span_len"),
-        col("n_positions"))
+    cand.join(gramCounts, "__g").select(col("doc_id"), col("__s"))
+  }
+
+  /** The APPLY step of [[exactDuplicateSpans]] — Lee et al.'s ExactSubstr
+    * REMOVAL at full fidelity: excise every byte covered by a duplicated
+    * substring of length ≥ minLen (exact positions from the two-pass
+    * hash+string-verify derivation, no stride floor), overlapping/
+    * touching intervals merged, and return the cleaned text. The
+    * [[removeDuplicateSpans]] contract otherwise: every doc returns a
+    * row (clean docs pass through 0/0); a doc duplicated in full cleans
+    * to "". Docs shorter than minLen cannot be duplicated at length ≥
+    * minLen and always pass through.
+    *
+    * Scale shape: the position derivation is [[exactDupPositions]]
+    * (16-byte hash partials through the exchange, candidates output-
+    * sized); the cut is [[removeDuplicateSpans]]'s single narrow
+    * left-to-right fold per document — text shuffles exactly once (the
+    * doc-keyed join), never through the gram exchange.
+    *
+    * Returns (doc_id, n_spans_removed, n_chars_removed, text_clean).
+    */
+  def removeExactDuplicateSpans(docs: DataFrame, idCol: String,
+      textCol: String, minLen: Int = 30): DataFrame = {
+    val g = minLen
+    val dupStarts = exactDupPositions(docs, idCol, textCol, g)
+      .groupBy(col("doc_id"))
+      .agg(array_sort(collect_list(col("__s"))).as("__ds"))
+    docs.select(col(idCol).as("doc_id"), col(textCol).as("__text"))
+      .join(dupStarts, Seq("doc_id"), "left")
+      .withColumn("__ds", coalesce(col("__ds"), array().cast("array<int>")))
+      .withColumn("__st", aggregate(col("__ds"),
+        struct(lit("").as("acc"), lit(1).as("pos"), lit(0L).as("k")),
+        (st, s) => struct(
+          when(s > st.getField("pos"),
+            concat(st.getField("acc"), col("__text")
+              .substr(st.getField("pos"), s - st.getField("pos"))))
+            .otherwise(st.getField("acc")).as("acc"),
+          (s + g).as("pos"),
+          // a new island opens on the very first dup gram, and whenever a
+          // gap precedes this one; s <= pos extends the current island
+          (st.getField("k") + when(st.getField("k") === 0L ||
+            s > st.getField("pos"), 1L).otherwise(0L)).as("k"))))
+      .select(col("doc_id"),
+        col("__st.k").as("n_spans_removed"),
+        concat(col("__st.acc"), col("__text").substr(col("__st.pos"),
+          greatest(length(col("__text")) - col("__st.pos") + 1, lit(0))))
+          .as("text_clean"),
+        col("__text"))
+      .select(col("doc_id"), col("n_spans_removed"),
+        (length(col("__text")) - length(col("text_clean"))).cast("long")
+          .as("n_chars_removed"),
+        col("text_clean"))
   }
 
   /** LSH quality evaluation: [[minhashDupPairs]]' output measured

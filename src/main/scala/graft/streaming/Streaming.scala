@@ -472,6 +472,40 @@ object Streaming {
           shingleSize)
     }
 
+  /** Continuous maintenance of the persisted containment POSTING STORE
+    * ([[graft.scale.Dedup.containmentPostingStore]] — the bucket-
+    * partitioned inverted index behind q217's partition-pruned serve):
+    * fold each document micro-batch with
+    * [[graft.scale.Dedup.containmentPostingStoreMerge]] — the batch
+    * alone runs the text kernel, the by-doc batch-wins anti-join drops a
+    * re-ingested doc's stale postings for ALL its old shingles, and
+    * because posting rows carry no corpus state the folded snapshot is
+    * row-equal to a from-scratch build over the latest text per id.
+    * `shingleSize` and `buckets` are the store's frozen contract (a
+    * bucket-count change is a different store — rebuild, never fold
+    * across). Replays are safe: the merge is idempotent. The snapshot
+    * directory is unpartitioned (foldSnapshotStream swaps one flat
+    * parquet dir); for the partition-pruned SERVE layout, compact the
+    * snapshot with `repartition(bucket).write.partitionBy("bucket")` on
+    * the serving cadence — the store rows are identical either way, and
+    * [[graft.scale.Dedup.containmentAgainstPostingStore]] accepts both
+    * (the bucket In-list degrades from partition pruning to a data
+    * filter, nothing else changes). Same crash-consistent snapshot swap
+    * as [[applyCdcStream]].
+    */
+  def maintainContainmentPostingStore(docs: DataFrame, statePath: String,
+      idCol: String, textCol: String, shingleSize: Int = 2,
+      buckets: Int = 1024):
+      org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    foldSnapshotStream(docs, statePath,
+      batch => graft.scale.Dedup.containmentPostingStore(
+        graft.scale.Dedup.jaccardIndex(batch.limit(0), idCol, textCol,
+          shingleSize), buckets).schema) {
+      (current, batch, _) =>
+        graft.scale.Dedup.containmentPostingStoreMerge(current, batch,
+          idCol, textCol, shingleSize, buckets)
+    }
+
   /** Continuous maintenance of the persisted BM25 index — the last
     * persisted index without a streaming twin (minhash, exact-Jaccard,
     * and the three sketches all have one): fold each document

@@ -515,6 +515,55 @@ object AugmentQueries {
         (len(text) - len(text_clean))::BIGINT AS n_chars_removed, text_clean
       FROM res ORDER BY doc_id"""))
 
+  /** EXACT span removal at full ExactSubstr fidelity
+    * (Dedup.removeExactDuplicateSpans — q161's apply step with q218's
+    * every-position exact derivation instead of stride sampling): every
+    * byte covered by a duplicated substring ≥ 30 chars is excised,
+    * islands merged, clean docs pass through 0/0. The oracle replays
+    * positions → STRING-grouped counts → islands → the segment-stitch
+    * reconstruction, so one hash-match certifies both the exact dup set
+    * and the byte-precise cut.
+    */
+  private val q221 = GQuery(
+    (s, d) => graft.scale.Dedup
+      .removeExactDuplicateSpans(T.documents(s, d), "doc_id", "text",
+        minLen = 30)
+      .orderBy(col("doc_id")),
+    Some("""WITH st AS (
+        SELECT doc_id, text, unnest(range(1, len(text) - 30 + 2)) AS s
+        FROM documents WHERE len(text) >= 30),
+      gr AS (SELECT doc_id, s, substr(text, s, 30) AS g FROM st),
+      c AS (SELECT g, COUNT(*)::BIGINT AS n FROM gr GROUP BY g),
+      dup AS (SELECT doc_id, s FROM gr JOIN c USING (g) WHERE c.n > 1),
+      mk AS (SELECT doc_id, s,
+          CASE WHEN LAG(s) OVER w IS NULL OR s > LAG(s) OVER w + 30
+            THEN 1 ELSE 0 END AS brk
+        FROM dup WINDOW w AS (PARTITION BY doc_id ORDER BY s)),
+      isl AS (SELECT doc_id,
+          SUM(brk) OVER (PARTITION BY doc_id ORDER BY s) AS island, s
+        FROM mk),
+      ib AS (SELECT doc_id, island, MIN(s) AS ib, MAX(s) + 30 AS ie
+        FROM isl GROUP BY doc_id, island),
+      seg AS (SELECT doc_id,
+          COALESCE(LAG(ie) OVER (PARTITION BY doc_id ORDER BY ib), 1) AS kb,
+          ib AS ke FROM ib),
+      mid AS (SELECT seg.doc_id,
+          string_agg(substr(d.text, kb, ke - kb), '' ORDER BY kb) AS m
+        FROM seg JOIN documents d USING (doc_id) GROUP BY seg.doc_id),
+      tl AS (SELECT doc_id, COUNT(*)::BIGINT AS n_spans, MAX(ie) AS te
+        FROM ib GROUP BY doc_id),
+      res AS (SELECT d.doc_id,
+          COALESCE(tl.n_spans, 0)::BIGINT AS n_spans_removed,
+          COALESCE(mid.m, '') ||
+            CASE WHEN tl.te IS NULL THEN d.text
+                 ELSE substr(d.text, tl.te::INT) END AS text_clean,
+          d.text
+        FROM documents d LEFT JOIN tl USING (doc_id)
+        LEFT JOIN mid ON mid.doc_id = d.doc_id)
+      SELECT doc_id, n_spans_removed,
+        (len(text) - len(text_clean))::BIGINT AS n_chars_removed, text_clean
+      FROM res ORDER BY doc_id"""))
+
   /** Explicit salted fact⋈dim join ([[graft.scale.Skew.saltedJoin]]):
     * lineitem⋈supplier on the supplier key through 8 salt buckets, then
     * per-supplier revenue. The oracle is the PLAIN SQL join — the
@@ -824,6 +873,7 @@ object AugmentQueries {
     "q159_histogram_quantile_sketch" -> q159,
     "q160_pmi_collocations" -> q160,
     "q161_dup_span_removal" -> q161,
+    "q221_exact_span_removal" -> q221,
     "q162_salted_join" -> q162,
     "q163_token_entropy" -> q163,
     "q164_token_tail_stats" -> q164,

@@ -179,7 +179,8 @@ object Explain {
       "q217_containment_posting_store", // bucket-pruned store serve, candidate-bounded verify
       "q218_exact_duplicate_spans", // every-position grams, hash prefilter + string verify
       "q219_langid_ngram",     // hashed char-trigram NB, map-side label expansion
-      "q220_time_travel")      // manifest reads, per-version upsert windows
+      "q220_time_travel",      // manifest reads, per-version upsert windows
+      "q221_exact_span_removal") // exact positions + one doc-keyed text join
 
     val sb = new StringBuilder
     sb.append("# EXPLAIN — flagship physical plans\n\n")

@@ -393,6 +393,22 @@ class PropertySpec extends SparkSpec {
         spans
       }.toSet
       assert(got == want, s"corpus $ci L=$l: got $got want $want")
+      // the APPLY step: cleaned text == brute-force covered-byte excision
+      val gotClean = graft.scale.Dedup.removeExactDuplicateSpans(docs,
+          "doc_id", "text", minLen = l)
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+      texts.zipWithIndex.foreach { case (t, i) =>
+        val covered = Array.fill(t.length)(false)
+        for (p <- 0 to t.length - l; if occ(t.substring(p, p + l)) > 1;
+             j <- p until p + l) covered(j) = true
+        val clean = t.indices.filterNot(covered).map(t.charAt).mkString
+        val nSpans = want.count(_._1 == i.toLong).toLong
+        val (gk, gc, gt) = gotClean(i.toLong)
+        assert(gt == clean && gk == nSpans &&
+          gc == (t.length - clean.length).toLong,
+          s"corpus $ci L=$l doc $i: got ($gk,$gc,'$gt') want ($nSpans,'$clean')")
+      }
     }
   }
 }

@@ -453,6 +453,58 @@ class StreamingSpec extends SparkSpec {
       rows(graft.scale.Dedup.jaccardIndex(latest, "doc_id", "text")))
   }
 
+  test("streaming posting-store maintenance converges to a from-scratch build") {
+    import spark.implicits._
+    val d1 = Seq((1L, "alpha beta gamma delta epsilon"),
+      (2L, "one two three four five"))
+      .toDF("doc_id", "text")
+    // doc 2 re-ingested with new text (its OLD shingles' postings must
+    // vanish from every bucket), doc 3 brand new
+    val d2 = Seq((2L, "six seven eight nine ten"),
+      (3L, "red green blue cyan magenta"))
+      .toDF("doc_id", "text")
+    val in = Files.createTempDirectory("graft_psin").toString
+    val state = Files.createTempDirectory("graft_psst").toString + "/store"
+    val ckpt = Files.createTempDirectory("graft_psck").toString
+    d1.coalesce(1).write.parquet(s"$in/b1")
+    d2.coalesce(1).write.parquet(s"$in/b2")
+    val stream = spark.readStream.schema(d1.schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("recursiveFileLookup", "true").parquet(in)
+    val q = Streaming.maintainContainmentPostingStore(stream, state,
+        "doc_id", "text", shingleSize = 2, buckets = 16)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(q.exception.isEmpty, s"stream failed: ${q.exception}")
+    val latest = Seq((1L, "alpha beta gamma delta epsilon"),
+      (2L, "six seven eight nine ten"), (3L, "red green blue cyan magenta"))
+      .toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().toSeq.map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).sorted
+    assert(rows(spark.read.parquet(state)) === rows(
+      graft.scale.Dedup.containmentPostingStore(
+        graft.scale.Dedup.jaccardIndex(latest, "doc_id", "text",
+          shingleSize = 2), buckets = 16)))
+    // serve equivalence: the folded snapshot answers containment queries
+    // exactly like a from-scratch store
+    val batch = Seq((10L, "six seven eight nine"),
+      (11L, "totally unrelated words")).toDF("doc_id", "text")
+    def served(store: org.apache.spark.sql.DataFrame) =
+      graft.scale.Dedup.containmentAgainstPostingStore(store, batch,
+          "doc_id", "text", shingleSize = 2, threshold = 0.5, buckets = 16)
+        .orderBy("id_a", "id_b")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSeq
+    val viaFold = served(spark.read.parquet(state))
+    assert(viaFold === served(graft.scale.Dedup.containmentPostingStore(
+      graft.scale.Dedup.jaccardIndex(latest, "doc_id", "text",
+        shingleSize = 2), buckets = 16)))
+    assert(viaFold.exists(p => p._1 == 10L && p._2 == 2L),
+      s"quote of the RE-INGESTED doc 2 text must hit: $viaFold")
+  }
+
   test("streaming BM25-index maintenance converges to a from-scratch build") {
     import spark.implicits._
     val d1 = Seq((1L, "alpha beta alpha gamma"),
