@@ -125,12 +125,26 @@ object Versioned {
   private def commitData(spark: SparkSession, root: String, df: DataFrame,
       version: Long): Long = {
     val dataDir = s"$root/data/v$version"
-    df.write.mode("error").parquet(dataDir)
     val (fs, _) = fsOf(spark, root)
-    val files = fs.listStatus(new org.apache.hadoop.fs.Path(dataDir))
+    val dataPath = new org.apache.hadoop.fs.Path(dataDir)
+    // A data dir WITHOUT its manifest is an orphan of a crashed commit
+    // attempt (data written, manifest never created — nothing references
+    // it); clear it so the retry can write. A data dir WITH a manifest
+    // means the version IS committed and mode("error") below surfaces
+    // the caller bug.
+    if (fs.exists(dataPath) &&
+        !fs.exists(manifestPath(root, version)))
+      fs.delete(dataPath, true): Unit
+    // an all-rows-deleted snapshot must still produce ≥ 1 schema-bearing
+    // file, or the manifest would be empty and readAt would have no
+    // schema source — one empty single-partition file carries it
+    val toWrite = if (df.isEmpty) df.repartition(1) else df
+    toWrite.write.mode("error").parquet(dataDir)
+    val files = fs.listStatus(dataPath)
       .toSeq.map(_.getPath)
       .filter(p => !p.getName.startsWith("_") && !p.getName.startsWith("."))
       .map(_.toString).sorted
+    require(files.nonEmpty, s"empty data dir for version $version at $root")
     writeManifest(spark, root, version, files)
     version
   }

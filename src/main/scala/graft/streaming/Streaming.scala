@@ -472,6 +472,54 @@ object Streaming {
           shingleSize)
     }
 
+  /** [[applyCdcStream]] with FULL HISTORY: every change micro-batch
+    * commits a new VERSION of a [[graft.scale.Versioned]] table instead
+    * of swapping one snapshot — the streaming twin of q220's time
+    * travel. Version numbering is deterministic: version 0 is the empty
+    * table (committed on first contact), batch `b` commits version
+    * `b + 1`, so `readAt(root, k)` IS "the table after the first k
+    * batches" — an audit can replay any point of the stream's history,
+    * and a rollback branches it, long after the micro-batches are gone.
+    *
+    * Exactly-once WITHOUT a side ledger: Structured Streaming's batchIds
+    * are consecutive per checkpoint, and a version's manifest file is
+    * created atomically — so "manifest v(b+1) exists" is precisely "batch
+    * b was committed", and a re-delivered batch skips. A crash between
+    * the data write and the manifest leaves an unreferenced orphan dir
+    * that the retry clears ([[graft.scale.Versioned]] commitData); a
+    * crash after the manifest is a completed commit. Readers are never
+    * torn by construction (immutable manifests — strictly stronger than
+    * [[applyCdcStream]]'s rename-window swap).
+    *
+    * The cost over [[applyCdcStream]] is storage: every version is a
+    * full snapshot until vacuumed (at scale, bucket the merge key so a
+    * commit rewrites only changed buckets — the manifest contract
+    * doesn't care which files are shared). Caller starts the returned
+    * writer with its own checkpoint/trigger.
+    */
+  def applyCdcStreamVersioned(changes: DataFrame, root: String,
+      keyCols: Seq[String], versionCol: String, opCol: String = "op",
+      deleteOp: String = "D"): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    changes.writeStream.foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        if (graft.scale.Versioned.versions(spark, root).isEmpty)
+          graft.scale.Versioned.init(spark, root,
+            batch.limit(0).drop(opCol)): Unit
+        val target = batchId + 1
+        val vs = graft.scale.Versioned.versions(spark, root)
+        if (!vs.contains(target)) {
+          // gaps would silently desync "version k == first k batches";
+          // they cannot happen under one checkpoint — fail loudly if the
+          // caller mixed checkpoints or roots
+          require(vs.max == target - 1,
+            s"version/batch desync at $root: latest ${vs.max}, batch " +
+              s"$batchId targets $target — one checkpoint per root")
+          graft.scale.Versioned.commitUpsert(spark, root, batch, keyCols,
+            versionCol, opCol, deleteOp): Unit
+        } // else: re-delivered batch — the manifest IS the ledger
+    }
+
   /** Continuous maintenance of the persisted containment POSTING STORE
     * ([[graft.scale.Dedup.containmentPostingStore]] — the bucket-
     * partitioned inverted index behind q217's partition-pruned serve):

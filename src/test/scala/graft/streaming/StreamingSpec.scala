@@ -453,6 +453,47 @@ class StreamingSpec extends SparkSpec {
       rows(graft.scale.Dedup.jaccardIndex(latest, "doc_id", "text")))
   }
 
+  test("versioned CDC stream: every batch is a time-travelable version") {
+    import spark.implicits._
+    val b1 = Seq((1L, "a", 1L, "I"), (2L, "b", 1L, "I"))
+      .toDF("k", "v", "version", "op")
+    val b2 = Seq((2L, "B", 2L, "U"), (1L, "a", 2L, "D"))
+      .toDF("k", "v", "version", "op")
+    val in = Files.createTempDirectory("graft_vcin").toString
+    val root = Files.createTempDirectory("graft_vcrt").toString + "/t"
+    val ckpt = Files.createTempDirectory("graft_vcck").toString
+    b1.coalesce(1).write.parquet(s"$in/b1")
+    b2.coalesce(1).write.parquet(s"$in/b2")
+    def run(): Unit = {
+      val stream = spark.readStream.schema(b1.schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true").parquet(in)
+      val q = Streaming.applyCdcStreamVersioned(stream, root,
+          Seq("k"), "version")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      assert(q.exception.isEmpty, s"stream failed: ${q.exception}")
+    }
+    run()
+    def snap(k: Long) = graft.scale.Versioned.readAt(spark, root, k)
+      .select("k", "v", "version")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(graft.scale.Versioned.versions(spark, root) == Seq(0L, 1L, 2L))
+    assert(snap(0L) == Set.empty, "version 0 must be the empty table")
+    assert(snap(1L) == Set((1L, "a", 1L), (2L, "b", 1L)))
+    assert(snap(2L) == Set((2L, "B", 2L)))
+    // re-running with the SAME checkpoint re-delivers nothing and commits
+    // nothing — the manifest log is the ledger
+    run()
+    assert(graft.scale.Versioned.versions(spark, root) == Seq(0L, 1L, 2L))
+    assert(snap(2L) == Set((2L, "B", 2L)))
+    // and the streamed history composes with rollback like any versioned
+    // table: branch back to version 1
+    assert(graft.scale.Versioned.rollback(spark, root, 1L) == 3L)
+    assert(snap(3L) == snap(1L))
+  }
+
   test("streaming posting-store maintenance converges to a from-scratch build") {
     import spark.implicits._
     val d1 = Seq((1L, "alpha beta gamma delta epsilon"),
