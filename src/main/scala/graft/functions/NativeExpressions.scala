@@ -362,6 +362,10 @@ object NativeExpressions {
   def rolling_hash_min(text: Column, window: Int): Column =
     Bridge.column(RollingHashMin(Bridge.expression(text), window))
 
+  /** See [[GramHashes]]. */
+  def gram_hashes(text: Column, gramLen: Int): Column =
+    Bridge.column(GramHashes(Bridge.expression(text), gramLen))
+
   /** The `nprobe` nearest centroids of a double vector by L2 distance,
     * ordered nearest-first (ties → lower index). Centroids are a flattened
     * row-major (k × dim) broadcast array. `normalize = true` fuses the
@@ -1226,6 +1230,75 @@ case class NearestCentroids(child: Expression, centroids: Array[Double],
   * that, unlike the shingle fingerprint, is insensitive to tokenization
   * and catches byte-level near-dups. One pass, O(1) state, codegen'd.
   */
+/** Per-position rolling gram hashes — the pass-1 kernel of
+  * [[graft.scale.Dedup.exactDuplicateSpans]]: one 64-bit wrapping
+  * polynomial hash per length-`gramLen` CODE-POINT window of the text,
+  * emitted as array<long> (length numCodePoints − gramLen + 1; empty for
+  * shorter texts). Replaces `xxhash64(substring(text, s, L))` per
+  * position, which allocates an L-char string and re-reads L chars per
+  * position — O(n·L) with an allocation per gram vs this kernel's O(n)
+  * single pass (measured 7.5 s → the scan floor on q218's hash pass at
+  * sf0.1).
+  *
+  * Contract: equal substrings ⇒ equal hashes (all the caller needs — the
+  * hash is a PREFILTER; exactness comes from the string-verify pass, so
+  * polynomial collisions cost a phantom candidate, never a wrong
+  * answer). Positions index CODE POINTS, matching Spark's `substring`
+  * and DuckDB's `substr`, so a position emitted here addresses the same
+  * gram the verify pass re-extracts — surrogate pairs count once.
+  */
+case class GramHashes(child: Expression, gramLen: Int)
+    extends UnaryExpression {
+  require(gramLen > 0, s"gramLen must be positive: $gramLen")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  /** Public for codegen. */
+  def hashArr(input: org.apache.spark.unsafe.types.UTF8String): ArrayData = {
+    val str = input.toString
+    val len = str.length
+    // code points, one pass (ASCII fast path: charCount == 1)
+    var n = 0
+    var off = 0
+    while (off < len) { off += Character.charCount(str.codePointAt(off)); n += 1 }
+    if (n < gramLen) return new GenericArrayData(Array.empty[Any])
+    val cps = new Array[Int](n)
+    off = 0; var i = 0
+    while (off < len) {
+      val cp = str.codePointAt(off)
+      cps(i) = cp; i += 1; off += Character.charCount(cp)
+    }
+    val B = 1000003L
+    var pow = 1L
+    var j = 0
+    while (j < gramLen - 1) { pow *= B; j += 1 }
+    val out = new Array[Any](n - gramLen + 1)
+    var h = 0L
+    j = 0
+    while (j < gramLen) { h = h * B + cps(j); j += 1 }
+    out(0) = h
+    var p = 1
+    while (p <= n - gramLen) {
+      h = (h - cps(p - 1) * pow) * B + cps(p + gramLen - 1)
+      out(p) = h
+      p += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    hashArr(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("gramHashes", this, classOf[GramHashes].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.hashArr($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 case class RollingHashMin(child: Expression, window: Int)
     extends UnaryExpression {
 

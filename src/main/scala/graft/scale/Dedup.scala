@@ -1894,13 +1894,18 @@ object Dedup {
   private def exactDupPositions(docs: DataFrame, idCol: String,
       textCol: String, L: Int): DataFrame = {
     require(L > 0, s"minLen must be positive: $L")
-    val starts = sequence(lit(1), length(col(textCol)) - (L - 1))
+    // pass-1 hashes come from the O(n) rolling kernel
+    // ([[graft.functions.GramHashes]]), not xxhash64(substring(…)) per
+    // position (O(n·L) + an L-char allocation per gram — it dominated
+    // the q218 profile 7.5 s of 9). Any deterministic
+    // equal-strings-equal-hash function works here: the hash only
+    // prefilters, pass 2 verifies the actual strings.
     val grams = sharedShuffle(docs
       .where(length(col(textCol)) >= L)
-      .select(col(idCol).as("doc_id"), explode(starts).as("__s"),
-        col(textCol))
-      .select(col("doc_id"), col("__s"),
-        xxhash64(substring(col(textCol), col("__s"), lit(L))).as("__h")),
+      .select(col(idCol).as("doc_id"),
+        posexplode(graft.functions.NativeExpressions
+          .gram_hashes(col(textCol), L)).as(Seq("__p", "__h")))
+      .select(col("doc_id"), (col("__p") + 1).as("__s"), col("__h")),
       col("__h"))
     val hotHashes = grams.groupBy(col("__h")).agg(count(lit(1)).as("__n"))
       .where(col("__n") > 1L).select(col("__h"))

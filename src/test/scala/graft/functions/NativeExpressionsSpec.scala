@@ -571,6 +571,38 @@ class NativeExpressionsSpec extends SparkSpec {
     assert(v.forall(_.isNaN)) // Hadamard mixes every input into every output
   }
 
+  test("gram_hashes: rolling == direct per-position recompute; code-point positions") {
+    import spark.implicits._
+    // direct recompute of the same polynomial, no rolling update — any
+    // divergence means the remove-leading-char arithmetic is wrong
+    def direct(s: String, l: Int): Seq[Long] = {
+      val cps = s.codePoints().toArray
+      if (cps.length < l) Seq.empty
+      else (0 to cps.length - l).map { p =>
+        var h = 0L; var j = 0
+        while (j < l) { h = h * 1000003L + cps(p + j); j += 1 }
+        h
+      }
+    }
+    val texts = Seq("", "ab", "abcab", "the cat sat on the mat the cat",
+      "aaaaaaaa", "a😀b😀a😀b", "mixé unicodé ünicode mixé")
+    for (l <- Seq(1, 2, 3, 5); t <- texts) {
+      val got = Seq(t).toDF("t")
+        .select(NativeExpressions.gram_hashes(col("t"), l))
+        .collect()(0).getSeq[Long](0)
+      assert(got == direct(t, l), s"'$t' L=$l")
+    }
+    // the contract the caller leans on: equal substrings => equal hashes
+    // (incl. across the non-BMP emoji, which must count as ONE position
+    // so pass-2's codepoint substring re-extracts the same gram)
+    val t = "xx a😀b yy a😀b zz"
+    val hs = direct(t, 3)
+    val cps = t.codePoints().toArray
+    for (i <- hs.indices; j <- hs.indices
+         if new String(cps, i, 3) == new String(cps, j, 3))
+      assert(hs(i) == hs(j), s"equal grams at $i,$j must hash equal")
+  }
+
   test("rotate_mat_vec: rejects non-float/double element types at analysis") {
     import spark.implicits._
     val rot = graft.scale.Opq.hadamardRotation(4)
