@@ -122,6 +122,56 @@ object Versioned {
     k + 1
   }
 
+  /** Garbage-collect data files no RETAINED version references: drop the
+    * manifests of all but the newest `keepVersions` versions, then delete
+    * every file under `data/` that no surviving manifest lists. Rollback
+    * manifests SHARE files, so sharing is honored by construction — a
+    * file stays as long as ANY survivor references it. Returns the
+    * number of data files deleted.
+    *
+    * Safety contract: vacuum is the one operation that invalidates time
+    * travel (to the dropped versions only) — run it on a retention
+    * schedule, never inside a commit path, and keep `keepVersions` ≥ the
+    * longest reader lifetime (the same discipline as Delta's VACUUM
+    * retention). Concurrent committers are safe: a new commit only adds
+    * files under a version directory vacuum has already decided to keep
+    * (version numbers are monotone and vacuum keeps the newest k).
+    */
+  def vacuum(spark: SparkSession, root: String, keepVersions: Int): Long = {
+    require(keepVersions >= 1, s"must keep at least one version: $keepVersions")
+    val (fs, _) = fsOf(spark, root)
+    val all = versions(spark, root)
+    require(all.nonEmpty, s"no versioned table at $root")
+    val keep = all.takeRight(keepVersions).toSet
+    val referenced = keep.toSeq.sorted
+      .flatMap(v => manifestFiles(spark, root, v)).toSet
+    // drop the dead manifests FIRST: a reader that lists versions after
+    // this point can no longer resolve a manifest whose files are about
+    // to disappear
+    all.filterNot(keep).foreach { v =>
+      fs.delete(manifestPath(root, v), false): Unit
+    }
+    val dataRoot = new org.apache.hadoop.fs.Path(s"$root/data")
+    if (!fs.exists(dataRoot)) return 0L
+    var deleted = 0L
+    for (dir <- fs.listStatus(dataRoot); if dir.isDirectory) {
+      val files = fs.listStatus(dir.getPath).toSeq
+      val (dead, live) = files.partition(f =>
+        !referenced.contains(f.getPath.toString) &&
+          !f.getPath.getName.startsWith("_") &&
+          !f.getPath.getName.startsWith("."))
+      dead.foreach { f => if (fs.delete(f.getPath, false)) deleted += 1 }
+      // remove version dirs that now hold no data files (markers only)
+      if (live.forall(f => f.getPath.getName.startsWith("_") ||
+          f.getPath.getName.startsWith(".")) && dead.nonEmpty &&
+          fs.listStatus(dir.getPath).forall(f =>
+            f.getPath.getName.startsWith("_") ||
+              f.getPath.getName.startsWith(".")))
+        fs.delete(dir.getPath, true): Unit
+    }
+    deleted
+  }
+
   private def commitData(spark: SparkSession, root: String, df: DataFrame,
       version: Long): Long = {
     val dataDir = s"$root/data/v$version"

@@ -94,6 +94,38 @@ class VersionedSpec extends SparkSpec {
       .collect().map(_.toString).sorted.toSeq == before)
   }
 
+  test("vacuum honors manifest sharing and keeps retained versions readable") {
+    val root = freshRoot()
+    Versioned.init(spark, root,
+      Seq((1L, "a", 1L), (2L, "b", 1L)).toDF("k", "v", "version"))
+    Versioned.commitUpsert(spark, root,
+      Seq((2L, "B", 2L, "U")).toDF("k", "v", "version", "op"),
+      Seq("k"), "version") // v1
+    Versioned.rollback(spark, root, 0L) // v2 SHARES v0's files
+    Versioned.commitUpsert(spark, root,
+      Seq((3L, "c", 3L, "I")).toDF("k", "v", "version", "op"),
+      Seq("k"), "version") // v3 (on top of v2 = v0)
+    val v0Snap = snap(0L, root)
+    val v3Snap = snap(3L, root)
+    // keep v2 and v3: v1's files die, but v0's files SURVIVE because the
+    // retained rollback manifest v2 still references them
+    val deleted = Versioned.vacuum(spark, root, keepVersions = 2)
+    assert(deleted > 0L, "v1's unreferenced files should have died")
+    assert(Versioned.versions(spark, root) == Seq(2L, 3L))
+    assert(snap(2L, root) == v0Snap, "shared files must survive the vacuum")
+    assert(snap(3L, root) == v3Snap)
+    // the dropped versions are gone from the log (time travel refuses)
+    val e = intercept[IllegalArgumentException] {
+      Versioned.readAt(spark, root, 1L)
+    }
+    assert(e.getMessage.contains("not committed"))
+    // and the table still commits forward after a vacuum
+    Versioned.commitUpsert(spark, root,
+      Seq((1L, "a", 4L, "D")).toDF("k", "v", "version", "op"),
+      Seq("k"), "version")
+    assert(snap(4L, root) == v3Snap.filterNot(_._1 == 1L))
+  }
+
   test("same-version commit conflicts are loud, not last-write-wins") {
     val root = freshRoot()
     Versioned.init(spark, root, Seq((1L, "a", 1L)).toDF("k", "v", "version"))
