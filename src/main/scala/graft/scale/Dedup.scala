@@ -612,6 +612,79 @@ object Dedup {
       .union(fresh)
   }
 
+  /** BUCKET-LOCAL incremental maintenance of a WRITTEN
+    * [[containmentPostingStore]] — the rewrite-only-what-changed form of
+    * [[containmentPostingStoreMerge]] (which produces the full merged
+    * frame and leaves the rewrite to the caller): computes the affected
+    * buckets — those holding the re-ingested ids' OLD postings (looked
+    * up from the doc-keyed `index`, the (id, sh) table the store was
+    * built from, by an id semi-join — bucket-local under the q54
+    * id-bucketed layout) union the batch's NEW posting buckets — and
+    * overwrites ONLY those partitions via dynamic partitionOverwriteMode.
+    * Untouched partitions' files are not read, not rewritten, not even
+    * listed as data (DedupLifecycleSpec pins byte-identical survivors);
+    * a bucket the re-ingest empties is deleted explicitly (dynamic
+    * overwrite only replaces partitions present in the WRITTEN data, so
+    * an empty result would otherwise leave the stale files behind).
+    *
+    * `index` must be the CURRENT doc-keyed index (including the stale
+    * entries of re-ingested ids — their old shingles are exactly what
+    * locates the postings to remove). Row semantics are identical to the
+    * full merge: read-back ≡ containmentPostingStoreMerge's output
+    * row-for-row. Driver state: the affected-bucket list (≤ buckets
+    * ints). Returns the affected buckets, ascending.
+    */
+  def containmentPostingStoreRewriteBuckets(
+      spark: org.apache.spark.sql.SparkSession, storePath: String,
+      index: DataFrame, batch: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int, buckets: Int): Seq[Int] = {
+    require(buckets > 0, s"buckets must be positive: $buckets")
+    val fresh = sharedShuffle(
+      shingleSetFrame(batch, idCol, textCol, shingleSize), col("id"))
+    val batchIds = fresh.select(col("id"))
+    val staleBuckets = index.select(col("id"), col("sh"))
+      .join(batchIds, Seq("id"), "left_semi")
+      .select(explode(col("sh")).as("g"))
+    val newBuckets = fresh.select(explode(col("sh")).as("g"))
+    val affected = staleBuckets.unionAll(newBuckets)
+      .select(pmod(col("g"), lit(buckets.toLong)).cast("int").as("bucket"))
+      .distinct().collect().map(_.getInt(0)).sorted.toSeq
+    if (affected.isEmpty) return affected
+    val slice = spark.read.parquet(storePath)
+      .where(col("bucket").isin(affected: _*))
+      .select(col("id_b"), col("nb"), col("g"), col("bucket"))
+    val freshPost = containmentPostingStore(fresh, buckets)
+      .where(col("bucket").isin(affected: _*))
+    val merged = sharedShuffle(slice
+      .join(batchIds.select(col("id").as("__bid")),
+        col("id_b") === col("__bid"), "left_anti")
+      .union(freshPost), col("bucket"))
+    // buckets the merge will actually write, computed from the MERGED
+    // frame (a post-write read could not tell fresh rows from the stale
+    // ones still sitting in a bucket the merge emptied)
+    val nonEmpty = merged.select(col("bucket")).distinct()
+      .collect().map(_.getInt(0)).toSet
+    val conf = spark.conf
+    val prev = conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try merged
+      .write.mode("overwrite").partitionBy("bucket").parquet(storePath)
+    finally prev match {
+      case Some(v) => conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+    // delete affected buckets the merge emptied: dynamic overwrite only
+    // replaces partitions present in the written data, so the stale
+    // partition would otherwise survive
+    val fs = new org.apache.hadoop.fs.Path(storePath)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    affected.filterNot(nonEmpty).foreach { b =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$storePath/bucket=$b"),
+        true): Unit
+    }
+    affected
+  }
+
   /** [[containmentPairsAgainstIndex]] served from a
     * [[containmentPostingStore]] — same semantics (directed containment
     * |A∩B|/|A| ≥ t of batch probes against indexed containers, self

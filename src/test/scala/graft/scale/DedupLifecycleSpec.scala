@@ -278,6 +278,75 @@ class DedupLifecycleSpec extends SparkSpec {
     assert(merged === rebuilt)
   }
 
+  test("bucket-local store rewrite touches only affected partitions") {
+    import spark.implicits._
+    val buckets = 64
+    // short docs: a re-ingest's affected-bucket footprint (old + new
+    // shingle buckets) stays far below the store's bucket population
+    val corpus = (1 to 30).map(i =>
+      (i.toLong, (1 to 10).map(j => s"t${i}_$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    val idx = Dedup.jaccardIndex(corpus, "doc_id", "text", shingleSize = 2)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ctpbl")
+      .toString + "/store"
+    Dedup.containmentPostingStore(idx, buckets)
+      .repartition(col("bucket"))
+      .write.partitionBy("bucket").parquet(dir)
+    def fileState(): Map[String, (Long, Long)] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(dir))
+        .filter(f => !f.getName.startsWith("_") && !f.getName.startsWith("."))
+        .map(f => f.getAbsolutePath -> ((f.length(), f.lastModified()))).toMap
+    }
+    val before = fileState()
+    val batch = Seq((5L, "brand new replacement words only"))
+      .toDF("doc_id", "text")
+    val affected = Dedup.containmentPostingStoreRewriteBuckets(spark, dir,
+      idx, batch, "doc_id", "text", shingleSize = 2, buckets = buckets)
+    assert(affected.nonEmpty && affected.size < buckets / 2,
+      s"footprint should be small: ${affected.size} buckets")
+    // row semantics == the full-rewrite merge
+    val expect = Dedup.containmentPostingStoreMerge(
+        Dedup.containmentPostingStore(idx, buckets), batch,
+        "doc_id", "text", shingleSize = 2, buckets = buckets)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getInt(3))).toSet
+    val got = spark.read.parquet(dir)
+      .select(col("id_b"), col("nb"), col("g"), col("bucket"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getInt(3))).toSet
+    assert(got === expect)
+    // unaffected partitions are BYTE-identical survivors: same files,
+    // same length, same mtime — never read, never rewritten
+    val after = fileState()
+    val affectedSet = affected.map(b => s"bucket=$b").toSet
+    def bucketOf(path: String): String =
+      path.split("/").find(_.startsWith("bucket=")).getOrElse("?")
+    val survivors = before.keys.filterNot(p => affectedSet(bucketOf(p)))
+    assert(survivors.nonEmpty, "fixture must leave unaffected buckets")
+    survivors.foreach { p =>
+      assert(after.get(p).contains(before(p)),
+        s"unaffected file changed: $p")
+    }
+    // no on-disk bucket dir without expected rows (emptied buckets die)
+    val expectBuckets = expect.map(_._4).toSet
+    val onDisk = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("bucket=")).map(_.getName
+        .stripPrefix("bucket=").toInt).toSet
+    assert(onDisk.subsetOf(expectBuckets),
+      s"stale bucket dirs survive: ${onDisk -- expectBuckets}")
+    // and the serve path agrees end to end after the bucket-local merge
+    val servedIncr = Dedup.containmentAgainstPostingStore(
+        spark.read.parquet(dir),
+        Seq((100L, "brand new replacement words")).toDF("doc_id", "text"),
+        "doc_id", "text", shingleSize = 2, threshold = 0.5,
+        buckets = buckets)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(servedIncr.exists(_._2 == 5L),
+      s"quote of the re-ingested text must hit doc 5: $servedIncr")
+  }
+
   test("posting-store serve reads a bounded, partition-pruned subset") {
     val buckets = 256
     val dir = java.nio.file.Files.createTempDirectory("graft_ctpostspec")
