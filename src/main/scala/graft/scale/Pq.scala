@@ -274,4 +274,40 @@ object Pq {
         .withColumn("adc_dist", adcScore(codebooks, query)),
       idCol, topK, Seq("cell"))
   }
+
+  /** Recall@k of the IVF+PQ serve against the EXACT L2 ground truth —
+    * [[graft.scale.Dedup.lshRecallEval]]'s discipline applied to the ANN
+    * family: the banding/probing/quantization config is MEASURED on the
+    * corpus at hand instead of trusted (ANN recall is distribution-
+    * dependent; the validation a pipeline runs before shipping an index
+    * config). `found` is the ADC top-k over the supplied `index`
+    * ([[ivfPqTopK]] — probe pruning included, so the number reflects the
+    * SERVED path, quantization AND probe losses together); truth is the
+    * exact squared-L2 top-k over `corpus`, computed with the pinned
+    * left-fold (the q27/q200 convention — a DuckDB oracle replays the
+    * ordering bit for bit) and cut by TakeOrdered (distributed, never a
+    * single-partition window). Ties break by id on both sides. Output:
+    * ONE row (nprobe, k, n_hit, recall) — bounded regardless of corpus
+    * size.
+    */
+  def ivfPqRecallEval(corpus: DataFrame, idCol: String, vecCol: String,
+      index: DataFrame, coarse: Array[Array[Double]],
+      codebooks: Array[Array[Array[Double]]], query: Array[Double],
+      nprobe: Int, topK: Int): DataFrame = {
+    require(topK > 0, s"topK must be positive: $topK")
+    val found = ivfPqTopK(index, idCol, coarse, codebooks, query, nprobe,
+      topK).select(col(idCol))
+    val qlit = array(query.toIndexedSeq.map(lit): _*)
+    val dist = aggregate(
+      zip_with(transform(col(vecCol), x => x.cast("double")), qlit,
+        (x, w) => (x - w) * (x - w)),
+      lit(0.0), (acc, z) => acc + z)
+    val truth = corpus.select(col(idCol), dist.as("__d"))
+      .orderBy(col("__d"), col(idCol)).limit(topK).select(col(idCol))
+    truth.join(found, Seq(idCol), "left_semi")
+      .agg(count(lit(1)).as("n_hit"))
+      .select(lit(nprobe.toLong).as("nprobe"), lit(topK.toLong).as("k"),
+        col("n_hit"),
+        round(col("n_hit").cast("double") / topK.toDouble, 6).as("recall"))
+  }
 }

@@ -819,6 +819,68 @@ object PipelineQueries {
       SELECT vec_id, cell, adc_dist, rank FROM r WHERE rank <= 10
       ORDER BY rank"""))
 
+  /** ANN recall@k measurement ([[graft.scale.Pq.ivfPqRecallEval]] —
+    * q195's measure-don't-trust discipline for the ANN family): the q142
+    * IVF+PQ config served at nprobe 2 of 8 cells, scored against the
+    * EXACT L2 top-10 (pinned left-fold ordering, id tiebreak,
+    * TakeOrdered cut). The oracle composes q142's full ADC replay with a
+    * brute-force exact ranking and intersects — a hash-match certifies
+    * the recall NUMBER itself, which is what an index-config decision
+    * actually consumes.
+    */
+  private val q222 = GQuery(
+    (s, d) => {
+      val emb = T.embeddings(s, d)
+      val coarse = graft.scale.Clustering
+        .lloydTrain(emb, "vec_id", "embedding", k = 8, iters = 2)
+      val cb = graft.scale.Pq.trainCodebooks(emb, "vec_id", "embedding",
+        dim = 64, m = 4, k = 4, iters = 2)
+      val idx = graft.scale.Pq
+        .buildIvfPqIndex(emb, "vec_id", "embedding", coarse, cb)
+      val query = emb.where(col("vec_id") === 0)
+        .select(transform(col("embedding"), x => x.cast("double")).as("v"))
+        .collect().head.getSeq[Double](0).toArray
+      graft.scale.Pq.ivfPqRecallEval(emb, "vec_id", "embedding", idx,
+        coarse, cb, query, nprobe = 2, topK = 10)
+    },
+    Some(s"""WITH e AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings),
+      qv AS (SELECT v FROM e WHERE vec_id = 0),
+      ${kmeansCtes("c", "e", "v", 8)},
+      ${argminCte("e", "v", "c1_c", "cellv")},
+      probe AS (SELECT j FROM (
+        SELECT c1_c.j, ROW_NUMBER() OVER (ORDER BY
+          list_sum(list_transform(list_zip(qv.v, c1_c.c),
+            p -> (p[1]-p[2])**2)), c1_c.j) AS rn
+        FROM c1_c CROSS JOIN qv) WHERE rn <= 2),
+      ${Seq((1, 1, 16), (2, 17, 32), (3, 33, 48), (4, 49, 64))
+        .map { case (s0, lo, hi) => pqSubspace(s0, lo, hi) }
+        .mkString(",\n      ")},
+      cand AS (SELECT cellv.vec_id, cellv.j AS cell
+        FROM cellv JOIN probe ON cellv.j = probe.j),
+      sc AS (SELECT cand.vec_id,
+          round(t_1.dist + t_2.dist + t_3.dist + t_4.dist, 6) AS adc_dist
+        FROM cand
+        JOIN code_1 USING (vec_id) JOIN code_2 USING (vec_id)
+        JOIN code_3 USING (vec_id) JOIN code_4 USING (vec_id)
+        JOIN t_1 ON t_1.j = code_1.j
+        JOIN t_2 ON t_2.j = code_2.j
+        JOIN t_3 ON t_3.j = code_3.j
+        JOIN t_4 ON t_4.j = code_4.j),
+      f AS (SELECT vec_id FROM (SELECT vec_id, ROW_NUMBER() OVER (
+          ORDER BY adc_dist, vec_id) AS rank FROM sc) WHERE rank <= 10),
+      tr AS (SELECT vec_id FROM (SELECT e.vec_id, ROW_NUMBER() OVER (
+          ORDER BY ${ScaleQueries.foldSum((1 to 64).map(i =>
+            s"((e.v[$i] - qv.v[$i]) * (e.v[$i] - qv.v[$i]))"))}, e.vec_id)
+            AS rn
+        FROM e CROSS JOIN qv) WHERE rn <= 10),
+      h AS (SELECT COUNT(*)::BIGINT AS n_hit FROM tr
+        JOIN f USING (vec_id))
+      SELECT 2::BIGINT AS nprobe, 10::BIGINT AS k, n_hit,
+        ROUND(n_hit::DOUBLE / 10.0, 6) AS recall
+      FROM h"""))
+
   /** Incremental IVF+PQ index maintenance (Pq.mergeIvfPqIndex): the
     * steady-state half of q142 — coarse quantizer and codebooks train on
     * the CORPUS SNAPSHOT only (vec_id % 3 ≠ 0) and stay frozen; an
@@ -1583,6 +1645,7 @@ object PipelineQueries {
     "q202_jaccard_index_lifecycle" -> q202,
     "q203_containment_vs_index" -> q203,
     "q217_containment_posting_store" -> q217,
+    "q222_ann_recall_eval" -> q222,
     "q205_opq_rotated_pq" -> q205,
     "q206_wordpiece_apply" -> q206,
     "q210_opq_ivfpq_search" -> q210,

@@ -180,7 +180,8 @@ object Explain {
       "q218_exact_duplicate_spans", // every-position grams, hash prefilter + string verify
       "q219_langid_ngram",     // hashed char-trigram NB, map-side label expansion
       "q220_time_travel",      // manifest reads, per-version upsert windows
-      "q221_exact_span_removal") // exact positions + one doc-keyed text join
+      "q221_exact_span_removal", // exact positions + one doc-keyed text join
+      "q222_ann_recall_eval")  // probe-pruned ADC vs TakeOrdered exact truth
 
     val sb = new StringBuilder
     sb.append("# EXPLAIN — flagship physical plans\n\n")
