@@ -49,6 +49,18 @@ import org.apache.spark.sql.SparkSession
   *    re-running DEGRADES under exactly the machine contention that
   *    triggers it (the r12 AND r13 death spiral). Un-adjudicated
   *    outliers keep their suite times.
+  *  - a daemon WATCHDOG closes the mid-query hole the between-queries
+  *    check leaves: past the work deadline it cancels all jobs on the
+  *    current SparkContext (repeatedly, across session rebuilds), so a
+  *    query that started just under the deadline and hangs is abandoned
+  *    and reported SKIPPED — the print phase is reached even when a
+  *    single query would otherwise blow through PrintReserve;
+  *  - entries still above 1.3× their committed bench_ref.json time AFTER
+  *    adjudication are named in `"suspect":[…]`/`"nsuspect"` on the final
+  *    machine line — on a loaded machine the fresh-JVM re-run is just as
+  *    inflated (r14: seven queries printed 2–10.8× ref, all judge-cleared
+  *    solo), so the asterisk travels with the number instead of leaving a
+  *    plan regression and machine contention indistinguishable;
   *  - the output channel stays parseable: child JVM stderr goes to
   *    DISCARD (r13's INHERIT let session-startup INFO blocks flood the
   *    harness's 2000-byte merged tail — it contained zero JSON), the
@@ -71,6 +83,37 @@ object Bench {
   /** Hard stop for all measuring/re-running activity. */
   private def workDeadlineSec: Double = DeadlineSec - PrintReserveSec
 
+  // ---- mid-query watchdog ----
+  // The between-queries deadline check alone leaves one hole: a query that
+  // STARTS just under workDeadlineSec and hangs (or simply runs long) blows
+  // through PrintReserve and the external wall clock — the rc=124 failure
+  // mode all over again. A daemon watchdog closes it: past the work
+  // deadline it cancels all jobs on whatever SparkContext is current
+  // (repeatedly — each query gets a fresh context) so force() throws, the
+  // in-flight query is abandoned, and the print phase is always reached.
+  @volatile private var activeContext: Option[org.apache.spark.SparkContext] =
+    None
+  @volatile private var watchdogFired = false
+
+  private def armWatchdog(): Unit = {
+    val t = new Thread(() => {
+      while (true) {
+        val remain = workDeadlineSec - elapsedSec
+        if (remain <= 0) {
+          watchdogFired = true
+          activeContext.foreach { sc =>
+            try { if (!sc.isStopped) sc.cancelAllJobs() }
+            catch { case _: Exception => () }
+          }
+          Thread.sleep(2000)
+        } else Thread.sleep(math.max(250L, math.min(10000.0, remain * 1000).toLong))
+      }
+    })
+    t.setDaemon(true)
+    t.setName("bench-deadline-watchdog")
+    t.start()
+  }
+
   private def newSession(cpus: String): SparkSession = {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -80,6 +123,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    activeContext = Some(spark.sparkContext)
     // bring up executor threads, noop committer, codegen paths before
     // the first timed run
     spark.range(100000).selectExpr("sum(id) as s")
@@ -275,6 +319,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     t0 = System.nanoTime()
     quietLogging()
+    armWatchdog()
     // only the top-level run cleans: a child JVM deleting /tmp/graft_*
     // would race the parent (and anything else — e.g. a test JVM whose
     // Files.createTempDirectory("graft_…") dirs share the prefix)
@@ -308,13 +353,20 @@ object Bench {
           spark = newSession(cpus)
         }
         val t = time(spark, sfDir, fn)
-        // Incremental per-query flush: println is line-flushed, so if the
-        // harness kills this process on a wall-clock budget (r12: rc=124,
-        // zero output) the 2000-byte stdout tail still holds the most
-        // recent ~50 per-query results as parseable partials.
-        if (!isChild)
-          println(s"""{"q":"${shortKey(name)}","sec":${fmt(t)}}""")
-        Some(name -> t)
+        // A query the WATCHDOG aborted mid-run ran out of wall clock, it
+        // didn't crash: report it skipped, never failed (the same
+        // ran-out-vs-crashed distinction the between-queries check makes).
+        if (t < 0 && watchdogFired && elapsedSec > workDeadlineSec) {
+          skipped += name; None
+        } else {
+          // Incremental per-query flush: println is line-flushed, so if the
+          // harness kills this process on a wall-clock budget (r12: rc=124,
+          // zero output) the 2000-byte stdout tail still holds the most
+          // recent ~50 per-query results as parseable partials.
+          if (!isChild)
+            println(s"""{"q":"${shortKey(name)}","sec":${fmt(t)}}""")
+          Some(name -> t)
+        }
       }
     }
 
@@ -359,6 +411,17 @@ object Bench {
     // machine line, so no log can land after it).
     if (!spark.sparkContext.isStopped) spark.stop()
     val failed = results.collect { case (n, t) if t < 0 => n }.sorted
+    // Entries still above the agree band vs their committed reference AFTER
+    // adjudication: on a loaded machine a fresh child JVM is just as
+    // contention-inflated as the suite run (r14: q35 printed 15.2 s vs ref
+    // 1.4, judge solo re-probe 2.1 s), so the recorded number alone is
+    // indistinguishable from a plan regression. Name them, so a reader of
+    // BENCH_rN knows which values carry a machine-load asterisk.
+    val suspect = results.collect {
+      case (n, t) if t > 0 &&
+        ref.get(shortKey(n)).exists(r => r > 0 && t > AgreeBand * r) =>
+        shortKey(n)
+    }.sorted
     // Cap the failed/skipped lists so a catastrophic round can't overflow
     // the final machine line; nfailed/nskipped always carry true counts.
     val failedJson = failed.take(20).map("\"" + shortKey(_) + "\"")
@@ -384,7 +447,9 @@ object Bench {
     // The machine-parseable line LAST and TINY (~180 bytes): no queries
     // map, so it always fits whole inside the tail window regardless of
     // suite size.
-    println(s"""{"metric":"total","unit":"sec","runs":$Runs,"sf":"$sfDir","nq":${results.size},"nfailed":${failed.size},"failed":$failedJson,"nskipped":${skipped.size},"skipped":$skippedJson,"elapsed":${fmt(elapsedSec)},"value":${fmt(total)}}""")
+    val suspectJson = suspect.take(20).map("\"" + _ + "\"")
+      .mkString("[", ",", "]")
+    println(s"""{"metric":"total","unit":"sec","runs":$Runs,"sf":"$sfDir","nq":${results.size},"nfailed":${failed.size},"failed":$failedJson,"nskipped":${skipped.size},"skipped":$skippedJson,"nsuspect":${suspect.size},"suspect":$suspectJson,"elapsed":${fmt(elapsedSec)},"value":${fmt(total)}}""")
     System.out.flush()
   }
 }

@@ -664,15 +664,13 @@ object Dedup {
     // ones still sitting in a bucket the merge emptied)
     val nonEmpty = merged.select(col("bucket")).distinct()
       .collect().map(_.getInt(0)).toSet
-    val conf = spark.conf
-    val prev = conf.getOption("spark.sql.sources.partitionOverwriteMode")
-    conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try merged
-      .write.mode("overwrite").partitionBy("bucket").parquet(storePath)
-    finally prev match {
-      case Some(v) => conf.set("spark.sql.sources.partitionOverwriteMode", v)
-      case None => conf.unset("spark.sql.sources.partitionOverwriteMode")
-    }
+    // per-WRITE dynamic overwrite (DataFrameWriter option, not the session
+    // conf): scoping the mode to this writer means a concurrent write in
+    // the same session can never inherit dynamic-overwrite semantics from
+    // this one's set/restore window
+    merged.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("bucket").parquet(storePath)
     // delete affected buckets the merge emptied: dynamic overwrite only
     // replaces partitions present in the written data, so the stale
     // partition would otherwise survive

@@ -62,6 +62,9 @@ class BenchDeadlineSpec extends AnyFunSuite {
     assert(line.contains("\"nq\":0"), line)
     assert(line.contains("\"nskipped\":3"), line)
     assert(line.contains("\"nfailed\":0"), line)
+    // the contention-asterisk field is always present (r14 verdict #5)
+    assert(line.contains("\"nsuspect\":"), line)
+    assert(line.contains("\"suspect\":["), line)
   }
 
   test("a comfortable deadline measures everything and skips nothing") {
@@ -74,6 +77,7 @@ class BenchDeadlineSpec extends AnyFunSuite {
     assert(line.contains("\"nq\":2"), line)
     assert(line.contains("\"nskipped\":0"), line)
     assert(line.contains("\"nfailed\":0"), line)
+    assert(line.contains("\"nsuspect\":"), line)
     // the per-query chunked map is present and parseable before the line
     assert(out.linesIterator.exists(_.startsWith("{\"detail\":\"queries-")),
       out.takeRight(1200))
