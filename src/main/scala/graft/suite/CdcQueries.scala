@@ -207,6 +207,55 @@ object CdcQueries {
       UNION ALL SELECT 4::BIGINT, * FROM s4
       ORDER BY snapshot_version, o_orderkey"""))
 
+  /** Manifest file-statistics data skipping + compaction
+    * ([[graft.scale.Versioned.readAtRange]] /
+    * [[graft.scale.Versioned.commitCompaction]]): orders range-clustered
+    * into 8 files at init (disjoint per-file o_orderkey footer ranges →
+    * the manifest is a zone map), then (a) a selective read of v0 served
+    * from the PRUNED file list — the builder asserts a strict subset is
+    * touched, the oracle certifies the rows are exactly the full filter's
+    * — and (b) the same predicate over the v1 COMPACTION commit (8 files
+    * bin-packed to 1, history intact). One hash-match certifies pruning
+    * loses nothing and compaction is row-exact under time travel.
+    */
+  private val q226 = GQuery(
+    (s, d) => {
+      val o = T.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        .where(col("o_orderkey") % 2 === 0)
+      val root = Scratch.fresh("graft_vprune_") + "/orders"
+      graft.scale.Versioned.init(s, root,
+        o.repartitionByRange(8, col("o_orderkey")))
+      val (lo, hi) = (BigDecimal(1000), BigDecimal(9000))
+      val all = graft.scale.Versioned.manifestFiles(s, root, 0L)
+      val pruned = graft.scale.Versioned.prunedFiles(s, root, 0L,
+        "o_orderkey", Some(lo), Some(hi))
+      assert(pruned.nonEmpty && pruned.size < all.size,
+        s"stats pruning touched ${pruned.size} of ${all.size} files")
+      val v1 = graft.scale.Versioned.commitCompaction(s, root, 1L << 30)
+      assert(graft.scale.Versioned.manifestFiles(s, root, v1).size < all.size,
+        "compaction did not shrink the file count")
+      val a = graft.scale.Versioned
+        .readAtRange(s, root, 0L, "o_orderkey", Some(lo), Some(hi))
+        .withColumn("phase", lit("pruned"))
+      val b = graft.scale.Versioned.readLatest(s, root)
+        .where(col("o_orderkey").between(1000L, 9000L))
+        .withColumn("phase", lit("compacted"))
+      a.unionByName(b)
+        .select(col("phase"), col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice"))
+        .orderBy(col("phase"), col("o_orderkey"))
+    },
+    Some("""WITH f AS (
+        SELECT o_orderkey, o_orderstatus, o_totalprice
+        FROM orders
+        WHERE o_orderkey % 2 = 0 AND o_orderkey BETWEEN 1000 AND 9000)
+      SELECT 'pruned' AS phase, o_orderkey, o_orderstatus, o_totalprice
+        FROM f
+      UNION ALL
+      SELECT 'compacted', o_orderkey, o_orderstatus, o_totalprice FROM f
+      ORDER BY phase, o_orderkey"""))
+
   private val q183 = GQuery(
     (s, d) => {
       val o = T.orders(s, d).select(col("o_orderkey"), col("o_custkey"),
@@ -236,6 +285,7 @@ object CdcQueries {
     "q90_cdc_upsert" -> q90,
     "q93_scd2_intervals" -> q93,
     "q220_time_travel" -> q220,
+    "q226_stats_pruned_read" -> q226,
     "q183_join_view_ivm" -> q183,
   )
 }

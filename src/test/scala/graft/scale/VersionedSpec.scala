@@ -126,6 +126,132 @@ class VersionedSpec extends SparkSpec {
     assert(snap(4L, root) == v3Snap.filterNot(_._1 == 1L))
   }
 
+  test("stats pruning: a selective read touches a strict file subset, " +
+      "byte-identical rows") {
+    val root = freshRoot()
+    // range-clustered files so per-file k ranges are disjoint: pruning has
+    // something to prune
+    val df = spark.range(1, 1001).toDF("k")
+      .withColumn("v", concat(lit("x"), $"k"))
+      .withColumn("version", lit(1L))
+      .repartitionByRange(4, $"k")
+    Versioned.init(spark, root, df)
+    val all = Versioned.manifestFiles(spark, root, 0L)
+    assert(all.size == 4)
+    // every file carries k stats in the manifest
+    val entries = Versioned.manifestEntries(spark, root, 0L)
+    assert(entries.forall(_._2.contains("k")),
+      s"missing k stats: ${entries.map(_._2.keySet)}")
+    val pruned = Versioned.prunedFiles(spark, root, 0L, "k",
+      Some(BigDecimal(1)), Some(BigDecimal(50)))
+    assert(pruned.nonEmpty && pruned.size < all.size,
+      s"expected a strict subset, got ${pruned.size} of ${all.size}")
+    val viaPruned = Versioned.readAtRange(spark, root, 0L, "k",
+      Some(BigDecimal(1)), Some(BigDecimal(50)))
+      .collect().map(_.toString).sorted.toSeq
+    val viaFull = Versioned.readAt(spark, root, 0L)
+      .where($"k" >= 1 && $"k" <= 50)
+      .collect().map(_.toString).sorted.toSeq
+    assert(viaPruned == viaFull)
+    // an out-of-range read prunes everything and returns zero rows
+    val none = Versioned.readAtRange(spark, root, 0L, "k",
+      Some(BigDecimal(5000)), None)
+    assert(Versioned.prunedFiles(spark, root, 0L, "k",
+      Some(BigDecimal(5000)), None).isEmpty)
+    assert(none.count() == 0L)
+    // a column without stats falls back to the full list (conservative)
+    assert(Versioned.prunedFiles(spark, root, 0L, "no_such_col",
+      Some(BigDecimal(0)), Some(BigDecimal(0))).size == all.size)
+  }
+
+  test("compaction: fewer files, identical rows, history intact") {
+    val root = freshRoot()
+    val df = spark.range(1, 501).toDF("k")
+      .withColumn("v", concat(lit("x"), $"k"))
+      .withColumn("version", lit(1L))
+      .repartition(8)
+    Versioned.init(spark, root, df) // v0: 8 files
+    val v0Rows = Versioned.readAt(spark, root, 0L)
+      .collect().map(_.toString).sorted.toSeq
+    val v0Files = Versioned.manifestFiles(spark, root, 0L)
+    assert(v0Files.size == 8)
+    // huge target => everything bin-packs into one file
+    val v1 = Versioned.commitCompaction(spark, root,
+      targetFileBytes = 1L << 30)
+    assert(v1 == 1L)
+    val v1Files = Versioned.manifestFiles(spark, root, 1L)
+    assert(v1Files.size < v0Files.size, s"${v1Files.size} vs ${v0Files.size}")
+    assert(Versioned.readLatest(spark, root)
+      .collect().map(_.toString).sorted.toSeq == v0Rows)
+    // time travel to the pre-compaction version still reads the OLD files
+    assert(Versioned.readAt(spark, root, 0L)
+      .collect().map(_.toString).sorted.toSeq == v0Rows)
+    // and a post-compaction upsert carries on from the compacted snapshot
+    Versioned.commitUpsert(spark, root,
+      Seq((1L, "ONE", 2L, "U")).toDF("k", "v", "version", "op"),
+      Seq("k"), "version") // v2
+    assert(Versioned.readLatest(spark, root)
+      .where($"k" === 1L).select("v").collect().head.getString(0) == "ONE")
+    // vacuum to the post-compaction versions: old small files die
+    val deleted = Versioned.vacuum(spark, root, keepVersions = 2)
+    assert(deleted >= v0Files.size, s"deleted only $deleted")
+    assert(Versioned.readAt(spark, root, 1L)
+      .collect().map(_.toString).sorted.toSeq == v0Rows)
+  }
+
+  test("vacuum never touches staging dirs above the dropped-version bound") {
+    val root = freshRoot()
+    Versioned.init(spark, root,
+      Seq((1L, "a", 1L)).toDF("k", "v", "version"))
+    Versioned.commitUpsert(spark, root,
+      Seq((2L, "b", 2L, "I")).toDF("k", "v", "version", "op"),
+      Seq("k"), "version") // v1
+    // a concurrent committer's in-flight staging dir for v2 (no manifest
+    // yet) and a crashed/losing attempt's garbage for dropped v0
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    def plant(dir: String): org.apache.hadoop.fs.Path = {
+      val p = new org.apache.hadoop.fs.Path(s"$root/data/$dir/part-0.parquet")
+      val out = fs.create(p, false)
+      out.write(Array[Byte](1, 2, 3)); out.close(); p
+    }
+    val inFlight = plant("v2-aaaa-in-flight")
+    val crashed = plant("v0-bbbb-crashed")
+    Versioned.vacuum(spark, root, keepVersions = 1) // drops v0 only
+    assert(fs.exists(inFlight),
+      "vacuum must not touch staging dirs above the dropped bound")
+    assert(!fs.exists(crashed),
+      "a crashed attempt's garbage at a dropped version is reclaimed")
+    assert(Versioned.readLatest(spark, root).count() == 2L)
+  }
+
+  test("rollback whose files a vacuum removed fails loudly and withdraws") {
+    val root = freshRoot()
+    Versioned.init(spark, root,
+      Seq((1L, "a", 1L)).toDF("k", "v", "version"))
+    Versioned.commitUpsert(spark, root,
+      Seq((2L, "b", 2L, "I")).toDF("k", "v", "version", "op"),
+      Seq("k"), "version") // v1
+    // simulate the lost race: v0's manifest still exists but its data
+    // file is gone (a concurrent vacuum deleted it mid-rollback)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    Versioned.manifestFiles(spark, root, 0L).foreach { f =>
+      fs.delete(new org.apache.hadoop.fs.Path(f), false)
+    }
+    val e = intercept[java.io.IOException] {
+      Versioned.rollback(spark, root, 0L)
+    }
+    assert(e.getMessage.contains("concurrent vacuum"), e.getMessage)
+    // the bad manifest was withdrawn: the table is still at v1 and commits
+    // forward cleanly
+    assert(Versioned.latestVersion(spark, root) == 1L)
+    Versioned.commitUpsert(spark, root,
+      Seq((3L, "c", 3L, "I")).toDF("k", "v", "version", "op"),
+      Seq("k"), "version")
+    assert(Versioned.readLatest(spark, root).count() == 3L)
+  }
+
   test("same-version commit conflicts are loud, not last-write-wins") {
     val root = freshRoot()
     Versioned.init(spark, root, Seq((1L, "a", 1L)).toDF("k", "v", "version"))
