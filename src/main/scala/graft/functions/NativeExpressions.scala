@@ -282,6 +282,199 @@ object NativeExpressions {
     org.apache.spark.unsafe.types.UTF8String.fromString(sb.toString)
   }
 
+  /** Single-pass HTML → block-segmented text (see [[HtmlExtractText]]). */
+  def html_extract_text(html: Column): Column =
+    Bridge.column(HtmlExtractText(Bridge.expression(html)))
+
+  private val HtmlBlockTags: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String]()
+    Seq("html", "head", "body", "title", "p", "div", "br", "hr",
+      "h1", "h2", "h3", "h4", "h5", "h6", "li", "ul", "ol", "dl", "dt",
+      "dd", "table", "thead", "tbody", "tfoot", "tr", "td", "th",
+      "section", "article", "aside", "header", "footer", "main", "nav",
+      "blockquote", "pre", "form", "figure", "figcaption")
+      .foreach(s.add)
+    s
+  }
+
+  /** Reference JVM implementation of [[HtmlExtractText]] — one pass, one
+    * output buffer, no DOM. The exact contract (every clause is pinned by
+    * the q223 oracle and HtmlExtractSpec's independent reference parser):
+    *
+    *  - `<!--` … `-->` comments: dropped whole, count 1 toward
+    *    tags_dropped; unterminated → dropped to EOF.
+    *  - `<` followed by a letter, `/`, `!` or `?`: a TAG TOKEN, scanned to
+    *    the first `>` OUTSIDE single/double-quoted attribute values
+    *    (`<div title="a>b">` is one tag); counts 1; unterminated → dropped
+    *    to EOF. Any other `<` is literal text.
+    *  - an OPENING `script`/`style` tag drops everything up to its
+    *    case-insensitive `</script`/`</style` close (raw scan — pseudo-tags
+    *    inside don't parse and don't count; the close tag counts 1);
+    *    unterminated → dropped to EOF.
+    *  - block-level tag tokens (open, close, or self-closing: html, head,
+    *    body, title, p, div, br, hr, h1-h6, li, ul/ol/dl/dt/dd, table
+    *    family, section/article/aside/header/footer/main/nav, blockquote,
+    *    pre, form, figure, figcaption) end the current text block; inline
+    *    tags (b, i, span, a, …) vanish without a boundary.
+    *  - entities in text: `&amp; &lt; &gt; &quot; &apos;` decode to their
+    *    character, `&nbsp;` to a space, `&#NN;`/`&#xHH;` to their code
+    *    point (invalid code points stay literal); unknown `&name;` and
+    *    bare `&` stay literal.
+    *  - whitespace (anything ≤ 0x20) collapses to single spaces within a
+    *    block; blocks are trimmed, empty blocks dropped, kept blocks
+    *    joined by `\n`.
+    *
+    * Returns struct(text, tags_dropped, blocks_kept).
+    */
+  def htmlExtract(html: org.apache.spark.unsafe.types.UTF8String):
+      org.apache.spark.sql.catalyst.InternalRow = {
+    val s = html.toString
+    val n = s.length
+    val out = new java.lang.StringBuilder(n)
+    val block = new java.lang.StringBuilder(64)
+    var pending = false // a space is owed before the next block char
+    var tags = 0L
+    var blocks = 0L
+
+    def appendChar(c: Char): Unit = {
+      if (c <= ' ') { if (block.length > 0) pending = true }
+      else {
+        if (pending) { block.append(' '); pending = false }
+        block.append(c)
+      }
+    }
+    def appendCodePoint(cp: Int): Unit =
+      if (cp <= 0xFFFF) appendChar(cp.toChar)
+      else { // astral plane: never whitespace, emit the surrogate pair
+        if (pending) { block.append(' '); pending = false }
+        block.appendCodePoint(cp): Unit
+      }
+    def flushBlock(): Unit = {
+      if (block.length > 0) {
+        if (out.length > 0) out.append('\n')
+        out.append(block)
+        blocks += 1
+        block.setLength(0)
+      }
+      pending = false
+    }
+    @inline def isNameChar(c: Char): Boolean =
+      (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
+        (c >= '0' && c <= '9')
+    @inline def lower(c: Char): Char =
+      if (c >= 'A' && c <= 'Z') (c + 32).toChar else c
+    // index of case-insensitive "</name" at or after `from`, or -1
+    def closeTagIndex(name: String, from: Int): Int = {
+      val m = name.length
+      var i = from
+      while (i <= n - m - 2) {
+        if (s.charAt(i) == '<' && s.charAt(i + 1) == '/') {
+          var j = 0
+          while (j < m && lower(s.charAt(i + 2 + j)) == name.charAt(j)) j += 1
+          if (j == m) return i
+        }
+        i += 1
+      }
+      -1
+    }
+
+    var i = 0
+    while (i < n) {
+      val c = s.charAt(i)
+      if (c == '<') {
+        if (i + 3 < n && s.charAt(i + 1) == '!' && s.charAt(i + 2) == '-' &&
+            s.charAt(i + 3) == '-') {
+          val j = s.indexOf("-->", i + 4)
+          tags += 1
+          i = if (j < 0) n else j + 3
+        } else if (i + 1 < n && {
+          val d = s.charAt(i + 1)
+          (d >= 'a' && d <= 'z') || (d >= 'A' && d <= 'Z') ||
+            d == '/' || d == '!' || d == '?'
+        }) {
+          // scan the tag token to '>' outside quoted attribute values
+          var j = i + 1
+          var quote: Char = 0
+          while (j < n && (quote != 0 || s.charAt(j) != '>')) {
+            val q = s.charAt(j)
+            if (quote == 0 && (q == '"' || q == '\'')) quote = q
+            else if (q == quote) quote = 0
+            j += 1
+          }
+          tags += 1
+          // tag name: letters/digits after the optional '/'
+          var p = i + 1
+          val closing = p < n && s.charAt(p) == '/'
+          if (closing) p += 1
+          val nameStart = p
+          while (p < n && p <= j && isNameChar(s.charAt(p))) p += 1
+          val nameLen = p - nameStart
+          val nb = new java.lang.StringBuilder(nameLen)
+          var q = nameStart
+          while (q < nameStart + nameLen) { nb.append(lower(s.charAt(q))); q += 1 }
+          val name = nb.toString
+          if (!closing && (name == "script" || name == "style")) {
+            val k = closeTagIndex(name, if (j < n) j + 1 else n)
+            if (k < 0) i = n
+            else {
+              val m = s.indexOf('>', k)
+              tags += 1
+              i = if (m < 0) n else m + 1
+            }
+            flushBlock() // script/style tags are block-level by convention
+          } else {
+            if (HtmlBlockTags.contains(name)) flushBlock()
+            i = if (j >= n) n else j + 1
+          }
+        } else {
+          appendChar('<')
+          i += 1
+        }
+      } else if (c == '&') {
+        var e = i + 1
+        val stop = math.min(n, i + 11)
+        while (e < stop && s.charAt(e) != ';') e += 1
+        if (e < stop && e < n && s.charAt(e) == ';' && e > i + 1) {
+          val ent = s.substring(i + 1, e)
+          var consumed = true
+          ent match {
+            case "amp"  => appendChar('&')
+            case "lt"   => appendChar('<')
+            case "gt"   => appendChar('>')
+            case "quot" => appendChar('"')
+            case "apos" => appendChar('\'')
+            case "nbsp" => appendChar(' ')
+            case _ if ent.charAt(0) == '#' =>
+              val hex = ent.length > 1 &&
+                (ent.charAt(1) == 'x' || ent.charAt(1) == 'X')
+              val digits = ent.substring(if (hex) 2 else 1)
+              val cp = try {
+                if (digits.isEmpty) -1
+                else java.lang.Integer.parseInt(digits, if (hex) 16 else 10)
+              } catch { case _: NumberFormatException => -1 }
+              if (cp > 0 && cp <= 0x10FFFF &&
+                  !(cp >= 0xD800 && cp <= 0xDFFF)) appendCodePoint(cp)
+              else consumed = false
+            case _ => consumed = false
+          }
+          if (consumed) i = e + 1
+          else { appendChar('&'); i += 1 } // unknown entity: '&' literal,
+          // the name re-scans as plain text
+        } else {
+          appendChar('&')
+          i += 1
+        }
+      } else {
+        appendChar(c)
+        i += 1
+      }
+    }
+    flushBlock()
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(Array[Any](
+      org.apache.spark.unsafe.types.UTF8String.fromString(out.toString),
+      tags, blocks))
+  }
+
   /** Reference JVM implementation of [[RegexScrub]]: one Matcher pass
     * per pattern, counting matches while building the replacement.
     */
@@ -1647,6 +1840,34 @@ case class NormalizeAsciiText(child: Expression) extends UnaryExpression {
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c =>
       s"""${ev.value} = graft.functions.NativeExpressions.normalizeAscii($c);""")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Single-pass HTML → text extraction (see
+  * [[NativeExpressions.htmlExtract]]): strip tags (quote-aware), drop
+  * script/style/comment subtrees, decode the standard entities, segment
+  * into blocks at block-level tags — the trafilatura-role kernel in front
+  * of a crawl-curation pipeline, kept inside whole-stage codegen so the
+  * first pipeline stage costs one buffer pass like every other kernel
+  * here. Output: struct(text, tags_dropped, blocks_kept).
+  */
+case class HtmlExtractText(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("text", StringType),
+    StructField("tags_dropped", LongType, nullable = false),
+    StructField("blocks_kept", LongType, nullable = false)))
+  override def nullable: Boolean = child.nullable
+
+  override def nullSafeEval(input: Any): Any =
+    NativeExpressions.htmlExtract(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""${ev.value} = graft.functions.NativeExpressions.htmlExtract($c);""")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

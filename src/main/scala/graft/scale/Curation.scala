@@ -725,6 +725,33 @@ object Curation {
           .as("norm_stable"))
   }
 
+  /** HTML → block-segmented text extraction — the MISSING FIRST stage of
+    * a crawl pipeline (the trafilatura/resiliparse role): everything
+    * downstream of it already exists here (canonicalize → dedup →
+    * boilerplate → quality → mix), but those operators assume
+    * already-extracted text, and a real crawl starts from HTML. One
+    * [[graft.functions.HtmlExtractText]] kernel pass per document: strip
+    * tags (quote-aware, so `title="a>b"` can't truncate a tag), drop
+    * script/style/comment subtrees whole, decode the standard entities
+    * (`&amp; &lt; &gt; &quot; &apos; &nbsp; &#NN; &#xHH;`), segment text
+    * at block-level tags, collapse whitespace per block, join kept blocks
+    * with `\n`. Returns (doc_id, text, tags_dropped, blocks_kept).
+    *
+    * Scale shape: a narrow codegen projection — zero shuffles, zero
+    * joins, text read once; corpus-linear like every kernel here (the
+    * q223 oracle pins the semantics, HtmlExtractSpec's independent
+    * reference parser pins the grammar corners).
+    */
+  def extractHtmlText(docs: DataFrame, idCol: String,
+      htmlCol: String): DataFrame =
+    docs
+      .select(col(idCol).as("doc_id"),
+        graft.functions.NativeExpressions
+          .html_extract_text(col(htmlCol)).as("__h"))
+      .select(col("doc_id"), col("__h.text").as("text"),
+        col("__h.tags_dropped").as("tags_dropped"),
+        col("__h.blocks_kept").as("blocks_kept"))
+
   /** Per-document blocklist hit counts (the C4 "bad words" gate, Raffel
     * et al. 2020 §2.2, at production pattern counts): every occurrence
     * of every pattern in every document, via ONE Aho–Corasick pass per

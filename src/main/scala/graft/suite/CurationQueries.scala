@@ -802,6 +802,92 @@ object CurationQueries {
       SELECT doc_id, pattern, hits FROM hits WHERE hits > 0
       ORDER BY doc_id, pattern"""))
 
+  /** The q223 messy-HTML construction (the q208 six-modes pattern applied
+    * to HTML): deterministic per-doc HTML over six messiness modes
+    * (doc_id % 6) — uppercase tags, inline-vs-block boundaries,
+    * script/style subtrees (with a pseudo-tag INSIDE the script body),
+    * comments, the five named entities + numeric dec/hex + an unknown
+    * entity + nbsp, a quoted `>` inside an attribute value, self-closing
+    * br / void hr, literal `<` before a space and a digit, and an
+    * unclosed tag at EOF. Both engines build the SAME string from
+    * (doc_id, text), and the oracle states the EXPECTED extraction
+    * output per mode from the kernel's documented contract — an
+    * independent replay of the specification, not of the parser.
+    */
+  private def messyHtml: org.apache.spark.sql.Column = {
+    val m = col("doc_id") % 6
+    val i = col("doc_id").cast("string")
+    val w1 = substring(col("text"), 1, 15)
+    val w2 = substring(col("text"), 21, 15)
+    when(m === 0, concat(lit("<HTML><BODY><H1>Title "), i,
+        lit("</H1><P>"), w1, lit(" <B>bold</B> "), w2,
+        lit("</P></BODY></HTML>")))
+      .when(m === 1, concat(
+        lit("<html><head><style>p{color:red}</style>" +
+          "<script>var x=\"<p>\";</script></head><body><p>"), w1,
+        lit("</p></body></html>")))
+      .when(m === 2, concat(lit("<div>"), w1, lit("<!-- hidden "), i,
+        lit(" --><p>"), w2, lit("</p></div>")))
+      .when(m === 3, concat(
+        lit("<p>fish &amp; chips &lt;tag&gt; &quot;q&quot; " +
+          "&apos;a&apos; A&#66;C &#x44;E caf&eacute; &nbsp; end "), i,
+        lit("</p>")))
+      .when(m === 4, concat(lit("<div class=\"x>y\" data-a='1>2'>"), w1,
+        lit("<br/>"), w2, lit("<hr>"), i, lit("</div>")))
+      .otherwise(concat(lit("<p>1 < 2 and x<3 "), w1, lit("</p><p>"), i,
+        lit(" trailing <unclosed attr=")))
+  }
+
+  private val messyHtmlSql =
+    """CASE m
+         WHEN 0 THEN '<HTML><BODY><H1>Title ' || i || '</H1><P>' || w1 || ' <B>bold</B> ' || w2 || '</P></BODY></HTML>'
+         WHEN 1 THEN '<html><head><style>p{color:red}</style><script>var x="<p>";</script></head><body><p>' || w1 || '</p></body></html>'
+         WHEN 2 THEN '<div>' || w1 || '<!-- hidden ' || i || ' --><p>' || w2 || '</p></div>'
+         WHEN 3 THEN '<p>fish &amp; chips &lt;tag&gt; &quot;q&quot; &apos;a&apos; A&#66;C &#x44;E caf&eacute; &nbsp; end ' || i || '</p>'
+         WHEN 4 THEN '<div class="x>y" data-a=''1>2''>' || w1 || '<br/>' || w2 || '<hr>' || i || '</div>'
+         ELSE '<p>1 < 2 and x<3 ' || w1 || '</p><p>' || i || ' trailing <unclosed attr=' END"""
+
+  /** HTML → text extraction ([[graft.scale.Curation.extractHtmlText]]
+    * over the [[graft.functions.HtmlExtractText]] codegen kernel — the
+    * missing first stage of the crawl pipeline): six messiness modes in
+    * one full hash-match. The oracle composes the messy HTML AND its
+    * expected (text, tags_dropped, blocks_kept) per mode as literal
+    * string algebra over the same (doc_id, text) inputs, so a match
+    * certifies quote-aware tag stripping, script/style subtree drops
+    * (pseudo-tags inside never parse), comment removal, entity decoding
+    * (named + dec + hex; unknown stays literal), block segmentation at
+    * block-level tags, whitespace collapse + trim per block, literal
+    * `<` handling, and unclosed-tag-at-EOF drop — without the oracle
+    * ever parsing HTML. Zero shuffle: one narrow kernel projection.
+    */
+  private val q223 = GQuery(
+    (s, d) => {
+      val docs = T.documents(s, d)
+        .select(col("doc_id"), messyHtml.as("html"))
+      Curation.extractHtmlText(docs, "doc_id", "html")
+        .select(col("doc_id"), (col("doc_id") % 6).as("mode"), col("text"),
+          col("tags_dropped"), col("blocks_kept"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH u AS (
+        SELECT doc_id, doc_id % 6 AS m, CAST(doc_id AS VARCHAR) AS i,
+          trim(substr(text, 1, 15)) AS a, trim(substr(text, 21, 15)) AS b
+        FROM documents)
+      SELECT doc_id, m AS mode,
+        CASE m
+          WHEN 0 THEN 'Title ' || i || chr(10) || a || ' bold ' || b
+          WHEN 1 THEN a
+          WHEN 2 THEN a || chr(10) || b
+          WHEN 3 THEN 'fish & chips <tag> "q" ''a'' ABC DE caf&eacute; end ' || i
+          WHEN 4 THEN a || chr(10) || b || chr(10) || i
+          ELSE '1 < 2 and x<3 ' || a || chr(10) || i || ' trailing'
+        END AS text,
+        (CASE m WHEN 0 THEN 10 WHEN 1 THEN 12 WHEN 2 THEN 5 WHEN 3 THEN 2
+          WHEN 4 THEN 4 ELSE 4 END)::BIGINT AS tags_dropped,
+        (CASE m WHEN 0 THEN 2 WHEN 1 THEN 1 WHEN 2 THEN 2 WHEN 3 THEN 1
+          WHEN 4 THEN 3 ELSE 2 END)::BIGINT AS blocks_kept
+      FROM u ORDER BY doc_id"""))
+
   /** The q208/q209 messy-URL construction: deterministic per-doc URLs
     * over six messiness modes (doc_id % 6) — uppercase scheme+host,
     * default ports (with and without userinfo), an explicit non-default
@@ -1121,6 +1207,7 @@ object CurationQueries {
     "q58_decontamination" -> q58,
     "q207_blocklist_counts" -> q207,
     "q208_url_canonicalize" -> q208,
+    "q223_html_extract" -> q223,
     "q209_domain_quota" -> q209,
     "q211_boilerplate_removal" -> q211,
     "q212_blocklist_scrub" -> q212,
