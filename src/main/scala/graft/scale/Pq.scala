@@ -310,4 +310,79 @@ object Pq {
         col("n_hit"),
         round(col("n_hit").cast("double") / topK.toDouble, 6).as("recall"))
   }
+
+  /** The recall/cost OPERATING CURVE [[ivfPqRecallEval]]'s single point
+    * generalizes to — the config tuner a user actually needs after q222's
+    * lesson (recall 0.2 at nprobe 2/8 on unclustered embeddings): one row
+    * per probed config, sharing ONE exact ground-truth ranking across all
+    * of them. Each row carries the config's recall@k AND its cost —
+    * scanned_rows / scanned_frac, the fraction of the index the ADC scan
+    * touches, which at 100 TB is the bill. The pick rule is the first row
+    * (rows are nprobe-ascending, cost monotone non-decreasing) whose
+    * recall meets the target: the cheapest config that is good enough.
+    *
+    * Driver state: the per-cell row counts (≤ |coarse| longs — the
+    * k-centroids bound) and the cell ranking (same arithmetic as
+    * [[ivfPqTopK]], so the curve measures the SERVED path). The exact
+    * truth is the pinned left-fold + TakeOrdered cut (q27/q200
+    * convention — a DuckDB oracle replays it bit for bit).
+    *
+    * Recall@k is NOT guaranteed monotone in nprobe, and that is the
+    * point of measuring: the probed cell sets are nested, but the top-k
+    * CUT is by ADC (quantized) distance, so widening the probe can admit
+    * impostors whose quantized distance undercuts a true neighbor's and
+    * displaces it from the cut (measured on the driver testdata: 0.3 →
+    * 0.2 → 0.1 over nprobe 1 → 2 → 4 at m=4, k=4). The final
+    * full-probe row isolates PURE quantization loss (probe loss is zero
+    * there — AnalyticsSpec pins it equal to a whole-index ADC scan and
+    * pins scanned_rows' monotonicity); if that row's recall already
+    * misses the target, no nprobe can save the config — retrain with
+    * more codes, don't widen the probe.
+    */
+  def ivfPqRecallCurve(corpus: DataFrame, idCol: String, vecCol: String,
+      index: DataFrame, coarse: Array[Array[Double]],
+      codebooks: Array[Array[Array[Double]]], query: Array[Double],
+      nprobes: Seq[Int], topK: Int): DataFrame = {
+    require(topK > 0, s"topK must be positive: $topK")
+    require(nprobes.nonEmpty, "nprobes must be non-empty")
+    nprobes.foreach(np => require(np >= 1 && np <= coarse.length,
+      s"nprobe $np out of range for ${coarse.length} cells"))
+    val spark = index.sparkSession
+    // cell ranking by query distance — the same driver arithmetic
+    // ivfPqTopK serves with, so scanned_rows reflects the real probe sets
+    val ranked = coarse.toIndexedSeq.map(c => sqL2(query, c)).zipWithIndex
+      .sortBy { case (dist, j) => (dist, j) }.map(_._2)
+    val cellCounts = index.groupBy(col("cell"))
+      .agg(count(lit(1)).as("c")).collect()
+      .map(r => r.getAs[Number]("cell").intValue -> r.getLong(1)).toMap
+    val total = cellCounts.values.sum
+    require(total > 0, "empty index")
+    // exact squared-L2 ground truth, computed ONCE and shared
+    val qlit = array(query.toIndexedSeq.map(lit): _*)
+    val dist = aggregate(
+      zip_with(transform(col(vecCol), x => x.cast("double")), qlit,
+        (x, w) => (x - w) * (x - w)),
+      lit(0.0), (acc, z) => acc + z)
+    val truth = corpus.select(col(idCol), dist.as("__d"))
+      .orderBy(col("__d"), col(idCol)).limit(topK).select(col(idCol))
+    val found = nprobes.map { np =>
+      ivfPqTopK(index, idCol, coarse, codebooks, query, np, topK)
+        .select(lit(np.toLong).as("nprobe"), col(idCol))
+    }.reduce(_ unionByName _)
+    val hits = found.join(truth, Seq(idCol), "left_semi")
+      .groupBy(col("nprobe")).agg(count(lit(1)).as("n_hit"))
+    import spark.implicits._
+    val base = nprobes.map { np =>
+      (np.toLong, ranked.take(np).map(j => cellCounts.getOrElse(j, 0L)).sum)
+    }.toDF("nprobe", "scanned_rows")
+    base.join(hits, Seq("nprobe"), "left")
+      .select(col("nprobe"), lit(topK.toLong).as("k"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        round(coalesce(col("n_hit"), lit(0L)).cast("double") / topK.toDouble,
+          6).as("recall"),
+        col("scanned_rows"),
+        round(col("scanned_rows").cast("double") / total.toDouble, 6)
+          .as("scanned_frac"))
+      .orderBy(col("nprobe"))
+  }
 }

@@ -881,6 +881,95 @@ object PipelineQueries {
         ROUND(n_hit::DOUBLE / 10.0, 6) AS recall
       FROM h"""))
 
+  /** ANN recall/cost curve ([[graft.scale.Pq.ivfPqRecallCurve]] — q222's
+    * single measurement generalized into the config TUNER): the q142
+    * IVF+PQ config probed at nprobe ∈ {1, 2, 4, 8} of 8 cells, every
+    * config scored against ONE shared exact L2 top-10 and costed by the
+    * index fraction its ADC scan touches. The oracle ranks the cells
+    * once, scores every vector's ADC distance once, and replays each
+    * config as a rank-filtered cut — a hash-match certifies the whole
+    * curve (recall AND scanned_rows per config), which is exactly the
+    * table a pick rule consumes ("cheapest config with recall ≥ target").
+    * The measured curve is the operator's argument: recall 0.3 → 0.2 →
+    * 0.1 as nprobe widens 1 → 2 → 4 — MORE probing means WORSE recall
+    * here, because the m=4/k=4 quantizer's impostors displace true
+    * neighbors from the ADC cut (see Pq.ivfPqRecallCurve's scaladoc);
+    * only the curve, not any single point, can tell a user to retrain
+    * the codebooks instead of widening the probe.
+    */
+  private val q224 = GQuery(
+    (s, d) => {
+      val emb = T.embeddings(s, d)
+      val coarse = graft.scale.Clustering
+        .lloydTrain(emb, "vec_id", "embedding", k = 8, iters = 2)
+      val cb = graft.scale.Pq.trainCodebooks(emb, "vec_id", "embedding",
+        dim = 64, m = 4, k = 4, iters = 2)
+      val idx = graft.scale.Pq
+        .buildIvfPqIndex(emb, "vec_id", "embedding", coarse, cb)
+      val query = emb.where(col("vec_id") === 0)
+        .select(transform(col("embedding"), x => x.cast("double")).as("v"))
+        .collect().head.getSeq[Double](0).toArray
+      graft.scale.Pq.ivfPqRecallCurve(emb, "vec_id", "embedding", idx,
+        coarse, cb, query, nprobes = Seq(1, 2, 4, 8), topK = 10)
+    },
+    Some {
+      val nps = Seq(1, 2, 4, 8)
+      val perNp = nps.map { np =>
+        s"""f_$np AS (SELECT vec_id FROM (
+          SELECT sc.vec_id, ROW_NUMBER() OVER (
+            ORDER BY sc.adc_dist, sc.vec_id) AS rank
+          FROM sc JOIN prb ON sc.cell = prb.j WHERE prb.rn <= $np)
+        WHERE rank <= 10),
+      h_$np AS (SELECT COUNT(*)::BIGINT AS n_hit FROM tr
+        JOIN f_$np USING (vec_id)),
+      s_$np AS (SELECT CAST(COALESCE(SUM(c), 0) AS BIGINT) AS sr
+        FROM cnt JOIN prb ON cnt.cell = prb.j WHERE prb.rn <= $np)"""
+      }.mkString(",\n      ")
+      val rows = nps.map { np =>
+        s"""SELECT $np::BIGINT AS nprobe, 10::BIGINT AS k, h_$np.n_hit,
+          ROUND(h_$np.n_hit::DOUBLE / 10.0, 6) AS recall,
+          s_$np.sr AS scanned_rows,
+          ROUND(s_$np.sr::DOUBLE / tot.t::DOUBLE, 6) AS scanned_frac
+        FROM h_$np, s_$np, tot"""
+      }.mkString("\n      UNION ALL\n      ")
+      s"""WITH e AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings),
+      qv AS (SELECT v FROM e WHERE vec_id = 0),
+      ${kmeansCtes("c", "e", "v", 8)},
+      ${argminCte("e", "v", "c1_c", "cellv")},
+      prb AS (SELECT c1_c.j, ROW_NUMBER() OVER (ORDER BY
+          list_sum(list_transform(list_zip(qv.v, c1_c.c),
+            p -> (p[1]-p[2])**2)), c1_c.j) AS rn
+        FROM c1_c CROSS JOIN qv),
+      ${Seq((1, 1, 16), (2, 17, 32), (3, 33, 48), (4, 49, 64))
+        .map { case (s0, lo, hi) => pqSubspace(s0, lo, hi) }
+        .mkString(",\n      ")},
+      sc AS (SELECT cellv.vec_id, cellv.j AS cell,
+          round(t_1.dist + t_2.dist + t_3.dist + t_4.dist, 6) AS adc_dist
+        FROM cellv
+        JOIN code_1 ON code_1.vec_id = cellv.vec_id
+        JOIN code_2 ON code_2.vec_id = cellv.vec_id
+        JOIN code_3 ON code_3.vec_id = cellv.vec_id
+        JOIN code_4 ON code_4.vec_id = cellv.vec_id
+        JOIN t_1 ON t_1.j = code_1.j
+        JOIN t_2 ON t_2.j = code_2.j
+        JOIN t_3 ON t_3.j = code_3.j
+        JOIN t_4 ON t_4.j = code_4.j),
+      cnt AS (SELECT cellv.j AS cell, COUNT(*)::BIGINT AS c
+        FROM cellv GROUP BY cellv.j),
+      tot AS (SELECT CAST(SUM(c) AS BIGINT) AS t FROM cnt),
+      tr AS (SELECT vec_id FROM (SELECT e.vec_id, ROW_NUMBER() OVER (
+          ORDER BY ${ScaleQueries.foldSum((1 to 64).map(i =>
+            s"((e.v[$i] - qv.v[$i]) * (e.v[$i] - qv.v[$i]))"))}, e.vec_id)
+            AS rn
+        FROM e CROSS JOIN qv) WHERE rn <= 10),
+      $perNp
+      SELECT * FROM (
+      $rows)
+      ORDER BY nprobe"""
+    })
+
   /** Incremental IVF+PQ index maintenance (Pq.mergeIvfPqIndex): the
     * steady-state half of q142 — coarse quantizer and codebooks train on
     * the CORPUS SNAPSHOT only (vec_id % 3 ≠ 0) and stay frozen; an
@@ -1646,6 +1735,7 @@ object PipelineQueries {
     "q203_containment_vs_index" -> q203,
     "q217_containment_posting_store" -> q217,
     "q222_ann_recall_eval" -> q222,
+    "q224_ann_recall_curve" -> q224,
     "q205_opq_rotated_pq" -> q205,
     "q206_wordpiece_apply" -> q206,
     "q210_opq_ivfpq_search" -> q210,

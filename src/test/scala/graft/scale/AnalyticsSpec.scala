@@ -482,6 +482,42 @@ class AnalyticsSpec extends SparkSpec {
       "nprobe=1 results must all come from one cell")
   }
 
+  test("pq: ivfPqRecallCurve — monotone cost, full-probe row is pure " +
+      "quantization loss, rows agree with the single-point evaluator") {
+    val rnd = new scala.util.Random(13L)
+    val vecs = (0L until 60L).map(i =>
+      (i, Array.fill(8)((rnd.nextInt(200) - 100).toFloat))).toDF("id", "vec")
+    val coarse = graft.scale.Clustering.lloydTrain(vecs, "id", "vec",
+      k = 4, iters = 2)
+    val cb = graft.scale.Pq.trainCodebooks(vecs, "id", "vec",
+      dim = 8, m = 2, k = 3, iters = 2)
+    val idx = graft.scale.Pq.buildIvfPqIndex(vecs, "id", "vec", coarse, cb)
+    val q = Array.fill(8)(5.0)
+    val curve = graft.scale.Pq.ivfPqRecallCurve(vecs, "id", "vec", idx,
+      coarse, cb, q, nprobes = Seq(1, 2, 3, 4), topK = 10).collect()
+    assert(curve.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L, 4L))
+    // cost: scanned_rows non-decreasing (nested probe sets), full probe
+    // scans the whole index
+    val scanned = curve.map(_.getLong(4)).toSeq
+    assert(scanned.sliding(2).forall(p => p.head <= p.last), scanned)
+    assert(scanned.last == 60L)
+    assert(curve.last.getDouble(5) == 1.0)
+    // every curve row reproduces the single-point evaluator at its nprobe
+    Seq(1, 2, 3, 4).zip(curve).foreach { case (np, row) =>
+      val single = graft.scale.Pq.ivfPqRecallEval(vecs, "id", "vec", idx,
+        coarse, cb, q, nprobe = np, topK = 10).collect().head
+      assert(row.getLong(2) == single.getLong(2), s"n_hit at nprobe $np")
+      assert(row.getDouble(3) == single.getDouble(3), s"recall at nprobe $np")
+    }
+    // the full-probe row's found set == a whole-index ADC scan: its recall
+    // shortfall is quantization loss alone, no probe loss left to tune
+    val full = graft.scale.Pq.ivfPqTopK(idx, "id", coarse, cb, q,
+      nprobe = 4, topK = 10).collect().map(_.getLong(0)).toSet
+    val plain = graft.scale.Pq.adcTopK(idx.select(col("id"), col("codes")),
+      "id", cb, q, topK = 10).collect().map(_.getLong(0)).toSet
+    assert(full == plain)
+  }
+
   test("pq: mergeIvfPqIndex == rebuild over (corpus \\ batch-ids) ∪ batch") {
     val rnd = new scala.util.Random(41L)
     def mk(ids: Seq[Long]) = ids.map(i =>
