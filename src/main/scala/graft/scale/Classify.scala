@@ -237,6 +237,66 @@ object Classify {
       .groupBy(col("label"), col("pred"))
       .agg(count(lit(1)).as("n"))
 
+  /** Per-PARAGRAPH language segmentation — the CCNet shape [[langIdNgram]]
+    * is doc-level for: real crawl pages mix languages (boilerplate in one,
+    * body in another; quoted passages), and a doc-level gate either drops
+    * the page or pollutes the corpus. Fit the char-n-gram profiles on
+    * `train` ([[langIdNgramScore]]'s frozen-model contract), split each
+    * scored doc at `paraSep`, predict every paragraph independently
+    * (int64 NB argmax, label tiebreak), then summarize per doc: the
+    * MAJORITY language (paragraph-count argmax, label-ascending tiebreak),
+    * how many paragraphs it keeps, and the kept paragraphs' text
+    * reassembled in original order (the q62 explode/reassemble shape) —
+    * ready for the downstream perplexity gate.
+    *
+    * Whitespace-only paragraphs are dropped before scoring; documents
+    * with no scorable paragraph are excluded (the quality gates own
+    * those). Single-language documents pass through intact by
+    * construction — every paragraph predicts the same label, so n_kept =
+    * n_paras and text_kept is the original text modulo separator
+    * normalization (ClassifySpec pins it).
+    *
+    * Scale shape: one posexplode (rows = paragraphs, each carrying only
+    * its own text), the [[naiveBayesScore]] term-keyed model join (the
+    * |labels|× expansion collapses map-side), one doc-keyed window for
+    * the majority, one doc-keyed reassembly aggregate. No corpus-sized
+    * driver state. Returns (doc_id, lang, n_paras, n_kept, text_kept).
+    */
+  def langIdSegmentParagraphs(train: DataFrame, docs: DataFrame,
+      idCol: String, labelCol: String, textCol: String, n: Int = 3,
+      buckets: Int = 4096, paraSep: String = "\n\n"): DataFrame = {
+    require(paraSep.nonEmpty, "paraSep must be non-empty")
+    val paras = docs.select(col(idCol).as("doc_id"),
+        posexplode(split(col(textCol),
+          java.util.regex.Pattern.quote(paraSep))).as(Seq("idx", "__para")))
+      .where(length(trim(col("__para"))) > 0)
+      .withColumnRenamed("__para", textCol)
+    val preds = nbHeldOut(train, paras,
+        struct(col("doc_id"), col("idx")), col(labelCol),
+        explode(charNgramBuckets(col(textCol), n, buckets)))
+      .select(col("id.doc_id").as("doc_id"), col("id.idx").as("idx"),
+        col("pred"))
+    val withPara = paras.select(col("doc_id"), col("idx"),
+        col(textCol).as("para"))
+      .join(preds, Seq("doc_id", "idx"))
+    val dominant = withPara.groupBy(col("doc_id"), col("pred"))
+      .agg(count(lit(1)).as("np"))
+      .withColumn("rn", row_number().over(Window.partitionBy(col("doc_id"))
+        .orderBy(col("np").desc, col("pred"))))
+      .where(col("rn") === 1)
+      .select(col("doc_id"), col("pred").as("lang"))
+    withPara.join(dominant, "doc_id")
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(count(lit(1)).as("n_paras"),
+        sum((col("pred") === col("lang")).cast("long")).as("n_kept"),
+        array_join(
+          transform(
+            array_sort(collect_list(when(col("pred") === col("lang"),
+              struct(col("idx"), col("para"))))),
+            e => e.getField("para")),
+          paraSep).as("text_kept"))
+  }
+
   /** Held-out [[langIdNgram]]: fit the per-language n-gram profiles on
     * `train`, predict `score` (no label column needed) — the deployment
     * shape: train once on labeled seed text, gate the crawl with the

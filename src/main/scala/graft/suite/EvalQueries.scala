@@ -408,6 +408,106 @@ object EvalQueries {
       FROM pred WHERE rn = 1 GROUP BY truth, cls
       ORDER BY label, pred"""))
 
+  /** Per-paragraph language SEGMENTATION
+    * ([[graft.scale.Classify.langIdSegmentParagraphs]] — the CCNet
+    * mixed-page step q219's doc-level classifier can't do): profiles
+    * trained on the labeled documents, then scored over a deterministic
+    * MIXED-LANGUAGE fixture both engines build identically — each doc
+    * becomes three paragraphs (own text, XOR-partner doc's text, own text
+    * again), so the majority language and the minority paragraph are
+    * known by construction wherever the partner's language differs. The
+    * oracle replays the ENTIRE path — profile training, per-paragraph
+    * gram/bucket evidence, int64 NB argmax per paragraph, the
+    * paragraph-count majority with label tiebreak, and the kept-text
+    * reassembly in paragraph order — so one hash-match certifies doc
+    * splitting, frozen-model scoring, majority voting, and ordered
+    * reassembly at once.
+    */
+  private val q225 = GQuery(
+    (s, d) => {
+      val docs = T.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("text"))
+      val partner = docs.select(col("doc_id").as("pid"),
+        col("text").as("ptext"))
+      val mixed = docs
+        .withColumn("pid", col("doc_id").bitwiseXOR(lit(1L)))
+        .join(partner, "pid")
+        .select(col("doc_id"),
+          concat(col("text"), lit("\n\n"), col("ptext"), lit("\n\n"),
+            col("text")).as("text"))
+      graft.scale.Classify.langIdSegmentParagraphs(
+          docs, mixed, "doc_id", "lang", "text", n = 3, buckets = 4096)
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH gr AS (SELECT doc_id AS id, lang AS lbl,
+          unnest(CASE WHEN len(text) >= 3
+            THEN list_transform(range(1, len(text) - 1),
+              i -> substr(text, i, 3))
+            ELSE [text] END) AS gs
+        FROM documents),
+      toks AS (SELECT id, lbl,
+          (${ScaleQueries.h62Sql("gs")}) % 4096 AS t
+        FROM gr),
+      ct AS (SELECT lbl, t, COUNT(*)::BIGINT AS c
+        FROM toks GROUP BY lbl, t),
+      u AS (SELECT lbl, t,
+          CAST(round(1000000 * ln((c + 1)::DOUBLE)) AS BIGINT) AS u
+        FROM ct),
+      tl AS (SELECT lbl, CAST(SUM(c) AS BIGINT) AS tl FROM ct GROUP BY lbl),
+      v AS (SELECT COUNT(DISTINCT t)::BIGINT AS v FROM ct),
+      pri AS (SELECT lang AS lbl, COUNT(*)::BIGINT AS nl
+        FROM documents GROUP BY lang),
+      nn AS (SELECT CAST(SUM(nl) AS BIGINT) AS n FROM pri),
+      stats AS (SELECT pri.lbl AS cls,
+          CAST(round(1000000 * ln((tl.tl + v.v)::DOUBLE)) AS BIGINT)
+            AS base_u,
+          CAST(round(1000000 * ln(pri.nl::DOUBLE)) AS BIGINT) -
+            CAST(round(1000000 * ln(nn.n::DOUBLE)) AS BIGINT) AS prior_u
+        FROM pri JOIN tl ON pri.lbl = tl.lbl CROSS JOIN v CROSS JOIN nn),
+      paras AS (
+        SELECT d1.doc_id, 0 AS idx, d1.text AS para FROM documents d1
+        UNION ALL
+        SELECT d1.doc_id, 1 AS idx, d2.text FROM documents d1
+          JOIN documents d2 ON d2.doc_id = xor(d1.doc_id, 1::BIGINT)
+        UNION ALL
+        SELECT doc_id, 2 AS idx, text FROM documents),
+      pg AS (SELECT doc_id, idx,
+          unnest(CASE WHEN len(para) >= 3
+            THEN list_transform(range(1, len(para) - 1),
+              i -> substr(para, i, 3))
+            ELSE [para] END) AS gs
+        FROM paras WHERE len(trim(para)) > 0),
+      pt AS (SELECT doc_id, idx,
+          (${ScaleQueries.h62Sql("gs")}) % 4096 AS t
+        FROM pg),
+      dt AS (SELECT doc_id, idx, t, COUNT(*)::BIGINT AS tc
+        FROM pt GROUP BY doc_id, idx, t),
+      sc AS (SELECT dt.doc_id, dt.idx, s.cls,
+          MAX(s.prior_u) + CAST(SUM(dt.tc * COALESCE(u.u, 0)) AS BIGINT)
+            - CAST(SUM(dt.tc) AS BIGINT) * MAX(s.base_u) AS score
+        FROM dt CROSS JOIN stats s
+        LEFT JOIN u ON u.lbl = s.cls AND u.t = dt.t
+        GROUP BY dt.doc_id, dt.idx, s.cls),
+      pp AS (SELECT doc_id, idx, cls AS pred FROM (
+          SELECT doc_id, idx, cls, ROW_NUMBER() OVER (
+            PARTITION BY doc_id, idx ORDER BY score DESC, cls) AS rn
+          FROM sc) WHERE rn = 1),
+      dom AS (SELECT doc_id, pred AS lang FROM (
+          SELECT doc_id, pred, ROW_NUMBER() OVER (PARTITION BY doc_id
+            ORDER BY COUNT(*) DESC, pred) AS rn
+          FROM pp GROUP BY doc_id, pred) WHERE rn = 1)
+      SELECT paras.doc_id, dom.lang,
+        COUNT(*)::BIGINT AS n_paras,
+        CAST(SUM(CASE WHEN pp.pred = dom.lang THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_kept,
+        string_agg(CASE WHEN pp.pred = dom.lang THEN paras.para END,
+          chr(10) || chr(10) ORDER BY paras.idx) AS text_kept
+      FROM paras
+      JOIN pp ON pp.doc_id = paras.doc_id AND pp.idx = paras.idx
+      JOIN dom ON dom.doc_id = paras.doc_id
+      GROUP BY paras.doc_id, dom.lang
+      ORDER BY paras.doc_id"""))
+
   /** Full precision/recall operating-point table per language
     * ([[graft.scale.Eval.prCurve]]): one row per distinct score unit,
     * exact int64 TP/FP/FN from descending prefix sums — same q168
@@ -1463,5 +1563,6 @@ object EvalQueries {
     "q197_unigram_lm" -> q197,
     "q198_unigram_encode" -> q198,
     "q199_ppl_gate" -> q199,
-    "q219_langid_ngram" -> q219)
+    "q219_langid_ngram" -> q219,
+    "q225_langid_segment" -> q225)
 }

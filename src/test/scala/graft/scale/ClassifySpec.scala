@@ -129,4 +129,62 @@ class ClassifySpec extends SparkSpec {
     assert(heldOut == Map(101L -> "en", 102L -> "es", 103L -> "fr",
       104L -> "de"), heldOut.toString)
   }
+
+  private val segTrain = Seq(
+    (1L, "en", "wonderful weather through thursday brought sunshine"),
+    (2L, "en", "strength thought although neighbour brought knight"),
+    (3L, "es", "corazón montaña pequeño añejo señorita jalapeño"),
+    (4L, "es", "niño español mañana cañón compañero enseñanza"),
+    (5L, "de", "schönheit straße müller übermäßig größe fräulein"),
+    (6L, "de", "schmetterling pünktlich zwölf müde glückwunsch")
+  ).toDF("doc_id", "lang", "text")
+
+  test("langIdSegmentParagraphs: majority language wins, the minority " +
+      "paragraph is removed, order is preserved") {
+    val en1 = "throughout brightness weatherproof sunshine"
+    val en2 = "thoughtful knight weather neighbour strength"
+    val es1 = "señoría cañaveral año montañés"
+    val mixed = Seq((10L, s"$en1\n\n$es1\n\n$en2")).toDF("doc_id", "text")
+    val got = Classify.langIdSegmentParagraphs(segTrain, mixed,
+      "doc_id", "lang", "text").collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert(r.getString(1) == "en", r.toString)
+    assert(r.getLong(2) == 3L && r.getLong(3) == 2L, r.toString)
+    // kept text: the two English paragraphs, original order, separator
+    // normalized
+    assert(r.getString(4) == s"$en1\n\n$en2", r.getString(4))
+  }
+
+  test("langIdSegmentParagraphs: single-language fast path — documents " +
+      "pass through intact") {
+    val docs = Seq(
+      (20L, "throughout brightness sunshine\n\nknight weather strength"),
+      (21L, "señoría cañaveral año\n\nmontañés niño mañana"))
+      .toDF("doc_id", "text")
+    val got = Classify.langIdSegmentParagraphs(segTrain, docs,
+        "doc_id", "lang", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    assert(got(20L)._1 == "en" && got(21L)._1 == "es", got.toString)
+    // every paragraph agrees with the majority => nothing is removed and
+    // the reassembled text IS the input
+    docs.collect().foreach { r =>
+      val (_, np, nk, kept) = got(r.getLong(0))
+      assert(np == 2L && nk == 2L)
+      assert(kept == r.getString(1))
+    }
+  }
+
+  test("langIdSegmentParagraphs: whitespace-only paragraphs are dropped " +
+      "before scoring") {
+    val docs = Seq(
+      (30L, "throughout brightness sunshine\n\n   \n\nknight weather"))
+      .toDF("doc_id", "text")
+    val got = Classify.langIdSegmentParagraphs(segTrain, docs,
+      "doc_id", "lang", "text").collect().head
+    assert(got.getLong(2) == 2L, got.toString) // 2 scorable paragraphs
+    assert(got.getString(4) ==
+      "throughout brightness sunshine\n\nknight weather")
+  }
 }
