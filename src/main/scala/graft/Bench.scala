@@ -125,9 +125,13 @@ object Bench {
     spark.sparkContext.setLogLevel("ERROR")
     activeContext = Some(spark.sparkContext)
     // bring up executor threads, noop committer, codegen paths before
-    // the first timed run
-    spark.range(100000).selectExpr("sum(id) as s")
+    // the first timed run. Cancellation-tolerant: past the deadline the
+    // watchdog cancels even this warmup job, and an exhausted-deadline
+    // run must still reach the print phase (BenchDeadlineSpec), not die
+    // in session setup.
+    try spark.range(100000).selectExpr("sum(id) as s")
       .write.mode("overwrite").format("noop").save()
+    catch { case _: Throwable => () }
     spark
   }
 

@@ -475,6 +475,273 @@ object NativeExpressions {
       tags, blocks))
   }
 
+  /** Hyperlink extraction from HTML (see [[HtmlExtractLinks]]). */
+  def html_extract_links(html: Column): Column =
+    Bridge.column(HtmlExtractLinks(Bridge.expression(html)))
+
+  /** RFC 3986 §5 reference resolution (see [[ResolveUrl]]). */
+  def resolve_url(base: Column, ref: Column): Column =
+    Bridge.column(ResolveUrl(
+      Bridge.expression(base), Bridge.expression(ref)))
+
+  /** Entity decode for ATTRIBUTE values — [[htmlExtract]]'s entity rules
+    * (named + numeric dec/hex, invalid/unknown stays literal) without the
+    * whitespace collapse (attribute values keep their bytes).
+    */
+  private def decodeHtmlEntities(s: String): String = {
+    val n = s.length
+    if (s.indexOf('&') < 0) return s
+    val sb = new java.lang.StringBuilder(n)
+    var i = 0
+    while (i < n) {
+      val c = s.charAt(i)
+      if (c == '&') {
+        var e = i + 1
+        val stop = math.min(n, i + 11)
+        while (e < stop && s.charAt(e) != ';') e += 1
+        if (e < stop && e < n && s.charAt(e) == ';' && e > i + 1) {
+          val ent = s.substring(i + 1, e)
+          var consumed = true
+          ent match {
+            case "amp"  => sb.append('&'): Unit
+            case "lt"   => sb.append('<'): Unit
+            case "gt"   => sb.append('>'): Unit
+            case "quot" => sb.append('"'): Unit
+            case "apos" => sb.append('\''): Unit
+            case "nbsp" => sb.append(' '): Unit
+            case _ if ent.charAt(0) == '#' =>
+              val hex = ent.length > 1 &&
+                (ent.charAt(1) == 'x' || ent.charAt(1) == 'X')
+              val digits = ent.substring(if (hex) 2 else 1)
+              val cp = try {
+                if (digits.isEmpty) -1
+                else java.lang.Integer.parseInt(digits, if (hex) 16 else 10)
+              } catch { case _: NumberFormatException => -1 }
+              if (cp > 0 && cp <= 0x10FFFF &&
+                  !(cp >= 0xD800 && cp <= 0xDFFF)) sb.appendCodePoint(cp): Unit
+              else consumed = false
+            case _ => consumed = false
+          }
+          if (consumed) i = e + 1 else { sb.append('&'); i += 1 }
+        } else { sb.append('&'); i += 1 }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
+  /** Reference JVM implementation of [[HtmlExtractLinks]]: the
+    * [[htmlExtract]] tag grammar (quote-aware token scan, script/style
+    * raw-skip, comment skip) applied to harvest `href` attribute values
+    * of OPENING `<a>` tags, in document order. Values are entity-decoded
+    * (`&amp;` is how a literal `&` ships in conforming HTML attributes)
+    * and trimmed of ASCII whitespace (the HTML spec's URL attribute
+    * handling); empty hrefs are kept — they resolve to the base. Anchors
+    * without an href contribute nothing.
+    */
+  def htmlExtractLinks(html: org.apache.spark.unsafe.types.UTF8String):
+      GenericArrayData = {
+    val s = html.toString
+    val n = s.length
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    @inline def lower(c: Char): Char =
+      if (c >= 'A' && c <= 'Z') (c + 32).toChar else c
+    @inline def isWsC(c: Char): Boolean = c <= ' '
+    def closeTagIndex(name: String, from: Int): Int = {
+      val m = name.length
+      var i = from
+      while (i <= n - m - 2) {
+        if (s.charAt(i) == '<' && s.charAt(i + 1) == '/') {
+          var j = 0
+          while (j < m && lower(s.charAt(i + 2 + j)) == name.charAt(j)) j += 1
+          if (j == m) return i
+        }
+        i += 1
+      }
+      -1
+    }
+    // href value from one tag token body s[from, limit): attributes are
+    // name[=value] with value quoted or bare, per the HTML syntax
+    def hrefIn(from: Int, limit: Int): Option[String] = {
+      var p = from
+      while (p < limit) {
+        while (p < limit && (isWsC(s.charAt(p)) || s.charAt(p) == '/')) p += 1
+        if (p >= limit) return None
+        val nameStart = p
+        while (p < limit && !isWsC(s.charAt(p)) && s.charAt(p) != '=' &&
+          s.charAt(p) != '/') p += 1
+        val attr = s.substring(nameStart, p)
+        while (p < limit && isWsC(s.charAt(p))) p += 1
+        var value: String = ""
+        if (p < limit && s.charAt(p) == '=') {
+          p += 1
+          while (p < limit && isWsC(s.charAt(p))) p += 1
+          if (p < limit && (s.charAt(p) == '"' || s.charAt(p) == '\'')) {
+            val q = s.charAt(p)
+            p += 1
+            val vs = p
+            while (p < limit && s.charAt(p) != q) p += 1
+            value = s.substring(vs, p)
+            if (p < limit) p += 1
+          } else {
+            val vs = p
+            while (p < limit && !isWsC(s.charAt(p))) p += 1
+            value = s.substring(vs, p)
+          }
+        }
+        if (attr.equalsIgnoreCase("href"))
+          return Some(decodeHtmlEntities(value).trim)
+      }
+      None
+    }
+    var i = 0
+    while (i < n) {
+      val c = s.charAt(i)
+      if (c == '<') {
+        if (i + 3 < n && s.charAt(i + 1) == '!' && s.charAt(i + 2) == '-' &&
+            s.charAt(i + 3) == '-') {
+          val j = s.indexOf("-->", i + 4)
+          i = if (j < 0) n else j + 3
+        } else if (i + 1 < n && {
+          val d = s.charAt(i + 1)
+          (d >= 'a' && d <= 'z') || (d >= 'A' && d <= 'Z') ||
+            d == '/' || d == '!' || d == '?'
+        }) {
+          var j = i + 1
+          var quote: Char = 0
+          while (j < n && (quote != 0 || s.charAt(j) != '>')) {
+            val q = s.charAt(j)
+            if (quote == 0 && (q == '"' || q == '\'')) quote = q
+            else if (q == quote) quote = 0
+            j += 1
+          }
+          var p = i + 1
+          val closing = p < n && s.charAt(p) == '/'
+          if (closing) p += 1
+          val nameStart = p
+          while (p < n && p <= j && {
+            val q = s.charAt(p)
+            (q >= 'a' && q <= 'z') || (q >= 'A' && q <= 'Z') ||
+              (q >= '0' && q <= '9')
+          }) p += 1
+          val nb = new java.lang.StringBuilder(p - nameStart)
+          var q = nameStart
+          while (q < p) { nb.append(lower(s.charAt(q))); q += 1 }
+          val name = nb.toString
+          if (!closing && (name == "script" || name == "style")) {
+            val k = closeTagIndex(name, if (j < n) j + 1 else n)
+            if (k < 0) i = n
+            else {
+              val m = s.indexOf('>', k)
+              i = if (m < 0) n else m + 1
+            }
+          } else {
+            if (!closing && name == "a")
+              hrefIn(p, math.min(j, n)).foreach { v =>
+                out += org.apache.spark.unsafe.types.UTF8String.fromString(v)
+              }
+            i = if (j >= n) n else j + 1
+          }
+        } else i += 1
+      } else i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  // ---- RFC 3986 reference resolution ----
+
+  /** RFC 3986 appendix-B split: (scheme, authority, path, query,
+    * fragment) — null component = absent (distinct from empty).
+    */
+  private def splitUri(u: String)
+      : (String, String, String, String, String) = {
+    val m = UriRegex.matcher(u)
+    m.matches() // the pattern matches any string
+    (m.group(2), m.group(4), m.group(5), m.group(7), m.group(9))
+  }
+
+  private val UriRegex = java.util.regex.Pattern.compile(
+    "^(([^:/?#]+):)?(//([^/?#]*))?([^?#]*)(\\?([^#]*))?(#(.*))?$")
+
+  /** RFC 3986 §5.2.4 remove_dot_segments. */
+  private def removeDotSegments(path: String): String = {
+    val out = new java.lang.StringBuilder
+    var in = path
+    while (in.nonEmpty) {
+      if (in.startsWith("../")) in = in.substring(3)
+      else if (in.startsWith("./")) in = in.substring(2)
+      else if (in.startsWith("/./")) in = "/" + in.substring(3)
+      else if (in == "/.") in = "/"
+      else if (in.startsWith("/../") || in == "/..") {
+        in = if (in == "/..") "/" else "/" + in.substring(4)
+        val cut = out.lastIndexOf("/")
+        out.setLength(if (cut < 0) 0 else cut)
+      } else if (in == "." || in == "..") in = ""
+      else {
+        val start = if (in.startsWith("/")) 1 else 0
+        val next = in.indexOf('/', start)
+        val seg = if (next < 0) in else in.substring(0, next)
+        out.append(seg): Unit
+        in = if (next < 0) "" else in.substring(next)
+      }
+    }
+    out.toString
+  }
+
+  /** Reference JVM implementation of [[ResolveUrl]] — RFC 3986 §5.2.2
+    * transform references + §5.3 recomposition, the exact algorithm (not
+    * a heuristic): absolute refs pass through dot-normalized,
+    * scheme-relative take the base scheme, root-relative take the base
+    * authority, relative paths merge against the base path (empty base
+    * path with authority merges as "/"), empty refs keep the base path
+    * AND query, query-only refs keep the base path, and the fragment is
+    * always the reference's. Returns null when the base is not an
+    * absolute URI (no scheme) — a crawl frontier cannot resolve against
+    * a relative base, and null is the loud answer a filter can see.
+    */
+  def resolveUrl(base: org.apache.spark.unsafe.types.UTF8String,
+      ref: org.apache.spark.unsafe.types.UTF8String):
+      org.apache.spark.unsafe.types.UTF8String = {
+    val b = splitUri(base.toString)
+    if (b._1 == null) return null
+    val r = splitUri(ref.toString)
+    var (scheme, auth, path, query) = ("", "", "", null: String)
+    val frag = r._5
+    if (r._1 != null) {
+      scheme = r._1; auth = r._2
+      path = removeDotSegments(r._3); query = r._4
+    } else {
+      scheme = b._1
+      if (r._2 != null) {
+        auth = r._2; path = removeDotSegments(r._3); query = r._4
+      } else {
+        auth = b._2
+        if (r._3.isEmpty) {
+          path = b._3
+          query = if (r._4 != null) r._4 else b._4
+        } else {
+          query = r._4
+          path = if (r._3.startsWith("/")) removeDotSegments(r._3)
+          else {
+            val merged =
+              if (b._2 != null && b._3.isEmpty) "/" + r._3
+              else {
+                val cut = b._3.lastIndexOf('/')
+                if (cut < 0) r._3 else b._3.substring(0, cut + 1) + r._3
+              }
+            removeDotSegments(merged)
+          }
+        }
+      }
+    }
+    val sb = new java.lang.StringBuilder
+    sb.append(scheme).append(':')
+    if (auth != null) sb.append("//").append(auth)
+    sb.append(path)
+    if (query != null) sb.append('?').append(query)
+    if (frag != null) sb.append('#').append(frag)
+    org.apache.spark.unsafe.types.UTF8String.fromString(sb.toString)
+  }
+
   /** Reference JVM implementation of [[RegexScrub]]: one Matcher pass
     * per pattern, counting matches while building the replacement.
     */
@@ -1871,6 +2138,60 @@ case class HtmlExtractText(child: Expression) extends UnaryExpression {
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
+}
+
+/** Hyperlink harvest from HTML (see
+  * [[NativeExpressions.htmlExtractLinks]]): the href values of opening
+  * `<a>` tags in document order — quote-aware tag scan, script/style and
+  * comment subtrees skipped, attribute values entity-decoded and trimmed.
+  * The crawl-frontier half of the [[HtmlExtractText]] stage; same single
+  * buffer pass, same codegen residence. Output: array<string>.
+  */
+case class HtmlExtractLinks(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType =
+    ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  override def nullSafeEval(input: Any): Any =
+    NativeExpressions.htmlExtractLinks(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""${ev.value} = graft.functions.NativeExpressions.htmlExtractLinks($c);""")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** RFC 3986 §5 reference resolution (see
+  * [[NativeExpressions.resolveUrl]]): resolve `right` (a reference —
+  * absolute, scheme-relative, root-relative, relative, query-only,
+  * fragment-only, or empty) against `left` (an absolute base URI).
+  * Null when the base has no scheme. HtmlLinksSpec pins the algorithm
+  * against `java.net.URI.resolve` and the RFC's own §5.4 example set.
+  */
+case class ResolveUrl(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(l: Any, r: Any): Any =
+    NativeExpressions.resolveUrl(
+      l.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+      r.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => s"""
+      ${ev.value} = graft.functions.NativeExpressions.resolveUrl($a, $b);
+      ${ev.isNull} = (${ev.value} == null);
+    """)
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
 }
 
 /** Single-pass repetition counts (see

@@ -752,6 +752,33 @@ object Curation {
         col("__h.tags_dropped").as("tags_dropped"),
         col("__h.blocks_kept").as("blocks_kept"))
 
+  /** Hyperlink frontier extraction — the crawl-loop half of
+    * [[extractHtmlText]]: harvest every `<a href>` of each page (one
+    * [[graft.functions.HtmlExtractLinks]] kernel pass, document order,
+    * entity-decoded) and resolve it against the page's own URL with the
+    * exact RFC 3986 §5 algorithm ([[graft.functions.ResolveUrl]] —
+    * HtmlLinksSpec pins it to `java.net.URI.resolve` and the RFC §5.4
+    * example set). Output (doc_id, pos, href, url): `href` as written,
+    * `url` absolute (null when the base itself was not absolute). Feed
+    * `url` to [[Urls.canonicalize]] + the q213 crawl-dedup collapse and
+    * the loop closes: fetch → extract text AND links → canonicalize →
+    * dedup → fetch.
+    *
+    * Scale shape: narrow kernel projection → posexplode → narrow resolve;
+    * zero shuffles, zero joins, output bounded by actual links.
+    */
+  def extractLinks(docs: DataFrame, idCol: String, htmlCol: String,
+      baseUrlCol: String): DataFrame =
+    docs
+      .select(col(idCol).as("doc_id"), col(baseUrlCol).as("__base"),
+        graft.functions.NativeExpressions
+          .html_extract_links(col(htmlCol)).as("__links"))
+      .select(col("doc_id"), col("__base"),
+        posexplode(col("__links")).as(Seq("pos", "href")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("href"),
+        graft.functions.NativeExpressions
+          .resolve_url(col("__base"), col("href")).as("url"))
+
   /** Per-document blocklist hit counts (the C4 "bad words" gate, Raffel
     * et al. 2020 §2.2, at production pattern counts): every occurrence
     * of every pattern in every document, via ONE Aho–Corasick pass per

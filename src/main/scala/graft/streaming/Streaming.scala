@@ -485,9 +485,11 @@ object Streaming {
     * are consecutive per checkpoint, and a version's manifest file is
     * created atomically — so "manifest v(b+1) exists" is precisely "batch
     * b was committed", and a re-delivered batch skips. A crash between
-    * the data write and the manifest leaves an unreferenced orphan dir
-    * that the retry clears ([[graft.scale.Versioned]] commitData); a
-    * crash after the manifest is a completed commit. Readers are never
+    * the data write and the manifest leaves an unreferenced, uniquely
+    * named staging dir the retry never shares (each commit attempt
+    * stages under its own `data/v<k>-<uuid>/`); vacuum reclaims it once
+    * the version ages below retention. A crash after the manifest is a
+    * completed commit. Readers are never
     * torn by construction (immutable manifests — strictly stronger than
     * [[applyCdcStream]]'s rename-window swap).
     *

@@ -888,6 +888,93 @@ object CurationQueries {
           WHEN 4 THEN 3 ELSE 2 END)::BIGINT AS blocks_kept
       FROM u ORDER BY doc_id"""))
 
+  /** The q227 messy-HTML-with-links construction: per-doc page HTML over
+    * six href-messiness modes (doc_id % 6), two links each — absolute,
+    * relative-merge, root-relative with an `&amp;` entity, uppercase
+    * A/HREF, scheme-relative in single quotes, `../` and `./` and
+    * embedded dot segments, query-only and fragment-only refs, a bare
+    * (unquoted) href, a padded href, plus links that must NOT be
+    * harvested (inside a comment, inside script, an anchor with no
+    * href). Each doc's BASE url derives from (source, doc_id), so the
+    * oracle states both the harvested href and the RFC-resolved absolute
+    * URL as literals.
+    */
+  private def linkHtml: org.apache.spark.sql.Column = {
+    val m = col("doc_id") % 6
+    when(m === 0, lit("<a href=\"http://other.org/x\">t</a><p>" +
+        "<a href=\"a/b\">u</a></p>"))
+      .when(m === 1, lit("<A HREF=\"/r?a=1&amp;b=2\">x</A>" +
+        "<a class=\"k\" href=\"r2\">y</a>"))
+      .when(m === 2, lit("<a href='//cdn.example.org/z'>z</a>" +
+        "<a href='../up'>u</a>"))
+      .when(m === 3, lit("<a href=\"./same\">s</a>" +
+        "<a href=\"deep/../flat\">f</a>"))
+      .when(m === 4, lit("<a href=\"?q=1\">q</a><a href=\"#frag\">f</a>"))
+      .otherwise(lit("<!-- <a href=\"ghost\">g</a> --><a name=\"n\">no</a>" +
+        "<a href=bare1>b</a><script>var s=\"<a href='x'>\";</script>" +
+        "<a href=\" spaced \">s</a>"))
+  }
+
+  /** Crawl-frontier link extraction + RFC 3986 resolution
+    * ([[graft.scale.Curation.extractLinks]] over HtmlExtractLinks +
+    * ResolveUrl): six messiness modes in one hash-match. The oracle
+    * builds the same pages and states the EXPECTED (href, url) pairs per
+    * mode straight from the RFC's resolution rules — quote forms,
+    * attribute entity decode, relative/root/scheme-relative/dot-segment/
+    * query-only/fragment-only resolution, bare and padded hrefs, and the
+    * three never-harvested shapes (comment, script, no-href anchor) all
+    * certified without the oracle parsing HTML or resolving URLs.
+    * HtmlLinksSpec separately pins ResolveUrl to the RFC §5.4 normative
+    * set and java.net.URI. Zero shuffle: kernel projection → posexplode
+    * → narrow resolve.
+    */
+  private val q227 = GQuery(
+    (s, d) => {
+      val docs = T.documents(s, d)
+        .select(col("doc_id"),
+          concat(lit("https://"), col("source"), lit(".com/dir/page"),
+            col("doc_id").cast("string")).as("base_url"),
+          linkHtml.as("html"))
+      Curation.extractLinks(docs, "doc_id", "html", "base_url")
+        .orderBy(col("doc_id"), col("pos"))
+    },
+    Some("""WITH u AS (
+        SELECT doc_id, doc_id % 6 AS m, CAST(doc_id AS VARCHAR) AS i,
+          'https://' || source || '.com' AS h
+        FROM documents),
+      l AS (
+        SELECT doc_id, 0::BIGINT AS pos,
+          CASE m WHEN 0 THEN 'http://other.org/x'
+            WHEN 1 THEN '/r?a=1&b=2'
+            WHEN 2 THEN '//cdn.example.org/z'
+            WHEN 3 THEN './same'
+            WHEN 4 THEN '?q=1'
+            ELSE 'bare1' END AS href,
+          CASE m WHEN 0 THEN 'http://other.org/x'
+            WHEN 1 THEN h || '/r?a=1&b=2'
+            WHEN 2 THEN 'https://cdn.example.org/z'
+            WHEN 3 THEN h || '/dir/same'
+            WHEN 4 THEN h || '/dir/page' || i || '?q=1'
+            ELSE h || '/dir/bare1' END AS url
+        FROM u
+        UNION ALL
+        SELECT doc_id, 1::BIGINT,
+          CASE m WHEN 0 THEN 'a/b'
+            WHEN 1 THEN 'r2'
+            WHEN 2 THEN '../up'
+            WHEN 3 THEN 'deep/../flat'
+            WHEN 4 THEN '#frag'
+            ELSE 'spaced' END,
+          CASE m WHEN 0 THEN h || '/dir/a/b'
+            WHEN 1 THEN h || '/dir/r2'
+            WHEN 2 THEN h || '/up'
+            WHEN 3 THEN h || '/dir/flat'
+            WHEN 4 THEN h || '/dir/page' || i || '#frag'
+            ELSE h || '/dir/spaced' END
+        FROM u)
+      SELECT doc_id, pos, href, url FROM l
+      ORDER BY doc_id, pos"""))
+
   /** The q208/q209 messy-URL construction: deterministic per-doc URLs
     * over six messiness modes (doc_id % 6) — uppercase scheme+host,
     * default ports (with and without userinfo), an explicit non-default
@@ -1208,6 +1295,7 @@ object CurationQueries {
     "q207_blocklist_counts" -> q207,
     "q208_url_canonicalize" -> q208,
     "q223_html_extract" -> q223,
+    "q227_link_extract" -> q227,
     "q209_domain_quota" -> q209,
     "q211_boilerplate_removal" -> q211,
     "q212_blocklist_scrub" -> q212,

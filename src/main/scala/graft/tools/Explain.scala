@@ -181,7 +181,12 @@ object Explain {
       "q219_langid_ngram",     // hashed char-trigram NB, map-side label expansion
       "q220_time_travel",      // manifest reads, per-version upsert windows
       "q221_exact_span_removal", // exact positions + one doc-keyed text join
-      "q222_ann_recall_eval")  // probe-pruned ADC vs TakeOrdered exact truth
+      "q222_ann_recall_eval",  // probe-pruned ADC vs TakeOrdered exact truth
+      "q223_html_extract",     // single codegen kernel projection, zero shuffle
+      "q224_ann_recall_curve", // shared exact truth, per-config probe-pruned cuts
+      "q225_langid_segment",   // paragraph posexplode + term-keyed model join
+      "q226_stats_pruned_read", // manifest zone-map pruning + compaction read
+      "q227_link_extract")     // link kernel + posexplode + narrow resolve
 
     val sb = new StringBuilder
     sb.append("# EXPLAIN — flagship physical plans\n\n")
