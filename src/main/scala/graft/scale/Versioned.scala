@@ -116,10 +116,23 @@ object Versioned {
     finally in.close()
   }
 
-  /** The immutable file list of a committed version. */
+  /** The immutable file list of a committed version (metadata lines —
+    * `#`-prefixed — excluded).
+    */
   def manifestFiles(spark: SparkSession, root: String,
       version: Long): Seq[String] =
-    manifestLines(spark, root, version).map(_.split('\t')(0))
+    manifestLines(spark, root, version)
+      .filterNot(_.startsWith("#")).map(_.split('\t')(0))
+
+  /** A version's metadata entries (the `#`-prefixed manifest lines,
+    * prefix stripped): writer-supplied commit annotations — e.g. the
+    * `batch:<id>` tag [[graft.streaming.Streaming.applyCdcStreamVersioned]]
+    * uses as its exactly-once ledger. Empty for untagged commits.
+    */
+  def manifestMeta(spark: SparkSession, root: String,
+      version: Long): Seq[String] =
+    manifestLines(spark, root, version)
+      .filter(_.startsWith("#")).map(_.substring(1))
 
   /** Per-file column stats of a committed version: (path, col →
     * (min, max)) — empty map for files committed before stats existed or
@@ -127,7 +140,8 @@ object Versioned {
     */
   def manifestEntries(spark: SparkSession, root: String, version: Long)
       : Seq[(String, Map[String, (BigDecimal, BigDecimal)])] =
-    manifestLines(spark, root, version).map { line =>
+    manifestLines(spark, root, version)
+      .filterNot(_.startsWith("#")).map { line =>
       val cut = line.indexOf('\t')
       if (cut < 0) (line, Map.empty[String, (BigDecimal, BigDecimal)])
       else {
@@ -165,11 +179,25 @@ object Versioned {
   def prunedFiles(spark: SparkSession, root: String, version: Long,
       colName: String, lo: Option[BigDecimal],
       hi: Option[BigDecimal]): Seq[String] =
+    prunedFilesMulti(spark, root, version, Seq((colName, lo, hi)))
+
+  /** [[prunedFiles]] over a CONJUNCTION of column ranges: a file
+    * survives only if every range can overlap its stats — multi-column
+    * zone-map pruning (each missing stat is conservatively permissive,
+    * so the intersection only ever tightens correctly).
+    */
+  def prunedFilesMulti(spark: SparkSession, root: String, version: Long,
+      ranges: Seq[(String, Option[BigDecimal], Option[BigDecimal])])
+      : Seq[String] = {
+    require(ranges.nonEmpty, "at least one column range required")
     manifestEntries(spark, root, version).collect {
-      case (path, stats) if stats.get(colName).forall { case (mn, mx) =>
-        lo.forall(l => mx >= l) && hi.forall(h => mn <= h)
+      case (path, stats) if ranges.forall { case (c, lo, hi) =>
+        stats.get(c).forall { case (mn, mx) =>
+          lo.forall(l => mx >= l) && hi.forall(h => mn <= h)
+        }
       } => path
     }
+  }
 
   /** Time travel restricted to `colName` ∈ [lo, hi]: the file list is
     * pruned against the manifest's per-file stats BEFORE Spark ever sees
@@ -181,18 +209,29 @@ object Versioned {
     */
   def readAtRange(spark: SparkSession, root: String, version: Long,
       colName: String, lo: Option[BigDecimal],
-      hi: Option[BigDecimal]): DataFrame = {
+      hi: Option[BigDecimal]): DataFrame =
+    readAtRanges(spark, root, version, Seq((colName, lo, hi)))
+
+  /** [[readAtRange]] over a conjunction of column ranges (the
+    * [[prunedFilesMulti]] intersection, residual AND filter applied).
+    */
+  def readAtRanges(spark: SparkSession, root: String, version: Long,
+      ranges: Seq[(String, Option[BigDecimal], Option[BigDecimal])])
+      : DataFrame = {
     import org.apache.spark.sql.functions.{col, lit}
     val all = manifestFiles(spark, root, version)
-    val pruned = prunedFiles(spark, root, version, colName, lo, hi)
+    val pruned = prunedFilesMulti(spark, root, version, ranges)
     // an all-pruned read still needs a schema source: scan one file, let
     // the residual filter return its zero rows
     val use = if (pruned.nonEmpty) pruned else all.take(1)
     val base = spark.read.parquet(use: _*)
-    val c = col(colName)
-    val withLo = lo.map(l => c >= lit(l.bigDecimal)).getOrElse(lit(true))
-    val withHi = hi.map(h => c <= lit(h.bigDecimal)).getOrElse(lit(true))
-    base.where(withLo && withHi)
+    val residual = ranges.map { case (name, lo, hi) =>
+      val c = col(name)
+      val withLo = lo.map(l => c >= lit(l.bigDecimal)).getOrElse(lit(true))
+      val withHi = hi.map(h => c <= lit(h.bigDecimal)).getOrElse(lit(true))
+      withLo && withHi
+    }.reduce(_ && _)
+    base.where(residual)
   }
 
   /** Create the table: commit `df` as version 0. Fails if any version
@@ -211,11 +250,11 @@ object Versioned {
     */
   def commitUpsert(spark: SparkSession, root: String, changes: DataFrame,
       keyCols: Seq[String], versionCol: String, opCol: String = "op",
-      deleteOp: String = "D"): Long = {
+      deleteOp: String = "D", meta: Seq[String] = Nil): Long = {
     val k = latestVersion(spark, root)
     val next = Cdc.upsert(readAt(spark, root, k), changes, keyCols,
       versionCol, opCol, deleteOp)
-    commitData(spark, root, next, k + 1)
+    commitData(spark, root, next, k + 1, meta)
   }
 
   /** Rewrite the CURRENT snapshot bin-packed into ~`targetFileBytes`
@@ -258,7 +297,12 @@ object Versioned {
     val k = latestVersion(spark, root)
     require(toVersion >= 0 && toVersion <= k,
       s"cannot roll back to uncommitted version $toVersion (latest $k)")
+    // file lines (with their stats) are copied; the source's metadata
+    // lines are NOT — a rollback is its own commit, not a replay of the
+    // tagged commit it points at (a copied batch tag would corrupt the
+    // streaming ledger's newest-tag scan)
     val lines = manifestLines(spark, root, toVersion)
+      .filterNot(_.startsWith("#"))
     writeManifest(spark, root, k + 1, lines)
     val (fs, _) = fsOf(spark, root)
     val missing = lines.map(_.split('\t')(0))
@@ -397,7 +441,9 @@ object Versioned {
   }
 
   private def commitData(spark: SparkSession, root: String, df: DataFrame,
-      version: Long): Long = {
+      version: Long, meta: Seq[String] = Nil): Long = {
+    meta.foreach(m => require(!m.exists(c => c == '\n' || c == '\r'),
+      s"manifest metadata must be single-line: $m"))
     // UNIQUE staging dir per commit ATTEMPT: two racing same-version
     // committers never share a data path, so the atomic manifest rename
     // below fully arbitrates the race (the loser's staging dir is
@@ -440,7 +486,7 @@ object Versioned {
         pool.invokeAll(tasks.asJava).asScala.map(_.get()).toSeq
       } finally pool.shutdown()
     }
-    writeManifest(spark, root, version, lines)
+    writeManifest(spark, root, version, meta.map("#" + _) ++ lines)
     version
   }
 

@@ -475,16 +475,24 @@ object Streaming {
   /** [[applyCdcStream]] with FULL HISTORY: every change micro-batch
     * commits a new VERSION of a [[graft.scale.Versioned]] table instead
     * of swapping one snapshot — the streaming twin of q220's time
-    * travel. Version numbering is deterministic: version 0 is the empty
-    * table (committed on first contact), batch `b` commits version
-    * `b + 1`, so `readAt(root, k)` IS "the table after the first k
-    * batches" — an audit can replay any point of the stream's history,
-    * and a rollback branches it, long after the micro-batches are gone.
+    * travel. Version 0 is the empty table (committed on first contact);
+    * each batch commits the next version CARRYING ITS `batch:<id>` TAG
+    * in the manifest metadata, so the stream's history stays auditable
+    * (which version holds which batch) even when MAINTENANCE COMMITS
+    * interleave: a [[graft.scale.Versioned.commitCompaction]] or
+    * rollback may land between batches, take the next version number,
+    * and the stream simply applies its next batch on top. (With no
+    * maintenance interleaved, version b+1 = batch b, the q220 twin
+    * shape.)
     *
-    * Exactly-once WITHOUT a side ledger: Structured Streaming's batchIds
-    * are consecutive per checkpoint, and a version's manifest file is
-    * created atomically — so "manifest v(b+1) exists" is precisely "batch
-    * b was committed", and a re-delivered batch skips. A crash between
+    * Exactly-once WITHOUT a side ledger: batch tags are strictly
+    * increasing across commits and a manifest file is created
+    * atomically, so the NEWEST tag (manifests scanned newest-first — the
+    * scan stops after the untagged maintenance suffix) decides: a
+    * batchId at or below it was already committed and skips. Deciding on
+    * "version b+1 exists" instead would silently DROP the first batch
+    * after a compaction — the compaction takes that version number. A
+    * re-delivered batch skips; a crash between
     * the data write and the manifest leaves an unreferenced, uniquely
     * named staging dir the retry never shares (each commit attempt
     * stages under its own `data/v<k>-<uuid>/`); vacuum reclaims it once
@@ -508,18 +516,30 @@ object Streaming {
         if (graft.scale.Versioned.versions(spark, root).isEmpty)
           graft.scale.Versioned.init(spark, root,
             batch.limit(0).drop(opCol)): Unit
-        val target = batchId + 1
+        // The ledger is the `batch:<id>` manifest metadata tag, NOT the
+        // version number: maintenance commits (commitCompaction, rollback)
+        // may interleave with the stream and take version numbers of
+        // their own, so "version b+1 exists" cannot decide re-delivery
+        // (it would silently DROP the batch whose number a compaction
+        // took). Batch tags are strictly increasing across commits, so
+        // the newest tag — found by scanning manifests newest-first,
+        // which stops after the untagged maintenance suffix — decides:
+        // batchId <= newest tag = re-delivered, skip; == newest + 1 =
+        // commit; anything else = a mixed checkpoint/root, loudly.
         val vs = graft.scale.Versioned.versions(spark, root)
-        if (!vs.contains(target)) {
-          // gaps would silently desync "version k == first k batches";
-          // they cannot happen under one checkpoint — fail loudly if the
-          // caller mixed checkpoints or roots
-          require(vs.max == target - 1,
-            s"version/batch desync at $root: latest ${vs.max}, batch " +
-              s"$batchId targets $target — one checkpoint per root")
+        val newestTag: Option[Long] = vs.reverseIterator
+          .flatMap(v => graft.scale.Versioned.manifestMeta(spark, root, v)
+            .collectFirst { case m if m.startsWith("batch:") =>
+              m.stripPrefix("batch:").toLong })
+          .nextOption()
+        if (!newestTag.exists(batchId <= _)) {
+          require(batchId == newestTag.getOrElse(-1L) + 1,
+            s"batch desync at $root: newest committed batch " +
+              s"${newestTag.getOrElse(-1L)}, got $batchId — one " +
+              "checkpoint per root")
           graft.scale.Versioned.commitUpsert(spark, root, batch, keyCols,
-            versionCol, opCol, deleteOp): Unit
-        } // else: re-delivered batch — the manifest IS the ledger
+            versionCol, opCol, deleteOp, Seq(s"batch:$batchId")): Unit
+        } // else: re-delivered batch — the tagged manifest IS the ledger
     }
 
   /** Continuous maintenance of the persisted containment POSTING STORE

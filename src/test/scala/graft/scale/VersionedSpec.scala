@@ -162,6 +162,21 @@ class VersionedSpec extends SparkSpec {
     // a column without stats falls back to the full list (conservative)
     assert(Versioned.prunedFiles(spark, root, 0L, "no_such_col",
       Some(BigDecimal(0)), Some(BigDecimal(0))).size == all.size)
+    // a multi-column conjunction prunes at least as tightly as either
+    // range alone, and stays row-exact
+    val both = Versioned.prunedFilesMulti(spark, root, 0L, Seq(
+      ("k", Some(BigDecimal(1)), Some(BigDecimal(50))),
+      ("version", Some(BigDecimal(1)), Some(BigDecimal(1)))))
+    assert(both.toSet.subsetOf(pruned.toSet))
+    val viaBoth = Versioned.readAtRanges(spark, root, 0L, Seq(
+        ("k", Some(BigDecimal(1)), Some(BigDecimal(50))),
+        ("version", Some(BigDecimal(1)), Some(BigDecimal(1)))))
+      .collect().map(_.toString).sorted.toSeq
+    assert(viaBoth == viaFull)
+    // a conjunction with an impossible second range prunes everything
+    assert(Versioned.prunedFilesMulti(spark, root, 0L, Seq(
+      ("k", Some(BigDecimal(1)), Some(BigDecimal(50))),
+      ("version", Some(BigDecimal(9)), None))).isEmpty)
   }
 
   test("compaction: fewer files, identical rows, history intact") {

@@ -494,6 +494,56 @@ class StreamingSpec extends SparkSpec {
     assert(snap(3L) == snap(1L))
   }
 
+  test("versioned CDC stream: interleaved compaction never drops a batch") {
+    import spark.implicits._
+    val b1 = Seq((1L, "a", 1L, "I"), (2L, "b", 1L, "I"))
+      .toDF("k", "v", "version", "op")
+    val b2 = Seq((2L, "B", 2L, "U"), (3L, "c", 2L, "I"))
+      .toDF("k", "v", "version", "op")
+    val in = Files.createTempDirectory("graft_vcin2").toString
+    val root = Files.createTempDirectory("graft_vcrt2").toString + "/t"
+    val ckpt = Files.createTempDirectory("graft_vcck2").toString
+    def run(): Unit = {
+      val stream = spark.readStream.schema(b1.schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true").parquet(in)
+      val q = Streaming.applyCdcStreamVersioned(stream, root,
+          Seq("k"), "version")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      assert(q.exception.isEmpty, s"stream failed: ${q.exception}")
+    }
+    b1.coalesce(1).write.parquet(s"$in/b1")
+    run() // v0 init + v1 = batch 0
+    assert(graft.scale.Versioned.versions(spark, root) == Seq(0L, 1L))
+    // a maintenance commit takes version 2 BETWEEN batches
+    assert(graft.scale.Versioned.commitCompaction(spark, root,
+      targetFileBytes = 1L << 30) == 2L)
+    // batch 1 arrives on the SAME checkpoint: it must commit as v3 —
+    // under version-number dedup it would be mistaken for re-delivered
+    // (v2 exists) and silently dropped
+    b2.coalesce(1).write.parquet(s"$in/b2")
+    run()
+    assert(graft.scale.Versioned.versions(spark, root) ==
+      Seq(0L, 1L, 2L, 3L))
+    val latest = graft.scale.Versioned.readLatest(spark, root)
+      .select("k", "v", "version")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(latest == Set((1L, "a", 1L), (2L, "B", 2L), (3L, "c", 2L)),
+      latest.toString)
+    // the ledger: batch tags on the stream's commits, none on maintenance
+    assert(graft.scale.Versioned.manifestMeta(spark, root, 1L) ==
+      Seq("batch:0"))
+    assert(graft.scale.Versioned.manifestMeta(spark, root, 2L).isEmpty)
+    assert(graft.scale.Versioned.manifestMeta(spark, root, 3L) ==
+      Seq("batch:1"))
+    // and a re-run commits nothing
+    run()
+    assert(graft.scale.Versioned.versions(spark, root) ==
+      Seq(0L, 1L, 2L, 3L))
+  }
+
   test("streaming posting-store maintenance converges to a from-scratch build") {
     import spark.implicits._
     val d1 = Seq((1L, "alpha beta gamma delta epsilon"),
