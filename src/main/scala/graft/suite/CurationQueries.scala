@@ -975,6 +975,79 @@ object CurationQueries {
       SELECT doc_id, pos, href, url FROM l
       ORDER BY doc_id, pos"""))
 
+  /** CRAWL-FRONTIER CAPSTONE (the q84/q204/q216 composition pattern for
+    * the crawl loop): q227's pages → [[graft.scale.Curation.extractLinks]]
+    * (harvest + RFC 3986 resolve) → [[graft.scale.Urls.canonicalize]]
+    * (q208's canonicalizer + registered-domain derivation) →
+    * FIRST-DISCOVERY dedup per canonical URL (the frontier must fetch a
+    * page once, crediting its earliest discoverer — [[graft.plans
+    * .TopKPerGroup]] k=1, the custom partial/final-heap physical
+    * operator, so no full sort and no unbounded window state) →
+    * per-registered-domain politeness quota (TopKPerGroup k=5, canonical
+    * ascending). The oracle replays the whole loop from the mode
+    * templates as literal algebra — expected resolved URLs, their
+    * canonical forms (mode 4's fragment stripped), registered domains
+    * (other.org / example.org / src<k>.com), then SQL window replays of
+    * both cuts — so one hash-match certifies extract → resolve →
+    * canonicalize → dedup → quota end to end. Shuffles = the two
+    * group-by-key exchanges the cuts need, nothing else.
+    */
+  private val q228 = GQuery(
+    (s, d) => {
+      val pages = T.documents(s, d).select(col("doc_id"),
+        concat(lit("https://"), col("source"), lit(".com/dir/page"),
+          col("doc_id").cast("string")).as("base_url"),
+        linkHtml.as("html"))
+      val links = Curation
+        .extractLinks(pages, "doc_id", "html", "base_url")
+        .where(col("url").isNotNull)
+      val canon = Urls.canonicalize(links, "url")
+      val first = graft.plans.TopKPerGroup(canon, Seq("canonical"),
+        Seq(col("doc_id").asc, col("pos").asc), 1)
+      val capped = graft.plans.TopKPerGroup(first,
+        Seq("registered_domain"), Seq(col("canonical").asc), 5)
+      capped.select(col("registered_domain"), col("canonical"),
+          col("doc_id").as("first_doc"), col("pos").as("first_pos"))
+        .orderBy(col("registered_domain"), col("canonical"))
+    },
+    Some("""WITH u AS (
+        SELECT doc_id, doc_id % 6 AS m, CAST(doc_id AS VARCHAR) AS i,
+          source, 'https://' || source || '.com' AS h
+        FROM documents),
+      l AS (
+        SELECT doc_id, 0::BIGINT AS pos,
+          CASE m WHEN 0 THEN 'http://other.org/x'
+            WHEN 1 THEN h || '/r?a=1&b=2'
+            WHEN 2 THEN 'https://cdn.example.org/z'
+            WHEN 3 THEN h || '/dir/same'
+            WHEN 4 THEN h || '/dir/page' || i || '?q=1'
+            ELSE h || '/dir/bare1' END AS canonical,
+          CASE m WHEN 0 THEN 'other.org'
+            WHEN 2 THEN 'example.org'
+            ELSE source || '.com' END AS dom
+        FROM u
+        UNION ALL
+        SELECT doc_id, 1::BIGINT,
+          CASE m WHEN 0 THEN h || '/dir/a/b'
+            WHEN 1 THEN h || '/dir/r2'
+            WHEN 2 THEN h || '/up'
+            WHEN 3 THEN h || '/dir/flat'
+            WHEN 4 THEN h || '/dir/page' || i
+            ELSE h || '/dir/spaced' END,
+          source || '.com'
+        FROM u),
+      first AS (SELECT doc_id, pos, canonical, dom FROM (
+          SELECT doc_id, pos, canonical, dom, ROW_NUMBER() OVER (
+            PARTITION BY canonical ORDER BY doc_id, pos) AS rn
+          FROM l) WHERE rn = 1),
+      capped AS (SELECT doc_id, pos, canonical, dom FROM (
+          SELECT doc_id, pos, canonical, dom, ROW_NUMBER() OVER (
+            PARTITION BY dom ORDER BY canonical) AS rq
+          FROM first) WHERE rq <= 5)
+      SELECT dom AS registered_domain, canonical, doc_id AS first_doc,
+        pos AS first_pos
+      FROM capped ORDER BY registered_domain, canonical"""))
+
   /** The q208/q209 messy-URL construction: deterministic per-doc URLs
     * over six messiness modes (doc_id % 6) — uppercase scheme+host,
     * default ports (with and without userinfo), an explicit non-default
@@ -1296,6 +1369,7 @@ object CurationQueries {
     "q208_url_canonicalize" -> q208,
     "q223_html_extract" -> q223,
     "q227_link_extract" -> q227,
+    "q228_crawl_frontier" -> q228,
     "q209_domain_quota" -> q209,
     "q211_boilerplate_removal" -> q211,
     "q212_blocklist_scrub" -> q212,

@@ -186,7 +186,8 @@ object Explain {
       "q224_ann_recall_curve", // shared exact truth, per-config probe-pruned cuts
       "q225_langid_segment",   // paragraph posexplode + term-keyed model join
       "q226_stats_pruned_read", // manifest zone-map pruning + compaction read
-      "q227_link_extract")     // link kernel + posexplode + narrow resolve
+      "q227_link_extract",     // link kernel + posexplode + narrow resolve
+      "q228_crawl_frontier")   // extract→resolve→canonicalize→2 TopK cuts
 
     val sb = new StringBuilder
     sb.append("# EXPLAIN — flagship physical plans\n\n")
