@@ -647,6 +647,176 @@ object NativeExpressions {
     new GenericArrayData(out.toArray)
   }
 
+  /** HTML document metadata (see [[HtmlMetaExpr]]). */
+  def html_meta(html: Column): Column =
+    Bridge.column(HtmlMetaExpr(Bridge.expression(html)))
+
+  /** Value of attribute `want` (case-insensitive) inside one tag token
+    * body s[from, limit): quoted or bare per the HTML syntax. Null when
+    * absent.
+    */
+  private def tagAttrValue(s: String, from: Int, limit: Int,
+      want: String): String = {
+    @inline def isWsC(c: Char): Boolean = c <= ' '
+    var p = from
+    while (p < limit) {
+      while (p < limit && (isWsC(s.charAt(p)) || s.charAt(p) == '/')) p += 1
+      if (p >= limit) return null
+      val nameStart = p
+      while (p < limit && !isWsC(s.charAt(p)) && s.charAt(p) != '=' &&
+        s.charAt(p) != '/') p += 1
+      val attr = s.substring(nameStart, p)
+      while (p < limit && isWsC(s.charAt(p))) p += 1
+      var value: String = ""
+      if (p < limit && s.charAt(p) == '=') {
+        p += 1
+        while (p < limit && isWsC(s.charAt(p))) p += 1
+        if (p < limit && (s.charAt(p) == '"' || s.charAt(p) == '\'')) {
+          val q = s.charAt(p)
+          p += 1
+          val vs = p
+          while (p < limit && s.charAt(p) != q) p += 1
+          value = s.substring(vs, p)
+          if (p < limit) p += 1
+        } else {
+          val vs = p
+          while (p < limit && !isWsC(s.charAt(p))) p += 1
+          value = s.substring(vs, p)
+        }
+      }
+      if (attr.equalsIgnoreCase(want)) return value
+    }
+    null
+  }
+
+  /** Entity-decode + whitespace-collapse + trim — [[htmlExtract]]'s text
+    * rules applied to one string (title content, alt text).
+    */
+  private def collapseHtmlText(raw: String): String = {
+    val d = decodeHtmlEntities(raw)
+    val sb = new java.lang.StringBuilder(d.length)
+    var pending = false
+    var i = 0
+    while (i < d.length) {
+      val c = d.charAt(i)
+      if (c <= ' ') { if (sb.length > 0) pending = true }
+      else {
+        if (pending) { sb.append(' '); pending = false }
+        sb.append(c): Unit
+      }
+      i += 1
+    }
+    sb.toString
+  }
+
+  /** Reference JVM implementation of [[HtmlMetaExpr]]: the weak-label
+    * metadata a crawl keeps alongside the extracted text — the FIRST
+    * `<html>` tag's `lang` attribute (entity-decoded, trimmed,
+    * lowercased; null when absent or empty) and the FIRST `<title>`'s
+    * text (RCDATA: markup inside is literal text, scanned raw to the
+    * case-insensitive close; entity-decoded, whitespace-collapsed,
+    * trimmed; null when no title element exists). Comments and
+    * script/style subtrees are skipped, so decoy titles inside them are
+    * never picked. The scan stops as soon as both are found.
+    */
+  def htmlMeta(html: org.apache.spark.unsafe.types.UTF8String):
+      org.apache.spark.sql.catalyst.InternalRow = {
+    val s = html.toString
+    val n = s.length
+    var title: String = null
+    var lang: String = null
+    var sawTitle = false
+    var sawHtml = false
+    @inline def lower(c: Char): Char =
+      if (c >= 'A' && c <= 'Z') (c + 32).toChar else c
+    def closeTagIndex(name: String, from: Int): Int = {
+      val m = name.length
+      var i = from
+      while (i <= n - m - 2) {
+        if (s.charAt(i) == '<' && s.charAt(i + 1) == '/') {
+          var j = 0
+          while (j < m && lower(s.charAt(i + 2 + j)) == name.charAt(j)) j += 1
+          if (j == m) return i
+        }
+        i += 1
+      }
+      -1
+    }
+    var i = 0
+    while (i < n && !(sawTitle && sawHtml)) {
+      val c = s.charAt(i)
+      if (c == '<') {
+        if (i + 3 < n && s.charAt(i + 1) == '!' && s.charAt(i + 2) == '-' &&
+            s.charAt(i + 3) == '-') {
+          val j = s.indexOf("-->", i + 4)
+          i = if (j < 0) n else j + 3
+        } else if (i + 1 < n && {
+          val d = s.charAt(i + 1)
+          (d >= 'a' && d <= 'z') || (d >= 'A' && d <= 'Z') ||
+            d == '/' || d == '!' || d == '?'
+        }) {
+          var j = i + 1
+          var quote: Char = 0
+          while (j < n && (quote != 0 || s.charAt(j) != '>')) {
+            val q = s.charAt(j)
+            if (quote == 0 && (q == '"' || q == '\'')) quote = q
+            else if (q == quote) quote = 0
+            j += 1
+          }
+          var p = i + 1
+          val closing = p < n && s.charAt(p) == '/'
+          if (closing) p += 1
+          val nameStart = p
+          while (p < n && p <= j && {
+            val q = s.charAt(p)
+            (q >= 'a' && q <= 'z') || (q >= 'A' && q <= 'Z') ||
+              (q >= '0' && q <= '9')
+          }) p += 1
+          val nb = new java.lang.StringBuilder(p - nameStart)
+          var q = nameStart
+          while (q < p) { nb.append(lower(s.charAt(q))); q += 1 }
+          val name = nb.toString
+          if (!closing && (name == "script" || name == "style")) {
+            val k = closeTagIndex(name, if (j < n) j + 1 else n)
+            if (k < 0) i = n
+            else {
+              val m = s.indexOf('>', k)
+              i = if (m < 0) n else m + 1
+            }
+          } else if (!closing && name == "html" && !sawHtml) {
+            sawHtml = true
+            val v = tagAttrValue(s, p, math.min(j, n), "lang")
+            if (v != null) {
+              val norm = decodeHtmlEntities(v).trim
+              if (norm.nonEmpty) {
+                val lb = new java.lang.StringBuilder(norm.length)
+                var t = 0
+                while (t < norm.length) { lb.append(lower(norm.charAt(t))); t += 1 }
+                lang = lb.toString
+              }
+            }
+            i = if (j >= n) n else j + 1
+          } else if (!closing && name == "title" && !sawTitle) {
+            sawTitle = true
+            val bodyStart = if (j >= n) n else j + 1
+            val k = closeTagIndex("title", bodyStart)
+            val content = s.substring(bodyStart, if (k < 0) n else k)
+            title = collapseHtmlText(content)
+            i = if (k < 0) n
+            else { val m = s.indexOf('>', k); if (m < 0) n else m + 1 }
+          } else {
+            i = if (j >= n) n else j + 1
+          }
+        } else i += 1
+      } else i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(Array[Any](
+      if (title == null)
+        null else org.apache.spark.unsafe.types.UTF8String.fromString(title),
+      if (lang == null)
+        null else org.apache.spark.unsafe.types.UTF8String.fromString(lang)))
+  }
+
   // ---- RFC 3986 reference resolution ----
 
   /** RFC 3986 appendix-B split: (scheme, authority, path, query,
@@ -2160,6 +2330,33 @@ case class HtmlExtractLinks(child: Expression) extends UnaryExpression {
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c =>
       s"""${ev.value} = graft.functions.NativeExpressions.htmlExtractLinks($c);""")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** HTML document metadata (see [[NativeExpressions.htmlMeta]]): the
+  * first `<html>` tag's lang attribute and the first `<title>`'s text —
+  * the weak labels a crawl pipeline keeps next to the extracted body
+  * (the lang attr seeds/validates the q219 trained classifier; the
+  * title feeds quality heuristics). One pass, early exit, decoys inside
+  * comments/script/style never picked. Output:
+  * struct(title, html_lang), either null when absent.
+  */
+case class HtmlMetaExpr(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("title", StringType),
+    StructField("html_lang", StringType)))
+  override def nullable: Boolean = child.nullable
+
+  override def nullSafeEval(input: Any): Any =
+    NativeExpressions.htmlMeta(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""${ev.value} = graft.functions.NativeExpressions.htmlMeta($c);""")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

@@ -779,6 +779,23 @@ object Curation {
         graft.functions.NativeExpressions
           .resolve_url(col("__base"), col("href")).as("url"))
 
+  /** HTML document metadata — the weak labels a crawl keeps alongside
+    * [[extractHtmlText]]'s body: the first `<html>` tag's `lang`
+    * attribute (trimmed, lowercased — the declared language that seeds
+    * or validates the q219 trained classifier) and the first `<title>`'s
+    * text (RCDATA semantics, entity-decoded, whitespace-collapsed — the
+    * quality-heuristic input). Decoys inside comments/script/style are
+    * never picked; the kernel exits as soon as both are found. Returns
+    * (doc_id, title, html_lang), nulls when absent. Zero shuffle.
+    */
+  def extractHtmlMeta(docs: DataFrame, idCol: String,
+      htmlCol: String): DataFrame =
+    docs
+      .select(col(idCol).as("doc_id"),
+        graft.functions.NativeExpressions.html_meta(col(htmlCol)).as("__m"))
+      .select(col("doc_id"), col("__m.title").as("title"),
+        col("__m.html_lang").as("html_lang"))
+
   /** Per-document blocklist hit counts (the C4 "bad words" gate, Raffel
     * et al. 2020 §2.2, at production pattern counts): every occurrence
     * of every pattern in every document, via ONE Aho–Corasick pass per

@@ -1048,6 +1048,57 @@ object CurationQueries {
         pos AS first_pos
       FROM capped ORDER BY registered_domain, canonical"""))
 
+  /** HTML metadata extraction
+    * ([[graft.scale.Curation.extractHtmlMeta]] over HtmlMetaExpr): six
+    * modes covering quoted/uppercase/single-quoted/bare `lang`
+    * attributes, whitespace-collapsed and entity-decoded titles, RCDATA
+    * (a literal `<b>` inside the title), absent title, absent lang, and
+    * decoy titles inside a comment and a script that must never be
+    * picked. The lang attribute embeds the row's own `lang` column (and
+    * mode 1 uppercases it), so the oracle's expected value is the
+    * column itself — a hash-match certifies the attribute parse,
+    * normalization, and both null paths.
+    */
+  private def metaHtml: org.apache.spark.sql.Column = {
+    val m = col("doc_id") % 6
+    val i = col("doc_id").cast("string")
+    when(m === 0, concat(lit("<html lang=\""), col("lang"),
+        lit("\"><head><title>Doc "), i,
+        lit("</title></head><body>x</body></html>")))
+      .when(m === 1, concat(lit("<HTML LANG=\""), upper(col("lang")),
+        lit("\"><HEAD><TITLE>  "), col("source"),
+        lit("   page </TITLE></HEAD>")))
+      .when(m === 2, concat(lit("<html lang='"), col("lang"),
+        lit("'><title>A &amp; <b>B</b> &#33;</title>")))
+      .when(m === 3, concat(lit("<html lang="), col("lang"),
+        lit("><body><p>no title</p></body>")))
+      .when(m === 4, concat(lit("<html><title>only title "), i,
+        lit("</title>")))
+      .otherwise(lit("<html data-x=\"1\"><!-- <title>ghost</title> -->" +
+        "<script>var t=\"<title>f</title>\";</script><body>z</body>"))
+  }
+
+  private val q229 = GQuery(
+    (s, d) => {
+      val docs = T.documents(s, d)
+        .select(col("doc_id"), metaHtml.as("html"))
+      Curation.extractHtmlMeta(docs, "doc_id", "html")
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH u AS (
+        SELECT doc_id, doc_id % 6 AS m, CAST(doc_id AS VARCHAR) AS i,
+          source, lang
+        FROM documents)
+      SELECT doc_id,
+        CASE m WHEN 0 THEN 'Doc ' || i
+          WHEN 1 THEN source || ' page'
+          WHEN 2 THEN 'A & <b>B</b> !'
+          WHEN 4 THEN 'only title ' || i
+          ELSE NULL END AS title,
+        CASE m WHEN 0 THEN lang WHEN 1 THEN lang WHEN 2 THEN lang
+          WHEN 3 THEN lang ELSE NULL END AS html_lang
+      FROM u ORDER BY doc_id"""))
+
   /** The q208/q209 messy-URL construction: deterministic per-doc URLs
     * over six messiness modes (doc_id % 6) — uppercase scheme+host,
     * default ports (with and without userinfo), an explicit non-default
@@ -1370,6 +1421,7 @@ object CurationQueries {
     "q223_html_extract" -> q223,
     "q227_link_extract" -> q227,
     "q228_crawl_frontier" -> q228,
+    "q229_html_metadata" -> q229,
     "q209_domain_quota" -> q209,
     "q211_boilerplate_removal" -> q211,
     "q212_blocklist_scrub" -> q212,

@@ -187,7 +187,8 @@ object Explain {
       "q225_langid_segment",   // paragraph posexplode + term-keyed model join
       "q226_stats_pruned_read", // manifest zone-map pruning + compaction read
       "q227_link_extract",     // link kernel + posexplode + narrow resolve
-      "q228_crawl_frontier")   // extract→resolve→canonicalize→2 TopK cuts
+      "q228_crawl_frontier",   // extract→resolve→canonicalize→2 TopK cuts
+      "q229_html_metadata")    // early-exit meta kernel, zero shuffle
 
     val sb = new StringBuilder
     sb.append("# EXPLAIN — flagship physical plans\n\n")

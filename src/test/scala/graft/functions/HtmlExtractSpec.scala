@@ -215,6 +215,38 @@ class HtmlExtractSpec extends SparkSpec {
     assert(kernel("") == (("", 0L, 0L)))
   }
 
+  private def meta(html: String): (Option[String], Option[String]) = {
+    val r = NativeExpressions.htmlMeta(
+      org.apache.spark.unsafe.types.UTF8String.fromString(html))
+    (Option(r.getUTF8String(0)).map(_.toString),
+      Option(r.getUTF8String(1)).map(_.toString))
+  }
+
+  test("htmlMeta: title RCDATA, firsts win, decoys skipped, null paths") {
+    assert(meta("""<html lang="EN-us"><title>T</title>""") ==
+      ((Some("T"), Some("en-us"))))
+    // RCDATA: markup inside title is literal text
+    assert(meta("<title>a <b> c</title>")._1 == Some("a <b> c"))
+    // entity decode + whitespace collapse + trim
+    assert(meta("<title>  A &amp;  B </title>")._1 == Some("A & B"))
+    // FIRST title and FIRST html tag win
+    assert(meta("<title>one</title><title>two</title>")._1 == Some("one"))
+    assert(meta("""<html lang=de><html lang=fr>""")._2 == Some("de"))
+    // unterminated title runs to EOF; empty title is "", not null
+    assert(meta("<title>to the end")._1 == Some("to the end"))
+    assert(meta("<title></title>")._1 == Some(""))
+    // decoys inside comment/script are never picked
+    assert(meta("""<!-- <title>g</title> --><title>real</title>""")._1 ==
+      Some("real"))
+    assert(meta("""<script>t="<title>f</title>"</script><title>r</title>""")
+      ._1 == Some("r"))
+    // absent / empty lang is null; bare and single-quoted forms parse
+    assert(meta("<html><title>t</title>") == ((Some("t"), None)))
+    assert(meta("""<html lang="">x""")._2 == None)
+    assert(meta("<html lang='Pt-BR'>x")._2 == Some("pt-br"))
+    assert(meta("no markup at all") == ((None, None)))
+  }
+
   // ---------- seeded random-HTML property sweep (codegen path) ----------
 
   private def genHtml(rnd: scala.util.Random): String = {
