@@ -996,6 +996,10 @@ object NativeExpressions {
   def gram_hashes(text: Column, gramLen: Int): Column =
     Bridge.column(GramHashes(Bridge.expression(text), gramLen))
 
+  /** See [[CharNgramBucketCounts]]. */
+  def char_ngram_bucket_counts(text: Column, n: Int, buckets: Int): Column =
+    Bridge.column(CharNgramBucketCounts(Bridge.expression(text), n, buckets))
+
   /** The `nprobe` nearest centroids of a double vector by L2 distance,
     * ordered nearest-first (ties → lower index). Centroids are a flattened
     * row-major (k × dim) broadcast array. `normalize = true` fuses the
@@ -1923,6 +1927,99 @@ case class GramHashes(child: Expression, gramLen: Int)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("gramHashes", this, classOf[GramHashes].getName)
     nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.hashArr($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Fused hashed char-n-gram bucket COUNTS — the evidence kernel of the
+  * trained lang-ID family ([[graft.scale.Classify.charNgramBuckets]]
+  * collapsed with the downstream `groupBy(term).count()`): text →
+  * map<bucket, count> over every length-`n` CODE-POINT window, where
+  * bucket = [[NativeExpressions.portableHash62]](gram) mod `buckets`.
+  * Texts shorter than `n` (including empty) contribute their whole text
+  * as ONE gram — the same ≥1-term-per-doc convention as
+  * [[graft.scale.Classify.charNgramBuckets]], whose
+  * explode-then-aggregate output this map is value-identical to
+  * (ClassifySpec pins the parity).
+  *
+  * Why a kernel: the HOF chain materializes THREE per-doc arrays
+  * (sequence indices, substring grams, hashed buckets), allocates a
+  * java.lang.String per gram inside [[PortableTokenHashes]], and then
+  * pays one exploded Spark row + hash-aggregate update PER GRAM. This
+  * kernel is one codepoint pass with zero per-gram allocation (grams are
+  * hashed from a reusable codepoint array) and emits at most
+  * min(numGrams, buckets) map entries, so the downstream explode is over
+  * distinct buckets (≤ 4096), not corpus characters. Keys ascend, so the
+  * output is deterministic.
+  */
+case class CharNgramBucketCounts(child: Expression, n: Int, buckets: Int)
+    extends UnaryExpression {
+  require(n > 0, s"n must be positive: $n")
+  require(buckets > 0 && buckets <= (1 << 22),
+    s"buckets must be in [1, 2^22]: $buckets")
+
+  override def dataType: DataType =
+    MapType(LongType, LongType, valueContainsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  /** Public for codegen. */
+  def countsMap(
+      input: org.apache.spark.unsafe.types.UTF8String):
+      org.apache.spark.sql.catalyst.util.MapData = {
+    val str = input.toString
+    val len = str.length
+    // code points, one pass (ASCII fast path: charCount == 1)
+    var m = 0
+    var off = 0
+    while (off < len) { off += Character.charCount(str.codePointAt(off)); m += 1 }
+    val cps = new Array[Int](m)
+    off = 0; var i = 0
+    while (off < len) {
+      val cp = str.codePointAt(off)
+      cps(i) = cp; i += 1; off += Character.charCount(cp)
+    }
+    val P = 2147483647L
+    val B = buckets.toLong
+    val counts = new Array[Long](buckets)
+    var nonZero = 0
+    @inline def addGram(from: Int, until: Int): Unit = {
+      var h1 = 1000003L
+      var h2 = 2000003L
+      var k = from
+      while (k < until) {
+        val cp = cps(k)
+        h1 = (h1 * 65599L + cp) % P
+        h2 = (h2 * 92821L + cp) % P
+        k += 1
+      }
+      val b = ((h1 * 2147483648L + h2) % B).toInt
+      if (counts(b) == 0L) nonZero += 1
+      counts(b) += 1L
+    }
+    if (m >= n) {
+      var j = 0
+      while (j + n <= m) { addGram(j, j + n); j += 1 }
+    } else addGram(0, m) // whole (possibly empty) text as one gram
+    val keys = new Array[Any](nonZero)
+    val vals = new Array[Any](nonZero)
+    var b = 0; var o = 0
+    while (b < buckets && o < nonZero) {
+      if (counts(b) != 0L) { keys(o) = b.toLong; vals(o) = counts(b); o += 1 }
+      b += 1
+    }
+    new org.apache.spark.sql.catalyst.util.ArrayBasedMapData(
+      new GenericArrayData(keys), new GenericArrayData(vals))
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    countsMap(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("charNgramBucketCounts", this,
+      classOf[CharNgramBucketCounts].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.countsMap($c);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =

@@ -87,6 +87,36 @@ object Classify {
       .agg(count(lit(1)).as("c"))
     val priors = docs.groupBy(labelCol.as("lbl"))
       .agg(count(lit(1)).as("nl"))
+    nbScoreResub(docTerm, classTerm, priors)
+  }
+
+  /** [[nbResub]] over a PRE-COUNTED term evidence map (`countsCol`:
+    * map<term, count>, e.g. [[graft.functions.NativeExpressions
+    * .char_ngram_bucket_counts]]): the per-(doc, term) aggregate is the
+    * map itself (keys are unique per doc by construction), so the corpus
+    * is never exploded to one row per token — the exploded frame is one
+    * row per DISTINCT term per doc, and the per-class model folds those
+    * partial counts with a sum. Value-identical to [[nbResub]] with the
+    * equivalent exploded term generator (same counts, same int64 score
+    * arithmetic); only the plan shape changes.
+    */
+  private def nbResubCounts(docs: DataFrame, idCol: Column,
+      labelCol: Column, countsCol: Column): DataFrame = {
+    val toks = docs.select(idCol.as("id"), labelCol.as("lbl"),
+      explode(countsCol).as(Seq("t", "tc")))
+    val docTerm = toks
+    val classTerm = toks.groupBy(col("lbl"), col("t"))
+      .agg(sum(col("tc")).as("c"))
+    val priors = docs.groupBy(labelCol.as("lbl"))
+      .agg(count(lit(1)).as("nl"))
+    nbScoreResub(docTerm, classTerm, priors)
+  }
+
+  /** Shared resubstitution score/argmax tail over the evidence frames:
+    * docTerm (id, lbl, t, tc), classTerm (lbl, t, c), priors (lbl, nl).
+    */
+  private def nbScoreResub(docTerm: DataFrame, classTerm: DataFrame,
+      priors: DataFrame): DataFrame = {
     val (stats, termUnits) = modelFrames(classTerm, priors)
     // LEFT join: a scoring-side token absent from the training vocabulary
     // (possible when the caller filters train/score splits) contributes
@@ -154,10 +184,37 @@ object Classify {
       .groupBy(col("lbl"), col("t")).agg(count(lit(1)).as("c"))
     val priors = train.groupBy(labelCol.as("lbl"))
       .agg(count(lit(1)).as("nl"))
-    val (stats, termUnits) = modelFrames(classTerm, priors)
     val docTerm = score
       .select(idCol.as("id"), termCol.as("t"))
       .groupBy(col("id"), col("t")).agg(count(lit(1)).as("tc"))
+    nbScoreHeldOut(docTerm, classTerm, priors)
+  }
+
+  /** [[nbHeldOut]] over a PRE-COUNTED term evidence map (the
+    * [[nbResubCounts]] shape applied to the frozen-model split): the
+    * scoring side's per-(doc, term) aggregate is the map itself, the
+    * training side's per-class model folds the partial counts with a
+    * sum. Value-identical to [[nbHeldOut]] with the equivalent exploded
+    * term generator.
+    */
+  private def nbHeldOutCounts(train: DataFrame, score: DataFrame,
+      idCol: Column, labelCol: Column, countsCol: Column): DataFrame = {
+    val classTerm = train
+      .select(labelCol.as("lbl"), explode(countsCol).as(Seq("t", "tc")))
+      .groupBy(col("lbl"), col("t")).agg(sum(col("tc")).as("c"))
+    val priors = train.groupBy(labelCol.as("lbl"))
+      .agg(count(lit(1)).as("nl"))
+    val docTerm = score
+      .select(idCol.as("id"), explode(countsCol).as(Seq("t", "tc")))
+    nbScoreHeldOut(docTerm, classTerm, priors)
+  }
+
+  /** Shared held-out score/argmax tail over the evidence frames:
+    * docTerm (id, t, tc), classTerm (lbl, t, c), priors (lbl, nl).
+    */
+  private def nbScoreHeldOut(docTerm: DataFrame, classTerm: DataFrame,
+      priors: DataFrame): DataFrame = {
+    val (stats, termUnits) = modelFrames(classTerm, priors)
     val scored = docTerm.join(termUnits, Seq("t"), "left")
       .crossJoin(broadcast(stats))
       .groupBy(col("id"), col("cls"))
@@ -224,8 +281,9 @@ object Classify {
     */
   def langIdNgram(docs: DataFrame, idCol: Column, labelCol: Column,
       textCol: Column, n: Int = 3, buckets: Int = 4096): DataFrame =
-    nbResub(docs, idCol, labelCol,
-      explode(charNgramBuckets(textCol, n, buckets)))
+    nbResubCounts(docs, idCol, labelCol,
+      graft.functions.NativeExpressions
+        .char_ngram_bucket_counts(textCol, n, buckets))
 
   /** The bounded summary of [[langIdNgram]]: the (label, pred)
     * confusion matrix — |labels|² rows regardless of corpus size.
@@ -271,9 +329,10 @@ object Classify {
           java.util.regex.Pattern.quote(paraSep))).as(Seq("idx", "__para")))
       .where(length(trim(col("__para"))) > 0)
       .withColumnRenamed("__para", textCol)
-    val preds = nbHeldOut(train, paras,
+    val preds = nbHeldOutCounts(train, paras,
         struct(col("doc_id"), col("idx")), col(labelCol),
-        explode(charNgramBuckets(col(textCol), n, buckets)))
+        graft.functions.NativeExpressions
+          .char_ngram_bucket_counts(col(textCol), n, buckets))
       .select(col("id.doc_id").as("doc_id"), col("id.idx").as("idx"),
         col("pred"))
     val withPara = paras.select(col("doc_id"), col("idx"),
@@ -307,6 +366,7 @@ object Classify {
   def langIdNgramScore(train: DataFrame, score: DataFrame, idCol: Column,
       labelCol: Column, textCol: Column, n: Int = 3,
       buckets: Int = 4096): DataFrame =
-    nbHeldOut(train, score, idCol, labelCol,
-      explode(charNgramBuckets(textCol, n, buckets)))
+    nbHeldOutCounts(train, score, idCol, labelCol,
+      graft.functions.NativeExpressions
+        .char_ngram_bucket_counts(textCol, n, buckets))
 }

@@ -30,16 +30,31 @@ import org.apache.spark.sql.functions._
   */
 object Clustering {
 
-  /** Squared-L2 argmin over `cents` as a single codegen'd expression:
-    * array of per-centroid fold distances, then first-min index (0-based).
+  /** Squared-L2 argmin over `cents` (0-based, first-min-wins), via the
+    * [[graft.functions.NativeExpressions.nearest_centroids]] codegen
+    * kernel (nprobe = 1): one fused k×dim loop per row instead of the
+    * earlier `zip_with` + `aggregate` HOF chain, which stays interpreted
+    * (higher-order functions are CodegenFallback) and allocates a zipped
+    * array per centroid per row. Identical values: the kernel folds
+    * (x−y)² in the same index order from the same 0.0 seed, and breaks
+    * ties by lower centroid index — exactly `array_position(dists,
+    * array_min(dists)) − 1`. The HOF form returned NULL for any vector
+    * whose length ≠ dim (zip_with null-padding nulled every distance);
+    * the size guard preserves that contract.
     */
   private[scale] def assignExpr(vec: Column, cents: Array[Array[Double]]): Column = {
-    val dists = array(cents.toIndexedSeq.map { c =>
-      aggregate(
-        zip_with(vec, array(c.toIndexedSeq.map(lit): _*), (x, y) => (x - y) * (x - y)),
-        lit(0.0), (acc, z) => acc + z)
-    }: _*)
-    (array_position(dists, array_min(dists)) - 1).cast("int")
+    val k = cents.length
+    val dim = cents.head.length
+    val flat = new Array[Double](k * dim)
+    var i = 0
+    while (i < k) {
+      System.arraycopy(cents(i), 0, flat, i * dim, dim)
+      i += 1
+    }
+    when(size(vec) === lit(dim),
+      element_at(graft.functions.NativeExpressions
+        .nearest_centroids(vec, flat, k, dim, nprobe = 1), 1))
+      .otherwise(lit(null).cast("int"))
   }
 
   /** Train k centroids for `iters` Lloyd iterations; returns the final

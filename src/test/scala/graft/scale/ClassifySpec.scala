@@ -187,4 +187,33 @@ class ClassifySpec extends SparkSpec {
     assert(got.getString(4) ==
       "throughout brightness sunshine\n\nknight weather")
   }
+
+  test("char_ngram_bucket_counts kernel == exploded charNgramBuckets " +
+      "counts (ASCII, multibyte, supplementary, short, empty)") {
+    val texts = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog"),
+      (1L, "señoría cañaveral año montañés"),
+      (2L, "Привет мир Привет"),
+      (3L, "日本語のテキスト処理"),
+      (4L, "a😀b😀a😀b"), // surrogate pairs
+      (5L, "ab"), // shorter than n=3: whole text is one gram
+      (6L, "x"),
+      (7L, ""), // empty: one gram, the empty string
+      (8L, "aaaaaaaaaa")) // all windows identical: one bucket, count 8
+    for (n <- Seq(2, 3); buckets <- Seq(64, 4096)) {
+      val df = texts.toDF("id", "text")
+      val viaHof = df.select(col("id"),
+          explode(Classify.charNgramBuckets(col("text"), n, buckets)).as("t"))
+        .groupBy(col("id"), col("t")).agg(count(lit(1)).as("tc"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+        .toMap
+      val viaKernel = df.select(col("id"),
+          explode(graft.functions.NativeExpressions
+            .char_ngram_bucket_counts(col("text"), n, buckets))
+            .as(Seq("t", "tc")))
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+        .toMap
+      assert(viaKernel == viaHof, s"n=$n buckets=$buckets")
+    }
+  }
 }
