@@ -79,8 +79,8 @@ object Classify {
     */
   private def nbResub(docs: DataFrame, idCol: Column, labelCol: Column,
       termCol: Column): DataFrame = {
-    val toks = docs.select(idCol.as("id"), labelCol.as("lbl"),
-      termCol.as("t"))
+    val toks = graft.core.Par.ensure(docs)
+      .select(idCol.as("id"), labelCol.as("lbl"), termCol.as("t"))
     val docTerm = toks.groupBy(col("id"), col("lbl"), col("t"))
       .agg(count(lit(1)).as("tc"))
     val classTerm = toks.groupBy(col("lbl"), col("t"))
@@ -102,7 +102,8 @@ object Classify {
     */
   private def nbResubCounts(docs: DataFrame, idCol: Column,
       labelCol: Column, countsCol: Column): DataFrame = {
-    val toks = docs.select(idCol.as("id"), labelCol.as("lbl"),
+    val d = graft.core.Par.ensure(docs)
+    val toks = d.select(idCol.as("id"), labelCol.as("lbl"),
       explode(countsCol).as(Seq("t", "tc")))
     val docTerm = toks
     val classTerm = toks.groupBy(col("lbl"), col("t"))
@@ -179,12 +180,12 @@ object Classify {
     */
   private def nbHeldOut(train: DataFrame, score: DataFrame, idCol: Column,
       labelCol: Column, termCol: Column): DataFrame = {
-    val classTerm = train
+    val classTerm = graft.core.Par.ensure(train)
       .select(labelCol.as("lbl"), termCol.as("t"))
       .groupBy(col("lbl"), col("t")).agg(count(lit(1)).as("c"))
     val priors = train.groupBy(labelCol.as("lbl"))
       .agg(count(lit(1)).as("nl"))
-    val docTerm = score
+    val docTerm = graft.core.Par.ensure(score)
       .select(idCol.as("id"), termCol.as("t"))
       .groupBy(col("id"), col("t")).agg(count(lit(1)).as("tc"))
     nbScoreHeldOut(docTerm, classTerm, priors)
@@ -199,12 +200,12 @@ object Classify {
     */
   private def nbHeldOutCounts(train: DataFrame, score: DataFrame,
       idCol: Column, labelCol: Column, countsCol: Column): DataFrame = {
-    val classTerm = train
+    val classTerm = graft.core.Par.ensure(train)
       .select(labelCol.as("lbl"), explode(countsCol).as(Seq("t", "tc")))
       .groupBy(col("lbl"), col("t")).agg(sum(col("tc")).as("c"))
     val priors = train.groupBy(labelCol.as("lbl"))
       .agg(count(lit(1)).as("nl"))
-    val docTerm = score
+    val docTerm = graft.core.Par.ensure(score)
       .select(idCol.as("id"), explode(countsCol).as(Seq("t", "tc")))
     nbScoreHeldOut(docTerm, classTerm, priors)
   }

@@ -66,7 +66,7 @@ object Clustering {
   def lloydAssignments(corpus: DataFrame, idCol: String, vecCol: String,
       k: Int, iters: Int, roundDp: Int = 6): DataFrame = {
     require(k > 0 && iters > 0, "k and iters must be positive")
-    val e = corpus
+    val e = graft.core.Par.ensure(corpus)
       .select(col(idCol).as("__id"),
         transform(col(vecCol), x => x.cast("double")).as("__v"))
       .persist()
@@ -82,7 +82,7 @@ object Clustering {
   def lloydTrain(corpus: DataFrame, idCol: String, vecCol: String,
       k: Int, iters: Int, roundDp: Int = 6): Array[Array[Double]] = {
     require(k > 0 && iters > 0, "k and iters must be positive")
-    val e = corpus
+    val e = graft.core.Par.ensure(corpus)
       .select(col(idCol).as("__id"),
         transform(col(vecCol), x => x.cast("double")).as("__v"))
       .persist()

@@ -384,9 +384,18 @@ object Dedup {
     * NO corpus-dependent state, which is what makes the index's
     * merge ≡ rebuild guarantee exact rather than statistical.
     */
+  /** `par = true` floors input parallelism before the kernel
+    * ([[graft.core.Par.ensure]]) — a win where the downstream runs FEW
+    * actions over the frame (q85's pair join: measured 8.9 → 7.5 s);
+    * callers that fire several eager plan-build jobs over the frozen
+    * frame (containmentCore's rare-first stats) or write it as a
+    * persisted layout re-pay the extra exchange per action and measure
+    * net-slower — they pass false.
+    */
   private def shingleSetFrame(docs: DataFrame, idCol: String,
-      textCol: String, shingleSize: Int): DataFrame =
-    docs.select(col(idCol).as("id"), TextOps.tokens(col(textCol)).as("toks"))
+      textCol: String, shingleSize: Int, par: Boolean = false): DataFrame =
+    (if (par) graft.core.Par.ensure(docs) else docs)
+      .select(col(idCol).as("id"), TextOps.tokens(col(textCol)).as("toks"))
       .withColumn("th", xxhashTokens(col("toks")))
       .select(col("id"),
         sort_array(array_distinct(hashedShingles(col("th"), shingleSize)))
@@ -974,7 +983,8 @@ object Dedup {
     // read twice (prefix index + verify join): one shared id shuffle, no
     // persist — the [[sharedShuffle]] lifecycle used family-wide
     val frozen = sharedShuffle(
-      shingleSetFrame(docs, idCol, textCol, shingleSize), col("id"))
+      shingleSetFrame(docs, idCol, textCol, shingleSize, par = true),
+      col("id"))
     // ceil(t·n) = (n·tNum + tDen − 1) div tDen — integral division, exact
     // in Long (n ≤ 2^31 shingles, tNum ≤ 10^6 → products ≤ 2^51)
     val n = size(col("sh")).cast("long")
@@ -1767,7 +1777,7 @@ object Dedup {
     // same shuffle files (ReusedExchange / AQE stage cache), so the
     // winnow kernel runs exactly once per action and nothing stays
     // registered in the block manager (DedupLifecycleSpec).
-    val fp = docs.select(col(idCol).as("id"),
+    val fp = graft.core.Par.ensure(docs).select(col(idCol).as("id"),
         explode(graft.functions.NativeExpressions
           .winnow_contexts(col(textCol), k, w)).as("f"))
       .select(col("id"), col("f.h").as("bk"),
@@ -1816,7 +1826,7 @@ object Dedup {
     // the gram stream feeds BOTH the occurrence count and the join-back
     // probe: freeze it through one __h shuffle so the text scan +
     // substring/md5 kernel runs once, not once per consumer branch
-    val grams = sharedShuffle(docs
+    val grams = sharedShuffle(graft.core.Par.ensure(docs)
       .select(col(idCol).as("doc_id"), explode(starts).as("__start"),
         col(textCol))
       .select(col("doc_id"),
@@ -1971,7 +1981,7 @@ object Dedup {
     // the q218 profile 7.5 s of 9). Any deterministic
     // equal-strings-equal-hash function works here: the hash only
     // prefilters, pass 2 verifies the actual strings.
-    val grams = sharedShuffle(docs
+    val grams = sharedShuffle(graft.core.Par.ensure(docs)
       .where(length(col(textCol)) >= L)
       .select(col(idCol).as("doc_id"),
         posexplode(graft.functions.NativeExpressions

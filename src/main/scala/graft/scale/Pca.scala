@@ -36,16 +36,17 @@ object Pca {
   def covarianceMatrix(corpus: DataFrame, vecCol: String,
       roundDp: Int = 6): DataFrame = {
     val v = transform(col(vecCol), x => x.cast("double"))
+    val par = graft.core.Par.ensure(corpus)
     // pairs (i ≤ j) generated per row via a nested transform+flatten —
     // a pure narrow generator feeding the hash aggregate's combiner
-    val pairTerms = corpus.select(v.as("__v"))
+    val pairTerms = par.select(v.as("__v"))
       .select(explode(flatten(transform(col("__v"),
         (xi, i) => transform(slice(col("__v"), i + 1, size(col("__v"))),
           (xj, j) => struct(i.as("i"), (i + j).as("j"),
             (xi * xj).as("xx")))))).as("t"))
       .groupBy(col("t.i").as("i"), col("t.j").as("j"))
       .agg(sum(col("t.xx")).as("sxx"), count(lit(1)).as("n"))
-    val dimSums = corpus.select(v.as("__v"))
+    val dimSums = par.select(v.as("__v"))
       .select(posexplode(col("__v")).as(Seq("pos", "x")))
       .groupBy(col("pos")).agg(sum(col("x")).as("sx"))
     pairTerms

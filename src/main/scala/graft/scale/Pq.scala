@@ -36,7 +36,7 @@ object Pq {
 
   /** Project to (__id, __v array<double>), the lloyd input contract. */
   private def proj(corpus: DataFrame, idCol: String, vecCol: String): DataFrame =
-    corpus.select(col(idCol).as("__id"),
+    graft.core.Par.ensure(corpus).select(col(idCol).as("__id"),
       transform(col(vecCol), x => x.cast("double")).as("__v"))
 
   private def slices(m: Int, dim: Int): Seq[(Int, Int)] = {

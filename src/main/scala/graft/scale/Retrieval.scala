@@ -44,13 +44,14 @@ object Retrieval {
     val termsLit = array(allTerms.map(lit): _*)
 
     val toks = TextOps.tokens(lower(col(textCol)))
+    val par = graft.core.Par.ensure(docs)
     // pass 1: corpus stats — exact long sums, divided once (portable)
-    val stats = docs.agg(
+    val stats = par.agg(
       count(lit(1)).as("n_docs"),
       sum(size(toks).cast("long")).as("total_len"))
     // pass 2: narrow filter-to-query-terms, dl carried through the explode
     // (no corpus-side join to recover doc length later)
-    val matches = docs
+    val matches = par
       .select(col(idCol).as("doc_id"), size(toks).cast("long").as("dl"),
         explode(filter(toks, t => array_contains(termsLit, t))).as("term"))
     // tf feeds both the df aggregate and the scoring probe: freeze it
@@ -119,9 +120,10 @@ object Retrieval {
   def bm25Index(docs: DataFrame, idCol: String,
       textCol: String): (DataFrame, DataFrame) = {
     val toks = TextOps.tokens(lower(col(textCol)))
-    val doclens = docs.select(col(idCol).as("doc_id"),
+    val par = graft.core.Par.ensure(docs)
+    val doclens = par.select(col(idCol).as("doc_id"),
       size(toks).cast("long").as("dl"))
-    val postings = docs
+    val postings = par
       .select(col(idCol).as("doc_id"), size(toks).cast("long").as("dl"),
         explode(toks).as("term"))
       .groupBy(col("doc_id"), col("term"))
@@ -268,7 +270,7 @@ object Retrieval {
       .toDF("query_id", "qterm")
       .withColumn("qe", tokenEmbedding(col("qterm"), dim))
     val cand = candidates.select(col("query_id"), col("doc_id"))
-    val docToks = docs
+    val docToks = graft.core.Par.ensure(docs)
       .select(col(idCol).as("doc_id"),
         explode(array_distinct(TextOps.tokens(lower(col(textCol)))))
           .as("dtok"))
@@ -316,7 +318,8 @@ object Retrieval {
     val toks = TextOps.tokens(lower(col(textCol)))
     val stats = docs.agg(count(lit(1)).as("n_docs"))
     val tf = Dedup.sharedShuffle(
-      docs.select(col(idCol).as("doc_id"), explode(toks).as("term"))
+      graft.core.Par.ensure(docs)
+        .select(col(idCol).as("doc_id"), explode(toks).as("term"))
         .groupBy(col("doc_id"), col("term"))
         .agg(count(lit(1)).as("tf")),
       col("term"))
