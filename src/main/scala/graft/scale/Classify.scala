@@ -90,29 +90,6 @@ object Classify {
     nbScoreResub(docTerm, classTerm, priors)
   }
 
-  /** [[nbResub]] over a PRE-COUNTED term evidence map (`countsCol`:
-    * map<term, count>, e.g. [[graft.functions.NativeExpressions
-    * .char_ngram_bucket_counts]]): the per-(doc, term) aggregate is the
-    * map itself (keys are unique per doc by construction), so the corpus
-    * is never exploded to one row per token — the exploded frame is one
-    * row per DISTINCT term per doc, and the per-class model folds those
-    * partial counts with a sum. Value-identical to [[nbResub]] with the
-    * equivalent exploded term generator (same counts, same int64 score
-    * arithmetic); only the plan shape changes.
-    */
-  private def nbResubCounts(docs: DataFrame, idCol: Column,
-      labelCol: Column, countsCol: Column): DataFrame = {
-    val d = graft.core.Par.ensure(docs)
-    val toks = d.select(idCol.as("id"), labelCol.as("lbl"),
-      explode(countsCol).as(Seq("t", "tc")))
-    val docTerm = toks
-    val classTerm = toks.groupBy(col("lbl"), col("t"))
-      .agg(sum(col("tc")).as("c"))
-    val priors = docs.groupBy(labelCol.as("lbl"))
-      .agg(count(lit(1)).as("nl"))
-    nbScoreResub(docTerm, classTerm, priors)
-  }
-
   /** Shared resubstitution score/argmax tail over the evidence frames:
     * docTerm (id, lbl, t, tc), classTerm (lbl, t, c), priors (lbl, nl).
     */
@@ -191,25 +168,6 @@ object Classify {
     nbScoreHeldOut(docTerm, classTerm, priors)
   }
 
-  /** [[nbHeldOut]] over a PRE-COUNTED term evidence map (the
-    * [[nbResubCounts]] shape applied to the frozen-model split): the
-    * scoring side's per-(doc, term) aggregate is the map itself, the
-    * training side's per-class model folds the partial counts with a
-    * sum. Value-identical to [[nbHeldOut]] with the equivalent exploded
-    * term generator.
-    */
-  private def nbHeldOutCounts(train: DataFrame, score: DataFrame,
-      idCol: Column, labelCol: Column, countsCol: Column): DataFrame = {
-    val classTerm = graft.core.Par.ensure(train)
-      .select(labelCol.as("lbl"), explode(countsCol).as(Seq("t", "tc")))
-      .groupBy(col("lbl"), col("t")).agg(sum(col("tc")).as("c"))
-    val priors = train.groupBy(labelCol.as("lbl"))
-      .agg(count(lit(1)).as("nl"))
-    val docTerm = graft.core.Par.ensure(score)
-      .select(idCol.as("id"), explode(countsCol).as(Seq("t", "tc")))
-    nbScoreHeldOut(docTerm, classTerm, priors)
-  }
-
   /** Shared held-out score/argmax tail over the evidence frames:
     * docTerm (id, t, tc), classTerm (lbl, t, c), priors (lbl, nl).
     */
@@ -268,6 +226,49 @@ object Classify {
       h => pmod(h, lit(buckets.toLong)))
   }
 
+  /** Collect the BOUNDED char-n-gram NB model into broadcast-sized
+    * arrays: labels ascending (UTF8 binary order — the argmax tiebreak
+    * the SQL window used), u flattened label-major (labels × buckets),
+    * prior/base per label. The model is ≤ |labels| × `buckets` int64
+    * cells BY CONTRACT (hashing bounds the term space — the same
+    * property the scaladoc below calls "what makes a trained n-gram
+    * profile shippable at 100 TB"), so collecting it is bounded driver
+    * state exactly like [[Clustering.lloydTrain]]'s centroid matrix.
+    * The per-(lbl, t) integer units are computed by the SAME Spark
+    * expressions as the distributed formulation ([[lnU]] over the
+    * aggregated counts), so the collected model is value-identical.
+    */
+  private def ngramModel(train: DataFrame, labelCol: Column,
+      textCol: Column, n: Int, buckets: Int)
+      : (Array[String], Array[Long], Array[Long], Array[Long]) = {
+    val countsCol = graft.functions.NativeExpressions
+      .char_ngram_bucket_counts(textCol, n, buckets)
+    val classTerm = graft.core.Par.ensure(train)
+      .select(labelCol.as("lbl"), explode(countsCol).as(Seq("t", "tc")))
+      .groupBy(col("lbl"), col("t")).agg(sum(col("tc")).as("c"))
+    val priors = train.groupBy(labelCol.as("lbl"))
+      .agg(count(lit(1)).as("nl"))
+    val (stats, _) = modelFrames(classTerm, priors)
+    val statRows = stats.select(col("cls"), col("base_u"), col("prior_u"))
+      .collect()
+    val labels = statRows.map(_.getString(0)).sortWith((a, b) =>
+      org.apache.spark.unsafe.types.UTF8String.fromString(a)
+        .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(b)) < 0)
+    val idx = labels.zipWithIndex.toMap
+    val base = new Array[Long](labels.length)
+    val prior = new Array[Long](labels.length)
+    statRows.foreach { r =>
+      val l = idx(r.getString(0))
+      base(l) = r.getLong(1); prior(l) = r.getLong(2)
+    }
+    val u = new Array[Long](labels.length * buckets)
+    classTerm.select(col("lbl"), col("t"), lnU(col("c") + 1L).as("u"))
+      .collect().foreach { r =>
+        u(idx(r.getString(0)) * buckets + r.getLong(1).toInt) = r.getLong(2)
+      }
+    (labels, u, prior, base)
+  }
+
   /** TRAINED char-n-gram language-ID — the CCNet/fastText pipeline's
     * classifier, replacing [[TextOps.langIdFromStats]]' fixed stopword
     * heuristic with per-language n-gram PROFILES fitted on labeled
@@ -279,12 +280,29 @@ object Classify {
     * sharing an alphabet separate where stopword voting cannot —
     * ClassifySpec's multi-script fixture pins the accuracy win.
     * Resubstitution fit (train = score); returns (id, label, pred).
+    *
+    * Plan shape: the model aggregate collects to bounded arrays
+    * ([[ngramModel]]); scoring is then ONE narrow codegen projection
+    * ([[graft.functions.NbBucketArgmax]] — count, score, argmax fused),
+    * with no model join, no |labels|× expansion, and no per-doc window.
+    * Int64 score arithmetic is order-insensitive, so results are
+    * value-identical to the exploded SQL formulation (ClassifySpec pins
+    * the multi-script fixture; q219's oracle hash-matches end to end).
     */
   def langIdNgram(docs: DataFrame, idCol: Column, labelCol: Column,
-      textCol: Column, n: Int = 3, buckets: Int = 4096): DataFrame =
-    nbResubCounts(docs, idCol, labelCol,
-      graft.functions.NativeExpressions
-        .char_ngram_bucket_counts(textCol, n, buckets))
+      textCol: Column, n: Int = 3, buckets: Int = 4096): DataFrame = {
+    val (labels, u, prior, base) =
+      ngramModel(docs, labelCol, textCol, n, buckets)
+    if (labels.isEmpty)
+      return docs.where(lit(false)).select(idCol.as("id"),
+        labelCol.as("label"), labelCol.as("pred"))
+    val labelsLit = array(labels.toIndexedSeq.map(lit): _*)
+    graft.core.Par.ensure(docs).select(idCol.as("id"),
+      labelCol.as("label"),
+      element_at(labelsLit, graft.functions.NativeExpressions
+        .nb_bucket_argmax(textCol, n, buckets, u, prior, base) + 1)
+        .as("pred"))
+  }
 
   /** The bounded summary of [[langIdNgram]]: the (label, pred)
     * confusion matrix — |labels|² rows regardless of corpus size.
@@ -316,10 +334,13 @@ object Classify {
     * normalization (ClassifySpec pins it).
     *
     * Scale shape: one posexplode (rows = paragraphs, each carrying only
-    * its own text), the [[naiveBayesScore]] term-keyed model join (the
-    * |labels|× expansion collapses map-side), one doc-keyed window for
-    * the majority, one doc-keyed reassembly aggregate. No corpus-sized
-    * driver state. Returns (doc_id, lang, n_paras, n_kept, text_kept).
+    * its own text), then prediction as ONE narrow broadcast-model
+    * projection ([[graft.functions.NbBucketArgmax]] — the model arrays
+    * are bounded at |labels|·buckets by contract, collected like
+    * [[Clustering.lloydTrain]]'s centroids), one doc-keyed window for
+    * the majority, one doc-keyed reassembly aggregate. No paras ⋈ preds
+    * join and no corpus-sized driver state. Returns
+    * (doc_id, lang, n_paras, n_kept, text_kept).
     */
   def langIdSegmentParagraphs(train: DataFrame, docs: DataFrame,
       idCol: String, labelCol: String, textCol: String, n: Int = 3,
@@ -330,15 +351,17 @@ object Classify {
           java.util.regex.Pattern.quote(paraSep))).as(Seq("idx", "__para")))
       .where(length(trim(col("__para"))) > 0)
       .withColumnRenamed("__para", textCol)
-    val preds = nbHeldOutCounts(train, paras,
-        struct(col("doc_id"), col("idx")), col(labelCol),
-        graft.functions.NativeExpressions
-          .char_ngram_bucket_counts(col(textCol), n, buckets))
-      .select(col("id.doc_id").as("doc_id"), col("id.idx").as("idx"),
-        col("pred"))
-    val withPara = paras.select(col("doc_id"), col("idx"),
-        col(textCol).as("para"))
-      .join(preds, Seq("doc_id", "idx"))
+    val (labels, u, prior, base) =
+      ngramModel(train, col(labelCol), col(textCol), n, buckets)
+    require(labels.nonEmpty, "langIdSegmentParagraphs over an empty train")
+    val labelsLit = array(labels.toIndexedSeq.map(lit): _*)
+    // prediction is a narrow projection of the paragraph frame (the
+    // broadcast-model fold), so no paras ⋈ preds join exists anymore
+    val withPara = graft.core.Par.ensure(paras)
+      .select(col("doc_id"), col("idx"), col(textCol).as("para"),
+        element_at(labelsLit, graft.functions.NativeExpressions
+          .nb_bucket_argmax(col(textCol), n, buckets, u, prior, base) + 1)
+          .as("pred"))
     val dominant = withPara.groupBy(col("doc_id"), col("pred"))
       .agg(count(lit(1)).as("np"))
       .withColumn("rn", row_number().over(Window.partitionBy(col("doc_id"))
@@ -366,8 +389,16 @@ object Classify {
     */
   def langIdNgramScore(train: DataFrame, score: DataFrame, idCol: Column,
       labelCol: Column, textCol: Column, n: Int = 3,
-      buckets: Int = 4096): DataFrame =
-    nbHeldOutCounts(train, score, idCol, labelCol,
-      graft.functions.NativeExpressions
-        .char_ngram_bucket_counts(textCol, n, buckets))
+      buckets: Int = 4096): DataFrame = {
+    val (labels, u, prior, base) =
+      ngramModel(train, labelCol, textCol, n, buckets)
+    if (labels.isEmpty)
+      return score.where(lit(false))
+        .select(idCol.as("id"), lit("").as("pred"))
+    val labelsLit = array(labels.toIndexedSeq.map(lit): _*)
+    graft.core.Par.ensure(score).select(idCol.as("id"),
+      element_at(labelsLit, graft.functions.NativeExpressions
+        .nb_bucket_argmax(textCol, n, buckets, u, prior, base) + 1)
+        .as("pred"))
+  }
 }

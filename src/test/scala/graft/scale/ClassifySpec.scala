@@ -188,6 +188,43 @@ class ClassifySpec extends SparkSpec {
       "throughout brightness sunshine\n\nknight weather")
   }
 
+  test("langIdNgramScore (broadcast-model argmax kernel) == the SQL NB " +
+      "formulation over exploded charNgramBuckets") {
+    val rnd = new scala.util.Random(42)
+    val pools = Map(
+      "en" -> "the quick brown fox jumps over lazy dog with house".split(" "),
+      "es" -> "señoría cañaveral año montañés niño mañana casa perro".split(" "),
+      "ru" -> "Привет мир дом собака кошка быстро".split(" "))
+    val train = (0 until 90).map { i =>
+      val l = Seq("en", "es", "ru")(i % 3)
+      val ws = pools(l)
+      (i.toLong, l, (1 to rnd.nextInt(8) + 2)
+        .map(_ => ws(rnd.nextInt(ws.length))).mkString(" "))
+    }.toDF("id", "lang", "text")
+    val score = (100 until 140).map { i =>
+      val ws = pools(Seq("en", "es", "ru")(i % 3))
+      (i.toLong, (1 to rnd.nextInt(6) + 1)
+        .map(_ => ws(rnd.nextInt(ws.length))).mkString(" "))
+    }.toDF("id", "text")
+    for (buckets <- Seq(64, 4096)) {
+      val got = Classify.langIdNgramScore(train, score, col("id"),
+          col("lang"), col("text"), n = 3, buckets = buckets)
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      // reference: the original exploded-SQL held-out NB over the same
+      // hashed char-n-gram bucket evidence (nbHeldOut via the public
+      // word-token-shaped API is not reachable, so replay through
+      // naiveBayesScore on pre-bucketed pseudo-tokens)
+      val bucketize = (df: org.apache.spark.sql.DataFrame) => df.withColumn(
+        "__toks", concat_ws(" ",
+          transform(Classify.charNgramBuckets(col("text"), 3, buckets),
+            b => b.cast("string"))))
+      val ref = Classify.naiveBayesScore(bucketize(train), bucketize(score),
+          col("id"), col("lang"), col("__toks"))
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(got == ref, s"buckets=$buckets")
+    }
+  }
+
   test("char_ngram_bucket_counts kernel == exploded charNgramBuckets " +
       "counts (ASCII, multibyte, supplementary, short, empty)") {
     val texts = Seq(
