@@ -854,6 +854,13 @@ object Dedup {
     val cand = (if (excludeSelfPairs) joined.filter(col("id_a") =!= col("id_b"))
                 else joined)
       .filter(col("nb") * tDen >= col("na") * tNum)
+      // positional bound PER OCCURRENCE before the pair aggregate (the
+      // ngramJaccardPairs argument, one-sided form): a qualifying pair's
+      // e* row satisfies o ≤ min(na−pa*, nb−pb*) ≥ ⌈t·na⌉ by the prefix
+      // theorem, and e* is the pp-minimum, so the aggregate's min(pp)
+      // and the post-filter are unchanged — only the exchange into the
+      // (id_a, id_b) aggregate shrinks.
+      .filter(least(col("na") - col("pa"), col("nb") - col("pb")) >= ceilTnA)
       .groupBy(col("id_a"), col("id_b"))
       .agg(min(shiftleft(col("pa"), 31).bitwiseOR(col("pb"))).as("pp"),
         min(col("na")).as("na"), min(col("nb")).as("nb"))
@@ -1041,6 +1048,16 @@ object Dedup {
     val candidates = withPos
       .filter(greatest(col("na"), col("nb")) * tNum <=
         least(col("na"), col("nb")) * tDen)
+      // the SAME positional bound applied PER OCCURRENCE before the pair
+      // aggregate (PPJoin's placement): recall-safe because a qualifying
+      // pair's e* row always satisfies it (the theorem is exactly the
+      // bound at e*), and min(pp) is unchanged because e* is the
+      // pp-minimum among all of the pair's rows and it survives — so the
+      // post-aggregate filter sees identical inputs and the pair set is
+      // identical. What changes is the aggregate's INPUT volume: junk
+      // occurrence rows from shared-ish shingles drop before the
+      // (id_a, id_b) exchange instead of after it.
+      .filter(least(col("na") - eStarPa, col("nb") - eStarPb) >= oMin)
       .groupBy(col("id_a"), col("id_b"))
       .agg(min(col("pp")).as("pp"), min(col("na")).as("na"),
         min(col("nb")).as("nb"))
