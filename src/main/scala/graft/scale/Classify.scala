@@ -79,7 +79,7 @@ object Classify {
     */
   private def nbResub(docs: DataFrame, idCol: Column, labelCol: Column,
       termCol: Column): DataFrame = {
-    val toks = graft.core.Par.ensure(docs)
+    val toks = docs
       .select(idCol.as("id"), labelCol.as("lbl"), termCol.as("t"))
     val docTerm = toks.groupBy(col("id"), col("lbl"), col("t"))
       .agg(count(lit(1)).as("tc"))
@@ -157,12 +157,12 @@ object Classify {
     */
   private def nbHeldOut(train: DataFrame, score: DataFrame, idCol: Column,
       labelCol: Column, termCol: Column): DataFrame = {
-    val classTerm = graft.core.Par.ensure(train)
+    val classTerm = train
       .select(labelCol.as("lbl"), termCol.as("t"))
       .groupBy(col("lbl"), col("t")).agg(count(lit(1)).as("c"))
     val priors = train.groupBy(labelCol.as("lbl"))
       .agg(count(lit(1)).as("nl"))
-    val docTerm = graft.core.Par.ensure(score)
+    val docTerm = score
       .select(idCol.as("id"), termCol.as("t"))
       .groupBy(col("id"), col("t")).agg(count(lit(1)).as("tc"))
     nbScoreHeldOut(docTerm, classTerm, priors)

@@ -850,7 +850,12 @@ object Dedup {
     }
     val ceilTnA = call_function("div",
       col("na") * tNum + (tDen - 1), lit(tDen))
-    val joined = pref.join(post, "g")
+    // pinned like bucketPairRows' triangle join: the prefix⋈posting join
+    // EXPANDS (df_prefix(g) × df_posting(g) rows per hash) while its map
+    // output is a few MB of longs, so AQE's byte-based coalescing would
+    // serialize the expansion onto one partition.
+    val nParts = probe.sparkSession.sessionState.conf.numShufflePartitions
+    val joined = pref.repartition(nParts, col("g")).join(post, "g")
     val cand = (if (excludeSelfPairs) joined.filter(col("id_a") =!= col("id_b"))
                 else joined)
       .filter(col("nb") * tDen >= col("na") * tNum)
@@ -1100,7 +1105,16 @@ object Dedup {
     * persist's unbounded lifetime.
     */
   private[scale] def sharedShuffle(df: DataFrame, key: Column): DataFrame =
-    org.apache.spark.sql.graftbridge.Bridge.freezeLineage(df.repartition(key))
+    // PINNED partition count (explicit numbered repartition): the
+    // unnumbered form is AQE-coalescible, and on small-byte frames AQE
+    // folded the freeze to ONE partition — after which every consumer's
+    // map-side work over the frozen scan (rare-first reordering, prefix
+    // explodes, verify projections) ran on one core (q85 stage profile:
+    // 4.9 s single-task stage). Bytes are unchanged; the count is the
+    // session's shuffle-partition conf — scale-parameterised, local
+    // default = cores.
+    org.apache.spark.sql.graftbridge.Bridge.freezeLineage(df.repartition(
+      df.sparkSession.sessionState.conf.numShufflePartitions, key))
 
   /** All distinct within-bucket unordered id pairs of a (id, bk)-shaped
     * frame, with buckets larger than `maxBucket` split deterministically
@@ -1139,8 +1153,13 @@ object Dedup {
     // not recomputed text passes; net bench effect was strongly positive
     // (q71 halved).
     val k2 = sharedShuffle(keyed, col("bk"))
+    val nParts = keyed.sparkSession.sessionState.conf.numShufflePartitions
     val sizes = k2.groupBy(col("bk")).agg(count(lit(1)).as("bucket_n"))
-    val salted = k2.join(sizes, "bk")
+    // the freeze reports UnknownPartitioning, so this join's exchange is
+    // planner-added and AQE-coalescible — pin it (same rationale as the
+    // triangle join below: the stage ABOVE it carries the per-cell
+    // explode, which must not serialize onto one coalesced partition)
+    val salted = k2.repartition(nParts, col("bk")).join(sizes, "bk")
       .withColumn("m", floor((col("bucket_n") + (maxBucket - 1)) / maxBucket))
       .withColumn("blk", pmod(xxhash64(col("id")), col("m")))
       .select(col("bk"), col("id"), col("pv"), col("m"), col("blk"))
@@ -1165,7 +1184,15 @@ object Dedup {
     // orientation exists, which least/greatest then orders.
     val diag = shiftright(col("l.cell"), 31) ===
       col("l.cell").bitwiseAND(lit((1L << 31) - 1))
-    leftT.as("l")
+    // PIN the pair-expansion join's partition count (explicit numbered
+    // repartition — AQE cannot coalesce it): AQE's byte-based partition
+    // coalescing sees only the tiny (id, bk, cell) map output and
+    // routinely folded this join to ONE partition, serializing the
+    // O(bucket²) pair expansion on a single core (q85 stage profile:
+    // 4.7 s CPU, 1 task, 28 MB shuffle OUT from 1.5 MB in). The count is
+    // the session's shuffle-partition conf — scale-parameterised, local
+    // default = cores.
+    leftT.repartition(nParts, col("bk"), col("cell")).as("l")
       .join(rightT.as("r"),
         col("l.bk") === col("r.bk") && col("l.cell") === col("r.cell") &&
           when(diag, col("l.id") < col("r.id"))

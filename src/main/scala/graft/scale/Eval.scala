@@ -866,15 +866,23 @@ object Eval {
       .agg(count(lit(1)).as("n"), sum(col("u")).as("su"))
       .withColumn("gid",
         row_number().over(Window.orderBy(col("g"))).cast("long"))
-    val slots = sizes
+    // sizes sits on ONE partition (its gid comes from a global window),
+    // so without the re-spread the m×n slot explode generates every
+    // resample row in a single task; spreading the (g, r) rows first
+    // puts each resample's draw generation on its own task. Row set is
+    // identical — idx is a pure function of (gid, r, i).
+    val slots = graft.core.Par.ensure(sizes
       .select(col("g"), col("gid"), col("n"),
-        explode(sequence(lit(0L), lit(m.toLong - 1L))).as("r"))
+        explode(sequence(lit(0L), lit(m.toLong - 1L))).as("r")))
       .select(col("g"), col("gid"), col("n"), col("r"),
         explode(sequence(lit(0L), col("n") - 1L)).as("i"))
       .withColumn("idx", pmod(Sampling.portableBucket(
         col("gid") * 1000003L + col("r") * 2654435761L + col("i")),
         col("n")))
-    val picks = slots.join(ranked,
+    // shuffled-hash, not sort-merge: the slots side is m× the corpus and
+    // the per-partition build side (ranked) is corpus/partitions — the
+    // guide §3.1 case where avoiding the big side's sort pays.
+    val picks = slots.join(ranked.hint("shuffle_hash"),
       slots("g") === ranked("g") && slots("idx") === ranked("pos"))
       .select(slots("g").as("g"), col("r"), col("u"))
     val sums = picks.groupBy(col("g"), col("r"))

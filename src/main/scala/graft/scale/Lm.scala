@@ -43,21 +43,27 @@ object Lm {
   def knBigramCrossEntropy(trainDocs: DataFrame, evalDocs: DataFrame,
       srcCol: Column, textCol: Column): DataFrame = {
     val d = 0.75d
-    val biT = trainDocs
+    val trainPar = graft.core.Par.ensure(trainDocs)
+    // biT feeds FOUR consumers (heads, tails, types, the eval join) —
+    // without a freeze each branch re-runs the tokenize+bigram explode
+    // over the training corpus; one shared w1 exchange runs it once per
+    // action (the Dedup.sharedShuffle lifecycle).
+    val biT = Dedup.sharedShuffle(trainPar
       .select(explode(TextOps.bigrams(TextOps.tokens(textCol)))
         .as("bigram"))
       .select(split(col("bigram"), " ", 2).getItem(0).as("w1"),
         split(col("bigram"), " ", 2).getItem(1).as("w2"))
-      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb")),
+      col("w1"))
     val heads = biT.groupBy(col("w1"))
       .agg(sum(col("cb")).as("c1"), count(lit(1)).as("n1f"))
     val tails = biT.groupBy(col("w2")).agg(count(lit(1)).as("n1b"))
     val types = biT.agg(count(lit(1)).as("tt"))
-    val vocab = trainDocs
+    val vocab = trainPar
       .select(explode(TextOps.tokens(textCol)).as("t"))
       .agg(count_distinct(col("t")).as("v"))
     val consts = types.crossJoin(vocab)
-    val biE = evalDocs
+    val biE = graft.core.Par.ensure(evalDocs)
       .select(srcCol.as("src"),
         explode(TextOps.bigrams(TextOps.tokens(textCol))).as("bigram"))
       .select(col("src"),
