@@ -466,9 +466,11 @@ object Dedup {
     require(threshold > 0 && threshold <= 1, s"threshold in (0,1]: $threshold")
     val tNum = math.floor(threshold * 1e6).toLong
     val tDen = 1000000L
-    val idx = sharedShuffle(index.select(col("id"), col("sh")), col("id"))
+    val idx = sharedShuffle(index.select(col("id"), col("sh")), col("id"),
+      pinned = false)
     val bat = sharedShuffle(
-      shingleSetFrame(batch, idCol, textCol, shingleSize), col("id"))
+      shingleSetFrame(batch, idCol, textCol, shingleSize), col("id"),
+      pinned = false)
     val ordered = rareFirstOrder(
       idx.select(col("sh")).unionAll(bat.select(col("sh"))), maxBucket)
     val n = size(col("sh")).cast("long")
@@ -545,9 +547,11 @@ object Dedup {
     require(threshold > 0 && threshold <= 1, s"threshold in (0,1]: $threshold")
     val tNum = math.floor(threshold * 1e6).toLong
     val tDen = 1000000L
-    val idx = sharedShuffle(index.select(col("id"), col("sh")), col("id"))
+    val idx = sharedShuffle(index.select(col("id"), col("sh")), col("id"),
+      pinned = false)
     val bat = sharedShuffle(
-      shingleSetFrame(batch, idCol, textCol, shingleSize), col("id"))
+      shingleSetFrame(batch, idCol, textCol, shingleSize), col("id"),
+      pinned = false)
     // Bloom over ALL batch shingles (batch-sized, broadcast): scopes the
     // serve-time rare-first df aggregate so its exchange carries only
     // batch-relevant hashes — without it, the hot-order computation
@@ -596,7 +600,8 @@ object Dedup {
     // CSE (the q58/q74 lesson; measured 5x on the q217 build). For a
     // parquet-read index this adds one index-sized exchange, which the
     // partitionBy(bucket) layout write re-shuffles anyway.
-    val frozen = sharedShuffle(index.select(col("id"), col("sh")), col("id"))
+    val frozen = sharedShuffle(index.select(col("id"), col("sh")), col("id"),
+      pinned = false)
     frozen.select(col("id").as("id_b"),
         size(col("sh")).cast("long").as("nb"), explode(col("sh")).as("g"))
       .withColumn("bucket", pmod(col("g"), lit(buckets.toLong)).cast("int"))
@@ -649,7 +654,8 @@ object Dedup {
       shingleSize: Int, buckets: Int): Seq[Int] = {
     require(buckets > 0, s"buckets must be positive: $buckets")
     val fresh = sharedShuffle(
-      shingleSetFrame(batch, idCol, textCol, shingleSize), col("id"))
+      shingleSetFrame(batch, idCol, textCol, shingleSize), col("id"),
+      pinned = false)
     val batchIds = fresh.select(col("id"))
     val staleBuckets = index.select(col("id"), col("sh"))
       .join(batchIds, Seq("id"), "left_semi")
@@ -667,7 +673,7 @@ object Dedup {
     val merged = sharedShuffle(slice
       .join(batchIds.select(col("id").as("__bid")),
         col("id_b") === col("__bid"), "left_anti")
-      .union(freshPost), col("bucket"))
+      .union(freshPost), col("bucket"), pinned = false)
     // buckets the merge will actually write, computed from the MERGED
     // frame (a post-write read could not tell fresh rows from the stale
     // ones still sitting in a bucket the merge emptied)
@@ -763,10 +769,11 @@ object Dedup {
     val tNum = math.floor(threshold * 1e6).toLong
     val tDen = 1000000L
     val bat = sharedShuffle(
-      shingleSetFrame(batch, idCol, textCol, shingleSize), col("id"))
+      shingleSetFrame(batch, idCol, textCol, shingleSize), col("id"),
+      pinned = false)
     val batG = bat.select(explode(col("sh")).as("g")).distinct()
     val postA = sharedShuffle(
-      postingStoreSlice(store, batG, buckets), col("g"))
+      postingStoreSlice(store, batG, buckets), col("g"), pinned = false)
     // 1. exact df of each batch shingle in the index
     val dfIdx = postA.groupBy(col("g")).agg(count(lit(1)).as("df"))
     // 2. rarest-first probe prefixes (missing from index -> df 0 = rarest)
@@ -1104,7 +1111,8 @@ object Dedup {
     * rows — the same bytes a persist would have stored, without the
     * persist's unbounded lifetime.
     */
-  private[scale] def sharedShuffle(df: DataFrame, key: Column): DataFrame =
+  private[scale] def sharedShuffle(df: DataFrame, key: Column,
+      pinned: Boolean = true): DataFrame =
     // PINNED partition count (explicit numbered repartition): the
     // unnumbered form is AQE-coalescible, and on small-byte frames AQE
     // folded the freeze to ONE partition — after which every consumer's
@@ -1113,8 +1121,22 @@ object Dedup {
     // 4.9 s single-task stage). Bytes are unchanged; the count is the
     // session's shuffle-partition conf — scale-parameterised, local
     // default = cores.
-    org.apache.spark.sql.graftbridge.Bridge.freezeLineage(df.repartition(
-      df.sparkSession.sessionState.conf.numShufflePartitions, key))
+    //
+    // `pinned = false` (round-16, the round-15 verdict's item 1): the
+    // eager-multi-job LIFECYCLE callers — index build/merge/serve paths
+    // that run MANY small driver-sequenced jobs over the frozen frame
+    // (plan-build counts, Bloom aggregates, bucket-list collects,
+    // partitioned writes) — pay the pin's fixed n-task overhead once per
+    // job, which round-15 measured as a 20–50 % regression on
+    // q202/q203/q217/q195 at bench scale. Those callers keep the
+    // AQE-coalescible unnumbered form: their expansion joins are pinned
+    // LOCALLY (containmentCore's prefix⋈posting repartition,
+    // bucketPairRows' triangle repartition), so the scale-relevant
+    // stages stay spread while the many tiny lifecycle jobs coalesce.
+    org.apache.spark.sql.graftbridge.Bridge.freezeLineage(
+      if (pinned) df.repartition(
+        df.sparkSession.sessionState.conf.numShufflePartitions, key)
+      else df.repartition(key))
 
   /** All distinct within-bucket unordered id pairs of a (id, bk)-shaped
     * frame, with buckets larger than `maxBucket` split deterministically
