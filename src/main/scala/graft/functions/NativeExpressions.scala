@@ -44,6 +44,77 @@ object NativeExpressions {
     Bridge.column(MinHashSignature(
       Bridge.expression(hashedShingles), numPerm, prime))
 
+  /** [[MinHashSignature]] with the pmod fold-in (see
+    * [[MinHashSignatureMod]]): takes RAW 64-bit shingle hashes and
+    * reduces each to [0, prime) inside the perm loop — replaces the
+    * interpreted `transform(sh, x -> pmod(x, prime))` pre-pass.
+    */
+  def minhash_signature_mod(sh: Column, numPerm: Int = 64,
+      prime: Long = 2147483647L): Column =
+    Bridge.column(MinHashSignatureMod(Bridge.expression(sh), numPerm, prime))
+
+  /** Sorted-distinct rotate-XOR shingle set straight from a whitespace
+    * split (see [[XxhashShingleSet]]): skip empty tokens, xxhash64 each,
+    * rotl5-XOR n-gram window combine, sort, dedup — ONE compiled pass
+    * replacing the interpreted filter → transform(xxhash64) →
+    * transform(window fold) → array_distinct → sort_array chain.
+    */
+  def xxhash_shingle_set(splitToks: Column, n: Int): Column =
+    Bridge.column(XxhashShingleSet(Bridge.expression(splitToks), n))
+
+  /** Shared JVM implementation for [[XxhashShingleSet]]. Token hashing is
+    * Spark's `xxhash64(token)` (seed 42); the window combine is
+    * [[graft.scale.Dedup.hashedShingles]]'s rotl5-XOR fold; fewer than
+    * `n` tokens (including zero) degenerate to ONE fold over all tokens
+    * from seed 0 — all bit-identical to the HOF reference
+    * (NativeExpressionsSpec parity).
+    */
+  def xxhashShingleSetImpl(arr: ArrayData, n: Int): ArrayData = {
+    val total = arr.numElements()
+    var m = 0
+    val th = new Array[Long](total)
+    var i = 0
+    while (i < total) {
+      val t = arr.getUTF8String(i)
+      if (t != null && t.numBytes() > 0) {
+        th(m) = org.apache.spark.sql.catalyst.expressions.XXH64
+          .hashUTF8String(t, 42L)
+        m += 1
+      }
+      i += 1
+    }
+    if (m >= n) {
+      val out = new Array[Long](m - n + 1)
+      var s = 0
+      while (s + n <= m) {
+        var acc = 0L
+        var j = 0
+        while (j < n) {
+          acc = ((acc << 5) | (acc >>> 59)) ^ th(s + j)
+          j += 1
+        }
+        out(s) = acc
+        s += 1
+      }
+      java.util.Arrays.sort(out)
+      var w = 0
+      var k = 0
+      while (k < out.length) {
+        if (k == 0 || out(k) != out(k - 1)) { out(w) = out(k); w += 1 }
+        k += 1
+      }
+      new GenericArrayData(java.util.Arrays.copyOf(out, w))
+    } else {
+      var acc = 0L
+      var j = 0
+      while (j < m) {
+        acc = ((acc << 5) | (acc >>> 59)) ^ th(j)
+        j += 1
+      }
+      new GenericArrayData(Array(acc))
+    }
+  }
+
   def cosine_similarity(a: Column, b: Column): Column =
     Bridge.column(CosineSimilarity(
       Bridge.expression(a), Bridge.expression(b)))
@@ -73,6 +144,36 @@ object NativeExpressions {
       bloom: org.apache.spark.broadcast.Broadcast[
         org.apache.spark.util.sketch.BloomFilter]): Column =
     Bridge.column(BloomMightContainLong(Bridge.expression(hash), bloom))
+
+  /** Rare-first reorder of a sorted long array (see [[HotLastOrder]]):
+    * Bloom misses in input order, then Bloom hits in input order.
+    */
+  def hot_last_order(sh: Column,
+      bloom: org.apache.spark.broadcast.Broadcast[
+        org.apache.spark.util.sketch.BloomFilter]): Column =
+    Bridge.column(HotLastOrder(Bridge.expression(sh), bloom))
+
+  /** Shared JVM implementation for [[HotLastOrder]]: one pass, two
+    * primitive write heads, zero boxing.
+    */
+  def hotLastOrderImpl(arr: ArrayData,
+      bloom: org.apache.spark.util.sketch.BloomFilter): ArrayData = {
+    val n = arr.numElements()
+    val out = new Array[Long](n)
+    val hot = new Array[Long](n)
+    var w = 0
+    var nHot = 0
+    var i = 0
+    while (i < n) {
+      val g = arr.getLong(i)
+      if (bloom.mightContainLong(g)) { hot(nHot) = g; nHot += 1 }
+      else { out(w) = g; w += 1 }
+      i += 1
+    }
+    var j = 0
+    while (j < nHot) { out(w) = hot(j); w += 1; j += 1 }
+    new GenericArrayData(out)
+  }
 
   def bucket_weight_sum(hashes: Column,
       weights: org.apache.spark.broadcast.Broadcast[Array[Double]]): Column =
@@ -1653,6 +1754,93 @@ case class MinHashSignature(child: Expression, numPerm: Int, prime: Long)
     copy(child = newChild)
 }
 
+/** [[MinHashSignature]] over RAW 64-bit shingle hashes: each element is
+  * first reduced to [0, prime) with the positive mod (`pmod` semantics —
+  * Java `%` preserves sign), then folded through the same perm family.
+  * Bit-identical to `MinHashSignature(transform(sh, x -> pmod(x, prime)))`
+  * without the interpreted transform pre-pass (HOFs are CodegenFallback
+  * and allocated one boxed array per row in the hottest kernel of the
+  * minhash family — NativeExpressionsSpec pins the parity).
+  */
+case class MinHashSignatureMod(child: Expression, numPerm: Int, prime: Long)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  @transient private lazy val (pa, pb) =
+    NativeExpressions.minhashPerms(numPerm, prime)
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val out = new Array[Long](numPerm)
+    var i = 0
+    while (i < numPerm) { out(i) = Long.MaxValue; i += 1 }
+    var j = 0
+    while (j < n) {
+      val raw = arr.getLong(j) % prime
+      val x = if (raw < 0) raw + prime else raw
+      var i2 = 0
+      while (i2 < numPerm) {
+        val h = (pa(i2) * x + pb(i2)) % prime
+        if (h < out(i2)) out(i2) = h
+        i2 += 1
+      }
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val paRef = ctx.addReferenceObj("pa", pa, "long[]")
+    val pbRef = ctx.addReferenceObj("pb", pb, "long[]")
+    nullSafeCodeGen(ctx, ev, c => {
+      val out = ctx.freshName("out")
+      val j = ctx.freshName("j")
+      val i = ctx.freshName("i")
+      val x = ctx.freshName("x")
+      val h = ctx.freshName("h")
+      s"""
+        long[] $out = new long[$numPerm];
+        java.util.Arrays.fill($out, Long.MAX_VALUE);
+        for (int $j = 0; $j < $c.numElements(); $j++) {
+          long $x = $c.getLong($j) % ${prime}L;
+          if ($x < 0) $x += ${prime}L;
+          for (int $i = 0; $i < $numPerm; $i++) {
+            long $h = ($paRef[$i] * $x + $pbRef[$i]) % ${prime}L;
+            if ($h < $out[$i]) $out[$i] = $h;
+          }
+        }
+        ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+      """
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Fused whitespace-token shingle-set kernel (see
+  * [[NativeExpressions.xxhashShingleSetImpl]]).
+  */
+case class XxhashShingleSet(child: Expression, n: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  override def nullSafeEval(input: Any): Any =
+    NativeExpressions.xxhashShingleSetImpl(input.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""${ev.value} = graft.functions.NativeExpressions.xxhashShingleSetImpl($c, $n);""")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** One pass over a token array computing every statistic the text-quality
   * and language-ID operators need: total character count, tokens matching
   * ANY stopword list, and per-language stopword hits. The HOF formulation
@@ -2759,6 +2947,47 @@ case class BucketWeightSum(child: Expression,
           $acc += $w[(int) $idx];
         }
         ${ev.value} = $acc;
+      """
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Hot-last stable partition of a SORTED-ascending long array against a
+  * broadcast Bloom filter: Bloom misses ("rare" hashes) first in input
+  * order, then Bloom hits ("hot"), also in input order — ONE compiled
+  * pass, two primitive buffers. For a sorted-distinct input this is
+  * element-identical to the interpreted reference
+  * `transform(array_sort(transform(sh, g -> struct(hot(g), g))), s -> s.g)`
+  * (lexicographic (h, g) sort = all h=0 ascending, then h=1 ascending,
+  * and a stable partition of an ascending array keeps each class
+  * ascending — NativeExprSpec pins the parity), which is CodegenFallback
+  * and cost one struct allocation per element plus an interpreted
+  * comparator sort per row PER CONSUMER of the rare-first order (the
+  * round-16 q202 stage profile: 10 s CPU over 3 MB). Input arrays MUST
+  * be sorted ascending — the [[graft.scale.Dedup]] shingle-set contract.
+  */
+case class HotLastOrder(child: Expression,
+    bloom: org.apache.spark.broadcast.Broadcast[
+      org.apache.spark.util.sketch.BloomFilter])
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  override def nullSafeEval(input: Any): Any =
+    NativeExpressions.hotLastOrderImpl(
+      input.asInstanceOf[ArrayData], bloom.value)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bloomBc", bloom,
+      classOf[org.apache.spark.broadcast.Broadcast[_]].getName)
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""
+        ${ev.value} = graft.functions.NativeExpressions.hotLastOrderImpl(
+          $c, (org.apache.spark.util.sketch.BloomFilter) $ref.value());
       """
     })
   }

@@ -288,6 +288,71 @@ class NativeExpressionsSpec extends SparkSpec {
     assert(fp == Map(1L -> 1776235046L, 2L -> 1341827637L), s"got $fp")
   }
 
+  test("fused shingle-set kernel == HOF chain (filter/xxhash/window/distinct/sort)") {
+    for (n <- Seq(2, 3)) {
+      val both = T.documents(spark, sf)
+        .select(col("doc_id"), col("text"))
+        .withColumn("ref", sort_array(array_distinct(Dedup.hashedShingles(
+          transform(TextOps.tokens(col("text")), t => xxhash64(t)), n))))
+        .withColumn("native", NativeExpressions.xxhash_shingle_set(
+          split(col("text"), "\\s+"), n))
+      assert(both.filter(col("ref") =!= col("native")).count() == 0)
+      assert(both.count() == 500)
+    }
+    // short/degenerate docs: below-n token counts and all-whitespace text
+    val edge = spark.createDataFrame(Seq(
+      (1L, "single"), (2L, "two words"), (3L, "   "), (4L, ""),
+      (5L, " a  b "))).toDF("doc_id", "text")
+    val both = edge
+      .withColumn("ref", sort_array(array_distinct(Dedup.hashedShingles(
+        transform(TextOps.tokens(col("text")), t => xxhash64(t)), 3))))
+      .withColumn("native", NativeExpressions.xxhash_shingle_set(
+        split(col("text"), "\\s+"), 3))
+    assert(both.filter(col("ref") =!= col("native")).count() == 0)
+  }
+
+  test("minhash-mod kernel == minhash over interpreted pmod pre-pass") {
+    val docs = T.documents(spark, sf)
+      .select(NativeExpressions.xxhash_shingle_set(
+        split(col("text"), "\\s+"), 3).as("sh"))
+    val both = docs
+      .withColumn("ref", NativeExpressions.minhash_signature(
+        transform(col("sh"), x => pmod(x, lit(2147483647L))), 64))
+      .withColumn("native",
+        NativeExpressions.minhash_signature_mod(col("sh"), 64))
+    assert(both.filter(col("ref") =!= col("native")).count() == 0)
+    assert(both.count() == 500)
+  }
+
+  test("hot-last-order kernel == interpreted (hot,g) struct sort on sorted sets") {
+    val docs = T.documents(spark, sf)
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+      .withColumn("th", transform(col("toks"), t => xxhash64(t)))
+      .withColumn("sh",
+        sort_array(array_distinct(Dedup.hashedShingles(col("th"), 2))))
+    // "hot" = an arbitrary but realistic subset: every 5th distinct hash
+    val hotRows = docs.select(explode(col("sh")).as("g")).distinct()
+      .filter(pmod(col("g"), lit(5L)) === 0L)
+    val nHot = hotRows.count()
+    val bc = spark.sparkContext.broadcast(
+      hotRows.stat.bloomFilter("g", math.max(nHot, 1L), 0.01))
+    val hof = (g: org.apache.spark.sql.Column) => when(
+      NativeExpressions.bloom_might_contain_long(g, bc), 1).otherwise(0)
+    val both = docs
+      .withColumn("ref", transform(
+        array_sort(transform(col("sh"), g => struct(hof(g).as("h"), g.as("g")))),
+        s => s.getField("g")))
+      .withColumn("native", NativeExpressions.hot_last_order(col("sh"), bc))
+    assert(both.filter(col("ref") =!= col("native")).count() == 0)
+    assert(both.count() == 500)
+    // empty array edge
+    val empty = spark.range(1)
+      .select(array().cast("array<long>").as("sh"))
+      .select(NativeExpressions.hot_last_order(col("sh"), bc).as("o"))
+      .head().getSeq[Long](0)
+    assert(empty.isEmpty)
+  }
+
   test("sorted-overlap kernel == array_intersect size; edges and dups") {
     import spark.implicits._
     // random sorted-distinct arrays: kernel must equal the generic set op
