@@ -40,6 +40,15 @@ object Dedup {
     */
   private val MaxHotShingles = 1 << 22
 
+  /** Demotion threshold for the SELF-JOIN pair generators' rare-first
+    * order (the serve paths keep maxBucket: their probe side is a small
+    * batch, so candidate volume is already batch-bounded and the extra
+    * hot-set jobs are pure overhead there). Semantics-free — any
+    * consistent order is recall-1 and the exact verify fixes the output;
+    * this only bounds df_post(g) for shingles that can sit in a prefix.
+    */
+  private val HotDemoteCutoff = 128
+
   /** Deterministic affine hash family seeds (a_i, b_i), i in [0, numPerm). */
   private def perms(numPerm: Int): Seq[(Long, Long)] =
     (0 until numPerm).map { i =>
@@ -171,17 +180,18 @@ object Dedup {
     */
   private def shingleSigFrame(docs: DataFrame, idCol: String, textCol: String,
       shingleSize: Int, numPerm: Int): DataFrame = docs
-    .select(col(idCol).as("id"), TextOps.tokens(col(textCol)).as("toks"))
-    .withColumn("th", xxhashTokens(col("toks")))  // hash each token once
-    .withColumn("sh",
-      sort_array(array_distinct(hashedShingles(col("th"), shingleSize))))
-    .select(col("id"), col("sh"))
-    .withColumn("xs", transform(col("sh"), x => pmod(x, lit(Prime))))
-    // native codegen expression: one array pass for all perms (the HOF
-    // formulation in minhashSignature is its bit-identical reference)
+    // fused codegen kernels (round 16, guide §4): tokenize+hash+shingle+
+    // sort+dedup in one compiled pass (see [[shingleSetFrame]]), then the
+    // signature straight off the raw shingle hashes with the pmod folded
+    // into the perm loop — removes the last interpreted HOF
+    // (`transform(sh, pmod)`) from the minhash kernel. Bit-identical to
+    // the HOF formulation (NativeExpressionsSpec parity).
+    .select(col(idCol).as("id"),
+      graft.functions.NativeExpressions.xxhash_shingle_set(
+        split(col(textCol), "\\s+"), shingleSize).as("sh"))
     .withColumn("sig",
-      graft.functions.NativeExpressions.minhash_signature(col("xs"), numPerm, Prime))
-    .drop("xs")
+      graft.functions.NativeExpressions.minhash_signature_mod(
+        col("sh"), numPerm, Prime))
 
   /** Cross-corpus near-duplicate pairs: every (id_l, id_r) with
     * J(shingles_l, shingles_r) ≥ threshold where the sides come from TWO
@@ -394,12 +404,16 @@ object Dedup {
     */
   private def shingleSetFrame(docs: DataFrame, idCol: String,
       textCol: String, shingleSize: Int, par: Boolean = false): DataFrame =
+    // fused codegen kernel (round 16, guide §4): the split feeds ONE
+    // compiled pass (skip empties → xxhash64 → rotl5-XOR window →
+    // sort+dedup) replacing the filter/transform/transform/array_distinct
+    // chain — every HOF in it was CodegenFallback, interpreted per row in
+    // the hottest kernel of the exact-pair family. Bit-identical
+    // (NativeExpressionsSpec parity vs the HOF reference).
     (if (par) graft.core.Par.ensure(docs) else docs)
-      .select(col(idCol).as("id"), TextOps.tokens(col(textCol)).as("toks"))
-      .withColumn("th", xxhashTokens(col("toks")))
-      .select(col("id"),
-        sort_array(array_distinct(hashedShingles(col("th"), shingleSize)))
-          .as("sh"))
+      .select(col(idCol).as("id"),
+        graft.functions.NativeExpressions.xxhash_shingle_set(
+          split(col(textCol), "\\s+"), shingleSize).as("sh"))
 
   /** Persisted exact-pair index: (id, sh) with sh the sorted distinct
     * shingle hashes — the amortization the q85/q147 exact-pair family
@@ -496,7 +510,8 @@ object Dedup {
       .filter(least(col("na") - shiftright(col("pp"), 31),
         col("nb") - col("pp").bitwiseAND(lit((1L << 31) - 1))) >= oMin)
       .select(col("id_l"), col("id_r"), col("na"), col("nb"))
-    candidates
+    // frozen for containmentCore's double-broadcast reason
+    sharedShuffle(candidates, col("id_l"), pinned = false)
       .join(idx.select(col("id").as("id_l"), col("sh").as("sh_l")), "id_l")
       .join(bat.select(col("id").as("id_r"), col("sh").as("sh_r")), "id_r")
       .withColumn("o", graft.functions.NativeExpressions
@@ -861,8 +876,16 @@ object Dedup {
     // EXPANDS (df_prefix(g) × df_posting(g) rows per hash) while its map
     // output is a few MB of longs, so AQE's byte-based coalescing would
     // serialize the expansion onto one partition.
+    // BOTH sides pinned (round 16): with only the prefix side pinned,
+    // AQE was free to coalesce the posting side's ENSURE_REQUIREMENTS
+    // exchange (map output is a few MB) — the join stage then ran the
+    // O(df_pref·df_post) expansion on 1–3 tasks (q147 stage profile:
+    // 3 tasks, 3.7 MB in, 165 MB out, 3.5 s wall). A numbered repartition
+    // on the posting side keeps the expansion at the session's shuffle
+    // parallelism whatever join strategy AQE picks.
     val nParts = probe.sparkSession.sessionState.conf.numShufflePartitions
-    val joined = pref.repartition(nParts, col("g")).join(post, "g")
+    val joined = pref.repartition(nParts, col("g"))
+      .join(post.repartition(nParts, col("g")), "g")
     val cand = (if (excludeSelfPairs) joined.filter(col("id_a") =!= col("id_b"))
                 else joined)
       .filter(col("nb") * tDen >= col("na") * tNum)
@@ -879,7 +902,14 @@ object Dedup {
       .filter(least(col("na") - shiftright(col("pp"), 31),
         col("nb") - col("pp").bitwiseAND(lit((1L << 31) - 1))) >= ceilTnA)
       .select(col("id_a"), col("na"), col("id_b"))
-    cand
+    // freeze the candidate aggregate: BOTH verify joins broadcast the
+    // (tiny, output-bounded, post-filter) candidate side, and each AQE
+    // broadcast stage otherwise materializes its own copy of the subtree
+    // — the whole pair exchange was read and aggregated TWICE (q147
+    // profile: two no-shuffle-write stages reading the full 251 MB
+    // each). The freeze makes both broadcasts read one computed RDD.
+    val candF = sharedShuffle(cand, col("id_a"), pinned = false)
+    candF
       .join(probe.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(container.select(col("id").as("id_b"), col("sh").as("sh_b")),
         "id_b")
@@ -911,7 +941,7 @@ object Dedup {
     * so demotion decisions about it are irrelevant to the candidate
     * join it feeds.
     */
-  private def rareFirstOrder(frozen: DataFrame, maxBucket: Int,
+  private def rareFirstOrder(frozen: DataFrame, hotCutoff: Int,
       candidates: Option[org.apache.spark.broadcast.Broadcast[
         org.apache.spark.util.sketch.BloomFilter]] = None): Column = {
     val exploded = frozen.select(explode(col("sh")).as("g"))
@@ -922,7 +952,7 @@ object Dedup {
     }
     val hotDf = scoped
       .groupBy("g").agg(count(lit(1)).as("df"))
-      .filter(col("df") >= maxBucket)
+      .filter(col("df") >= hotCutoff)
       .orderBy(col("df").desc, col("g"))
       .limit(MaxHotShingles)
     val nHot = hotDf.count()
@@ -930,12 +960,16 @@ object Dedup {
     else {
       val bc = frozen.sparkSession.sparkContext
         .broadcast(hotDf.stat.bloomFilter("g", nHot, 0.01))
-      val hot = (g: Column) => when(
-        graft.functions.NativeExpressions.bloom_might_contain_long(g, bc),
-        1).otherwise(0)
-      transform(
-        array_sort(transform(col("sh"), g => struct(hot(g).as("h"), g.as("g")))),
-        s => s.getField("g"))
+      // ONE compiled pass per row instead of the interpreted
+      // transform → array_sort(struct) → transform chain (CodegenFallback,
+      // per-element struct allocation, interpreted sort comparator, and
+      // all of it re-evaluated per CONSUMER of the order — the round-16
+      // q202/q147 stage profiles charged ~10 s CPU per 3 MB to it).
+      // Element-identical because `sh` is sorted ascending by the
+      // shingle-set contract: the (hot, g) lexicographic sort is exactly
+      // "misses ascending, then hits ascending", which a stable one-pass
+      // partition of an ascending array reproduces (NativeExprSpec parity).
+      graft.functions.NativeExpressions.hot_last_order(col("sh"), bc)
     }
   }
 
@@ -984,7 +1018,15 @@ object Dedup {
     // persisted-index serve path.
     val frozen = sharedShuffle(
       shingleSetFrame(docs, idCol, textCol, shingleSize), col("id"))
-    val ordered = rareFirstOrder(frozen, maxBucket)
+    // demotion cutoff BELOW the bucket-split limit (round 16): the order
+    // is semantics-free (recall-1 for any consistent global order; the
+    // exact verify fixes the output), but the candidate-join volume is
+    // Sum_g df_pref(g)*df_post(g) — with demotion only at df >= maxBucket
+    // nothing demoted at moderate corpus sizes and the pair exchange
+    // carried every mid-frequency shingle's quadratic fanout (q147
+    // profile: 252 MB from a 3 MB corpus). df >= HotDemoteCutoff pushes
+    // those behind every rarer shingle, shrinking prefixes' posting hits.
+    val ordered = rareFirstOrder(frozen, math.min(maxBucket, HotDemoteCutoff))
     containmentCore(frozen, frozen, ordered, tNum, tDen, threshold,
       excludeSelfPairs = true, bloomBoundPostings = false)
   }
@@ -1014,7 +1056,8 @@ object Dedup {
     // behind every rare shingle in the prefix order. Runs as eager jobs at
     // plan-build time (df agg + count + Bloom agg), all over the one
     // shared id shuffle — the shingle kernel itself is not re-run.
-    val prefixSource = rareFirstOrder(frozen, maxBucket)
+    val prefixSource = rareFirstOrder(frozen,
+      math.min(maxBucket, HotDemoteCutoff)) // see containmentPairs
     // prefix rows carry (owning id, set size, position in the global
     // order) so the pair stage can run PPJoin's two published
     // recall-safe filters before any document data is rejoined:
@@ -1079,8 +1122,9 @@ object Dedup {
     // overlap is ONE allocation-free merge pass ([[SortedLongOverlap]])
     // and union follows as na + nb − o — no array_intersect/array_union
     // hash sets, which dominated the verify profile on dense corpora.
+    // candidates frozen for containmentCore's double-broadcast reason.
     val sh = frozen.select(col("id"), col("sh"))
-    candidates
+    sharedShuffle(candidates, col("id_a"), pinned = false)
       .join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
       .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
       .withColumn("o", graft.functions.NativeExpressions
@@ -1215,7 +1259,7 @@ object Dedup {
     // the session's shuffle-partition conf — scale-parameterised, local
     // default = cores.
     leftT.repartition(nParts, col("bk"), col("cell")).as("l")
-      .join(rightT.as("r"),
+      .join(rightT.repartition(nParts, col("bk"), col("cell")).as("r"),
         col("l.bk") === col("r.bk") && col("l.cell") === col("r.cell") &&
           when(diag, col("l.id") < col("r.id"))
             .otherwise(col("l.id") =!= col("r.id")))
@@ -1321,14 +1365,28 @@ object Dedup {
   def mergeComponents(labels: DataFrame, newPairs: DataFrame,
       maxIter: Int = 20, localEdgeLimit: Long = LocalEdgeLimit,
       checkpointDir: Option[String] = None): DataFrame = {
-    val lab = labels.select(col("id"), col("component"))
-    val ends = newPairs.select(col("id_a").as("id"))
-      .union(newPairs.select(col("id_b").as("id"))).distinct()
-    val endComp = ends
+    // Freeze the multi-consumer frames through one exchange each (guide
+    // §2.4; the unpinned lifecycle form): `lab` feeds the endpoint lookup
+    // AND both allLabels branches, `newPairs` feeds the endpoint distinct
+    // AND the component-edge projection, `endComp` feeds the two
+    // component-edge joins AND the fresh-singleton anti-join — and the
+    // whole chain is re-evaluated both by the inner connectedComponents'
+    // eager edge probe and by the final action. The round-16 q139 stage
+    // profile showed the upstream edge derivation (scan + distinct)
+    // re-running 8+ times across those consumers; with the freezes each
+    // frame computes once and later jobs reuse its shuffle files.
+    val lab = sharedShuffle(labels.select(col("id"), col("component")),
+      col("id"), pinned = false)
+    val np = sharedShuffle(newPairs.select(col("id_a"), col("id_b")),
+      col("id_a"), pinned = false)
+    val ends = np.select(col("id_a").as("id"))
+      .union(np.select(col("id_b").as("id"))).distinct()
+    val endComp = sharedShuffle(ends
       .join(lab.select(col("id").as("__lid"), col("component").as("__lc")),
         col("id") === col("__lid"), "left")
-      .select(col("id").as("__eid"), coalesce(col("__lc"), col("id")).as("__ec"))
-    val compEdges = newPairs
+      .select(col("id").as("__eid"), coalesce(col("__lc"), col("id")).as("__ec")),
+      col("__eid"), pinned = false)
+    val compEdges = np
       .join(endComp.select(col("__eid").as("__ea"), col("__ec").as("__ca")),
         col("id_a") === col("__ea"))
       .join(endComp.select(col("__eid").as("__eb"), col("__ec").as("__cb")),
