@@ -61,8 +61,20 @@ object Quantiles {
       maxLevels: Int = 8): DataFrame = {
     require(ps.nonEmpty && ps.forall(p => p >= 0.0 && p <= 1.0))
     val spark = df.sparkSession
-    val vals = df.select(col(valueCol).cast("double").as("v"))
-      .where(col("v").isNotNull)
+    // Freeze the value projection (guide §2.4 "share one exchange"): the
+    // stats pass, every refinement level and the final selection are
+    // SEPARATE driver-sequenced jobs over this frame, and without the
+    // freeze each job re-ran the scan+cast from the source — single-task
+    // when the input is one unsplittable file (the r15 Par-floor probe
+    // regressed exactly because its exchange re-ran per level job).
+    // Freezing AFTER the conditional round-robin spread means the
+    // exchange runs once (level jobs see a skipped map stage and read the
+    // same shuffle files at full parallelism); on a many-split scan
+    // Par.ensure is a no-op and the freeze just snaps the pruned scan.
+    val vals = org.apache.spark.sql.graftbridge.Bridge.freezeLineage(
+      graft.core.Par.ensure(
+        df.select(col(valueCol).cast("double").as("v"))
+          .where(col("v").isNotNull)))
     val statsRow = vals.agg(count(lit(1)), min(col("v")), max(col("v"))).head()
     val n = statsRow.getLong(0)
     require(n > 0, "exactQuantiles over an empty input")
@@ -179,10 +191,12 @@ object Quantiles {
       maxCollect: Int = 100000, maxLevels: Int = 8): DataFrame = {
     require(ps.nonEmpty && ps.forall(p => p >= 0.0 && p <= 1.0))
     val spark = df.sparkSession
-    val vals = df
-      .select(col(groupCol).cast("string").as("g"),
-        col(valueCol).cast("double").as("v"))
-      .where(col("v").isNotNull && col("g").isNotNull)
+    // same per-level scan-reuse freeze as [[exactQuantiles]]
+    val vals = org.apache.spark.sql.graftbridge.Bridge.freezeLineage(
+      graft.core.Par.ensure(df
+        .select(col(groupCol).cast("string").as("g"),
+          col(valueCol).cast("double").as("v"))
+        .where(col("v").isNotNull && col("g").isNotNull)))
     final case class GCand(g: String, p: Double, lo: Double, hi: Double,
         rank: Long, cnt: Long, chain: List[Step], done: Option[Double])
     val stats = vals.groupBy(col("g"))
