@@ -38,9 +38,21 @@ object Bridge {
     * that may buffer them (one flat byte-array copy — still far cheaper
     * than the external-Row round trip).
     */
+  /** Test hook: a plan-shape spec that needs to witness structure INSIDE
+    * a frozen subtree (freezes cut the visible plan at an RDD scan) sets
+    * this thread-local buffer; every freezeLineage on the thread then
+    * records the frozen frame's executed plan. Null (the default)
+    * everywhere outside specs — one null check per freeze.
+    */
+  val recordFrozenPlans: ThreadLocal[
+      scala.collection.mutable.Buffer[org.apache.spark.sql.execution.SparkPlan]] =
+    new ThreadLocal
+
   def freezeLineage(df: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
     val cs = df.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val rec = recordFrozenPlans.get()
+    if (rec != null) rec += df.queryExecution.executedPlan
     cs.internalCreateDataFrame(
       df.queryExecution.toRdd.map(_.copy()), df.schema)
   }

@@ -364,25 +364,34 @@ class PlanSpec extends SparkSpec {
       val docs = (1 to 20).map(i =>
         (i.toLong, (i to i + 15).map(j => s"t$j").mkString(" ")))
         .toDF("doc_id", "text")
-      val served = graft.scale.Dedup.containmentPairsAgainstIndex(
+      // the round-16 candidate freeze cuts the visible serve plan at an
+      // RDD scan; the Bloom witness lives INSIDE the frozen subtree, so
+      // record frozen subplans via the Bridge test hook and search the
+      // outer plan plus every recorded freeze
+      val rec = scala.collection.mutable.Buffer
+        .empty[org.apache.spark.sql.execution.SparkPlan]
+      org.apache.spark.sql.graftbridge.Bridge.recordFrozenPlans.set(rec)
+      val served = try graft.scale.Dedup.containmentPairsAgainstIndex(
         graft.scale.Dedup.jaccardIndex(
           docs.filter(col("doc_id") % 2 === 0), "doc_id", "text",
           shingleSize = 2),
         docs.filter(col("doc_id") % 2 === 1), "doc_id", "text",
         shingleSize = 2, threshold = 0.7)
-      val exec = served.queryExecution.executedPlan
-      val bloomFilters = exec.collect {
+      finally org.apache.spark.sql.graftbridge.Bridge.recordFrozenPlans.remove()
+      val plans = served.queryExecution.executedPlan +: rec.toSeq
+      val bloomFilters = plans.flatMap(_.collect {
         case f: FilterExec if f.condition
           .find(_.isInstanceOf[graft.functions.BloomMightContainLong])
           .isDefined => f
-      }
-      assert(bloomFilters.nonEmpty, s"no Bloom filter in serve plan:\n$exec")
+      })
+      assert(bloomFilters.nonEmpty,
+        s"no Bloom filter in serve plan or its freezes:\n${plans.mkString("\n---\n")}")
       val underExplodeNoShuffle = bloomFilters.exists { f =>
         f.collectFirst { case g: GenerateExec => g }.isDefined &&
           f.collect { case s: ShuffleExchangeExec => s }.isEmpty
       }
       assert(underExplodeNoShuffle,
-        s"Bloom filter not narrow-under-the-explode:\n$exec")
+        s"Bloom filter not narrow-under-the-explode:\n${plans.mkString("\n---\n")}")
     }
   }
 
